@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalization / tokenization operators (reference ops T1-T3, F2, F3).
+  *
+  * Semantics from `/root/reference/src/WordCount.java:53-61`:
+  *   T1 case fold:  `toLowerCase()`
+  *   T2 scrub:      `replaceAll("[^a-zA-Z ]", " ")` — every non-ASCII-letter,
+  *                  non-space char (digits included) becomes a space
+  *   T3 tokenize:   `split("\\s+")` then emit one record per token
+  *   F2 stop-words: drop token if in the 318-word list (loaded lowercased)
+  *   F3 empties:    drop zero-length tokens
+  *
+  * All pure built-in expressions: `lower`/`regexp_replace`/`split` are
+  * codegen'd, `explode` is a Catalyst Generator, and the stop-word test uses
+  * `isInCollection` which Catalyst converts to an O(1) `InSet` hash probe —
+  * the Spark-native equivalent of the reference's broadcast side-file
+  * (`WordCount.java:25-38`) with no per-task re-read.
+  */
+object TextOps {
+
+  /** The reference's 318-entry stop-word list
+    * (`/root/reference/src/stop-word-list.txt`), loaded once per JVM from
+    * resources, trimmed + lowercased as at `WordCount.java:34`. */
+  lazy val stopWords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/stop-word-list.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** T1+T2: case-fold then scrub punctuation/digits to spaces. */
+  def scrub(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z ]", " ")
+
+  /** T3 as an array (pre-explode): whitespace tokenization. Note Java
+    * `"".split("\\s+")` yields `[""]` and leading whitespace yields a
+    * leading `""` token — both removed downstream by [[keepToken]] (F3),
+    * so plain Spark `split` (same Java regex engine) is exact parity. */
+  def tokenize(c: Column): Column = split(c, "\\s+")
+
+  /** F2+F3 combined token predicate: non-empty and not a stop word. */
+  def keepToken(tok: Column, stop: Seq[String] = stopWords): Column =
+    length(tok) > 0 && !tok.isInCollection(stop)
+
+  /** Full T1..F3 pipeline as a single exploded-token Column: callers do
+    * `df.select(explode(cleanTokens(col)).as("token"))` then filter, or use
+    * the convenience shape below that keeps the filter with the generator. */
+  def cleanTokens(c: Column, stop: Seq[String] = stopWords): Column =
+    filter(tokenize(scrub(c)),
+      t => length(t) > 0 && !t.isInCollection(stop))
+}
