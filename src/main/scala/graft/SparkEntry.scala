@@ -148,6 +148,150 @@ object SparkEntry {
     // Full WordCount pipeline (P1+P3+T1..T3+F2+F3+A1+O1..O3, top-100)
     "word_count_pipeline" -> ((s, dir) =>
       WordCount.fromLines(docLines(s, dir).select(col("line").as("value")))),
+
+    // ---- relational generality (beyond the reference's surface) ----------
+
+    // TPC-H Q1-style multi-aggregate: decimal sums (exact, order-independent)
+    "rel_q1_lineitem_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("sum_disc"),
+          count(lit(1)).as("cnt"))),
+
+    // Broadcast hash join: small dim (customer) explicitly broadcast
+    "rel_join_broadcast" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"))),
+
+    // 3-way dimension join chain
+    "rel_join_3way" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_bal"))),
+
+    // Left outer join preserving unmatched dimension rows
+    "rel_join_left_outer" -> ((s, dir) =>
+      tbl(s, dir, "nation")
+        .join(tbl(s, dir, "supplier"),
+          col("s_nationkey") === col("n_nationkey"), "left_outer")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))),
+
+    // Left semi join: customers having at least one order
+    "rel_semi_join" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))),
+
+    // Left anti join: customers with no orders
+    "rel_anti_join" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))),
+
+    // Partitioned window: top-3 orders per customer (no global bottleneck)
+    "rel_window_topn_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Distinct aggregation (expand-based multi-distinct)
+    "rel_distinct_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          count(lit(1)).as("cnt"))),
+
+    // Rollup: subtotals + grand total over region/nation hierarchy
+    "rel_rollup" -> ((s, dir) =>
+      tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        // re-alias to fresh attrs: the joined lineage trips Spark's
+        // ambiguous-self-join detector when rollup re-resolves by name
+        .select(col("r_name").as("rn_"), col("n_name").as("nn_"))
+        .rollup(col("rn_"), col("nn_"))
+        .agg(count(lit(1)).as("n_supp"))
+        .select(col("rn_").as("r_name"), col("nn_").as("n_name"),
+          col("n_supp"))),
+
+    // Cube over two low-cardinality dims
+    "rel_cube" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Set ops: EXCEPT / INTERSECT / UNION-distinct over event user sets
+    "rel_except" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(col("event_type") === "view").select("user_id")
+        .except(e.where(col("event_type") === "purchase").select("user_id"))
+    }),
+    "rel_intersect" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(col("event_type") === "view").select("user_id")
+        .intersect(e.where(col("event_type") === "purchase").select("user_id"))
+    }),
+    "rel_union_distinct" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(col("event_type") === "signup").select("user_id")
+        .union(e.where(col("event_type") === "error").select("user_id"))
+        .distinct()
+    }),
+
+    // Hourly tumbling aggregation over event time (string-formatted bucket)
+    "rel_time_hourly_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_value"))),
+
+    // Sessionization: gaps-and-islands via lag + running sum (30-min gap)
+    "rel_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800L * 1000000L
+            || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Long.MinValue, 0)))
+        .groupBy("user_id")
+        .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +383,110 @@ object SparkEntry {
          |  FROM counts
          |)
          |SELECT rank, word, cnt FROM ranked WHERE rank <= 100""".stripMargin,
+
+    "rel_q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price,
+        |       cast(sum(cast(l_discount AS decimal(18,4))) AS decimal(18,4)) AS sum_disc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_join_3way" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |       cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "rel_join_left_outer" ->
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "rel_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_window_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "rel_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS d_part,
+        |       count(DISTINCT l_suppkey) AS d_supp,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_supp
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "rel_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "rel_union_distinct" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin,
+
+    "rel_time_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS cnt,
+        |       cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "rel_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), m AS (
+        |  SELECT user_id, ts_us, event_id,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m
+        |)
+        |SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
   )
 }

@@ -33,9 +33,11 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(want) != len(got):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
+    if len(want) == 0:
+        print(f"PASS {name} (0 rows)"); continue
     ws = want.astype(str).apply(lambda r: "\x00".join(r), axis=1).sort_values().reset_index(drop=True)
     gs = got.astype(str).apply(lambda r: "\x00".join(r), axis=1).sort_values().reset_index(drop=True)
-    if len(ws) and not ws.equals(gs):
+    if not ws.equals(gs):
         bad = (ws != gs).idxmax()
         print(f"FAIL {name}: value mismatch, e.g.\n  duck:  {ws[bad]!r}\n  spark: {gs[bad]!r}")
         fails += 1; continue
