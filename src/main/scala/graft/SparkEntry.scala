@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{NaiveCsv, Rank, TextOps}
+import graft.ops.{Dedup, NaiveCsv, Quality, Rank, Similarity, TextOps}
 import graft.pipelines.{StockCount, WordCount}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -68,6 +68,29 @@ object SparkEntry {
        |           '\\s+')) AS token
        |  FROM documents
        |)""".stripMargin
+
+  /** DuckDB expression for [[Dedup.cleanTokens]] over column `src`. */
+  private def cleanToksSql(src: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($src), " +
+      s"'[^a-z ]', ' ', 'g'), '\\s+'), x -> x <> '')"
+
+  /** DuckDB expression for [[Dedup.shingles]] (n=3) over token list `l`. */
+  private val shinglesSql: String =
+    """CASE WHEN len(l) >= 3
+      |     THEN list_transform(range(1, len(l)-1),
+      |                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+      |     ELSE [array_to_string(l, ' ')] END""".stripMargin
+
+  private lazy val stopListDuck: String =
+    TextOps.stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB CTE exploding embeddings to (vec_id, label, pos, vx). */
+  private val embUnnestCte =
+    """v AS (
+      |  SELECT vec_id, label, unnest(embedding) AS vx,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |)""".stripMargin
 
   // ---- flagship -----------------------------------------------------------
 
@@ -292,6 +315,103 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+
+    // ---- training-data pipeline operators --------------------------------
+
+    // Exact dedup: content-hash groups with representative id + dup count
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(tbl(s, dir, "documents"), col("text"), col("doc_id"))),
+
+    // Near-exact dedup: whitespace/case-insensitive fingerprint
+    "dedup_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Dedup.fingerprint(col("text")).as("fp"))),
+
+    // MinHash signatures (k=8, 3-word shingles, portable md5 minima)
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(
+        tbl(s, dir, "documents").select("doc_id", "text"), col("text"), 8)
+        .drop("text")),
+
+    // LSH bucket histogram: band id -> bucket size (candidate generation)
+    "dedup_lsh_buckets" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignature(
+        tbl(s, dir, "documents").select("doc_id", "text"), col("text"), 8)
+      val bands = (0 until 4).map(b =>
+        sigs.select(lit(b).cast("long").as("band_idx"),
+          Dedup.lshBands(8, 2)(b).as("band")))
+        .reduce(_ union _)
+      bands.groupBy("band_idx", "band").agg(count(lit(1)).as("bucket_size"))
+    }),
+
+    // SimHash (64-bit, md5-nibble based). No SQL oracle — rows-only check;
+    // exactness is covered by a reference implementation in the test suite.
+    "dedup_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("simhash"))),
+
+    // Token statistics per document
+    "text_token_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Quality.tokenCount(col("text")).as("n_tokens"),
+        Quality.distinctTokenCount(col("text")).as("n_uniq"),
+        col("n_chars"))),
+
+    // Quality scoring: stop-word share, punctuation noise, diversity, score
+    "text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(Quality.stopwordRatio(col("text")), 6).as("sw_ratio"),
+        round(Quality.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Quality.uniqueRatio(col("text")), 6).as("uniq_ratio"),
+        round(Quality.qualityScore(col("text")), 6).as("q_score"))),
+
+    // Language-ID heuristic (marker-word argmax)
+    "text_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Quality.langId(col("text")).as("lang_pred"))),
+
+    // Document frequency / term frequency per token (IDF building block)
+    "text_doc_freq" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"))),
+
+    // Brute-force exact cosine top-20 against vec_id=0's embedding
+    "emb_knn_cosine" -> ((s, dir) => {
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.knn(tbl(s, dir, "embeddings"), col("embedding"),
+        col("vec_id"), q, 20)
+    }),
+
+    // Per-label norm statistics (order-independent min/max of rounded norms)
+    "emb_norm_stats" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("label"),
+          Similarity.l2Norm(col("embedding")).as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          min(round(col("norm"), 6)).as("min_norm"),
+          max(round(col("norm"), 6)).as("max_norm"))),
+
+    // IVF "train" step: element-wise centroid per label (exploded form)
+    "emb_centroids" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(round(avg("x"), 6).as("m"))),
+
+    // Near-dup vector pairs, blocked by label (bounded self-join)
+    "emb_near_dup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairsBlocked(tbl(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"), col("label"), 0.0)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .where(col("cos") >= 0.35)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -488,5 +608,167 @@ object SparkEntry {
         |SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedup_minhash_sig" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
+        .mkString(",\n       ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+         |SELECT doc_id,
+         |       $sigs
+         |FROM sh""".stripMargin
+    },
+
+    "dedup_lsh_buckets" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
+        .mkString(",\n       ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT cast($b AS bigint) AS band_idx, " +
+          s"md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigs
+         |FROM sh),
+         |bands AS (
+         |  $bands
+         |)
+         |SELECT band_idx, band, count(*) AS bucket_size
+         |FROM bands GROUP BY band_idx, band""".stripMargin
+    },
+
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN len(trim(text)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |         AS n_tokens,
+         |       len(list_distinct(${cleanToksSql("text")})) AS n_uniq,
+         |       n_chars
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ${cleanToksSql("text")} AS l FROM documents
+         |), f AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(l) = 0 THEN 0.0
+         |         ELSE cast(len(list_filter(l, x -> list_contains($stopListDuck, x))) AS double)
+         |              / cast(len(l) AS double) END AS sw,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+         |              / cast(length(text) AS double) END AS punct,
+         |    CASE WHEN len(l) = 0 THEN 0.0
+         |         ELSE cast(len(list_distinct(l)) AS double)
+         |              / cast(len(l) AS double) END AS uniq
+         |  FROM t
+         |)
+         |SELECT doc_id, round(sw, 6) AS sw_ratio, round(punct, 6) AS punct_ratio,
+         |       round(uniq, 6) AS uniq_ratio,
+         |       round(((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |              + (CASE WHEN sw BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+         |              + (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS q_score
+         |FROM f""".stripMargin,
+
+    "text_lang_id" -> {
+      val markers = Seq("en", "es", "fr", "de")
+      val ratioDefs = markers.map { l =>
+        val list = Quality.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CASE WHEN len(l) = 0 THEN 0.0 ELSE " +
+          s"cast(len(list_filter(l, x -> list_contains($list, x))) AS double)" +
+          s" / cast(len(l) AS double) END AS r_$l"
+      }.mkString(",\n    ")
+      val whens = markers.map(l =>
+        s"WHEN best >= 0.02 AND r_$l = best THEN '$l'").mkString("\n       ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    $ratioDefs
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, r_en, r_es, r_fr, r_de,
+         |         greatest(r_en, r_es, r_fr, r_de) AS best
+         |  FROM r
+         |)
+         |SELECT doc_id,
+         |       CASE $whens
+         |            ELSE 'unknown' END AS lang_pred
+         |FROM b""".stripMargin
+    },
+
+    "text_doc_freq" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
+         |  FROM documents
+         |)
+         |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+         |FROM tk GROUP BY token""".stripMargin,
+
+    "emb_knn_cosine" ->
+      s"""WITH q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), $embUnnestCte,
+         |d AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(vx AS double) * cast(qx AS double)) AS dot,
+         |         sum(cast(vx AS double) * cast(vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) GROUP BY v.vec_id
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |)
+         |SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |FROM d, qq
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "emb_norm_stats" ->
+      s"""WITH $embUnnestCte,
+         |n AS (
+         |  SELECT vec_id, label,
+         |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
+         |  FROM v GROUP BY vec_id, label
+         |)
+         |SELECT label, count(*) AS cnt,
+         |       min(round(norm, 6)) AS min_norm,
+         |       max(round(norm, 6)) AS max_norm
+         |FROM n GROUP BY label""".stripMargin,
+
+    "emb_centroids" ->
+      s"""WITH $embUnnestCte
+         |SELECT label, pos, round(avg(cast(vx AS double)), 6) AS m
+         |FROM v GROUP BY label, pos""".stripMargin,
+
+    "emb_near_dup_pairs" ->
+      s"""WITH $embUnnestCte,
+         |n AS (
+         |  SELECT vec_id,
+         |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
+         |  FROM v GROUP BY vec_id
+         |),
+         |d AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         sum(cast(a.vx AS double) * cast(b.vx AS double)) AS dot
+         |  FROM v a JOIN v b
+         |    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id
+         |)
+         |SELECT id1, id2, round(dot / (n1.norm * n2.norm), 6) AS cos
+         |FROM d
+         |JOIN n n1 ON d.id1 = n1.vec_id
+         |JOIN n n2 ON d.id2 = n2.vec_id
+         |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.35""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure built-in Catalyst expressions (codegen'd, no
+  * UDFs) and — deliberately — *portable* hashing: MD5 hex strings compared
+  * lexicographically, so the same logic is expressible in any ANSI-ish SQL
+  * engine for oracle checking. (Spark's `hash`/`xxhash64` are faster but
+  * engine-specific; swap [[portableHash]] for `xxhash64` when oracle
+  * portability is not needed.)
+  *
+  * Scale design: every operator is a single `groupBy` on a hash key —
+  * shuffle size is O(rows), keys are uniformly distributed by construction
+  * (no skew), and partial aggregation halves shuffle volume. The MinHash-LSH
+  * path turns O(n²) near-dup search into per-bucket candidate generation.
+  */
+object Dedup {
+
+  /** Portable deterministic hash of a string column: lowercase MD5 hex. */
+  def portableHash(c: Column): Column = md5(c.cast("binary"))
+
+  /** Canonical text form for near-exact matching: case-fold, collapse
+    * whitespace runs, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact-duplicate groups: one row per distinct content hash with the
+    * representative (minimum) id and the duplicate count. Dedup itself is
+    * `df.where(...)` against `keep = id == min(id) over hash` or a
+    * semi-join on this output. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(portableHash(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Whitespace/case-insensitive document fingerprint (near-exact dedup). */
+  def fingerprint(text: Column): Column = portableHash(normalize(text))
+
+  /** Non-empty lowercase word tokens of `text` (scrub + split + drop ""). */
+  def cleanTokens(text: Column): Column =
+    filter(split(TextOps.scrub(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles over the clean tokens; whole text as the single
+    * shingle when there are fewer than `n` tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = cleanTokens(text)
+    val k = size(toks)
+    when(k >= n,
+      transform(sequence(lit(1), k - lit(n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** One MinHash signature component: the lexicographic minimum of
+    * seed-salted MD5 over the shingle set. With k independent seeds the
+    * vector of minima estimates Jaccard similarity; identical docs get
+    * identical signatures. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s)
+      .cast("binary"))))
+
+  /** Full k-component signature as individual columns `sig0..sig{k-1}`. */
+  def minhashSignature(df: DataFrame, text: Column, k: Int = 8): DataFrame = {
+    val sh = shingles(text)
+    df.withColumn("_sh", sh)
+      .select(df.columns.map(col) ++
+        (0 until k).map(i => minhash(col("_sh"), i).as(s"sig$i")): _*)
+  }
+
+  /** LSH band ids: hash `rows`-sized runs of the signature; two docs
+    * sharing ANY band are near-dup candidates. bandCount = k / rows. */
+  def lshBands(k: Int = 8, rows: Int = 2): Seq[Column] =
+    (0 until k / rows).map { b =>
+      md5(concat((b * rows until (b + 1) * rows)
+        .map(i => col(s"sig$i")): _*).cast("binary")).as(s"band$b")
+    }
+
+  /** Candidate near-duplicate pairs via LSH: docs sharing any band,
+    * deduplicated across bands, id1 < id2. The self-join is per-bucket —
+    * at scale, bucket sizes stay O(dups), not O(n). */
+  def lshCandidatePairs(sigs: DataFrame, id: String,
+                        k: Int = 8, rows: Int = 2): DataFrame = {
+    val bands = (0 until k / rows).map { b =>
+      sigs.select(col(id).as("doc_a"), lshBands(k, rows)(b).as("band"))
+    }.reduce(_ union _)
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.doc_a") < col("r.doc_a"))
+      .select(col("l.doc_a").as("id1"), col("r.doc_a").as("id2"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over clean tokens, built from the first 16 hex chars of
+    * each token's MD5: bit j of the result is the sign of the sum over
+    * tokens of (2*bit_j(token) - 1). Near-identical docs differ in few
+    * bits (Hamming distance). Pure expressions; the per-token 64-bit
+    * unpack stays inside codegen. */
+  def simhash64(text: Column): Column = {
+    val toks = cleanTokens(text)
+    // per-token ±1 bit vector (64 ints) from the hex nibbles of md5
+    val bitVecs = transform(toks, t => {
+      val chars = split(substring(md5(t.cast("binary")), 1, 16), "")
+      transform(sequence(lit(0), lit(63)), j => {
+        val nib = conv(get(chars, (j / 4).cast("int")), 16, 10).cast("int")
+        val mask = when(j % 4 === 0, 8).when(j % 4 === 1, 4)
+          .when(j % 4 === 2, 2).otherwise(1)
+        when(nib.bitwiseAND(mask) > 0, 1).otherwise(-1)
+      })
+    })
+    val zero = transform(sequence(lit(0), lit(63)), _ => lit(0))
+    val sums = aggregate(bitVecs, zero,
+      (acc, v) => zip_with(acc, v, (a, b) => a + b))
+    // fold sign bits into one long (1L << 63 is the sign-bit pattern)
+    val powers = array((0 until 64).map(j => lit(1L << (63 - j))): _*)
+    aggregate(
+      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (`array<float>`).
+  *
+  * All math is done in double after casting, with *sequential* array-order
+  * accumulation (`aggregate` over `zip_with`) — bit-deterministic and
+  * reproducible across engines, unlike a shuffled SQL `sum` of exploded
+  * elements. No UDFs; the fold stays inside Catalyst.
+  *
+  * Scale design: brute-force top-k is a map-side score + `TakeOrderedAndProject`
+  * (distributed top-k, no global sort). The blocked/near-dup variants join
+  * only within buckets. For 100 TB-scale ANN, [[cosineToCentroids]] is the
+  * IVF building block: assign each vector to its nearest centroid, then
+  * search only the probed cells.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-order dot product of two equal-length vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force exact top-k by cosine against one query vector (passed as
+    * a literal array — the "parameter" of the query). Deterministic
+    * tiebreak on id. Plans as scan -> project(score) -> TakeOrderedAndProject:
+    * no shuffle of the full table, scales linearly. */
+  def knn(df: DataFrame, emb: Column, id: Column, queryVec: Seq[Double],
+          k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    // order by the ROUNDED score (then id): sub-ulp accumulation
+    // differences can't flip the ordering, so results are reproducible
+    // across engines/partitionings
+    df.select(id.as("vec_id"), round(cosine(emb, q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Exact near-duplicate pairs within a blocking key (e.g. label, LSH
+    * bucket, IVF cell): per-block self-join keeps the quadratic term local
+    * to the block. */
+  def nearDupPairsBlocked(df: DataFrame, emb: Column, id: Column,
+                          block: Column, minCos: Double): DataFrame = {
+    val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"))
+    val l = v.as("l"); val r = v.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.vid") < col("r.vid"))
+      .select(col("l.vid").as("id1"), col("r.vid").as("id2"),
+        cosine(col("l.e"), col("r.e")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Element-wise mean vector per group (the IVF "train" step): explode
+    * with position, average per (group, position), re-assemble ordered.
+    * One shuffle keyed by (group, pos) — fully distributed, no driver
+    * collection. */
+  def centroids(df: DataFrame, emb: Column, group: Column): DataFrame =
+    df.select(group.as("grp"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
+      .groupBy("grp", "pos").agg(avg("x").as("m"))
+      .groupBy("grp").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+}
