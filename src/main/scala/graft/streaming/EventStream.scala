@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators. The reference has no streaming surface
+  * (its README names Flink/Kafka only as future work — `README.md:129`), so
+  * these are the Spark-native streaming generalizations of its batch ops:
+  * the same count-per-key aggregation under event-time windows + watermarks,
+  * and the WordCount pipeline as an incremental query.
+  *
+  * All transforms are source-agnostic `DataFrame -> DataFrame` so they run
+  * identically on `readStream` (Kafka/file/socket) and on batch frames in
+  * tests (MemoryStream).
+  */
+object EventStream {
+
+  /** Tumbling event-time window counts per key with late-data handling.
+    * Watermark bounds state: at 100 TB/day the state store holds only
+    * windows within the lateness horizon, not the full history. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window)
+        .as("win"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("cnt"))
+
+  /** Incremental WordCount: the reference's T1..F3+A1 pipeline as a
+    * streaming aggregation (update/complete mode). */
+  def streamingWordCount(lines: DataFrame, textCol: String = "value")
+  : DataFrame =
+    lines
+      .select(explode(TextOps.cleanTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Per-user running session state via mapGroupsWithState: counts events
+    * and closes the session after `gapMs` of processing-time inactivity.
+    * Demonstrates the custom-state path (KeyValueGroupedDataset) that
+    * windowed aggregation can't express. */
+  case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
+
+  def runningSessions(events: Dataset[(Long, Long)], gapMs: Long = 30 * 60 * 1000L)
+  : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Long, SessionUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            SessionUpdate(userId, n, closed = true)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, n, closed = false)
+          }
+      }
+  }
+
+  /** Output-mode helper: windowed aggregations with watermark support
+    * Append (emit once, on watermark passing) — the scalable default. */
+  val AppendMode: OutputMode = OutputMode.Append()
+}

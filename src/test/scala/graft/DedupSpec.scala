@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference SimHash in plain Scala (same spec: first 16 hex chars of
+    * md5(token), bit j -> ±1, sum, sign). */
+  private def simhashRef(text: String): Long = {
+    val toks = text.toLowerCase.replaceAll("[^a-z ]", " ")
+      .split("\\s+").filter(_.nonEmpty)
+    val sums = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      for (j <- 0 until 64) {
+        val nib = Integer.parseInt(hex((j / 4)).toString, 16)
+        val bit = (nib >> (3 - j % 4)) & 1
+        sums(j) += (if (bit == 1) 1 else -1)
+      }
+    }
+    (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (sums(j) > 0) acc | (1L << (63 - j)) else acc
+    }
+  }
+
+  test("simhash64 matches the reference implementation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "Hello, World! 123", "a", "", "same same same words",
+      "spark native analytics engine at scale")
+    val got = texts.toDF("t").select(Dedup.simhash64(col("t")))
+      .as[Long].collect().toSeq
+    assert(got == texts.map(simhashRef))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a + " extra"
+    val Seq(ha, hb) = Seq(a, b).toDF("t")
+      .select(Dedup.simhash64(col("t"))).as[Long].collect().toSeq
+    assert(java.lang.Long.bitCount(ha ^ hb) < 20)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("Hello   World", "hello world", "HELLO\tWORLD ", "other")
+      .toDF("t").select(Dedup.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(0) != fps(3))
+  }
+
+  test("exactGroups finds duplicate groups with min id and count") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
+      .toDF("id", "t")
+    val g = Dedup.exactGroups(df, col("t"), col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("identical docs share full minhash signatures; disjoint docs don't") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignature(df, col("text"), 8).drop("text")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("lshCandidatePairs surfaces identical docs exactly once") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignature(df, col("text"), 8)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("shingles: n-grams for long docs, whole text for short ones") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.multimodal.Media
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingMediaSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("windowedCounts aggregates an event-time stream incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = EventStream.windowedCounts(
+      mem.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      window = "1 hour", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 00:55:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 01:05:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("win_start", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L),
+        (Timestamp.valueOf("2024-01-01 01:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingWordCount updates counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = EventStream.streamingWordCount(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData("spark engine spark")
+      q.processAllAvailable()
+      mem.addData("engine scale")
+      q.processAllAvailable()
+      val rows = spark.table("wc_stream").as[(String, Long)].collect().toMap
+      assert(rows == Map("spark" -> 2L, "engine" -> 2L, "scale" -> 1L))
+    } finally q.stop()
+  }
+
+  test("media pipeline: schema, metadata, deterministic stub features") {
+    val df = Seq(
+      (1L, "image", Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),
+      (2L, "image", Array.empty[Byte]))
+      .toDF("media_id", "kind", "payload")
+    val withMeta = Media.withMeta(df, "png")
+    assert(withMeta.schema == Media.mediaSchema)
+    val meta = withMeta.select("meta.n_bytes").as[Long].collect().toSet
+    assert(meta == Set(8L, 0L))
+
+    val feats = Media.extractFeatures(withMeta)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "meta", "features"))
+    val f = feats.select("media_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f(1L) == Media.decodeStub(Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)).toSeq)
+    assert(f(2L) == Seq.fill(8)(0f))
+    // determinism: same input, same features on re-run
+    val f2 = Media.extractFeatures(withMeta).select("media_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f == f2)
+  }
+
+  test("sampleChunks keeps every n-th fixed-size chunk") {
+    val payload = "abcdefghij".getBytes("UTF-8")
+    val got = Seq(Tuple1(payload)).toDF("payload")
+      .select(Media.sampleChunks(col("payload"), 2, 2).as("chunks"))
+      .as[Seq[Array[Byte]]].collect().head.map(new String(_, "UTF-8"))
+    assert(got.head == "ab") // chunk 0 kept
+    assert(got.forall(_.length <= 2))
+  }
+}
