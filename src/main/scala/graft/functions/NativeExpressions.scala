@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy text operators.
+  *
+  * The pure higher-order-function versions in [[graft.ops.Dedup]] are
+  * correct but interpreted (HOFs are CodegenFallback): at ~64 lambda
+  * evaluations per token they dominate the benchmark. These expressions do
+  * the same work in tight JVM loops — one eval call per row — for a ~10x
+  * speedup, with bit-identical results (asserted in NativeFunctionsSpec).
+  */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression)
+  : SimHash64Expr = copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes
+      .minhashSig(input.asInstanceOf[UTF8String].toString, k)
+      .map(UTF8String.fromString): Array[Any])
+  override protected def withNewChildInternal(newChild: Expression)
+  : MinHashSigExpr = copy(child = newChild)
+}
+
+/** Registration + Column-level API. Functions are injected per-session
+  * (idempotent) through the internal function registry; sessions built with
+  * `.withExtensions(GraftExtensions.inject)` get them at construction. */
+object GraftFunctions {
+
+  private def builders = Seq[(String, Seq[Expression] => Expression)](
+    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
+    "graft_minhash_sig" -> (es => MinHashSigExpr(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())))
+
+  /** Register into an existing (classic) session; safe to call per query. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def simhash64(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_simhash64", c)
+  }
+
+  def minhashSig(spark: SparkSession, c: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash_sig", c,
+      org.apache.spark.sql.functions.lit(k))
+  }
+}
+
+/** SparkSessionExtensions hook: `SparkSession.builder.withExtensions(
+  * GraftExtensions.inject)` or `spark.sql.extensions=graft.functions.
+  * GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  val inject: org.apache.spark.sql.SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -61,12 +61,25 @@ object Dedup {
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s)
       .cast("binary"))))
 
-  /** Full k-component signature as individual columns `sig0..sig{k-1}`. */
-  def minhashSignature(df: DataFrame, text: Column, k: Int = 8): DataFrame = {
-    val sh = shingles(text)
-    df.withColumn("_sh", sh)
-      .select(df.columns.map(col) ++
-        (0 until k).map(i => minhash(col("_sh"), i).as(s"sig$i")): _*)
+  /** Full k-component signature `(id, sig0..sig{k-1})`, computed as
+    * explode(shingles) -> groupBy(id).agg(min(salted md5) x k).
+    *
+    * Deliberately aggregation-shaped rather than k array-fold columns over
+    * one row: Catalyst's projection collapsing would re-evaluate the whole
+    * tokenize+shingle pipeline once per signature column (k-fold waste,
+    * measured 8x on the bench), while the exploded form hashes every
+    * shingle exactly once and the `min` partial-aggregates map-side — the
+    * shuffle carries k 32-byte minima per doc, not the shingles. */
+  def minhashSignature(df: DataFrame, text: Column, id: Column,
+                       k: Int = 8): DataFrame = {
+    val idName = df.select(id).columns.head
+    val exploded = df.select(id.as("_mh_id"),
+      explode(shingles(text)).as("_shingle"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("_shingle")).cast("binary")))
+        .as(s"sig$i"))
+    exploded.groupBy(col("_mh_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("_mh_id", idName)
   }
 
   /** LSH band ids: hash `rows`-sized runs of the signature; two docs

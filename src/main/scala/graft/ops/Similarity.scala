@@ -51,11 +51,15 @@ object Similarity {
     * to the block. */
   def nearDupPairsBlocked(df: DataFrame, emb: Column, id: Column,
                           block: Column, minCos: Double): DataFrame = {
-    val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"))
+    // norms computed once per vector BEFORE the join (the per-pair cost is
+    // then a single dot-product fold, not three)
+    val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"),
+      l2Norm(emb).as("nrm"))
     val l = v.as("l"); val r = v.as("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.vid") < col("r.vid"))
       .select(col("l.vid").as("id1"), col("r.vid").as("id2"),
-        cosine(col("l.e"), col("r.e")).as("cos"))
+        (dot(col("l.e"), col("r.e")) / (col("l.nrm") * col("r.nrm")))
+          .as("cos"))
       .where(col("cos") >= minCos)
   }
 

@@ -65,7 +65,7 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
-    val sigs = Dedup.minhashSignature(df, col("text"), 8).drop("text")
+    val sigs = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
@@ -75,7 +75,7 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
-    val sigs = Dedup.minhashSignature(df, col("text"), 8)
+    val sigs = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs == Seq((1L, 2L)))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextHashes}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst expressions must be bit-identical to the pure
+  * built-in-expression versions they accelerate. */
+class NativeFunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(99)
+  private val texts = Seq("", " ", "a", "one two", "U.S. Stocks, Rally 5%!",
+    "the quick brown fox jumps over the lazy dog") ++
+    Seq.fill(200)(Seq.fill(rnd.nextInt(30))(
+      "abcdefghij spark scale ,.!? 0123"(rnd.nextInt(32))).mkString)
+
+  test("native simhash64 == builtin-expression simhash64 == reference") {
+    val df = texts.toDF("t")
+    val got = df.select(
+      GraftFunctions.simhash64(spark, col("t")),
+      Dedup.simhash64(col("t"))).as[(Long, Long)].collect()
+    got.zip(texts).foreach { case ((native, builtin), t) =>
+      assert(native == builtin, s"text=$t")
+      assert(native == TextHashes.simhash64(t), s"text=$t")
+    }
+  }
+
+  test("native minhash_sig == portable aggregation-based signature") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      GraftFunctions.minhashSig(spark, col("text"), 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val portable = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(native.keySet == portable.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == portable(id), s"doc_id=$id text=${texts(id.toInt)}")
+    }
+  }
+
+  test("extensions hook registers the functions at session construction") {
+    // the shared TestSpark session isn't built with extensions; the
+    // ensureRegistered path must have made the SQL names resolvable
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64('hello world') AS h, " +
+        "graft_minhash_sig('one two three four', 4) AS s").head()
+    assert(r.getLong(0) == TextHashes.simhash64("hello world"))
+    assert(r.getSeq[String](1) ==
+      TextHashes.minhashSig("one two three four", 4).toSeq)
+  }
+}
