@@ -423,6 +423,73 @@ object SparkEntry {
         col("embedding"), col("vec_id"), col("label"), 0.0)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.35)),
+
+    // Exact n-gram Jaccard on LSH candidate pairs: bands generate the
+    // candidates (O(collisions), not O(n^2)); exact distinct-shingle
+    // intersection/union only on those pairs
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val sigs = tbl(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
+          .as("sig"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      val sets = tbl(s, dir, "documents").select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.shingles(s, col("text")))
+          .as("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
+    // IVF assign step: nearest label-centroid by (rounded) cosine
+    "emb_ivf_assign" -> ((s, dir) => {
+      val v = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      val c = tbl(s, dir, "embeddings")
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy("clabel", "pos").agg(avg("x").as("m"))
+      val scored = v.join(c, "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(sum(col("x") * col("m")).as("dot"),
+          sum(col("x") * col("x")).as("aa"),
+          sum(col("m") * col("m")).as("bb"))
+        .select(col("vec_id"), col("clabel"),
+          round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6)
+            .as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("clabel").as("assigned"), col("cos"))
+    }),
+
+    // BPE-ish regex token count (letters / digit runs / punctuation marks)
+    "text_bpe_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("n_bpe"))),
+
+    // Reference-scale pipeline benchmarks: 100x-replicated document lines
+    // (~500k rows at sf0.1 ~ the reference's 486,634-row input)
+    "stock_count_x100" -> ((s, dir) =>
+      StockCount.fromLines(
+        docLines(s, dir)
+          .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
+          .select(col("line").as("value")))),
+
+    "word_count_x100" -> ((s, dir) =>
+      WordCount.fromLines(
+        docLines(s, dir)
+          .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
+          .select(col("line").as("value")))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -781,5 +848,113 @@ object SparkEntry {
          |JOIN n n1 ON d.id1 = n1.vec_id
          |JOIN n n2 ON d.id2 = n2.vec_id
          |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.35""".stripMargin,
+
+    "dedup_jaccard_pairs" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
+        .mkString(",\n       ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigs
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |)
+         |SELECT id1, id2,
+         |       round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |         AS jaccard
+         |FROM j""".stripMargin
+    },
+
+    "emb_ivf_assign" ->
+      s"""WITH $embUnnestCte,
+         |c AS (
+         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+         |  FROM v GROUP BY label, pos
+         |),
+         |sc AS (
+         |  SELECT v.vec_id, c.clabel,
+         |         sum(cast(v.vx AS double) * c.m) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa,
+         |         sum(c.m * c.m) AS bb
+         |  FROM v JOIN c ON v.pos = c.pos
+         |  GROUP BY v.vec_id, c.clabel
+         |),
+         |r AS (
+         |  SELECT vec_id, clabel,
+         |         round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |  FROM sc
+         |),
+         |w AS (
+         |  SELECT vec_id, clabel, cos,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cos DESC, clabel) AS rn
+         |  FROM r
+         |)
+         |SELECT vec_id, clabel AS assigned, cos FROM w WHERE rn = 1""".stripMargin,
+
+    "text_bpe_token_count" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |         AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "stock_count_x100" ->
+      s"""$linesCte,
+         |lines100 AS (SELECT line FROM lines CROSS JOIN range(100)),
+         |tickers AS (
+         |  SELECT trim(l[-1]) AS ticker
+         |  FROM (SELECT string_split(line, ',') AS l FROM lines100)
+         |  WHERE len(l) > 3
+         |),
+         |counts AS (SELECT ticker, count(*) AS cnt FROM tickers GROUP BY ticker)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, ticker) AS rank,
+         |       ticker, cnt
+         |FROM counts""".stripMargin,
+
+    "word_count_x100" ->
+      s"""$linesCte,
+         |lines100 AS (SELECT line FROM lines CROSS JOIN range(100)),
+         |heads AS (
+         |  SELECT array_to_string(l[2:len(l)-2], ',') AS h
+         |  FROM (SELECT string_split(line, ',') AS l FROM lines100)
+         |  WHERE len(l) > 1
+         |),
+         |toks AS (
+         |  SELECT unnest(string_split_regex(
+         |           regexp_replace(lower(h), '[^a-z ]', ' ', 'g'),
+         |           '\\s+')) AS word
+         |  FROM heads
+         |),
+         |counts AS (
+         |  SELECT word, count(*) AS cnt FROM toks
+         |  WHERE len(word) > 0 AND word NOT IN $stopListSql
+         |  GROUP BY word
+         |),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+         |         word, cnt
+         |  FROM counts
+         |)
+         |SELECT rank, word, cnt FROM ranked WHERE rank <= 100""".stripMargin,
   )
 }

@@ -39,6 +39,18 @@ case class MinHashSigExpr(child: Expression, k: Int)
   : MinHashSigExpr = copy(child = newChild)
 }
 
+case class ShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes
+      .shingles(input.asInstanceOf[UTF8String].toString, n)
+      .map(UTF8String.fromString): Array[Any])
+  override protected def withNewChildInternal(newChild: Expression)
+  : ShinglesExpr = copy(child = newChild)
+}
+
 /** Registration + Column-level API. Functions are injected per-session
   * (idempotent) through the internal function registry; sessions built with
   * `.withExtensions(GraftExtensions.inject)` get them at construction. */
@@ -47,6 +59,8 @@ object GraftFunctions {
   private def builders = Seq[(String, Seq[Expression] => Expression)](
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_minhash_sig" -> (es => MinHashSigExpr(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_shingles" -> (es => ShinglesExpr(es.head,
       es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register into an existing (classic) session; safe to call per query. */
@@ -67,6 +81,11 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_minhash_sig", c,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def shingles(spark: SparkSession, c: Column, n: Int = 3): Column = {
+    ensureRegistered(spark)
+    call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
   }
 }
 

@@ -95,9 +95,11 @@ object Dedup {
     * at scale, bucket sizes stay O(dups), not O(n). */
   def lshCandidatePairs(sigs: DataFrame, id: String,
                         k: Int = 8, rows: Int = 2): DataFrame = {
-    val bands = (0 until k / rows).map { b =>
-      sigs.select(col(id).as("doc_a"), lshBands(k, rows)(b).as("band"))
-    }.reduce(_ union _)
+    // single pass: all bands emitted via posexplode (a union of per-band
+    // selects would re-evaluate the signature expressions once per band)
+    val bands = sigs.select(col(id).as("doc_a"),
+      posexplode(array(lshBands(k, rows): _*)).as(Seq("bi", "band")))
+      .select(col("doc_a"), col("band"))
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.doc_a") < col("r.doc_a"))

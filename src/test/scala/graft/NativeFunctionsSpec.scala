@@ -42,6 +42,16 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingles == builtin-expression shingles") {
+    val df = texts.toDF("t")
+    val got = df.select(
+      GraftFunctions.shingles(spark, col("t"), 3),
+      Dedup.shingles(col("t"), 3)).as[(Seq[String], Seq[String])].collect()
+    got.zip(texts).foreach { case ((native, builtin), t) =>
+      assert(native == builtin, s"text=$t")
+    }
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable
