@@ -316,6 +316,30 @@ object SparkEntry {
         .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // As-of join (time-series): for each purchase, the most recent strictly-
+    // prior view by the same user — merge-window formulation (one shuffle by
+    // user, no range-join explosion)
+    "rel_asof_last_view" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_view_us"))
+    }),
+
+    // Exact percentiles (sort-based, deterministic) per key
+    "rel_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("cnt"))),
+
     // ---- training-data pipeline operators --------------------------------
 
     // Exact dedup: content-hash groups with representative id + dup count
@@ -485,8 +509,10 @@ object SparkEntry {
           .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
           .select(col("line").as("value")))),
 
+    // scale path: map-side TokenCountsAgg, no per-token rows (same results
+    // as fromLines — cross-checked in tests and by the shared oracle shape)
     "word_count_x100" -> ((s, dir) =>
-      WordCount.fromLines(
+      WordCount.fromLinesAgg(
         docLines(s, dir)
           .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
           .select(col("line").as("value")))),
@@ -686,6 +712,28 @@ object SparkEntry {
         |SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "rel_asof_last_view" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_view_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, last_view_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    "rel_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -61,7 +61,11 @@ object GraftFunctions {
     "graft_minhash_sig" -> (es => MinHashSigExpr(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_shingles" -> (es => ShinglesExpr(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())))
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_token_counts" -> (es => TokenCountsAgg(es.head,
+      graft.ops.TextOps.stopWords)),
+    "graft_token_counts_csv" -> (es => TokenCountsAgg(es.head,
+      graft.ops.TextOps.stopWords, fromCsvLine = true)))
 
   /** Register into an existing (classic) session; safe to call per query. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -86,6 +90,21 @@ object GraftFunctions {
   def shingles(spark: SparkSession, c: Column, n: Int = 3): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Map-side word counting (see [[TokenCountsAgg]]); aggregate function —
+    * use inside `.agg(...)`; stop words are the reference list. */
+  def tokenCounts(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_token_counts", c)
+  }
+
+  /** Whole reference WordCount mapper (naive split -> headline re-join ->
+    * tokenize -> stop-filter -> count) as one map-side aggregate over raw
+    * csv lines. */
+  def tokenCountsCsv(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_token_counts_csv", c)
   }
 }
 

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** The reference's 318-entry stop-word list
-    * (`/root/reference/src/stop-word-list.txt`), loaded once per JVM from
-    * resources, trimmed + lowercased as at `WordCount.java:34`. */
+  /** The reference's stop-word list
+    * (`/root/reference/src/stop-word-list.txt`; 319 entries — the file has
+    * no trailing newline, so `wc -l` says 318 but the reference's readLine
+    * loop loads 319), loaded once per JVM from resources, trimmed +
+    * lowercased as at `WordCount.java:34`. CRLF endings are handled by the
+    * same trim. */
   lazy val stopWords: Seq[String] = {
     val in = getClass.getResourceAsStream("/graft/stop-word-list.txt")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -40,6 +43,16 @@ object TextOps {
     * leading `""` token — both removed downstream by [[keepToken]] (F3),
     * so plain Spark `split` (same Java regex engine) is exact parity. */
   def tokenize(c: Column): Column = split(c, "\\s+")
+
+  /** One-regex-pass tokenizer, exactly equivalent to
+    * `tokenize(scrub(c))`: splitting the lowered text on runs of
+    * non-letters yields the same token stream as replacing `[^a-z ]` with
+    * spaces and then splitting on whitespace (maximal `[a-z]+` runs, plus a
+    * leading "" when the text starts with a non-letter — removed by F3
+    * downstream either way). Saves a full-string regexp_replace and the
+    * intermediate string allocation on the hot path; equivalence is
+    * property-tested in TextOpsSpec. */
+  def fastTokenize(c: Column): Column = split(lower(c), "[^a-z]+", -1)
 
   /** F2+F3 combined token predicate: non-empty and not a stop word. */
   def keepToken(tok: Column, stop: Seq[String] = stopWords): Column =

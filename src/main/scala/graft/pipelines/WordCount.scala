@@ -27,10 +27,28 @@ object WordCount {
     val tokens = lines
       .select(arr.as("f"))
       .where(size(col("f")) > 1) // guard at WordCount.java:42
-      .select(TextOps.scrub(NaiveCsv.headline(col("f"))).as("h"))
-      .select(explode(TextOps.tokenize(col("h"))).as("word"))
+      .select(NaiveCsv.headline(col("f")).as("h"))
+      // fastTokenize ≡ tokenize(scrub(_)) — one regex pass (TextOpsSpec)
+      .select(explode(TextOps.fastTokenize(col("h"))).as("word"))
       .where(TextOps.keepToken(col("word"), stop))
     val counts = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+    Rank.ranked(counts, col("cnt"), Seq(col("word")), limit = k)
+      .select(col("rank"), col("word"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  /** Scale variant of [[fromLines]]: identical results, but word counting
+    * happens inside a [[graft.functions.TokenCountsAgg]] map-side aggregate
+    * — no per-token row is ever materialized (the explode plan generates
+    * one row per token before partial aggregation collapses them; at 500k
+    * lines that is ~27M rows). The shuffle carries one small token->count
+    * map per partition. Restriction: uses the reference stop-word list. */
+  def fromLinesAgg(lines: DataFrame, lineCol: String = "value",
+                   k: Int = TopK): DataFrame = {
+    val counts = lines
+      .agg(graft.functions.GraftFunctions
+        .tokenCountsCsv(lines.sparkSession, col(lineCol)).as("m"))
+      .select(explode(col("m")).as(Seq("word", "cnt")))
     Rank.ranked(counts, col("cnt"), Seq(col("word")), limit = k)
       .select(col("rank"), col("word"), col("cnt"))
       .orderBy(col("rank"))

@@ -50,6 +50,13 @@ class StreamingMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningSessions counts events per user (batch = single micro-batch)") {
+    val ds = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDS()
+    val got = EventStream.runningSessions(ds)
+      .collect().map(u => u.userId -> u.nEvents).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("media pipeline: schema, metadata, deterministic stub features") {
     val df = Seq(
       (1L, "image", Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),

@@ -1,0 +1,34 @@
+package graft
+
+import graft.pipelines.WordCount
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The map-side-aggregate word count must produce exactly the declarative
+  * pipeline's results. */
+class WordCountAggSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def collectRanked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("fromLinesAgg == fromLines on the reference-shaped fixture") {
+    val fixture = Seq(
+      ",headline,date,stock",
+      "1,Agilent's Q1 EPS Beats Views, Revenue Up 5.2%,2020-02-18,A",
+      "2,Morgan Stanley Upgrades Apple, Maintains Overweight,2019-01-02,AAPL",
+      "3,short row,MS",
+      "5,U.S. Stocks Rally Rally Rally,2018-05-04,MS").toDF("value")
+    assert(collectRanked(WordCount.fromLinesAgg(fixture)) ==
+      collectRanked(WordCount.fromLines(fixture)))
+  }
+
+  test("fromLinesAgg == fromLines on 300 random csv-ish lines") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc XY.,z!2 the and"
+    val lines = Seq.fill(300)((0 until rnd.nextInt(60))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString).toDF("value")
+    assert(collectRanked(WordCount.fromLinesAgg(lines)) ==
+      collectRanked(WordCount.fromLines(lines)))
+  }
+}
