@@ -316,6 +316,14 @@ object SparkEntry {
         .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Global rank via the custom GlobalRankPlan/GlobalRankExec operator
+    // (range-partitioned sort + per-partition offsets — no single-partition
+    // window stage at any input size)
+    "rel_global_rank_plan" -> ((s, dir) =>
+      graft.plans.GlobalRank.ranked(
+        events(s, dir).select(col("event_id"), col("value")),
+        "value" -> true, "event_id" -> false)),
+
     // As-of join (time-series): for each purchase, the most recent strictly-
     // prior view by the same user — merge-window formulation (one shuffle by
     // user, no range-join explosion)
@@ -712,6 +720,11 @@ object SparkEntry {
         |SELECT user_id, cast(max(sess_id) AS bigint) AS n_sessions,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "rel_global_rank_plan" ->
+      """SELECT event_id, value,
+        |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
+        |FROM events""".stripMargin,
 
     "rel_asof_last_view" ->
       """WITH e AS (

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** GLOBAL RANK as a first-class operator: `rank = 1..n` over a total order,
+  * with NO single-partition stage.
+  *
+  * `row_number()` over an un-partitioned window (the direct translation of
+  * the reference's single-reducer ranking, `StockCount.java:61-66`) funnels
+  * every row through one partition — fine after an aggregation (key-space-
+  * sized input), fatal on raw 100 TB data. This operator instead:
+  *
+  *   1. total-orders the input via range partitioning (planned sort below);
+  *   2. computes per-partition row counts (one tiny job on counts only);
+  *   3. assigns `rank = partitionOffset + localIndex + 1` in a single pass.
+  *
+  * Every stage is distributed; the only global knowledge is the per-
+  * partition count array (numPartitions longs on the driver) — the same
+  * mechanism as `RDD.zipWithIndex`, but planned as a Catalyst operator:
+  * `GlobalRankPlan` (logical) -> [[GlobalRankStrategy]] -> [[GlobalRankExec]]
+  * (physical, requiredChildOrdering/Distribution = global sort, so the
+  * planner inserts the range-partitioned sort automatically).
+  *
+  * Usage: [[GlobalRank.ranked]] (plan-level), or inject
+  * [[GlobalRankStrategy]] via `SparkSessionExtensions.injectPlannerStrategy`.
+  */
+case class GlobalRankPlan(order: Seq[SortOrder], child: LogicalPlan,
+    // a constructor field (not a body val) so copy()/transform preserve the
+    // exprId — a body val would mint a fresh attribute on every tree copy
+    rankAttr: AttributeReference =
+      AttributeReference("rank", LongType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes
+  : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+  : GlobalRankPlan = copy(child = newChild)
+}
+
+case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
+                          child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  // ask the planner for a global sort below us: range-partitioned exchange
+  // + per-partition sort, fully distributed
+  override def requiredChildDistribution
+  : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val input = child.execute()
+    // pass 1: per-partition counts (counts only cross the driver)
+    val counts = input.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = input.sparkContext.broadcast(offsets)
+    // pass 2: attach rank = offset + local index + 1
+    input.mapPartitionsWithIndex({ (pid, it) =>
+      var i = bc.value(pid)
+      val n = output.length
+      it.map { row =>
+        i += 1
+        val out = new GenericInternalRow(n)
+        var j = 0
+        while (j < n - 1) { out.update(j, row.get(j, output(j).dataType)); j += 1 }
+        out.update(n - 1, i)
+        out
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+  : GlobalRankExec = copy(child = newChild)
+}
+
+object GlobalRankStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GlobalRankPlan =>
+      GlobalRankExec(g.order, g.rankAttr,
+        org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GlobalRank {
+
+  /** Register the strategy on a session (idempotent). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(GlobalRankStrategy))
+      classic.experimental.extraStrategies =
+        GlobalRankStrategy +: classic.experimental.extraStrategies
+  }
+
+  /** df + `rank` column (long, 1..n) under the given total order — the
+    * scale-out replacement for `row_number().over(Window.orderBy(...))`.
+    * `keys` are (columnName, descending) pairs, significant first. */
+  def ranked(df: DataFrame, keys: (String, Boolean)*): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val analyzed = classic.queryExecution.analyzed
+    val order = keys.map { case (name, desc) =>
+      val attr = analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      SortOrder(attr,
+        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    val plan = GlobalRankPlan(order, analyzed)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      classic.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+  }
+}

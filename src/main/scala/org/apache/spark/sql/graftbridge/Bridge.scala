@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+
+/** Minimal `private[sql]` bridge for building a DataFrame from a custom
+  * LogicalPlan — the standard technique for Spark extension libraries
+  * (a tiny shim compiled into an `org.apache.spark.sql` subpackage). */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Rank
+import graft.plans.GlobalRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlobalRankSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(("a", 5L), ("b", 9L), ("c", 5L), ("d", 1L), ("e", 9L))
+    .toDF("key", "cnt")
+
+  test("GlobalRank.ranked matches the window-based Rank.ranked") {
+    val viaPlan = GlobalRank.ranked(df, "cnt" -> true, "key" -> false)
+      .select("rank", "key", "cnt").collect().map(_.toSeq).toSet
+    val viaWindow = Rank.ranked(df, col("cnt"), Seq(col("key")))
+      .select("rank", "key", "cnt").collect().map(_.toSeq).toSet
+    assert(viaPlan == viaWindow)
+  }
+
+  test("physical plan uses GlobalRankExec, not a single-partition Window") {
+    val plan = GlobalRank.ranked(df, "cnt" -> true, "key" -> false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"))     // the custom physical node
+    assert(plan.contains("rangepartitioning")) // distributed total sort
+    assert(!plan.contains("Window"))
+  }
+
+  test("ranks are a 1..n permutation on 10k shuffled rows, many partitions") {
+    val big = spark.range(10000).select(
+      (col("id") * 2654435761L % 1000003L).as("v"), col("id"))
+      .repartition(13)
+    val ranked = GlobalRank.ranked(big, "v" -> true, "id" -> true)
+    val got = ranked.select("rank", "v").collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == (1L to 10000L))
+    // rank order agrees with value order (desc)
+    val byRank = got.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+}
