@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *     are cast to long);
   *   - money/value aggregates go through DECIMAL (order-independent exact
   *     sums — double sums would be nondeterministic across partitions) and
-  *     are cast to the same final precision/scale on both sides.
+  *     are cast to the same final precision/scale on both sides;
+  *   - NEVER reduce a decimal's scale in the final cast: Spark rounds
+  *     (HALF_UP) but DuckDB truncates on decimal downcasts, so outputs keep
+  *     the natural scale of the arithmetic (e.g. price*discount sums stay
+  *     scale 4).
   */
 object SparkEntry {
 
@@ -347,6 +351,72 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("cnt"))),
+
+    // TPC-H Q3-shaped: filtered fact-fact join + distinct-count + revenue
+    "rel_q3_shipping" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(tbl(s, dir, "lineitem")
+            .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)").as("revenue"))),
+
+    // TPC-H Q5-shaped: 6-table join, local-supplier condition, per-nation
+    // revenue; dimensions broadcast, facts shuffle on join keys
+    "rel_q5_region_revenue" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("revenue"))),
+
+    // Skew-resistant two-stage aggregation (salt on a derived key, then
+    // re-aggregate) — identical results to the direct groupBy, so the same
+    // oracle applies; at scale this spreads a hot key over 16 reducers
+    "rel_salted_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("_salt"))
+        .agg(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,2)"))
+          .as("v"))
+        .groupBy("event_type")
+        .agg(sum(col("c")).as("cnt"),
+          sum(col("v")).cast("decimal(18,2)").as("sum_value"))),
+
+    // HLL sketch (approximate distinct). No SQL oracle — engine sketches
+    // differ by design; rows-only check + exactness bound asserted in tests
+    "rel_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("cnt"))),
+
+    // TF-IDF weights per token (smoothed idf over document frequency)
+    "text_tfidf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dfs = docs
+        .select(col("doc_id"), explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      dfs.crossJoin(docs.agg(count(lit(1)).as("n")))
+        .select(col("token"), col("df"),
+          round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 6)
+            .as("idf"))
+    }),
 
     // ---- training-data pipeline operators --------------------------------
 
@@ -725,6 +795,45 @@ object SparkEntry {
       """SELECT event_id, value,
         |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
         |FROM events""".stripMargin,
+
+    "rel_q3_shipping" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
+        |            AS decimal(18,4)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_q5_region_revenue" ->
+      """SELECT n_name,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
+        |            AS decimal(18,4)) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+
+    "rel_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
+         |  FROM documents
+         |), dfs AS (
+         |  SELECT token, count(DISTINCT doc_id) AS df FROM tk GROUP BY token
+         |), n AS (SELECT count(*) AS n FROM documents)
+         |SELECT token, df, round(ln((n + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+         |FROM dfs, n""".stripMargin,
 
     "rel_asof_last_view" ->
       """WITH e AS (
