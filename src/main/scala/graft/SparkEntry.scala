@@ -352,6 +352,17 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("cnt"))),
 
+    // Native session windows (Spark's session_window, batch mode): events
+    // merge while the gap is < 30 min — same islands the streaming session
+    // operator produces; start kept as epoch micros for oracle parity
+    "rel_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"))),
+
     // TPC-H Q3-shaped: filtered fact-fact join + distinct-count + revenue
     "rel_q3_shipping" -> ((s, dir) =>
       tbl(s, dir, "orders")
@@ -795,6 +806,25 @@ object SparkEntry {
       """SELECT event_id, value,
         |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
         |FROM events""".stripMargin,
+
+    "rel_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), m AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m
+        |)
+        |SELECT user_id, min(ts_us) AS sess_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
 
     "rel_q3_shipping" ->
       """SELECT o_orderpriority,
