@@ -537,6 +537,12 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.35)),
 
+    // Sign-random-projection LSH over embeddings (ANN bucket assignment);
+    // hyperplane weights from integer LCG arithmetic — engine-portable
+    "emb_lsh_buckets" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))),
+
     // Exact n-gram Jaccard on LSH candidate pairs: bands generate the
     // candidates (O(collisions), not O(n^2)); exact distinct-shingle
     // intersection/union only on those pairs
@@ -1048,6 +1054,22 @@ object SparkEntry {
          |JOIN n n1 ON d.id1 = n1.vec_id
          |JOIN n n2 ON d.id2 = n2.vec_id
          |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.35""".stripMargin,
+
+    "emb_lsh_buckets" ->
+      s"""WITH $embUnnestCte,
+         |d AS (
+         |  SELECT vec_id, p.p,
+         |         sum(cast(vx AS double) *
+         |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
+         |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
+         |           AS dot
+         |  FROM v CROSS JOIN (SELECT range AS p FROM range(8)) p
+         |  GROUP BY vec_id, p.p
+         |)
+         |SELECT vec_id,
+         |       cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
+         |            AS bigint) AS bucket
+         |FROM d GROUP BY vec_id""".stripMargin,
 
     "dedup_jaccard_pairs" -> {
       val sigs = (0 until 8).map(i =>

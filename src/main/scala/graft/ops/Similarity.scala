@@ -63,6 +63,27 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** Sign-random-projection LSH bucket (the ANN scale path alongside IVF):
+    * `planes` pseudo-random hyperplanes with weights from a linear
+    * congruential generator over (plane, dim) — pure integer arithmetic
+    * then one exact division, so any engine reproduces the same weights
+    * bit-for-bit. Bucket = little-endian bits of sign(v . h_p). Vectors in
+    * the same bucket are near-duplicate candidates; at scale, candidate
+    * generation is a groupBy on the bucket. */
+  def lshBucket(emb: Column, dims: Int, planes: Int = 8): Column = {
+    def weight(p: Int, d: Column): Column =
+      ((lit(1103515245L) * (lit(p * dims) + d) + lit(12345L)) %
+        lit(2147483648L)).cast("double") / lit(2147483648.0) - lit(0.5)
+    val v = asDouble(emb)
+    (0 until planes).map { p =>
+      val dotP = aggregate(
+        zip_with(v, sequence(lit(0), lit(dims - 1)),
+          (x, d) => x * weight(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Element-wise mean vector per group (the IVF "train" step): explode
     * with position, average per (group, position), re-assemble ordered.
     * One shuffle keyed by (group, pos) — fully distributed, no driver

@@ -65,6 +65,25 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the views by
+    * the same user in the preceding `window`. Watermarks on BOTH sides
+    * bound the join state (each side keeps only rows within the lateness +
+    * interval horizon — mandatory for an unbounded 100 TB/day stream).
+    * Expects columns (user_id, ts[, ...]) on both inputs. */
+  def attributeToViews(views: DataFrame, purchases: DataFrame,
+                       window: String = "30 minutes",
+                       lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Output-mode helper: windowed aggregations with watermark support
     * Append (emit once, on watermark passing) — the scalable default. */
   val AppendMode: OutputMode = OutputMode.Append()

@@ -50,6 +50,35 @@ class StreamingMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior views") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val out = EventStream.attributeToViews(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 09:00:00")), // too old
+        (2L, Timestamp.valueOf("2024-01-01 10:10:00")))
+      purchases.addData((1L, Timestamp.valueOf("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // advance watermarks far enough to emit
+      views.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      purchases.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("user_id", "v_ts").as[(Long, Timestamp)].collect().toSet
+      // only user 1's 10:00 view is within 30 min of the 10:20 purchase
+      assert(rows.exists(_ == (1L, Timestamp.valueOf("2024-01-01 10:00:00"))))
+      assert(!rows.contains((1L, Timestamp.valueOf("2024-01-01 09:00:00"))))
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("runningSessions counts events per user (batch = single micro-batch)") {
     val ds = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDS()
     val got = EventStream.runningSessions(ds)
