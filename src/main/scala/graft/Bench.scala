@@ -26,16 +26,26 @@ object Bench {
 
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)
+    // failed queries report -1, never their time-to-failure (a crash after
+    // 0.1s must not read as a 0.1s result)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rm = results.toMap
+    // baseline_comparable: the *_x100 queries run the full reference
+    // pipelines on 100x-replicated document lines; at sf0.1 that is ~500k
+    // rows — the scale of BASELINE.md's 486,634-row input (23 s / 22 s)
+    val cmp = s"""{"stock_count_x100_sec":${rm.getOrElse("stock_count_x100", -1.0)},""" +
+      s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

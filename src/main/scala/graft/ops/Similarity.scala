@@ -71,15 +71,26 @@ object Similarity {
     * the same bucket are near-duplicate candidates; at scale, candidate
     * generation is a groupBy on the bucket. */
   def lshBucket(emb: Column, dims: Int, planes: Int = 8): Column = {
-    def weight(p: Int, d: Column): Column =
-      ((lit(1103515245L) * (lit(p * dims) + d) + lit(12345L)) %
-        lit(2147483648L)).cast("double") / lit(2147483648.0) - lit(0.5)
+    // weights are compile-time constants: materialize them as literal
+    // arrays (identical values to the SQL-side arithmetic) instead of
+    // re-deriving 512 LCG chains per row inside the lambda
+    def weight(p: Int, d: Int): Double =
+      ((1103515245L * (p * dims + d) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
     val v = asDouble(emb)
     (0 until planes).map { p =>
-      val dotP = aggregate(
-        zip_with(v, sequence(lit(0), lit(dims - 1)),
-          (x, d) => x * weight(p, d)),
-        lit(0.0), (acc, x) => acc + x)
+      val w = array((0 until dims).map(d => lit(weight(p, d))): _*)
+      // zip_with pads the shorter side with nulls; vectors shorter than
+      // `dims` would null out the fold — fail loudly instead of bucket=0
+      val dotP = when(size(v) =!= dims,
+        raise_error(lit(s"lshBucket: expected $dims dims")))
+        .otherwise(aggregate(zip_with(v, w, (x, wd) => x * wd),
+          lit(0.0), (acc, x) => acc + x))
+      // NOTE cross-engine caveat: the weights are bit-exact everywhere,
+      // but the SIGN test compares a float sum whose accumulation order
+      // differs between engines — a plane-dot within ~1e-13 of zero could
+      // bucket differently (never observed on the fixtures; min |dot|
+      // measured 8.8e-5)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
