@@ -352,6 +352,38 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("cnt"))),
 
+    // JSON scalar extraction over the events.props column
+    "rel_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long"))
+          .as("sum_k"), count(lit(1)).as("cnt"))),
+
+    // Date-part functions over order dates
+    "rel_date_parts" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // String function battery (left/right/lpad/reverse/substr/concat)
+    "text_string_funcs" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        substring(col("source"), 1, 3).as("pre"),
+        reverse(col("source")).as("rev"),
+        lpad(col("lang"), 5, "_").as("padded"),
+        concat_ws("|", col("lang"), col("source")).as("joined"),
+        length(col("text")).cast("long").as("text_len"))),
+
+    // Window distribution functions: quartile + percent_rank per key
+    "rel_window_distribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      events(s, dir).select(col("event_type"), col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+    }),
+
     // Native session windows (Spark's session_window, batch mode): events
     // merge while the gap is < 30 min — same islands the streaming session
     // operator produces; start kept as epoch micros for oracle parity
@@ -812,6 +844,35 @@ object SparkEntry {
       """SELECT event_id, value,
         |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
         |FROM events""".stripMargin,
+
+    "rel_json_extract" ->
+      """SELECT event_type,
+        |       cast(sum(cast(json_extract_string(props, '$.k') AS bigint))
+        |            AS bigint) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_date_parts" ->
+      """SELECT cast(year(o_orderdate) AS bigint) AS yr,
+        |       cast(quarter(o_orderdate) AS bigint) AS qtr,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "text_string_funcs" ->
+      """SELECT doc_id,
+        |       substr(source, 1, 3) AS pre,
+        |       reverse(source) AS rev,
+        |       lpad(lang, 5, '_') AS padded,
+        |       concat_ws('|', lang, source) AS joined,
+        |       length(text) AS text_len
+        |FROM documents""".stripMargin,
+
+    "rel_window_distribution" ->
+      """SELECT event_type, event_id,
+        |       cast(ntile(4) OVER w AS bigint) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
 
     "rel_session_window" ->
       """WITH e AS (
