@@ -622,6 +622,35 @@ object SparkEntry {
         .select(col("vec_id"), col("clabel").as("assigned"), col("cos"))
     }),
 
+    // Full IVF search: score label-centroids against the query vector,
+    // probe the top-3 cells, exact cosine top-10 within just those cells —
+    // the candidate scan is 3/10ths of the data, the pattern that makes
+    // ANN linear-scan-free at 100 TB
+    "emb_ivf_search" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qarr = array(qvec.map(lit): _*)
+      val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+      val cents = emb.select(col("label").as("clabel"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy("clabel", "pos").agg(avg("x").as("m"))
+      val cell = cents.groupBy("clabel").agg(
+          sum(col("m") * get(qarr, col("pos"))).as("dot"),
+          sum(col("m") * col("m")).as("aa"))
+        .select(col("clabel"),
+          round(col("dot") / (sqrt(col("aa")) * lit(qnorm)), 6).as("ccos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ccos").desc, col("clabel").asc)
+      val probed = cell.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("clabel")
+      emb.join(broadcast(probed), col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+    }),
+
     // BPE-ish regex token count (letters / digit runs / punctuation marks)
     "text_bpe_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -1194,6 +1223,40 @@ object SparkEntry {
          |  FROM r
          |)
          |SELECT vec_id, clabel AS assigned, cos FROM w WHERE rn = 1""".stripMargin,
+
+    "emb_ivf_search" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |), c AS (
+         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+         |  FROM v GROUP BY label, pos
+         |), cs AS (
+         |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
+         |         sum(m * m) AS aa
+         |  FROM c JOIN q USING (pos) GROUP BY clabel
+         |), cell AS (
+         |  SELECT clabel, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS ccos
+         |  FROM cs, qq
+         |), probed AS (
+         |  SELECT clabel FROM (
+         |    SELECT clabel, row_number() OVER (ORDER BY ccos DESC, clabel) AS rn
+         |    FROM cell) WHERE rn <= 3
+         |), d AS (
+         |  SELECT v.vec_id, v.label,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos)
+         |  WHERE v.label IN (SELECT clabel FROM probed)
+         |  GROUP BY v.vec_id, v.label
+         |)
+         |SELECT vec_id, label, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |FROM d, qq
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "text_bpe_token_count" ->
       """SELECT doc_id,

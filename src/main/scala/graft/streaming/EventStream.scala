@@ -84,6 +84,16 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Streaming exact dedup: drop repeats of `keys` arriving within the
+    * watermark horizon — the streaming face of [[graft.ops.Dedup]]. State
+    * is bounded by the watermark (old keys age out), so it runs forever on
+    * an unbounded stream; `dropDuplicates` without a watermark would grow
+    * state without bound. Requires an event-time column named `ts`. */
+  def dedupStream(df: DataFrame, keys: Seq[String],
+                  lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Output-mode helper: windowed aggregations with watermark support
     * Append (emit once, on watermark passing) — the scalable default. */
   val AppendMode: OutputMode = OutputMode.Append()

@@ -79,6 +79,27 @@ class StreamingMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = EventStream.dedupStream(
+      mem.toDF().toDF("k", "ts"), Seq("k"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("a", Timestamp.valueOf("2024-01-01 10:01:00")), // dup within horizon
+        ("b", Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData(("z", Timestamp.valueOf("2024-01-01 12:00:00"))) // advance
+      q.processAllAvailable()
+      val ks = spark.table("dedup_stream").select("k").as[String]
+        .collect().toSeq
+      assert(ks.count(_ == "a") == 1 && ks.count(_ == "b") == 1)
+    } finally q.stop()
+  }
+
   test("runningSessions counts events per user (batch = single micro-batch)") {
     val ds = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDS()
     val got = EventStream.runningSessions(ds)
