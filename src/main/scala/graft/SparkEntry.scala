@@ -46,16 +46,17 @@ object SparkEntry {
     tbl(s, dir, "documents").select(
       col("doc_id"), col("lang"),
       concat_ws(",", col("doc_id"),
-        regexp_replace(col("text"), " spark ", ",spark,"),
+        replace(col("text"), lit(" spark "), lit(",spark,")),
         col("lang"), col("source")).as("line"))
 
-  /** Same construction in DuckDB SQL (regexp_replace is single-occurrence by
-    * default in DuckDB, hence the 'g' flag to match Spark). */
+  /** Same construction in DuckDB SQL (literal `replace` on both sides —
+    * non-overlapping left-to-right replace-all in both engines; avoids a
+    * regex pass on the hot path feeding 8 queries). */
   private val linesCte =
     """WITH lines AS (
       |  SELECT doc_id, lang,
       |         concat_ws(',', doc_id,
-      |                   regexp_replace(text, ' spark ', ',spark,', 'g'),
+      |                   replace(text, ' spark ', ',spark,'),
       |                   lang, source) AS line
       |  FROM documents
       |)""".stripMargin

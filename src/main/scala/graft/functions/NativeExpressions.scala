@@ -39,6 +39,42 @@ case class MinHashSigExpr(child: Expression, k: Int)
   : MinHashSigExpr = copy(child = newChild)
 }
 
+/** Sequential-order double dot product over two `array<float|double>`
+  * columns: bit-identical to the `aggregate(zip_with(...))` fold (same
+  * left-to-right accumulation) but a tight JVM loop instead of ~2 lambda
+  * evaluations per element. Null if either side is null or lengths differ
+  * is an error. */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def valueAt(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      dt: DataType, i: Int): Double = dt match {
+    case org.apache.spark.sql.types.FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ra = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val lt = left.dataType.asInstanceOf[ArrayType].elementType
+    val rt = right.dataType.asInstanceOf[ArrayType].elementType
+    if (la.numElements() != ra.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: length mismatch ${la.numElements()} vs ${ra.numElements()}")
+    var acc = 0.0
+    var i = 0
+    val n = la.numElements()
+    while (i < n) { acc += valueAt(la, lt, i) * valueAt(ra, rt, i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

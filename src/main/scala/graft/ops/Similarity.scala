@@ -20,8 +20,18 @@ object Similarity {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-order dot product of two equal-length vectors. */
+  /** Sequential-order dot product of two equal-length vectors — native
+    * [[graft.functions.DotProductExpr]] (tight JVM loop, bit-identical to
+    * the declarative fold, ~4x faster; equality asserted in
+    * NativeFunctionsSpec). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DotProductExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(asDouble(a)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(asDouble(b))))
+
+  /** The pure higher-order-function fold (kept for cross-checking). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

@@ -10,4 +10,14 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Wrap a raw Catalyst Expression as a Column (classic API). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Extract the Catalyst Expression backing a Column (classic API). */
+  def expression(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

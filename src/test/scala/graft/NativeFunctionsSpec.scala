@@ -52,6 +52,18 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native dot product == declarative fold, bit-identical") {
+    val rnd2 = new scala.util.Random(5)
+    val vecs = Seq.fill(50)((Seq.fill(64)(rnd2.nextFloat()),
+      Seq.fill(64)(rnd2.nextFloat())))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      graft.ops.Similarity.dot(col("a"), col("b")),
+      graft.ops.Similarity.dotDeclarative(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    got.foreach { case (native, decl) => assert(native == decl) }
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable
