@@ -93,14 +93,24 @@ object Dedup {
   /** Candidate near-duplicate pairs via LSH: docs sharing any band,
     * deduplicated across bands, id1 < id2. The self-join is per-bucket —
     * at scale, bucket sizes stay O(dups), not O(n). */
+  /** `maxBucket` drops degenerate buckets (standard LSH practice): a bucket
+    * of b docs yields b(b-1)/2 candidate pairs, so one non-discriminative
+    * band value over a huge corpus would go quadratic; capping trades those
+    * (near-useless) candidates for a hard bound on the join size. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
-                        k: Int = 8, rows: Int = 2): DataFrame = {
+                        k: Int = 8, rows: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
     // single pass: all bands emitted via posexplode (a union of per-band
     // selects would re-evaluate the signature expressions once per band)
     val bands = sigs.select(col(id).as("doc_a"),
       posexplode(array(lshBands(k, rows): _*)).as(Seq("bi", "band")))
       .select(col("doc_a"), col("band"))
-    val l = bands.as("l"); val r = bands.as("r")
+    val sized = bands.groupBy("band")
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= maxBucket)
+      .select("band")
+    val kept = bands.join(sized, "band")
+    val l = kept.as("l"); val r = kept.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.doc_a") < col("r.doc_a"))
       .select(col("l.doc_a").as("id1"), col("r.doc_a").as("id2"))

@@ -81,6 +81,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("lshCandidatePairs maxBucket drops degenerate buckets") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id").count() == 3) // all pairs
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", maxBucket = 2).count() == 0)
+  }
+
   test("shingles: n-grams for long docs, whole text for short ones") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().toSeq
