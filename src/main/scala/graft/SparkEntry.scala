@@ -353,6 +353,40 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           count(lit(1)).as("cnt"))),
 
+    // Pivot: one column per event type (explicit value list keeps the
+    // schema deterministic — no extra distinct-values job)
+    "rel_pivot_events" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Unpivot (stack): wide lineitem measures to long form, aggregated
+    "rel_unpivot_measures" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), expr(
+          "stack(2, 'quantity', cast(l_quantity as decimal(18,2)), " +
+            "'extendedprice', cast(l_extendedprice as decimal(18,2))) " +
+            "AS (measure, val)"))
+        .groupBy("l_returnflag", "measure")
+        .agg(sum(col("val")).cast("decimal(18,2)").as("total"))),
+
+    // Multiset set operations (EXCEPT ALL / INTERSECT ALL)
+    "rel_except_all" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(col("event_type") === "view").select("user_id")
+        .exceptAll(e.where(col("event_type") === "purchase").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    }),
+    "rel_intersect_all" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.where(col("event_type") === "view").select("user_id")
+        .intersectAll(e.where(col("event_type") === "purchase")
+          .select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    }),
+
     // JSON scalar extraction over the events.props column
     "rel_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -874,6 +908,38 @@ object SparkEntry {
       """SELECT event_id, value,
         |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
         |FROM events""".stripMargin,
+
+    "rel_pivot_events" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "rel_unpivot_measures" ->
+      """SELECT l_returnflag, 'quantity' AS measure,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS total
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'extendedprice' AS measure,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS total
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_except_all" ->
+      """SELECT user_id, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id""".stripMargin,
+
+    "rel_intersect_all" ->
+      """SELECT user_id, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id""".stripMargin,
 
     "rel_json_extract" ->
       """SELECT event_type,
