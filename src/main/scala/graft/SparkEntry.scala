@@ -610,6 +610,44 @@ object SparkEntry {
       tbl(s, dir, "embeddings").select(col("vec_id"),
         Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))),
 
+    // Embedding near-dup via LSH blocking (production shape: no label
+    // oracle needed — candidates come from the sign-projection buckets)
+    "emb_lsh_near_dup" -> ((s, dir) => {
+      val b = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+      val l = b.as("l"); val r = b.as("r")
+      l.join(r, col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+          round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6)
+            .as("cos"))
+        .where(col("cos") >= 0.3)
+    }),
+
+    // Language-ID confusion matrix: metadata lang vs predicted
+    "text_lang_confusion" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"), Quality.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Fixed-width histogram over event values
+    "rel_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(floor(col("value") / 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Moving average (3-row frame) per user over event time
+    "rel_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-2, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w), 6).as("mavg"))
+    }),
+
     // Exact n-gram Jaccard on LSH candidate pairs: bands generate the
     // candidates (O(collisions), not O(n^2)); exact distinct-shingle
     // intersection/union only on those pairs
@@ -1149,6 +1187,35 @@ object SparkEntry {
          |FROM b""".stripMargin
     },
 
+    "text_lang_confusion" -> {
+      val markers = Seq("en", "es", "fr", "de")
+      val ratioDefs = markers.map { l =>
+        val list = Quality.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CASE WHEN len(l) = 0 THEN 0.0 ELSE " +
+          s"cast(len(list_filter(l, x -> list_contains($list, x))) AS double)" +
+          s" / cast(len(l) AS double) END AS r_$l"
+      }.mkString(",\n    ")
+      val whens = markers.map(l =>
+        s"WHEN best >= 0.02 AND r_$l = best THEN '$l'").mkString("\n       ")
+      s"""WITH t AS (SELECT lang, ${cleanToksSql("text")} AS l FROM documents),
+         |r AS (
+         |  SELECT lang,
+         |    $ratioDefs
+         |  FROM t
+         |), b AS (
+         |  SELECT lang, r_en, r_es, r_fr, r_de,
+         |         greatest(r_en, r_es, r_fr, r_de) AS best
+         |  FROM r
+         |), p AS (
+         |  SELECT lang,
+         |         CASE $whens
+         |              ELSE 'unknown' END AS lang_pred
+         |  FROM b
+         |)
+         |SELECT lang, lang_pred, count(*) AS cnt
+         |FROM p GROUP BY lang, lang_pred""".stripMargin
+    },
+
     "text_doc_freq" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
@@ -1227,6 +1294,62 @@ object SparkEntry {
          |       cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
          |            AS bigint) AS bucket
          |FROM d GROUP BY vec_id""".stripMargin,
+
+    "emb_lsh_near_dup" ->
+      s"""WITH $embUnnestCte,
+         |d0 AS (
+         |  SELECT vec_id, p.p,
+         |         sum(cast(vx AS double) *
+         |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
+         |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
+         |           AS dot
+         |  FROM v CROSS JOIN (SELECT range AS p FROM range(8)) p
+         |  GROUP BY vec_id, p.p
+         |),
+         |b AS (
+         |  SELECT vec_id,
+         |         cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
+         |              AS bigint) AS bucket
+         |  FROM d0 GROUP BY vec_id
+         |),
+         |n AS (
+         |  SELECT vec_id,
+         |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
+         |  FROM v GROUP BY vec_id
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+         |  FROM b a JOIN b bb
+         |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |),
+         |d AS (
+         |  SELECT p.id1, p.id2,
+         |         sum(cast(v1.vx AS double) * cast(v2.vx AS double)) AS dot
+         |  FROM pairs p
+         |  JOIN v v1 ON v1.vec_id = p.id1
+         |  JOIN v v2 ON v2.vec_id = p.id2 AND v1.pos = v2.pos
+         |  GROUP BY p.id1, p.id2
+         |)
+         |SELECT id1, id2, round(dot / (n1.norm * n2.norm), 6) AS cos
+         |FROM d
+         |JOIN n n1 ON d.id1 = n1.vec_id
+         |JOIN n n2 ON d.id2 = n2.vec_id
+         |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.3""".stripMargin,
+
+    "rel_value_histogram" ->
+      """SELECT cast(floor(value / 20) AS bigint) AS bucket, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rel_moving_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts_us, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |             6) AS mavg
+        |FROM e""".stripMargin,
 
     "dedup_jaccard_pairs" -> {
       val sigs = (0 until 8).map(i =>
