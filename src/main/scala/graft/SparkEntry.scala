@@ -614,13 +614,16 @@ object SparkEntry {
     // oracle needed — candidates come from the sign-projection buckets)
     "emb_lsh_near_dup" -> ((s, dir) => {
       val b = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
       val l = b.as("l"); val r = b.as("r")
       l.join(r, col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
         .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
-          round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6)
-            .as("cos"))
+          // norms precomputed per vector BEFORE the join; only the pair dot
+          // is per-pair work (matches nearDupPairsBlocked and the oracle)
+          round(Similarity.dot(col("l.embedding"), col("r.embedding")) /
+            (col("l.nrm") * col("r.nrm")), 6).as("cos"))
         .where(col("cos") >= 0.3)
     }),
 

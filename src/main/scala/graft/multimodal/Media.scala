@@ -79,6 +79,22 @@ object Media {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Resize stub: deterministic fixed-ratio downsample of the payload
+    * (every `factor`-th byte) with metadata updated to the new size — the
+    * Spark-side shape of an image resize (payload in, smaller payload +
+    * adjusted meta out); swap the byte-sampling expression for a real
+    * scaler to productionize. */
+  def resizeStub(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("payload",
+      when(col("payload").isNull, col("payload"))
+        .otherwise(aggregate(
+          sampleChunks(col("payload"), 1, factor),
+          lit(Array.empty[Byte]),
+          (acc, x) => concat(acc, x)))) // binary-safe fold, no string round-trip
+      .withColumn("meta", struct(
+        col("meta.format"), col("meta.width"), col("meta.height"),
+        coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes")))
+
   /** Frame/sample selection stub for video/audio: keep every `n`-th chunk
     * of the payload (deterministic stand-in for frame sampling); pure
     * expressions, no decode. */

@@ -130,6 +130,17 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(f == f2)
   }
 
+  test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
+    val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
+    val df = Media.withMeta(
+      Seq((1L, "image", payload)).toDF("media_id", "kind", "payload"), "png")
+    val out = Media.resizeStub(df, 2)
+    val r = out.select("payload", "meta.n_bytes")
+      .as[(Array[Byte], Long)].head()
+    assert(r._1.toSeq == Seq[Byte](0, -1, 4, -128))
+    assert(r._2 == 4L)
+  }
+
   test("sampleChunks keeps every n-th fixed-size chunk") {
     val payload = "abcdefghij".getBytes("UTF-8")
     val got = Seq(Tuple1(payload)).toDF("payload")
