@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{Dedup, NaiveCsv, Quality, Rank, Similarity, TextOps}
 import graft.pipelines.{StockCount, WordCount}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -88,6 +88,69 @@ object SparkEntry {
 
   private lazy val stopListDuck: String =
     TextOps.stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** (doc_id, sig0..sig7) via the native MinHashSigExpr — shared input of
+    * the dedup_minhash/lsh/jaccard queries. */
+  private def minhashSigDf(s: SparkSession, dir: String): DataFrame = {
+    val sigs = tbl(s, dir, "documents").select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSig(s, col("text"), 8).as("sig"))
+    sigs.select(col("doc_id") +:
+      (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+  }
+
+  /** DuckDB sig0..sig7 select-list fragment over shingle list `sh`. */
+  private val sigsSql: String = (0 until 8).map(i =>
+    s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
+    .mkString(",\n       ")
+
+  /** DuckDB CTEs assigning each vector its LCG sign-projection bucket
+    * (matches [[Similarity.lshBucket]](dims=64, planes=8)); expects the
+    * `v` unnest CTE in scope, defines `lcg` and `buckets`. */
+  private val lcgBucketCtes: String =
+    """lcg AS (
+      |  SELECT vec_id, p.p,
+      |         sum(cast(vx AS double) *
+      |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
+      |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
+      |           AS dot
+      |  FROM v CROSS JOIN (SELECT range AS p FROM range(8)) p
+      |  GROUP BY vec_id, p.p
+      |),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
+      |              AS bigint) AS bucket
+      |  FROM lcg GROUP BY vec_id
+      |)""".stripMargin
+
+  /** DuckDB CTE chain computing each document's predicted language into
+    * `p(keyCol, lang_pred)` — shared by text_lang_id / text_lang_confusion. */
+  private def langPredCtes(keyCol: String): String = {
+    val markers = Seq("en", "es", "fr", "de")
+    val ratioDefs = markers.map { l =>
+      val list = Quality.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CASE WHEN len(l) = 0 THEN 0.0 ELSE " +
+        s"cast(len(list_filter(l, x -> list_contains($list, x))) AS double)" +
+        s" / cast(len(l) AS double) END AS r_$l"
+    }.mkString(",\n    ")
+    val whens = markers.map(l =>
+      s"WHEN best >= 0.02 AND r_$l = best THEN '$l'").mkString("\n       ")
+    s"""WITH t AS (SELECT $keyCol, ${cleanToksSql("text")} AS l FROM documents),
+       |r AS (
+       |  SELECT $keyCol,
+       |    $ratioDefs
+       |  FROM t
+       |), b AS (
+       |  SELECT $keyCol, r_en, r_es, r_fr, r_de,
+       |         greatest(r_en, r_es, r_fr, r_de) AS best
+       |  FROM r
+       |), p AS (
+       |  SELECT $keyCol,
+       |         CASE $whens
+       |              ELSE 'unknown' END AS lang_pred
+       |  FROM b
+       |)""".stripMargin
+  }
 
   /** DuckDB CTE exploding embeddings to (vec_id, label, pos, vx). */
   private val embUnnestCte =
@@ -510,28 +573,17 @@ object SparkEntry {
     // MinHash signatures (k=8, 3-word shingles, portable md5 minima) via
     // the native MinHashSigExpr (same semantics as Dedup.minhashSignature,
     // ~10x faster: one tight-loop eval per row vs interpreted HOF lambdas)
-    "dedup_minhash_sig" -> ((s, dir) => {
-      val sigs = tbl(s, dir, "documents").select(col("doc_id"),
-        graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
-          .as("sig"))
-      sigs.select(col("doc_id") +:
-        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
-    }),
+    "dedup_minhash_sig" -> ((s, dir) => minhashSigDf(s, dir)),
 
     // LSH bucket histogram: band id -> bucket size (candidate generation).
     // Signature array computed once per row (CollapseProject keeps the
     // non-cheap producer materialized); bands emitted via posexplode.
-    "dedup_lsh_buckets" -> ((s, dir) => {
-      val sigs = tbl(s, dir, "documents").select(col("doc_id"),
-        graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
-          .as("sig"))
-        .select(col("doc_id") +:
-          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
-      sigs.select(posexplode(array(Dedup.lshBands(8, 2): _*))
+    "dedup_lsh_buckets" -> ((s, dir) =>
+      minhashSigDf(s, dir)
+        .select(posexplode(array(Dedup.lshBands(8, 2): _*))
           .as(Seq("band_idx", "band")))
         .select(col("band_idx").cast("long").as("band_idx"), col("band"))
-        .groupBy("band_idx", "band").agg(count(lit(1)).as("bucket_size"))
-    }),
+        .groupBy("band_idx", "band").agg(count(lit(1)).as("bucket_size"))),
 
     // SimHash (64-bit, md5-nibble based) via the native SimHash64Expr.
     // No SQL oracle — rows-only check; exactness is covered by the builtin-
@@ -612,20 +664,12 @@ object SparkEntry {
 
     // Embedding near-dup via LSH blocking (production shape: no label
     // oracle needed — candidates come from the sign-projection buckets)
-    "emb_lsh_near_dup" -> ((s, dir) => {
-      val b = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"),
-        Similarity.l2Norm(col("embedding")).as("nrm"))
-      val l = b.as("l"); val r = b.as("r")
-      l.join(r, col("l.bucket") === col("r.bucket") &&
-          col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
-          // norms precomputed per vector BEFORE the join; only the pair dot
-          // is per-pair work (matches nearDupPairsBlocked and the oracle)
-          round(Similarity.dot(col("l.embedding"), col("r.embedding")) /
-            (col("l.nrm") * col("r.nrm")), 6).as("cos"))
-        .where(col("cos") >= 0.3)
-    }),
+    "emb_lsh_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairsBlocked(tbl(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 64, 8), minCos = -2.0)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .where(col("cos") >= 0.3)),
 
     // Language-ID confusion matrix: metadata lang vs predicted
     "text_lang_confusion" -> ((s, dir) =>
@@ -655,12 +699,7 @@ object SparkEntry {
     // candidates (O(collisions), not O(n^2)); exact distinct-shingle
     // intersection/union only on those pairs
     "dedup_jaccard_pairs" -> ((s, dir) => {
-      val sigs = tbl(s, dir, "documents").select(col("doc_id"),
-        graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
-          .as("sig"))
-        .select(col("doc_id") +:
-          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      val pairs = Dedup.lshCandidatePairs(minhashSigDf(s, dir), "doc_id")
       val sets = tbl(s, dir, "documents").select(col("doc_id"),
         array_distinct(graft.functions.GraftFunctions.shingles(s, col("text")))
           .as("sh"))
@@ -1101,21 +1140,14 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
 
-    "dedup_minhash_sig" -> {
-      val sigs = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
-        .mkString(",\n       ")
+    "dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
          |SELECT doc_id,
-         |       $sigs
-         |FROM sh""".stripMargin
-    },
+         |       $sigsSql
+         |FROM sh""".stripMargin,
 
     "dedup_lsh_buckets" -> {
-      val sigs = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
-        .mkString(",\n       ")
       val bands = (0 until 4).map(b =>
         s"SELECT cast($b AS bigint) AS band_idx, " +
           s"md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
@@ -1123,7 +1155,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sigs AS (SELECT doc_id,
-         |       $sigs
+         |       $sigsSql
          |FROM sh),
          |bands AS (
          |  $bands
@@ -1164,60 +1196,14 @@ object SparkEntry {
          |              + (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS q_score
          |FROM f""".stripMargin,
 
-    "text_lang_id" -> {
-      val markers = Seq("en", "es", "fr", "de")
-      val ratioDefs = markers.map { l =>
-        val list = Quality.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CASE WHEN len(l) = 0 THEN 0.0 ELSE " +
-          s"cast(len(list_filter(l, x -> list_contains($list, x))) AS double)" +
-          s" / cast(len(l) AS double) END AS r_$l"
-      }.mkString(",\n    ")
-      val whens = markers.map(l =>
-        s"WHEN best >= 0.02 AND r_$l = best THEN '$l'").mkString("\n       ")
-      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
-         |r AS (
-         |  SELECT doc_id,
-         |    $ratioDefs
-         |  FROM t
-         |), b AS (
-         |  SELECT doc_id, r_en, r_es, r_fr, r_de,
-         |         greatest(r_en, r_es, r_fr, r_de) AS best
-         |  FROM r
-         |)
-         |SELECT doc_id,
-         |       CASE $whens
-         |            ELSE 'unknown' END AS lang_pred
-         |FROM b""".stripMargin
-    },
+    "text_lang_id" ->
+      s"""${langPredCtes("doc_id")}
+         |SELECT doc_id, lang_pred FROM p""".stripMargin,
 
-    "text_lang_confusion" -> {
-      val markers = Seq("en", "es", "fr", "de")
-      val ratioDefs = markers.map { l =>
-        val list = Quality.langMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CASE WHEN len(l) = 0 THEN 0.0 ELSE " +
-          s"cast(len(list_filter(l, x -> list_contains($list, x))) AS double)" +
-          s" / cast(len(l) AS double) END AS r_$l"
-      }.mkString(",\n    ")
-      val whens = markers.map(l =>
-        s"WHEN best >= 0.02 AND r_$l = best THEN '$l'").mkString("\n       ")
-      s"""WITH t AS (SELECT lang, ${cleanToksSql("text")} AS l FROM documents),
-         |r AS (
-         |  SELECT lang,
-         |    $ratioDefs
-         |  FROM t
-         |), b AS (
-         |  SELECT lang, r_en, r_es, r_fr, r_de,
-         |         greatest(r_en, r_es, r_fr, r_de) AS best
-         |  FROM r
-         |), p AS (
-         |  SELECT lang,
-         |         CASE $whens
-         |              ELSE 'unknown' END AS lang_pred
-         |  FROM b
-         |)
+    "text_lang_confusion" ->
+      s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
-         |FROM p GROUP BY lang, lang_pred""".stripMargin
-    },
+         |FROM p GROUP BY lang, lang_pred""".stripMargin,
 
     "text_doc_freq" ->
       s"""WITH tk AS (
@@ -1284,37 +1270,12 @@ object SparkEntry {
 
     "emb_lsh_buckets" ->
       s"""WITH $embUnnestCte,
-         |d AS (
-         |  SELECT vec_id, p.p,
-         |         sum(cast(vx AS double) *
-         |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
-         |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
-         |           AS dot
-         |  FROM v CROSS JOIN (SELECT range AS p FROM range(8)) p
-         |  GROUP BY vec_id, p.p
-         |)
-         |SELECT vec_id,
-         |       cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
-         |            AS bigint) AS bucket
-         |FROM d GROUP BY vec_id""".stripMargin,
+         |$lcgBucketCtes
+         |SELECT vec_id, bucket FROM buckets""".stripMargin,
 
     "emb_lsh_near_dup" ->
       s"""WITH $embUnnestCte,
-         |d0 AS (
-         |  SELECT vec_id, p.p,
-         |         sum(cast(vx AS double) *
-         |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
-         |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
-         |           AS dot
-         |  FROM v CROSS JOIN (SELECT range AS p FROM range(8)) p
-         |  GROUP BY vec_id, p.p
-         |),
-         |b AS (
-         |  SELECT vec_id,
-         |         cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
-         |              AS bigint) AS bucket
-         |  FROM d0 GROUP BY vec_id
-         |),
+         |$lcgBucketCtes,
          |n AS (
          |  SELECT vec_id,
          |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
@@ -1322,7 +1283,7 @@ object SparkEntry {
          |),
          |pairs AS (
          |  SELECT a.vec_id AS id1, bb.vec_id AS id2
-         |  FROM b a JOIN b bb
+         |  FROM buckets a JOIN buckets bb
          |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          |),
          |d AS (
@@ -1355,16 +1316,13 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "dedup_jaccard_pairs" -> {
-      val sigs = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
-        .mkString(",\n       ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sigs AS (SELECT doc_id,
-         |       $sigs
+         |       $sigsSql
          |FROM shl),
          |bands AS (
          |  $bands

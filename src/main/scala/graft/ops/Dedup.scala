@@ -53,15 +53,10 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** One MinHash signature component: the lexicographic minimum of
-    * seed-salted MD5 over the shingle set. With k independent seeds the
-    * vector of minima estimates Jaccard similarity; identical docs get
-    * identical signatures. */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s)
-      .cast("binary"))))
-
-  /** Full k-component signature `(id, sig0..sig{k-1})`, computed as
+  /** Full k-component MinHash signature `(id, sig0..sig{k-1})`: per seed,
+    * the lexicographic minimum of seed-salted MD5 over the shingle set —
+    * with k independent seeds the vector of minima estimates Jaccard
+    * similarity, and identical docs get identical signatures. Computed as
     * explode(shingles) -> groupBy(id).agg(min(salted md5) x k).
     *
     * Deliberately aggregation-shaped rather than k array-fold columns over
