@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *   - counts/ranks/sizes are BIGINT on both sides (Spark `size`/`row_number`
   *     are cast to long);
   *   - money/value aggregates go through DECIMAL (order-independent exact
-  *     sums — double sums would be nondeterministic across partitions) and
-  *     are cast to the same final precision/scale on both sides;
-  *   - NEVER reduce a decimal's scale in the final cast: Spark rounds
-  *     (HALF_UP) but DuckDB truncates on decimal downcasts, so outputs keep
+  *     sums — double sums would be nondeterministic across partitions), are
+  *     cast to the same precision/scale on both sides, and the FINAL output
+  *     column is then cast to DOUBLE on both sides: decimal *rendering*
+  *     differs across engines (trailing-zero scale digits, e.g. `101951.00`
+  *     vs `101951.0`) and fails a textual hash even when values are equal.
+  *     The decimal→double conversion is correctly rounded in both engines
+  *     and the unscaled values stay far below 2^53 at test SFs, so the
+  *     doubles are bit-identical;
+  *   - NEVER reduce a decimal's scale in the intermediate cast: Spark rounds
+  *     (HALF_UP) but DuckDB truncates on decimal downcasts, so sums keep
   *     the natural scale of the arithmetic (e.g. price*discount sums stay
-  *     scale 4).
+  *     scale 4) before the final double cast.
   */
 object SparkEntry {
 
@@ -248,11 +254,11 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty"),
+            .cast("decimal(18,2)").cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_price"),
+            .cast("decimal(18,2)").cast("double").as("sum_price"),
           sum(col("l_discount").cast("decimal(18,4)"))
-            .cast("decimal(18,4)").as("sum_disc"),
+            .cast("decimal(18,4)").cast("double").as("sum_disc"),
           count(lit(1)).as("cnt"))),
 
     // Broadcast hash join: small dim (customer) explicitly broadcast
@@ -263,7 +269,7 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_price"))),
+            .cast("decimal(18,2)").cast("double").as("sum_price"))),
 
     // 3-way dimension join chain
     "rel_join_3way" -> ((s, dir) =>
@@ -275,7 +281,7 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_bal"))),
+            .cast("decimal(18,2)").cast("double").as("sum_bal"))),
 
     // Left outer join preserving unmatched dimension rows
     "rel_join_left_outer" -> ((s, dir) =>
@@ -366,7 +372,7 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_value"))),
+            .cast("decimal(18,2)").cast("double").as("sum_value"))),
 
     // Sessionization: gaps-and-islands via lag + running sum (30-min gap)
     "rel_sessionize" -> ((s, dir) => {
@@ -433,7 +439,8 @@ object SparkEntry {
             "'extendedprice', cast(l_extendedprice as decimal(18,2))) " +
             "AS (measure, val)"))
         .groupBy("l_returnflag", "measure")
-        .agg(sum(col("val")).cast("decimal(18,2)").as("total"))),
+        .agg(sum(col("val")).cast("decimal(18,2)").cast("double")
+          .as("total"))),
 
     // Multiset set operations (EXCEPT ALL / INTERSECT ALL)
     "rel_except_all" -> ((s, dir) => {
@@ -505,7 +512,7 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") -
               col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)").as("revenue"))),
+            .cast("decimal(18,4)").cast("double").as("revenue"))),
 
     // TPC-H Q5-shaped: 6-table join, local-supplier condition, per-nation
     // revenue; dimensions broadcast, facts shuffle on join keys
@@ -525,7 +532,7 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") -
               col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)").as("revenue"))),
+          .cast("decimal(18,4)").cast("double").as("revenue"))),
 
     // Skew-resistant two-stage aggregation (salt on a derived key, then
     // re-aggregate) — identical results to the direct groupBy, so the same
@@ -537,7 +544,8 @@ object SparkEntry {
           .as("v"))
         .groupBy("event_type")
         .agg(sum(col("c")).as("cnt"),
-          sum(col("v")).cast("decimal(18,2)").as("sum_value"))),
+          sum(col("v")).cast("decimal(18,2)").cast("double")
+            .as("sum_value"))),
 
     // HLL sketch (approximate distinct). No SQL oracle — engine sketches
     // differ by design; rows-only check + exactness bound asserted in tests
@@ -881,21 +889,21 @@ object SparkEntry {
 
     "rel_q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price,
-        |       cast(sum(cast(l_discount AS decimal(18,4))) AS decimal(18,4)) AS sum_disc,
+        |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_qty,
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_price,
+        |       cast(cast(sum(cast(l_discount AS decimal(18,4))) AS decimal(18,4)) AS double) AS sum_disc,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "rel_join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
+        |       cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "rel_join_3way" ->
       """SELECT r_name, count(*) AS n_cust,
-        |       cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS sum_bal
+        |       cast(cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -961,7 +969,7 @@ object SparkEntry {
     "rel_time_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS cnt,
-        |       cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS sum_value
+        |       cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "rel_sessionize" ->
@@ -1000,11 +1008,11 @@ object SparkEntry {
 
     "rel_unpivot_measures" ->
       """SELECT l_returnflag, 'quantity' AS measure,
-        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS total
+        |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS total
         |FROM lineitem GROUP BY l_returnflag
         |UNION ALL
         |SELECT l_returnflag, 'extendedprice' AS measure,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS total
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS total
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "rel_except_all" ->
@@ -1072,9 +1080,9 @@ object SparkEntry {
     "rel_q3_shipping" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_orderkey) AS n_orders,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
         |                (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
-        |            AS decimal(18,4)) AS revenue
+        |            AS decimal(18,4)) AS double) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -1082,9 +1090,9 @@ object SparkEntry {
 
     "rel_q5_region_revenue" ->
       """SELECT n_name,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
         |                (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
-        |            AS decimal(18,4)) AS revenue
+        |            AS decimal(18,4)) AS double) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -1095,7 +1103,7 @@ object SparkEntry {
 
     "rel_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
-        |       cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS sum_value
+        |       cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "text_tfidf" ->
