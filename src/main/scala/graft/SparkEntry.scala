@@ -70,6 +70,14 @@ object SparkEntry {
   private lazy val stopListSql: String =
     TextOps.stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB equivalent of Java's `String.split(",")`: Java drops ALL
+    * trailing empty fields while DuckDB's `string_split` keeps them, so
+    * strip trailing commas first. Exact for any input whose first field is
+    * non-empty (always true here: lines start with `doc_id`) — the one
+    * divergent case, an all-commas line, can't occur. */
+  private def javaSplitSql(src: String): String =
+    s"string_split(regexp_replace($src, ',+$$', ''), ',')"
+
   /** DuckDB token stream (scrub + whitespace split + unnest), matching
     * [[TextOps.scrub]]/[[TextOps.tokenize]]. */
   private def tokensCte(src: String): String =
@@ -245,6 +253,99 @@ object SparkEntry {
     // Full WordCount pipeline (P1+P3+T1..T3+F2+F3+A1+O1..O3, top-100)
     "word_count_pipeline" -> ((s, dir) =>
       WordCount.fromLines(docLines(s, dir).select(col("line").as("value")))),
+
+    // S3 byte parity: the exact "<rank>: <ticker>, <count>" output lines
+    // the reference's reducer writes (StockCount.java:63-64)
+    "stock_count_formatted" -> ((s, dir) =>
+      StockCount.formatted(StockCount.fromLines(
+        docLines(s, dir).select(col("line").as("value"))))),
+
+    // S3 byte parity: "<rank>: <word>\t<count>" (WordCount.java:91 +
+    // TextOutputFormat's K\tV separator)
+    "word_count_formatted" -> ((s, dir) =>
+      WordCount.formatted(WordCount.fromLines(
+        docLines(s, dir).select(col("line").as("value"))))),
+
+    // ---- streaming (real Structured Streaming engine via StreamGate) -----
+    // Each entry replays the events/documents tables through a MemoryStream
+    // micro-batch, runs the EventStream operator on the streaming engine
+    // (state store, watermarks, incremental agg), and returns the sink —
+    // checked against the equivalent batch oracle like every other query.
+
+    // Tumbling 1h event-time windows + watermark; complete-mode final state
+    // must equal the batch hourly aggregation
+    "stream_windowed_counts" -> ((s, dir) => {
+      import s.implicits._
+      val data = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_win_counts",
+        "complete")(df =>
+        graft.streaming.EventStream.windowedCounts(
+          df.toDF("ts", "event_type"), "ts", "event_type",
+          window = "1 hour"))
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("cnt"))
+    }),
+
+    // Incremental WordCount (streaming aggregation over exploded tokens)
+    "stream_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      val data = tbl(s, dir, "documents").select(col("text"))
+        .as[String].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_wc", "complete")(df =>
+        graft.streaming.EventStream.streamingWordCount(df.toDF("value")))
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): first arrival
+    // per key emitted once — key set must equal the batch DISTINCT
+    "stream_dedup_keys" -> ((s, dir) => {
+      import s.implicits._
+      val data = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_dedup", "append")(df =>
+        graft.streaming.EventStream.dedupStream(
+          df.toDF("user_id", "event_type", "ts"),
+          Seq("user_id", "event_type")))
+        .select(col("user_id"), col("event_type"))
+    }),
+
+    // Custom state via mapGroupsWithState: per-user running event counts
+    // (one micro-batch => one open-session update per user)
+    "stream_session_counts" -> ((s, dir) => {
+      import s.implicits._
+      val data = events(s, dir).select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_sessions", "update")(
+        df => graft.streaming.EventStream
+          .runningSessions(df.as[(Long, Long)],
+            timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .toDF())
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"))
+    }),
+
+    // Stream-stream interval join: purchases attributed to same-user views
+    // in the prior 30 min; far-future sentinel (user -1) advances both
+    // watermarks so the tail emits, then is filtered out
+    "stream_join_attrib" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      def side(t: String): Seq[(Long, java.sql.Timestamp)] =
+        e.where(col("event_type") === t).select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)].collect().toSeq
+      val (views, purch) = (side("view"), side("purchase"))
+      val far = new java.sql.Timestamp(
+        (views ++ purch).map(_._2.getTime).max + 86400000L)
+      val sentinel = Seq((-1L, far))
+      graft.streaming.StreamGate.replayJoin(s, views, purch,
+        sentinel, sentinel, "gate_attrib")((v, p) =>
+        graft.streaming.EventStream.attributeToViews(
+          v.toDF("user_id", "ts"), p.toDF("user_id", "ts")))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("v_ts")).as("v_ts_us"))
+    }),
 
     // ---- relational generality (beyond the reference's surface) ----------
 
@@ -804,25 +905,25 @@ object SparkEntry {
 
     "p1_java_split_arity" ->
       s"""$linesCte
-         |SELECT doc_id, len(string_split(line, ',')) AS n_fields
+         |SELECT doc_id, len(${javaSplitSql("line")}) AS n_fields
          |FROM lines""".stripMargin,
 
     "p2_last_field" ->
       s"""$linesCte
          |SELECT doc_id, trim(line_split[-1]) AS ticker
-         |FROM (SELECT doc_id, string_split(line, ',') AS line_split
+         |FROM (SELECT doc_id, ${javaSplitSql("line")} AS line_split
          |      FROM lines)""".stripMargin,
 
     "p3_headline_rejoin" ->
       s"""$linesCte
          |SELECT doc_id,
          |       array_to_string(l[2:len(l)-2], ',') AS headline
-         |FROM (SELECT doc_id, string_split(line, ',') AS l FROM lines)""".stripMargin,
+         |FROM (SELECT doc_id, ${javaSplitSql("line")} AS l FROM lines)""".stripMargin,
 
     "f1_arity_filter" ->
       s"""$linesCte
          |SELECT lang, count(*) AS cnt FROM lines
-         |WHERE len(string_split(line, ',')) > 3
+         |WHERE len(${javaSplitSql("line")}) > 3
          |GROUP BY lang""".stripMargin,
 
     "t1_t2_scrub" ->
@@ -854,7 +955,7 @@ object SparkEntry {
       s"""$linesCte,
          |tickers AS (
          |  SELECT trim(l[-1]) AS ticker
-         |  FROM (SELECT string_split(line, ',') AS l FROM lines)
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines)
          |  WHERE len(l) > 3
          |),
          |counts AS (SELECT ticker, count(*) AS cnt FROM tickers GROUP BY ticker)
@@ -866,7 +967,7 @@ object SparkEntry {
       s"""$linesCte,
          |heads AS (
          |  SELECT array_to_string(l[2:len(l)-2], ',') AS h
-         |  FROM (SELECT string_split(line, ',') AS l FROM lines)
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines)
          |  WHERE len(l) > 1
          |),
          |toks AS (
@@ -886,6 +987,82 @@ object SparkEntry {
          |  FROM counts
          |)
          |SELECT rank, word, cnt FROM ranked WHERE rank <= 100""".stripMargin,
+
+    "stock_count_formatted" ->
+      s"""$linesCte,
+         |tickers AS (
+         |  SELECT trim(l[-1]) AS ticker
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines)
+         |  WHERE len(l) > 3
+         |),
+         |counts AS (SELECT ticker, count(*) AS cnt FROM tickers GROUP BY ticker),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY cnt DESC, ticker) AS rank,
+         |         ticker, cnt
+         |  FROM counts
+         |)
+         |SELECT printf('%d: %s, %d', rank, ticker, cnt) AS value
+         |FROM ranked""".stripMargin,
+
+    "word_count_formatted" ->
+      s"""$linesCte,
+         |heads AS (
+         |  SELECT array_to_string(l[2:len(l)-2], ',') AS h
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines)
+         |  WHERE len(l) > 1
+         |),
+         |toks AS (
+         |  SELECT unnest(string_split_regex(
+         |           regexp_replace(lower(h), '[^a-z ]', ' ', 'g'),
+         |           '\\s+')) AS word
+         |  FROM heads
+         |),
+         |counts AS (
+         |  SELECT word, count(*) AS cnt FROM toks
+         |  WHERE len(word) > 0 AND word NOT IN $stopListSql
+         |  GROUP BY word
+         |),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+         |         word, cnt
+         |  FROM counts
+         |)
+         |SELECT printf('%d: %s\t%d', rank, word, cnt) AS value
+         |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    "stream_windowed_counts" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_wordcount" ->
+      s"""WITH ${tokensCte("text")}
+         |SELECT token AS word, count(*) AS cnt FROM toks
+         |WHERE len(token) > 0 AND token NOT IN $stopListSql
+         |GROUP BY token""".stripMargin,
+
+    "stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_session_counts" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // micro-precision comparison on both sides: Spark compares timestamps
+    // at micros; comparing raw TIMESTAMP_NS here could flip pairs that sit
+    // within 1 us of the interval boundary
+    "stream_join_attrib" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, us AS v_ts_us FROM e WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, us AS p_ts_us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p_ts_us, v_ts_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v_ts_us <= p_ts_us
+        |  AND v_ts_us >= p_ts_us - 1800000000""".stripMargin,
 
     "rel_q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1428,7 +1605,7 @@ object SparkEntry {
          |lines100 AS (SELECT line FROM lines CROSS JOIN range(100)),
          |tickers AS (
          |  SELECT trim(l[-1]) AS ticker
-         |  FROM (SELECT string_split(line, ',') AS l FROM lines100)
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines100)
          |  WHERE len(l) > 3
          |),
          |counts AS (SELECT ticker, count(*) AS cnt FROM tickers GROUP BY ticker)
@@ -1441,7 +1618,7 @@ object SparkEntry {
          |lines100 AS (SELECT line FROM lines CROSS JOIN range(100)),
          |heads AS (
          |  SELECT array_to_string(l[2:len(l)-2], ',') AS h
-         |  FROM (SELECT string_split(line, ',') AS l FROM lines100)
+         |  FROM (SELECT ${javaSplitSql("line")} AS l FROM lines100)
          |  WHERE len(l) > 1
          |),
          |toks AS (

@@ -45,12 +45,18 @@ object EventStream {
     * windowed aggregation can't express. */
   case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
 
-  def runningSessions(events: Dataset[(Long, Long)], gapMs: Long = 30 * 60 * 1000L)
+  /** `timeout = NoTimeout` disables session closing (sessions only grow) —
+    * the right mode for bounded replays: with `ProcessingTimeTimeout`, the
+    * engine keeps constructing micro-batches to fire pending timeouts, so
+    * `processAllAvailable()` on a drained source never settles. Production
+    * unbounded streams pass the default `ProcessingTimeTimeout`. */
+  def runningSessions(events: Dataset[(Long, Long)], gapMs: Long = 30 * 60 * 1000L,
+                      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
   : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val timed = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_._1)
-      .mapGroupsWithState[Long, SessionUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[Long, SessionUpdate](timeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             val n = state.getOption.getOrElse(0L)
@@ -59,7 +65,7 @@ object EventStream {
           } else {
             val n = state.getOption.getOrElse(0L) + rows.size
             state.update(n)
-            state.setTimeoutDuration(gapMs)
+            if (timed) state.setTimeoutDuration(gapMs)
             SessionUpdate(userId, n, closed = false)
           }
       }
