@@ -710,17 +710,20 @@ object SparkEntry {
         col("n_chars"))),
 
     // Quality scoring: stop-word share, punctuation noise, diversity, score
-    "text_quality" -> ((s, dir) =>
+    "text_quality" -> ((s, dir) => {
+      val sw = graft.functions.GraftFunctions.stopRatio(s, col("text"))
       tbl(s, dir, "documents").select(col("doc_id"),
-        round(Quality.stopwordRatio(col("text")), 6).as("sw_ratio"),
+        round(sw, 6).as("sw_ratio"),
         round(Quality.punctRatio(col("text")), 6).as("punct_ratio"),
         round(Quality.uniqueRatio(col("text")), 6).as("uniq_ratio"),
-        round(Quality.qualityScore(col("text")), 6).as("q_score"))),
+        round(Quality.qualityScoreFrom(col("text"), sw), 6).as("q_score"))
+    }),
 
     // Language-ID heuristic (marker-word argmax)
     "text_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
-        Quality.langId(col("text")).as("lang_pred"))),
+        graft.functions.GraftFunctions.langId(s, col("text"))
+          .as("lang_pred"))),
 
     // Document frequency / term frequency per token (IDF building block)
     "text_doc_freq" -> ((s, dir) =>
@@ -783,7 +786,9 @@ object SparkEntry {
     // Language-ID confusion matrix: metadata lang vs predicted
     "text_lang_confusion" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .groupBy(col("lang"), Quality.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"),
+          graft.functions.GraftFunctions.langId(s, col("text"))
+            .as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
     // Fixed-width histogram over event values

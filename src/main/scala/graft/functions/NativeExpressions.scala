@@ -75,6 +75,48 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Share of clean tokens belonging to a fixed word set — the native twin
+  * of `size(filter(toks, _.isInCollection(words))) / size(toks)`, whose
+  * `filter` lambda is interpreted (HOFs are CodegenFallback) and costs
+  * ~1 µs/token; this is one set-probe per token in a tight loop. */
+case class WordSetRatioExpr(child: Expression, words: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_word_set_ratio"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.wordSetRatio(input.asInstanceOf[UTF8String].toString, set)
+  override protected def withNewChildInternal(newChild: Expression)
+  : WordSetRatioExpr = copy(child = newChild)
+}
+
+/** Marker-word argmax language ID — the native twin of
+  * [[graft.ops.Quality.langId]], which evaluates one interpreted `filter`
+  * lambda per language per row (4 full token passes); this tokenizes once
+  * and probes all marker sets in a single loop. */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])],
+                      floor: Double)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  @transient private lazy val langArr
+  : Array[(String, java.util.Set[String])] =
+    langs.map { case (l, ws) =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      (l, s: java.util.Set[String])
+    }.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextHashes.langId(
+      input.asInstanceOf[UTF8String].toString, langArr, floor))
+  override protected def withNewChildInternal(newChild: Expression)
+  : LangIdExpr = copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -101,7 +143,12 @@ object GraftFunctions {
     "graft_token_counts" -> (es => TokenCountsAgg(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_token_counts_csv" -> (es => TokenCountsAgg(es.head,
-      graft.ops.TextOps.stopWords, fromCsvLine = true)))
+      graft.ops.TextOps.stopWords, fromCsvLine = true)),
+    "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
+      graft.ops.TextOps.stopWords)),
+    "graft_lang_id" -> (es => LangIdExpr(es.head,
+      graft.ops.Quality.langOrder.map(l =>
+        l -> graft.ops.Quality.langMarkers(l)), 0.02)))
 
   /** Register into an existing (classic) session; safe to call per query. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -141,6 +188,20 @@ object GraftFunctions {
   def tokenCountsCsv(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_token_counts_csv", c)
+  }
+
+  /** Stop-word share of clean tokens (native [[WordSetRatioExpr]] over the
+    * reference stop list); equals [[graft.ops.Quality.stopwordRatio]]. */
+  def stopRatio(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_stop_ratio", c)
+  }
+
+  /** Marker-argmax language ID (native [[LangIdExpr]]); equals
+    * [[graft.ops.Quality.langId]]. */
+  def langId(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_lang_id", c)
   }
 }
 

@@ -28,10 +28,77 @@ object TextHashes {
     new String(out)
   }
 
+  /** Exactly Catalyst's `lower()` (`UTF8String.toLowerCase`): locale-
+    * independent ASCII mapping on all-ASCII strings, JVM-default-locale
+    * `String.toLowerCase` otherwise — so native/declarative equivalence
+    * holds bit-for-bit on ANY input and ANY default locale (a plain
+    * `toLowerCase(Locale.ROOT)` would diverge from Catalyst on non-ASCII
+    * text under e.g. a Turkish default locale). */
+  private def catalystLower(text: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < text.length) { ascii = text.charAt(i) < 0x80; i += 1 }
+    if (ascii) {
+      val out = new Array[Char](text.length)
+      i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(out)
+    } else text.toLowerCase
+  }
+
   def cleanTokens(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT)
+    catalystLower(text)
       .replaceAll("[^a-z ]", " ")
       .split("\\s+").filter(_.nonEmpty)
+
+  /** Share of clean tokens contained in `set` (0.0 for token-less text):
+    * the JVM twin of `size(filter(toks, _.isInCollection(set))) /
+    * size(toks)` — same integer-count-over-integer-count double division. */
+  def wordSetRatio(text: String, set: java.util.Set[String]): Double = {
+    val toks = cleanTokens(text)
+    if (toks.length == 0) 0.0
+    else {
+      var c = 0
+      var i = 0
+      while (i < toks.length) { if (set.contains(toks(i))) c += 1; i += 1 }
+      c.toDouble / toks.length.toDouble
+    }
+  }
+
+  /** Marker-word argmax language ID, the JVM twin of
+    * [[graft.ops.Quality.langId]]: per language (in `langs` order) the
+    * share of clean tokens that are marker words; emit the FIRST language
+    * whose ratio equals the maximum when that maximum clears `floor`,
+    * else "unknown". Single tokenization pass for all languages. */
+  def langId(text: String, langs: Array[(String, java.util.Set[String])],
+             floor: Double): String = {
+    val toks = cleanTokens(text)
+    if (toks.length == 0) return "unknown"
+    val ratios = new Array[Double](langs.length)
+    var li = 0
+    while (li < langs.length) {
+      val set = langs(li)._2
+      var c = 0
+      var i = 0
+      while (i < toks.length) { if (set.contains(toks(i))) c += 1; i += 1 }
+      ratios(li) = c.toDouble / toks.length.toDouble
+      li += 1
+    }
+    var best = ratios(0)
+    li = 1
+    while (li < langs.length) { if (ratios(li) > best) best = ratios(li); li += 1 }
+    if (best < floor) return "unknown"
+    li = 0
+    while (li < langs.length) {
+      if (ratios(li) == best) return langs(li)._1
+      li += 1
+    }
+    "unknown"
+  }
 
   def shingles(text: String, n: Int = 3): Array[String] = {
     val t = cleanTokens(text)

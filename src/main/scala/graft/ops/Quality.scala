@@ -49,10 +49,16 @@ object Quality {
   /** Composite [0,1] quality score: prose-like stop-word share, low
     * punctuation noise, reasonable length. Weights are fixed, arithmetic is
     * deterministic. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, stopwordRatio(text))
+
+  /** [[qualityScore]] with the stop-word ratio supplied by the caller —
+    * lets hot paths pass the native [[graft.functions.WordSetRatioExpr]]
+    * (via `GraftFunctions.stopRatio`) instead of the interpreted-HOF
+    * [[stopwordRatio]]; identical arithmetic either way. */
+  def qualityScoreFrom(text: Column, sw: Column): Column = {
     val lenOk = when(length(text).between(20, 20000), lit(1.0))
       .otherwise(lit(0.0))
-    val sw = stopwordRatio(text)
     val swOk = when(sw.between(0.05, 0.6), lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
     (lenOk + swOk + punctOk) / lit(3.0)
@@ -62,6 +68,10 @@ object Quality {
     * function words among clean tokens; emit the argmax language or
     * "unknown" when no marker reaches the floor. Marker lists are tiny and
     * fixed — the whole thing is one pass of array expressions. */
+  /** Fixed evaluation order for [[langId]] tie-breaks (and the native
+    * [[graft.functions.LangIdExpr]], which must match it). */
+  val langOrder: Seq[String] = Seq("en", "es", "fr", "de")
+
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
@@ -76,9 +86,12 @@ object Quality {
   }
 
   /** Predicted language code; deterministic argmax with fixed evaluation
-    * order (en > es > fr > de) and a 2% floor. */
+    * order (en > es > fr > de) and a 2% floor. Declarative reference
+    * implementation — hot paths use `GraftFunctions.langId` (native, one
+    * token pass instead of four interpreted HOF filters), property-tested
+    * equal in NativeFunctionsSpec. */
   def langId(text: Column): Column = {
-    val order = Seq("en", "es", "fr", "de")
+    val order = langOrder
     val ratios = order.map(l => l -> markerRatio(text, langMarkers(l)))
     val best = ratios.map(_._2).reduce((a, b) => greatest(a, b))
     order.foldRight(lit("unknown"): Column) { case (l, els) =>

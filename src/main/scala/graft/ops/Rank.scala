@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * at 100 TB the heavy lifting stays in the partial/final hash aggregate and
   * the shuffle, and only the small key space hits the window. For ranking
   * large un-aggregated data use [[rankedBig]], which range-partitions the
-  * sort and derives global ranks from per-partition offsets (zipWithIndex) —
-  * no single-partition stage at any size.
+  * sort and derives global ranks from per-partition offsets — no single-
+  * partition stage at any size.
   */
 object Rank {
 
@@ -38,19 +38,16 @@ object Rank {
     base.withColumn("rank", row_number().over(w).cast("long"))
   }
 
-  /** Scale-out variant for ranking data too large for one partition: total
-    * sort via range partitioning, then global rank = zipWithIndex + 1.
-    * Keeps every stage distributed; used when the ranked set itself is huge
-    * (the reference never needs this — its ranked sets are post-aggregate). */
+  /** Scale-out variant for ranking data too large for one partition
+    * (the reference never needs this — its ranked sets are post-aggregate).
+    * Delegates to the planned [[graft.plans.GlobalRank]] operator: range-
+    * partitioned sort + per-partition offset ranks, all inside Catalyst —
+    * no RDD round-trip, so codegen/AQE survive and rows never deserialize
+    * to Scala objects. */
   def rankedBig(df: DataFrame, cnt: Column, keys: Seq[Column]): DataFrame = {
-    val sorted = df.orderBy(cnt.desc +: keys.map(_.asc): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val withIdx = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(withIdx, schema)
+    val cntName = df.select(cnt).columns.head
+    val keyNames = keys.map(k => df.select(k).columns.head)
+    graft.plans.GlobalRank.ranked(
+      df, (cntName -> true) +: keyNames.map(_ -> false): _*)
   }
 }

@@ -60,7 +60,17 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
   override def outputOrdering: Seq[SortOrder] = order
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Persist the sorted child across the two passes: the count job and the
+    // rank job would otherwise each re-run the post-shuffle per-partition
+    // sort (the exchange itself is reused, the sort isn't). Rows must be
+    // copied before caching — operators reuse mutable UnsafeRow buffers.
+    // Memory-pressured partitions spill to disk; the ContextCleaner
+    // unpersists the blocks once the RDD is unreachable after the query.
+    // Persisting also makes the two passes see identical row order, so
+    // ranks are stable even when `order` is not a total order.
     val input = child.execute()
+      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition counts (counts only cross the driver)
     val counts = input.mapPartitions(
       it => Iterator.single(it.size.toLong), preservesPartitioning = true)

@@ -17,12 +17,26 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object StreamGate {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a stateful streaming query materializes one state-store instance per
+    * shuffle partition and checkpoints each one per micro-batch, so a
+    * bounded replay at the session's batch setting (32) pays 32x the
+    * checkpoint I/O for kilobytes of state. Production unbounded streams
+    * size this to their key cardinality; the replay gate doesn't need to.
+    * The conf is read at query START, so it must wrap `start()`. */
+  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Replay `data` as one micro-batch through `transform`; `mode` is the
     * sink output mode ("complete" for aggregations — emits the full final
     * state; "append" for joins/dedup — emits exactly-once rows). */
   def replay[T: Encoder](spark: SparkSession, data: Seq[T], name: String,
                          mode: String)(transform: DataFrame => DataFrame)
-  : DataFrame = {
+  : DataFrame = withReplayPartitions(spark) {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
     val q = transform(mem.toDF()).writeStream
@@ -41,7 +55,7 @@ object StreamGate {
   def replayWithFlush[T: Encoder](spark: SparkSession, data: Seq[T],
                                   flush: Seq[T], name: String, mode: String)
                                  (transform: DataFrame => DataFrame)
-  : DataFrame = {
+  : DataFrame = withReplayPartitions(spark) {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
     val q = transform(mem.toDF()).writeStream
@@ -62,7 +76,7 @@ object StreamGate {
                                          flushLeft: Seq[A], flushRight: Seq[B],
                                          name: String)
                                         (transform: (DataFrame, DataFrame) => DataFrame)
-  : DataFrame = {
+  : DataFrame = withReplayPartitions(spark) {
     implicit val sqlCtx = spark.sqlContext
     val l = MemoryStream[A]
     val r = MemoryStream[B]

@@ -64,6 +64,37 @@ class NativeFunctionsSpec extends AnyFunSuite {
     got.foreach { case (native, decl) => assert(native == decl) }
   }
 
+  test("native stop_ratio == declarative stopwordRatio, bit-identical") {
+    // marker/stop-word-rich texts so ratios are non-trivial
+    val extra = Seq("the cat and the hat is on a mat",
+      "el perro y la casa de los gatos", "le chat et la maison les arbres",
+      "der hund und die katze ist ein tier nicht mit")
+    val df = (texts ++ extra).toDF("t")
+    val got = df.select(
+      GraftFunctions.stopRatio(spark, col("t")),
+      graft.ops.Quality.stopwordRatio(col("t")))
+      .as[(Double, Double)].collect()
+    got.zip(texts ++ extra).foreach { case ((native, decl), t) =>
+      assert(native == decl, s"text=$t")
+    }
+  }
+
+  test("native lang_id == declarative langId on markers and random text") {
+    val extra = Seq("the cat and the hat is on a mat",
+      "el perro y la casa de los gatos", "le chat et la maison les arbres",
+      "der hund und die katze ist ein tier nicht mit",
+      // tie shapes: "la" is an es AND fr marker; "de" es marker
+      "la la de de", "the el le der", "")
+    val df = (texts ++ extra).toDF("t")
+    val got = df.select(
+      GraftFunctions.langId(spark, col("t")),
+      graft.ops.Quality.langId(col("t")))
+      .as[(String, String)].collect()
+    got.zip(texts ++ extra).foreach { case ((native, decl), t) =>
+      assert(native == decl, s"text=$t")
+    }
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable

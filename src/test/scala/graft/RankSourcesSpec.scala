@@ -25,7 +25,7 @@ class RankSourcesSpec extends AnyFunSuite {
     assert(got == Seq("b", "a"))
   }
 
-  test("rankedBig (zipWithIndex path) matches ranked") {
+  test("rankedBig (GlobalRank planned path) matches ranked") {
     val a = Rank.ranked(counts, col("cnt"), Seq(col("key")))
       .select("rank", "key", "cnt").collect().map(_.toSeq).toSet
     val b = Rank.rankedBig(counts, col("cnt"), Seq(col("key")))
