@@ -581,6 +581,26 @@ object SparkEntry {
         concat_ws("|", col("lang"), col("source")).as("joined"),
         length(col("text")).cast("long").as("text_len"))),
 
+    // Multimodal plumbing, driver-checked: synthetic media table (payload
+    // = UTF-8 bytes of text), typed metadata via Media.withMeta, then the
+    // resize path — the oracle independently recomputes byte length, md5,
+    // and the every-3rd-byte resample arithmetic. The decode stub itself
+    // stays scalatest-only (not SQL-expressible); this pins the real
+    // Spark-side contract: binary schema, metadata, sampling math.
+    "media_metadata" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        col("source").as("kind"),
+        col("text").cast("binary").as("payload"))
+      val staged = graft.multimodal.Media.withMeta(media, "utf8")
+        .select(col("*"), md5(col("payload")).as("payload_md5"),
+          col("meta.n_bytes").as("orig_bytes"))
+      graft.multimodal.Media.resizeStub(staged, 3)
+        .select(col("media_id"), col("kind"), col("meta.format").as("format"),
+          col("payload_md5"), col("orig_bytes"),
+          col("meta.n_bytes").as("resized_bytes"))
+    }),
+
     // Window distribution functions: quartile + percent_rank per key
     "rel_window_distribution" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1231,6 +1251,18 @@ object SparkEntry {
         |       lpad(lang, 5, '_') AS padded,
         |       concat_ws('|', lang, source) AS joined,
         |       length(text) AS text_len
+        |FROM documents""".stripMargin,
+
+    // resized_bytes: resizeStub keeps payload bytes at 0-based offsets
+    // 0,3,6,... (the i=len sample is past-the-end and empty), hence
+    // (len-1)//3 + 1 bytes for non-empty payloads
+    "media_metadata" ->
+      """SELECT doc_id AS media_id, source AS kind, 'utf8' AS format,
+        |       md5(text) AS payload_md5,
+        |       cast(octet_length(encode(text)) AS bigint) AS orig_bytes,
+        |       cast(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |            ELSE (octet_length(encode(text)) - 1) // 3 + 1 END
+        |            AS bigint) AS resized_bytes
         |FROM documents""".stripMargin,
 
     "rel_window_distribution" ->
