@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, NaiveCsv, Quality, Rank, Similarity, TextOps}
+import graft.ops.{Dedup, Joins, NaiveCsv, Quality, Rank, Similarity, TextOps}
 import graft.pipelines.{StockCount, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -668,6 +668,78 @@ object SparkEntry {
           sum(col("v")).cast("decimal(18,2)").cast("double")
             .as("sum_value"))),
 
+    // Skew-proof salted equi-join (operator form of AQE's skew handling;
+    // Joins.saltedEquiJoin): row-identical to the plain join — the oracle
+    // is the unsalted SQL join — aggregated to brand level for compact,
+    // deterministic output
+    "rel_skew_salted_join" -> ((s, dir) => {
+      val partDim = tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Joins.saltedEquiJoin(tbl(s, dir, "lineitem"), partDim,
+        Seq("l_partkey"), saltN = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("sum_qty"))
+    }),
+
+    // Broadcast range join: fact value against a [lo, hi) band dimension
+    // (BroadcastNestedLoopJoin — the fact side streams, never shuffles)
+    "rel_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = Seq((-1.0e18, 100.0, "low"), (100.0, 250.0, "mid"),
+        (250.0, 1.0e18, "high")).toDF("lo", "hi", "band")
+      Joins.rangeJoin(events(s, dir), ranges, col("value"),
+        col("lo"), col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_value"))
+    }),
+
+    // Sketch accuracy CONTRACT, driver-checked: HLL distinct estimate must
+    // land within 10% of exact (default rsd 5%); the oracle expects 1 per
+    // key, so a drifting sketch fails the round loudly
+    "rel_approx_distinct_bounded" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
+            .cast("long").as("within_10pct"))),
+
+    // TPC-H Q6 shape: single-scan predicate aggregation — the filters reach
+    // the parquet scan (PushedFilters), factors go through exact decimal
+    "rel_q6_revenue" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(18,4)").cast("double").as("revenue"))),
+
+    // TPC-H Q18 shape: large-order detection — aggregate-then-join (the
+    // HAVING output is key-space-sized, so the orders join is cheap) with
+    // the dimension side broadcast
+    "rel_q18_big_orders" -> ((s, dir) => {
+      val big = tbl(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"))
+        .where(col("qsum") > 300)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+          // wall-clock-preserving and matches DuckDB's epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("qsum").cast("decimal(18,2)").cast("double").as("sum_qty"))
+    }),
+
     // HLL sketch (approximate distinct). No SQL oracle — engine sketches
     // differ by design; rows-only check + exactness bound asserted in tests
     "rel_approx_distinct" -> ((s, dir) =>
@@ -686,6 +758,34 @@ object SparkEntry {
         .select(col("token"), col("df"),
           round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 6)
             .as("idf"))
+    }),
+
+    // Sparse document-pair cosine over term-frequency vectors via a token
+    // self-join: dot products and norms stay exact integers until the final
+    // division, so cross-engine parity is exact. The token join is the
+    // standard sparse-similarity plan (pairs only materialize for docs
+    // SHARING a term); at corpus scale, cap per-token doc lists (stop-word
+    // style) or route through the MinHash-LSH path instead of all pairs.
+    "text_doc_cosine" -> ((s, dir) => {
+      val tk = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.cleanTokens(col("text")))
+          .as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val nm = tk.groupBy("doc_id")
+        .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+      val dots = tk.select(col("doc_id").as("d1"), col("token"),
+          col("tf").as("tf_a"))
+        .join(tk.select(col("doc_id").as("d2"), col("token"),
+          col("tf").as("tf_b")), Seq("token"))
+        .where(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(sum(col("tf_a") * col("tf_b")).cast("double").as("dot"))
+      dots
+        .join(nm.select(col("doc_id").as("d1"), col("nrm").as("nrm1")), "d1")
+        .join(nm.select(col("doc_id").as("d2"), col("nrm").as("nrm2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dot") / (col("nrm1") * col("nrm2")), 6).as("cos"))
+        .where(col("cos") >= 0.9)
     }),
 
     // ---- training-data pipeline operators --------------------------------
@@ -1319,6 +1419,66 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt,
         |       cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_skew_salted_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "rel_range_join" ->
+      """SELECT band, count(*) AS cnt,
+        |       cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_value
+        |FROM events
+        |JOIN (VALUES (-1e18, 100.0, 'low'), (100.0, 250.0, 'mid'),
+        |             (250.0, 1e18, 'high')) r(lo, hi, band)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
+
+    "rel_approx_distinct_bounded" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_10pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_q6_revenue" ->
+      """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))
+        |                     * cast(l_discount AS decimal(4,2)))
+        |                 AS decimal(18,4)) AS double) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "rel_q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(cast(l_quantity AS decimal(18,2))) AS qsum
+        |  FROM lineitem GROUP BY l_orderkey HAVING qsum > 300
+        |)
+        |SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+        |       cast(cast(o_totalprice AS decimal(18,2)) AS double) AS o_totalprice,
+        |       cast(cast(qsum AS decimal(18,2)) AS double) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "text_doc_cosine" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
+         |    FROM documents
+         |  ) GROUP BY doc_id, token
+         |), nm AS (
+         |  SELECT doc_id, sqrt(cast(sum(tf * tf) AS double)) AS nrm
+         |  FROM tk GROUP BY doc_id
+         |), dots AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         cast(sum(a.tf * b.tf) AS double) AS dot
+         |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |FROM dots
+         |JOIN nm n1 ON dots.d1 = n1.doc_id
+         |JOIN nm n2 ON dots.d2 = n2.doc_id
+         |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.9""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tk AS (

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the properties that decide 100 TB behavior —
+  * predicate pushdown, column pruning, broadcast vs shuffle joins,
+  * whole-stage codegen, no cartesian products — asserted on the real
+  * query plans so a regression fails CI, not a cluster run. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Post-execution plan: AQE only materializes (and prints) the final
+    * stages — codegen markers included — after the query has run. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1 scan: filter pushed to parquet, columns pruned") {
+    val p = plan("s1_scan_project_filter")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      s"expected non-empty PushedFilters:\n$p")
+    assert(p.contains("n_chars"), p)
+    // projection pruning: the wide text column must not be read
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"),
+      s"text column should be pruned from the scan:\n$p")
+  }
+
+  test("rel_q6: all three predicates reach the parquet scan") {
+    val p = plan("rel_q6_revenue")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"), p)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(p.contains(c), s"expected pushed filter on $c:\n$p"))
+  }
+
+  test("rel_q5: star joins broadcast the dimensions, no cartesian") {
+    val p = plan("rel_q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rel_q18: customer dimension broadcast") {
+    val p = plan("rel_q18_big_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rel_range_join: broadcast nested-loop, fact side never shuffles " +
+    "before the join") {
+    val p = plan("rel_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregation pipelines: partial+final hash aggregate inside codegen") {
+    val p = finalPlan("stock_count_x100")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert(p.contains("*("), s"expected whole-stage codegen stages:\n$p")
+  }
+
+  test("rel_global_rank_plan: planned GlobalRank operator, no window") {
+    val p = plan("rel_global_rank_plan")
+    assert(p.contains("GlobalRank"), p)
+    assert(!p.contains("Window"), s"global rank must not fall back to a " +
+      s"single-partition window:\n$p")
+  }
+
+  test("no cartesian product in any registered query plan") {
+    // queries whose *plan construction* is cheap (no collect-driven params)
+    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
+      "emb_centroids")
+    SparkEntry.queries.keys
+      .filterNot(heavy)
+      .filterNot(_.startsWith("stream_")) // replay gate executes eagerly
+      .foreach { name =>
+        val p = plan(name)
+        // crossJoin against a 1-row aggregate is the one sanctioned shape
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$p")
+      }
+  }
+}
