@@ -760,12 +760,14 @@ object SparkEntry {
             .as("idf"))
     }),
 
-    // Sparse document-pair cosine over term-frequency vectors via a token
-    // self-join: dot products and norms stay exact integers until the final
-    // division, so cross-engine parity is exact. The token join is the
-    // standard sparse-similarity plan (pairs only materialize for docs
-    // SHARING a term); at corpus scale, cap per-token doc lists (stop-word
-    // style) or route through the MinHash-LSH path instead of all pairs.
+    // Sparse text similarity SEARCH: top-10 corpus documents per query doc
+    // by term-frequency cosine, via a token join. The query vectors (docs
+    // 0-4) are broadcast, so the corpus side streams through the join
+    // without shuffling — the query-vs-100TB-corpus plan. (All-PAIRS
+    // near-dup deliberately does NOT go through this query: a token
+    // self-join is Σ df² — quadratic in per-token document frequency —
+    // which is what the MinHash-LSH path is for.) Dot products and norms
+    // stay exact integers until the final division, so parity is exact.
     "text_doc_cosine" -> ((s, dir) => {
       val tk = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Dedup.cleanTokens(col("text")))
@@ -773,19 +775,23 @@ object SparkEntry {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val nm = tk.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-      val dots = tk.select(col("doc_id").as("d1"), col("token"),
-          col("tf").as("tf_a"))
-        .join(tk.select(col("doc_id").as("d2"), col("token"),
-          col("tf").as("tf_b")), Seq("token"))
-        .where(col("d1") < col("d2"))
-        .groupBy("d1", "d2")
-        .agg(sum(col("tf_a") * col("tf_b")).cast("double").as("dot"))
+      val dots = broadcast(tk.where(col("doc_id") < 5)
+          .select(col("doc_id").as("q"), col("token"), col("tf").as("tf_q")))
+        .join(tk.select(col("doc_id").as("d"), col("token"),
+          col("tf").as("tf_d")), Seq("token"))
+        .where(col("d") =!= col("q"))
+        .groupBy("q", "d")
+        .agg(sum(col("tf_q") * col("tf_d")).cast("double").as("dot"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+        .orderBy(col("cos").desc, col("d").asc)
       dots
-        .join(nm.select(col("doc_id").as("d1"), col("nrm").as("nrm1")), "d1")
-        .join(nm.select(col("doc_id").as("d2"), col("nrm").as("nrm2")), "d2")
-        .select(col("d1"), col("d2"),
-          round(col("dot") / (col("nrm1") * col("nrm2")), 6).as("cos"))
-        .where(col("cos") >= 0.9)
+        .join(broadcast(nm.where(col("doc_id") < 5)
+          .select(col("doc_id").as("q"), col("nrm").as("nrm_q"))), "q")
+        .join(nm.select(col("doc_id").as("d"), col("nrm").as("nrm_d")), "d")
+        .select(col("q"), col("d"),
+          round(col("dot") / (col("nrm_q") * col("nrm_d")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
     }),
 
     // ---- training-data pipeline operators --------------------------------
@@ -1469,16 +1475,23 @@ object SparkEntry {
          |  SELECT doc_id, sqrt(cast(sum(tf * tf) AS double)) AS nrm
          |  FROM tk GROUP BY doc_id
          |), dots AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  SELECT a.doc_id AS q, b.doc_id AS d,
          |         cast(sum(a.tf * b.tf) AS double) AS dot
-         |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 5
          |  GROUP BY a.doc_id, b.doc_id
+         |), scored AS (
+         |  SELECT q, d, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |  FROM dots
+         |  JOIN nm n1 ON dots.q = n1.doc_id
+         |  JOIN nm n2 ON dots.d = n2.doc_id
          |)
-         |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
-         |FROM dots
-         |JOIN nm n1 ON dots.d1 = n1.doc_id
-         |JOIN nm n2 ON dots.d2 = n2.doc_id
-         |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.9""".stripMargin,
+         |SELECT q, d, cos, rank FROM (
+         |  SELECT q, d, cos,
+         |         cast(row_number() OVER (PARTITION BY q
+         |              ORDER BY cos DESC, d ASC) AS bigint) AS rank
+         |  FROM scored
+         |) WHERE rank <= 10""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tk AS (
