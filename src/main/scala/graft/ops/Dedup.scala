@@ -97,15 +97,19 @@ object Dedup {
                         maxBucket: Int = 10000): DataFrame = {
     // single pass: all bands emitted via posexplode (a union of per-band
     // selects would re-evaluate the signature expressions once per band);
-    // persisted because it is consumed three times below (bucket sizing +
-    // both self-join sides) — without it the full shingle->minhash pipeline
-    // feeding `sigs` re-runs per consumer, the dominant cost at corpus
-    // scale. Spills to disk under pressure; the ContextCleaner reclaims the
-    // blocks once the result plan is unreachable.
+    // materialized once via localCheckpoint because it is consumed three
+    // times below (bucket sizing + both self-join sides) — without it the
+    // full shingle->minhash pipeline feeding `sigs` re-runs per consumer,
+    // the dominant cost at corpus scale. RDD-level storage (not
+    // Dataset.persist, whose CacheManager entry would outlive the query and
+    // accumulate across calls): the ContextCleaner reclaims the blocks once
+    // the result plan is unreachable. On a multi-node cluster prefer a
+    // reliable checkpoint dir — localCheckpoint trades executor-loss
+    // recovery for speed.
     val bands = sigs.select(col(id).as("doc_a"),
       posexplode(array(lshBands(k, rows): _*)).as(Seq("bi", "band")))
       .select(col("doc_a"), col("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sized = bands.groupBy("band")
       .agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") <= maxBucket)

@@ -23,16 +23,17 @@ object Joins {
     * Cost model: small side shuffles/broadcasts saltN x its size — cheap
     * when |small| is dimension-sized; the big side gains nothing if its
     * keys are uniform (use a plain join then). The salt is
-    * `pmod(xxhash64(all big columns), saltN)`: deterministic under task
-    * retry (no `rand()`), uniform for distinct rows; fully identical
-    * duplicate rows share a salt, which only matters if one key's rows are
-    * ALSO mostly byte-identical. */
+    * `pmod(monotonically_increasing_id(), saltN)`: it references NO data
+    * column (hashing payload columns for the salt would drag every column
+    * into the scan and defeat parquet column pruning), cycles through all
+    * saltN buckets within each partition (perfectly uniform even for a
+    * single mega-key of identical rows), and any salt assignment yields
+    * the same join rows, so task-retry nondeterminism is harmless. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                      saltN: Int): DataFrame = {
     require(saltN > 0, "saltN must be positive")
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltN))
-        .cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltN.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(array((0 until saltN).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

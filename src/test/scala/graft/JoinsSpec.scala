@@ -23,16 +23,15 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("saltedEquiJoin spreads a mega-key across salt buckets") {
+  test("saltedEquiJoin spreads a mega-key evenly across salt buckets") {
+    // even 1000 byte-identical rows of one key cycle through every bucket
     val big = Seq.fill(1000)((7L, "x")).toDF("k", "bv")
-    val salts = big.withColumn("_salt",
-      pmod(xxhash64(col("k"), col("bv")), lit(8)))
-    // byte-identical rows share a salt (documented); distinct rows spread
-    val bigDistinct = (0 until 1000).map(i => (7L, s"x$i")).toDF("k", "bv")
-    val n = bigDistinct.select(
-      pmod(xxhash64(col("k"), col("bv")), lit(8)).as("s"))
-      .distinct().count()
-    assert(n == 8, s"expected all 8 salt buckets used, got $n")
+    val counts = big.select(
+      pmod(monotonically_increasing_id(), lit(8L)).as("s"))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(counts.length == 8, s"expected all 8 salt buckets used")
+    assert(counts.max - counts.min <= big.rdd.getNumPartitions,
+      s"expected near-even spread, got ${counts.mkString(",")}")
   }
 
   test("rangeJoin assigns each fact to its [lo, hi) band") {

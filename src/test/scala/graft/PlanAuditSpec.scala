@@ -57,6 +57,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rel_skew_salted_join: salt must not defeat column pruning") {
+    val p = plan("rel_skew_salted_join")
+    // only l_partkey + l_quantity are needed; a salt computed from data
+    // columns would drag the rest into the scan
+    Seq("l_extendedprice", "l_shipdate", "l_comment").foreach(c =>
+      assert(!p.contains(c), s"unpruned column $c in:\n$p"))
+  }
+
   test("aggregation pipelines: partial+final hash aggregate inside codegen") {
     val p = finalPlan("stock_count_x100")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
