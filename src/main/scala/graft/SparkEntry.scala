@@ -287,6 +287,20 @@ object SparkEntry {
           col("event_type"), col("cnt"))
     }),
 
+    // Sliding 1h windows every 15 min: each event lands in 4 windows
+    "stream_sliding_counts" -> ((s, dir) => {
+      import s.implicits._
+      val data = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_slide_counts",
+        "complete")(df =>
+        graft.streaming.EventStream.slidingCounts(
+          df.toDF("ts", "event_type"), "ts", "event_type",
+          window = "1 hour", slide = "15 minutes"))
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("cnt"))
+    }),
+
     // Incremental WordCount (streaming aggregation over exploded tokens)
     "stream_wordcount" -> ((s, dir) => {
       import s.implicits._
@@ -1165,6 +1179,16 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // a 1h-window/15min-slide assigns each event to the 4 windows starting
+    // at time_bucket(15 min) - k*15 min, k = 0..3 (ts is always >= the
+    // window start and < start + 1h by construction)
+    "stream_sliding_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+        |         - to_minutes(15 * k)) AS win_start_us,
+        |       event_type, count(*) AS cnt
+        |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        |GROUP BY 1, 2""".stripMargin,
 
     "stream_wordcount" ->
       s"""WITH ${tokensCte("text")}

@@ -90,12 +90,12 @@ object Similarity {
     val v = asDouble(emb)
     (0 until planes).map { p =>
       val w = array((0 until dims).map(d => lit(weight(p, d))): _*)
-      // zip_with pads the shorter side with nulls; vectors shorter than
-      // `dims` would null out the fold — fail loudly instead of bucket=0
-      val dotP = when(size(v) =!= dims,
-        raise_error(lit(s"lshBucket: expected $dims dims")))
-        .otherwise(aggregate(zip_with(v, w, (x, wd) => x * wd),
-          lit(0.0), (acc, x) => acc + x))
+      // native sequential-order dot (identical accumulation order to the
+      // zip_with/aggregate fold, asserted in NativeFunctionsSpec) — 8
+      // interpreted 64-element lambda folds per row would dominate the
+      // scan otherwise. DotProductExpr throws on a length mismatch, so a
+      // short vector fails loudly instead of hashing to bucket 0.
+      val dotP = dot(v, w)
       // NOTE cross-engine caveat: the weights are bit-exact everywhere,
       // but the SIGN test compares a float sum whose accumulation order
       // differs between engines — a plane-dot within ~1e-13 of zero could

@@ -31,6 +31,21 @@ object EventStream {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col(keyCol), col("cnt"))
 
+  /** Sliding event-time windows: each event lands in window/slide
+    * overlapping windows (the generator multiplies rows BEFORE the
+    * aggregation — state size scales with the overlap factor, another
+    * reason the watermark is mandatory on unbounded input). */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    window: String = "1 hour", slide: String = "15 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions
+        .window(col(tsCol), window, slide).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("cnt"))
+
   /** Incremental WordCount: the reference's T1..F3+A1 pipeline as a
     * streaming aggregation (update/complete mode). */
   def streamingWordCount(lines: DataFrame, textCol: String = "value")
