@@ -343,11 +343,12 @@ object SparkEntry {
     // watermarks so the tail emits, then is filtered out
     "stream_join_attrib" -> ((s, dir) => {
       import s.implicits._
-      val e = events(s, dir)
+      val all = events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
       def side(t: String): Seq[(Long, java.sql.Timestamp)] =
-        e.where(col("event_type") === t).select(col("user_id"), col("ts"))
-          .as[(Long, java.sql.Timestamp)].collect().toSeq
+        all.collect { case (u, ts, et) if et == t => (u, ts) }.toSeq
       val (views, purch) = (side("view"), side("purchase"))
       val far = new java.sql.Timestamp(
         (views ++ purch).map(_._2.getTime).max + 86400000L)
@@ -873,6 +874,13 @@ object SparkEntry {
         .groupBy("token")
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
+
+    // Bigram counts (n-gram LM building block): word 2-grams via the same
+    // shingling generator as MinHash, counted corpus-wide
+    "text_bigram_counts" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))),
 
     // Brute-force exact cosine top-20 against vec_id=0's embedding
     "emb_knn_cosine" -> ((s, dir) => {
@@ -1623,6 +1631,16 @@ object SparkEntry {
       s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "text_bigram_counts" ->
+      s"""WITH t AS (SELECT ${cleanToksSql("text")} AS l FROM documents),
+         |bg AS (
+         |  SELECT unnest(CASE WHEN len(l) >= 2
+         |    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+         |    ELSE [array_to_string(l, ' ')] END) AS bigram
+         |  FROM t
+         |)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram""".stripMargin,
 
     "text_doc_freq" ->
       s"""WITH tk AS (
