@@ -112,10 +112,21 @@ object SparkEntry {
       (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
   }
 
-  /** DuckDB sig0..sig7 select-list fragment over shingle list `sh`. */
-  private val sigsSql: String = (0 until 8).map(i =>
-    s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min') AS sig$i")
-    .mkString(",\n       ")
+  /** DuckDB sig0..sig7 select-list fragment over shingle list `sh`:
+    * the mod-(2^61-1) universal-hash MinHash ([[Dedup.minhashSignature]])
+    * — one md5 per shingle parsed as an unsigned 64-bit word, then the
+    * same fixed (a_i, b_i) mixes in exact HUGEINT arithmetic. */
+  private val sigsSql: String = {
+    val p = graft.functions.TextHashes.P61
+    val cs = graft.functions.TextHashes.mixConsts(8)
+    val x = s"(('0x' || substr(md5(s), 1, 16))::UBIGINT % $p)::HUGEINT"
+    (0 until 8).map { i =>
+      val (a, b) = cs(i)
+      s"list_aggregate(list_transform(sh, s -> " +
+        s"cast(($a::HUGEINT * $x + $b::HUGEINT) % $p::HUGEINT AS BIGINT)" +
+        s"), 'min') AS sig$i"
+    }.mkString(",\n       ")
+  }
 
   /** DuckDB CTEs assigning each vector its LCG sign-projection bucket
     * (matches [[Similarity.lshBucket]](dims=64, planes=8)); expects the
@@ -1577,7 +1588,7 @@ object SparkEntry {
     "dedup_lsh_buckets" -> {
       val bands = (0 until 4).map(b =>
         s"SELECT cast($b AS bigint) AS band_idx, " +
-          s"md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
+          s"md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -1754,7 +1765,7 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" -> {
       val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b} || sig${2 * b + 1}) AS band FROM sigs")
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),

@@ -29,12 +29,11 @@ case class SimHash64Expr(child: Expression)
 
 case class MinHashSigExpr(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashes
-      .minhashSig(input.asInstanceOf[UTF8String].toString, k)
-      .map(UTF8String.fromString): Array[Any])
+    new GenericArrayData(
+      TextHashes.minhashSig(input.asInstanceOf[UTF8String].toString, k))
   override protected def withNewChildInternal(newChild: Expression)
   : MinHashSigExpr = copy(child = newChild)
 }

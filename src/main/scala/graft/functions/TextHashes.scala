@@ -8,8 +8,9 @@ import java.security.MessageDigest
   * Semantics are EXACTLY those of the pure-Catalyst versions in
   * [[graft.ops.Dedup]] (tokenize = lower, scrub `[^a-z ]` to space, split
   * on `\s+`, drop empties; 3-word shingles or whole text when short;
-  * MD5-hex lexicographic minima; SimHash over the first 64 bits of each
-  * token's MD5) — property-tested equal in `NativeFunctionsSpec`.
+  * MinHash = mod-(2^61-1) universal-hash minima over one MD5 per shingle;
+  * SimHash over the first 64 bits of each token's MD5) — property-tested
+  * equal in `NativeFunctionsSpec`.
   */
 object TextHashes {
 
@@ -107,22 +108,72 @@ object TextHashes {
     else Array(t.mkString(" "))
   }
 
-  /** k MD5-hex minima over seed-salted shingles ("<seed>:<shingle>"). */
-  def minhashSig(text: String, k: Int): Array[String] = {
+  /** MinHash over the Mersenne field p = 2^61-1: ONE MD5 per shingle
+    * (u = first 8 digest bytes, big-endian unsigned), then k universal-
+    * hash mixes `h_i = (a_i * (u mod p) + b_i) mod p` with fixed
+    * [[mixConsts]] — the textbook k-permutation scheme, 8x less hashing
+    * than k salted digests while keeping the estimator guarantees.
+    * Every step is exact integer arithmetic that any engine reproduces:
+    * the oracle computes the identical values in DuckDB via
+    * `('0x' || substr(md5(s),1,16))::UBIGINT` and HUGEINT mod-p math. */
+  val P61: Long = (1L << 61) - 1
+
+  /** Fixed (a_i, b_i) mix constants from a splitmix64 stream — a_i in
+    * [1, p), b_i in [0, p); deterministic so Spark, the native
+    * expression, and the SQL oracle all embed the same values. */
+  def mixConsts(k: Int): Array[(Long, Long)] = {
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(k) {
+      val a = (next() & Long.MaxValue) % (P61 - 1) + 1
+      val b = (next() & Long.MaxValue) % P61
+      (a, b)
+    }
+  }
+
+  /** (a * x) mod (2^61-1) for 0 <= a, x < 2^61: 128-bit product via
+    * multiplyHigh, folded with 2^61 === 1 (mod p). */
+  private def mulMod61(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // < 2^58, nonneg (product < 2^122)
+    val lo = a * x                   // low 64 bits of the product
+    val c0 = lo & P61
+    val c1 = ((hi << 3) | (lo >>> 61)) & P61
+    val c2 = hi >>> 58
+    var r = c0 + c1 + c2             // <= 3p, fits a long
+    while (r >= P61) r -= P61
+    r
+  }
+
+  /** Unsigned big-endian 64-bit word from the first 8 bytes of md5. */
+  private def md5U64(bytes: Array[Byte], digest: MessageDigest): Long = {
+    digest.reset()
+    val h = digest.digest(bytes)
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (h(i) & 0xffL); i += 1 }
+    u
+  }
+
+  def minhashSig(text: String, k: Int): Array[Long] = {
     val sh = shingles(text)
-    val prefixes = Array.tabulate(k)(i => s"$i:".getBytes(UTF_8))
-    val mins = new Array[String](k)
+    val cs = mixConsts(k)
+    val mins = Array.fill(k)(Long.MaxValue)
     val digest = md.get()
     var si = 0
     while (si < sh.length) {
-      val sb = sh(si).getBytes(UTF_8)
+      val u = md5U64(sh(si).getBytes(UTF_8), digest)
+      val x = java.lang.Long.remainderUnsigned(u, P61)
       var i = 0
       while (i < k) {
-        digest.reset()
-        digest.update(prefixes(i))
-        digest.update(sb)
-        val hex = toHex(digest.digest())
-        if (mins(i) == null || hex.compareTo(mins(i)) < 0) mins(i) = hex
+        var h = mulMod61(cs(i)._1, x) + cs(i)._2
+        if (h >= P61) h -= P61
+        if (h < mins(i)) mins(i) = h
         i += 1
       }
       si += 1
@@ -138,11 +189,7 @@ object TextHashes {
     val digest = md.get()
     var ti = 0
     while (ti < toks.length) {
-      digest.reset()
-      val h = digest.digest(toks(ti).getBytes(UTF_8))
-      var u = 0L
-      var i = 0
-      while (i < 8) { u = (u << 8) | (h(i) & 0xffL); i += 1 }
+      val u = md5U64(toks(ti).getBytes(UTF_8), digest)
       var j = 0
       while (j < 64) {
         sums(j) += (if (((u >>> (63 - j)) & 1L) == 1L) 1 else -1)

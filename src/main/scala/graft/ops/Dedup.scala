@@ -53,36 +53,53 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Full k-component MinHash signature `(id, sig0..sig{k-1})`: per seed,
-    * the lexicographic minimum of seed-salted MD5 over the shingle set —
-    * with k independent seeds the vector of minima estimates Jaccard
-    * similarity, and identical docs get identical signatures. Computed as
-    * explode(shingles) -> groupBy(id).agg(min(salted md5) x k).
+  /** Full k-component MinHash signature `(id, sig0..sig{k-1})` over the
+    * Mersenne field p = 2^61-1: each shingle is MD5-hashed ONCE
+    * (u = first 8 digest bytes, unsigned big-endian), then mixed by k
+    * fixed universal hashes `h_i = (a_i * (u mod p) + b_i) mod p`
+    * ([[graft.functions.TextHashes.mixConsts]]); sig_i is the minimum of
+    * h_i over the shingle set — the textbook k-permutation MinHash, one
+    * strong hash per shingle instead of k. Computed as explode(shingles)
+    * -> groupBy(id).agg(min(h_i) x k).
     *
     * Deliberately aggregation-shaped rather than k array-fold columns over
     * one row: Catalyst's projection collapsing would re-evaluate the whole
     * tokenize+shingle pipeline once per signature column (k-fold waste,
     * measured 8x on the bench), while the exploded form hashes every
     * shingle exactly once and the `min` partial-aggregates map-side — the
-    * shuffle carries k 32-byte minima per doc, not the shingles. */
+    * shuffle carries k longs per doc, not the shingles.
+    *
+    * All arithmetic is exact: u (< 2^64) and the mix products (< 2^122)
+    * run in DECIMAL(38,0) on the declarative path, so the same values come
+    * out of the native expression, this plan, and the DuckDB oracle's
+    * HUGEINT math. */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
                        k: Int = 8): DataFrame = {
+    val p = lit(new java.math.BigDecimal(graft.functions.TextHashes.P61))
     val idName = df.select(id).columns.head
     val exploded = df.select(id.as("_mh_id"),
       explode(shingles(text)).as("_shingle"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("_shingle")).cast("binary")))
-        .as(s"sig$i"))
+    // conv(hex, 16, 10) renders the UNSIGNED 64-bit value as digits
+    val x = (conv(substring(md5(col("_shingle").cast("binary")), 1, 16),
+      16, 10).cast("decimal(20,0)") % p).cast("decimal(19,0)")
+    val cs = graft.functions.TextHashes.mixConsts(k)
+    val aggs = (0 until k).map { i =>
+      val (a, b) = cs(i)
+      min(((lit(new java.math.BigDecimal(a)).cast("decimal(19,0)") * x
+        + lit(new java.math.BigDecimal(b))) % p).cast("long")).as(s"sig$i")
+    }
     exploded.groupBy(col("_mh_id")).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("_mh_id", idName)
   }
 
-  /** LSH band ids: hash `rows`-sized runs of the signature; two docs
-    * sharing ANY band are near-dup candidates. bandCount = k / rows. */
+  /** LSH band ids: hash `rows`-sized runs of the signature (','-separated
+    * decimal rendering — unambiguous across engines); two docs sharing ANY
+    * band are near-dup candidates. bandCount = k / rows. */
   def lshBands(k: Int = 8, rows: Int = 2): Seq[Column] =
     (0 until k / rows).map { b =>
-      md5(concat((b * rows until (b + 1) * rows)
-        .map(i => col(s"sig$i")): _*).cast("binary")).as(s"band$b")
+      md5(concat_ws(",", (b * rows until (b + 1) * rows)
+        .map(i => col(s"sig$i").cast("string")): _*).cast("binary"))
+        .as(s"band$b")
     }
 
   /** Candidate near-duplicate pairs via LSH: docs sharing any band,

@@ -66,7 +66,7 @@ class DedupSpec extends AnyFunSuite {
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }

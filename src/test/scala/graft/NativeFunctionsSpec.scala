@@ -33,9 +33,9 @@ class NativeFunctionsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val native = df.select(col("doc_id"),
       GraftFunctions.minhashSig(spark, col("text"), 8).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     val portable = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(native.keySet == portable.keySet)
     native.foreach { case (id, sig) =>
       assert(sig == portable(id), s"doc_id=$id text=${texts(id.toInt)}")
@@ -103,7 +103,7 @@ class NativeFunctionsSpec extends AnyFunSuite {
       "SELECT graft_simhash64('hello world') AS h, " +
         "graft_minhash_sig('one two three four', 4) AS s").head()
     assert(r.getLong(0) == TextHashes.simhash64("hello world"))
-    assert(r.getSeq[String](1) ==
+    assert(r.getSeq[Long](1) ==
       TextHashes.minhashSig("one two three four", 4).toSeq)
   }
 }
