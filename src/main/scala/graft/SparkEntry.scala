@@ -1047,8 +1047,11 @@ object SparkEntry {
 
     // Reference-scale pipeline benchmarks: 100x-replicated document lines
     // (~500k rows at sf0.1 ~ the reference's 486,634-row input)
+    // scale path: map-side TokenCountsAgg ticker mode (one Java split per
+    // line, no per-ticker rows; same results as the declarative
+    // fromLines, cross-checked in PipelineSpec)
     "stock_count_x100" -> ((s, dir) =>
-      StockCount.fromLines(
+      StockCount.fromLinesAgg(
         docLines(s, dir)
           .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
           .select(col("line").as("value")))),

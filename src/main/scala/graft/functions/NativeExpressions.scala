@@ -142,7 +142,9 @@ object GraftFunctions {
     "graft_token_counts" -> (es => TokenCountsAgg(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_token_counts_csv" -> (es => TokenCountsAgg(es.head,
-      graft.ops.TextOps.stopWords, fromCsvLine = true)),
+      graft.ops.TextOps.stopWords, TokenCountsAgg.ModeCsvTokens)),
+    "graft_ticker_counts" -> (es => TokenCountsAgg(es.head, Nil,
+      TokenCountsAgg.ModeCsvTicker)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_lang_id" -> (es => LangIdExpr(es.head,
@@ -187,6 +189,14 @@ object GraftFunctions {
   def tokenCountsCsv(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_token_counts_csv", c)
+  }
+
+  /** Whole reference StockCount mapper (Java split -> arity filter ->
+    * trimmed last field -> count) as one map-side aggregate over raw csv
+    * lines. */
+  def tickerCounts(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_ticker_counts", c)
   }
 
   /** Stop-word share of clean tokens (native [[WordSetRatioExpr]] over the

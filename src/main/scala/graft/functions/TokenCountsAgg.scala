@@ -23,10 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition. Token semantics are identical to
   * `fastTokenize`+`keepToken` (cross-checked in WordCountAggSpec).
   */
+object TokenCountsAgg {
+  /** Input is plain text: tokenize + stop-filter + count. */
+  val ModeText = "text"
+  /** Input is a raw csv line: Java split -> headline re-join -> tokenize
+    * (the whole reference WordCount mapper). */
+  val ModeCsvTokens = "csv_tokens"
+  /** Input is a raw csv line: Java split -> arity>3 filter -> trimmed last
+    * field (the whole reference StockCount mapper); no stop filter. */
+  val ModeCsvTicker = "csv_ticker"
+}
+
 case class TokenCountsAgg(
     child: Expression,
     stopWords: Seq[String],
-    fromCsvLine: Boolean = false,
+    mode: String = TokenCountsAgg.ModeText,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[JHashMap[String, Long]] {
@@ -64,18 +75,58 @@ case class TokenCountsAgg(
     sb.toString
   }
 
+  /** Single-pass tokenize+count for all-ASCII input: lower/scrub/split
+    * fused into one char loop, no regex and no intermediate strings.
+    * Provably identical to [[TextHashes.cleanTokens]] there — the scrub
+    * maps every char outside [a-z ] to a space, so after it the only
+    * token delimiters are space runs, which is exactly what this loop
+    * splits on. Non-ASCII input (locale-sensitive lowercasing, possible
+    * multi-char case mappings) falls back to the reference path. */
+  private def countTokens(s: String, buf: JHashMap[String, Long]): Unit = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { ascii = s.charAt(i) < 0x80; i += 1 }
+    if (!ascii) {
+      val toks = TextHashes.cleanTokens(s)
+      var j = 0
+      while (j < toks.length) {
+        val t = toks(j)
+        if (!stopSet.contains(t)) buf.merge(t, 1L, (a, b) => a + b)
+        j += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder(24)
+      i = 0
+      while (i <= s.length) {
+        val c = if (i < s.length) s.charAt(i) else ' ' // flush at end
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (lc >= 'a' && lc <= 'z') sb.append(lc)
+        else if (sb.length > 0) {
+          val t = sb.toString
+          if (!stopSet.contains(t)) buf.merge(t, 1L, (a, b) => a + b)
+          sb.setLength(0)
+        }
+        i += 1
+      }
+    }
+  }
+
   override def update(buf: JHashMap[String, Long], input: InternalRow)
   : JHashMap[String, Long] = {
     val v = child.eval(input)
     if (v != null) {
       val s0 = v.asInstanceOf[UTF8String].toString
-      val s = if (fromCsvLine) headlineOf(s0) else s0
-      val toks = TextHashes.cleanTokens(s)
-      var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        if (!stopSet.contains(t)) buf.merge(t, 1L, (a, b) => a + b)
-        i += 1
+      mode match {
+        case TokenCountsAgg.ModeText => countTokens(s0, buf)
+        case TokenCountsAgg.ModeCsvTokens => countTokens(headlineOf(s0), buf)
+        case TokenCountsAgg.ModeCsvTicker =>
+          // StockCount.java:26-30 verbatim: real String.split, so no
+          // regex-emulation expression and only ONE pass per line (the
+          // declarative plan evaluates the split in both filter and
+          // project after predicate pushdown)
+          val fields = s0.split(",")
+          if (fields.length > 3)
+            buf.merge(fields(fields.length - 1).trim, 1L, (a, b) => a + b)
       }
     }
     buf

@@ -31,6 +31,23 @@ object StockCount {
       .orderBy(col("rank"))
   }
 
+  /** Scale variant of [[fromLines]]: identical results, but the whole
+    * mapper (real Java `String.split`, arity filter, last-field trim) and
+    * counting run inside a map-side [[graft.functions.TokenCountsAgg]] —
+    * one pass per line (the declarative plan re-evaluates the split
+    * emulation in both the pushed-down filter and the projection), no
+    * per-ticker row materialized, and the shuffle carries one small
+    * ticker->count map per partition. */
+  def fromLinesAgg(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val counts = lines
+      .agg(graft.functions.GraftFunctions
+        .tickerCounts(lines.sparkSession, col(lineCol)).as("m"))
+      .select(explode(col("m")).as(Seq("ticker", "cnt")))
+    Rank.ranked(counts, col("cnt"), Seq(col("ticker")))
+      .select(col("rank"), col("ticker"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   /** Byte-format output lines: `"<rank>: <ticker>, <count>"`
     * (`StockCount.java:63-64` — value is null so no tab separator). */
   def formatted(ranked: DataFrame): DataFrame =
