@@ -57,8 +57,9 @@ object StockCount {
 
   /** Full job: text dir in, single text file out (the reference's one
     * default reducer = one output file; `coalesce(1)` on the *ranked* output
-    * only — upstream scan/agg stay fully parallel). */
+    * only — upstream scan/agg stay fully parallel). Uses the map-side
+    * aggregate path ([[fromLinesAgg]], result-identical to [[fromLines]]). */
   def run(spark: SparkSession, inDir: String, outDir: String): Unit =
-    formatted(fromLines(spark.read.text(inDir)))
+    formatted(fromLinesAgg(spark.read.text(inDir)))
       .coalesce(1).write.mode("overwrite").text(outDir)
 }

@@ -61,9 +61,14 @@ object WordCount {
       format_string("%d: %s\t%d", col("rank"), col("word"), col("cnt"))
         .as("value"))
 
-  /** Full job: text dir in, single text file out. */
+  /** Full job: text dir in, single text file out. The map-side aggregate
+    * path bakes in the reference stop list; a custom list takes the
+    * declarative pipeline (identical semantics either way). */
   def run(spark: SparkSession, inDir: String, outDir: String,
-          stop: Seq[String] = TextOps.stopWords): Unit =
-    formatted(fromLines(spark.read.text(inDir), stop = stop))
-      .coalesce(1).write.mode("overwrite").text(outDir)
+          stop: Seq[String] = TextOps.stopWords): Unit = {
+    val lines = spark.read.text(inDir)
+    val ranked = if (stop == TextOps.stopWords) fromLinesAgg(lines)
+      else fromLines(lines, stop = stop)
+    formatted(ranked).coalesce(1).write.mode("overwrite").text(outDir)
+  }
 }
