@@ -766,6 +766,31 @@ object SparkEntry {
           col("qsum").cast("decimal(18,2)").cast("double").as("sum_qty"))
     }),
 
+    // SQL surface: correlated scalar subquery (Catalyst decorrelates it
+    // into an aggregate + join — the plan a user would otherwise hand-write)
+    "rel_subquery_min_price" -> ((s, dir) => {
+      tbl(s, dir, "part").createOrReplaceTempView("graft_part")
+      s.sql("""SELECT p_brand, p_partkey,
+               |       cast(cast(p_retailprice AS decimal(18,2)) AS double)
+               |         AS p_retailprice
+               |FROM graft_part p
+               |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+               |                       FROM graft_part p2
+               |                       WHERE p2.p_brand = p.p_brand)"""
+        .stripMargin)
+    }),
+
+    // SQL surface: EXISTS subquery (planned as a left-semi join)
+    "rel_subquery_exists" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""SELECT o_orderkey, o_orderstatus
+               |FROM graft_orders o
+               |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+               |              WHERE l.l_orderkey = o.o_orderkey
+               |                AND l.l_quantity >= 45)""".stripMargin)
+    }),
+
     // HLL sketch (approximate distinct). No SQL oracle — engine sketches
     // differ by design; rows-only check + exactness bound asserted in tests
     "rel_approx_distinct" -> ((s, dir) =>
@@ -886,11 +911,14 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
 
-    // Bigram counts (n-gram LM building block): word 2-grams via the same
-    // shingling generator as MinHash, counted corpus-wide
+    // Bigram counts (n-gram LM building block): word 2-grams via the
+    // NATIVE shingle expression (the declarative HOF form pays ~2
+    // interpreted lambdas per bigram — 8.8s vs 0.4s at sf0.1)
     "text_bigram_counts" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .select(explode(
+          graft.functions.GraftFunctions.shingles(s, col("text"), 2))
+          .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))),
 
     // Brute-force exact cosine top-20 against vec_id=0's embedding
@@ -1490,6 +1518,21 @@ object SparkEntry {
     "rel_approx_distinct_bounded" ->
       """SELECT event_type, cast(1 AS bigint) AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_subquery_min_price" ->
+      """SELECT p_brand, p_partkey,
+        |       cast(cast(p_retailprice AS decimal(18,2)) AS double)
+        |         AS p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)""".stripMargin,
+
+    "rel_subquery_exists" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45)""".stripMargin,
 
     "rel_q6_revenue" ->
       """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))

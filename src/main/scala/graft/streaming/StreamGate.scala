@@ -31,6 +31,20 @@ object StreamGate {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Checkpoint dir for a replay: tmpfs when available (every micro-batch
+    * fsyncs offset/commit logs and state snapshots — RAM-backed files cut
+    * that to memcpy; a production stream would point this at durable
+    * storage instead), else the JVM temp dir. Unique per call so reruns
+    * never resume a stale query. */
+  private def ckptDir(name: String): String = {
+    val base = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   /** Replay `data` as one micro-batch through `transform`; `mode` is the
     * sink output mode ("complete" for aggregations — emits the full final
     * state; "append" for joins/dedup — emits exactly-once rows). */
@@ -40,7 +54,8 @@ object StreamGate {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
     val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckptDir(name)).start()
     try {
       mem.addData(data: _*)
       q.processAllAvailable()
@@ -59,7 +74,8 @@ object StreamGate {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
     val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckptDir(name)).start()
     try {
       mem.addData(data: _*)
       q.processAllAvailable()
@@ -81,7 +97,8 @@ object StreamGate {
     val l = MemoryStream[A]
     val r = MemoryStream[B]
     val q = transform(l.toDF(), r.toDF()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckptDir(name)).start()
     try {
       l.addData(left: _*)
       r.addData(right: _*)
