@@ -133,6 +133,9 @@ case class ShinglesExpr(child: Expression, n: Int)
   * `.withExtensions(GraftExtensions.inject)` get them at construction. */
 object GraftFunctions {
 
+  private[functions] def builderSeq
+  : Seq[(String, Seq[Expression] => Expression)] = builders
+
   private def builders = Seq[(String, Seq[Expression] => Expression)](
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_minhash_sig" -> (es => MinHashSigExpr(es.head,
@@ -224,12 +227,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
 object GraftExtensions {
   val inject: org.apache.spark.sql.SparkSessionExtensions => Unit = { ext =>
-    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64Expr(es.head)))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
-      (es: Seq[Expression]) => MinHashSigExpr(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+    // the same builder table the per-session registration path uses, so
+    // extension-built sessions get the complete function surface
+    GraftFunctions.builderSeq.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
+    }
   }
 }
