@@ -627,6 +627,30 @@ object SparkEntry {
           col("meta.n_bytes").as("resized_bytes"))
     }),
 
+    // REAL image decode, driver-checked: synthesize a solid-color PNG per
+    // doc (dims/color derived from doc_id), push it through the actual
+    // ImageIO decoder in the partition-batch path, and emit the decoded
+    // features — every one of which the oracle predicts analytically from
+    // doc_id (PNG is lossless, solid colors round-trip exactly)
+    "media_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.multimodal.Media.syntheticPng(
+            (1 + id % 13).toInt, (1 + id % 7).toInt,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractImageFeatures(media)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("double").as("w"),
+          element_at(col("features"), 2).cast("double").as("h"),
+          element_at(col("features"), 3).cast("double").as("aspect"),
+          element_at(col("features"), 4).cast("double").as("mean_r"),
+          element_at(col("features"), 5).cast("double").as("mean_g"),
+          element_at(col("features"), 6).cast("double").as("mean_b"),
+          element_at(col("features"), 7).cast("double").as("luma"))
+    }),
+
     // Window distribution functions: quartile + percent_rank per key
     "rel_window_distribution" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1443,6 +1467,23 @@ object SparkEntry {
         |       cast(CASE WHEN octet_length(encode(text)) = 0 THEN 0
         |            ELSE (octet_length(encode(text)) - 1) // 3 + 1 END
         |            AS bigint) AS resized_bytes
+        |FROM documents""".stripMargin,
+
+    // float (REAL) narrowing mirrors the engine's Float features; solid
+    // colors make every mean exact
+    "media_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |       cast(1 + doc_id % 13 AS double) AS w,
+        |       cast(1 + doc_id % 7 AS double) AS h,
+        |       cast(cast(1 + doc_id % 13 AS REAL)
+        |            / cast(1 + doc_id % 7 AS REAL) AS double) AS aspect,
+        |       cast(doc_id % 256 AS double) AS mean_r,
+        |       cast(doc_id * 7 % 256 AS double) AS mean_g,
+        |       cast(doc_id * 13 % 256 AS double) AS mean_b,
+        |       cast(cast(cast(0.299 AS double) * (doc_id % 256)
+        |                 + cast(0.587 AS double) * (doc_id * 7 % 256)
+        |                 + cast(0.114 AS double) * (doc_id * 13 % 256)
+        |            AS REAL) AS double) AS luma
         |FROM documents""".stripMargin,
 
     "rel_window_distribution" ->

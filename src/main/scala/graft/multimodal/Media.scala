@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in distributed batches.
   *
-  * The Spark-side plumbing (schema, partition-parallel batch iteration,
-  * output shape) is real and tested; the actual media decode is STUBBED
-  * behind [[decodeStub]] — this container ships no image/audio codecs. To
-  * productionize, replace the stub body with a real decoder (e.g. TwelveMonkeys
-  * ImageIO / JavaCV) — every other line stays as is.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK with PNG/JPEG/
+  * BMP/GIF readers, so [[decodeImage]] / [[imageFeatures]] /
+  * [[resizeImage]] run an actual decoder (tested end-to-end on generated
+  * PNGs in StreamingMediaSpec). Audio/video remain STUBBED behind
+  * [[decodeStub]] — no codecs in this container; swap the stub body for
+  * JavaCV/ffmpeg bindings to productionize, every other line stays as is.
   *
   * Scale design: `mapPartitions` processes whole partitions with one
   * decoder instance per task (amortized init), no per-row UDF overhead, no
@@ -59,10 +60,99 @@ object Media {
     // ---- replace to here ----
   }
 
+  /** REAL image decode via the JDK's ImageIO: returns (width, height,
+    * pixels) or None for null/undecodable payloads. */
+  def decodeImage(payload: Array[Byte])
+  : Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+
+  /** 8 deterministic floats from a decoded image: width, height, aspect,
+    * mean R/G/B over all pixels, mean luma (Rec. 601), and 1.0 as a
+    * decode-success flag; all-zero for undecodable payloads (so bad rows
+    * survive the pipeline and can be filtered on features[7] = 0). */
+  def imageFeatures(payload: Array[Byte]): Array[Float] =
+    decodeImage(payload) match {
+      case None => new Array[Float](8)
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+        Array(w.toFloat, h.toFloat, w.toFloat / h.toFloat,
+          mr.toFloat, mg.toFloat, mb.toFloat,
+          (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, 1f)
+    }
+
+  /** REAL image resize: decode, scale so max(width, height) == maxDim
+    * (never upscales), re-encode as PNG. Undecodable payloads pass through
+    * unchanged (same survival contract as [[imageFeatures]]). */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] =
+    decodeImage(payload) match {
+      case None => payload
+      case Some(img) =>
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+        if (scale >= 1.0) payload
+        else {
+          val (nw, nh) = (math.max(1, (img.getWidth * scale).toInt),
+            math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+    }
+
+  /** Deterministic solid-color PNG (test/verification fixture generator:
+    * every feature of the decoded image is analytically predictable). */
+  def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Partition-parallel REAL image feature extraction — same batch shape
+    * as [[extractFeatures]] but backed by the ImageIO decoder. */
+  def extractImageFeatures(df: DataFrame): DataFrame =
+    extractWith(df, imageFeatures)
+
   /** Partition-parallel feature extraction over the payload column.
     * One decode pass per partition iterator — the `mapInPandas`-style
     * batch contract, JVM edition. */
-  def extractFeatures(df: DataFrame): DataFrame = {
+  def extractFeatures(df: DataFrame): DataFrame =
+    extractWith(df, decodeStub)
+
+  private def extractWith(df: DataFrame,
+                          decode: Array[Byte] => Array[Float]): DataFrame = {
     val schema = StructType(df.schema.fields.filterNot(_.name == "payload") :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val payloadIdx = df.schema.fieldIndex("payload")
@@ -73,7 +163,7 @@ object Media {
         val kept = r.toSeq.zipWithIndex.collect {
           case (v, i) if i != payloadIdx => v
         }
-        Row.fromSeq(kept :+ decodeStub(payload).toSeq)
+        Row.fromSeq(kept :+ decode(payload).toSeq)
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -130,6 +130,46 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(f == f2)
   }
 
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode: ImageIO features through the partition batch") {
+    val red = png(8, 4, 0xff0000)
+    val gray = png(3, 3, 0x808080)
+    val df = Media.withMeta(Seq(
+      (1L, "image", red), (2L, "image", gray),
+      (3L, "image", Array[Byte](1, 2, 3)) /* not an image */)
+      .toDF("media_id", "kind", "payload"), "png")
+    val f = Media.extractImageFeatures(df)
+      .select("media_id", "features").as[(Long, Seq[Float])]
+      .collect().toMap
+    // red 8x4: w, h, aspect, meanR=255, meanG=0, meanB=0, luma, ok=1
+    assert(f(1L).take(3) == Seq(8f, 4f, 2f))
+    assert(f(1L)(3) == 255f && f(1L)(4) == 0f && f(1L)(5) == 0f)
+    assert(math.abs(f(1L)(6) - 0.299f * 255f) < 0.01f && f(1L)(7) == 1f)
+    assert(f(2L).take(2) == Seq(3f, 3f) && f(2L)(3) == 128f)
+    assert(f(3L) == Seq.fill(8)(0f)) // undecodable -> zero features, kept
+  }
+
+  test("REAL image resize: scales to max dim, re-encodes, never upscales") {
+    val big = png(16, 8, 0x00ff00)
+    val out = Media.resizeImage(big, 4)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    assert((img.getRGB(1, 1) & 0xffffff) == 0x00ff00) // color preserved
+    val small = png(2, 2, 0x0000ff)
+    assert(Media.resizeImage(small, 4) eq small) // no upscale: pass-through
+    val junk = Array[Byte](9, 9)
+    assert(Media.resizeImage(junk, 4) eq junk)
+  }
+
   test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
     val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
     val df = Media.withMeta(
