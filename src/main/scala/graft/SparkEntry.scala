@@ -651,6 +651,27 @@ object SparkEntry {
           element_at(col("features"), 7).cast("double").as("luma"))
     }),
 
+    // REAL audio decode, driver-checked: constant-amplitude PCM16 WAV per
+    // doc through the JDK's javax.sound.sampled round trip; constant
+    // samples make meanAbs = RMS = peak = amp/32768 exactly (dyadic), so
+    // the oracle predicts every decoded feature analytically
+    "media_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.multimodal.Media.syntheticWav(
+            (16 + id % 32).toInt, ((id % 1000 + 1) * 16).toShort))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractWavFeatures(media)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("double").as("rate"),
+          element_at(col("features"), 2).cast("double").as("channels"),
+          element_at(col("features"), 3).cast("double").as("frames"),
+          element_at(col("features"), 5).cast("double").as("rms"),
+          element_at(col("features"), 6).cast("double").as("peak"),
+          element_at(col("features"), 7).cast("double").as("dur_sec"))
+    }),
+
     // Window distribution functions: quartile + percent_rank per key
     "rel_window_distribution" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1484,6 +1505,19 @@ object SparkEntry {
         |                 + cast(0.587 AS double) * (doc_id * 7 % 256)
         |                 + cast(0.114 AS double) * (doc_id * 13 % 256)
         |            AS REAL) AS double) AS luma
+        |FROM documents""".stripMargin,
+
+    "media_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |       cast(8000 AS double) AS rate,
+        |       cast(1 AS double) AS channels,
+        |       cast(16 + doc_id % 32 AS double) AS frames,
+        |       cast(cast(cast((doc_id % 1000 + 1) * 16 AS double) / 32768
+        |            AS REAL) AS double) AS rms,
+        |       cast(cast(cast((doc_id % 1000 + 1) * 16 AS double) / 32768
+        |            AS REAL) AS double) AS peak,
+        |       cast(cast(cast(16 + doc_id % 32 AS REAL) / cast(8000 AS REAL)
+        |            AS REAL) AS double) AS dur_sec
         |FROM documents""".stripMargin,
 
     "rel_window_distribution" ->

@@ -123,6 +123,77 @@ object Media {
         }
     }
 
+  /** REAL WAV/PCM decode via the JDK's javax.sound.sampled: returns the
+    * normalized 16-bit samples and format, or None for null/undecodable
+    * payloads. */
+  def decodeWav(payload: Array[Byte])
+  : Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val sb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val out = new Array[Double](sb.remaining())
+        var i = 0
+        while (i < out.length) { out(i) = sb.get(i) / 32768.0; i += 1 }
+        Some((fmt, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** 8 deterministic floats from a decoded WAV: sample rate, channels,
+    * frame count, mean |sample|, RMS, peak |sample|, duration seconds,
+    * and 1.0 as a decode-success flag; all-zero when undecodable (same
+    * survival contract as [[imageFeatures]]). */
+  def wavFeatures(payload: Array[Byte]): Array[Float] =
+    decodeWav(payload) match {
+      case None => new Array[Float](8)
+      case Some((fmt, samples)) =>
+        var (sa, sq, pk) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i))
+          sa += a
+          sq += samples(i) * samples(i)
+          if (a > pk) pk = a
+          i += 1
+        }
+        val n = math.max(samples.length, 1).toDouble
+        val frames = samples.length / fmt.getChannels
+        Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+          (sa / n).toFloat, math.sqrt(sq / n).toFloat, pk.toFloat,
+          frames.toFloat / fmt.getSampleRate, 1f)
+    }
+
+  /** Partition-parallel REAL WAV feature extraction. */
+  def extractWavFeatures(df: DataFrame): DataFrame =
+    extractWith(df, wavFeatures)
+
+  /** Deterministic constant-amplitude PCM16 mono WAV written through the
+    * real JDK encoder (fixture generator: every decoded feature is
+    * analytically predictable — constant samples make meanAbs, RMS, and
+    * peak all exactly amp/32768, a dyadic rational). */
+  def syntheticWav(frames: Int, amp: Short, rate: Float = 8000f)
+  : Array[Byte] = {
+    val data = new Array[Byte](frames * 2)
+    val sb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    var i = 0
+    while (i < frames) { sb.put(i, amp); i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1,
+      true, false) // signed PCM, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic solid-color PNG (test/verification fixture generator:
     * every feature of the decoded image is analytically predictable). */
   def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {

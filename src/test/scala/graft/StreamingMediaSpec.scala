@@ -170,6 +170,22 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(Media.resizeImage(junk, 4) eq junk)
   }
 
+  test("REAL WAV decode: constant-amplitude PCM16 round-trips exactly") {
+    val wav = Media.syntheticWav(frames = 24, amp = 4096, rate = 8000f)
+    val f = Media.wavFeatures(wav)
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 24f)
+    val v = 4096.0 / 32768.0 // dyadic: meanAbs, rms, peak all exact
+    assert(f(3) == v.toFloat && f(4) == v.toFloat && f(5) == v.toFloat)
+    assert(f(6) == 24f / 8000f && f(7) == 1f)
+    assert(Media.wavFeatures(Array[Byte](1, 2, 3)).toSeq ==
+      Seq.fill(8)(0f)) // undecodable -> zeros, row survives
+    // through the partition-batch path
+    val df = Seq((1L, wav)).toDF("media_id", "payload")
+    val got = Media.extractWavFeatures(df)
+      .select("features").as[Seq[Float]].head()
+    assert(got == f.toSeq)
+  }
+
   test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
     val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
     val df = Media.withMeta(
