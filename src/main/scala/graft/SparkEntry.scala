@@ -956,6 +956,32 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
 
+    // Deterministic train/val/test split: engine-portable hash bucket from
+    // md5(doc_id) — reproducible across runs, engines, and partitionings
+    // (the sampling/split primitive every training-data pipeline needs;
+    // never rand(), which breaks retry determinism and cross-run joins)
+    "text_split_assign" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 8), 16, 10) % 100).cast("long").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))),
+
+    // Column profiling (count/nulls/distinct/min/max) — the data-quality
+    // sweep run before any training job; one pass, partial-aggregated
+    "rel_profile" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+          .as("null_flags"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        min(col("l_shipdate").cast("timestamp")).cast("long")
+          .as("min_ship_s"))),
+
     // Bigram counts (n-gram LM building block): word 2-grams via the
     // NATIVE shingle expression (the declarative HOF form pays ~2
     // interpreted lambdas per bigram — 8.8s vs 0.4s at sf0.1)
@@ -1763,6 +1789,29 @@ object SparkEntry {
       s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "text_split_assign" ->
+      """SELECT doc_id,
+        |       cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |            % 100 AS bigint) AS bucket,
+        |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |                  % 100 < 80 THEN 'train'
+        |            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |                  % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "rel_profile" ->
+      """SELECT count(*) AS n_rows,
+        |       cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |            AS bigint) AS null_flags,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_returnflag) AS n_flags,
+        |       cast(min(l_quantity) AS double) AS min_qty,
+        |       cast(max(l_quantity) AS double) AS max_qty,
+        |       cast(epoch_us(min(l_shipdate)) // 1000000 AS bigint)
+        |         AS min_ship_s
+        |FROM lineitem""".stripMargin,
 
     "text_bigram_counts" ->
       s"""WITH t AS (SELECT ${cleanToksSql("text")} AS l FROM documents),
