@@ -1086,22 +1086,33 @@ object SparkEntry {
 
     // IVF assign step: nearest label-centroid by (rounded) cosine
     "emb_ivf_assign" -> ((s, dir) => {
+      // the IVF "model" is the centroid table (10 labels x 64 doubles):
+      // trained distributed, collected as a model artifact, then baked
+      // into the plan as literals — assignment becomes ONE scan with a
+      // native dot per (vector, centroid), no explode-join of 64x rows
+      // per vector. At 100 TB the vectors stream; only the model sits on
+      // the driver.
+      val cents = graft.ops.Similarity.centroids(
+        tbl(s, dir, "embeddings"), col("embedding"), col("label"))
+        .orderBy("grp").collect()
+        .map(r => r.get(0) -> r.getSeq[Double](1))
       val v = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("pos", "x")))
-      val c = tbl(s, dir, "embeddings")
-        .select(col("label").as("clabel"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .groupBy("clabel", "pos").agg(avg("x").as("m"))
-      val scored = v.join(c, "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(sum(col("x") * col("m")).as("dot"),
-          sum(col("x") * col("x")).as("aa"),
-          sum(col("m") * col("m")).as("bb"))
-        .select(col("vec_id"), col("clabel"),
-          round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      val scoredStructs = cents.map { case (lbl, m) =>
+        val mArr = array(m.map(lit): _*)
+        val bb = math.sqrt(m.map(x => x * x).sum)
+        struct(lit(lbl).as("clabel"),
+          round(Similarity.dot(col("e"), mArr) /
+            (sqrt(Similarity.dot(col("e"), col("e"))) * lit(bb)), 6)
             .as("cos"))
+      }
+      val scored = v
+        .select(col("vec_id"),
+          posexplode(array(scoredStructs.toIndexedSeq: _*))
+            .as(Seq("pos", "sc")))
+        .select(col("vec_id"), col("sc.clabel").as("clabel"),
+          col("sc.cos").as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
       scored.withColumn("rn", row_number().over(w))
