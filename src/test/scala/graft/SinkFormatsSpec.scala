@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format breadth: every self-contained format Spark ships
+  * (parquet, orc, json-lines, csv, text) round-trips schema + values, and
+  * a stream can target any batch sink via foreachBatch. */
+class SinkFormatsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -0.25),
+    (3L, "", 0.0))
+
+  test("parquet / orc / json round-trip schema and values exactly") {
+    val df = rows.toDF("id", "s", "v")
+    for (fmt <- Seq("parquet", "orc", "json")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$fmt").toString
+      df.write.mode("overwrite").format(fmt).save(dir)
+      val back = spark.read.format(fmt)
+        .schema(df.schema) // json infers types otherwise
+        .load(dir)
+      // sources re-read primitives as nullable; names/types must survive
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)), fmt)
+      assert(back.as[(Long, String, Double)].collect().toSet == rows.toSet,
+        fmt)
+    }
+  }
+
+  test("csv round-trips with RFC-4180 quoting (unlike the naive reference " +
+    "split, which is provided separately for parity)") {
+    val df = rows.toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(df.schema).csv(dir)
+    // embedded commas and quotes survive a quote-aware round trip
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      rows.map { case (i, s, v) => (i, if (s.isEmpty) null else s, v) }.toSet)
+  }
+
+  test("foreachBatch routes a stream into an arbitrary batch sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-febatch").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "s").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], batchId: Long) =>
+        // any batch sink works here: parquet append partitioned by batch
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-febatch-ck").toString)
+      .start()
+    try {
+      mem.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      mem.addData((3L, "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3)
+    assert(out.select("batch_id").distinct().count() == 2) // two batches
+  }
+}
