@@ -956,6 +956,16 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
 
+    // PII-style redaction (emails -> <EMAIL>, URLs -> <URL>, digit runs ->
+    // <NUM>): deterministic synthetic patterns appended to each doc so the
+    // masking is exercised for real, then verified byte-for-byte
+    "text_redact" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextOps.redact(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("http://ex.co/p"), col("doc_id"), lit(" ref "),
+          col("doc_id") * 37)).as("clean"))),
+
     // Deterministic train/val/test split: engine-portable hash bucket from
     // md5(doc_id) — reproducible across runs, engines, and partitionings
     // (the sampling/split primitive every training-data pipeline needs;
@@ -1800,6 +1810,20 @@ object SparkEntry {
       s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             text || ' contact user' || doc_id || '@example.com or '
+        |                  || 'http://ex.co/p' || doc_id || ' ref '
+        |                  || (doc_id * 37),
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |             '<EMAIL>', 'g'),
+        |           'https?://[^\s]+', '<URL>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g') AS clean
+        |FROM documents""".stripMargin,
 
     "text_split_assign" ->
       """SELECT doc_id,

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Training-data redaction: mask emails, URLs, then digit runs (in that
+    * order — emails/URLs contain digits). Pure regexp_replace (codegen'd,
+    * engine-portable: the patterns avoid lookarounds so Java regex and
+    * RE2-family engines agree). */
+  def redact(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]+", "<NUM>")
+  }
+
   /** The reference's stop-word list
     * (`/root/reference/src/stop-word-list.txt`; 319 entries — the file has
     * no trailing newline, so `wc -l` says 318 but the reference's readLine
