@@ -779,6 +779,19 @@ object SparkEntry {
           (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
             .cast("long").as("within_10pct"))),
 
+    // Quantile-sketch accuracy CONTRACT (same pattern as the HLL bound):
+    // percentile_approx's KLL-style sketch must land within 5% of the
+    // exact median per key, checked by the driver every round
+    "rel_approx_quantile_bounded" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("approx"),
+          expr("percentile(value, 0.5)").as("exact"))
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")) <=
+            abs(col("exact")) * 0.05 + 1e-9).cast("long")
+            .as("within_5pct"))),
+
     // TPC-H Q6 shape: single-scan predicate aggregation — the filters reach
     // the parquet scan (PushedFilters), factors go through exact decimal
     "rel_q6_revenue" -> ((s, dir) =>
@@ -973,7 +986,7 @@ object SparkEntry {
     "text_split_assign" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-          1, 8), 16, 10) % 100).cast("long").as("bucket"))
+          1, 8), 16, 10).cast("long") % 100).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))),
@@ -1655,6 +1668,10 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_quantity >= 45)""".stripMargin,
+
+    "rel_approx_quantile_bounded" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_q6_revenue" ->
       """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))
