@@ -60,6 +60,10 @@ object Media {
     // ---- replace to here ----
   }
 
+  // decode from memory, not via ImageIO's default disk-backed stream
+  // cache — one temp file per read would dominate a batch decode job
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decode via the JDK's ImageIO: returns (width, height,
     * pixels) or None for null/undecodable payloads. */
   def decodeImage(payload: Array[Byte])
