@@ -65,6 +65,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains(c), s"unpruned column $c in:\n$p"))
   }
 
+  test("text_doc_cosine: query vectors broadcast, corpus side streams") {
+    val p = plan("text_doc_cosine")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aggregation pipelines: partial+final hash aggregate inside codegen") {
     val p = finalPlan("stock_count_x100")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
