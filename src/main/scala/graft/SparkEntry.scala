@@ -1033,14 +1033,18 @@ object SparkEntry {
           min(round(col("norm"), 6)).as("min_norm"),
           max(round(col("norm"), 6)).as("max_norm"))),
 
-    // IVF "train" step: element-wise centroid per label (exploded form)
+    // IVF "train" step: element-wise centroid per label. Native vector-sum
+    // aggregate over the ORIGINAL rows (one partial+final agg, no 64x
+    // posexplode row amplification into the shuffle); the tiny per-label
+    // result is exploded AFTER aggregation only to match the oracle's
+    // (label, pos, m) shape.
     "emb_centroids" -> ((s, dir) =>
-      tbl(s, dir, "embeddings")
-        .select(col("label"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-        .agg(round(avg("x"), 6).as("m"))),
+      graft.ops.Similarity.centroids(
+        tbl(s, dir, "embeddings"), col("embedding"), col("label"))
+        .select(col("grp").as("label"),
+          posexplode(col("centroid")).as(Seq("pos0", "x")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("x"), 6).as("m"))),
 
     // Near-dup vector pairs, blocked by label (bounded self-join)
     "emb_near_dup_pairs" -> ((s, dir) =>
@@ -1153,15 +1157,14 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble).toSeq
       val qarr = array(qvec.map(lit): _*)
       val qnorm = math.sqrt(qvec.map(x => x * x).sum)
-      val cents = emb.select(col("label").as("clabel"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .groupBy("clabel", "pos").agg(avg("x").as("m"))
-      val cell = cents.groupBy("clabel").agg(
-          sum(col("m") * get(qarr, col("pos"))).as("dot"),
-          sum(col("m") * col("m")).as("aa"))
-        .select(col("clabel"),
-          round(col("dot") / (sqrt(col("aa")) * lit(qnorm)), 6).as("ccos"))
+      // centroid train = native vector-mean agg (no posexplode); cell
+      // scoring is then one native dot per 10-row centroid table
+      val cell = graft.ops.Similarity.centroids(
+          emb, col("embedding"), col("label"))
+        .select(col("grp").as("clabel"),
+          round(Similarity.dot(col("centroid"), qarr) /
+            (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
+              lit(qnorm)), 6).as("ccos"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("ccos").desc, col("clabel").asc)
       val probed = cell.withColumn("rn", row_number().over(w))

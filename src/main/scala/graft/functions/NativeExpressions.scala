@@ -148,6 +148,7 @@ object GraftFunctions {
       graft.ops.TextOps.stopWords, TokenCountsAgg.ModeCsvTokens)),
     "graft_ticker_counts" -> (es => TokenCountsAgg(es.head, Nil,
       TokenCountsAgg.ModeCsvTicker)),
+    "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_lang_id" -> (es => LangIdExpr(es.head,
@@ -200,6 +201,13 @@ object GraftFunctions {
   def tickerCounts(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_ticker_counts", c)
+  }
+
+  /** Element-wise mean of a vector column (see [[VectorMeanAgg]]);
+    * aggregate function — use inside `.agg(...)`. */
+  def vecMean(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_vec_mean", c)
   }
 
   /** Stop-word share of clean tokens (native [[WordSetRatioExpr]] over the

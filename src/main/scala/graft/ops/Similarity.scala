@@ -105,14 +105,15 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Element-wise mean vector per group (the IVF "train" step): explode
-    * with position, average per (group, position), re-assemble ordered.
-    * One shuffle keyed by (group, pos) — fully distributed, no driver
-    * collection. */
+  /** Element-wise mean vector per group (the IVF "train" step): one
+    * partial+final aggregate over the ORIGINAL rows via the native
+    * [[graft.functions.VectorMeanAgg]] — the shuffle carries one
+    * (dims+1)-value buffer per (partition, group), not `rows * dims`
+    * exploded rows (the earlier posexplode formulation amplified every
+    * 64-dim vector 64x into the exchange). Fully distributed, no driver
+    * collection, no generator in the plan. */
   def centroids(df: DataFrame, emb: Column, group: Column): DataFrame =
-    df.select(group.as("grp"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
-      .groupBy("grp", "pos").agg(avg("x").as("m"))
-      .groupBy("grp").agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.GraftFunctions
+        .vecMean(df.sparkSession, emb).as("centroid"))
 }

@@ -78,6 +78,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), s"expected whole-stage codegen stages:\n$p")
   }
 
+  test("emb_centroids: native vector-mean agg, no generator below the " +
+    "aggregate") {
+    val p = plan("emb_centroids")
+    assert(p.contains("graft_vec_mean"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final vector-mean aggregation:\n$p")
+    // the only Generate is the tiny post-agg explode that shapes the
+    // per-label centroid rows for output — the INPUT must reach the
+    // aggregate unexploded (plans print top-down, so the generator has
+    // to appear before the first aggregate)
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0 && gen < p.indexOf("ObjectHashAggregate"),
+      s"posexplode must sit above the aggregate, not feed it:\n$p")
+  }
+
   test("rel_global_rank_plan: planned GlobalRank operator, no window") {
     val p = plan("rel_global_rank_plan")
     assert(p.contains("GlobalRank"), p)

@@ -33,6 +33,40 @@ class SimilarityQualitySpec extends AnyFunSuite {
     assert(got("a") == Seq(2.0, 4.0) && got("b") == Seq(0.0, 2.0))
   }
 
+  test("vecMean equals the declarative posexplode+avg on fractional data") {
+    // fractional values + several partitions: the native partial+final
+    // buffer path must agree with avg per (group, position) to 1e-9
+    val rows = (0 until 97).map(i =>
+      (s"g${i % 3}", Seq.tabulate(5)(d => (i * 31 + d * 7 + 1) / 9.0f)))
+    val df = rows.toDF("label", "embedding").repartition(7)
+    val native = Similarity.centroids(df, col("embedding"), col("label"))
+      .as[(String, Seq[Double])].collect().toMap
+    val declared = df
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label").agg(sort_array(collect_list(struct(col("pos"),
+        col("m")))).as("s"))
+      .select(col("label"), expr("transform(s, e -> e.m)").as("c"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(native.keySet == declared.keySet)
+    for (k <- native.keySet; (a, b) <- native(k).zip(declared(k)))
+      assert(math.abs(a - b) < 1e-9, s"group $k: $a vs $b")
+  }
+
+  test("vecMean skips null vectors and fails loudly on length mismatch") {
+    val df = Seq((1L, Seq(2f, 4f)), (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(4f, 8f))).toDF("id", "embedding")
+    val got = Similarity.centroids(df, col("embedding"), lit("all"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("all") == Seq(3.0, 6.0)) // null row not counted in n
+    val bad = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("embedding")
+    val e = intercept[Exception] {
+      Similarity.centroids(bad, col("embedding"), lit("all")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("nearDupPairsBlocked only compares within blocks, id1 < id2") {
     val df = Seq((1L, "x", Seq(1f, 0f)), (2L, "x", Seq(1f, 0f)),
       (3L, "y", Seq(1f, 0f))).toDF("vec_id", "label", "embedding")
