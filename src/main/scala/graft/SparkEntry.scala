@@ -672,6 +672,27 @@ object SparkEntry {
           element_at(col("features"), 7).cast("double").as("dur_sec"))
     }),
 
+    // REAL video-frame sampling, driver-checked: synthesize a multi-frame
+    // animated GIF per doc (frame count, dims, and per-frame solid colors
+    // all derived from doc_id), decode every frame through the JDK's
+    // ImageIO ImageReader, keep every 2nd frame, and emit one row per
+    // sampled frame — the oracle reproduces frames and colors analytically
+    // (indexed-palette GIF round-trips solid colors exactly)
+    "media_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (2 + id % 4).toInt
+          val colors = (0 until n).map(i => (
+            ((id + 17 * i) % 256).toInt,
+            ((id * 3 + 29 * i) % 256).toInt,
+            ((id * 5 + 41 * i) % 256).toInt))
+          (id, graft.multimodal.Media.syntheticGif(
+            (1 + id % 3).toInt, (1 + id % 2).toInt, colors))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractVideoFrames(media, everyNth = 2)
+    }),
+
     // Window distribution functions: quartile + percent_rank per key
     "rel_window_distribution" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1582,6 +1603,20 @@ object SparkEntry {
         |       cast(cast(cast(16 + doc_id % 32 AS REAL) / cast(8000 AS REAL)
         |            AS REAL) AS double) AS dur_sec
         |FROM documents""".stripMargin,
+
+    // one row per sampled (every-2nd) frame; solid indexed-palette frames
+    // make every decoded mean an exact integer
+    "media_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |       cast(i AS bigint) AS frame_idx,
+        |       cast(2 + doc_id % 4 AS bigint) AS n_frames,
+        |       cast(1 + doc_id % 3 AS bigint) AS w,
+        |       cast(1 + doc_id % 2 AS bigint) AS h,
+        |       cast((doc_id + 17 * i) % 256 AS double) AS mean_r,
+        |       cast((doc_id * 3 + 29 * i) % 256 AS double) AS mean_g,
+        |       cast((doc_id * 5 + 41 * i) % 256 AS double) AS mean_b
+        |FROM documents CROSS JOIN (VALUES (0), (2), (4)) AS t(i)
+        |WHERE i < 2 + doc_id % 4""".stripMargin,
 
     "rel_window_distribution" ->
       """SELECT event_type, event_id,

@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK with PNG/JPEG/
   * BMP/GIF readers, so [[decodeImage]] / [[imageFeatures]] /
   * [[resizeImage]] run an actual decoder (tested end-to-end on generated
-  * PNGs in StreamingMediaSpec). Audio/video remain STUBBED behind
-  * [[decodeStub]] — no codecs in this container; swap the stub body for
-  * JavaCV/ffmpeg bindings to productionize, every other line stays as is.
+  * PNGs in StreamingMediaSpec). AUDIO decode is REAL WAV/PCM via
+  * `javax.sound.sampled` ([[decodeWav]]). VIDEO frame decode is REAL over
+  * the one multi-frame container the JDK can read — animated GIF — via
+  * `ImageReader.getNumImages`/`read(i)` ([[gifFrames]] /
+  * [[sampleFrames]] / [[extractVideoFrames]]); swap the GIF reader for
+  * JavaCV/ffmpeg bindings to cover mp4 et al., every other line stays as
+  * is. [[decodeStub]] remains only as the generic batch-contract example.
   *
   * Scale design: `mapPartitions` processes whole partitions with one
   * decoder instance per task (amortized init), no per-row UDF overhead, no
@@ -215,6 +219,116 @@ object Media {
     bos.toByteArray
   }
 
+  /** REAL multi-frame decode: every frame of an animated (or single-frame)
+    * GIF through the JDK's ImageIO `ImageReader`; Nil for null/undecodable
+    * payloads. Our synthetic fixtures write full-size frames, so no
+    * disposal-method compositing is needed — each `read(i)` IS the frame. */
+  def gifFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) Nil
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).map(reader.read)
+          } catch { case _: Exception => Nil }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    }
+
+  /** REAL frame sampling: decode the container once, keep frames
+    * 0, n, 2n, ... — returns (frameIdx, totalFrames, frame). This is the
+    * video path (replaces the earlier byte-chunk stand-in). */
+  def sampleFrames(payload: Array[Byte], everyNth: Int)
+  : Seq[(Int, Int, java.awt.image.BufferedImage)] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val frames = gifFrames(payload)
+    frames.indices.collect {
+      case i if i % everyNth == 0 => (i, frames.size, frames(i))
+    }
+  }
+
+  /** Mean R/G/B of one decoded frame (solid-color fixture frames make
+    * these exact integers). */
+  private def meanRgb(img: java.awt.image.BufferedImage)
+  : (Double, Double, Double) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  /** Partition-parallel REAL video-frame extraction: one row per SAMPLED
+    * frame — (media_id, frame_idx, n_frames, w, h, mean_r, mean_g,
+    * mean_b). Typed `Dataset.mapPartitions` (Tungsten-encoded both sides,
+    * no RDD/Row round-trip); one reader per payload, frames decoded once
+    * per container. Input: (media_id: long, payload: binary). */
+  def extractVideoFrames(df: DataFrame, everyNth: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        sampleFrames(payload, everyNth).map { case (idx, n, img) =>
+          val (mr, mg, mb) = meanRgb(img)
+          (id, idx.toLong, n.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, mr, mg, mb)
+        }
+      })
+      .toDF("media_id", "frame_idx", "n_frames", "w", "h",
+        "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Deterministic multi-frame GIF fixture: one solid-color full-size
+    * frame per entry of `colors`. Frames are `TYPE_BYTE_INDEXED` with an
+    * explicit two-entry palette so the GIF encoder stores OUR colors
+    * verbatim (an RGB input could be quantized/dithered) — decoded
+    * features stay analytically predictable. */
+  def syntheticGif(w: Int, h: Int, colors: Seq[(Int, Int, Int)])
+  : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { case (r, g, b) =>
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        // raster initializes to index 0 = the frame color
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Partition-parallel REAL image feature extraction — same batch shape
     * as [[extractFeatures]] but backed by the ImageIO decoder. */
   def extractImageFeatures(df: DataFrame): DataFrame =
@@ -231,17 +345,21 @@ object Media {
     val schema = StructType(df.schema.fields.filterNot(_.name == "payload") :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
+    val keptIdx = df.schema.indices.filterNot(_ == payloadIdx).toArray
+    // typed mapPartitions with an explicit Row encoder: stays inside the
+    // Dataset lineage (serialize/deserialize planned by Catalyst), no
+    // df.rdd hop that would strip the Tungsten format above the decode
+    df.mapPartitions { rows =>
       // per-task decoder init would go here (amortized across the partition)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val kept = r.toSeq.zipWithIndex.collect {
-          case (v, i) if i != payloadIdx => v
-        }
-        Row.fromSeq(kept :+ decode(payload).toSeq)
+        val out = new Array[Any](keptIdx.length + 1)
+        var i = 0
+        while (i < keptIdx.length) { out(i) = r.get(keptIdx(i)); i += 1 }
+        out(keptIdx.length) = decode(payload).toSeq
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Resize stub: deterministic fixed-ratio downsample of the payload
@@ -260,9 +378,10 @@ object Media {
         col("meta.format"), col("meta.width"), col("meta.height"),
         coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes")))
 
-  /** Frame/sample selection stub for video/audio: keep every `n`-th chunk
-    * of the payload (deterministic stand-in for frame sampling); pure
-    * expressions, no decode. */
+  /** Byte-chunk resample (every `n`-th chunk of the payload) — pure
+    * expressions, no decode; used by [[resizeStub]] to pin the payload-in/
+    * smaller-payload-out plumbing. NOT the video path: real frame sampling
+    * is [[sampleFrames]]/[[extractVideoFrames]] over multi-frame GIF. */
   def sampleChunks(payload: org.apache.spark.sql.Column, chunk: Int,
                    everyNth: Int): org.apache.spark.sql.Column =
     transform(

@@ -186,6 +186,50 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(got == f.toSeq)
   }
 
+  test("REAL video: multi-frame GIF round-trips frame count, dims, colors") {
+    val gif = Media.syntheticGif(3, 2,
+      Seq((255, 0, 0), (0, 128, 0), (7, 13, 21), (0, 0, 255)))
+    val frames = Media.gifFrames(gif)
+    assert(frames.size == 4)
+    assert(frames.forall(f => f.getWidth == 3 && f.getHeight == 2))
+    // solid indexed-palette frames decode to the exact written colors
+    val colors = frames.map(_.getRGB(1, 1) & 0xffffff)
+    assert(colors == Seq(0xff0000, 0x008000, (7 << 16) | (13 << 8) | 21,
+      0x0000ff))
+    assert(Media.gifFrames(Array[Byte](1, 2, 3)).isEmpty) // undecodable
+    assert(Media.gifFrames(null).isEmpty)
+  }
+
+  test("REAL video: sampleFrames keeps every n-th frame with indices") {
+    val gif = Media.syntheticGif(2, 2,
+      (0 until 5).map(i => (i * 10, i * 20, i * 30)))
+    val sampled = Media.sampleFrames(gif, 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4)) // frame indices
+    assert(sampled.forall(_._2 == 5)) // total frame count
+    assert(sampled.map(s => (s._3.getRGB(0, 0) >> 16) & 0xff) ==
+      Seq(0, 20, 40))
+  }
+
+  test("REAL video: extractVideoFrames emits one row per sampled frame") {
+    val gif1 = Media.syntheticGif(4, 2, Seq((10, 20, 30), (40, 50, 60),
+      (70, 80, 90)))
+    val gif2 = Media.syntheticGif(1, 1, Seq((1, 2, 3)))
+    val df = Seq((1L, gif1), (2L, gif2), (3L, Array[Byte](9, 9)))
+      .toDF("media_id", "payload")
+    val got = Media.extractVideoFrames(df, everyNth = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 4L, 2L, 10.0, 20.0, 30.0),
+      (1L, 2L, 3L, 4L, 2L, 70.0, 80.0, 90.0),
+      (2L, 0L, 1L, 1L, 1L, 1.0, 2.0, 3.0)))
+    // undecodable payload contributes no frames (row drops out), and the
+    // plan has no RDD hop: the decode is a typed MapPartitions
+    val plan = Media.extractVideoFrames(df, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
     val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
     val df = Media.withMeta(
