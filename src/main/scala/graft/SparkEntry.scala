@@ -298,6 +298,30 @@ object SparkEntry {
           col("event_type"), col("cnt"))
     }),
 
+    // Same windowed aggregation through a DISTRIBUTED streaming source:
+    // the events slice is staged as parquet (distributed write) and read
+    // back by the engine's file source on the executors — no .collect()
+    // anywhere; the driver only names the directory
+    "stream_windowed_counts_file" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft-stream-src-")
+      src.toFile.deleteOnExit()
+      val staged = events(s, dir).select(col("ts"), col("event_type"))
+      staged.write.mode("overwrite").parquet(src.toString)
+      graft.streaming.StreamGate.replayFileSource(s, src.toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))),
+        "gate_win_counts_file", "complete")(df =>
+        graft.streaming.EventStream.windowedCounts(
+          df, "ts", "event_type", window = "1 hour"))
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("cnt"))
+    }),
+
     // Sliding 1h windows every 15 min: each event lands in 4 windows
     "stream_sliding_counts" -> ((s, dir) => {
       import s.implicits._
@@ -1355,6 +1379,11 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 100""".stripMargin,
 
     "stream_windowed_counts" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_windowed_counts_file" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -24,10 +24,11 @@ object StreamGate {
     * checkpoint I/O for kilobytes of state. Production unbounded streams
     * size this to their key cardinality; the replay gate doesn't need to.
     * The conf is read at query START, so it must wrap `start()`. */
-  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+  private def withReplayPartitions[A](spark: SparkSession, n: Int = 4)
+                                     (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, old)
   }
 
@@ -63,36 +64,50 @@ object StreamGate {
     spark.table(name)
   }
 
-  /** Like [[replay]] but appends a `flush` batch after the data batch:
-    * append-mode sinks only emit rows once the watermark passes them, and
-    * the watermark only advances when new data arrives — a far-future
-    * sentinel row unsticks the tail of the stream (callers filter it out). */
-  def replayWithFlush[T: Encoder](spark: SparkSession, data: Seq[T],
-                                  flush: Seq[T], name: String, mode: String)
-                                 (transform: DataFrame => DataFrame)
+  /** Fully distributed replay: stream a staged parquet directory through
+    * the real FILE source (`spark.readStream.schema(...).parquet(dir)`) —
+    * the executors list and read the files; nothing is collected to the
+    * driver anywhere in the pipeline. This is the production shape: swap
+    * the directory for an object-store path (or the source for Kafka) and
+    * the query is unchanged. The file source drains every available file
+    * into the first micro-batch (no maxFilesPerTrigger cap), so a bounded
+    * replay is one batch + the engine's own watermark-advance batch. */
+  def replayFileSource(spark: SparkSession, sourceDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       name: String, mode: String)
+                      (transform: DataFrame => DataFrame)
   : DataFrame = withReplayPartitions(spark) {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[T]
-    val q = transform(mem.toDF()).writeStream
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(src).writeStream
       .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", ckptDir(name)).start()
-    try {
-      mem.addData(data: _*)
-      q.processAllAvailable()
-      mem.addData(flush: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
 
-  /** Two-source variant of [[replayWithFlush]] for stream-stream joins:
-    * both sides get their data and then their watermark-advancing flush. */
+  /** Two-source replay for stream-stream joins. Append-mode joins only
+    * emit once the watermark passes a row, and the watermark only advances
+    * off observed event times — so callers pass far-future sentinel rows
+    * (`flushLeft`/`flushRight`, filtered out downstream) that ride IN THE
+    * SAME micro-batch as the data: the watermark computed after batch 0
+    * then clears the whole state in the engine's single no-data
+    * watermark-advance batch. Two micro-batches total; the earlier
+    * flush-as-second-round shape paid ~600 ms of incremental re-planning
+    * fixed cost for each of its two extra batches at identical output
+    * (watermarks are batch-max based, so in-batch position is
+    * irrelevant, and batch 0 runs under the PREVIOUS watermark — nothing
+    * is late-dropped). */
   def replayJoin[A: Encoder, B: Encoder](spark: SparkSession,
                                          left: Seq[A], right: Seq[B],
                                          flushLeft: Seq[A], flushRight: Seq[B],
                                          name: String)
                                         (transform: (DataFrame, DataFrame) => DataFrame)
-  : DataFrame = withReplayPartitions(spark) {
+  // two shuffle partitions: a stream-stream join materializes ~5 state
+  // stores PER PARTITION, each snapshotted per micro-batch — at
+  // kilobytes of state the per-store checkpoint fixed cost dominates,
+  // so low partition counts beat parallelism here (measured: 2 edges out
+  // 1 — batch-0's 40k-row join work still splits — and beats 4/8)
+  : DataFrame = withReplayPartitions(spark, 2) {
     implicit val sqlCtx = spark.sqlContext
     val l = MemoryStream[A]
     val r = MemoryStream[B]
@@ -100,11 +115,8 @@ object StreamGate {
       .format("memory").queryName(name).outputMode("append")
       .option("checkpointLocation", ckptDir(name)).start()
     try {
-      l.addData(left: _*)
-      r.addData(right: _*)
-      q.processAllAvailable()
-      l.addData(flushLeft: _*)
-      r.addData(flushRight: _*)
+      l.addData(left ++ flushLeft: _*)
+      r.addData(right ++ flushRight: _*)
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name)
