@@ -771,6 +771,99 @@ object SparkEntry {
               col("l_discount").cast("decimal(18,2)")))
           .cast("decimal(18,4)").cast("double").as("revenue"))),
 
+    // TPC-H Q2 shape: min-cost supplier per part via a CORRELATED scalar
+    // subquery over a join (the one relational shape rel_subquery_min_price
+    // doesn't cover — its correlation is single-table). The dataset has no
+    // partsupp table, so the (part, supplier, cost) relation is derived
+    // from lineitem: cost = min(l_extendedprice) per (partkey, suppkey) —
+    // a bare min, no arithmetic, so cross-engine comparison is exact.
+    // Catalyst rewrites the correlated scalar into an aggregate + join;
+    // dims broadcast (asserted in PlanAuditSpec).
+    "rel_q2_min_cost" -> ((s, dir) => {
+      tbl(s, dir, "part").createOrReplaceTempView("graft_part")
+      tbl(s, dir, "supplier").createOrReplaceTempView("graft_supplier")
+      tbl(s, dir, "nation").createOrReplaceTempView("graft_nation")
+      tbl(s, dir, "region").createOrReplaceTempView("graft_region")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""WITH ps AS (SELECT l_partkey AS ps_partkey,
+               |                  l_suppkey AS ps_suppkey,
+               |                  min(l_extendedprice) AS ps_supplycost
+               |           FROM graft_lineitem GROUP BY 1, 2)
+               |SELECT p_partkey, p_brand, s_name, n_name,
+               |       cast(cast(ps_supplycost AS decimal(18,2)) AS double)
+               |         AS min_cost
+               |FROM graft_part, ps, graft_supplier, graft_nation, graft_region
+               |WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
+               |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+               |  AND r_name = 'EUROPE' AND p_size <= 10
+               |  AND ps_supplycost =
+               |      (SELECT min(ps2.ps_supplycost)
+               |       FROM ps ps2, graft_supplier s2, graft_nation n2,
+               |            graft_region r2
+               |       WHERE ps2.ps_partkey = p_partkey
+               |         AND ps2.ps_suppkey = s2.s_suppkey
+               |         AND s2.s_nationkey = n2.n_nationkey
+               |         AND n2.n_regionkey = r2.r_regionkey
+               |         AND r2.r_name = 'EUROPE')""".stripMargin)
+    }),
+
+    // TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    // year — the multi-way join-order exercise (lineitem at the center,
+    // orders shuffled in, supplier/customer/nation dims broadcast). The
+    // nation pair is pre-filtered INTO both broadcast sides so only the
+    // cross-pair filter remains post-join.
+    "rel_q7_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = tbl(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").cast("double").as("revenue"))
+    }),
+
+    // Batch MERGE/upsert with SCD2 semantics, expressed as one outer join
+    // + explode: customers are the keyed "current" dimension, the updates
+    // batch is each customer's max order total. Matched keys produce TWO
+    // rows — the old version closed (is_current=false) and the new one
+    // opened — unmatched keys pass through open. A single scan feeds one
+    // conditional-array explode (not a self-union, which would re-run the
+    // join per branch); at scale this is one shuffle on the merge key.
+    "rel_merge_upsert" -> ((s, dir) => {
+      val bal = (c: org.apache.spark.sql.Column) =>
+        c.cast("decimal(18,2)").cast("double")
+      val upd = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      tbl(s, dir, "customer")
+        .join(upd, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"),
+          explode(when(col("new_bal").isNotNull,
+            array(struct(bal(col("c_acctbal")).as("bal"),
+                    lit(false).as("is_current")),
+                  struct(bal(col("new_bal")).as("bal"),
+                    lit(true).as("is_current"))))
+            .otherwise(array(struct(bal(col("c_acctbal")).as("bal"),
+              lit(true).as("is_current"))))).as("v"))
+        .select(col("c_custkey"), col("c_name"),
+          col("v.bal").as("bal"), col("v.is_current").as("is_current"))
+    }),
+
     // Skew-resistant two-stage aggregation (salt on a derived key, then
     // re-aggregate) — identical results to the direct groupBy, so the same
     // oracle applies; at scale this spreads a hot key over 16 reducers
@@ -981,6 +1074,22 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(s, col("text"))
           .as("simhash"))),
+
+    // Content-defined chunking dedup: rolling-hash chunk boundaries
+    // (native CdcChunksExpr), then dedup at CHUNK granularity — the
+    // production shape for partially-overlapping documents, where
+    // doc-level hashing misses shared passages. Emits the chunks that
+    // occur more than once corpus-wide. Pure field arithmetic end to end,
+    // so the oracle re-derives identical boundaries in SQL.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.cdcChunks(s, col("text")))
+            .as("chunk"))
+        .groupBy(md5(col("chunk")).as("chunk_md5"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_occ") > 1)),
 
     // Token statistics per document
     "text_token_stats" -> ((s, dir) =>
@@ -1697,6 +1806,64 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY n_name""".stripMargin,
 
+    "rel_q2_min_cost" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey,
+        |                  l_suppkey AS ps_suppkey,
+        |                  min(l_extendedprice) AS ps_supplycost
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |       cast(cast(ps_supplycost AS decimal(18,2)) AS double)
+        |         AS min_cost
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size <= 10
+        |  AND ps_supplycost =
+        |      (SELECT min(ps2.ps_supplycost)
+        |       FROM ps ps2, supplier s2, nation n2, region r2
+        |       WHERE ps2.ps_partkey = p_partkey
+        |         AND ps2.ps_suppkey = s2.s_suppkey
+        |         AND s2.s_nationkey = n2.n_nationkey
+        |         AND n2.n_regionkey = r2.r_regionkey
+        |         AND r2.r_name = 'EUROPE')""".stripMargin,
+
+    "rel_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       cast(year(l_shipdate) AS bigint) AS l_year,
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
+        |            AS decimal(18,4)) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_merge_upsert" ->
+      """WITH upd AS (SELECT o_custkey, max(o_totalprice) AS new_bal
+        |             FROM orders GROUP BY 1)
+        |SELECT c_custkey, c_name,
+        |       cast(cast(c_acctbal AS decimal(18,2)) AS double) AS bal,
+        |       false AS is_current
+        |FROM customer JOIN upd ON c_custkey = o_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name,
+        |       cast(cast(new_bal AS decimal(18,2)) AS double) AS bal,
+        |       true AS is_current
+        |FROM customer JOIN upd ON c_custkey = o_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name,
+        |       cast(cast(c_acctbal AS decimal(18,2)) AS double) AS bal,
+        |       true AS is_current
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                  WHERE u.o_custkey = c.c_custkey)""".stripMargin,
+
     "rel_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |       cast(cast(sum(cast(value AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_value
@@ -1853,6 +2020,40 @@ object SparkEntry {
          |SELECT band_idx, band, count(*) AS bucket_size
          |FROM bands GROUP BY band_idx, band""".stripMargin
     },
+
+    // re-derives the engine's rolling-hash chunk boundaries in pure SQL:
+    // per position i (1-based, i >= 8), Horner over code points i-7..i in
+    // the 2^61-1 field (HUGEINT holds the 263x intermediates), boundary
+    // iff hash % 64 = 0; chunks split AFTER boundaries, remainder last
+    "dedup_cdc_chunks" ->
+      """WITH cp AS (
+        |  SELECT doc_id, text,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> unicode(substr(text, i, 1))) AS c
+        |  FROM documents
+        |), bd AS (
+        |  SELECT doc_id, text, len(c) AS n,
+        |         list_filter(range(8, len(c) + 1),
+        |           i -> list_reduce(
+        |                  list_transform(range(i - 7, i + 1),
+        |                                 p -> cast(c[p] AS HUGEINT)),
+        |                  (acc, x) -> (acc * 263 + x) %
+        |                              cast(2305843009213693951 AS HUGEINT))
+        |                % 64 = 0) AS b
+        |  FROM cp
+        |), chunks AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(b) + 2),
+        |           k -> substr(text,
+        |                  (CASE WHEN k = 1 THEN 0 ELSE b[k - 1] END) + 1,
+        |                  (CASE WHEN k = len(b) + 1 THEN n ELSE b[k] END)
+        |                    - (CASE WHEN k = 1 THEN 0 ELSE b[k - 1] END))))
+        |           AS chunk
+        |  FROM bd
+        |)
+        |SELECT md5(chunk) AS chunk_md5, count(*) AS n_occ,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM chunks GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,

@@ -116,6 +116,20 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])],
   : LangIdExpr = copy(child = newChild)
 }
 
+/** Content-defined chunks of a text column (see [[TextHashes.cdcChunks]]):
+  * rolling polynomial window hash, boundary at hash % 64 == 0. */
+case class CdcChunksExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes
+      .cdcChunks(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString): Array[Any])
+  override protected def withNewChildInternal(newChild: Expression)
+  : CdcChunksExpr = copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -148,6 +162,7 @@ object GraftFunctions {
       graft.ops.TextOps.stopWords, TokenCountsAgg.ModeCsvTokens)),
     "graft_ticker_counts" -> (es => TokenCountsAgg(es.head, Nil,
       TokenCountsAgg.ModeCsvTicker)),
+    "graft_cdc_chunks" -> (es => CdcChunksExpr(es.head)),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
@@ -201,6 +216,13 @@ object GraftFunctions {
   def tickerCounts(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_ticker_counts", c)
+  }
+
+  /** Content-defined chunks (rolling-hash boundaries; see
+    * [[TextHashes.cdcChunks]]). */
+  def cdcChunks(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cdc_chunks", c)
   }
 
   /** Element-wise mean of a vector column (see [[VectorMeanAgg]]);

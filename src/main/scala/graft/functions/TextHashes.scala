@@ -181,6 +181,64 @@ object TextHashes {
     mins
   }
 
+  /** Content-defined chunking: an 8-code-point polynomial window hash
+    * (base 263, field p = 2^61-1) slides over the text; 1-based position
+    * `i >= 8` is a chunk boundary iff the Horner hash of code points
+    * `i-7..i` is ≡ 0 (mod 64), and the text splits AFTER each boundary
+    * (expected chunk ≈ 64 code points); the remainder — possibly the
+    * whole text — is the final chunk. Code points (not UTF-16 units), so
+    * `substr`-based engines reproduce the same chunks; every step is
+    * exact field arithmetic any engine can replay (the oracle re-derives
+    * boundaries in DuckDB with list lambdas and HUGEINT mod-p math).
+    *
+    * The window hash is maintained by ROLLING (drop the out-going code
+    * point's `c*263^7` term, multiply by the base, add the in-coming
+    * one): 2 field mults per position instead of the 8 a per-position
+    * Horner recompute pays; equality with the windowed definition is
+    * property-tested in NativeFunctionsSpec. */
+  def cdcChunks(text: String): Array[String] = {
+    val W = 8
+    val B = 263L
+    val Mask = 63L
+    // B^(W-1) mod p, the weight of the out-going code point
+    var powW1 = 1L
+    var pi = 0
+    while (pi < W - 1) { powW1 = mulMod61(powW1, B); pi += 1 }
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0 // 0-based index of the current chunk's first code point
+    if (n >= W) {
+      // Horner over the first window
+      var h = 0L
+      var j = 0
+      while (j < W) {
+        h = mulMod61(h, B) + cps(j)
+        if (h >= P61) h -= P61
+        j += 1
+      }
+      var i = W - 1 // 0-based window end
+      while (true) {
+        if ((h & Mask) == 0L) {
+          out += new String(cps, start, i + 1 - start)
+          start = i + 1
+        }
+        i += 1
+        if (i >= n) {
+          out += new String(cps, start, n - start)
+          return out.toArray
+        }
+        // roll: h = (h - cps(i-W)*B^(W-1)) * B + cps(i)  (mod p)
+        var d = h - mulMod61(cps(i - W), powW1)
+        if (d < 0) d += P61
+        h = mulMod61(d, B) + cps(i)
+        if (h >= P61) h -= P61
+      }
+    }
+    out += text
+    out.toArray
+  }
+
   /** 64-bit SimHash: bit j set iff sum over tokens of ±1 (bit j of the
     * token's first-8-md5-bytes big-endian word) is positive. */
   def simhash64(text: String): Long = {

@@ -17,6 +17,45 @@ class NativeFunctionsSpec extends AnyFunSuite {
     Seq.fill(200)(Seq.fill(rnd.nextInt(30))(
       "abcdefghij spark scale ,.!? 0123"(rnd.nextInt(32))).mkString)
 
+  /** Windowed-Horner reference for the CDC hash — the definition the
+    * DuckDB oracle implements; the production path rolls the window. */
+  private def cdcChunksReference(text: String): Seq[String] = {
+    val P = (1L << 61) - 1
+    val cps = text.codePoints().toArray
+    def winHash(i: Int): BigInt = // window ends at 0-based i
+      (i - 7 to i).foldLeft(BigInt(0))((acc, j) => (acc * 263 + cps(j)) % P)
+    val bounds = (7 until cps.length).filter(i => winHash(i) % 64 == 0)
+      .map(_ + 1)
+    val cuts = 0 +: bounds :+ cps.length
+    if (cps.length < 8) Seq(text)
+    else cuts.sliding(2).map { case Seq(a, b) =>
+      new String(cps, a, b - a)
+    }.toSeq
+  }
+
+  test("cdcChunks: rolling hash == windowed reference, chunks rejoin") {
+    val cdcTexts = texts ++ Seq("ü" * 20, "日本語のテキストです、長い文章。" * 4,
+      Seq.fill(500)("abcdefgh"(rnd.nextInt(8))).mkString)
+    cdcTexts.foreach { t =>
+      val got = TextHashes.cdcChunks(t).toSeq
+      assert(got == cdcChunksReference(t), s"text=${t.take(60)}")
+      assert(got.mkString == t, s"chunks must concatenate back: ${t.take(60)}")
+      assert(got.nonEmpty)
+    }
+    // long random text actually produces multiple chunks (mask = 63)
+    val long = Seq.fill(4000)("abcdefghijklmnop"(rnd.nextInt(16))).mkString
+    assert(TextHashes.cdcChunks(long).length > 10)
+  }
+
+  test("cdcChunks native expression == JVM twin") {
+    val df = texts.toDF("t")
+    val got = df.select(GraftFunctions.cdcChunks(spark, col("t")))
+      .as[Seq[String]].collect()
+    got.zip(texts).foreach { case (g, t) =>
+      assert(g == TextHashes.cdcChunks(t).toSeq, s"text=$t")
+    }
+  }
+
   test("native simhash64 == builtin-expression simhash64 == reference") {
     val df = texts.toDF("t")
     val got = df.select(

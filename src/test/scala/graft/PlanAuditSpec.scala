@@ -51,6 +51,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rel_q2: correlated min-cost rewrites to joins, dims broadcast") {
+    val p = plan("rel_q2_min_cost")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the correlated scalar subquery must decorrelate into an aggregate +
+    // join, not a per-row subquery execution
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("rel_q7: two-nation volume join broadcasts all dimensions") {
+    val p = plan("rel_q7_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only lineitem and orders are big enough to shuffle: at most ONE
+    // shuffle-side equi-join (lineitem-orders); customer/supplier/nation
+    // all ride broadcasts
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"expected at most one shuffled join:\n$p")
+  }
+
   test("rel_range_join: broadcast nested-loop, fact side never shuffles " +
     "before the join") {
     val p = plan("rel_range_join")
