@@ -40,12 +40,15 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
 /** Sequential-order double dot product over two `array<float|double>`
   * columns: bit-identical to the `aggregate(zip_with(...))` fold (same
-  * left-to-right accumulation) but a tight JVM loop instead of ~2 lambda
-  * evaluations per element. Null if either side is null or lengths differ
-  * is an error. */
+  * left-to-right accumulation) but a tight loop instead of ~2 lambda
+  * evaluations per element. Null if either side is null; a length
+  * mismatch is an error. Implements `doGenCode` (the one hash-path
+  * expression on a per-row SCAN hot path — kNN scoring): the generated
+  * loop splices into whole-stage codegen, so the scan -> project ->
+  * TakeOrderedAndProject pipeline stays fused instead of falling back to
+  * interpreted eval per row. */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -69,6 +72,36 @@ case class DotProductExpr(left: Expression, right: Expression)
     while (i < n) { acc += valueAt(la, lt, i) * valueAt(ra, rt, i); i += 1 }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    def getter(side: Expression, arr: String, i: String): String =
+      side.dataType.asInstanceOf[ArrayType].elementType match {
+        case org.apache.spark.sql.types.FloatType =>
+          s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: length mismatch " + $n + " vs " + $r.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(left, l, i)} * ${getter(right, r, i)};
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)

@@ -113,6 +113,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"posexplode must sit above the aggregate, not feed it:\n$p")
   }
 
+  test("emb_knn_cosine: scoring project stays inside whole-stage codegen") {
+    // DotProductExpr implements doGenCode — a CodegenFallback here would
+    // drop the scan -> score -> top-k pipeline out of codegen and eval
+    // the hot-path expression interpreted per row
+    val p = finalPlan("emb_knn_cosine")
+    assert(p.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      s"expected the scoring Project inside a WholeStageCodegen stage:\n$p")
+  }
+
   test("rel_global_rank_plan: planned GlobalRank operator, no window") {
     val p = plan("rel_global_rank_plan")
     assert(p.contains("GlobalRank"), p)
