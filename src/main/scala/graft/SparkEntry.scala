@@ -112,6 +112,24 @@ object SparkEntry {
       (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
   }
 
+  /** Exact n-gram Jaccard on LSH candidate pairs: bands generate the
+    * candidates (O(collisions), not O(n^2)); exact distinct-shingle
+    * intersection/union only on those pairs. Shared by
+    * dedup_jaccard_pairs and dedup_connected_components. */
+  private def jaccardPairsDf(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(minhashSigDf(s, dir), "doc_id")
+    val sets = tbl(s, dir, "documents").select(col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(s, col("text")))
+        .as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** DuckDB sig0..sig7 select-list fragment over shingle list `sh`:
     * the mod-(2^61-1) universal-hash MinHash ([[Dedup.minhashSignature]])
     * — one md5 per shingle parsed as an unsigned 64-bit word, then the
@@ -1123,6 +1141,66 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
 
+    // BM25 retrieval: score a fixed 3-term query against the corpus.
+    // Corpus stats (N, avgdl, per-term df) come from ONE 1-row aggregate
+    // that cross-joins back (the sanctioned 1-row shape); per-doc tf
+    // comes from explode+filter (only matching term rows survive — the
+    // shuffle carries <= |terms| rows per doc, not the token stream).
+    // Score arithmetic is written in the exact same literal order as the
+    // oracle; round(6) absorbs last-ulp ln() differences across libms.
+    "text_bm25" -> ((s, dir) => {
+      val terms = Seq("join", "vector", "dup")
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.cleanTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("double").as("dl"))
+      val statAggs = count(lit(1)).cast("double").as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(array_contains(col("toks"), t).cast("int")).cast("double")
+            .as(s"df$i")
+        }
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("t") === t, 1).otherwise(0)).cast("double").as(s"tf$i")
+      }
+      val tfs = base
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .where(col("t").isin(terms: _*))
+        .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+      val norm = lit(0.25) + lit(0.75) * col("dl") / col("avgdl")
+      val score = terms.indices.map { i =>
+        val tf = coalesce(col(s"tf$i"), lit(0.0))
+        log((col("n") - col(s"df$i") + lit(0.5)) /
+          (col(s"df$i") + lit(0.5)) + lit(1.0)) *
+          (tf * lit(2.2)) / (tf + lit(1.2) * norm)
+      }.reduce(_ + _)
+      base.select(col("doc_id"), col("dl"))
+        .join(tfs, Seq("doc_id"), "left_outer")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .where(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Deterministic stratified sampling: per-stratum rates via an
+    // md5-bucket predicate on the row key — never rand(), so the sample
+    // is reproducible across engines, retries, and partitionings (the
+    // property a training-data pipeline needs for lineage)
+    "rel_stratified_sample" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("event_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          bucket.as("bucket"))
+        .withColumn("rate",
+          when(col("event_type") === "click", 20)
+            .when(col("event_type") === "view", 10).otherwise(5))
+        .where(col("bucket") < col("rate"))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+    }),
+
     // PII-style redaction (emails -> <EMAIL>, URLs -> <URL>, digit runs ->
     // <NUM>): deterministic synthetic patterns appended to each doc so the
     // masking is exercised for real, then verified byte-for-byte
@@ -1222,6 +1300,34 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.3)),
 
+    // Symmetric int8 quantization per embedding (the storage path that
+    // makes 100 TB of fp32 vectors 4x smaller): scale = 127/max|x|,
+    // q = clamp(floor(x*scale + 0.5)) — floor(+0.5) pins the rounding
+    // mode so any engine reproduces the exact codes — plus saturation
+    // count and reconstruction MSE. Pure expressions, one scan.
+    "emb_quantize" -> ((s, dir) => {
+      val x = col("embedding").cast("array<double>")
+      val mx = array_max(transform(x, v => abs(v)))
+      val scale = when(col("mx") === 0.0, lit(1.0))
+        .otherwise(lit(127.0) / col("mx"))
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), x.as("x"), mx.as("mx"))
+        .select(col("vec_id"), col("x"), scale.as("scale"))
+        .select(col("vec_id"), col("x"), col("scale"),
+          transform(col("x"), v =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(v * col("scale") + lit(0.5))))).as("q"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          size(filter(col("q"), v => abs(v) === 127L)).cast("long")
+            .as("n_sat"),
+          round(aggregate(
+            zip_with(col("x"), col("q"), (a, qq) =>
+              (a - qq.cast("double") / col("scale")) *
+                (a - qq.cast("double") / col("scale"))),
+            lit(0.0), _ + _) / size(col("q")).cast("double"), 6).as("mse"))
+    }),
+
     // Language-ID confusion matrix: metadata lang vs predicted
     "text_lang_confusion" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -1251,18 +1357,18 @@ object SparkEntry {
     // Exact n-gram Jaccard on LSH candidate pairs: bands generate the
     // candidates (O(collisions), not O(n^2)); exact distinct-shingle
     // intersection/union only on those pairs
-    "dedup_jaccard_pairs" -> ((s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(minhashSigDf(s, dir), "doc_id")
-      val sets = tbl(s, dir, "documents").select(col("doc_id"),
-        array_distinct(graft.functions.GraftFunctions.shingles(s, col("text")))
-          .as("sh"))
-      pairs
-        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
-            .as("jaccard"))
+    "dedup_jaccard_pairs" -> ((s, dir) => jaccardPairsDf(s, dir)),
+
+    // Near-dup CLUSTERS from the pairs: connected components by iterative
+    // min-label propagation (each component's label = its min doc_id, the
+    // canonical representative to keep). Pairs are thresholded at
+    // jaccard >= 0.5; isolated docs form singleton components.
+    "dedup_connected_components" -> ((s, dir) => {
+      val edges = jaccardPairsDf(s, dir)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(
+        tbl(s, dir, "documents").select(col("doc_id")), edges)
     }),
 
     // IVF assign step: nearest label-centroid by (rounded) cosine
@@ -2110,6 +2216,71 @@ object SparkEntry {
         |         '[0-9]+', '<NUM>', 'g') AS clean
         |FROM documents""".stripMargin,
 
+    "text_bm25" -> {
+      val terms = Seq("join", "vector", "dup")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"cast(sum(CASE WHEN list_contains(l, '$t') THEN 1 ELSE 0 END) AS double) AS df$i"
+      }.mkString(",\n         |                ")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"cast(len(list_filter(l, x -> x = '$t')) AS double) AS tf$i"
+      }.mkString(",\n         |         ")
+      val score = terms.indices.map { i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString("\n         |           + ")
+      s"""WITH tk AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |base AS (SELECT doc_id, l, cast(len(l) AS double) AS dl FROM tk),
+         |stats AS (SELECT cast(count(*) AS double) AS n, avg(dl) AS avgdl,
+         |                $dfs
+         |         FROM base),
+         |tf AS (SELECT doc_id, dl,
+         |         $tfs
+         |       FROM base)
+         |SELECT doc_id,
+         |       round($score, 6) AS bm25
+         |FROM tf CROSS JOIN stats
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
+
+    "rel_stratified_sample" ->
+      """SELECT event_id, event_type, user_id
+        |FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      < CASE WHEN event_type = 'click' THEN 20
+        |             WHEN event_type = 'view' THEN 10 ELSE 5 END""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, v -> cast(v AS double)) AS x
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, x,
+        |         list_max(list_transform(x, v -> abs(v))) AS mx
+        |  FROM x
+        |), s AS (
+        |  SELECT vec_id, x,
+        |         CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale
+        |  FROM m
+        |), q AS (
+        |  SELECT vec_id, x, scale,
+        |         list_transform(x, v ->
+        |           greatest(-127, least(127,
+        |             cast(floor(v * scale + 0.5) AS bigint)))) AS q
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |       round(scale, 6) AS scale,
+        |       cast(len(list_filter(q, v -> abs(v) = 127)) AS bigint)
+        |         AS n_sat,
+        |       round(list_sum(list_transform(range(1, len(x) + 1), i ->
+        |               (x[i] - cast(q[i] AS double) / scale)
+        |               * (x[i] - cast(q[i] AS double) / scale)))
+        |             / cast(len(x) AS double), 6) AS mse
+        |FROM q""".stripMargin,
+
     "text_split_assign" ->
       """SELECT doc_id,
         |       cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
@@ -2284,6 +2455,55 @@ object SparkEntry {
          |       round(cast(inter AS double) / cast(tot - inter AS double), 6)
          |         AS jaccard
          |FROM j""".stripMargin
+    },
+
+    // same candidate-pair chain as dedup_jaccard_pairs, thresholded, then
+    // transitive closure via a recursive CTE: min reachable doc_id per
+    // node == the engine's min-label-propagation fixpoint
+    "dedup_connected_components" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |  UNION ALL
+         |  SELECT id2, id1 FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT reach.node, e.b AS lab
+         |  FROM reach JOIN edges e ON reach.lab = e.a
+         |)
+         |SELECT node AS doc_id, min(lab) AS component
+         |FROM reach GROUP BY 1""".stripMargin
     },
 
     "emb_ivf_assign" ->

@@ -139,6 +139,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a (typically near-dup-pair) edge list:
+    * iterative min-label propagation — every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels; fixpoint = each node carries the min id of its
+    * component (the canonical representative for cluster-level dedup).
+    *
+    * Scale shape: the driver loop runs one distributed join+agg per round
+    * and reads back a single convergence COUNT — O(diameter) rounds, and
+    * near-dup clusters have tiny diameters (pairs come from shared LSH
+    * bands, so clusters are dense). Labels and the symmetrized edge list
+    * are `localCheckpoint`ed: edges are re-consumed every round and the
+    * label lineage would otherwise grow by one join per round. For graphs
+    * with continent-sized components (social graphs, not dedup), swap the
+    * propagation for large-star/small-star — same driver-loop shape. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "doc_id",
+                          maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(false)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lab"))
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = e.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("lab"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("node").agg(min("lab").as("lab"))
+        .localCheckpoint(false)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.lab") =!= col("o.lab"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("lab").as("component"))
+  }
+
   /** 64-bit SimHash over clean tokens, built from the first 16 hex chars of
     * each token's MD5: bit j of the result is the sign of the sum over
     * tokens of (2*bit_j(token) - 1). Near-identical docs differ in few

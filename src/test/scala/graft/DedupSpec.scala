@@ -90,6 +90,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.lshCandidatePairs(sigs, "doc_id", maxBucket = 2).count() == 0)
   }
 
+  test("connectedComponents: chains merge, singletons keep their own id") {
+    // components: {1,2,3,4} via a chain (diameter 3 — needs multiple
+    // propagation rounds), {10,11}, and isolated {99}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+    // no edges: every node is its own component
+    val lone = Dedup.connectedComponents(nodes,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(lone == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      10L -> 10L, 11L -> 11L, 99L -> 99L))
+  }
+
   test("shingles: n-grams for long docs, whole text for short ones") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().toSeq
