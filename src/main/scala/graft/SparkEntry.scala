@@ -1382,29 +1382,41 @@ object SparkEntry {
       val cents = graft.ops.Similarity.centroids(
         tbl(s, dir, "embeddings"), col("embedding"), col("label"))
         .orderBy("grp").collect()
-        .map(r => r.get(0) -> r.getSeq[Double](1))
-      val v = tbl(s, dir, "embeddings")
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("e"))
-      val scoredStructs = cents.map { case (lbl, m) =>
-        val mArr = array(m.map(lit): _*)
-        val bb = math.sqrt(m.map(x => x * x).sum)
-        struct(lit(lbl).as("clabel"),
-          round(Similarity.dot(col("e"), mArr) /
-            (sqrt(Similarity.dot(col("e"), col("e"))) * lit(bb)), 6)
-            .as("cos"))
-      }
-      val scored = v
-        .select(col("vec_id"),
-          posexplode(array(scoredStructs.toIndexedSeq: _*))
-            .as(Seq("pos", "sc")))
-        .select(col("vec_id"), col("sc.clabel").as("clabel"),
-          col("sc.cos").as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("clabel").as("assigned"), col("cos"))
+        .map(r => r.get(0) -> r.getSeq[Double](1)).toSeq
+      Similarity.assignToCentroids(tbl(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"), cents)
+    }),
+
+    // K-means, two Lloyd iterations: seed centroids = vectors 0..9;
+    // each round assigns by ROUNDED cosine argmax (deterministic) and
+    // retrains with the native vector-mean aggregate, centroid
+    // components re-rounded to 6 so the "model" is engine-portable.
+    // Per round: one assign scan + one partial+final agg; only the
+    // 10x64 model crosses the driver. The oracle replays both
+    // iterations in SQL.
+    "emb_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val seeds = emb.where(col("vec_id") < 10)
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      def retrain(assign: org.apache.spark.sql.DataFrame)
+      : Seq[(Any, Seq[Double])] =
+        graft.ops.Similarity.centroids(
+          emb.join(assign.select(col("vec_id"), col("assigned")), "vec_id"),
+          col("embedding"), col("assigned"))
+          .select(col("grp"), transform(col("centroid"),
+            x => round(x, 6)).as("centroid"))
+          .orderBy("grp").collect()
+          .map(r => r.get(0) -> r.getSeq[Double](1)).toSeq
+      val a1 = Similarity.assignToCentroids(emb, col("embedding"),
+        col("vec_id"), seeds.map { case (l, v) => (l: Any, v) })
+      val c1 = retrain(a1)
+      Similarity.assignToCentroids(emb, col("embedding"),
+        col("vec_id"), c1)
+        .select(col("vec_id"), col("assigned").cast("long").as("cluster"),
+          col("cos"))
     }),
 
     // Full IVF search: score label-centroids against the query vector,
@@ -2505,6 +2517,55 @@ object SparkEntry {
          |SELECT node AS doc_id, min(lab) AS component
          |FROM reach GROUP BY 1""".stripMargin
     },
+
+    // replays both Lloyd iterations: seed centroids = vectors 0..9,
+    // rounded-cosine argmax assignment, re-trained means rounded to 6
+    "emb_kmeans" ->
+      s"""WITH $embUnnestCte,
+         |c0 AS (
+         |  SELECT vec_id AS clabel, pos, cast(vx AS double) AS m
+         |  FROM v WHERE vec_id < 10
+         |),
+         |s1 AS (
+         |  SELECT v.vec_id, c0.clabel,
+         |         sum(cast(v.vx AS double) * c0.m) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa,
+         |         sum(c0.m * c0.m) AS bb
+         |  FROM v JOIN c0 ON v.pos = c0.pos
+         |  GROUP BY v.vec_id, c0.clabel
+         |),
+         |a1 AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (
+         |           PARTITION BY vec_id
+         |           ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC,
+         |                    clabel) AS rn
+         |  FROM s1
+         |),
+         |c1 AS (
+         |  SELECT a1.clabel, v.pos, round(avg(cast(v.vx AS double)), 6) AS m
+         |  FROM v JOIN a1 ON v.vec_id = a1.vec_id AND a1.rn = 1
+         |  GROUP BY a1.clabel, v.pos
+         |),
+         |s2 AS (
+         |  SELECT v.vec_id, c1.clabel,
+         |         sum(cast(v.vx AS double) * c1.m) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa,
+         |         sum(c1.m * c1.m) AS bb
+         |  FROM v JOIN c1 ON v.pos = c1.pos
+         |  GROUP BY v.vec_id, c1.clabel
+         |),
+         |a2 AS (
+         |  SELECT vec_id, clabel,
+         |         round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY vec_id
+         |           ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC,
+         |                    clabel) AS rn
+         |  FROM s2
+         |)
+         |SELECT vec_id, cast(clabel AS bigint) AS cluster, cos
+         |FROM a2 WHERE rn = 1""".stripMargin,
 
     "emb_ivf_assign" ->
       s"""WITH $embUnnestCte,

@@ -105,6 +105,35 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Assign every vector to its nearest centroid by ROUNDED cosine
+    * (deterministic across engines; ties break on centroid label). The
+    * centroid "model" arrives as driver-side literals — at scale the
+    * vectors stream through one scan with a native dot per (vector,
+    * centroid); only the model sits on the driver. Shared by the IVF
+    * assign step and the k-means Lloyd iterations. */
+  def assignToCentroids(df: DataFrame, emb: Column, id: Column,
+                        cents: Seq[(Any, Seq[Double])]): DataFrame = {
+    val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
+    val scoredStructs = cents.map { case (lbl, m) =>
+      val mArr = array(m.map(lit): _*)
+      val bb = math.sqrt(m.map(x => x * x).sum)
+      struct(lit(lbl).as("clabel"),
+        round(dot(col("e"), mArr) /
+          (sqrt(dot(col("e"), col("e"))) * lit(bb)), 6).as("cos"))
+    }
+    val scored = v
+      .select(col("vec_id"),
+        posexplode(array(scoredStructs.toIndexedSeq: _*))
+          .as(Seq("pos", "sc")))
+      .select(col("vec_id"), col("sc.clabel").as("clabel"),
+        col("sc.cos").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("assigned"), col("cos"))
+  }
+
   /** Element-wise mean vector per group (the IVF "train" step): one
     * partial+final aggregate over the ORIGINAL rows via the native
     * [[graft.functions.VectorMeanAgg]] — the shuffle carries one
