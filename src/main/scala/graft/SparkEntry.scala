@@ -714,6 +714,29 @@ object SparkEntry {
           element_at(col("features"), 7).cast("double").as("dur_sec"))
     }),
 
+    // REAL image resize end-to-end: synthetic solid PNG per doc, actual
+    // ImageIO decode -> bilinear scale to maxDim 4 (never upscaling) ->
+    // PNG re-encode, then decode AGAIN through the feature path. The
+    // oracle reproduces the integer geometry (trunc(dim * 4.0/maxdim))
+    // and colors analytically (bilinear of a constant is the constant).
+    "media_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val png = graft.multimodal.Media.syntheticPng(
+            (1 + id % 13).toInt, (1 + id % 7).toInt,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+          (id, graft.multimodal.Media.resizeImage(png, maxDim = 4))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractImageFeatures(media)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 4).cast("double").as("mean_r"),
+          element_at(col("features"), 5).cast("double").as("mean_g"),
+          element_at(col("features"), 6).cast("double").as("mean_b"))
+    }),
+
     // REAL video-frame sampling, driver-checked: synthesize a multi-frame
     // animated GIF per doc (frame count, dims, and per-frame solid colors
     // all derived from doc_id), decode every frame through the JDK's
@@ -1336,6 +1359,59 @@ object SparkEntry {
             .as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // Explicit GROUPING SETS with grouping() markers (rollup/cube's
+    // general form): per-status totals, per-priority totals, grand total
+    "rel_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               |       cast(grouping(o_orderstatus) AS bigint) AS g_status,
+               |       cast(grouping(o_orderpriority) AS bigint) AS g_prio
+               |FROM graft_orders_gs
+               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+               |                        ())""".stripMargin)
+    }),
+
+    // Event-time RANGE frame: per event, how many same-user events landed
+    // in the trailing hour — the value-based window (peers by range, not
+    // row count) that rel_moving_avg's ROWS frame doesn't exercise
+    "rel_trailing_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_trailing_1h"))
+    }),
+
+    // Time-series gap fill: a complete hourly spine (global min..max hour
+    // x event_type, built from a 1-row aggregate — no correlated
+    // generation) left-joined with the hourly counts, gaps carried
+    // forward with last-non-null and zero before first observation
+    "rel_gap_fill" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val ev = events(s, dir).select(col("event_type"),
+        (unix_micros(col("ts")) - (unix_micros(col("ts")) % hourUs))
+          .as("hr"))
+      val hourly = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("hr"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          coalesce(last(col("cnt"), ignoreNulls = true).over(w), lit(0L))
+            .as("filled_cnt"),
+          (col("cnt").isNotNull).as("observed"))
+    }),
+
     // Fixed-width histogram over event values
     "rel_value_histogram" -> ((s, dir) =>
       events(s, dir)
@@ -1873,6 +1949,67 @@ object SparkEntry {
         |       cast((doc_id * 5 + 41 * i) % 256 AS double) AS mean_b
         |FROM documents CROSS JOIN (VALUES (0), (2), (4)) AS t(i)
         |WHERE i < 2 + doc_id % 4""".stripMargin,
+
+    // integer geometry: scale = 4.0/max(w,h); no upscale; trunc toward
+    // zero matches Java's (int) cast; colors survive bilinear exactly
+    // because the source frames are constant
+    "media_image_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         cast(1 + doc_id % 13 AS bigint) AS w0,
+        |         cast(1 + doc_id % 7 AS bigint) AS h0
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |       CASE WHEN greatest(w0, h0) <= 4 THEN w0
+        |            ELSE greatest(1, cast(trunc(w0 * (4.0 / greatest(w0, h0)))
+        |                             AS bigint)) END AS w,
+        |       CASE WHEN greatest(w0, h0) <= 4 THEN h0
+        |            ELSE greatest(1, cast(trunc(h0 * (4.0 / greatest(w0, h0)))
+        |                             AS bigint)) END AS h,
+        |       cast(doc_id % 256 AS double) AS mean_r,
+        |       cast(doc_id * 7 % 256 AS double) AS mean_g,
+        |       cast(doc_id * 13 % 256 AS double) AS mean_b
+        |FROM g""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       cast(grouping(o_orderstatus) AS bigint) AS g_status,
+        |       cast(grouping(o_orderpriority) AS bigint) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "rel_trailing_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                      RANGE BETWEEN 3600000000 PRECEDING
+        |                            AND CURRENT ROW) AS n_trailing_1h
+        |FROM events""".stripMargin,
+
+    "rel_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hr
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, hr, count(*) AS cnt FROM e GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(hr) AS lo, max(hr) AS hi FROM e
+        |), spine AS (
+        |  SELECT t.event_type, s.hr
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600000000))
+        |              AS hr FROM bounds) s
+        |)
+        |SELECT spine.event_type, spine.hr,
+        |       coalesce(last_value(hourly.cnt IGNORE NULLS) OVER (
+        |         PARTITION BY spine.event_type ORDER BY spine.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |         AS filled_cnt,
+        |       hourly.cnt IS NOT NULL AS observed
+        |FROM spine
+        |LEFT JOIN hourly ON spine.event_type = hourly.event_type
+        |                AND spine.hr = hourly.hr""".stripMargin,
 
     "rel_window_distribution" ->
       """SELECT event_type, event_id,
