@@ -156,8 +156,13 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "doc_id",
                           maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    // materialize the INCOMING edge list before symmetrizing: a union of
+    // two selects re-evaluates its input per branch, and the edge list is
+    // typically the full LSH->jaccard candidate pipeline — without this
+    // the dominant hashing work would run twice before the loop starts
+    val e0 = edges.select(col("id1"), col("id2")).localCheckpoint(false)
+    val e = e0.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e0.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint(false)
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lab"))
       .localCheckpoint(false)
