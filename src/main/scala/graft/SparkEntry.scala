@@ -115,12 +115,24 @@ object SparkEntry {
   /** Exact n-gram Jaccard on LSH candidate pairs: bands generate the
     * candidates (O(collisions), not O(n^2)); exact distinct-shingle
     * intersection/union only on those pairs. Shared by
-    * dedup_jaccard_pairs and dedup_connected_components. */
+    * dedup_jaccard_pairs and dedup_connected_components.
+    *
+    * The shingle array is computed ONCE (localCheckpointed) and feeds
+    * BOTH consumers — the MinHash signatures (via the from-shingles
+    * expression; duplicate-invariant, so identical values) and the
+    * exact sets. Without the shared pass the tokenize+shingle work ran
+    * twice per document. */
   private def jaccardPairsDf(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(minhashSigDf(s, dir), "doc_id")
-    val sets = tbl(s, dir, "documents").select(col("doc_id"),
-      array_distinct(graft.functions.GraftFunctions.shingles(s, col("text")))
-        .as("sh"))
+    val sh = tbl(s, dir, "documents").select(col("doc_id"),
+      graft.functions.GraftFunctions.shingles(s, col("text")).as("shg"))
+      .localCheckpoint(false)
+    val sigArr = graft.functions.GraftFunctions
+      .minhashSigFromShingles(s, col("shg"), 8).as("sig")
+    val sigs = sh.select(col("doc_id"), sigArr)
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+    val sets = sh.select(col("doc_id"), array_distinct(col("shg")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")

@@ -38,6 +38,25 @@ case class MinHashSigExpr(child: Expression, k: Int)
   : MinHashSigExpr = copy(child = newChild)
 }
 
+/** [[MinHashSigExpr]] over a pre-computed `array<string>` of shingles
+  * (see [[TextHashes.minhashSigOfShingles]]): identical signatures, but
+  * the shingling cost is paid once upstream and shared with other
+  * consumers of the shingle array. */
+case class MinHashFromShinglesExpr(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_from_shingles"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sh = new Array[String](arr.numElements())
+    var i = 0
+    while (i < sh.length) { sh(i) = arr.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(TextHashes.minhashSigOfShingles(sh, k))
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+  : MinHashFromShinglesExpr = copy(child = newChild)
+}
+
 /** Sequential-order double dot product over two `array<float|double>`
   * columns: bit-identical to the `aggregate(zip_with(...))` fold (same
   * left-to-right accumulation) but a tight loop instead of ~2 lambda
@@ -189,6 +208,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_shingles" -> (es => ShinglesExpr(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_minhash_from_shingles" -> (es => MinHashFromShinglesExpr(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "graft_token_counts" -> (es => TokenCountsAgg(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_token_counts_csv" -> (es => TokenCountsAgg(es.head,
@@ -226,6 +247,15 @@ object GraftFunctions {
   def shingles(spark: SparkSession, c: Column, n: Int = 3): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** MinHash signature from a pre-computed shingle array (see
+    * [[MinHashFromShinglesExpr]]). */
+  def minhashSigFromShingles(spark: SparkSession, c: Column, k: Int)
+  : Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash_from_shingles", c,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Map-side word counting (see [[TokenCountsAgg]]); aggregate function —

@@ -160,8 +160,15 @@ object TextHashes {
     u
   }
 
-  def minhashSig(text: String, k: Int): Array[Long] = {
-    val sh = shingles(text)
+  def minhashSig(text: String, k: Int): Array[Long] =
+    minhashSigOfShingles(shingles(text), k)
+
+  /** MinHash minima over an ALREADY-COMPUTED shingle array — lets a
+    * pipeline that also needs the raw shingles (e.g. exact-Jaccard
+    * verification of LSH candidates) tokenize+shingle each document
+    * ONCE and feed both consumers. MinHash is duplicate-invariant, so
+    * multiset vs distinct shingle input makes no difference. */
+  def minhashSigOfShingles(sh: Array[String], k: Int): Array[Long] = {
     val cs = mixConsts(k)
     val mins = Array.fill(k)(Long.MaxValue)
     val digest = md.get()

@@ -56,6 +56,25 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash from pre-computed shingles == minhash from text") {
+    val df = texts.toDF("t")
+    val got = df.select(
+      GraftFunctions.minhashSigFromShingles(spark,
+        GraftFunctions.shingles(spark, col("t")), 8),
+      GraftFunctions.minhashSig(spark, col("t"), 8))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.zip(texts).foreach { case ((fromSh, fromText), t) =>
+      assert(fromSh == fromText, s"text=$t")
+    }
+    // duplicate-invariance: distinct shingles give the same signature
+    val dup = df.select(
+      GraftFunctions.minhashSigFromShingles(spark,
+        array_distinct(GraftFunctions.shingles(spark, col("t"))), 8),
+      GraftFunctions.minhashSig(spark, col("t"), 8))
+      .as[(Seq[Long], Seq[Long])].collect()
+    dup.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("native simhash64 == builtin-expression simhash64 == reference") {
     val df = texts.toDF("t")
     val got = df.select(
