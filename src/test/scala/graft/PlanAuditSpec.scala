@@ -130,9 +130,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no cartesian product in any registered query plan") {
-    // queries whose *plan construction* is cheap (no collect-driven params)
+    // skip queries whose *plan construction* itself runs jobs
+    // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
-      "emb_centroids")
+      "emb_centroids", "emb_kmeans", "dedup_connected_components")
     SparkEntry.queries.keys
       .filterNot(heavy)
       .filterNot(_.startsWith("stream_")) // replay gate executes eagerly
