@@ -1167,6 +1167,33 @@ object SparkEntry {
         graft.functions.GraftFunctions.langId(s, col("text"))
           .as("lang_pred"))),
 
+    // End-to-end training-data pipeline — the capstone composition every
+    // component exists for: language-ID gate -> token-count quality gate
+    // -> exact content dedup (keep min doc_id per md5) -> deterministic
+    // md5-bucket train/val/test split -> corpus stats per (split, lang).
+    // One scan + one dedup shuffle + one final agg; every stage is the
+    // operator its standalone query checks.
+    "pipeline_training_data" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.langId(s, col("text"))
+          .as("lang_pred"),
+        size(Dedup.cleanTokens(col("text"))).cast("long").as("n_tok"))
+      val kept = docs.where(col("lang_pred") =!= "unknown" &&
+        col("n_tok") >= 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+      deduped
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
     // Document frequency / term frequency per token (IDF building block)
     "text_doc_freq" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -2362,6 +2389,31 @@ object SparkEntry {
       s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "pipeline_training_data" ->
+      s"""${langPredCtes("doc_id")},
+         |d AS (
+         |  SELECT doc.doc_id, doc.text, p.lang_pred,
+         |         cast(len(${cleanToksSql("doc.text")}) AS bigint) AS n_tok
+         |  FROM documents doc JOIN p ON doc.doc_id = p.doc_id
+         |),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                               ORDER BY doc_id) AS rn
+         |  FROM d WHERE lang_pred <> 'unknown' AND n_tok >= 5
+         |),
+         |sp AS (
+         |  SELECT doc_id, lang_pred, n_tok,
+         |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |                   % 100 < 80 THEN 'train'
+         |              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |                   % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM dd WHERE rn = 1
+         |)
+         |SELECT split, lang_pred, count(*) AS n_docs,
+         |       cast(sum(n_tok) AS bigint) AS n_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,
