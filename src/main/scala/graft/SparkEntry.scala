@@ -749,6 +749,25 @@ object SparkEntry {
           element_at(col("features"), 6).cast("double").as("mean_b"))
     }),
 
+    // REAL windowed audio analysis: two-segment PCM16 WAV per doc through
+    // the actual javax.sound decoder, then one row per 8-frame window
+    // with its RMS — window counts, partial tails, and every RMS value
+    // are analytic (dyadic amplitudes; windows mix a known count of each
+    // segment, and all partial sums stay exactly representable)
+    "media_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.multimodal.Media.syntheticWav2(
+            (16 + id % 32).toInt,
+            ((id % 1000 + 1) * 16).toShort,
+            ((id % 700 + 1) * 20).toShort))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractAudioWindows(media, winFrames = 8)
+        .select(col("media_id"), col("win_idx"), col("n_win"),
+          col("n_frames_in_win"), round(col("rms"), 6).as("rms"))
+    }),
+
     // REAL video-frame sampling, driver-checked: synthesize a multi-frame
     // animated GIF per doc (frame count, dims, and per-frame solid colors
     // all derived from doc_id), decode every frame through the JDK's
@@ -1974,6 +1993,31 @@ object SparkEntry {
         |       cast(cast(cast(16 + doc_id % 32 AS REAL) / cast(8000 AS REAL)
         |            AS REAL) AS double) AS dur_sec
         |FROM documents""".stripMargin,
+
+    // first half of the frames at a1, rest at a2; window w covers frames
+    // [8w, min(8w+8, F)); n1 = frames of segment 1 inside the window
+    "media_audio_windows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         cast(16 + doc_id % 32 AS bigint) AS f,
+        |         cast((doc_id % 1000 + 1) * 16 AS double) / 32768 AS a1,
+        |         cast((doc_id % 700 + 1) * 20 AS double) / 32768 AS a2
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, f, a1, a2, i,
+        |         least(i * 8 + 8, f) - i * 8 AS n,
+        |         greatest(0, least(least(i * 8 + 8, f), f // 2) - i * 8)
+        |           AS n1
+        |  FROM g CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i)
+        |  WHERE i * 8 < f
+        |)
+        |SELECT doc_id AS media_id,
+        |       cast(i AS bigint) AS win_idx,
+        |       cast((f + 7) // 8 AS bigint) AS n_win,
+        |       cast(n AS bigint) AS n_frames_in_win,
+        |       round(sqrt((n1 * a1 * a1 + (n - n1) * a2 * a2) / n), 6)
+        |         AS rms
+        |FROM w""".stripMargin,
 
     // one row per sampled (every-2nd) frame; solid indexed-palette frames
     // make every decoded mean an exact integer

@@ -181,6 +181,58 @@ object Media {
   def extractWavFeatures(df: DataFrame): DataFrame =
     extractWith(df, wavFeatures)
 
+  /** Windowed RMS over a decoded WAV: REAL decode, then one row per
+    * fixed-size window of `winFrames` frames (mono assumed; the last
+    * window may be partial) — the audio analog of video frame sampling.
+    * Typed `Dataset.mapPartitions`; one decode per payload. Input:
+    * (media_id: long, payload: binary); output: (media_id, win_idx,
+    * n_win, n_frames_in_win, rms). Undecodable payloads contribute no
+    * rows. */
+  def extractAudioWindows(df: DataFrame, winFrames: Int): DataFrame = {
+    require(winFrames >= 1, s"winFrames must be >= 1, got $winFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload) match {
+          case None => Iterator.empty
+          case Some((_, samples)) =>
+            val nWin = (samples.length + winFrames - 1) / winFrames
+            (0 until nWin).iterator.map { wi =>
+              val lo = wi * winFrames
+              val hi = math.min(lo + winFrames, samples.length)
+              var sq = 0.0
+              var i = lo
+              while (i < hi) { sq += samples(i) * samples(i); i += 1 }
+              (id, wi.toLong, nWin.toLong, (hi - lo).toLong,
+                math.sqrt(sq / (hi - lo)))
+            }
+        }
+      })
+      .toDF("media_id", "win_idx", "n_win", "n_frames_in_win", "rms")
+  }
+
+  /** Two-segment PCM16 mono WAV fixture: the first half of the frames at
+    * `amp1`, the rest at `amp2` — windowed RMS values stay analytically
+    * predictable (each window mixes a known count of each amplitude). */
+  def syntheticWav2(frames: Int, amp1: Short, amp2: Short,
+                    rate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](frames * 2)
+    val sb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val half = frames / 2
+    var i = 0
+    while (i < frames) { sb.put(i, if (i < half) amp1 else amp2); i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic constant-amplitude PCM16 mono WAV written through the
     * real JDK encoder (fixture generator: every decoded feature is
     * analytically predictable — constant samples make meanAbs, RMS, and

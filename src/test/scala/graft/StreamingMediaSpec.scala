@@ -230,6 +230,25 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  test("REAL audio windows: two-segment WAV yields per-window RMS rows") {
+    // 20 frames: 10 at 4096, 10 at 8192; windows of 8 -> [8x a1],
+    // [2x a1 + 6x a2], [4x a2] (partial tail)
+    val wav = Media.syntheticWav2(frames = 20, amp1 = 4096, amp2 = 8192)
+    val df = Seq((7L, wav), (8L, Array[Byte](1, 2))).toDF("media_id", "payload")
+    val got = Media.extractAudioWindows(df, winFrames = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((7L, 0L, 3L, 8L), (7L, 1L, 3L, 8L), (7L, 2L, 3L, 4L)))
+    val (a1, a2) = (4096.0 / 32768, 8192.0 / 32768)
+    val want = Seq(
+      math.sqrt(8 * a1 * a1 / 8),
+      math.sqrt((2 * a1 * a1 + 6 * a2 * a2) / 8),
+      math.sqrt(4 * a2 * a2 / 4))
+    got.map(_._5).zip(want).foreach { case (g, w) => assert(g == w) }
+    // undecodable payload contributes no rows
+    assert(!got.exists(_._1 == 8L))
+  }
+
   test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
     val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
     val df = Media.withMeta(
