@@ -850,7 +850,12 @@ object SparkEntry {
     // from lineitem: cost = min(l_extendedprice) per (partkey, suppkey) —
     // a bare min, no arithmetic, so cross-engine comparison is exact.
     // Catalyst rewrites the correlated scalar into an aggregate + join;
-    // dims broadcast (asserted in PlanAuditSpec).
+    // dims broadcast (asserted in PlanAuditSpec). Known plan property:
+    // the inlined ps CTE is evaluated on BOTH sides of the decorrelation
+    // (two lineitem aggregates — the same plan vanilla Spark produces
+    // for TPC-H Q2); when the double scan matters more than the subquery
+    // shape, compute ps once and take the per-part min via the window
+    // formulation instead (rel_window_topn_per_group's pattern).
     "rel_q2_min_cost" -> ((s, dir) => {
       tbl(s, dir, "part").createOrReplaceTempView("graft_part")
       tbl(s, dir, "supplier").createOrReplaceTempView("graft_supplier")

@@ -41,6 +41,31 @@ class SinkFormatsSpec extends AnyFunSuite {
       rows.map { case (i, s, v) => (i, if (s.isEmpty) null else s, v) }.toSet)
   }
 
+  test("native streaming file sink appends exactly-once via its commit log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-filesink").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-filesink-ck").toString
+    val mem = MemoryStream[(Long, String)]
+    def run(data: Seq[(Long, String)]): Unit = {
+      val q = mem.toDF().toDF("id", "s").writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(Seq((1L, "x"), (2L, "y")))
+    // second query instance resumes from the SAME checkpoint: the sink's
+    // _spark_metadata commit log must not double-count the first batch
+    run(Seq((3L, "z")))
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("foreachBatch routes a stream into an arbitrary batch sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
