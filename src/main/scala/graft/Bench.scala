@@ -18,10 +18,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every table + run the flagship pipeline once
+    // warmup: touch every table + JIT the hot stacks once (flagship
+    // pipeline, relational agg, and the text-hash/minhash pipeline — the
+    // alphabetically-early dedup queries would otherwise absorb the
+    // one-time compile cost of the whole hashing stack into their number)
     try {
       SparkEntry.queries("stock_count_pipeline")(spark, sfDir).count()
       SparkEntry.queries("rel_q1_lineitem_agg")(spark, sfDir).count()
+      SparkEntry.queries("dedup_minhash_sig")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
     // noop sink: forces full evaluation of every output column (a count()

@@ -169,17 +169,19 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val fromNeighbors = e.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("lab"))
-      val next = labels.union(fromNeighbors)
-        .groupBy("node").agg(min("lab").as("lab"))
+      // one job per round: propagate neighbor minima, take min with the
+      // node's own label, and CARRY the old label through so convergence
+      // is a filter over the checkpointed result — no second join
+      val nbMin = e.join(labels, col("dst") === col("node"))
+        .groupBy(col("src").as("nb_node")).agg(min("lab").as("nb"))
+      val next = labels.select(col("node"), col("lab").as("old"))
+        .join(nbMin, col("node") === col("nb_node"), "left_outer")
+        .select(col("node"),
+          least(col("old"), coalesce(col("nb"), col("old"))).as("lab"),
+          col("old"))
         .localCheckpoint(false)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.lab") =!= col("o.lab"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      converged = next.where(col("lab") =!= col("old")).limit(1).count() == 0L
+      labels = next.select("node", "lab")
       iter += 1
     }
     labels.select(col("node").as(idCol), col("lab").as("component"))
