@@ -403,6 +403,23 @@ object SparkEntry {
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"))
     }),
 
+    // Custom 0..n-rows-per-group state via flatMapGroupsWithState: emit
+    // every session CLOSED by an event-time gap (> 30 min), keep the open
+    // tail in state — the oracle sessionizes in batch SQL and drops each
+    // user's last (still-open) session
+    "stream_closed_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val data = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_closed_sessions",
+        "append")(df =>
+        graft.streaming.EventStream.closedSessions(
+          df.toDF("u", "t").as[(Long, Long)]).toDF())
+        .select(col("userId").as("user_id"), col("startUs").as("start_us"),
+          col("endUs").as("end_us"), col("nEvents").as("n_events"))
+    }),
+
     // Stream-stream interval join: purchases attributed to same-user views
     // in the prior 30 min; far-future sentinel (user -1) advances both
     // watermarks so the tail emits, then is filtered out
@@ -1753,6 +1770,27 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch sessionization (gap > 30 min), minus each user's LAST session
+    // — that one is still open in the stream and must not have emitted
+    "stream_closed_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |g AS (SELECT user_id, sid, min(ts_us) AS start_us,
+        |        max(ts_us) AS end_us, count(*) AS n_events
+        |      FROM s GROUP BY 1, 2),
+        |m AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |      FROM g)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM m WHERE sid < max_sid""".stripMargin,
 
     // a 1h-window/15min-slide assigns each event to the 4 windows starting
     // at time_bucket(15 min) - k*15 min, k = 0..3 (ts is always >= the

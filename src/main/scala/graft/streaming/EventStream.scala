@@ -86,6 +86,56 @@ object EventStream {
       }
   }
 
+  /** A closed event-time session: [startUs, endUs] with its event count. */
+  case class ClosedSession(userId: Long, startUs: Long, endUs: Long,
+                           nEvents: Long)
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(startUs: Long, endUs: Long, nEvents: Long)
+
+  /** Event-time sessionization via flatMapGroupsWithState — the 0..n-rows-
+    * per-group shape mapGroupsWithState can't express: each invocation
+    * EMITS every session that closed (a gap > `gapUs` between consecutive
+    * event times) and keeps only the still-open tail session in state.
+    * Input: (userId, tsUs). Per group per batch the new event times are
+    * sorted in memory — bounded by that user's per-batch volume, the
+    * standard sessionization contract (identical to what
+    * `session_window` aggregation buffers per key).
+    *
+    * `NoTimeout` for bounded replays (see [[runningSessions]]); unbounded
+    * production streams would add an event-time timeout to also flush
+    * sessions closed by pure inactivity. */
+  def closedSessions(events: Dataset[(Long, Long)],
+                     gapUs: Long = 30L * 60 * 1000 * 1000)
+  : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[OpenSession]) =>
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            open match {
+              case Some(o) if t - o.endUs <= gapUs =>
+                open = Some(OpenSession(o.startUs, t, o.nEvents + 1))
+              case Some(o) =>
+                closed += ClosedSession(userId, o.startUs, o.endUs, o.nEvents)
+                open = Some(OpenSession(t, t, 1L))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+            i += 1
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the views by
     * the same user in the preceding `window`. Watermarks on BOTH sides
     * bound the join state (each side keeps only rows within the lateness +

@@ -79,6 +79,32 @@ class StreamingMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closedSessions emits gap-closed sessions, keeps the tail open") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = EventStream.closedSessions(
+      mem.toDF().toDF("u", "t").as[(Long, Long)]).toDF()
+    val q = out.writeStream.format("memory").queryName("closed_sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 1s apart, then a >30min jump -> first session
+      // closes; user 2: one event -> stays open, nothing emitted
+      mem.addData((1L, 0L), (1L, 1000000L), (1L, 5000000000L), (2L, 7L))
+      q.processAllAvailable()
+      val r1 = spark.table("closed_sess")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(r1 == Set((1L, 0L, 1000000L, 2L)))
+      // next batch: extend user 1's open session, then jump again ->
+      // the state carried across batches closes [5e9, 5.1e9] with 2 events
+      mem.addData((1L, 5100000000L), (1L, 10000000000L))
+      q.processAllAvailable()
+      val r2 = spark.table("closed_sess")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(r2 == Set((1L, 0L, 1000000L, 2L),
+        (1L, 5000000000L, 5100000000L, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeats within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
