@@ -421,24 +421,38 @@ object SparkEntry {
     }),
 
     // Stream-stream interval join: purchases attributed to same-user views
-    // in the prior 30 min; far-future sentinel (user -1) advances both
-    // watermarks so the tail emits, then is filtered out
+    // in the prior 30 min, through TWO distributed file sources — both
+    // sides staged as parquet and read back by the engine's file source
+    // on the executors, no driver collect anywhere. A far-future sentinel
+    // row (user -1, year 2100 — data-independent) is UNIONed into each
+    // staged side so the post-batch watermark clears the join state; it
+    // is filtered out of the output.
     "stream_join_attrib" -> ((s, dir) => {
-      import s.implicits._
-      val all = events(s, dir)
+      // ONE distributed scan + partitioned write stages both sides; each
+      // file source reads its event_type= subdirectory
+      val sentinels = s.createDataFrame(Seq(
+        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "view"),
+        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "purchase")))
+        .toDF("user_id", "ts", "event_type")
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft-join-src-")
+      d.toFile.deleteOnExit()
+      events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
-        .as[(Long, java.sql.Timestamp, String)].collect()
-      def side(t: String): Seq[(Long, java.sql.Timestamp)] =
-        all.collect { case (u, ts, et) if et == t => (u, ts) }.toSeq
-      val (views, purch) = (side("view"), side("purchase"))
-      val far = new java.sql.Timestamp(
-        (views ++ purch).map(_._2.getTime).max + 86400000L)
-      val sentinel = Seq((-1L, far))
-      graft.streaming.StreamGate.replayJoin(s, views, purch,
-        sentinel, sentinel, "gate_attrib")((v, p) =>
-        graft.streaming.EventStream.attributeToViews(
-          v.toDF("user_id", "ts"), p.toDF("user_id", "ts")))
+        .union(sentinels)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(d.toString)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      graft.streaming.StreamGate.replayJoinFileSource(s,
+        s"$d/event_type=view", s"$d/event_type=purchase", schema,
+        "gate_attrib")((v, p) =>
+        graft.streaming.EventStream.attributeToViews(v, p))
         .where(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("v_ts")).as("v_ts_us"))

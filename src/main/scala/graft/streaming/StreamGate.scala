@@ -85,40 +85,35 @@ object StreamGate {
     spark.table(name)
   }
 
-  /** Two-source replay for stream-stream joins. Append-mode joins only
-    * emit once the watermark passes a row, and the watermark only advances
-    * off observed event times — so callers pass far-future sentinel rows
-    * (`flushLeft`/`flushRight`, filtered out downstream) that ride IN THE
-    * SAME micro-batch as the data: the watermark computed after batch 0
-    * then clears the whole state in the engine's single no-data
-    * watermark-advance batch. Two micro-batches total; the earlier
-    * flush-as-second-round shape paid ~600 ms of incremental re-planning
-    * fixed cost for each of its two extra batches at identical output
-    * (watermarks are batch-max based, so in-batch position is
-    * irrelevant, and batch 0 runs under the PREVIOUS watermark — nothing
-    * is late-dropped). */
-  def replayJoin[A: Encoder, B: Encoder](spark: SparkSession,
-                                         left: Seq[A], right: Seq[B],
-                                         flushLeft: Seq[A], flushRight: Seq[B],
-                                         name: String)
-                                        (transform: (DataFrame, DataFrame) => DataFrame)
-  // two shuffle partitions: a stream-stream join materializes ~5 state
-  // stores PER PARTITION, each snapshotted per micro-batch — at
-  // kilobytes of state the per-store checkpoint fixed cost dominates,
-  // so low partition counts beat parallelism here (measured: 2 edges out
-  // 1 — batch-0's 40k-row join work still splits — and beats 4/8)
+  /** Two-source FILE replay for stream-stream joins: both sides stream
+    * from staged parquet directories through the real file source — fully
+    * distributed, nothing collected. Callers bake watermark-advancing
+    * sentinel rows INTO the staged data (watermarks are computed from the
+    * batch max, so in-batch position is irrelevant, and batch 0 runs
+    * under the previous watermark — nothing is late-dropped): the file
+    * source drains each directory into micro-batch 0 and the engine's
+    * single no-data watermark-advance batch then clears the whole join
+    * state — a two-micro-batch replay, each extra batch would cost
+    * ~600 ms of incremental re-planning.
+    *
+    * Two shuffle partitions: a stream-stream join materializes ~5 state
+    * stores PER PARTITION, each snapshotted per micro-batch — at
+    * kilobytes of state the per-store checkpoint fixed cost dominates,
+    * so low partition counts beat parallelism (measured: 2 edges out 1 —
+    * batch-0's join work still splits — and beats 4/8). */
+  def replayJoinFileSource(spark: SparkSession,
+                           leftDir: String, rightDir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           name: String)
+                          (transform: (DataFrame, DataFrame) => DataFrame)
   : DataFrame = withReplayPartitions(spark, 2) {
-    implicit val sqlCtx = spark.sqlContext
-    val l = MemoryStream[A]
-    val r = MemoryStream[B]
-    val q = transform(l.toDF(), r.toDF()).writeStream
+    val l = spark.readStream.schema(schema).parquet(leftDir)
+    val r = spark.readStream.schema(schema).parquet(rightDir)
+    val q = transform(l, r).writeStream
       .format("memory").queryName(name).outputMode("append")
       .option("checkpointLocation", ckptDir(name)).start()
-    try {
-      l.addData(left ++ flushLeft: _*)
-      r.addData(right ++ flushRight: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
 }
