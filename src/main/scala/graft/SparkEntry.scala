@@ -26,7 +26,19 @@ import org.apache.spark.sql.functions._
   *   - NEVER reduce a decimal's scale in the intermediate cast: Spark rounds
   *     (HALF_UP) but DuckDB truncates on decimal downcasts, so sums keep
   *     the natural scale of the arithmetic (e.g. price*discount sums stay
-  *     scale 4) before the final double cast.
+  *     scale 4) before the final double cast;
+  *   - rounding-mode-sensitive integer quantization uses `floor(x + 0.5)`
+  *     spelled out on BOTH sides (`round()` half-way behavior is not
+  *     engine-portable), and squares are written `d * d` (`pow(x, 2)` is
+  *     not guaranteed bit-equal to the product);
+  *   - multi-term double formulas (BM25 scores, cosine ratios) are written
+  *     in the SAME literal operation order on both sides and rounded to 6
+  *     decimals, which absorbs last-ulp differences from libm/aggregation
+  *     order without masking real errors;
+  *   - anything nondeterministic is banned: sampling/splits hash the row
+  *     key (md5 buckets), rank/limit boundaries always carry an id
+  *     tiebreak, and streaming replays advance watermarks with sentinel
+  *     rows baked into the staged data.
   */
 object SparkEntry {
 
