@@ -1279,10 +1279,14 @@ object SparkEntry {
     // oracle; round(6) absorbs last-ulp ln() differences across libms.
     "text_bm25" -> ((s, dir) => {
       val terms = Seq("join", "vector", "dup")
+      // tokenized once and materialized: `base` feeds three consumers
+      // (corpus stats, per-doc tf, and the scored join) which would each
+      // re-run the tokenization otherwise
       val base = tbl(s, dir, "documents")
         .select(col("doc_id"), Dedup.cleanTokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("double").as("dl"))
+        .localCheckpoint(false)
       val statAggs = count(lit(1)).cast("double").as("n") +:
         avg(col("dl")).as("avgdl") +:
         terms.zipWithIndex.map { case (t, i) =>
