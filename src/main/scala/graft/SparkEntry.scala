@@ -1469,6 +1469,22 @@ object SparkEntry {
             .as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // Window navigation battery: lag/lead/first over a per-user timeline
+    // (prev/next event type, session-start anchor, gap to next event) —
+    // the navigation functions the frame-based window queries don't touch
+    "rel_window_navigation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .select(col("user_id"), col("event_id"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          lead("event_type", 1).over(w).as("next_type"),
+          first(col("ts_us")).over(w).as("first_ts_us"),
+          (lead("ts_us", 1).over(w) - col("ts_us")).as("us_to_next"))
+    }),
+
     // Explicit GROUPING SETS with grouping() markers (rollup/cube's
     // general form): per-status totals, per-priority totals, grand total
     "rel_grouping_sets" -> ((s, dir) => {
@@ -2127,6 +2143,15 @@ object SparkEntry {
         |       cast(doc_id * 7 % 256 AS double) AS mean_g,
         |       cast(doc_id * 13 % 256 AS double) AS mean_b
         |FROM g""".stripMargin,
+
+    "rel_window_navigation" ->
+      """SELECT user_id, event_id,
+        |       lag(event_type, 1) OVER w AS prev_type,
+        |       lead(event_type, 1) OVER w AS next_type,
+        |       first_value(epoch_us(ts)) OVER w AS first_ts_us,
+        |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS us_to_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "rel_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
