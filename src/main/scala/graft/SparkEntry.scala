@@ -1469,6 +1469,20 @@ object SparkEntry {
             .as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // Null-safe equality end to end: derive a nullable key (errors map to
+    // NULL), aggregate it — null is a real group — and join rows back on
+    // `<=>` (IS NOT DISTINCT FROM), so the null-keyed rows find their
+    // null group instead of silently dropping as an equi-join would
+    "rel_null_safe_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")).as("k"))
+      val g = e.groupBy(col("k").as("gk"))
+        .agg(count(lit(1)).as("group_cnt"))
+      e.join(g, col("k") <=> col("gk"))
+        .select(col("event_id"), col("k"), col("group_cnt"))
+    }),
+
     // Window navigation battery: lag/lead/first over a per-user timeline
     // (prev/next event type, session-start anchor, gap to next event) —
     // the navigation functions the frame-based window queries don't touch
@@ -2143,6 +2157,15 @@ object SparkEntry {
         |       cast(doc_id * 7 % 256 AS double) AS mean_g,
         |       cast(doc_id * 13 % 256 AS double) AS mean_b
         |FROM g""".stripMargin,
+
+    "rel_null_safe_join" ->
+      """WITH e AS (
+        |  SELECT event_id, nullif(event_type, 'error') AS k FROM events
+        |), g AS (
+        |  SELECT k AS gk, count(*) AS group_cnt FROM e GROUP BY k
+        |)
+        |SELECT event_id, k, group_cnt
+        |FROM e JOIN g ON e.k IS NOT DISTINCT FROM g.gk""".stripMargin,
 
     "rel_window_navigation" ->
       """SELECT user_id, event_id,
