@@ -25,7 +25,9 @@ object Bench {
     try {
       SparkEntry.queries("stock_count_pipeline")(spark, sfDir).count()
       SparkEntry.queries("rel_q1_lineitem_agg")(spark, sfDir).count()
-      SparkEntry.queries("dedup_minhash_sig")(spark, sfDir).count()
+      // covers shingles, from-shingles minhash, LSH banding, and the
+      // candidate joins — the whole stack the dedup_* queries share
+      SparkEntry.queries("dedup_jaccard_pairs")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
     // noop sink: forces full evaluation of every output column (a count()
