@@ -12,6 +12,41 @@ class StreamRecoverySpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("aggregation state survives a restart on the RocksDB state store") {
+    // the production state backend (bounded memory, native compaction) —
+    // the provider is read at query start, so it wraps the whole test
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft-rdb-in").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft-rdb-ck").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType)))
+      def start(sink: String) =
+        spark.readStream.schema(schema).parquet(in)
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").option("checkpointLocation", ck).start()
+      Seq("x", "x", "y").toDF("word").write.mode("append").parquet(in)
+      val q1 = start("rdb_run1")
+      try { q1.processAllAvailable() } finally q1.stop()
+      Seq("x", "z").toDF("word").write.mode("append").parquet(in)
+      val q2 = start("rdb_run2")
+      try {
+        q2.processAllAvailable()
+        val got = spark.table("rdb_run2").as[(String, Long)].collect().toMap
+        // RocksDB-backed state restored across the restart, not recounted
+        assert(got == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+      } finally q2.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-source aggregation resumes from checkpoint after a restart") {
     val in = java.nio.file.Files.createTempDirectory("graft-rec-in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ck").toString
