@@ -20,4 +20,16 @@ object Bridge {
   def expression(c: org.apache.spark.sql.Column)
   : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Drop the cached blocks behind a `localCheckpoint`ed DataFrame the
+    * caller no longer needs. Dataset exposes no unpersist for checkpoint
+    * RDDs — without this, iterative drivers (label propagation) accumulate
+    * one materialized RDD per round until the ContextCleaner eventually
+    * notices; an explicit release bounds the footprint to two rounds. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
