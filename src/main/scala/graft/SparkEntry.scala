@@ -348,10 +348,13 @@ object SparkEntry {
       val src = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft-stream-src-")
-      src.toFile.deleteOnExit()
       val staged = events(s, dir).select(col("ts"), col("event_type"))
       staged.write.mode("overwrite").parquet(src.toString)
-      graft.streaming.StreamGate.replayFileSource(s, src.toString,
+      // the replay drains the staged files into the memory sink before
+      // returning, so the directory can be removed immediately — waiting
+      // for JVM exit (deleteOnExit) would leak it: non-empty dirs are
+      // never deleted that way
+      try graft.streaming.StreamGate.replayFileSource(s, src.toString,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.TimestampType),
@@ -362,6 +365,7 @@ object SparkEntry {
           df, "ts", "event_type", window = "1 hour"))
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("cnt"))
+      finally graft.streaming.StreamGate.deleteRecursively(src.toString)
     }),
 
     // Sliding 1h windows every 15 min: each event lands in 4 windows
@@ -449,7 +453,6 @@ object SparkEntry {
       val d = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft-join-src-")
-      d.toFile.deleteOnExit()
       events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
@@ -461,13 +464,16 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.TimestampType)))
-      graft.streaming.StreamGate.replayJoinFileSource(s,
+      // staged data is fully drained into the memory sink by the time the
+      // replay returns — remove the directory now, not at JVM exit
+      try graft.streaming.StreamGate.replayJoinFileSource(s,
         s"$d/event_type=view", s"$d/event_type=purchase", schema,
         "gate_attrib")((v, p) =>
         graft.streaming.EventStream.attributeToViews(v, p))
         .where(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("v_ts")).as("v_ts_us"))
+      finally graft.streaming.StreamGate.deleteRecursively(d.toString)
     }),
 
     // ---- relational generality (beyond the reference's surface) ----------
@@ -705,23 +711,19 @@ object SparkEntry {
         length(col("text")).cast("long").as("text_len"))),
 
     // Multimodal plumbing, driver-checked: synthetic media table (payload
-    // = UTF-8 bytes of text), typed metadata via Media.withMeta, then the
-    // resize path — the oracle independently recomputes byte length, md5,
-    // and the every-3rd-byte resample arithmetic. The decode stub itself
-    // stays scalatest-only (not SQL-expressible); this pins the real
-    // Spark-side contract: binary schema, metadata, sampling math.
+    // = UTF-8 bytes of text), typed metadata via Media.withMeta — the
+    // oracle independently recomputes the byte length and payload md5,
+    // pinning the Spark-side binary contract: opaque binary column, typed
+    // metadata struct, content hashing over raw bytes.
     "media_metadata" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
         col("doc_id").as("media_id"),
         col("source").as("kind"),
         col("text").cast("binary").as("payload"))
-      val staged = graft.multimodal.Media.withMeta(media, "utf8")
-        .select(col("*"), md5(col("payload")).as("payload_md5"),
-          col("meta.n_bytes").as("orig_bytes"))
-      graft.multimodal.Media.resizeStub(staged, 3)
+      graft.multimodal.Media.withMeta(media, "utf8")
         .select(col("media_id"), col("kind"), col("meta.format").as("format"),
-          col("payload_md5"), col("orig_bytes"),
-          col("meta.n_bytes").as("resized_bytes"))
+          md5(col("payload")).as("payload_md5"),
+          col("meta.n_bytes").as("n_bytes"))
     }),
 
     // REAL image decode, driver-checked: synthesize a solid-color PNG per
@@ -830,6 +832,36 @@ object SparkEntry {
             (1 + id % 3).toInt, (1 + id % 2).toInt, colors))
         }).toDF("media_id", "payload")
       graft.multimodal.Media.extractVideoFrames(media, everyNth = 2)
+    }),
+
+    // REAL per-frame video resize, driver-checked: multi-frame GIF with
+    // doc_id-derived dims (up to 13x7), every 2nd frame bilinear-scaled so
+    // max(w,h) == 4 (never upscaled) and re-encoded as lossless PNG, then
+    // decoded AGAIN through the image-feature path. The oracle reproduces
+    // the integer geometry (trunc(dim * 4/maxdim), floor at 1) and the
+    // colors analytically (bilinear of a solid frame is the solid color;
+    // PNG round-trips it exactly).
+    "media_video_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (2 + id % 4).toInt
+          val colors = (0 until n).map(i => (
+            ((id + 17 * i) % 256).toInt,
+            ((id * 3 + 29 * i) % 256).toInt,
+            ((id * 5 + 41 * i) % 256).toInt))
+          (id, graft.multimodal.Media.syntheticGif(
+            (1 + id % 13).toInt, (1 + id % 7).toInt, colors))
+        }).toDF("media_id", "payload")
+      val frames = graft.multimodal.Media.resizeVideoFrames(
+        media, maxDim = 4, everyNth = 2)
+      graft.multimodal.Media.extractImageFeatures(frames)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 4).cast("double").as("mean_r"),
+          element_at(col("features"), 5).cast("double").as("mean_g"),
+          element_at(col("features"), 6).cast("double").as("mean_b"))
     }),
 
     // Window distribution functions: quartile + percent_rank per key
@@ -1653,10 +1685,10 @@ object SparkEntry {
           round(Similarity.dot(col("centroid"), qarr) /
             (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
               lit(qnorm)), 6).as("ccos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("ccos").desc, col("clabel").asc)
-      val probed = cell.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3).select("clabel")
+      // top-3 probed cells via sort-limit (TakeOrderedAndProject over the
+      // 10-row model — no single-partition Window anywhere in the plan)
+      val probed = cell.orderBy(col("ccos").desc, col("clabel").asc)
+        .limit(3).select("clabel")
       emb.join(broadcast(probed), col("label") === col("clabel"))
         .select(col("vec_id"), col("label"),
           round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
@@ -2055,16 +2087,10 @@ object SparkEntry {
         |       length(text) AS text_len
         |FROM documents""".stripMargin,
 
-    // resized_bytes: resizeStub keeps payload bytes at 0-based offsets
-    // 0,3,6,... (the i=len sample is past-the-end and empty), hence
-    // (len-1)//3 + 1 bytes for non-empty payloads
     "media_metadata" ->
       """SELECT doc_id AS media_id, source AS kind, 'utf8' AS format,
         |       md5(text) AS payload_md5,
-        |       cast(octet_length(encode(text)) AS bigint) AS orig_bytes,
-        |       cast(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-        |            ELSE (octet_length(encode(text)) - 1) // 3 + 1 END
-        |            AS bigint) AS resized_bytes
+        |       cast(octet_length(encode(text)) AS bigint) AS n_bytes
         |FROM documents""".stripMargin,
 
     // float (REAL) narrowing mirrors the engine's Float features; solid
@@ -2134,6 +2160,32 @@ object SparkEntry {
         |       cast((doc_id * 3 + 29 * i) % 256 AS double) AS mean_g,
         |       cast((doc_id * 5 + 41 * i) % 256 AS double) AS mean_b
         |FROM documents CROSS JOIN (VALUES (0), (2), (4)) AS t(i)
+        |WHERE i < 2 + doc_id % 4""".stripMargin,
+
+    // same sampled frames as media_video_frames (every 2nd), with the
+    // media_image_resize geometry applied per frame: scale = 4.0/max(w,h),
+    // never upscale, trunc toward zero (Java (int) cast), floor at 1;
+    // solid colors survive bilinear + lossless PNG exactly
+    "media_video_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         cast(1 + doc_id % 13 AS bigint) AS w0,
+        |         cast(1 + doc_id % 7 AS bigint) AS h0
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |       cast(i AS bigint) AS frame_idx,
+        |       cast(2 + doc_id % 4 AS bigint) AS n_frames,
+        |       CASE WHEN greatest(w0, h0) <= 4 THEN w0
+        |            ELSE greatest(1, cast(trunc(w0 * (4.0 / greatest(w0, h0)))
+        |                             AS bigint)) END AS w,
+        |       CASE WHEN greatest(w0, h0) <= 4 THEN h0
+        |            ELSE greatest(1, cast(trunc(h0 * (4.0 / greatest(w0, h0)))
+        |                             AS bigint)) END AS h,
+        |       cast((doc_id + 17 * i) % 256 AS double) AS mean_r,
+        |       cast((doc_id * 3 + 29 * i) % 256 AS double) AS mean_g,
+        |       cast((doc_id * 5 + 41 * i) % 256 AS double) AS mean_b
+        |FROM g CROSS JOIN (VALUES (0), (2), (4)) AS t(i)
         |WHERE i < 2 + doc_id % 4""".stripMargin,
 
     // integer geometry: scale = 4.0/max(w,h); no upscale; trunc toward

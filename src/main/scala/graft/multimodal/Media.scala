@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` ([[decodeWav]]). VIDEO frame decode is REAL over
   * the one multi-frame container the JDK can read — animated GIF — via
   * `ImageReader.getNumImages`/`read(i)` ([[gifFrames]] /
-  * [[sampleFrames]] / [[extractVideoFrames]]); swap the GIF reader for
-  * JavaCV/ffmpeg bindings to cover mp4 et al., every other line stays as
-  * is. [[decodeStub]] remains only as the generic batch-contract example.
+  * [[sampleFrames]] / [[extractVideoFrames]] / [[resizeVideoFrames]]);
+  * swap the GIF reader for JavaCV/ffmpeg bindings to cover mp4 et al.,
+  * every other line stays as is.
   *
   * Scale design: `mapPartitions` processes whole partitions with one
   * decoder instance per task (amortized init), no per-row UDF overhead, no
@@ -44,25 +44,6 @@ object Media {
         lit(null).cast("int").as("height"),
         coalesce(length(col("payload")).cast("long"), lit(0L))
           .as("n_bytes")).as("meta"))
-
-  /** STUB decoder: deterministic fake "feature extraction" — 8 floats
-    * derived from the payload bytes. Replace the body marked below with a
-    * real decoder; the batch shape (Iterator-to-Iterator over partitions,
-    * fixed-width float vector out) is the production contract. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // ---- replace from here with a real decode ----
-    if (payload == null || payload.isEmpty) Array.fill(8)(0f)
-    else {
-      val out = new Array[Float](8)
-      var i = 0
-      while (i < payload.length) {
-        out(i % 8) += (payload(i) & 0xff) / 255.0f
-        i += 1
-      }
-      out.map(x => x / ((payload.length / 8) + 1))
-    }
-    // ---- replace to here ----
-  }
 
   // decode from memory, not via ImageIO's default disk-backed stream
   // cache — one temp file per read would dominate a batch decode job
@@ -105,30 +86,42 @@ object Media {
           (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, 1f)
     }
 
+  /** Bilinear downscale so max(width, height) == maxDim; returns None when
+    * no scaling is needed (never upscales). Shared by the still-image and
+    * per-video-frame resize paths. */
+  private def scaleImage(img: java.awt.image.BufferedImage, maxDim: Int)
+  : Option[java.awt.image.BufferedImage] = {
+    val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+    if (scale >= 1.0) None
+    else {
+      val (nw, nh) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+      g.dispose()
+      Some(out)
+    }
+  }
+
+  /** Lossless PNG encode of a decoded frame/image. */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL image resize: decode, scale so max(width, height) == maxDim
     * (never upscales), re-encode as PNG. Undecodable payloads pass through
     * unchanged (same survival contract as [[imageFeatures]]). */
   def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] =
     decodeImage(payload) match {
       case None => payload
-      case Some(img) =>
-        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-        if (scale >= 1.0) payload
-        else {
-          val (nw, nh) = (math.max(1, (img.getWidth * scale).toInt),
-            math.max(1, (img.getHeight * scale).toInt))
-          val out = new java.awt.image.BufferedImage(nw, nh,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = out.createGraphics()
-          g.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, nw, nh, null)
-          g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          bos.toByteArray
-        }
+      case Some(img) => scaleImage(img, maxDim).fold(payload)(encodePng)
     }
 
   /** REAL WAV/PCM decode via the JDK's javax.sound.sampled: returns the
@@ -381,16 +374,42 @@ object Media {
     bos.toByteArray
   }
 
-  /** Partition-parallel REAL image feature extraction — same batch shape
-    * as [[extractFeatures]] but backed by the ImageIO decoder. */
+  /** REAL video resize: decode the container, keep frames 0, everyNth,
+    * 2*everyNth, ..., bilinear-downscale each to `maxDim` (never
+    * upscales), and emit one losslessly PNG-encoded frame per row —
+    * (media_id, frame_idx, n_frames, payload). Per-frame image output is
+    * the training-pipeline shape (each frame feeds the image path:
+    * [[extractImageFeatures]], further resizes, dedup); undecodable
+    * containers contribute no rows. Typed `Dataset.mapPartitions`: one
+    * reader per payload, frames decoded once, no RDD/Row hop. */
+  def resizeVideoFrames(df: DataFrame, maxDim: Int, everyNth: Int = 1)
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        sampleFrames(payload, everyNth).map { case (idx, n, img) =>
+          (id, idx.toLong, n.toLong,
+            encodePng(scaleImage(img, maxDim).getOrElse(img)))
+        }
+      })
+      .toDF("media_id", "frame_idx", "n_frames", "payload")
+  }
+
+  /** Partition-parallel REAL image feature extraction — [[extractWith]]
+    * over the ImageIO decoder. */
   def extractImageFeatures(df: DataFrame): DataFrame =
     extractWith(df, imageFeatures)
 
   /** Partition-parallel feature extraction over the payload column.
     * One decode pass per partition iterator — the `mapInPandas`-style
-    * batch contract, JVM edition. */
+    * batch contract, JVM edition. The default decoder is the REAL image
+    * path ([[imageFeatures]]); pass [[wavFeatures]] (or any
+    * payload-to-floats function) via [[extractWith]]'s callers
+    * ([[extractWavFeatures]]) for other modalities. */
   def extractFeatures(df: DataFrame): DataFrame =
-    extractWith(df, decodeStub)
+    extractWith(df, imageFeatures)
 
   private def extractWith(df: DataFrame,
                           decode: Array[Byte] => Array[Float]): DataFrame = {
@@ -414,30 +433,4 @@ object Media {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** Resize stub: deterministic fixed-ratio downsample of the payload
-    * (every `factor`-th byte) with metadata updated to the new size — the
-    * Spark-side shape of an image resize (payload in, smaller payload +
-    * adjusted meta out); swap the byte-sampling expression for a real
-    * scaler to productionize. */
-  def resizeStub(df: DataFrame, factor: Int): DataFrame =
-    df.withColumn("payload",
-      when(col("payload").isNull, col("payload"))
-        .otherwise(aggregate(
-          sampleChunks(col("payload"), 1, factor),
-          lit(Array.empty[Byte]),
-          (acc, x) => concat(acc, x)))) // binary-safe fold, no string round-trip
-      .withColumn("meta", struct(
-        col("meta.format"), col("meta.width"), col("meta.height"),
-        coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes")))
-
-  /** Byte-chunk resample (every `n`-th chunk of the payload) — pure
-    * expressions, no decode; used by [[resizeStub]] to pin the payload-in/
-    * smaller-payload-out plumbing. NOT the video path: real frame sampling
-    * is [[sampleFrames]]/[[extractVideoFrames]] over multi-frame GIF. */
-  def sampleChunks(payload: org.apache.spark.sql.Column, chunk: Int,
-                   everyNth: Int): org.apache.spark.sql.Column =
-    transform(
-      filter(sequence(lit(0), (length(payload) / chunk).cast("int")),
-        i => i % everyNth === 0),
-      i => substring(payload, lit(1) + i * chunk, lit(chunk)))
 }

@@ -150,12 +150,21 @@ object Dedup {
     * near-dup clusters have tiny diameters (pairs come from shared LSH
     * bands, so clusters are dense). Labels and the symmetrized edge list
     * are `localCheckpoint`ed: edges are re-consumed every round and the
-    * label lineage would otherwise grow by one join per round. For graphs
-    * with continent-sized components (social graphs, not dedup), swap the
-    * propagation for large-star/small-star — same driver-loop shape. */
+    * label lineage would otherwise grow by one join per round; each
+    * round's checkpoint blocks are explicitly released once the next
+    * round is materialized, so the storage footprint stays bounded at two
+    * label snapshots regardless of diameter. For graphs with
+    * continent-sized components (social graphs, not dedup), swap the
+    * propagation for large-star/small-star — same driver-loop shape.
+    *
+    * Throws `IllegalStateException` if the propagation has not converged
+    * after `maxIter` rounds: a truncated run would silently return SPLIT
+    * labels for any component whose diameter exceeds the budget, and the
+    * caller has no way to tell a converged fixpoint from a partial one. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "doc_id",
                           maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     // materialize the INCOMING edge list before symmetrizing: a union of
     // two selects re-evaluates its input per branch, and the edge list is
     // typically the full LSH->jaccard candidate pipeline — without this
@@ -181,9 +190,24 @@ object Dedup {
           col("old"))
         .localCheckpoint(false)
       converged = next.where(col("lab") =!= col("old")).limit(1).count() == 0L
+      // the convergence count materialized `next`'s blocks, so the prior
+      // round's snapshot is no longer referenced by anything — release it
+      // now instead of waiting for the ContextCleaner (bounds the cached
+      // footprint to two rounds however deep the propagation runs)
+      Bridge.unpersistLocalCheckpoint(labels)
       labels = next.select("node", "lab")
       iter += 1
     }
+    // the symmetrized edges were consumed once per round; the returned
+    // labels are their own checkpoint and no longer reference them
+    Bridge.unpersistLocalCheckpoint(e)
+    Bridge.unpersistLocalCheckpoint(e0)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "a component has diameter > maxIter and its labels would be " +
+          "silently split; raise maxIter (rounds are O(diameter), and " +
+          "near-dup clusters normally converge in a handful)")
     labels.select(col("node").as(idCol), col("lab").as("component"))
   }
 

@@ -106,32 +106,39 @@ object Similarity {
   }
 
   /** Assign every vector to its nearest centroid by ROUNDED cosine
-    * (deterministic across engines; ties break on centroid label). The
-    * centroid "model" arrives as driver-side literals — at scale the
-    * vectors stream through one scan with a native dot per (vector,
-    * centroid); only the model sits on the driver. Shared by the IVF
-    * assign step and the k-means Lloyd iterations. */
+    * (deterministic across engines; on a cosine tie the centroid listed
+    * EARLIEST in `cents` wins — pass the model sorted by label ascending
+    * for the conventional min-label tiebreak). The centroid "model"
+    * arrives as driver-side literals — at scale the vectors stream
+    * through one scan with a native dot per (vector, centroid); only the
+    * model sits on the driver. Shared by the IVF assign step and the
+    * k-means Lloyd iterations.
+    *
+    * The argmax is a shuffle-free fold: `array_max` over
+    * `struct(cos, -position, label)` literals-plus-scores, which compares
+    * field-by-field (max cos, then max negated position = earliest
+    * centroid). Assignment never leaves the scan's whole-stage-codegen
+    * projection — no k-times row amplification (posexplode) and no
+    * full-table shuffle (window argmax), which at a realistic IVF book
+    * (k in the thousands) would otherwise dominate the job. */
   def assignToCentroids(df: DataFrame, emb: Column, id: Column,
                         cents: Seq[(Any, Seq[Double])]): DataFrame = {
     val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
-    val scoredStructs = cents.map { case (lbl, m) =>
+    val scoredStructs = cents.zipWithIndex.map { case ((lbl, m), i) =>
       val mArr = array(m.map(lit): _*)
       val bb = math.sqrt(m.map(x => x * x).sum)
-      struct(lit(lbl).as("clabel"),
+      // sqrt(dot(e,e)) appears once per centroid, but runtime
+      // subexpression elimination inside the codegen'd Project computes
+      // it once per row
+      struct(
         round(dot(col("e"), mArr) /
-          (sqrt(dot(col("e"), col("e"))) * lit(bb)), 6).as("cos"))
+          (sqrt(dot(col("e"), col("e"))) * lit(bb)), 6).as("cos"),
+        lit(-i).as("tb"),
+        lit(lbl).as("clabel"))
     }
-    val scored = v
-      .select(col("vec_id"),
-        posexplode(array(scoredStructs.toIndexedSeq: _*))
-          .as(Seq("pos", "sc")))
-      .select(col("vec_id"), col("sc.clabel").as("clabel"),
-        col("sc.cos").as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").as("assigned"), col("cos"))
+    val best = array_max(array(scoredStructs.toIndexedSeq: _*))
+    v.select(col("vec_id"), best.getField("clabel").as("assigned"),
+      best.getField("cos").as("cos"))
   }
 
   /** Element-wise mean vector per group (the IVF "train" step): one

@@ -36,15 +36,31 @@ object StreamGate {
     * fsyncs offset/commit logs and state snapshots — RAM-backed files cut
     * that to memcpy; a production stream would point this at durable
     * storage instead), else the JVM temp dir. Unique per call so reruns
-    * never resume a stale query. */
+    * never resume a stale query; deleted by the caller once the query
+    * stops (`File.deleteOnExit` cannot remove non-empty directories, so
+    * relying on it would leak every replay's state snapshots). */
   private def ckptDir(name: String): String = {
     val base = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
     val d = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
-    d.toFile.deleteOnExit()
     d.toString
   }
+
+  /** Best-effort recursive delete for replay scratch (checkpoint dirs,
+    * staged file-source dirs). Never throws — cleanup must not mask a
+    * query failure. */
+  def deleteRecursively(dir: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount) // children before parents
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      }
+    } catch { case _: Exception => () }
 
   /** Replay `data` as one micro-batch through `transform`; `mode` is the
     * sink output mode ("complete" for aggregations — emits the full final
@@ -54,13 +70,14 @@ object StreamGate {
   : DataFrame = withReplayPartitions(spark) {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[T]
+    val ckpt = ckptDir(name)
     val q = transform(mem.toDF()).writeStream
       .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckptDir(name)).start()
+      .option("checkpointLocation", ckpt).start()
     try {
       mem.addData(data: _*)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteRecursively(ckpt) }
     spark.table(name)
   }
 
@@ -78,10 +95,11 @@ object StreamGate {
                       (transform: DataFrame => DataFrame)
   : DataFrame = withReplayPartitions(spark) {
     val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val ckpt = ckptDir(name)
     val q = transform(src).writeStream
       .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckptDir(name)).start()
-    try q.processAllAvailable() finally q.stop()
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
     spark.table(name)
   }
 
@@ -109,10 +127,11 @@ object StreamGate {
   : DataFrame = withReplayPartitions(spark, 2) {
     val l = spark.readStream.schema(schema).parquet(leftDir)
     val r = spark.readStream.schema(schema).parquet(rightDir)
+    val ckpt = ckptDir(name)
     val q = transform(l, r).writeStream
       .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", ckptDir(name)).start()
-    try q.processAllAvailable() finally q.stop()
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
     spark.table(name)
   }
 

@@ -108,6 +108,44 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 11L, 99L -> 99L))
   }
 
+  test("connectedComponents: throws on non-convergence instead of " +
+    "silently splitting a wide component") {
+    // a path graph of diameter 6: min-label propagation moves the minimum
+    // one hop per round, so maxIter = 2 cannot converge
+    val n = 7
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with budget for the full diameter it converges to one component
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: checkpoint storage stays bounded across " +
+    "many propagation rounds") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // diameter-8 path: >= 8 rounds, each localCheckpointing a new label
+    // snapshot — the loop must release prior rounds as it goes
+    val n = 9
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (1L to n).map(_ -> 1L).toMap)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the FINAL label snapshot may still hold blocks (the caller's
+    // result); every per-round intermediate must have been unpersisted.
+    // unpersist is async (blocking=false), so allow a small constant —
+    // the point is it does not grow with the number of rounds (~9 here).
+    assert(leaked.size <= 3,
+      s"expected bounded checkpoint storage, leaked RDD ids: $leaked")
+  }
+
   test("shingles: n-grams for long docs, whole text for short ones") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().toSeq

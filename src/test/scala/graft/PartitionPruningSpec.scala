@@ -12,7 +12,7 @@ class PartitionPruningSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("hive-partitioned write + filter -> PartitionFilters prune the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val dir = TestSpark.scratchDir("graft-part").toString
     (0 until 1000).map(i => (i.toLong, s"en${i % 3}", s"body $i"))
       .toDF("id", "lang", "body")
       .write.mode("overwrite").partitionBy("lang").parquet(dir)

@@ -118,8 +118,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // drop the scan -> score -> top-k pipeline out of codegen and eval
     // the hot-path expression interpreted per row
     val p = finalPlan("emb_knn_cosine")
-    assert(p.matches("(?s).*\\*\\(\\d+\\) Project.*"),
-      s"expected the scoring Project inside a WholeStageCodegen stage:\n$p")
+    // anchor on the line that actually evaluates graft_dot: ANY codegen'd
+    // Project in the plan would satisfy an unanchored match even if the
+    // scoring expression itself fell back to interpreted eval
+    val scoring = p.linesIterator.filter(_.contains("graft_dot")).toSeq
+    assert(scoring.nonEmpty, s"expected a graft_dot scoring operator:\n$p")
+    assert(scoring.exists(_.matches(".*\\*\\(\\d+\\) Project.*")),
+      s"the graft_dot scoring Project must carry the WholeStageCodegen " +
+        s"*(n) marker, got:\n${scoring.mkString("\n")}\nfull plan:\n$p")
+  }
+
+  test("centroid assignment: argmax folds inside the scan — no Generate, " +
+    "no Window") {
+    // the assign step must not posexplode k scored rows per vector and
+    // must not shuffle the vector table into a per-vector window: at a
+    // realistic IVF book (k in the thousands) either one dominates the
+    // whole job. array_max over scored structs keeps assignment inside
+    // one codegen'd projection.
+    Seq("emb_ivf_assign", "emb_kmeans", "emb_ivf_search").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Generate"),
+        s"$q: centroid scoring must not explode rows:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: centroid argmax must not plan a window:\n$p")
+    }
   }
 
   test("rel_global_rank_plan: planned GlobalRank operator, no window") {

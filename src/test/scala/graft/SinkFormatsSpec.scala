@@ -16,8 +16,7 @@ class SinkFormatsSpec extends AnyFunSuite {
   test("parquet / orc / json round-trip schema and values exactly") {
     val df = rows.toDF("id", "s", "v")
     for (fmt <- Seq("parquet", "orc", "json")) {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$fmt").toString
+      val dir = TestSpark.scratchDir(s"graft-$fmt").toString
       df.write.mode("overwrite").format(fmt).save(dir)
       val back = spark.read.format(fmt)
         .schema(df.schema) // json infers types otherwise
@@ -33,7 +32,7 @@ class SinkFormatsSpec extends AnyFunSuite {
   test("csv round-trips with RFC-4180 quoting (unlike the naive reference " +
     "split, which is provided separately for parity)") {
     val df = rows.toDF("id", "s", "v")
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val dir = TestSpark.scratchDir("graft-csv").toString
     df.write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read.option("header", "true").schema(df.schema).csv(dir)
     // embedded commas and quotes survive a quote-aware round trip
@@ -44,10 +43,8 @@ class SinkFormatsSpec extends AnyFunSuite {
   test("native streaming file sink appends exactly-once via its commit log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-filesink").toString
-    val ckDir = java.nio.file.Files
-      .createTempDirectory("graft-filesink-ck").toString
+    val outDir = TestSpark.scratchDir("graft-filesink").toString
+    val ckDir = TestSpark.scratchDir("graft-filesink-ck").toString
     val mem = MemoryStream[(Long, String)]
     def run(data: Seq[(Long, String)]): Unit = {
       val q = mem.toDF().toDF("id", "s").writeStream
@@ -69,8 +66,7 @@ class SinkFormatsSpec extends AnyFunSuite {
   test("foreachBatch routes a stream into an arbitrary batch sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-febatch").toString
+    val outDir = TestSpark.scratchDir("graft-febatch").toString
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("id", "s").writeStream
       .outputMode("append")
@@ -80,8 +76,7 @@ class SinkFormatsSpec extends AnyFunSuite {
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft-febatch-ck").toString)
+      .option("checkpointLocation", TestSpark.scratchDir("graft-febatch-ck").toString)
       .start()
     try {
       mem.addData((1L, "x"), (2L, "y"))

@@ -4,6 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole suite (JVM-wide, forked by sbt). */
 object TestSpark {
+
+  /** Temp dir for test scratch (sinks, checkpoints, staged inputs),
+    * recursively deleted when the forked test JVM exits —
+    * `File.deleteOnExit` can't remove non-empty directories, so raw
+    * `createTempDirectory` calls would leak one dir per test per run. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratch.synchronized { scratch += d }
+    d
+  }
+  private val scratch = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratch.synchronized(scratch.foreach(d =>
+      graft.streaming.StreamGate.deleteRecursively(d.toString)))))
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -11,8 +26,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", scratchDir("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

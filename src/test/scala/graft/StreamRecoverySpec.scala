@@ -20,8 +20,8 @@ class StreamRecoverySpec extends AnyFunSuite {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
     try {
-      val in = java.nio.file.Files.createTempDirectory("graft-rdb-in").toString
-      val ck = java.nio.file.Files.createTempDirectory("graft-rdb-ck").toString
+      val in = TestSpark.scratchDir("graft-rdb-in").toString
+      val ck = TestSpark.scratchDir("graft-rdb-ck").toString
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("word",
           org.apache.spark.sql.types.StringType)))
@@ -48,8 +48,8 @@ class StreamRecoverySpec extends AnyFunSuite {
   }
 
   test("file-source aggregation resumes from checkpoint after a restart") {
-    val in = java.nio.file.Files.createTempDirectory("graft-rec-in").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ck").toString
+    val in = TestSpark.scratchDir("graft-rec-in").toString
+    val ckpt = TestSpark.scratchDir("graft-rec-ck").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("word",
         org.apache.spark.sql.types.StringType)))

@@ -133,7 +133,7 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
-  test("media pipeline: schema, metadata, deterministic stub features") {
+  test("media pipeline: schema, metadata, real default decoder") {
     val df = Seq(
       (1L, "image", Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),
       (2L, "image", Array.empty[Byte]))
@@ -143,17 +143,22 @@ class StreamingMediaSpec extends AnyFunSuite {
     val meta = withMeta.select("meta.n_bytes").as[Long].collect().toSet
     assert(meta == Set(8L, 0L))
 
+    // the default extractFeatures decoder IS the real image path: junk
+    // and empty payloads survive as zero features (flag = 0), decodable
+    // payloads produce ImageIO-derived features
     val feats = Media.extractFeatures(withMeta)
     assert(feats.schema.fieldNames.toSeq ==
       Seq("media_id", "kind", "meta", "features"))
     val f = feats.select("media_id", "features")
       .as[(Long, Seq[Float])].collect().toMap
-    assert(f(1L) == Media.decodeStub(Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)).toSeq)
+    assert(f(1L) == Seq.fill(8)(0f)) // not an image -> zeros, row kept
     assert(f(2L) == Seq.fill(8)(0f))
-    // determinism: same input, same features on re-run
-    val f2 = Media.extractFeatures(withMeta).select("media_id", "features")
-      .as[(Long, Seq[Float])].collect().toMap
-    assert(f == f2)
+    val realPng = Seq((3L, "image", png(4, 2, 0x102030)))
+      .toDF("media_id", "kind", "payload")
+    val f3 = Media.extractFeatures(Media.withMeta(realPng, "png"))
+      .select("features").as[Seq[Float]].head()
+    assert(f3 == Media.imageFeatures(png(4, 2, 0x102030)).toSeq)
+    assert(f3.take(2) == Seq(4f, 2f) && f3(7) == 1f)
   }
 
   private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -275,23 +280,32 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 8L))
   }
 
-  test("resizeStub keeps every n-th byte (binary-safe) and updates meta") {
-    val payload = Array[Byte](0, 1, -1, 3, 4, 5, -128, 7) // incl. non-UTF8
-    val df = Media.withMeta(
-      Seq((1L, "image", payload)).toDF("media_id", "kind", "payload"), "png")
-    val out = Media.resizeStub(df, 2)
-    val r = out.select("payload", "meta.n_bytes")
-      .as[(Array[Byte], Long)].head()
-    assert(r._1.toSeq == Seq[Byte](0, -1, 4, -128))
-    assert(r._2 == 4L)
-  }
-
-  test("sampleChunks keeps every n-th fixed-size chunk") {
-    val payload = "abcdefghij".getBytes("UTF-8")
-    val got = Seq(Tuple1(payload)).toDF("payload")
-      .select(Media.sampleChunks(col("payload"), 2, 2).as("chunks"))
-      .as[Seq[Array[Byte]]].collect().head.map(new String(_, "UTF-8"))
-    assert(got.head == "ab") // chunk 0 kept
-    assert(got.forall(_.length <= 2))
+  test("REAL video resize: sampled frames scaled per-frame, PNG re-encoded") {
+    // 12x6 solid frames -> maxDim 4 scales to 4x2; 2x2 frames pass
+    // through unscaled; undecodable payloads contribute no rows
+    val gif1 = Media.syntheticGif(12, 6, Seq((255, 0, 0), (0, 128, 0),
+      (7, 13, 21)))
+    val gif2 = Media.syntheticGif(2, 2, Seq((9, 9, 9)))
+    val df = Seq((1L, gif1), (2L, gif2), (3L, Array[Byte](9, 9)))
+      .toDF("media_id", "payload")
+    val out = Media.resizeVideoFrames(df, maxDim = 4, everyNth = 2)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "frame_idx", "n_frames", "payload"))
+    val rows = out.as[(Long, Long, Long, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(rows.keySet == Set((1L, 0L, 3L), (1L, 2L, 3L), (2L, 0L, 1L)))
+    // each emitted frame is a decodable PNG with the scaled geometry and
+    // the exact source color (bilinear of a solid is the solid)
+    val f10 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows((1L, 0L, 3L))))
+    assert(f10.getWidth == 4 && f10.getHeight == 2)
+    assert((f10.getRGB(2, 1) & 0xffffff) == 0xff0000)
+    val f12 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows((1L, 2L, 3L))))
+    assert((f12.getRGB(0, 0) & 0xffffff) == ((7 << 16) | (13 << 8) | 21))
+    val f20 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows((2L, 0L, 1L))))
+    assert(f20.getWidth == 2 && f20.getHeight == 2) // never upscales
+    assert((f20.getRGB(1, 1) & 0xffffff) == 0x090909)
   }
 }
