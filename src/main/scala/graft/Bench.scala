@@ -37,18 +37,31 @@ object Bench {
       SparkEntry.queries("word_count_x100")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
+    // dev knobs (unset in driver runs): SPARK_GRAFT_BENCH_ONLY narrows the
+    // sweep to a comma-separated query list, SPARK_GRAFT_BENCH_REPEAT times
+    // each query N times (min reported — isolates steady-state cost from
+    // run-to-run variance when chasing a regression)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)
     // failed queries report -1, never their time-to-failure (a crash after
     // 0.1s must not read as a 0.1s result)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

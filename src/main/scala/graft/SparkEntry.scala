@@ -439,24 +439,18 @@ object SparkEntry {
     // Stream-stream interval join: purchases attributed to same-user views
     // in the prior 30 min, through TWO distributed file sources — both
     // sides staged as parquet and read back by the engine's file source
-    // on the executors, no driver collect anywhere. A far-future sentinel
-    // row (user -1, year 2100 — data-independent) is UNIONed into each
-    // staged side so the post-batch watermark clears the join state; it
-    // is filtered out of the output.
+    // on the executors, no driver collect anywhere. Inner-join rows are
+    // emitted in the micro-batch where they match, so the whole replay is
+    // ONE micro-batch (see StreamGate.replayJoinFileSource).
     "stream_join_attrib" -> ((s, dir) => {
       // ONE distributed scan + partitioned write stages both sides; each
       // file source reads its event_type= subdirectory
-      val sentinels = s.createDataFrame(Seq(
-        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "view"),
-        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "purchase")))
-        .toDF("user_id", "ts", "event_type")
       val d = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft-join-src-")
       events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
-        .union(sentinels)
         .write.mode("overwrite").partitionBy("event_type")
         .parquet(d.toString)
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -470,7 +464,6 @@ object SparkEntry {
         s"$d/event_type=view", s"$d/event_type=purchase", schema,
         "gate_attrib")((v, p) =>
         graft.streaming.EventStream.attributeToViews(v, p))
-        .where(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("v_ts")).as("v_ts_us"))
       finally graft.streaming.StreamGate.deleteRecursively(d.toString)

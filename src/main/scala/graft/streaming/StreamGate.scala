@@ -103,16 +103,18 @@ object StreamGate {
     spark.table(name)
   }
 
-  /** Two-source FILE replay for stream-stream joins: both sides stream
-    * from staged parquet directories through the real file source — fully
-    * distributed, nothing collected. Callers bake watermark-advancing
-    * sentinel rows INTO the staged data (watermarks are computed from the
-    * batch max, so in-batch position is irrelevant, and batch 0 runs
-    * under the previous watermark — nothing is late-dropped): the file
-    * source drains each directory into micro-batch 0 and the engine's
-    * single no-data watermark-advance batch then clears the whole join
-    * state — a two-micro-batch replay, each extra batch would cost
-    * ~600 ms of incremental re-planning.
+  /** Two-source FILE replay for stream-stream INNER joins: both sides
+    * stream from staged parquet directories through the real file source —
+    * fully distributed, nothing collected. Inner-join results are emitted
+    * in the micro-batch where the match is found (the watermark governs
+    * state EVICTION, not emission), so a bounded replay needs exactly ONE
+    * micro-batch: the file source drains each directory into batch 0, the
+    * sink has every result row when it commits, and the engine's no-data
+    * watermark-advance batch is disabled for the replay — it would only
+    * clear join state this query is about to discard anyway (~600 ms of
+    * incremental re-planning per extra batch). An unbounded production
+    * stream keeps no-data batches on (the default) so state is evicted
+    * between data bursts.
     *
     * Two shuffle partitions: a stream-stream join materializes ~5 state
     * stores PER PARTITION, each snapshotted per micro-batch — at
@@ -125,13 +127,18 @@ object StreamGate {
                            name: String)
                           (transform: (DataFrame, DataFrame) => DataFrame)
   : DataFrame = withReplayPartitions(spark, 2) {
-    val l = spark.readStream.schema(schema).parquet(leftDir)
-    val r = spark.readStream.schema(schema).parquet(rightDir)
-    val ckpt = ckptDir(name)
-    val q = transform(l, r).writeStream
-      .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    try {
+      val l = spark.readStream.schema(schema).parquet(leftDir)
+      val r = spark.readStream.schema(schema).parquet(rightDir)
+      val ckpt = ckptDir(name)
+      val q = transform(l, r).writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+    } finally spark.conf.set(noDataKey, oldNoData)
     spark.table(name)
   }
 

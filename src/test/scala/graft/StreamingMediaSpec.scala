@@ -79,6 +79,29 @@ class StreamingMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_join_attrib emits the full join result in one micro-batch") {
+    // inner stream-stream joins emit on match, not on watermark advance —
+    // the replay disables no-data micro-batches and stages no sentinel
+    // rows, so this compares the single-batch streaming result against the
+    // equivalent batch join to prove nothing is held back in state
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_join_attrib")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val batch = e.where(col("event_type") === "purchase")
+      .join(v, col("user_id") === col("v_user") &&
+        col("v_us") <= col("us") &&
+        col("v_us") >= col("us") - expr("1800000000L"))
+      .select(col("user_id"), col("us"), col("v_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("closedSessions emits gap-closed sessions, keeps the tail open") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
