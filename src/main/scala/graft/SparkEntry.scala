@@ -56,6 +56,23 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** JVM-lifetime staging root for the batch source round-trip queries
+    * (`src_*`): the returned DataFrames read from these files LAZILY (the
+    * caller materializes them after the query builder returns), so the
+    * directory must outlive the builder — it is removed by a shutdown
+    * hook, not per-call (`File.deleteOnExit` can't delete non-empty
+    * dirs). Writes use overwrite so bench repeats reuse the same paths. */
+  private lazy val stageRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft-batch-stage-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.streaming.StreamGate.deleteRecursively(d.toString)))
+    d
+  }
+  private def staged(name: String): String =
+    stageRoot.resolve(name).toString
+
   /** Synthetic raw-CSV-line view of `documents`, exercising the reference's
     * naive-split semantics: field 0 = id, interior = headline (with embedded
     * commas injected around the word "spark"), field n-2 = lang ("date"
@@ -243,6 +260,47 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), col("source"))
         .where(col("n_chars") > 200)),
+
+    // ---- source format round-trips (CSV / JSON / ORC) ---------------------
+    // Each stages a table slice in the target format (distributed write)
+    // and reads it back through that format's source with an explicit
+    // schema; the oracle reads the ORIGINAL parquet, so the round-trip
+    // must be value-exact (RFC-4180 quoting for CSV commas, shortest
+    // round-trip double rendering, ISO timestamps). The staged dirs live
+    // under a JVM-lifetime root removed by a shutdown hook.
+
+    // the staged `line` column carries embedded commas (docLines injects
+    // them around "spark"), so the write MUST quote and the read MUST
+    // unquote — a real RFC-4180 round-trip, not a comma-free fast path
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val out = staged("csv_doc_lines")
+      docLines(s, dir).select(col("doc_id"), col("lang"), col("line"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, line STRING")
+        .option("header", "true").csv(out)
+    }),
+
+    "src_json_roundtrip" -> ((s, dir) => {
+      val out = staged("json_events")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, ts_us BIGINT")
+        .json(out)
+    }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val out = staged("orc_orders")
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
 
     // P1: Java-split parity — field arity per line
     "p1_java_split_arity" -> ((s, dir) =>
@@ -467,6 +525,56 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("v_ts")).as("v_ts_us"))
       finally graft.streaming.StreamGate.deleteRecursively(d.toString)
+    }),
+
+    // Stream-stream LEFT OUTER interval join: every view with its
+    // following-30-min purchases, null-padded views emitted only once the
+    // watermark proves no match can arrive. Far-future sentinel rows
+    // (user -1, year 2100 — data-independent) ride the data batch so the
+    // post-batch watermark flushes the unmatched state; they are filtered
+    // out of the output (see StreamGate.replayJoinFileSource).
+    "stream_join_left_outer" -> ((s, dir) => {
+      val sentinels = s.createDataFrame(Seq(
+        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "view"),
+        (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "purchase")))
+        .toDF("user_id", "ts", "event_type")
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft-ljoin-src-")
+      events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .union(sentinels)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(d.toString)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      try graft.streaming.StreamGate.replayJoinFileSource(s,
+        s"$d/event_type=view", s"$d/event_type=purchase", schema,
+        "gate_ljoin", watermarkFlush = true)((v, p) =>
+        graft.streaming.EventStream.viewsWithPurchases(v, p))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("v_ts")).as("v_ts_us"),
+          unix_micros(col("p_ts")).as("p_ts_us"))
+      finally graft.streaming.StreamGate.deleteRecursively(d.toString)
+    }),
+
+    // Stream-static enrichment: the event stream joined per-micro-batch to
+    // a broadcast static dimension (the canonical lookup/enrich shape —
+    // stateless, so no watermark or state store is involved)
+    "stream_static_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val data = events(s, dir).select(col("user_id"), col("event_type"))
+        .as[(Long, String)].collect().toSeq
+      graft.streaming.StreamGate.replay(s, data, "gate_enrich", "append")(
+        df => df.toDF("user_id", "event_type")
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("user_id"), col("event_type"), col("c_mktsegment")))
     }),
 
     // ---- relational generality (beyond the reference's surface) ----------
@@ -1074,6 +1182,27 @@ object SparkEntry {
           (abs(col("approx") - col("exact")) <=
             abs(col("exact")) * 0.05 + 1e-9).cast("long")
             .as("within_5pct"))),
+
+    // Count-min-sketch accuracy CONTRACT (heavy-hitter frequency): the
+    // built-in count_min_sketch aggregate builds one ~11 KB sketch (eps
+    // 0.1%, 99.9% confidence, fixed seed), broadcast against the per-key
+    // exact counts and probed by the native graft_cms_estimate expression.
+    // CMS guarantees estimate >= exact always and <= exact + eps*N at the
+    // confidence level — both sides of the sandwich are driver-checked
+    "rel_cms_freq_bounded" -> ((s, dir) => {
+      val sketch = events(s, dir).agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.999d, 42)").as("cms"),
+        count(lit(1)).as("n"))
+      events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sketch))
+        .select(col("event_type"),
+          (graft.functions.GraftFunctions
+            .cmsEstimate(s, col("cms"), col("event_type"))
+            .between(col("exact"),
+              col("exact") + ceil(col("n") * 0.001).cast("long")))
+            .cast("long").as("within_eps"))
+    }),
 
     // TPC-H Q6 shape: single-scan predicate aggregation — the filters reach
     // the parquet scan (PushedFilters), factors go through exact decimal
@@ -1719,6 +1848,19 @@ object SparkEntry {
     "s1_scan_project_filter" ->
       "SELECT doc_id, n_chars, source FROM documents WHERE n_chars > 200",
 
+    "src_csv_roundtrip" ->
+      s"""$linesCte
+         |SELECT doc_id, lang, line FROM lines""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin,
+
     "p1_java_split_arity" ->
       s"""$linesCte
          |SELECT doc_id, len(${javaSplitSql("line")}) AS n_fields
@@ -1915,6 +2057,24 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v_ts_us <= p_ts_us
         |  AND v_ts_us >= p_ts_us - 1800000000""".stripMargin,
+
+    "stream_join_left_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, us AS v_ts_us FROM e WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id AS p_user, us AS p_ts_us FROM e
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT v.user_id, v_ts_us, p_ts_us
+        |FROM v LEFT JOIN p ON v.user_id = p.p_user
+        |  AND p_ts_us >= v_ts_us
+        |  AND p_ts_us <= v_ts_us + 1800000000""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
     "rel_q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2409,6 +2569,10 @@ object SparkEntry {
 
     "rel_approx_quantile_bounded" ->
       """SELECT event_type, cast(1 AS bigint) AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_cms_freq_bounded" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_eps
         |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_q6_revenue" ->

@@ -182,6 +182,44 @@ case class CdcChunksExpr(child: Expression)
   : CdcChunksExpr = copy(child = newChild)
 }
 
+/** Point query against a serialized `count_min_sketch(...)` aggregate
+  * (`org.apache.spark.util.sketch.CountMinSketch` bytes): returns the
+  * estimated count of `item` — `>= true count` always, `<= true count +
+  * eps*N` with the sketch's configured confidence. Spark ships the
+  * builder aggregate but no probe function, so heavy-hitter queries
+  * would otherwise have to collect the sketch to the driver. The
+  * deserialized sketch is cached while consecutive rows carry the same
+  * bytes — the broadcast-one-sketch-against-many-keys shape — so the
+  * ~11 KB parse cost is paid once per task, not per row. */
+case class CmsEstimateExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch
+  : org.apache.spark.util.sketch.CountMinSketch = _
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if ((cachedBytes eq null) ||
+      !java.util.Arrays.equals(cachedBytes, bytes)) {
+      cachedBytes = bytes
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    item match {
+      case s: UTF8String => cachedSketch.estimateCount(s.toString)
+      case other => cachedSketch.estimateCount(other)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -217,6 +255,7 @@ object GraftFunctions {
     "graft_ticker_counts" -> (es => TokenCountsAgg(es.head, Nil,
       TokenCountsAgg.ModeCsvTicker)),
     "graft_cdc_chunks" -> (es => CdcChunksExpr(es.head)),
+    "graft_cms_estimate" -> (es => CmsEstimateExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
@@ -286,6 +325,15 @@ object GraftFunctions {
   def cdcChunks(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cdc_chunks", c)
+  }
+
+  /** Estimated count of `item` from a serialized count-min sketch (see
+    * [[CmsEstimateExpr]]); pairs with the built-in `count_min_sketch`
+    * aggregate. */
+  def cmsEstimate(spark: SparkSession, sketch: Column, item: Column)
+  : Column = {
+    ensureRegistered(spark)
+    call_function("graft_cms_estimate", sketch, item)
   }
 
   /** Element-wise mean of a vector column (see [[VectorMeanAgg]]);

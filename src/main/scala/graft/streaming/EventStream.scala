@@ -155,6 +155,28 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view, with the
+    * purchases by the same user in the FOLLOWING `window` (null-padded
+    * when none arrives). Unlike the inner join, the null-padded rows can
+    * only be emitted once the watermark proves no matching purchase can
+    * still arrive — the state-eviction and emission clocks are the same
+    * here, which is why outer stream-stream joins REQUIRE watermarks on
+    * both sides plus the interval condition. */
+  def viewsWithPurchases(views: DataFrame, purchases: DataFrame,
+                         window: String = "30 minutes",
+                         lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    v.join(p,
+      col("p_user") === col("v_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Streaming exact dedup: drop repeats of `keys` arriving within the
     * watermark horizon — the streaming face of [[graft.ops.Dedup]]. State
     * is bounded by the watermark (old keys age out), so it runs forever on

@@ -103,18 +103,27 @@ object StreamGate {
     spark.table(name)
   }
 
-  /** Two-source FILE replay for stream-stream INNER joins: both sides
-    * stream from staged parquet directories through the real file source —
-    * fully distributed, nothing collected. Inner-join results are emitted
-    * in the micro-batch where the match is found (the watermark governs
-    * state EVICTION, not emission), so a bounded replay needs exactly ONE
-    * micro-batch: the file source drains each directory into batch 0, the
-    * sink has every result row when it commits, and the engine's no-data
-    * watermark-advance batch is disabled for the replay — it would only
-    * clear join state this query is about to discard anyway (~600 ms of
-    * incremental re-planning per extra batch). An unbounded production
-    * stream keeps no-data batches on (the default) so state is evicted
-    * between data bursts.
+  /** Two-source FILE replay for stream-stream joins: both sides stream
+    * from staged parquet directories through the real file source — fully
+    * distributed, nothing collected.
+    *
+    * INNER joins (`watermarkFlush = false`, the default) emit results in
+    * the micro-batch where the match is found (the watermark governs state
+    * EVICTION, not emission), so the replay is exactly ONE micro-batch:
+    * the file source drains each directory into batch 0, the sink has
+    * every result row when it commits, and the engine's no-data
+    * watermark-advance batch is disabled — it would only clear join state
+    * this query is about to discard anyway (~600 ms of incremental
+    * re-planning per extra batch). An unbounded production stream keeps
+    * no-data batches on (the default) so state is evicted between bursts.
+    *
+    * OUTER joins (`watermarkFlush = true`) emit their null-padded
+    * unmatched rows only once the watermark proves no future match can
+    * arrive: callers bake a far-future sentinel row into each staged side
+    * (watermarks are computed from the batch max, so in-batch position is
+    * irrelevant, and batch 0 runs under the previous watermark — nothing
+    * is late-dropped) and the engine's no-data batch then flushes the
+    * unmatched rows — a two-micro-batch replay.
     *
     * Two shuffle partitions: a stream-stream join materializes ~5 state
     * stores PER PARTITION, each snapshotted per micro-batch — at
@@ -124,12 +133,13 @@ object StreamGate {
   def replayJoinFileSource(spark: SparkSession,
                            leftDir: String, rightDir: String,
                            schema: org.apache.spark.sql.types.StructType,
-                           name: String)
+                           name: String,
+                           watermarkFlush: Boolean = false)
                           (transform: (DataFrame, DataFrame) => DataFrame)
   : DataFrame = withReplayPartitions(spark, 2) {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val oldNoData = spark.conf.get(noDataKey)
-    spark.conf.set(noDataKey, "false")
+    spark.conf.set(noDataKey, watermarkFlush.toString)
     try {
       val l = spark.readStream.schema(schema).parquet(leftDir)
       val r = spark.readStream.schema(schema).parquet(rightDir)

@@ -153,6 +153,35 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms_estimate matches CountMinSketch.estimateCount and bounds exact") {
+    // reference sketch built directly through the library the built-in
+    // count_min_sketch aggregate serializes
+    val items = Seq("a", "a", "a", "b", "b", "c") ++ (1 to 50).map(i => s"k$i")
+    val ref = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.999, 42)
+    items.foreach(ref.add)
+    val bos = new java.io.ByteArrayOutputStream()
+    ref.writeTo(bos)
+    val bytes = bos.toByteArray
+    val df = items.distinct.toDF("item")
+      .crossJoin(Seq(Tuple1(bytes)).toDF("cms"))
+    val got = df.select(col("item"),
+      GraftFunctions.cmsEstimate(spark, col("cms"), col("item")))
+      .as[(String, Long)].collect().toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    items.distinct.foreach { it =>
+      assert(got(it) == ref.estimateCount(it), s"item=$it")
+      assert(got(it) >= exact(it), s"CMS under-estimated $it")
+    }
+    // the full pipeline: built-in aggregate -> native probe
+    val sketch = items.toDF("item")
+      .agg(expr("count_min_sketch(item, 0.001d, 0.999d, 42)").as("cms"))
+    val viaAgg = items.distinct.toDF("item").crossJoin(sketch)
+      .select(col("item"),
+        GraftFunctions.cmsEstimate(spark, col("cms"), col("item")))
+      .as[(String, Long)].collect().toMap
+    items.distinct.foreach(it => assert(viaAgg(it) >= exact(it)))
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable
