@@ -244,6 +244,50 @@ object SparkEntry {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** PQ codebook: per subspace j, the per-label mean subvectors (sorted by
+    * label — position therefore equals label, which the ADC lookup relies
+    * on). The mean of a slice equals the slice of the mean, so one
+    * vector-mean aggregate (the emb_centroids plan) trains every subspace;
+    * entries are rounded to 6 decimals before any distance math so both
+    * engines quantize against bit-identical model values. Driver state is
+    * the model only (k x dims doubles). */
+  private def pqCodebook(s: SparkSession, dir: String, m: Int = 4,
+                         subDim: Int = 16): Seq[Seq[(Long, Seq[Double])]] = {
+    val cents = graft.ops.Similarity.centroids(
+        tbl(s, dir, "embeddings"), col("embedding"), col("label"))
+      .select(col("grp").cast("long").as("lbl"),
+        transform(col("centroid"), x => round(x, 6)).as("mv"))
+      .orderBy("lbl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    (0 until m).map(j => cents.map { case (l, mv) =>
+      l -> mv.slice(j * subDim, (j + 1) * subDim) })
+  }
+
+  /** DuckDB twin of [[graft.ops.Similarity.pqCodes]] over [[embUnnestCte]]:
+    * `cb` = rounded per-(label, subspace) mean entries, `d` = rounded
+    * squared L2 of every (vector, subspace, entry), `codes` = argmin with
+    * the min-label tiebreak (rn = 1). */
+  private val pqCodesCte =
+    """cb AS (
+      |  SELECT label AS clabel, (pos - 1) // 16 AS sub, pos,
+      |         round(avg(cast(vx AS double)), 6) AS m
+      |  FROM v GROUP BY label, (pos - 1) // 16, pos
+      |),
+      |d AS (
+      |  SELECT v.vec_id, cb.sub, cb.clabel,
+      |         round(sum(cast(v.vx AS double) * cast(v.vx AS double))
+      |               - 2 * sum(cast(v.vx AS double) * cb.m)
+      |               + sum(cb.m * cb.m), 6) AS d2
+      |  FROM v JOIN cb ON v.pos = cb.pos
+      |  GROUP BY v.vec_id, cb.sub, cb.clabel
+      |),
+      |codes AS (
+      |  SELECT vec_id, sub, clabel,
+      |         row_number() OVER (PARTITION BY vec_id, sub
+      |                            ORDER BY d2 ASC, clabel ASC) AS rn
+      |  FROM d
+      |)""".stripMargin
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: the full StockCount pipeline on sf0.001 document lines. */
@@ -1789,6 +1833,46 @@ object SparkEntry {
           col("cos"))
     }),
 
+    // Product-quantization encode: each 64-dim vector compressed to 4
+    // subspace codes (nearest per-label mean subvector by rounded squared
+    // L2, min-label tiebreak). The codebook is model-sized driver state;
+    // encoding is one codegen'd scan — array_min struct folds, no explode,
+    // no shuffle (the compression step of billion-vector ANN)
+    "emb_pq_encode" -> ((s, dir) =>
+      Similarity.pqCodes(tbl(s, dir, "embeddings"), col("embedding"),
+        col("vec_id"), pqCodebook(s, dir), subDim = 16)),
+
+    // PQ asymmetric-distance search (ADC): the query stays exact, every
+    // database vector is scored through its 4 codes via per-subspace
+    // distance lookup tables (4 array literals — computed once on the
+    // driver from the model, broadcast inside the plan). One scan +
+    // TakeOrderedAndProject: the 100 TB search path after pq_encode has
+    // shrunk the vectors ~64x
+    "emb_pq_search" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // dt(j)(label) = rounded ||q_j - m_{j,label}||^2; cb is sorted by
+      // label 0..k-1, so label doubles as the lookup position
+      val dt: Seq[Seq[Double]] = cb.zipWithIndex.map { case (cents, j) =>
+        val qs = q.slice(j * 16, (j + 1) * 16)
+        cents.map { case (_, mv) =>
+          r6(qs.zip(mv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }
+      val codes = Similarity.pqCodes(tbl(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"), cb, subDim = 16)
+      val adc = round(dt.zipWithIndex.map { case (tab, j) =>
+        element_at(array(tab.map(lit): _*),
+          (col(s"code_$j") + 1).cast("int"))
+      }.reduce(_ + _), 6)
+      codes.select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(10)
+    }),
+
     // Full IVF search: score label-centroids against the query vector,
     // probe the top-3 cells, exact cosine top-10 within just those cells —
     // the candidate scan is 3/10ths of the data, the pattern that makes
@@ -3141,6 +3225,35 @@ object SparkEntry {
          |)
          |SELECT vec_id, cast(clabel AS bigint) AS cluster, cos
          |FROM a2 WHERE rn = 1""".stripMargin,
+
+    "emb_pq_encode" ->
+      s"""WITH $embUnnestCte,
+         |$pqCodesCte
+         |SELECT vec_id,
+         |       cast(max(CASE WHEN sub = 0 THEN clabel END) AS bigint) AS code_0,
+         |       cast(max(CASE WHEN sub = 1 THEN clabel END) AS bigint) AS code_1,
+         |       cast(max(CASE WHEN sub = 2 THEN clabel END) AS bigint) AS code_2,
+         |       cast(max(CASE WHEN sub = 3 THEN clabel END) AS bigint) AS code_3
+         |FROM codes WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    "emb_pq_search" ->
+      s"""WITH $embUnnestCte,
+         |$pqCodesCte,
+         |q AS (
+         |  SELECT (pos - 1) // 16 AS sub, pos, cast(vx AS double) AS qx
+         |  FROM v WHERE vec_id = 0
+         |),
+         |dt AS (
+         |  SELECT cb.sub, cb.clabel,
+         |         round(sum((q.qx - cb.m) * (q.qx - cb.m)), 6) AS dd
+         |  FROM q JOIN cb ON q.pos = cb.pos
+         |  GROUP BY cb.sub, cb.clabel
+         |)
+         |SELECT c.vec_id, round(sum(dt.dd), 6) AS adc
+         |FROM codes c JOIN dt ON c.sub = dt.sub AND c.clabel = dt.clabel
+         |WHERE c.rn = 1
+         |GROUP BY c.vec_id
+         |ORDER BY adc ASC, c.vec_id ASC LIMIT 10""".stripMargin,
 
     "emb_ivf_assign" ->
       s"""WITH $embUnnestCte,

@@ -152,4 +152,42 @@ object Similarity {
     df.groupBy(group.as("grp"))
       .agg(graft.functions.GraftFunctions
         .vecMean(df.sparkSession, emb).as("centroid"))
+
+  /** Product-quantization encode (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into
+    * `codebook.size` contiguous subvectors of `subDim` dims and replace
+    * each with the label of its nearest codebook entry by ROUNDED squared
+    * L2 distance (min-position tiebreak — pass each subspace's entries
+    * sorted by label). A 64-dim float vector compresses to
+    * `codebook.size` small ints — the memory step that makes
+    * billion-vector ANN fit a cluster.
+    *
+    * Same scale shape as [[assignToCentroids]]: the codebook arrives as
+    * driver-side literals (model-sized), each subspace's argmin is an
+    * `array_min` fold over `struct(d2, position, label)` inside the
+    * scan's codegen'd projection — one pass, no explode, no shuffle,
+    * no state beyond the row. */
+  def pqCodes(df: DataFrame, emb: Column, id: Column,
+              codebook: Seq[Seq[(Long, Seq[Double])]], subDim: Int)
+  : DataFrame = {
+    val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
+    val codeCols = codebook.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col("e"), j * subDim + 1, subDim)
+      val structs = cents.zipWithIndex.map { case ((lbl, m), i) =>
+        val mArr = array(m.map(lit): _*)
+        val bb = m.map(x => x * x).sum
+        // ||s - m||^2 = s.s - 2 s.m + m.m; s.s repeats across the k
+        // entries but runtime subexpression elimination computes it once
+        struct(
+          round(dot(sub, sub) - lit(2.0) * dot(sub, mArr) + lit(bb), 6)
+            .as("d2"),
+          lit(i).as("tb"),
+          lit(lbl).as("clabel"))
+      }
+      // array_min on structs = lexicographic (min d2, then min position)
+      array_min(array(structs.toIndexedSeq: _*))
+        .getField("clabel").as(s"code_$j")
+    }
+    v.select(col("vec_id") +: codeCols: _*)
+  }
 }
