@@ -428,35 +428,31 @@ object SparkEntry {
     // checked against the equivalent batch oracle like every other query.
 
     // Tumbling 1h event-time windows + watermark; complete-mode final state
-    // must equal the batch hourly aggregation
-    "stream_windowed_counts" -> ((s, dir) => {
-      import s.implicits._
-      val data = events(s, dir).select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_win_counts",
-        "complete")(df =>
+    // must equal the batch hourly aggregation. Staged parquet -> the
+    // engine's FILE source: executors write and read the stream, the
+    // driver only names the directory — no .collect() anywhere.
+    "stream_windowed_counts" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("ts"), col("event_type")),
+        "gate_win_counts", "complete")(df =>
         graft.streaming.EventStream.windowedCounts(
-          df.toDF("ts", "event_type"), "ts", "event_type",
-          window = "1 hour"))
+          df, "ts", "event_type", window = "1 hour"))
         .select(unix_micros(col("win_start")).as("win_start_us"),
-          col("event_type"), col("cnt"))
-    }),
+          col("event_type"), col("cnt"))),
 
     // Same windowed aggregation through a DISTRIBUTED streaming source:
     // the events slice is staged as parquet (distributed write) and read
     // back by the engine's file source on the executors — no .collect()
     // anywhere; the driver only names the directory
     "stream_windowed_counts_file" -> ((s, dir) => {
-      val src = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft-stream-src-")
+      val src = graft.streaming.StreamGate.scratchDir("stage", "win_counts_file")
       val staged = events(s, dir).select(col("ts"), col("event_type"))
-      staged.write.mode("overwrite").parquet(src.toString)
+      staged.write.mode("overwrite").parquet(src)
       // the replay drains the staged files into the memory sink before
       // returning, so the directory can be removed immediately — waiting
       // for JVM exit (deleteOnExit) would leak it: non-empty dirs are
       // never deleted that way
-      try graft.streaming.StreamGate.replayFileSource(s, src.toString,
+      try graft.streaming.StreamGate.replayFileSource(s, src,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.TimestampType),
@@ -467,55 +463,45 @@ object SparkEntry {
           df, "ts", "event_type", window = "1 hour"))
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("cnt"))
-      finally graft.streaming.StreamGate.deleteRecursively(src.toString)
+      finally graft.streaming.StreamGate.deleteRecursively(src)
     }),
 
     // Sliding 1h windows every 15 min: each event lands in 4 windows
-    "stream_sliding_counts" -> ((s, dir) => {
-      import s.implicits._
-      val data = events(s, dir).select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_slide_counts",
-        "complete")(df =>
+    "stream_sliding_counts" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("ts"), col("event_type")),
+        "gate_slide_counts", "complete")(df =>
         graft.streaming.EventStream.slidingCounts(
-          df.toDF("ts", "event_type"), "ts", "event_type",
-          window = "1 hour", slide = "15 minutes"))
+          df, "ts", "event_type", window = "1 hour", slide = "15 minutes"))
         .select(unix_micros(col("win_start")).as("win_start_us"),
-          col("event_type"), col("cnt"))
-    }),
+          col("event_type"), col("cnt"))),
 
     // Incremental WordCount (streaming aggregation over exploded tokens)
-    "stream_wordcount" -> ((s, dir) => {
-      import s.implicits._
-      val data = tbl(s, dir, "documents").select(col("text"))
-        .as[String].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_wc", "complete")(df =>
-        graft.streaming.EventStream.streamingWordCount(df.toDF("value")))
-    }),
+    "stream_wordcount" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        tbl(s, dir, "documents").select(col("text").as("value")),
+        "gate_wc", "complete")(df =>
+        graft.streaming.EventStream.streamingWordCount(df))),
 
     // Streaming exact dedup (dropDuplicatesWithinWatermark): first arrival
     // per key emitted once — key set must equal the batch DISTINCT
-    "stream_dedup_keys" -> ((s, dir) => {
-      import s.implicits._
-      val data = events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .as[(Long, String, java.sql.Timestamp)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_dedup", "append")(df =>
+    "stream_dedup_keys" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("user_id"), col("event_type"), col("ts")),
+        "gate_dedup", "append")(df =>
         graft.streaming.EventStream.dedupStream(
-          df.toDF("user_id", "event_type", "ts"),
-          Seq("user_id", "event_type")))
-        .select(col("user_id"), col("event_type"))
-    }),
+          df, Seq("user_id", "event_type")))
+        .select(col("user_id"), col("event_type"))),
 
     // Custom state via mapGroupsWithState: per-user running event counts
     // (one micro-batch => one open-session update per user)
     "stream_session_counts" -> ((s, dir) => {
       import s.implicits._
-      val data = events(s, dir).select(col("user_id"), col("event_id"))
-        .as[(Long, Long)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_sessions", "update")(
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("user_id"), col("event_id")),
+        "gate_sessions", "update")(
         df => graft.streaming.EventStream
-          .runningSessions(df.as[(Long, Long)],
+          .runningSessions(df.toDF("_1", "_2").as[(Long, Long)],
             timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
           .toDF())
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"))
@@ -527,13 +513,11 @@ object SparkEntry {
     // user's last (still-open) session
     "stream_closed_sessions" -> ((s, dir) => {
       import s.implicits._
-      val data = events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")))
-        .as[(Long, Long)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_closed_sessions",
-        "append")(df =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("user_id"), unix_micros(col("ts")).as("t_us")),
+        "gate_closed_sessions", "append")(df =>
         graft.streaming.EventStream.closedSessions(
-          df.toDF("u", "t").as[(Long, Long)]).toDF())
+          df.toDF("_1", "_2").as[(Long, Long)]).toDF())
         .select(col("userId").as("user_id"), col("startUs").as("start_us"),
           col("endUs").as("end_us"), col("nEvents").as("n_events"))
     }),
@@ -547,9 +531,8 @@ object SparkEntry {
     "stream_join_attrib" -> ((s, dir) => {
       // ONE distributed scan + partitioned write stages both sides; each
       // file source reads its event_type= subdirectory
-      val d = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft-join-src-")
+      val d = java.nio.file.Paths.get(
+        graft.streaming.StreamGate.scratchDir("stage", "attrib"))
       events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
@@ -582,9 +565,8 @@ object SparkEntry {
         (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "view"),
         (-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "purchase")))
         .toDF("user_id", "ts", "event_type")
-      val d = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft-ljoin-src-")
+      val d = java.nio.file.Paths.get(
+        graft.streaming.StreamGate.scratchDir("stage", "ljoin"))
       events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_type"))
@@ -610,13 +592,12 @@ object SparkEntry {
     // a broadcast static dimension (the canonical lookup/enrich shape —
     // stateless, so no watermark or state store is involved)
     "stream_static_enrich" -> ((s, dir) => {
-      import s.implicits._
       val dim = tbl(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val data = events(s, dir).select(col("user_id"), col("event_type"))
-        .as[(Long, String)].collect().toSeq
-      graft.streaming.StreamGate.replay(s, data, "gate_enrich", "append")(
-        df => df.toDF("user_id", "event_type")
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("user_id"), col("event_type")),
+        "gate_enrich", "append")(
+        df => df
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .select(col("user_id"), col("event_type"), col("c_mktsegment")))
     }),

@@ -1,19 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Drives an [[EventStream]] transform through the real Structured
-  * Streaming engine (MemoryStream source -> micro-batch execution ->
-  * memory sink) and returns the sink contents as a batch DataFrame, so
-  * streaming operators can sit in `SparkEntry.queries` and be checked
-  * against the same DuckDB oracles as the batch ops.
+  * Streaming engine (file source -> micro-batch execution -> memory sink)
+  * and returns the sink contents as a batch DataFrame, so streaming
+  * operators can sit in `SparkEntry.queries` and be checked against the
+  * same DuckDB oracles as the batch ops.
   *
-  * The driver-side `data` Seq is gate scaffolding: it replaces the
-  * unbounded source (Kafka/files) the operator would read in production —
-  * the operator under test is the streaming transform itself, whose state
-  * management (watermarks, incremental aggregation, join buffers) runs
-  * exactly as it would on a real stream.
+  * Every replay is FULLY DISTRIBUTED: input is staged as parquet by the
+  * executors and read back by the engine's own file source on the
+  * executors — the driver only names directories; nothing is collected
+  * anywhere. Swap the staged directory for an object-store path (or the
+  * source for Kafka) and the query under test is unchanged — that is the
+  * production shape at 100 TB/day.
   */
 object StreamGate {
 
@@ -39,11 +39,16 @@ object StreamGate {
     * never resume a stale query; deleted by the caller once the query
     * stops (`File.deleteOnExit` cannot remove non-empty directories, so
     * relying on it would leak every replay's state snapshots). */
-  private def ckptDir(name: String): String = {
+  private def ckptDir(name: String): String = scratchDir("ckpt", name)
+
+  /** Scratch directory on tmpfs when available (replay staging + checkpoint
+    * files are transient by construction — RAM-backed beats fsync-to-disk;
+    * a production stream stages through an object store / Kafka instead). */
+  def scratchDir(kind: String, name: String): String = {
     val base = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
     val d = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
+      java.nio.file.Paths.get(base), s"graft-$kind-$name-")
     d.toString
   }
 
@@ -61,25 +66,6 @@ object StreamGate {
           catch { case _: java.io.IOException => () })
       }
     } catch { case _: Exception => () }
-
-  /** Replay `data` as one micro-batch through `transform`; `mode` is the
-    * sink output mode ("complete" for aggregations — emits the full final
-    * state; "append" for joins/dedup — emits exactly-once rows). */
-  def replay[T: Encoder](spark: SparkSession, data: Seq[T], name: String,
-                         mode: String)(transform: DataFrame => DataFrame)
-  : DataFrame = withReplayPartitions(spark) {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[T]
-    val ckpt = ckptDir(name)
-    val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckpt).start()
-    try {
-      mem.addData(data: _*)
-      q.processAllAvailable()
-    } finally { q.stop(); deleteRecursively(ckpt) }
-    spark.table(name)
-  }
 
   /** Fully distributed replay: stream a staged parquet directory through
     * the real FILE source (`spark.readStream.schema(...).parquet(dir)`) —
@@ -101,6 +87,26 @@ object StreamGate {
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
     spark.table(name)
+  }
+
+  /** Stage `df` to a scratch parquet directory (a DISTRIBUTED write) and
+    * replay it through [[replayFileSource]] — the production-shaped
+    * replacement for the MemoryStream gate: the executors write the staged
+    * files and the engine's file source lists and reads them back on the
+    * executors; the driver only names the directory. Nothing is ever
+    * collected. Swap the scratch directory for an object-store path (or
+    * the source for Kafka) and the streaming query is unchanged.
+    *
+    * The replay drains the staged files into the memory sink before
+    * returning, so the directory is removed immediately — the returned
+    * frame reads the sink, not the files. */
+  def stageAndReplay(spark: SparkSession, df: DataFrame, name: String,
+                     mode: String)(transform: DataFrame => DataFrame)
+  : DataFrame = {
+    val src = scratchDir("stage", name)
+    df.write.mode("overwrite").parquet(src)
+    try replayFileSource(spark, src, df.schema, name, mode)(transform)
+    finally deleteRecursively(src)
   }
 
   /** Two-source FILE replay for stream-stream joins: both sides stream
