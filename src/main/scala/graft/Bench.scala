@@ -40,10 +40,12 @@ object Bench {
     // dev knobs (unset in driver runs): SPARK_GRAFT_BENCH_ONLY narrows the
     // sweep to a comma-separated query list, SPARK_GRAFT_BENCH_REPEAT times
     // each query N times (min reported — isolates steady-state cost from
-    // run-to-run variance when chasing a regression)
+    // run-to-run variance). Default is 2: with a single run, a GC pause or
+    // page-cache eviction reads as a phantom multi-x regression (seen twice
+    // in official runs; every one vanished under repeats).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
 
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)

@@ -259,6 +259,14 @@ object SparkEntry {
         transform(col("centroid"), x => round(x, 6)).as("mv"))
       .orderBy("lbl").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    // The ADC lookup (`element_at(array(tab...), code + 1)`) treats the
+    // centroid LABEL as an array POSITION. That is only sound when labels
+    // are exactly 0..k-1 with no gaps — enforce it loudly here rather than
+    // silently fetching wrong distances downstream on gapped label sets.
+    val labels = cents.map(_._1)
+    require(labels == (0L until labels.length.toLong),
+      s"PQ codebook labels must be contiguous 0..k-1 (ADC lookup is " +
+        s"positional); got ${labels.mkString("[", ",", "]")}")
     (0 until m).map(j => cents.map { case (l, mv) =>
       l -> mv.slice(j * subDim, (j + 1) * subDim) })
   }
@@ -318,11 +326,21 @@ object SparkEntry {
     // unquote — a real RFC-4180 round-trip, not a comma-free fast path
     "src_csv_roundtrip" -> ((s, dir) => {
       val out = staged("csv_doc_lines")
+      // value-exactness options pinned EXPLICITLY on both sides (not left
+      // to Spark defaults, which differ between read and write and could
+      // drift across versions): no whitespace trimming in either direction,
+      // and written empty strings stay empty strings on read (not null).
       docLines(s, dir).select(col("doc_id"), col("lang"), col("line"))
-        .write.mode("overwrite").option("header", "true").csv(out)
+        .write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("emptyValue", "\"\"").csv(out)
       s.read
         .schema("doc_id BIGINT, lang STRING, line STRING")
-        .option("header", "true").csv(out)
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("emptyValue", "").csv(out)
     }),
 
     "src_json_roundtrip" -> ((s, dir) => {
@@ -440,27 +458,34 @@ object SparkEntry {
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("cnt"))),
 
-    // Same windowed aggregation through a DISTRIBUTED streaming source:
-    // the events slice is staged as parquet (distributed write) and read
-    // back by the engine's file source on the executors — no .collect()
-    // anywhere; the driver only names the directory
+    // Same windowed aggregation through a genuinely DIFFERENT source path:
+    // a CSV text source with an explicit user schema (typed parsing +
+    // schema enforcement, which the self-describing parquet source skips)
+    // replayed one-file-per-trigger over 3 staged files — so the stateful
+    // aggregation is updated INCREMENTALLY across 3 micro-batches instead
+    // of draining into batch 0. File-to-batch order is arbitrary, so the
+    // lateness covers the whole event-time span (no watermark late-drops;
+    // in complete mode the state is retained regardless).
     "stream_windowed_counts_file" -> ((s, dir) => {
       val src = graft.streaming.StreamGate.scratchDir("stage", "win_counts_file")
-      val staged = events(s, dir).select(col("ts"), col("event_type"))
-      staged.write.mode("overwrite").parquet(src)
+      events(s, dir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .repartition(3).write.mode("overwrite").csv(src)
       // the replay drains the staged files into the memory sink before
       // returning, so the directory can be removed immediately — waiting
       // for JVM exit (deleteOnExit) would leak it: non-empty dirs are
       // never deleted that way
-      try graft.streaming.StreamGate.replayFileSource(s, src,
+      try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("event_type",
             org.apache.spark.sql.types.StringType))),
         "gate_win_counts_file", "complete")(df =>
         graft.streaming.EventStream.windowedCounts(
-          df, "ts", "event_type", window = "1 hour"))
+          df.select(timestamp_micros(col("ts_us")).as("ts"),
+            col("event_type")),
+          "ts", "event_type", window = "1 hour", lateness = "3650 days"))
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("cnt"))
       finally graft.streaming.StreamGate.deleteRecursively(src)
@@ -646,6 +671,24 @@ object SparkEntry {
           col("s_nationkey") === col("n_nationkey"), "left_outer")
         .groupBy("n_name")
         .agg(count(col("s_suppkey")).as("n_supp"))),
+
+    // Full outer join: per-nation supplier counts vs customer counts over
+    // DISJOINTLY-FILTERED key ranges, so all three match classes appear
+    // (left-only, both, right-only) and the null-padding on each side is
+    // actually exercised. Aggregate-then-join: both inputs shrink to key
+    // cardinality before the join, so at scale the join is over tiny
+    // relations regardless of fact-table size.
+    "rel_join_full_outer" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier").where(col("s_nationkey") < 15)
+        .groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cus = tbl(s, dir, "customer").where(col("c_nationkey") >= 10)
+        .groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("n_cust"))
+      sup.join(cus, col("snk") === col("cnk"), "full_outer")
+        .select(coalesce(col("snk"), col("cnk")).as("nationkey"),
+          col("n_supp"), col("n_cust"))
+    }),
 
     // Left semi join: customers having at least one order
     "rel_semi_join" -> ((s, dir) =>
@@ -1366,9 +1409,10 @@ object SparkEntry {
         .select(col("band_idx").cast("long").as("band_idx"), col("band"))
         .groupBy("band_idx", "band").agg(count(lit(1)).as("bucket_size"))),
 
-    // SimHash (64-bit, md5-nibble based) via the native SimHash64Expr.
-    // No SQL oracle — rows-only check; exactness is covered by the builtin-
-    // expression cross-check and a reference implementation in the tests.
+    // SimHash (64-bit, md5-based ±1 bit sums) via the native SimHash64Expr.
+    // Fully oracle-checked: every step is md5 + exact integer arithmetic,
+    // so DuckDB re-derives the identical 64-bit value (per-bit sign sums
+    // over the same first-8-md5-bytes words the minhash oracle parses).
     "dedup_simhash" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(s, col("text"))
@@ -2168,6 +2212,17 @@ object SparkEntry {
         |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    "rel_join_full_outer" ->
+      """WITH sup AS (
+        |  SELECT s_nationkey AS snk, count(*) AS n_supp FROM supplier
+        |  WHERE s_nationkey < 15 GROUP BY s_nationkey
+        |), cus AS (
+        |  SELECT c_nationkey AS cnk, count(*) AS n_cust FROM customer
+        |  WHERE c_nationkey >= 10 GROUP BY c_nationkey
+        |)
+        |SELECT coalesce(snk, cnk) AS nationkey, n_supp, n_cust
+        |FROM sup FULL OUTER JOIN cus ON snk = cnk""".stripMargin,
+
     "rel_semi_join" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -2736,6 +2791,36 @@ object SparkEntry {
          |SELECT doc_id,
          |       $sigsSql
          |FROM sh""".stripMargin,
+
+    // exact SimHash re-derivation: per token u = first-8-md5-bytes as an
+    // unsigned 64-bit word (the minhash oracle's parse), per bit j the
+    // sign of the ±1 sum over tokens decides bit (63-j); the unsigned
+    // 64-bit result folds to Spark's signed long via a 2^64 shift.
+    // Token-less documents hash to 0 (all sums empty -> no bits set).
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS tok
+         |  FROM documents
+         |), tu AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS u
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, j.j,
+         |         CASE WHEN sum(CASE WHEN (u >> (63 - j.j)) & 1 = 1
+         |                            THEN 1 ELSE -1 END) > 0
+         |              THEN (1::UBIGINT << (63 - j.j))::HUGEINT
+         |              ELSE 0::HUGEINT END AS w
+         |  FROM tu CROSS JOIN (SELECT range AS j FROM range(64)) j
+         |  GROUP BY doc_id, j.j
+         |), h AS (
+         |  SELECT doc_id, sum(w) AS uh FROM b GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       cast(CASE WHEN h.uh IS NULL THEN 0
+         |                 WHEN h.uh >= 9223372036854775808
+         |                 THEN h.uh - 18446744073709551616
+         |                 ELSE h.uh END AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
 
     "dedup_lsh_buckets" -> {
       val bands = (0 until 4).map(b =>

@@ -19,6 +19,21 @@ object Verify {
     // query list while chasing a single query's parity
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    def rmTree(name: String): Unit = {
+      val stale = Paths.get(s"$outDir/$name")
+      if (Files.exists(stale)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stale).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    // If the dev filter is active, delete the outputs of every SKIPPED
+    // query too: should the knob ever leak into a driver run, a filtered
+    // query must compare as MISSING, never as PASS against results from a
+    // previous build.
+    only.foreach { names =>
+      SparkEntry.queries.keys.filterNot(names.contains).foreach(rmTree)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,12 +43,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run: a failed query
         // must read as MISSING downstream, not PASS against old results
-        val stale = Paths.get(s"$outDir/$name")
-        if (Files.exists(stale)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(stale).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
+        rmTree(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -16,24 +16,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluations per token they dominate the benchmark. These expressions do
   * the same work in tight JVM loops — one eval call per row — for a ~10x
   * speedup, with bit-identical results (asserted in NativeFunctionsSpec).
+  *
+  * Every expression here implements `doGenCode`: the generated Java is a
+  * single call into the [[TextHashes]] codegen bridges (or a referenced
+  * expression instance), so the enclosing stage stays inside whole-stage
+  * codegen instead of the planner wrapping it in interpreted fallback —
+  * the loop fusion matters more than the call itself (pinned for the
+  * simhash/minhash plans in PlanAuditSpec).
   */
-case class SimHash64Expr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
   override protected def nullSafeEval(input: Any): Any =
     TextHashes.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashes.simhash64($c.toString())")
   override protected def withNewChildInternal(newChild: Expression)
   : SimHash64Expr = copy(child = newChild)
 }
 
 case class MinHashSigExpr(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHashes.minhashSig(input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashes.minhashSigData($c, $k)")
   override protected def withNewChildInternal(newChild: Expression)
   : MinHashSigExpr = copy(child = newChild)
 }
@@ -43,16 +55,15 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * the shingling cost is paid once upstream and shared with other
   * consumers of the shingle array. */
 case class MinHashFromShinglesExpr(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_from_shingles"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val sh = new Array[String](arr.numElements())
-    var i = 0
-    while (i < sh.length) { sh(i) = arr.getUTF8String(i).toString; i += 1 }
-    new GenericArrayData(TextHashes.minhashSigOfShingles(sh, k))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSigOfShinglesData(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashes.minhashSigOfShinglesData($c, $k)")
   override protected def withNewChildInternal(newChild: Expression)
   : MinHashFromShinglesExpr = copy(child = newChild)
 }
@@ -131,7 +142,7 @@ case class DotProductExpr(left: Expression, right: Expression)
   * `filter` lambda is interpreted (HOFs are CodegenFallback) and costs
   * ~1 µs/token; this is one set-probe per token in a tight loop. */
 case class WordSetRatioExpr(child: Expression, words: Seq[String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "graft_word_set_ratio"
   @transient private lazy val set: java.util.HashSet[String] = {
@@ -139,8 +150,18 @@ case class WordSetRatioExpr(child: Expression, words: Seq[String])
     words.foreach(s.add)
     s
   }
+  /** Codegen entry point (called from generated Java via a reference to
+    * this instance, which carries the prebuilt word set). */
+  def ratio(input: UTF8String): Double =
+    TextHashes.wordSetRatio(input.toString, set)
   override protected def nullSafeEval(input: Any): Any =
-    TextHashes.wordSetRatio(input.asInstanceOf[UTF8String].toString, set)
+    ratio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("wordSetRatioExpr", this,
+      classOf[WordSetRatioExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.ratio($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression)
   : WordSetRatioExpr = copy(child = newChild)
 }
@@ -151,7 +172,7 @@ case class WordSetRatioExpr(child: Expression, words: Seq[String])
   * and probes all marker sets in a single loop. */
 case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])],
                       floor: Double)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lang_id"
   @transient private lazy val langArr
@@ -161,9 +182,18 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])],
       ws.foreach(s.add)
       (l, s: java.util.Set[String])
     }.toArray
+  /** Codegen entry point (called from generated Java via a reference to
+    * this instance, which carries the prebuilt marker sets). */
+  def idOf(input: UTF8String): UTF8String =
+    UTF8String.fromString(TextHashes.langId(input.toString, langArr, floor))
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(TextHashes.langId(
-      input.asInstanceOf[UTF8String].toString, langArr, floor))
+    idOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this,
+      classOf[LangIdExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.idOf($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression)
   : LangIdExpr = copy(child = newChild)
 }
@@ -171,13 +201,14 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])],
 /** Content-defined chunks of a text column (see [[TextHashes.cdcChunks]]):
   * rolling polynomial window hash, boundary at hash % 64 == 0. */
 case class CdcChunksExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_cdc_chunks"
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashes
-      .cdcChunks(input.asInstanceOf[UTF8String].toString)
-      .map(UTF8String.fromString): Array[Any])
+    TextHashes.cdcChunksData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashes.cdcChunksData($c)")
   override protected def withNewChildInternal(newChild: Expression)
   : CdcChunksExpr = copy(child = newChild)
 }
@@ -192,27 +223,44 @@ case class CdcChunksExpr(child: Expression)
   * bytes — the broadcast-one-sketch-against-many-keys shape — so the
   * ~11 KB parse cost is paid once per task, not per row. */
 case class CmsEstimateExpr(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_cms_estimate"
 
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch
-  : org.apache.spark.util.sketch.CountMinSketch = _
+  // One immutable (bytes, sketch) pair behind a single reference: a
+  // concurrent reader sees either the old pair or the new pair, never
+  // matching bytes paired with a stale sketch (the two-field version had
+  // exactly that torn-read window). Plan copies are per-task today, but
+  // nothing should depend on that.
+  @transient private var cached
+  : (Array[Byte], org.apache.spark.util.sketch.CountMinSketch) = _
 
-  override protected def nullSafeEval(sk: Any, item: Any): Any = {
-    val bytes = sk.asInstanceOf[Array[Byte]]
-    if ((cachedBytes eq null) ||
-      !java.util.Arrays.equals(cachedBytes, bytes)) {
-      cachedBytes = bytes
-      cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
+  /** Codegen entry point (also the interpreted path): deserialize-once
+    * probe of a serialized count-min sketch. */
+  def estimate(bytes: Array[Byte], item: Any): Long = {
+    var c = cached
+    if ((c eq null) || !java.util.Arrays.equals(c._1, bytes)) {
+      c = (bytes, org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+      cached = c
     }
     item match {
-      case s: UTF8String => cachedSketch.estimateCount(s.toString)
-      case other => cachedSketch.estimateCount(other)
+      case s: UTF8String => c._2.estimateCount(s.toString)
+      case other => c._2.estimateCount(other)
     }
+  }
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    estimate(sk.asInstanceOf[Array[Byte]], item)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("cmsEstimateExpr", this,
+      classOf[CmsEstimateExpr].getName)
+    // item may be a primitive in generated code; box explicitly so the
+    // Object-typed parameter resolves for every probe-column type
+    defineCodeGen(ctx, ev, (sk, item) =>
+      s"$ref.estimate($sk, (Object)($item))")
   }
 
   override protected def withNewChildrenInternal(
@@ -221,13 +269,14 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
 }
 
 case class ShinglesExpr(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashes
-      .shingles(input.asInstanceOf[UTF8String].toString, n)
-      .map(UTF8String.fromString): Array[Any])
+    TextHashes.shinglesData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashes.shinglesData($c, $n)")
   override protected def withNewChildInternal(newChild: Expression)
   : ShinglesExpr = copy(child = newChild)
 }

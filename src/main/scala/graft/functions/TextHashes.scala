@@ -246,6 +246,43 @@ object TextHashes {
     out.toArray
   }
 
+  // ---- codegen bridges ----------------------------------------------------
+  // Public static entry points called from whole-stage-generated Java (the
+  // native expressions' doGenCode splices `graft.functions.TextHashes.xxx`
+  // calls into the fused stage). They adapt Catalyst runtime types
+  // (UTF8String / ArrayData) to the JVM implementations above.
+
+  /** [[shingles]] over a Catalyst string, as Catalyst array data. */
+  def shinglesData(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingles(text.toString, n)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString): Array[Any])
+
+  /** [[minhashSigOfShingles]] over a Catalyst `array<string>`. */
+  def minhashSigOfShinglesData(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sh = new Array[String](arr.numElements())
+    var i = 0
+    while (i < sh.length) { sh(i) = arr.getUTF8String(i).toString; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minhashSigOfShingles(sh, k))
+  }
+
+  /** [[minhashSig]] over a Catalyst string, as Catalyst array data. */
+  def minhashSigData(text: org.apache.spark.unsafe.types.UTF8String, k: Int)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minhashSig(text.toString, k))
+
+  /** [[cdcChunks]] over a Catalyst string, as Catalyst array data. */
+  def cdcChunksData(text: org.apache.spark.unsafe.types.UTF8String)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cdcChunks(text.toString)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString): Array[Any])
+
   /** 64-bit SimHash: bit j set iff sum over tokens of ±1 (bit j of the
     * token's first-8-md5-bytes big-endian word) is positive. */
   def simhash64(text: String): Long = {

@@ -41,12 +41,18 @@ object StreamGate {
     * relying on it would leak every replay's state snapshots). */
   private def ckptDir(name: String): String = scratchDir("ckpt", name)
 
-  /** Scratch directory on tmpfs when available (replay staging + checkpoint
-    * files are transient by construction — RAM-backed beats fsync-to-disk;
-    * a production stream stages through an object store / Kafka instead). */
+  /** Scratch directory for replay transients. CHECKPOINTS ("ckpt") go to
+    * tmpfs when available: they are kilobytes of offset/commit/state files
+    * fsync'd every micro-batch, where RAM-backed writes cut the dominant
+    * cost and cannot meaningfully fill memory. STAGED INPUT (everything
+    * else) scales with the data, and tmpfs is typically capped at half of
+    * RAM — so it goes to the disk-backed JVM temp dir instead of risking
+    * memory exhaustion at larger scale factors. A production stream stages
+    * through an object store / Kafka and checkpoints to durable storage. */
   def scratchDir(kind: String, name: String): String = {
-    val base = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-    else System.getProperty("java.io.tmpdir")
+    val base =
+      if (kind == "ckpt" && new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
     val d = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(base), s"graft-$kind-$name-")
     d.toString
@@ -81,6 +87,30 @@ object StreamGate {
                       (transform: DataFrame => DataFrame)
   : DataFrame = withReplayPartitions(spark) {
     val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val ckpt = ckptDir(name)
+    val q = transform(src).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+    spark.table(name)
+  }
+
+  /** CSV-source replay with a one-file-per-trigger cap: the caller stages
+    * the input split across multiple files, and the engine runs one
+    * micro-batch PER FILE — so incremental stateful aggregation across
+    * micro-batches is actually exercised, unlike the parquet replay,
+    * which drains every file into batch 0. The text source also covers
+    * schema enforcement + typed parsing (the parquet source carries its
+    * own schema). Batch-to-file assignment is NOT time-ordered, so
+    * callers must use a lateness larger than the data's event-time span
+    * or accept watermark late-drops. */
+  def replayCsvMultiBatch(spark: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          name: String, mode: String)
+                         (transform: DataFrame => DataFrame)
+  : DataFrame = withReplayPartitions(spark) {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").csv(sourceDir)
     val ckpt = ckptDir(name)
     val q = transform(src).writeStream
       .format("memory").queryName(name).outputMode(mode)

@@ -182,6 +182,42 @@ class NativeFunctionsSpec extends AnyFunSuite {
     items.distinct.foreach(it => assert(viaAgg(it) >= exact(it)))
   }
 
+  test("every native's generated Java COMPILES — no silent codegen fallback") {
+    // spark.sql.codegen.fallback=true (the default) swallows a generated-
+    // code compile error by re-running the stage interpreted, so a broken
+    // doGenCode would pass every value test above. With fallback off, a
+    // compile failure throws here instead.
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val sketch = Seq("a", "b", "a").toDF("item")
+        .agg(expr("count_min_sketch(item, 0.001d, 0.999d, 42)").as("cms"))
+      val rows = texts.toDF("t").crossJoin(sketch)
+        .select(col("t"),
+          GraftFunctions.simhash64(spark, col("t")).as("sh"),
+          GraftFunctions.minhashSig(spark, col("t"), 8).as("mh"),
+          GraftFunctions.shingles(spark, col("t")).as("shg"),
+          GraftFunctions.cdcChunks(spark, col("t")).as("cdc"),
+          GraftFunctions.stopRatio(spark, col("t")).as("sr"),
+          GraftFunctions.langId(spark, col("t")).as("lid"),
+          GraftFunctions.cmsEstimate(spark, col("cms"), lit("a")).as("cms_a"))
+        .withColumn("mh2",
+          GraftFunctions.minhashSigFromShingles(spark, col("shg"), 8))
+        .collect()
+      rows.foreach { r =>
+        val t = r.getString(0)
+        assert(r.getLong(1) == TextHashes.simhash64(t), s"simhash: $t")
+        assert(r.getSeq[Long](2) == TextHashes.minhashSig(t, 8).toSeq, s"minhash: $t")
+        assert(r.getSeq[String](3) == TextHashes.shingles(t).toSeq, s"shingles: $t")
+        assert(r.getSeq[String](4) == TextHashes.cdcChunks(t).toSeq, s"cdc: $t")
+        assert(r.getLong(7) == 2L, s"cms estimate of 'a'")
+        assert(r.getSeq[Long](8) == TextHashes.minhashSig(t, 8).toSeq,
+          s"minhash-from-shingles: $t")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable

@@ -128,6 +128,23 @@ class PlanAuditSpec extends AnyFunSuite {
         s"*(n) marker, got:\n${scoring.mkString("\n")}\nfull plan:\n$p")
   }
 
+  test("hash natives: simhash/minhash operators carry the codegen marker") {
+    // SimHash64Expr / MinHashSigExpr implement doGenCode — without it the
+    // planner wraps their whole stage in interpreted fallback and every
+    // dedup scan pays per-row interpreted eval. Anchor on the line that
+    // evaluates the function (as the graft_dot test does): any codegen'd
+    // operator elsewhere in the plan would satisfy an unanchored match.
+    Seq("dedup_simhash" -> "graft_simhash64",
+        "dedup_minhash_sig" -> "graft_minhash_sig").foreach { case (q, fn) =>
+      val p = finalPlan(q)
+      val lines = p.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$q: expected a $fn operator:\n$p")
+      assert(lines.exists(_.matches(".*\\*\\(\\d+\\).*")),
+        s"$q: the $fn operator must carry the WholeStageCodegen *(n) " +
+          s"marker, got:\n${lines.mkString("\n")}\nfull plan:\n$p")
+    }
+  }
+
   test("centroid assignment: argmax folds inside the scan — no Generate, " +
     "no Window") {
     // the assign step must not posexplode k scored rows per vector and
