@@ -364,6 +364,20 @@ object SparkEntry {
       s.read.orc(out)
     }),
 
+    // Avro container files through the avro-mapred formats (the spark-avro
+    // DataSource module is not on this classpath; see AvroRoundTrip —
+    // executors write one container file per partition and read them back
+    // as splits; the oracle reads the ORIGINAL parquet, so the binary
+    // round-trip must be value-exact, nulls and doubles included)
+    "src_avro_roundtrip" -> ((s, dir) => {
+      val out = staged("avro_supplier")
+      val slice = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      graft.sources.AvroRoundTrip.write(slice, out)
+      graft.sources.AvroRoundTrip.read(s, out, slice.schema)
+    }),
+
     // P1: Java-split parity — field arity per line
     "p1_java_split_arity" -> ((s, dir) =>
       docLines(s, dir).select(col("doc_id"),
@@ -1969,6 +1983,10 @@ object SparkEntry {
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders""".stripMargin,
+
+    "src_avro_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier""".stripMargin,
 
     "p1_java_split_arity" ->
       s"""$linesCte
