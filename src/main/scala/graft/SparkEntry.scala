@@ -704,6 +704,54 @@ object SparkEntry {
           col("n_supp"), col("n_cust"))
     }),
 
+    // Bloom-filter semi-join pruning: build a bloom over the filtered
+    // dimension's join keys (key-cardinality bytes, broadcastable),
+    // pre-filter the fact table BEFORE its join shuffle, then run the
+    // real join — false positives die there, so the result is exactly
+    // the plain join's (which is what the oracle computes, making the
+    // no-false-negative guarantee the thing under test). At 100 TB this
+    // is the difference between shuffling every fact row and shuffling
+    // the ~selectivity fraction that can possibly match.
+    "rel_bloom_join_prune" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val bloom = cust.agg(graft.functions.GraftFunctions
+        .bloomAgg(s, xxhash64(col("c_custkey")), 20000L).as("bf"))
+      tbl(s, dir, "orders")
+        .crossJoin(broadcast(bloom))
+        .where(graft.functions.GraftFunctions.bloomMightContain(
+          s, col("bf"), xxhash64(col("o_custkey"))))
+        .join(broadcast(cust.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("sum_price"))
+    }),
+
+    // Bloom-filter accuracy CONTRACT (companion to rel_cms_freq_bounded):
+    // probe EVERY customer key against a bloom built over one segment's
+    // keys. Present keys can never miss (the bloom guarantee — any miss
+    // would also silently drop rows in rel_bloom_join_prune); absent-key
+    // false positives must stay under the filter's configured 3% default
+    // rate (loose here: the filter is sized for 20k items and holds ~3k)
+    "rel_bloom_fpp_bounded" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val bloom = cust.where(col("c_mktsegment") === "BUILDING")
+        .agg(graft.functions.GraftFunctions
+          .bloomAgg(s, xxhash64(col("c_custkey")), 20000L).as("bf"))
+      cust.crossJoin(broadcast(bloom))
+        .select((col("c_mktsegment") === "BUILDING").as("present"),
+          graft.functions.GraftFunctions.bloomMightContain(
+            s, col("bf"), xxhash64(col("c_custkey"))).as("hit"))
+        .agg(
+          sum(when(col("present") && !col("hit"), 1L).otherwise(0L))
+            .as("n_present_missed"),
+          (sum(when(!col("present") && col("hit"), 1.0).otherwise(0.0)) /
+            sum(when(!col("present"), 1.0).otherwise(0.0)) <= 0.03)
+            .cast("long").as("fpr_ok"))
+    }),
+
     // Left semi join: customers having at least one order
     "rel_semi_join" -> ((s, dir) =>
       tbl(s, dir, "customer")
@@ -2245,6 +2293,22 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the bloom pre-filter is a transparent accelerator: the real join
+    // removes its false positives, so the oracle is the PLAIN join — a
+    // false negative anywhere would drop rows and fail the hash compare
+    "rel_bloom_join_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // contract flags are deterministic (the bloom's internal hashing is
+    // seed-free): no present key may miss, absent-key FPR under the bound
+    "rel_bloom_fpp_bounded" ->
+      """SELECT cast(0 AS bigint) AS n_present_missed,
+        |       cast(1 AS bigint) AS fpr_ok""".stripMargin,
 
     "rel_anti_join" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer

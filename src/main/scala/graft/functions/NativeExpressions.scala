@@ -268,6 +268,55 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Probe of a serialized `BloomFilter` (the bytes the built-in
+  * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+  * emits) against an `xxhash64`-ed key: true iff the key MIGHT be in the
+  * build set — never a false negative, false positives at the filter's
+  * configured rate. Spark's own `BloomFilterMightContain` only accepts a
+  * foldable/scalar-subquery filter side, which rules out the
+  * broadcast-one-sketch-against-many-rows shape the engine uses for CMS
+  * probes; this expression fills that gap with the same
+  * deserialize-once immutable-pair cache as [[CmsEstimateExpr]].
+  *
+  * The 100 TB use: build the bloom over a filtered dimension's join
+  * keys (key-cardinality bytes), broadcast it, and drop non-matching
+  * fact rows BEFORE the join shuffle — the classic semi-join pruning
+  * pattern; the subsequent real join removes the false positives, so
+  * results are exact. */
+case class BloomMightContainExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private var cached
+  : (Array[Byte], org.apache.spark.util.sketch.BloomFilter) = _
+
+  /** Codegen entry point (also the interpreted path). */
+  def mightContain(bytes: Array[Byte], item: Long): Boolean = {
+    var c = cached
+    if ((c eq null) || !java.util.Arrays.equals(c._1, bytes)) {
+      c = (bytes, org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+      cached = c
+    }
+    c._2.mightContainLong(item)
+  }
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    mightContain(sk.asInstanceOf[Array[Byte]], item.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContainExpr", this,
+      classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, (sk, item) => s"$ref.mightContain($sk, $item)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -305,6 +354,13 @@ object GraftFunctions {
       TokenCountsAgg.ModeCsvTicker)),
     "graft_cdc_chunks" -> (es => CdcChunksExpr(es.head)),
     "graft_cms_estimate" -> (es => CmsEstimateExpr(es.head, es(1))),
+    // the built-in bloom build aggregate (not exposed as a SQL function
+    // by Spark itself) + the broadcast-shape probe above
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1))),
+    "graft_bloom_might_contain" -> (es =>
+      BloomMightContainExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
@@ -383,6 +439,25 @@ object GraftFunctions {
   : Column = {
     ensureRegistered(spark)
     call_function("graft_cms_estimate", sketch, item)
+  }
+
+  /** Bloom-filter build aggregate over an `xxhash64`-ed key column (the
+    * built-in [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]],
+    * which Spark uses for runtime filters but does not register as a SQL
+    * function); returns the serialized filter bytes. */
+  def bloomAgg(spark: SparkSession, hashed: Column, estItems: Long)
+  : Column = {
+    ensureRegistered(spark)
+    call_function("graft_bloom_agg", hashed,
+      org.apache.spark.sql.functions.lit(estItems))
+  }
+
+  /** Probe of serialized bloom-filter bytes against an `xxhash64`-ed key
+    * (see [[BloomMightContainExpr]]); pairs with [[bloomAgg]]. */
+  def bloomMightContain(spark: SparkSession, sketch: Column, hashed: Column)
+  : Column = {
+    ensureRegistered(spark)
+    call_function("graft_bloom_might_contain", sketch, hashed)
   }
 
   /** Element-wise mean of a vector column (see [[VectorMeanAgg]]);

@@ -218,6 +218,24 @@ class NativeFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("bloom build + probe: no false negatives, bounded FPR, codegen") {
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false") // a broken doGenCode must throw, not fall back
+    try {
+      val bloom = (0L until 500L).toDF("k")
+        .agg(GraftFunctions.bloomAgg(spark, xxhash64(col("k")), 1000L)
+          .as("bf"))
+      val probed = (0L until 5000L).toDF("k").crossJoin(bloom)
+        .select(col("k"), GraftFunctions.bloomMightContain(
+          spark, col("bf"), xxhash64(col("k"))).as("hit"))
+        .as[(Long, Boolean)].collect().toMap
+      (0L until 500L).foreach(k => assert(probed(k), s"false negative: $k"))
+      val fp = (500L until 5000L).count(probed(_))
+      assert(fp.toDouble / 4500 <= 0.06, s"false-positive rate $fp/4500")
+    } finally spark.conf.set(key, old)
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable
