@@ -1334,6 +1334,43 @@ object SparkEntry {
             .cast("long").as("within_eps"))
     }),
 
+    // Incremental-sketch CMS: one sketch PER DAY (the partials a 100 TB
+    // pipeline would materialize once and store), merged by the native
+    // graft_cms_merge aggregate — a merged CMS is bit-identical to one
+    // built over the concatenated data at equal eps/confidence/seed, so
+    // the merged probe must satisfy the same sandwich the single-sketch
+    // rel_cms_freq_bounded pins: estimate >= exact, <= exact + eps*N
+    "rel_cms_merge_bounded" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("count_min_sketch(event_type, 0.001d, 0.999d, 42)")
+          .as("cms"), count(lit(1)).as("n"))
+      val merged = daily.agg(
+        graft.functions.GraftFunctions.cmsMerge(s, col("cms")).as("cms"),
+        sum(col("n")).as("n"))
+      events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(merged))
+        .select(col("event_type"),
+          (graft.functions.GraftFunctions
+            .cmsEstimate(s, col("cms"), col("event_type"))
+            .between(col("exact"),
+              col("exact") + ceil(col("n") * 0.001).cast("long")))
+            .cast("long").as("within_eps"))
+    }),
+
+    // Z-order layout value: Morton-interleave two key dimensions so a
+    // range partitioning by the value clusters rows close in BOTH columns
+    // (min/max file stats then prune on either predicate; a lexicographic
+    // sort only serves the leading column). Pure bit math — the oracle
+    // re-derives every value; the clustering property itself is pinned in
+    // NativeFunctionsSpec on range-partitioned bounding boxes.
+    "rel_zorder_value" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        graft.functions.GraftFunctions.zorder(s,
+          pmod(col("user_id"), lit(65536)),
+          pmod(col("event_id"), lit(65536))).as("zval"))),
+
     // TPC-H Q6 shape: single-scan predicate aggregation — the filters reach
     // the parquet scan (PushedFilters), factors go through exact decimal
     "rel_q6_revenue" -> ((s, dir) =>
@@ -2776,6 +2813,25 @@ object SparkEntry {
     "rel_cms_freq_bounded" ->
       """SELECT event_type, cast(1 AS bigint) AS within_eps
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // merged daily sketches obey the same deterministic sandwich the
+    // single sketch does (merge = element-wise counter add, same seed)
+    "rel_cms_merge_bounded" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_eps
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // bit-exact Morton interleave of the low 16 bits of each dimension
+    "rel_zorder_value" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |         user_id % 65536 AS x, event_id % 65536 AS y
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum((((x >> i) & 1) << (2 * i)) +
+        |                (((y >> i) & 1) << (2 * i + 1))) AS bigint) AS zval
+        |FROM b CROSS JOIN (SELECT range AS i FROM range(16)) t
+        |GROUP BY event_id""".stripMargin,
 
     "rel_q6_revenue" ->
       """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))

@@ -317,6 +317,45 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Z-order (Morton) curve value over two long columns: interleaves the
+  * low 16 bits of each (x even positions, y odd) into a 32-bit value.
+  * Sorting / range-partitioning data by this value clusters rows that
+  * are close in BOTH dimensions into the same partitions — the standard
+  * multi-column layout trick so min/max file statistics prune scans on
+  * either predicate column, where a lexicographic sort only prunes the
+  * leading one. Pure bit arithmetic, so any engine reproduces it. */
+case class ZOrderExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    ZOrderExpr.interleave16(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, (x, y) =>
+    s"graft.functions.ZOrderExpr.interleave16($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrderExpr {
+  /** Morton-interleave the low 16 bits of x (even bit positions) and y
+    * (odd positions). Public static: called from generated Java. */
+  def interleave16(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -361,6 +400,8 @@ object GraftFunctions {
         .BloomFilterAggregate(es.head, es(1))),
     "graft_bloom_might_contain" -> (es =>
       BloomMightContainExpr(es.head, es(1))),
+    "graft_cms_merge" -> (es => CmsMergeAgg(es.head)),
+    "graft_zorder" -> (es => ZOrderExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
@@ -458,6 +499,19 @@ object GraftFunctions {
   : Column = {
     ensureRegistered(spark)
     call_function("graft_bloom_might_contain", sketch, hashed)
+  }
+
+  /** Merge serialized count-min sketches into one (see [[CmsMergeAgg]]);
+    * aggregate function — use inside `.agg(...)`. */
+  def cmsMerge(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cms_merge", c)
+  }
+
+  /** Z-order (Morton) value of two long columns (see [[ZOrderExpr]]). */
+  def zorder(spark: SparkSession, x: Column, y: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_zorder", x, y)
   }
 
   /** Element-wise mean of a vector column (see [[VectorMeanAgg]]);

@@ -236,6 +236,47 @@ class NativeFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("cms merge: merged partial sketches == one sketch over all data") {
+    val items = (1 to 400).map(i => s"k${i % 23}")
+    val (a, b) = items.splitAt(170)
+    def sketchOf(xs: Seq[String]) = xs.toDF("item")
+      .agg(expr("count_min_sketch(item, 0.001d, 0.999d, 42)").as("cms"))
+    val merged = sketchOf(a).unionAll(sketchOf(b))
+      .agg(GraftFunctions.cmsMerge(spark, col("cms")).as("cms"))
+    val whole = sketchOf(items)
+    // merge is an element-wise counter add at equal shape+seed: every
+    // per-key estimate must be IDENTICAL to the build-once sketch's
+    val keys = items.distinct.toDF("item")
+    def estimates(sk: org.apache.spark.sql.DataFrame) =
+      keys.crossJoin(sk).select(col("item"),
+        GraftFunctions.cmsEstimate(spark, col("cms"), col("item")))
+        .as[(String, Long)].collect().toMap
+    assert(estimates(merged) == estimates(whole))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    estimates(merged).foreach { case (k, est) =>
+      assert(est >= exact(k), s"merged CMS under-estimated $k")
+    }
+  }
+
+  test("zorder: range partitioning by z clusters BOTH dimensions") {
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val parts = grid.toDF("x", "y")
+      .withColumn("z", GraftFunctions.zorder(spark, col("x"), col("y")))
+      .repartitionByRange(16, col("z"))
+      .select(spark_partition_id().as("pid"), col("x"), col("y"))
+      .groupBy("pid")
+      .agg((max("x") - min("x") + 1).as("dx"),
+        (max("y") - min("y") + 1).as("dy"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(parts.map(_._4).sum == 64L * 64L)
+    // a z-curve segment of ~256 cells has a bounding box near 256 cells;
+    // a single-dimension sort would leave dy (or dx) at the full 64
+    val avgArea = parts.map(p => p._2 * p._3).sum.toDouble / parts.length
+    assert(avgArea <= 1024.0, s"avg bounding-box area $avgArea — not clustered")
+    assert(parts.forall(p => p._2 < 64 || p._3 < 64),
+      "some partition spans the full range in both dimensions")
+  }
+
   test("extensions hook registers the functions at session construction") {
     // the shared TestSpark session isn't built with extensions; the
     // ensureRegistered path must have made the SQL names resolvable
