@@ -1702,6 +1702,43 @@ object SparkEntry {
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))),
 
+    // Bigram language-model quality score — the perplexity-style gate a
+    // pretraining pipeline runs to rank documents by fluency: train an
+    // add-one-smoothed bigram model ON the corpus itself (c(w1 w2),
+    // history counts c(w1), vocab V), then score each document by its
+    // mean log-probability avg ln((c12+1)/(c1+V)). Model building and
+    // scoring are joins over the exploded bigram stream — at 100 TB the
+    // model tables shuffle on bigram/history keys like any aggregation
+    // (no driver-side model); token-less docs score 0 via the left join.
+    // A doc's only pseudo-shingle lacks the separator space when it has
+    // <2 tokens, which is the portable real-bigram filter on both sides.
+    "text_lm_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val docBg = docs.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.shingles(s, col("text"), 2))
+            .as("bigram"))
+        .where(col("bigram").contains(" "))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val bgCounts = docBg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val histCounts = docBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = docBg.select(col("w1").as("t"))
+        .unionAll(docBg.select(
+          substring_index(col("bigram"), " ", -1).as("t")))
+        .agg(countDistinct(col("t")).as("v"))
+      val scored = docBg
+        .join(bgCounts, "bigram").join(histCounts, "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(round(avg(log(
+            (col("c2") + 1).cast("double") /
+              (col("c1") + col("v")).cast("double"))), 6).as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("lm_score"), lit(0.0)).as("lm_score"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+    }),
+
     // Brute-force exact cosine top-20 against vec_id=0's embedding
     "emb_knn_cosine" -> ((s, dir) => {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -3196,6 +3233,37 @@ object SparkEntry {
          |)
          |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
          |FROM tk GROUP BY token""".stripMargin,
+
+    // the model is re-derived from scratch in SQL: real bigrams only
+    // (>= 2 tokens), history counts over bigram heads, vocab = distinct
+    // tokens across both positions, add-one smoothing, mean ln rounded 6
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(l)),
+         |                               i -> l[i] || ' ' || l[i+1])) AS bigram
+         |  FROM t WHERE len(l) >= 2
+         |), bw AS (
+         |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1,
+         |         string_split(bigram, ' ')[2] AS w2
+         |  FROM b
+         |), c2 AS (SELECT bigram, count(*) AS c2 FROM bw GROUP BY bigram),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bw GROUP BY w1),
+         |v AS (
+         |  SELECT count(DISTINCT tok) AS v FROM (
+         |    SELECT w1 AS tok FROM bw UNION ALL SELECT w2 FROM bw)
+         |), sc AS (
+         |  SELECT doc_id,
+         |         round(avg(ln(cast(c2.c2 + 1 AS double)
+         |                      / cast(c1.c1 + v.v AS double))), 6) AS lm_score,
+         |         count(*) AS n_bigrams
+         |  FROM bw JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(sc.lm_score, 0.0) AS lm_score,
+         |       cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     "emb_knn_cosine" ->
       s"""WITH q AS (
