@@ -1300,6 +1300,25 @@ object SparkEntry {
           (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
             .cast("long").as("within_10pct"))),
 
+    // Incremental-sketch HLL: one DataSketches HLL sketch per (key, day)
+    // — the partials a pipeline stores — unioned per key by the built-in
+    // hll_union_agg, the merge-then-estimate twin of rel_cms_merge_bounded
+    // for DISTINCT counts. The unioned estimate must land within 10% of
+    // exact (HLL union is lossless over sketches of equal lgK).
+    "rel_hll_union_bounded" -> ((s, dir) => {
+      val unioned = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .join(unioned, "event_type")
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
+            .cast("long").as("within_10pct"))
+    }),
+
     // Quantile-sketch accuracy CONTRACT (same pattern as the HLL bound):
     // percentile_approx's KLL-style sketch must land within 5% of the
     // exact median per key, checked by the driver every round
@@ -1745,6 +1764,26 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.knn(tbl(s, dir, "embeddings"), col("embedding"),
         col("vec_id"), q, 20)
+    }),
+
+    // Multi-vector late-interaction retrieval (MaxSim): score each
+    // candidate group (label) against a multi-vector query — sum over
+    // query vectors of the max cosine to any of the group's vectors —
+    // the ColBERT scoring shape. The query side (4 vectors) broadcasts
+    // as a model-sized literal table; candidates stream through one scan
+    // and two key-space-sized aggregations. Cosines are rounded before
+    // max (round is monotone, so max commutes with it on both engines).
+    "emb_maxsim" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("label") === 0).orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      emb.crossJoin(broadcast(q))
+        .select(col("label"), col("q_id"),
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 6)
+            .as("cos"))
+        .groupBy("label", "q_id").agg(max(col("cos")).as("best"))
+        .groupBy("label").agg(round(sum(col("best")), 6).as("maxsim"),
+          count(lit(1)).as("n_q"))
     }),
 
     // Per-label norm statistics (order-independent min/max of rounded norms)
@@ -2828,6 +2867,10 @@ object SparkEntry {
       """SELECT event_type, cast(1 AS bigint) AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "rel_hll_union_bounded" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_10pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "rel_subquery_min_price" ->
       """SELECT p_brand, p_partkey,
         |       cast(cast(p_retailprice AS decimal(18,2)) AS double)
@@ -3264,6 +3307,27 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.lm_score, 0.0) AS lm_score,
          |       cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
+    "emb_maxsim" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT vec_id AS q_id, pos, vx AS qx FROM v
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+         |                   WHERE label = 0 ORDER BY vec_id LIMIT 4)
+         |), d AS (
+         |  SELECT v.vec_id, v.label, q.q_id,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa,
+         |         sum(cast(q.qx AS double) * cast(q.qx AS double)) AS bb
+         |  FROM v JOIN q ON v.pos = q.pos
+         |  GROUP BY v.vec_id, v.label, q.q_id
+         |), m AS (
+         |  SELECT label, q_id,
+         |         max(round(dot / (sqrt(aa) * sqrt(bb)), 6)) AS best
+         |  FROM d GROUP BY label, q_id
+         |)
+         |SELECT label, round(sum(best), 6) AS maxsim, count(*) AS n_q
+         |FROM m GROUP BY label""".stripMargin,
 
     "emb_knn_cosine" ->
       s"""WITH q AS (
