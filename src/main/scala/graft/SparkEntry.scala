@@ -704,6 +704,26 @@ object SparkEntry {
           col("n_supp"), col("n_cust"))
     }),
 
+    // CDC changelog compaction: apply an ordered upsert/delete log to
+    // produce the current snapshot — last writer per key wins, keys whose
+    // final op is a delete vanish (the compact-a-Debezium-stream op; the
+    // SCD2 rel_merge_upsert keeps history, this collapses it). One
+    // partitioned window, no global ordering anywhere; event_id breaks
+    // timestamp ties so the winner is total-order deterministic.
+    "rel_cdc_apply" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") =!= "delete")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+    }),
+
     // Bloom-filter semi-join pruning: build a bloom over the filtered
     // dimension's join keys (key-cardinality bytes, broadcastable),
     // pre-filter the fact table BEFORE its join shuffle, then run the
@@ -1721,6 +1741,30 @@ object SparkEntry {
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))),
 
+    // Eval-set contamination scan — the decontamination gate every
+    // pretraining pipeline runs: treat one source ('src0') as the
+    // held-out benchmark, shingle both sides, and flag corpus documents
+    // sharing >= 2 distinct shingles with any benchmark document
+    // (production uses 8-13-gram shingles; the engine's standard 3-gram
+    // keeps one shingle pipeline end to end). The benchmark side is
+    // broadcast (eval sets are tiny next to the corpus); the corpus
+    // streams through one scan — at 100 TB this is a broadcast join, not
+    // a shuffle.
+    "text_contamination" -> ((s, dir) => {
+      val sg = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.shingles(s, col("text"))))
+          .as("sh"))
+      val benchmark = sg.where(col("source") === "src0")
+        .select(col("sh"), col("doc_id").as("eval_id")).distinct()
+      sg.where(col("source") =!= "src0").select(col("doc_id"), col("sh"))
+        .join(broadcast(benchmark), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .where(col("n_shared") >= 2)
+    }),
+
     // Bigram language-model quality score — the perplexity-style gate a
     // pretraining pipeline runs to rank documents by fluency: train an
     // add-one-smoothed bigram model ON the corpus itself (c(w1 w2),
@@ -2406,6 +2450,21 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_cdc_apply" ->
+      """WITH lg AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us DESC, event_id DESC)
+        |            AS rn
+        |  FROM lg
+        |)
+        |SELECT user_id, ts_us, value FROM r
+        |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     // the bloom pre-filter is a transparent accelerator: the real join
     // removes its false positives, so the oracle is the PLAIN join — a
@@ -3276,6 +3335,22 @@ object SparkEntry {
          |)
          |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
          |FROM tk GROUP BY token""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${cleanToksSql("text")} AS l FROM documents
+         |), sg AS (
+         |  SELECT doc_id, source, unnest(list_distinct($shinglesSql)) AS sh
+         |  FROM t
+         |), e AS (
+         |  SELECT DISTINCT sh, doc_id AS eval_id FROM sg WHERE source = 'src0'
+         |), c AS (
+         |  SELECT doc_id, sh FROM sg WHERE source <> 'src0'
+         |)
+         |SELECT doc_id, count(DISTINCT sh) AS n_shared,
+         |       count(DISTINCT eval_id) AS n_eval_docs
+         |FROM c JOIN e USING (sh)
+         |GROUP BY doc_id HAVING count(DISTINCT sh) >= 2""".stripMargin,
 
     // the model is re-derived from scratch in SQL: real bigrams only
     // (>= 2 tokens), history counts over bigram heads, vocab = distinct
