@@ -17,8 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev knob (unset in driver runs): narrow the dump to a comma-separated
     // query list while chasing a single query's parity
+    // a blank value means "no filter", not "match nothing" — an empty
+    // env export must not trigger the skipped-query output deletion below
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def rmTree(name: String): Unit = {
       val stale = Paths.get(s"$outDir/$name")
       if (Files.exists(stale)) {
