@@ -128,6 +128,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"*(n) marker, got:\n${scoring.mkString("\n")}\nfull plan:\n$p")
   }
 
+  test("bloom prune sits below the join; contamination broadcasts the " +
+    "benchmark side") {
+    val p1 = plan("rel_bloom_join_prune")
+    assert(p1.contains("graft_bloom_might_contain"), p1)
+    // plans print top-down: the probe Filter must appear BELOW the join
+    // that removes false positives — pre-filtering the fact rows before
+    // the join, not post-filtering its output
+    val join = p1.indexOf("BroadcastHashJoin")
+    assert(join >= 0, p1)
+    assert(p1.indexOf("graft_bloom_might_contain") > join,
+      s"bloom probe must pre-filter below the join:\n$p1")
+    val p2 = plan("text_contamination")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$p2")
+  }
+
   test("hash natives: simhash/minhash operators carry the codegen marker") {
     // SimHash64Expr / MinHashSigExpr implement doGenCode — without it the
     // planner wraps their whole stage in interpreted fallback and every
