@@ -2017,6 +2017,39 @@ object SparkEntry {
     // intersection/union only on those pairs
     "dedup_jaccard_pairs" -> ((s, dir) => jaccardPairsDf(s, dir)),
 
+    // PageRank (2 unrolled iterations, damping 0.85) over the thresholded
+    // near-dup graph — centrality over dup clusters ranks the canonical
+    // copy of each cluster (quality propagation, the graph cousin of the
+    // min-label CC). Each iteration is one edges-ranks join + one key agg
+    // — the O(iterations) shuffle pattern that scales like the CC loop;
+    // the rank vector never touches the driver. Deterministic: fixed
+    // iteration count, rounded output.
+    "dedup_pagerank" -> ((s, dir) => {
+      val pairs = jaccardPairsDf(s, dir).where(col("jaccard") >= 0.5)
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .localCheckpoint(false) // feeds deg + both iterations
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = tbl(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val nodes = tbl(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(n))
+      def step(r: DataFrame): DataFrame = {
+        val inflow = r.select(col("doc_id").as("rid"), col("r"))
+          .join(edges, col("rid") === col("src"))
+          .join(deg, "src")
+          .select(col("dst"), (col("r") / col("deg")).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("inflow"))
+        nodes.join(inflow, col("doc_id") === col("dst"), "left_outer")
+          .select(col("doc_id"), col("n"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      }
+      val r0 = nodes.select(col("doc_id"), col("n"),
+        (lit(1.0) / col("n")).as("r"))
+      step(step(r0)).select(col("doc_id"),
+        round(col("r"), 9).as("pagerank"))
+    }),
+
     // Near-dup CLUSTERS from the pairs: connected components by iterative
     // min-label propagation (each component's label = its min doc_id, the
     // canonical representative to keep). Pairs are thresholded at
@@ -3586,6 +3619,71 @@ object SparkEntry {
          |)
          |SELECT node AS doc_id, min(lab) AS component
          |FROM reach GROUP BY 1""".stripMargin
+    },
+
+    // same thresholded edge chain as dedup_connected_components, then two
+    // PageRank iterations unrolled as plain CTEs (teleport 0.15/N, damping
+    // 0.85, isolated nodes keep teleport-only mass via the left joins)
+    "dedup_pagerank" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |  UNION ALL
+         |  SELECT id2, id1 FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |),
+         |deg AS (SELECT a AS src, count(*) AS deg FROM edges GROUP BY a),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id, 1.0 / nn.n AS r FROM documents, nn),
+         |i1 AS (
+         |  SELECT e.b AS doc_id, sum(r0.r / deg.deg) AS inflow
+         |  FROM edges e JOIN r0 ON e.a = r0.doc_id JOIN deg ON e.a = deg.src
+         |  GROUP BY e.b
+         |),
+         |r1 AS (
+         |  SELECT d.doc_id, 0.15 / nn.n + 0.85 * coalesce(i1.inflow, 0.0) AS r
+         |  FROM documents d CROSS JOIN nn
+         |  LEFT JOIN i1 ON d.doc_id = i1.doc_id
+         |),
+         |i2 AS (
+         |  SELECT e.b AS doc_id, sum(r1.r / deg.deg) AS inflow
+         |  FROM edges e JOIN r1 ON e.a = r1.doc_id JOIN deg ON e.a = deg.src
+         |  GROUP BY e.b
+         |),
+         |r2 AS (
+         |  SELECT d.doc_id, 0.15 / nn.n + 0.85 * coalesce(i2.inflow, 0.0) AS r
+         |  FROM documents d CROSS JOIN nn
+         |  LEFT JOIN i2 ON d.doc_id = i2.doc_id
+         |)
+         |SELECT doc_id, round(r, 9) AS pagerank FROM r2""".stripMargin
     },
 
     // replays both Lloyd iterations: seed centroids = vectors 0..9,
