@@ -151,7 +151,17 @@ object SparkEntry {
     * expression; duplicate-invariant, so identical values) and the
     * exact sets. Without the shared pass the tokenize+shingle work ran
     * twice per document. */
-  private def jaccardPairsDf(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairsDf(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsWithSetsDf(s, dir)
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6)
+          .as("jaccard"))
+
+  /** LSH candidate pairs with exact distinct-shingle set sizes —
+    * (id1, id2, inter, uni, n1, n2) — shared by the Jaccard and
+    * containment scorers (same candidates, different ratios). */
+  private def jaccardPairsWithSetsDf(s: SparkSession, dir: String)
+  : DataFrame = {
     val sh = tbl(s, dir, "documents").select(col("doc_id"),
       graft.functions.GraftFunctions.shingles(s, col("text")).as("shg"))
       .localCheckpoint(false)
@@ -166,9 +176,9 @@ object SparkEntry {
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
-          .as("jaccard"))
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(array_union(col("sh1"), col("sh2"))).as("uni"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
   }
 
   /** DuckDB sig0..sig7 select-list fragment over shingle list `sh`:
@@ -2017,6 +2027,20 @@ object SparkEntry {
     // intersection/union only on those pairs
     "dedup_jaccard_pairs" -> ((s, dir) => jaccardPairsDf(s, dir)),
 
+    // Asymmetric containment on the LSH candidate pairs: |A∩B|/|A| and
+    // |A∩B|/|B| alongside the symmetric Jaccard — a short document fully
+    // quoted inside a long one scores low Jaccard (union is big) but
+    // containment ~1 in one direction, which is exactly the doc-in-doc
+    // duplication a dedup pass must catch. Same capped candidate
+    // generation as dedup_jaccard_pairs; only the pair scoring differs.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      jaccardPairsWithSetsDf(s, dir)
+        .select(col("id1"), col("id2"),
+          round(col("inter").cast("double") / col("n1").cast("double"), 6)
+            .as("contain1"),
+          round(col("inter").cast("double") / col("n2").cast("double"), 6)
+            .as("contain2"))),
+
     // PageRank (2 unrolled iterations, damping 0.85) over the thresholded
     // near-dup graph — centrality over dup clusters ranks the canonical
     // copy of each cluster (quality propagation, the graph cousin of the
@@ -3619,6 +3643,43 @@ object SparkEntry {
          |)
          |SELECT node AS doc_id, min(lab) AS component
          |FROM reach GROUP BY 1""".stripMargin
+    },
+
+    // same candidate chain as dedup_jaccard_pairs; asymmetric ratios over
+    // the exact distinct-shingle set sizes instead of the union
+    "dedup_containment_pairs" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) AS n1, len(s2.sh) AS n2
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |)
+         |SELECT id1, id2,
+         |       round(cast(inter AS double) / cast(n1 AS double), 6)
+         |         AS contain1,
+         |       round(cast(inter AS double) / cast(n2 AS double), 6)
+         |         AS contain2
+         |FROM j""".stripMargin
     },
 
     // same thresholded edge chain as dedup_connected_components, then two
