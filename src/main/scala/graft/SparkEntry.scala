@@ -1589,6 +1589,28 @@ object SparkEntry {
         Quality.distinctTokenCount(col("text")).as("n_uniq"),
         col("n_chars"))),
 
+    // Sequence-packing analytics: bucket documents by token count into
+    // power-of-two padding buckets and measure the padding waste each
+    // bucket pays — the batching-efficiency question every pretraining
+    // run sizes its packing strategy with. Integer CASE bucketing (no
+    // log2 float boundaries), one aggregation over the corpus.
+    "text_seq_packing" -> ((s, dir) => {
+      val ps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+      val n = Quality.tokenCount(col("text"))
+      val bucket = ps.foldRight(
+        lit(4096L): org.apache.spark.sql.Column)((p, acc) =>
+        when(n <= p, lit(p.toLong)).otherwise(acc))
+      tbl(s, dir, "documents")
+        .select(bucket.as("bucket"), n.as("n_tokens"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          round(lit(1.0) - col("sum_tokens").cast("double") /
+            (col("n_docs") * col("bucket")).cast("double"), 6)
+            .as("waste_frac"))
+    }),
+
     // Quality scoring: stop-word share, punctuation noise, diversity, score
     "text_quality" -> ((s, dir) => {
       val sw = graft.functions.GraftFunctions.stopRatio(s, col("text"))
@@ -1750,6 +1772,48 @@ object SparkEntry {
           graft.functions.GraftFunctions.shingles(s, col("text"), 2))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))),
+
+    // Gopher/MassiveText-style repetition rules — the canonical LLM
+    // quality pass this engine exists for: per document, the duplicate-
+    // bigram fraction and the top-bigram share (looping/gibberish text
+    // repeats itself), word count and mean word length bounds, and the
+    // resulting keep flag. One exploded token stream and one exploded
+    // bigram stream, each aggregated per doc — no per-doc driver work,
+    // scales like any aggregation. Flags compare ROUNDED ratios so both
+    // engines decide identically at the thresholds.
+    "text_gopher_rules" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.shingles(s, col("text"), 1))
+            .as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(length(col("tok"))), 6).as("mean_word_len"))
+      val bg = docs.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.shingles(s, col("text"), 2))
+            .as("bigram"))
+        .where(col("bigram").contains(" "))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) - count(lit(1)).cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("dup_bigram_frac"),
+          round(max(col("cnt")).cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("top_bigram_share"))
+      docs.select(col("doc_id"))
+        .join(toks, Seq("doc_id"), "left_outer")
+        .join(bg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("mean_word_len"), lit(0.0)).as("mean_word_len"),
+          coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+          coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
+        .withColumn("keep",
+          (col("n_words").between(5, 10000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("dup_bigram_frac") <= 0.3 &&
+            col("top_bigram_share") <= 0.2).cast("long"))
+    }),
 
     // Eval-set contamination scan — the decontamination gate every
     // pretraining pipeline runs: treat one source ('src0') as the
@@ -3216,6 +3280,31 @@ object SparkEntry {
          |       n_chars
          |FROM documents""".stripMargin,
 
+    "text_seq_packing" ->
+      s"""WITH n AS (
+         |  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |           AS n_tokens
+         |  FROM documents
+         |), b AS (
+         |  SELECT cast(CASE WHEN n_tokens <= 16 THEN 16
+         |              WHEN n_tokens <= 32 THEN 32
+         |              WHEN n_tokens <= 64 THEN 64
+         |              WHEN n_tokens <= 128 THEN 128
+         |              WHEN n_tokens <= 256 THEN 256
+         |              WHEN n_tokens <= 512 THEN 512
+         |              WHEN n_tokens <= 1024 THEN 1024
+         |              WHEN n_tokens <= 2048 THEN 2048
+         |              ELSE 4096 END AS bigint) AS bucket,
+         |         n_tokens
+         |  FROM n
+         |)
+         |SELECT bucket, count(*) AS n_docs,
+         |       cast(sum(n_tokens) AS bigint) AS sum_tokens,
+         |       round(1.0 - sum(n_tokens) * 1.0 / (count(*) * bucket), 6)
+         |         AS waste_frac
+         |FROM b GROUP BY bucket""".stripMargin,
+
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, ${cleanToksSql("text")} AS l FROM documents
@@ -3392,6 +3481,47 @@ object SparkEntry {
          |)
          |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
          |FROM tk GROUP BY token""".stripMargin,
+
+    // the rules re-derived in SQL: dup-bigram fraction = 1 - distinct/
+    // total, top share = mode count / total, word stats from the token
+    // list; token-less docs fall back to zeros and fail the keep gate
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents
+         |), tok AS (
+         |  SELECT doc_id, cast(len(l) AS bigint) AS n_words,
+         |         round(list_aggregate(list_transform(l, x -> length(x)),
+         |                              'sum') * 1.0 / len(l), 6)
+         |           AS mean_word_len
+         |  FROM t WHERE len(l) > 0
+         |), b AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(l)),
+         |                               i -> l[i] || ' ' || l[i+1])) AS bigram
+         |  FROM t WHERE len(l) >= 2
+         |), bc AS (
+         |  SELECT doc_id, bigram, count(*) AS cnt FROM b
+         |  GROUP BY doc_id, bigram
+         |), bg AS (
+         |  SELECT doc_id,
+         |         round(1.0 - count(*) * 1.0 / sum(cnt), 6)
+         |           AS dup_bigram_frac,
+         |         round(max(cnt) * 1.0 / sum(cnt), 6) AS top_bigram_share
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(tok.n_words, 0) AS n_words,
+         |       coalesce(tok.mean_word_len, 0.0) AS mean_word_len,
+         |       coalesce(bg.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+         |       coalesce(bg.top_bigram_share, 0.0) AS top_bigram_share,
+         |       cast(coalesce(tok.n_words, 0) BETWEEN 5 AND 10000
+         |            AND coalesce(tok.mean_word_len, 0.0) BETWEEN 2.0 AND 12.0
+         |            AND coalesce(bg.dup_bigram_frac, 0.0) <= 0.3
+         |            AND coalesce(bg.top_bigram_share, 0.0) <= 0.2
+         |            AS bigint) AS keep
+         |FROM documents d
+         |LEFT JOIN tok ON d.doc_id = tok.doc_id
+         |LEFT JOIN bg ON d.doc_id = bg.doc_id""".stripMargin,
 
     "text_contamination" ->
       s"""WITH t AS (
