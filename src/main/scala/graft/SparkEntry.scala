@@ -2266,6 +2266,39 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
     }),
 
+    // ANN quality CONTRACT: recall@10 of the IVF search against the exact
+    // brute-force top-10 — THE standard ANN metric, here a deterministic
+    // value (fixed data, fixed probe count, rounded tie-broken orderings
+    // on both sides) the oracle re-derives end to end. The IVF side scans
+    // 3 of 10 cells; recall measures exactly what that pruning costs.
+    "emb_ivf_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qarr = array(qvec.map(lit): _*)
+      val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+      val cell = graft.ops.Similarity.centroids(
+          emb, col("embedding"), col("label"))
+        .select(col("grp").as("clabel"),
+          round(Similarity.dot(col("centroid"), qarr) /
+            (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
+              lit(qnorm)), 6).as("ccos"))
+      val probed = cell.orderBy(col("ccos").desc, col("clabel").asc)
+        .limit(3).select("clabel")
+      val ivf = emb.join(broadcast(probed), col("label") === col("clabel"))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").as("ivf_id"))
+      Similarity.knn(emb, col("embedding"), col("vec_id"), qvec, 10)
+        .select(col("vec_id"))
+        .join(ivf, col("vec_id") === col("ivf_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10.0, 6)
+            .as("recall_at_10"))
+    }),
+
     // BPE-ish regex token count (letters / digit runs / punctuation marks)
     "text_bpe_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -4021,6 +4054,55 @@ object SparkEntry {
         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |         AS n_bpe
         |FROM documents""".stripMargin,
+
+    // both sides re-derived: exact brute-force top-10 and the 3-probed-cell
+    // IVF top-10, intersected; the empty-overlap case still yields one row
+    "emb_ivf_recall" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |), ed AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) GROUP BY v.vec_id
+         |), exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |    FROM ed, qq ORDER BY cos DESC, vec_id LIMIT 10)
+         |), c AS (
+         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+         |  FROM v GROUP BY label, pos
+         |), cs AS (
+         |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
+         |         sum(m * m) AS aa
+         |  FROM c JOIN q USING (pos) GROUP BY clabel
+         |), cell AS (
+         |  SELECT clabel, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS ccos
+         |  FROM cs, qq
+         |), probed AS (
+         |  SELECT clabel FROM (
+         |    SELECT clabel, row_number() OVER (ORDER BY ccos DESC, clabel) AS rn
+         |    FROM cell) WHERE rn <= 3
+         |), dd AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos)
+         |  WHERE v.label IN (SELECT clabel FROM probed)
+         |  GROUP BY v.vec_id
+         |), ivf AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |    FROM dd, qq ORDER BY cos DESC, vec_id LIMIT 10)
+         |)
+         |SELECT cast(count(*) AS bigint) AS n_overlap,
+         |       round(count(*) / 10.0, 6) AS recall_at_10
+         |FROM exact JOIN ivf USING (vec_id)""".stripMargin,
 
     "stock_count_x100" ->
       s"""$linesCte,
