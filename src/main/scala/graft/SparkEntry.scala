@@ -714,6 +714,46 @@ object SparkEntry {
           col("n_supp"), col("n_cust"))
     }),
 
+    // Cohort retention matrix — first-activity-day cohorts x day offsets,
+    // counting distinct users active at each offset: the standard product-
+    // analytics retention query. Two aggregations and one key join, all
+    // shuffling on user/cohort keys; dates carried as epoch-day integers
+    // so the compare is engine-neutral.
+    "rel_retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      e.join(first, "user_id")
+        .select(
+          datediff(col("cohort"), to_date(lit("1970-01-01")))
+            .cast("long").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset_days"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "offset_days")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Conversion funnel (view -> click -> purchase) with ORDER enforced:
+    // a step counts only when its first occurrence follows the previous
+    // step's first occurrence — one conditional-min aggregation per user,
+    // then one row of funnel counts. No self-joins, no window over raw
+    // events; the per-user state is three timestamps.
+    "rel_funnel_steps" -> ((s, dir) => {
+      val us = events(s, dir).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+      us.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"),
+          1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view")
+          && col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+          .as("n_full_funnel"))
+    }),
+
     // CDC changelog compaction: apply an ordered upsert/delete log to
     // produce the current snapshot — last writer per key wins, keys whose
     // final op is a delete vanish (the compact-a-Debezium-stream op; the
@@ -2604,6 +2644,47 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, cast(ts AS date) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT
+        |         date_diff('day', DATE '1970-01-01', f.cohort) AS cohort_day,
+        |         date_diff('day', f.cohort, e.day) AS offset_days,
+        |         e.user_id
+        |  FROM e JOIN f USING (user_id)
+        |)
+        |SELECT cast(cohort_day AS bigint) AS cohort_day,
+        |       cast(offset_days AS bigint) AS offset_days,
+        |       count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // the strict > comparisons drop users whose later step never happened
+    // (NULL compares unknown -> not counted) on both engines; micros
+    // precision on BOTH sides — comparing raw TIMESTAMP_NS could flip
+    // pairs that sit within 1 us of each other
+    "rel_funnel_steps" ->
+      """WITH us AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |           AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |           AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_view,
+        |       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_view_click,
+        |       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                AND t_purchase > t_click
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+        |FROM us""".stripMargin,
 
     "rel_cdc_apply" ->
       """WITH lg AS (
