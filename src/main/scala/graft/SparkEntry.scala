@@ -1767,6 +1767,61 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("user_id"))
     }),
 
+    // Deterministic per-key sampling: at most 3 events per user, chosen by
+    // md5 order — the per-user cap a training pipeline applies so heavy
+    // users can't dominate a dataset (and the reproducible cousin of
+    // reservoir sampling: no rand(), so retries/re-partitions pick the
+    // SAME rows). One hash-partitioned window per user_id; output per key
+    // is bounded at k, so downstream joins on the sample can't skew.
+    "rel_sample_per_key" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(md5(col("event_id").cast("string").cast("binary")),
+          col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // Key-skew diagnostic: per event type, the per-user count distribution
+    // (max/mean ratio = the hot-key factor that decides whether an agg or
+    // join on this key needs salting — the measurement side of
+    // rel_skew_salted_join). Two-level aggregate: the inner groupBy
+    // partial-aggregates map-side, so the shuffle carries one row per
+    // (type, user), never the raw events twice.
+    "rel_key_skew_profile" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          max(col("c")).as("max_per_user"),
+          round(avg(col("c")), 6).as("avg_per_user"),
+          round(max(col("c")) / avg(col("c")), 6).as("skew_factor"))),
+
+    // Temperature-scaled domain mixing weights: per (lang, source) corpus
+    // cell, sampling weight proportional to n_tokens^0.7 — the standard
+    // multilingual temperature trick (T = 1/0.7) that upweights small
+    // domains without letting any one dominate. One two-level aggregate
+    // plus a broadcast 1-row normalizer; the weight table is model-sized
+    // however big the corpus is.
+    "text_domain_mix" -> ((s, dir) => {
+      val cells = tbl(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Dedup.cleanTokens(col("text"))).cast("long"))
+            .as("n_tokens"))
+      val total = cells
+        .agg(sum(pow(col("n_tokens").cast("double"), 0.7)).as("z"))
+      cells.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(pow(col("n_tokens").cast("double"), 0.7) / col("z"), 6)
+            .as("mix_weight"))
+    }),
+
     // PII-style redaction (emails -> <EMAIL>, URLs -> <URL>, digit runs ->
     // <NUM>): deterministic synthetic patterns appended to each doc so the
     // masking is exercised for real, then verified byte-for-byte
@@ -2188,6 +2243,113 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(
         tbl(s, dir, "documents").select(col("doc_id")), edges)
+    }),
+
+    // Triangle census of the near-dup graph: edges + wedges + triangles +
+    // the global clustering coefficient — the structural summary that
+    // separates chains of borderline pairs from tight dup cliques (a
+    // high coefficient says the 0.5 threshold is finding real clusters,
+    // not noise). Edges are the thresholded LSH-candidate pairs, already
+    // canonical id1 < id2; triangles come from two self-joins on the
+    // ORDERED edge list (a<b<c — each triangle counted exactly once, no
+    // symmetrization blow-up), the textbook distributed triangle plan.
+    // Its worst-case shuffle is O(E^1.5), kept tiny here because the LSH
+    // bucket cap bounds per-node degree at source.
+    "dedup_triangle_count" -> ((s, dir) => {
+      val e = jaccardPairsDf(s, dir).where(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint(false) // feeds degrees + three join sides
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.id2") === col("e2.id1"))
+        .join(e.as("e3"), col("e1.id1") === col("e3.id1") &&
+          col("e2.id2") === col("e3.id2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("id1").as("n"))
+        .unionAll(e.select(col("id2").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1)) / 2, lit(0.0))
+          .cast("long").as("n_wedges"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(wedges))
+        .crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .otherwise(lit(0.0)), 6).as("clustering_coeff"))
+    }),
+
+    // CCNet-style duplicated-paragraph accounting, adapted to the
+    // corpus's single-line docs: "paragraphs" are fixed 10-token chunks,
+    // and a chunk is duplicated when its exact text occurs in more than
+    // one document. The per-doc dup fraction is the removal signal a
+    // line-dedup pass filters on. Plan: one explode -> hash-group per
+    // chunk (distinct-doc counts) -> join back on the chunk text ->
+    // per-doc aggregate; both shuffles are O(chunks) over uniformly
+    // distributed hash keys, and the chunk stream is materialized once
+    // (localCheckpoint) for its two consumers.
+    "dedup_chunk_dedup" -> ((s, dir) => {
+      val toks = Dedup.cleanTokens(col("text"))
+      val nc = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nc") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
+            .as("chunk"))
+        .localCheckpoint(false) // feeds the freq agg + the join back
+      val freq = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(freq, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("nd") > 1).cast("int")).cast("long").as("n_dup_chunks"),
+          round(avg((col("nd") > 1).cast("int").cast("double")), 6)
+            .as("dup_frac"))
+    }),
+
+    // Exact duplicated-span inventory (the exact-substring pass of a
+    // training-data dedup, à la "Deduplicating Training Data Makes
+    // Language Models Better"): every 8-token gram occurring in >= 2
+    // distinct documents, with doc- and occurrence-counts. One explode ->
+    // hash-group; grams are uniform hash keys, partial aggregation runs
+    // map-side, and the >= 2 filter is a HAVING over the final agg.
+    "dedup_dup_spans" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.cleanTokens(col("text")).as("toks"))
+      d.where(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 7),
+            i => concat_ws(" ",
+              (0 until 8).map(j => element_at(col("toks"), i + lit(j))): _*)))
+            .as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2)
+    }),
+
+    // Capstone fuzzy-dedup pipeline: MinHash -> banded LSH candidates ->
+    // exact-Jaccard threshold -> connected components -> keep each
+    // component's min-id canonical doc -> per-language survivor stats.
+    // This is the end-to-end near-dup removal pass of a training-data
+    // build, composed entirely from the scale-shaped operators proven
+    // individually (capped LSH buckets, O(diameter) CC with bounded
+    // checkpoints, one final aggregate).
+    "pipeline_fuzzy_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val edges = jaccardPairsDf(s, dir).where(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val cc = Dedup.connectedComponents(
+        docs.select(col("doc_id")), edges)
+      docs.select(col("doc_id"), col("lang"),
+          size(Dedup.cleanTokens(col("text"))).cast("long").as("n_tok"))
+        .join(cc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("doc_id") === col("component")).cast("int")).cast("long")
+            .as("n_kept"),
+          sum(when(col("doc_id") === col("component"), col("n_tok"))
+            .otherwise(0L)).as("n_tokens_kept"))
     }),
 
     // IVF assign step: nearest label-centroid by (rounded) cosine
@@ -3525,6 +3687,39 @@ object SparkEntry {
         |      < CASE WHEN event_type = 'click' THEN 20
         |             WHEN event_type = 'view' THEN 10 ELSE 5 END""".stripMargin,
 
+    "rel_sample_per_key" ->
+      """SELECT event_id, user_id, event_type
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY md5(event_id::VARCHAR),
+        |                                     event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "rel_key_skew_profile" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, cast(sum(c) AS bigint) AS n_events,
+        |       count(*) AS n_users, max(c) AS max_per_user,
+        |       round(avg(c), 6) AS avg_per_user,
+        |       round(max(c) / avg(c), 6) AS skew_factor
+        |FROM pu GROUP BY 1""".stripMargin,
+
+    "text_domain_mix" ->
+      s"""WITH cells AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |         cast(sum(len(${cleanToksSql("text")})) AS bigint)
+         |           AS n_tokens
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |z AS (SELECT sum(power(n_tokens, 0.7)) AS z FROM cells)
+         |SELECT lang, source, n_docs, n_tokens,
+         |       round(power(n_tokens, 0.7) / z, 6) AS mix_weight
+         |FROM cells CROSS JOIN z""".stripMargin,
+
     "emb_quantize" ->
       """WITH x AS (
         |  SELECT vec_id,
@@ -3989,6 +4184,161 @@ object SparkEntry {
          |  LEFT JOIN i2 ON d.doc_id = i2.doc_id
          |)
          |SELECT doc_id, round(r, 9) AS pagerank FROM r2""".stripMargin
+    },
+
+    // same thresholded (id1 < id2) edge chain as dedup_connected_components
+    // WITHOUT symmetrizing; triangles via the ordered two-join, wedges from
+    // undirected degrees
+    "dedup_triangle_count" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |),
+         |edges AS (
+         |  SELECT id1, id2 FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |),
+         |deg AS (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT id1 AS n FROM edges
+         |    UNION ALL SELECT id2 FROM edges) GROUP BY 1
+         |),
+         |w AS (SELECT cast(coalesce(sum(d * (d - 1)), 0) / 2 AS bigint)
+         |             AS n_wedges FROM deg),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e1.id2 = e2.id1
+         |  JOIN edges e3 ON e1.id1 = e3.id1 AND e2.id2 = e3.id2
+         |),
+         |ne AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+         |       round(CASE WHEN w.n_wedges > 0
+         |                  THEN 3.0 * tri.n_triangles / w.n_wedges
+         |                  ELSE 0.0 END, 6) AS clustering_coeff
+         |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
+    },
+
+    // fixed 10-token chunking replayed with list slicing; dup = chunk text
+    // in more than one distinct doc
+    "dedup_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(0, greatest(1, cast(ceil(len(l) / 10.0) AS int))),
+         |           i -> array_to_string(l[i*10+1 : i*10+10], ' '))) AS chunk
+         |  FROM t
+         |),
+         |fr AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+         |       FROM ch GROUP BY 1)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |       cast(sum(CASE WHEN fr.nd > 1 THEN 1 ELSE 0 END) AS bigint)
+         |         AS n_dup_chunks,
+         |       round(avg(CASE WHEN fr.nd > 1 THEN 1.0 ELSE 0.0 END), 6)
+         |         AS dup_frac
+         |FROM ch JOIN fr USING (chunk)
+         |GROUP BY ch.doc_id""".stripMargin,
+
+    // sliding 8-token grams; HAVING keeps only spans shared across docs
+    "dedup_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(l) - 6),
+         |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+         |                l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' ||
+         |                l[i+6] || ' ' || l[i+7])) AS gram
+         |  FROM t WHERE len(l) >= 8
+         |)
+         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM g GROUP BY 1
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // the dedup_connected_components transitive closure, then per-language
+    // survivor accounting against the canonical (min-id) representative
+    "pipeline_fuzzy_dedup" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |  UNION ALL
+         |  SELECT id2, id1 FROM j
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT reach.node, e.b AS lab
+         |  FROM reach JOIN edges e ON reach.lab = e.a
+         |),
+         |cc AS (
+         |  SELECT node AS doc_id, min(lab) AS component
+         |  FROM reach GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |         cast(len(${cleanToksSql("text")}) AS bigint) AS n_tok
+         |  FROM documents
+         |)
+         |SELECT d.lang, count(*) AS n_docs,
+         |       cast(sum(CASE WHEN cc.component = d.doc_id
+         |                     THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+         |       cast(sum(CASE WHEN cc.component = d.doc_id
+         |                     THEN d.n_tok ELSE 0 END) AS bigint)
+         |         AS n_tokens_kept
+         |FROM d JOIN cc USING (doc_id)
+         |GROUP BY 1""".stripMargin
     },
 
     // replays both Lloyd iterations: seed centroids = vectors 0..9,

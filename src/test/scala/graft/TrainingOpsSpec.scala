@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-7 training-data operators (per-key
+  * sampling, skew profiling, mixing weights, chunk/span dedup, triangle
+  * census, fuzzy-dedup capstone) on the sf0.001 tables — properties the
+  * DuckDB hash-compare can't express, e.g. determinism across runs and
+  * cross-query consistency. */
+class TrainingOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("rel_sample_per_key caps every user at 3 rows, deterministically") {
+    val s1 = run("rel_sample_per_key")
+    val perUser = s1.groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perUser <= 3L)
+    // identical row set on a re-run (no rand() anywhere in the sample)
+    assert(run("rel_sample_per_key").exceptAll(s1).isEmpty)
+    // no event sampled twice
+    assert(s1.select("event_id").distinct().count() == s1.count())
+  }
+
+  test("rel_key_skew_profile: totals match the raw table, skew >= 1") {
+    val prof = run("rel_key_skew_profile")
+    val total = prof.agg(sum("n_events")).head().getLong(0)
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == raw)
+    val bad = prof.where(col("skew_factor") < 1.0 ||
+      col("max_per_user") < col("avg_per_user")).count()
+    assert(bad == 0L)
+  }
+
+  test("text_domain_mix weights are a probability distribution") {
+    val mix = run("text_domain_mix")
+    val z = mix.agg(sum("mix_weight")).head().getDouble(0)
+    assert(math.abs(z - 1.0) < 1e-3, s"weights sum to $z")
+    assert(mix.where(col("mix_weight") <= 0).count() == 0L)
+    // temperature flattening: max weight below the raw token share's max
+    val shares = mix.agg(
+      max(col("n_tokens")).cast("double") /
+        sum(col("n_tokens")).cast("double"),
+      max(col("mix_weight"))).head()
+    assert(shares.getDouble(1) <= shares.getDouble(0) + 1e-9,
+      "temperature 0.7 must not sharpen the largest domain")
+  }
+
+  test("dedup_chunk_dedup: chunk counts = ceil(tokens/10), frac in [0,1]") {
+    val ch = run("dedup_chunk_dedup")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        ceil(size(graft.ops.Dedup.cleanTokens(col("text"))) / lit(10.0))
+          .cast("long").as("want"))
+      .withColumn("want", greatest(col("want"), lit(1L)))
+    val off = ch.join(docs, "doc_id")
+      .where(col("n_chunks") =!= col("want")).count()
+    assert(off == 0L)
+    assert(ch.where(col("dup_frac") < 0 || col("dup_frac") > 1 ||
+      col("n_dup_chunks") > col("n_chunks")).count() == 0L)
+  }
+
+  test("dedup_dup_spans: every span in >=2 docs, occurrences >= docs") {
+    val sp = run("dedup_dup_spans")
+    assert(sp.where(col("n_docs") < 2 ||
+      col("n_occ") < col("n_docs")).count() == 0L)
+    // every reported gram really is 8 tokens
+    assert(sp.where(size(split(col("gram"), " ")) =!= 8).count() == 0L)
+  }
+
+  test("dedup_triangle_count: wedge/triangle inequalities hold") {
+    val r = run("dedup_triangle_count").head()
+    val (edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val coeff = r.getDouble(3)
+    assert(wedges >= 3 * tris, "each triangle closes exactly 3 wedges")
+    assert(coeff >= 0.0 && coeff <= 1.0)
+    assert(edges >= 0 && tris >= 0)
+  }
+
+  test("pipeline_fuzzy_dedup agrees with dedup_connected_components") {
+    val stats = run("pipeline_fuzzy_dedup")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(stats.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    // survivors == number of distinct components (one canonical doc each)
+    val kept = stats.agg(sum("n_kept")).head().getLong(0)
+    val comps = run("dedup_connected_components")
+      .select("component").distinct().count()
+    assert(kept == comps)
+    assert(stats.where(col("n_kept") > col("n_docs")).count() == 0L)
+  }
+}
