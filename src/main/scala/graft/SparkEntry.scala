@@ -2245,6 +2245,47 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("doc_id")), edges)
     }),
 
+    // Accuracy CONTRACT for the banded-MinHash LSH path (the dedup cousin
+    // of emb_ivf_recall / rel_cms_freq_bounded): recall of the capped LSH
+    // candidate generation against the TRUE >= 0.5-Jaccard pair set.
+    // Ground truth never goes O(n^2): exact pair intersections come from
+    // a shingle self-join (explode -> join on shingle -> per-pair count),
+    // whose cost is sum of squared shingle-bucket sizes — the same
+    // scale shape as the LSH join it validates. With 4 bands of 2 rows,
+    // pairs at J >= 0.5 collide with probability 1-(1-J^2)^4 >= 0.94, so
+    // recall lands near 1 (exact value pinned by the oracle; the [0,1]
+    // bounds and the subset property by TrainingOpsSpec).
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val sh = tbl(s, dir, "documents").select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions
+          .shingles(s, col("text"))).as("sh"))
+        .localCheckpoint(false) // feeds the explode + both size lookups
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val truePairs = inter
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")),
+          "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")),
+          "id2")
+        .where(round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 6) >= 0.5)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint(false) // consumed by the count + the semi-join
+      val cand = jaccardPairsDf(s, dir).where(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val found = truePairs.join(cand, Seq("id1", "id2"), "left_semi")
+      truePairs.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .select(col("n_true"), col("n_found"),
+          round(when(col("n_true") > 0,
+            col("n_found").cast("double") / col("n_true"))
+            .otherwise(lit(1.0)), 6).as("recall"))
+    }),
+
     // Triangle census of the near-dup graph: edges + wedges + triangles +
     // the global clustering coefficient — the structural summary that
     // separates chains of borderline pairs from tight dup cliques (a
@@ -4184,6 +4225,64 @@ object SparkEntry {
          |  LEFT JOIN i2 ON d.doc_id = i2.doc_id
          |)
          |SELECT doc_id, round(r, 9) AS pagerank FROM r2""".stripMargin
+    },
+
+    // ground truth from an exact shingle self-join; candidates from the
+    // same banded chain as dedup_jaccard_pairs; found = their intersection
+    "dedup_lsh_recall" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |tp AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sz s1 ON inter.id1 = s1.doc_id
+         |  JOIN sz s2 ON inter.id2 = s2.doc_id
+         |  WHERE round(cast(inter AS double) /
+         |              cast(s1.n + s2.n - inter AS double), 6) >= 0.5
+         |),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |jj AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |),
+         |cand AS (
+         |  SELECT id1, id2 FROM jj
+         |  WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |        >= 0.5
+         |),
+         |f AS (SELECT count(*) AS n_found FROM
+         |        (SELECT * FROM tp INTERSECT SELECT * FROM cand)),
+         |nt AS (SELECT count(*) AS n_true FROM tp)
+         |SELECT nt.n_true, f.n_found,
+         |       round(CASE WHEN nt.n_true > 0
+         |                  THEN cast(f.n_found AS double) / nt.n_true
+         |                  ELSE 1.0 END, 6) AS recall
+         |FROM nt CROSS JOIN f""".stripMargin
     },
 
     // same thresholded (id1 < id2) edge chain as dedup_connected_components

@@ -81,6 +81,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(edges >= 0 && tris >= 0)
   }
 
+  test("dedup_lsh_recall: found <= true, recall in [0,1]") {
+    val r = run("dedup_lsh_recall").head()
+    val (nTrue, nFound, recall) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nFound <= nTrue, "candidates passing the exact threshold are " +
+      "a subset of the true pair set")
+    assert(recall >= 0.0 && recall <= 1.0)
+    // 4 bands x 2 rows: P(collision | J = 0.5) = 1-(1-0.25)^4 ≈ 0.68 per
+    // pair and real dup pairs sit far above 0.5 — demand a sane floor
+    if (nTrue > 0) assert(recall >= 0.5, s"LSH recall $recall collapsed")
+  }
+
   test("pipeline_fuzzy_dedup agrees with dedup_connected_components") {
     val stats = run("pipeline_fuzzy_dedup")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
