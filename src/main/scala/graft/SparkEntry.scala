@@ -515,6 +515,19 @@ object SparkEntry {
       finally graft.streaming.StreamGate.deleteRecursively(src)
     }),
 
+    // Streaming top-K: complete-mode aggregation + ORDER BY + LIMIT —
+    // the sorted-sink shape Structured Streaming only permits in complete
+    // mode (every trigger re-emits the whole ranked table; at scale the
+    // sink holds K rows, the state one row per key). Tie-broken on the
+    // key so the cut is deterministic.
+    "stream_topk_types" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("event_type")),
+        "gate_topk_types", "complete")(df =>
+        df.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+          .limit(3))),
+
     // Sliding 1h windows every 15 min: each event lands in 4 windows
     "stream_sliding_counts" -> ((s, dir) =>
       graft.streaming.StreamGate.stageAndReplay(s,
@@ -1822,6 +1835,36 @@ object SparkEntry {
             .as("mix_weight"))
     }),
 
+    // Deterministic acceptance-rate resampling: downsample each
+    // over-represented (lang, source) cell to the mean per-cell token
+    // budget — the "apply the mixing decision" step after
+    // text_domain_mix. Per-doc keep test = uniform md5 fraction
+    // (first 8 hex digits / 2^32 — exact power-of-two division, so the
+    // comparison is bit-identical across engines) against the cell's
+    // acceptance rate. The rate table is cell-count-sized and broadcast;
+    // one scan decides every doc.
+    "text_balanced_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(Dedup.cleanTokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint(false) // feeds the cell agg + the keep scan
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_tok")).as("cell_tok"))
+      val target = cells
+        .agg((sum(col("cell_tok")).cast("double") / count(lit(1)))
+          .as("target"))
+      val rates = cells.crossJoin(broadcast(target))
+        .select(col("lang"), col("source"),
+          least(lit(1.0), col("target") / col("cell_tok").cast("double"))
+            .as("rate"))
+      val frac = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      docs.join(broadcast(rates), Seq("lang", "source"))
+        .where(frac < col("rate"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    }),
+
     // PII-style redaction (emails -> <EMAIL>, URLs -> <URL>, digit runs ->
     // <NUM>): deterministic synthetic patterns appended to each doc so the
     // masking is exercised for real, then verified byte-for-byte
@@ -2043,6 +2086,31 @@ object SparkEntry {
         Similarity.lshBucket(col("embedding"), 64, 8), minCos = -2.0)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.3)),
+
+    // SemDeDup-style semantic dedup: connected components over the
+    // LSH-blocked cosine near-dup graph (cos >= 0.4 on this corpus), each
+    // cluster keeping its min-id vector — the embedding-space counterpart
+    // of pipeline_fuzzy_dedup, per-label survivor accounting. Candidates
+    // never leave their sign-projection buckets, CC runs the bounded
+    // O(diameter) loop, the final agg is one shuffle over (label).
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val edges = Similarity.nearDupPairsBlocked(emb, col("embedding"),
+          col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8),
+          minCos = -2.0)
+        .select(col("id1"), col("id2"),
+          round(col("cos"), 6).as("cos"))
+        .where(col("cos") >= 0.4)
+        .select(col("id1"), col("id2"))
+      val cc = Dedup.connectedComponents(
+        emb.select(col("vec_id")), edges, idCol = "vec_id")
+      emb.select(col("vec_id"), col("label"))
+        .join(cc, "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((col("vec_id") === col("component")).cast("int")).cast("long")
+            .as("n_kept"))
+    }),
 
     // Symmetric int8 quantization per embedding (the storage path that
     // makes 100 TB of fp32 vectors 4x smaller): scale = 127/max|x|,
@@ -2726,6 +2794,11 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_topk_types" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
 
     // batch sessionization (gap > 30 min), minus each user's LAST session
     // — that one is still open in the stream and must not have emitted
@@ -4027,6 +4100,86 @@ object SparkEntry {
          |JOIN n n1 ON d.id1 = n1.vec_id
          |JOIN n n2 ON d.id2 = n2.vec_id
          |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.3""".stripMargin,
+
+    // the emb_lsh_near_dup candidate chain thresholded at 0.4, then the
+    // same recursive min-label closure as dedup_connected_components,
+    // grouped per label against the canonical (min-id) vector
+    "emb_semantic_dedup" ->
+      s"""WITH RECURSIVE $embUnnestCte,
+         |$lcgBucketCtes,
+         |n AS (
+         |  SELECT vec_id,
+         |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
+         |  FROM v GROUP BY vec_id
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+         |  FROM buckets a JOIN buckets bb
+         |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |),
+         |d AS (
+         |  SELECT p.id1, p.id2,
+         |         sum(cast(v1.vx AS double) * cast(v2.vx AS double)) AS dot
+         |  FROM pairs p
+         |  JOIN v v1 ON v1.vec_id = p.id1
+         |  JOIN v v2 ON v2.vec_id = p.id2 AND v1.pos = v2.pos
+         |  GROUP BY p.id1, p.id2
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM d
+         |  JOIN n n1 ON d.id1 = n1.vec_id
+         |  JOIN n n2 ON d.id2 = n2.vec_id
+         |  WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.4
+         |  UNION ALL
+         |  SELECT id2, id1 FROM d
+         |  JOIN n n1 ON d.id1 = n1.vec_id
+         |  JOIN n n2 ON d.id2 = n2.vec_id
+         |  WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.4
+         |),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+         |  UNION
+         |  SELECT reach.node, e.b AS lab
+         |  FROM reach JOIN edges e ON reach.lab = e.a
+         |),
+         |cc AS (
+         |  SELECT node AS vec_id, min(lab) AS component
+         |  FROM reach GROUP BY 1
+         |)
+         |SELECT emb.label, count(*) AS n_vecs,
+         |       cast(sum(CASE WHEN cc.component = emb.vec_id
+         |                     THEN 1 ELSE 0 END) AS bigint) AS n_kept
+         |FROM embeddings emb JOIN cc USING (vec_id)
+         |GROUP BY 1""".stripMargin,
+
+    "text_balanced_resample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |         cast(len(${cleanToksSql("text")}) AS bigint) AS n_tok
+         |  FROM documents
+         |),
+         |cells AS (
+         |  SELECT lang, source, cast(sum(n_tok) AS bigint) AS cell_tok
+         |  FROM d GROUP BY 1, 2
+         |),
+         |a AS (
+         |  SELECT cast(sum(cell_tok) AS double) / count(*) AS target
+         |  FROM cells
+         |),
+         |r AS (
+         |  SELECT lang, source,
+         |         least(1.0, target / cast(cell_tok AS double)) AS rate
+         |  FROM cells CROSS JOIN a
+         |),
+         |k AS (
+         |  SELECT d.lang, d.source, d.n_tok
+         |  FROM d JOIN r USING (lang, source)
+         |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+         |        / 4294967296.0 < r.rate
+         |)
+         |SELECT lang, source, count(*) AS n_kept,
+         |       cast(sum(n_tok) AS bigint) AS tok_kept
+         |FROM k GROUP BY 1, 2""".stripMargin,
 
     "rel_value_histogram" ->
       """SELECT cast(floor(value / 20) AS bigint) AS bucket, count(*) AS cnt

@@ -93,6 +93,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     if (nTrue > 0) assert(recall >= 0.5, s"LSH recall $recall collapsed")
   }
 
+  test("emb_semantic_dedup keeps one vector per semantic component") {
+    val st = run("emb_semantic_dedup")
+    assert(st.where(col("n_kept") > col("n_vecs") ||
+      col("n_kept") < 1).count() == 0L)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(st.agg(sum("n_vecs")).head().getLong(0) == emb.count())
+  }
+
+  test("text_balanced_resample never up-samples a cell") {
+    val rs = run("text_balanced_resample")
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source").count()
+    val joined = rs.join(cells, Seq("lang", "source"))
+    assert(joined.where(col("n_kept") > col("count")).count() == 0L)
+    // deterministic: identical keep decisions on a re-run
+    assert(run("text_balanced_resample").exceptAll(rs).isEmpty)
+  }
+
   test("pipeline_fuzzy_dedup agrees with dedup_connected_components") {
     val stats = run("pipeline_fuzzy_dedup")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
