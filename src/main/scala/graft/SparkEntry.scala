@@ -1064,6 +1064,38 @@ object SparkEntry {
           element_at(col("features"), 7).cast("double").as("luma"))
     }),
 
+    // Decode-based exact image dedup (the LAION-style multimodal dedup
+    // pass): payloads are synthesized with REPEATS by construction
+    // (pattern key = doc_id % 50, so ~10 byte-identical images per key at
+    // 500 docs), every payload goes through the REAL ImageIO decode, and
+    // the dedup key is a fingerprint of the DECODED content (geometry +
+    // per-channel means — robust to container-level byte differences,
+    // which is why content dedup beats md5-of-payload for media). One
+    // decode scan -> hash-groupBy; the shuffle carries one fingerprint
+    // row per image.
+    "media_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 50
+          (id, graft.multimodal.Media.syntheticPng(
+            (1 + k % 13).toInt, (1 + k % 7).toInt,
+            (k % 256).toInt, (k * 7 % 256).toInt, (k * 13 % 256).toInt))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractImageFeatures(media)
+        .select(col("media_id"),
+          md5(concat_ws(",",
+            element_at(col("features"), 1).cast("long"),
+            element_at(col("features"), 2).cast("long"),
+            element_at(col("features"), 4).cast("long"),
+            element_at(col("features"), 5).cast("long"),
+            element_at(col("features"), 6).cast("long")).cast("binary"))
+            .as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // REAL audio decode, driver-checked: constant-amplitude PCM16 WAV per
     // doc through the JDK's javax.sound.sampled round trip; constant
     // samples make meanAbs = RMS = peak = amp/32768 exactly (dyadic), so
@@ -3147,6 +3179,16 @@ object SparkEntry {
         |                 + cast(0.114 AS double) * (doc_id * 13 % 256)
         |            AS REAL) AS double) AS luma
         |FROM documents""".stripMargin,
+
+    // the decoded content of a solid PNG is its geometry + exact channel
+    // means, all analytic in the pattern key k = doc_id % 50
+    "media_image_dedup" ->
+      """WITH k AS (SELECT doc_id, doc_id % 50 AS k FROM documents)
+        |SELECT md5(concat_ws(',', 1 + k % 13, 1 + k % 7,
+        |                     k % 256, k * 7 % 256, k * 13 % 256))
+        |         AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM k GROUP BY 1""".stripMargin,
 
     "media_audio_decode" ->
       """SELECT doc_id AS media_id,
