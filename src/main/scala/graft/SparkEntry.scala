@@ -2448,6 +2448,34 @@ object SparkEntry {
             .as("dup_frac"))
     }),
 
+    // The REMOVAL half of CCNet-style paragraph dedup (dedup_chunk_dedup
+    // is the accounting half): rebuild each document keeping a chunk only
+    // if it is globally unique OR this doc is the chunk's canonical
+    // (min-id) owner — so exactly one copy of every duplicated paragraph
+    // survives corpus-wide. Chunk order is restored by sorting on the
+    // chunk index inside the per-doc aggregate; docs whose every chunk is
+    // owned elsewhere drop out entirely (they were pure duplicates).
+    "dedup_chunk_removal" -> ((s, dir) => {
+      val toks = Dedup.cleanTokens(col("text"))
+      val nc = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("nc") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
+            .as(Seq("idx", "chunk")))
+        .localCheckpoint(false) // feeds the owner agg + the join back
+      val owner = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id")).as("owner"))
+      chunks.join(owner, "chunk")
+        .where(col("nd") === 1 || col("doc_id") === col("owner"))
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    }),
+
     // Exact duplicated-span inventory (the exact-substring pass of a
     // training-data dedup, à la "Deduplicating Training Data Makes
     // Language Models Better"): every 8-token gram occurring in >= 2
@@ -4556,6 +4584,29 @@ object SparkEntry {
          |         AS dup_frac
          |FROM ch JOIN fr USING (chunk)
          |GROUP BY ch.doc_id""".stripMargin,
+
+    // same chunking as dedup_chunk_dedup with an index; keep = unique OR
+    // canonical owner; order restored by string_agg(... ORDER BY idx)
+    "dedup_chunk_removal" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |chs AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(0, greatest(1, cast(ceil(len(l) / 10.0) AS int))),
+         |           i -> {'idx': i,
+         |                 'chunk': array_to_string(l[i*10+1 : i*10+10], ' ')}))
+         |           AS s
+         |  FROM t
+         |),
+         |ch AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM chs),
+         |own AS (SELECT chunk, count(DISTINCT doc_id) AS nd,
+         |               min(doc_id) AS owner
+         |        FROM ch GROUP BY 1)
+         |SELECT ch.doc_id,
+         |       string_agg(ch.chunk, ' ' ORDER BY ch.idx) AS clean_text
+         |FROM ch JOIN own USING (chunk)
+         |WHERE own.nd = 1 OR ch.doc_id = own.owner
+         |GROUP BY 1""".stripMargin,
 
     // sliding 8-token grams; HAVING keeps only spans shared across docs
     "dedup_dup_spans" ->

@@ -63,6 +63,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       col("n_dup_chunks") > col("n_chunks")).count() == 0L)
   }
 
+  test("dedup_chunk_removal preserves docs with no duplicated chunks") {
+    val clean = run("dedup_chunk_removal")
+    val acct = run("dedup_chunk_dedup")
+    // a doc with dup_frac = 0 must come back as its exact normalized text
+    val pristine = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", graft.ops.Dedup.cleanTokens(col("text")))
+          .as("want"))
+      .join(acct.where(col("dup_frac") === 0.0).select("doc_id"), "doc_id")
+    val broken = pristine.join(clean, "doc_id")
+      .where(col("clean_text") =!= col("want")).count()
+    assert(broken == 0L)
+    // docs that vanish entirely are exactly the fully-duplicated,
+    // non-canonical ones: every chunk duplicated and owned elsewhere
+    assert(clean.count() <= acct.count())
+  }
+
   test("dedup_dup_spans: every span in >=2 docs, occurrences >= docs") {
     val sp = run("dedup_dup_spans")
     assert(sp.where(col("n_docs") < 2 ||
