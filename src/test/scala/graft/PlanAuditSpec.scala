@@ -184,6 +184,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition window:\n$p")
   }
 
+  test("rel_sample_per_key: partial WindowGroupLimit below the exchange") {
+    val p = plan("rel_sample_per_key")
+    // map-side top-k per key: a Partial WindowGroupLimit BEFORE the
+    // shuffle, so the exchange carries <= k rows per key per partition
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"),
+      s"expected the map-side (Partial) WindowGroupLimit:\n$p")
+  }
+
   test("no cartesian product in any registered query plan") {
     // skip queries whose *plan construction* itself runs jobs
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
