@@ -334,6 +334,24 @@ object SparkEntry {
     // the staged `line` column carries embedded commas (docLines injects
     // them around "spark"), so the write MUST quote and the read MUST
     // unquote — a real RFC-4180 round-trip, not a comma-free fast path
+    // Hive-partitioned sink + partition-pruned source as a first-class
+    // registry query (PartitionPruningSpec pins the PartitionFilters; this
+    // pins the VALUES): documents written partitionBy(lang), read back
+    // with a lang predicate that must prune to one directory — the layout
+    // that turns a 100 TB corpus scan into a per-language scan. The
+    // partition column round-trips through directory names (value <->
+    // path encoding), which is exactly what the oracle cross-checks.
+    "src_partitioned_roundtrip" -> ((s, dir) => {
+      val out = staged("part_docs")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       val out = staged("csv_doc_lines")
       // value-exactness options pinned EXPLICITLY on both sides (not left
@@ -1907,6 +1925,26 @@ object SparkEntry {
           lit("http://ex.co/p"), col("doc_id"), lit(" ref "),
           col("doc_id") * 37)).as("clean"))),
 
+    // BPE vocabulary induction, the merge-selection statistic: adjacent
+    // character-pair counts over the DISTINCT word table weighted by word
+    // frequency — what byte-pair encoding maximizes when it picks its
+    // next merge. Aggregating words first (one row per distinct token)
+    // means the char-level explode runs over the vocabulary, not the
+    // corpus: at 100 TB the token stream shrinks to a ~1 M-row word
+    // table before any per-character work happens.
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(explode(Dedup.cleanTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      words.where(length(col("w")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // Deterministic train/val/test split: engine-portable hash bucket from
     // md5(doc_id) — reproducible across runs, engines, and partitionings
     // (the sampling/split primitive every training-data pipeline needs;
@@ -2700,6 +2738,11 @@ object SparkEntry {
 
     "s1_scan_project_filter" ->
       "SELECT doc_id, n_chars, source FROM documents WHERE n_chars > 200",
+
+    "src_partitioned_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       cast(sum(n_chars) AS bigint) AS chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
 
     "src_csv_roundtrip" ->
       s"""$linesCte
@@ -4221,6 +4264,21 @@ object SparkEntry {
          |                     THEN 1 ELSE 0 END) AS bigint) AS n_kept
          |FROM embeddings emb JOIN cc USING (vec_id)
          |GROUP BY 1""".stripMargin,
+
+    "text_bpe_pair_counts" ->
+      s"""WITH wd AS (
+         |  SELECT unnest(${cleanToksSql("text")}) AS w FROM documents
+         |),
+         |f AS (SELECT w, count(*) AS freq FROM wd GROUP BY 1),
+         |p AS (
+         |  SELECT freq,
+         |         unnest(list_transform(range(1, len(w)),
+         |                               i -> w[i:i+1])) AS pair
+         |  FROM f WHERE len(w) >= 2
+         |)
+         |SELECT pair, cast(sum(freq) AS bigint) AS cnt
+         |FROM p GROUP BY 1
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "text_balanced_resample" ->
       s"""WITH d AS (

@@ -184,6 +184,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition window:\n$p")
   }
 
+  test("src_partitioned_roundtrip: lang predicate prunes partitions") {
+    val p = plan("src_partitioned_roundtrip")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]].*"),
+      s"expected a non-empty PartitionFilters on the partitioned read:\n$p")
+    // the partition column never reaches the data scan
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,source:string," +
+      "n_chars:bigint,lang"), p)
+  }
+
   test("rel_sample_per_key: partial WindowGroupLimit below the exchange") {
     val p = plan("rel_sample_per_key")
     // map-side top-k per key: a Partial WindowGroupLimit BEFORE the
