@@ -2486,6 +2486,35 @@ object SparkEntry {
             .as("dup_frac"))
     }),
 
+    // Incremental-ingest dedup: the nightly-batch shape — a new slice is
+    // admitted only if its NORMALIZED fingerprint (case-folded,
+    // whitespace-collapsed) is absent from the existing corpus AND it is
+    // the first occurrence within its own batch. The batch is fresh docs
+    // (doc_id >= 250) plus deliberate RE-INGESTS: every 5th corpus doc
+    // resubmitted under a new id with case flips and padding — noise the
+    // normalization must see through (50 removals at 500 docs, exercised
+    // for real, not vacuously). One shuffled left-anti join on the
+    // fingerprint + a per-batch first-occurrence window; at 100 TB the
+    // corpus side is a fingerprint-only column (32 bytes/doc) and the
+    // anti join shuffles hashes, never text.
+    "dedup_incremental_ingest" -> ((s, dir) => {
+      val fp = Dedup.fingerprint(col("text"))
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      val batch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionAll(corpus.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000).as("doc_id"), col("lang"),
+            upper(concat(lit("  "), col("text"), lit("  "))).as("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      batch.select(col("doc_id"), col("lang"), fp.as("fp"))
+        .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // The REMOVAL half of CCNet-style paragraph dedup (dedup_chunk_dedup
     // is the accounting half): rebuild each document keeping a chunk only
     // if it is globally unique OR this doc is the chunk's canonical
@@ -4642,6 +4671,39 @@ object SparkEntry {
          |         AS dup_frac
          |FROM ch JOIN fr USING (chunk)
          |GROUP BY ch.doc_id""".stripMargin,
+
+    // fingerprint = md5 of the whitespace/case-normalized text, matching
+    // Dedup.normalize/fingerprint; NOT EXISTS = the left-anti join; the
+    // re-ingested rows reproduce the engine's synthetic batch exactly
+    "dedup_incremental_ingest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 250
+        |),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, lang, upper('  ' || text || '  ')
+        |  FROM corpus WHERE doc_id % 5 = 0
+        |),
+        |cfp AS (
+        |  SELECT DISTINCT
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fp
+        |  FROM corpus
+        |),
+        |bfp AS (
+        |  SELECT doc_id, lang,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS fp
+        |  FROM batch
+        |),
+        |k AS (
+        |  SELECT doc_id, lang, fp,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM bfp b
+        |  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = b.fp)
+        |)
+        |SELECT doc_id, lang FROM k WHERE rn = 1""".stripMargin,
 
     // same chunking as dedup_chunk_dedup with an index; keep = unique OR
     // canonical owner; order restored by string_agg(... ORDER BY idx)

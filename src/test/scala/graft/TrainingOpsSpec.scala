@@ -63,6 +63,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       col("n_dup_chunks") > col("n_chunks")).count() == 0L)
   }
 
+  test("dedup_incremental_ingest rejects every perturbed re-ingest") {
+    val kept = run("dedup_incremental_ingest")
+    // re-ingested ids live at original+1000; every one is a normalized
+    // duplicate of a corpus doc and must be rejected by the anti join
+    assert(kept.where(col("doc_id") >= 1000).count() == 0L)
+    // every genuinely fresh doc (>= 250; no exact dups in this corpus
+    // slice) survives
+    val fresh = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") >= 250).count()
+    assert(kept.count() == fresh)
+  }
+
   test("dedup_chunk_removal preserves docs with no duplicated chunks") {
     val clean = run("dedup_chunk_removal")
     val acct = run("dedup_chunk_dedup")
