@@ -2157,6 +2157,39 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.3)),
 
+    // Hard-negative mining for contrastive training: for each of 3 query
+    // vectors, the top-5 most cosine-similar vectors carrying a DIFFERENT
+    // label — the near-boundary negatives a retrieval trainer puts in the
+    // batch. The 3 queries ride the plan as struct literals (model-sized
+    // driver state); one scan scores every (vector, query) pair via
+    // explode (3x the stream, still linear) and the per-query top-5 cuts
+    // map-side through the partial WindowGroupLimit, so the shuffle
+    // carries <= 5 rows per query per partition.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 3)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+      val qStructs = array(qs.map { case (qid, qlab, v) =>
+        struct(lit(qid).as("qid"), lit(qlab).as("qlab"),
+          array(v.map(lit): _*).as("qv"))
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+      emb.select(col("vec_id"), col("label"), col("embedding"),
+          explode(qStructs).as("q"))
+        .select(col("vec_id"), col("label"),
+          col("q.qid").as("qid"), col("q.qlab").as("qlab"),
+          round(Similarity.cosine(col("embedding"), col("q.qv")), 6)
+            .as("cos"))
+        .where(col("label") =!= col("qlab") && col("vec_id") =!= col("qid"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("cos"))
+    }),
+
     // SemDeDup-style semantic dedup: connected components over the
     // LSH-blocked cosine near-dup graph (cos >= 0.4 on this corpus), each
     // cluster keeping its min-id vector — the embedding-space counterpart
@@ -2386,13 +2419,17 @@ object SparkEntry {
     // Accuracy CONTRACT for the banded-MinHash LSH path (the dedup cousin
     // of emb_ivf_recall / rel_cms_freq_bounded): recall of the capped LSH
     // candidate generation against the TRUE >= 0.5-Jaccard pair set.
-    // Ground truth never goes O(n^2): exact pair intersections come from
-    // a shingle self-join (explode -> join on shingle -> per-pair count),
-    // whose cost is sum of squared shingle-bucket sizes — the same
-    // scale shape as the LSH join it validates. With 4 bands of 2 rows,
-    // pairs at J >= 0.5 collide with probability 1-(1-J^2)^4 >= 0.94, so
-    // recall lands near 1 (exact value pinned by the oracle; the [0,1]
-    // bounds and the subset property by TrainingOpsSpec).
+    // Ground truth never goes O(n^2) in docs: exact pair intersections
+    // come from a shingle self-join (explode -> join on shingle ->
+    // per-pair count), whose cost is the sum of squared shingle-bucket
+    // sizes — the same scale shape as the LSH join it validates, but
+    // UNCAPPED (capping the truth would truncate the denominator). A
+    // ubiquitous shingle therefore goes quadratic here by design: this is
+    // a validation harness to run on a sampled slice next to the
+    // production LSH pass, not a corpus-wide operator. With 4 bands of 2
+    // rows, pairs at J >= 0.5 collide with probability
+    // 1-(1-J^2)^4 >= 0.94, so recall lands near 1 (exact value pinned by
+    // the oracle; bounds and the subset property by TrainingOpsSpec).
     "dedup_lsh_recall" -> ((s, dir) => {
       val sh = tbl(s, dir, "documents").select(col("doc_id"),
         array_distinct(graft.functions.GraftFunctions
@@ -4242,6 +4279,42 @@ object SparkEntry {
          |JOIN n n1 ON d.id1 = n1.vec_id
          |JOIN n n2 ON d.id2 = n2.vec_id
          |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.3""".stripMargin,
+
+    // queries = vectors 0..2; scores replayed per (query, vector) pair,
+    // different-label filter, per-query top-5 with the vec_id tiebreak
+    "emb_hard_negatives" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT vec_id AS qid, label AS qlab, pos,
+         |         cast(vx AS double) AS qx
+         |  FROM v WHERE vec_id < 3
+         |),
+         |n AS (
+         |  SELECT vec_id,
+         |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
+         |  FROM v GROUP BY vec_id
+         |),
+         |d AS (
+         |  SELECT q.qid, q.qlab, v.vec_id, v.label,
+         |         sum(cast(v.vx AS double) * q.qx) AS dot
+         |  FROM v JOIN q USING (pos)
+         |  GROUP BY q.qid, q.qlab, v.vec_id, v.label
+         |),
+         |sc AS (
+         |  SELECT d.qid, d.vec_id,
+         |         round(d.dot / (nv.norm * nq.norm), 6) AS cos,
+         |         d.label, d.qlab
+         |  FROM d
+         |  JOIN n nv ON d.vec_id = nv.vec_id
+         |  JOIN n nq ON d.qid = nq.vec_id
+         |),
+         |r AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id) AS rn
+         |  FROM sc WHERE label <> qlab AND vec_id <> qid
+         |)
+         |SELECT qid, vec_id, cos FROM r WHERE rn <= 5""".stripMargin,
 
     // the emb_lsh_near_dup candidate chain thresholded at 0.4, then the
     // same recursive min-label closure as dedup_connected_components,

@@ -207,7 +207,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup")
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(heavy)
       .filterNot(_.startsWith("stream_")) // replay gate executes eagerly
