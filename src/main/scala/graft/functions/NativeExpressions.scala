@@ -552,5 +552,10 @@ object GraftExtensions {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
     }
+    // global-rank rewrite: un-partitioned row_number windows plan as the
+    // range-partitioned GlobalRank operator instead of a single-partition
+    // WindowExec (rule + the strategy that plans the logical node)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRankRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

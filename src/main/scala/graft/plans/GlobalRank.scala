@@ -105,6 +105,40 @@ object GlobalRankStrategy extends Strategy {
   }
 }
 
+/** Optimizer rule: rewrite `row_number()` OVER an UN-PARTITIONED window —
+  * the plan Spark executes as a single-partition WindowExec, the one
+  * operator shape that cannot scale past one executor — into
+  * [[GlobalRankPlan]] (range-partitioned two-pass rank, no single-partition
+  * stage). The rewrite preserves the output schema exactly: the rank
+  * attribute is cast back to `row_number()`'s IntegerType under the
+  * original Alias exprId, so downstream references resolve unchanged.
+  * Only fires when the window's sole expression is a bare global
+  * row_number — partitioned windows, ranks/leads, or multi-expression
+  * windows keep Spark's WindowExec (partitioned windows parallelize fine
+  * on their own).
+  *
+  * Registered via [[GlobalRank.ensureRule]] (experimental methods) or
+  * session-wide through `graft.functions.GraftExtensions`
+  * (`injectOptimizerRule` + `injectPlannerStrategy`). */
+object GlobalRankRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, RowNumber,
+    WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Seq(), order, _)), name)),
+        Seq(), _, child, _) if order.nonEmpty =>
+      val g = GlobalRankPlan(order, child)
+      Project(child.output :+
+        Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),
+          name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata),
+        g)
+  }
+}
+
 object GlobalRank {
 
   /** Register the strategy on a session (idempotent). */
@@ -113,6 +147,24 @@ object GlobalRank {
     if (!classic.experimental.extraStrategies.contains(GlobalRankStrategy))
       classic.experimental.extraStrategies =
         GlobalRankStrategy +: classic.experimental.extraStrategies
+  }
+
+  /** Register [[GlobalRankRule]] (+ the strategy it plans through) on a
+    * session, idempotently: every global `row_number()` window on this
+    * session then plans as GlobalRank automatically. */
+  def ensureRule(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(GlobalRankRule))
+      classic.experimental.extraOptimizations =
+        GlobalRankRule +: classic.experimental.extraOptimizations
+  }
+
+  /** Undo [[ensureRule]] (tests; a production session keeps it). */
+  def removeRule(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations.filterNot(_ == GlobalRankRule)
   }
 
   /** df + `rank` column (long, 1..n) under the given total order — the

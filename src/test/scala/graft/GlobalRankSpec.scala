@@ -39,4 +39,27 @@ class GlobalRankSpec extends AnyFunSuite {
     val byRank = got.sortBy(_.getLong(0)).map(_.getLong(1))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
+
+  test("GlobalRankRule rewrites a plain global row_number automatically") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalRank.ensureRule(spark)
+    try {
+      // user writes the textbook (single-partition) form...
+      val q = df.withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)))
+      val p = q.queryExecution.executedPlan.toString
+      // ...and gets the distributed operator, schema unchanged
+      assert(p.contains("GlobalRank"), p)
+      assert(!p.contains("Window"), s"rule left a WindowExec behind:\n$p")
+      assert(q.schema("rn").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val got = q.orderBy("rn").collect()
+        .map(r => (r.getInt(2), r.getString(0))).toSeq
+      assert(got == Seq((1, "b"), (2, "e"), (3, "a"), (4, "c"), (5, "d")))
+      // partitioned windows are NOT rewritten (they parallelize fine)
+      val part = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("cnt"))))
+      assert(part.queryExecution.executedPlan.toString.contains("Window"))
+    } finally GlobalRank.removeRule(spark)
+  }
 }
