@@ -197,6 +197,68 @@ object SparkEntry {
     }.mkString(",\n       ")
   }
 
+  /** (doc_id, idx, chunk) — fixed 10-token chunks of every document
+    * (CCNet-style "paragraphs"), localCheckpointed because both consumers
+    * read the explode output twice (chunk-frequency agg + join back).
+    * Shared by dedup_chunk_dedup (ignores idx) and dedup_chunk_removal
+    * (uses idx to restore document order) so the chunking definition can
+    * never drift between the accounting and removal halves. */
+  private def chunksDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.cleanTokens(col("text"))
+    val nc = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
+          .as(Seq("idx", "chunk")))
+      .localCheckpoint(false)
+  }
+
+  /** DuckDB twin of [[chunksDf]]: defines `ch(doc_id, idx, chunk)`;
+    * expects `t(doc_id, l)` in scope. */
+  private val chunkCtes: String =
+    """chs AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(
+      |           range(0, greatest(1, cast(ceil(len(l) / 10.0) AS int))),
+      |           i -> {'idx': i,
+      |                 'chunk': array_to_string(l[i*10+1 : i*10+10], ' ')}))
+      |           AS s
+      |  FROM t
+      |),
+      |ch AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM chs)""".stripMargin
+
+  /** Shared banded-LSH candidate-pair CTE chain (expects `shl(doc_id, sh)`
+    * in scope): sigs -> bands -> per-band sizes -> CAPPED pairs. Models
+    * the engine's `maxBucket` cap ([[Dedup.lshCandidatePairs]], 10000):
+    * a band bucket over the cap contributes no candidates, so the oracle
+    * stays faithful at every ladder rung — not only where no bucket
+    * happens to overflow. One definition feeds all seven pair-chain
+    * oracles (jaccard, containment, CC, PageRank, triangle census, LSH
+    * recall, fuzzy-dedup capstone). */
+  private val lshPairsCtes: String = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sigs AS (SELECT doc_id,
+       |       $sigsSql
+       |FROM shl),
+       |bands AS (
+       |  $bands
+       |),
+       |bsz AS (SELECT band, count(*) AS c FROM bands GROUP BY 1),
+       |kept AS (
+       |  SELECT doc_id, band FROM bands JOIN bsz USING (band)
+       |  WHERE c <= 10000
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   /** DuckDB CTEs assigning each vector its LCG sign-projection bucket
     * (matches [[Similarity.lshBucket]](dims=64, planes=8)); expects the
     * `v` unnest CTE in scope, defines `lcg` and `buckets`. */
@@ -2504,15 +2566,7 @@ object SparkEntry {
     // distributed hash keys, and the chunk stream is materialized once
     // (localCheckpoint) for its two consumers.
     "dedup_chunk_dedup" -> ((s, dir) => {
-      val toks = Dedup.cleanTokens(col("text"))
-      val nc = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
-      val chunks = tbl(s, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), col("nc") - 1),
-            i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
-            .as("chunk"))
-        .localCheckpoint(false) // feeds the freq agg + the join back
+      val chunks = chunksDf(s, dir).select(col("doc_id"), col("chunk"))
       val freq = chunks.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(freq, "chunk")
@@ -2560,15 +2614,7 @@ object SparkEntry {
     // chunk index inside the per-doc aggregate; docs whose every chunk is
     // owned elsewhere drop out entirely (they were pure duplicates).
     "dedup_chunk_removal" -> ((s, dir) => {
-      val toks = Dedup.cleanTokens(col("text"))
-      val nc = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
-      val chunks = tbl(s, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), col("nc") - 1),
-            i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
-            .as(Seq("idx", "chunk")))
-        .localCheckpoint(false) // feeds the owner agg + the join back
+      val chunks = chunksDf(s, dir)
       val owner = chunks.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"),
           min(col("doc_id")).as("owner"))
@@ -4427,22 +4473,9 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "dedup_jaccard_pairs" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,
@@ -4463,22 +4496,9 @@ object SparkEntry {
     // transitive closure via a recursive CTE: min reachable doc_id per
     // node == the engine's min-label-propagation fixpoint
     "dedup_connected_components" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,
@@ -4511,22 +4531,9 @@ object SparkEntry {
     // same candidate chain as dedup_jaccard_pairs; asymmetric ratios over
     // the exact distinct-shingle set sizes instead of the union
     "dedup_containment_pairs" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,
@@ -4549,22 +4556,9 @@ object SparkEntry {
     // PageRank iterations unrolled as plain CTEs (teleport 0.15/N, damping
     // 0.85, isolated nodes keep teleport-only mass via the left joins)
     "dedup_pagerank" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,
@@ -4613,9 +4607,6 @@ object SparkEntry {
     // ground truth from an exact shingle self-join; candidates from the
     // same banded chain as dedup_jaccard_pairs; found = their intersection
     "dedup_lsh_recall" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
@@ -4633,17 +4624,7 @@ object SparkEntry {
          |  WHERE round(cast(inter AS double) /
          |              cast(s1.n + s2.n - inter AS double), 6) >= 0.5
          |),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |jj AS (
          |  SELECT id1, id2,
          |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
@@ -4672,22 +4653,9 @@ object SparkEntry {
     // WITHOUT symmetrizing; triangles via the ordered two-join, wedges from
     // undirected degrees
     "dedup_triangle_count" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,
@@ -4728,13 +4696,7 @@ object SparkEntry {
     // in more than one distinct doc
     "dedup_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
-         |ch AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(
-         |           range(0, greatest(1, cast(ceil(len(l) / 10.0) AS int))),
-         |           i -> array_to_string(l[i*10+1 : i*10+10], ' '))) AS chunk
-         |  FROM t
-         |),
+         |$chunkCtes,
          |fr AS (SELECT chunk, count(DISTINCT doc_id) AS nd
          |       FROM ch GROUP BY 1)
          |SELECT ch.doc_id, count(*) AS n_chunks,
@@ -4782,16 +4744,7 @@ object SparkEntry {
     // canonical owner; order restored by string_agg(... ORDER BY idx)
     "dedup_chunk_removal" ->
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
-         |chs AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(
-         |           range(0, greatest(1, cast(ceil(len(l) / 10.0) AS int))),
-         |           i -> {'idx': i,
-         |                 'chunk': array_to_string(l[i*10+1 : i*10+10], ' ')}))
-         |           AS s
-         |  FROM t
-         |),
-         |ch AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM chs),
+         |$chunkCtes,
          |own AS (SELECT chunk, count(DISTINCT doc_id) AS nd,
          |               min(doc_id) AS owner
          |        FROM ch GROUP BY 1)
@@ -4819,22 +4772,9 @@ object SparkEntry {
     // the dedup_connected_components transitive closure, then per-language
     // survivor accounting against the canonical (min-id) representative
     "pipeline_fuzzy_dedup" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |sigs AS (SELECT doc_id,
-         |       $sigsSql
-         |FROM shl),
-         |bands AS (
-         |  $bands
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id
-         |),
+         |$lshPairsCtes,
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |j AS (
          |  SELECT id1, id2,

@@ -124,18 +124,32 @@ object GlobalRankRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, RowNumber,
     WindowExpression, WindowSpecDefinition}
-  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(Seq(), order, _)), name)),
-        Seq(), _, child, _) if order.nonEmpty =>
-      val g = GlobalRankPlan(order, child)
-      Project(child.output :+
-        Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),
-          name)(exprId = a.exprId, qualifier = a.qualifier,
-          explicitMetadata = a.explicitMetadata),
-        g)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // A Filter directly above that references the rank column is a top-k
+    // query: Spark's InferWindowGroupLimit turns it into per-partition
+    // top-k pruning (the shuffle carries <= k rows per partition), which
+    // beats a full two-pass rank over ALL rows when only k survive —
+    // leave those windows alone.
+    val rankLimited = plan.collect {
+      case Filter(cond, w: Window)
+        if w.windowExpressions.size == 1 &&
+          cond.references.contains(w.windowExpressions.head.toAttribute) =>
+        w
+    }.toSet
+    plan transform {
+      case w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(Seq(), order, _)), name)),
+          Seq(), _, child, _)
+          if order.nonEmpty && !rankLimited.contains(w) =>
+        val g = GlobalRankPlan(order, child)
+        Project(child.output :+
+          Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),
+            name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = a.explicitMetadata),
+          g)
+    }
   }
 }
 

@@ -60,6 +60,20 @@ class GlobalRankSpec extends AnyFunSuite {
       val part = df.withColumn("rn", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("cnt"))))
       assert(part.queryExecution.executedPlan.toString.contains("Window"))
+      // top-k (Filter on the rank) is NOT rewritten either: Spark's
+      // WindowGroupLimit pruning (<= k rows per partition cross the
+      // shuffle) beats a full two-pass rank when only k rows survive
+      val topk = df.withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key").asc)))
+        .where(col("rn") <= 2)
+      val tp = topk.queryExecution.executedPlan.toString
+      assert(!tp.contains("GlobalRank"), tp)
+      // Spark prunes the rank-limited window itself — as WindowGroupLimit
+      // (per-partition top-k) or, when the limit also pushes through, as
+      // TakeOrderedAndProject; either way the pruning survives the rule
+      assert(tp.contains("WindowGroupLimit") ||
+        tp.contains("TakeOrderedAndProject"), tp)
+      assert(topk.collect().map(_.getString(0)).toSet == Set("b", "e"))
     } finally GlobalRank.removeRule(spark)
   }
 }

@@ -19,8 +19,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     val perUser = s1.groupBy("user_id").count()
       .agg(max("count")).head().getLong(0)
     assert(perUser <= 3L)
-    // identical row set on a re-run (no rand() anywhere in the sample)
-    assert(run("rel_sample_per_key").exceptAll(s1).isEmpty)
+    // identical row MULTISET on a re-run (no rand() anywhere in the
+    // sample): symmetric difference empty, not just one direction
+    val s2 = run("rel_sample_per_key")
+    assert(s2.exceptAll(s1).isEmpty && s1.exceptAll(s2).isEmpty)
     // no event sampled twice
     assert(s1.select("event_id").distinct().count() == s1.count())
   }
@@ -68,11 +70,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     // re-ingested ids live at original+1000; every one is a normalized
     // duplicate of a corpus doc and must be rejected by the anti join
     assert(kept.where(col("doc_id") >= 1000).count() == 0L)
-    // every genuinely fresh doc (>= 250; no exact dups in this corpus
-    // slice) survives
-    val fresh = spark.read.parquet(s"$sf/documents.parquet")
-      .where(col("doc_id") >= 250).count()
-    assert(kept.count() == fresh)
+    // survivors = distinct fresh fingerprints absent from the corpus —
+    // computed from the data, so the assertion stays valid even if a
+    // future testdata regeneration introduces exact dups among fresh docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = graft.ops.Dedup.fingerprint(col("text"))
+    val corpusFp = docs.where(col("doc_id") < 250)
+      .select(fp.as("fp")).distinct()
+    val expect = docs.where(col("doc_id") >= 250)
+      .select(fp.as("fp"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .distinct().count()
+    assert(kept.count() == expect)
   }
 
   test("dedup_chunk_removal preserves docs with no duplicated chunks") {
@@ -124,8 +133,12 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   test("emb_semantic_dedup keeps one vector per semantic component") {
     val st = run("emb_semantic_dedup")
-    assert(st.where(col("n_kept") > col("n_vecs") ||
-      col("n_kept") < 1).count() == 0L)
+    // per label: kept <= vecs. A label CAN legitimately keep 0 (all its
+    // vectors in clusters canonically owned by lower-id vectors of other
+    // labels), so only the global floor is an invariant: components are
+    // non-empty, each contributes exactly one canonical vector.
+    assert(st.where(col("n_kept") > col("n_vecs")).count() == 0L)
+    assert(st.agg(sum("n_kept")).head().getLong(0) >= 1L)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     assert(st.agg(sum("n_vecs")).head().getLong(0) == emb.count())
   }
@@ -136,8 +149,9 @@ class TrainingOpsSpec extends AnyFunSuite {
       .groupBy("lang", "source").count()
     val joined = rs.join(cells, Seq("lang", "source"))
     assert(joined.where(col("n_kept") > col("count")).count() == 0L)
-    // deterministic: identical keep decisions on a re-run
-    assert(run("text_balanced_resample").exceptAll(rs).isEmpty)
+    // deterministic: identical keep decisions on a re-run (symmetric)
+    val rs2 = run("text_balanced_resample")
+    assert(rs2.exceptAll(rs).isEmpty && rs.exceptAll(rs2).isEmpty)
   }
 
   test("pipeline_fuzzy_dedup agrees with dedup_connected_components") {
