@@ -1892,6 +1892,26 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("user_id"))
     }),
 
+    // Peak concurrency by sweep line: each event opens a 5-minute
+    // interval; +1/-1 deltas sorted by time run through the custom
+    // GlobalScan operator (distributed prefix sum — range-partitioned
+    // two-pass, per-partition subtotals to the driver, NO
+    // single-partition WindowExec like the textbook
+    // `sum() OVER (ORDER BY ...)` would plan) and the peak + its first
+    // timestamp fall out of one aggregate. Ends sort before starts at
+    // the same instant (delta asc), so intervals are half-open [s, e).
+    "rel_peak_concurrency" -> ((s, dir) => {
+      val ev = events(s, dir).select(unix_micros(col("ts")).as("t"))
+      val deltas = ev.select(col("t"), lit(1L).as("delta"))
+        .unionAll(ev.select((col("t") + lit(300000000L)).as("t"),
+          lit(-1L).as("delta")))
+      val run = graft.plans.GlobalScan.runningSum(deltas, "delta",
+        "t" -> false, "delta" -> false)
+      val peak = run.agg(max(col("running")).as("peak"))
+      run.join(broadcast(peak), col("running") === col("peak"))
+        .agg(max(col("peak")).as("peak"), min(col("t")).as("first_t_us"))
+    }),
+
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
     // users can't dominate a dataset (and the reproducible cousin of
@@ -4025,6 +4045,28 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100
         |      < CASE WHEN event_type = 'click' THEN 20
         |             WHEN event_type = 'view' THEN 10 ELSE 5 END""".stripMargin,
+
+    // the same sweep as a single-partition SQL window; running values
+    // within an identical (t, delta) tie block differ per row but form
+    // the same multiset, and only aggregates of them are compared
+    "rel_peak_concurrency" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+        |d AS (
+        |  SELECT t, 1 AS delta FROM e
+        |  UNION ALL
+        |  SELECT t + 300000000, -1 FROM e
+        |),
+        |r AS (
+        |  SELECT t, sum(delta) OVER (ORDER BY t, delta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS running
+        |  FROM d
+        |),
+        |m AS (SELECT max(running) AS peak FROM r)
+        |SELECT cast(m.peak AS bigint) AS peak,
+        |       cast(min(r.t) AS bigint) AS first_t_us
+        |FROM r JOIN m ON r.running = m.peak
+        |GROUP BY m.peak""".stripMargin,
 
     "rel_sample_per_key" ->
       """SELECT event_id, user_id, event_type

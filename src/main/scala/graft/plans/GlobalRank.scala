@@ -77,17 +77,23 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
       .collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = input.sparkContext.broadcast(offsets)
-    // pass 2: attach rank = offset + local index + 1
+    // pass 2: attach rank = offset + local index + 1. Output goes through
+    // an UnsafeProjection (created per task — it holds codegen state):
+    // operators like collect()'s byte-array path require UnsafeRow, and
+    // nothing above this node is guaranteed to re-project.
+    val types = output.map(_.dataType).toArray
     input.mapPartitionsWithIndex({ (pid, it) =>
       var i = bc.value(pid)
-      val n = output.length
+      val n = types.length
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(types)
       it.map { row =>
         i += 1
         val out = new GenericInternalRow(n)
         var j = 0
-        while (j < n - 1) { out.update(j, row.get(j, output(j).dataType)); j += 1 }
+        while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
         out.update(n - 1, i)
-        out
+        proj(out)
       }
     }, preservesPartitioning = true)
   }

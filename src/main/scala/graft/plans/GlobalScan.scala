@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, GenericInternalRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** DISTRIBUTED PREFIX SCAN: `running = sum(value) over rows <= current` in
+  * a total order, with NO single-partition stage — [[GlobalRankPlan]]'s
+  * two-pass mechanism generalized from `count` to `sum`.
+  *
+  * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the sweep-line
+  * primitive behind concurrency counting, running balances, and
+  * watermark accounting — plans in Spark as a single-partition WindowExec,
+  * the same non-scalable shape as global row_number. Here instead:
+  *
+  *   1. the input is total-ordered by range partitioning (planned sort);
+  *   2. pass 1 computes each partition's LOCAL SUM (numPartitions longs
+  *      to the driver — the only global state);
+  *   3. pass 2 emits `running = exclusivePartitionPrefix + localPrefix`.
+  *
+  * The value column must be LongType (the sweep deltas of the use cases
+  * above; floating-point prefix sums would be order-sensitive in the last
+  * ulp and break cross-engine parity anyway). */
+case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
+    child: LogicalPlan,
+    scanAttr: AttributeReference =
+      AttributeReference("running", LongType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ scanAttr
+  override def producedAttributes
+  : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(scanAttr :: Nil)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+  : GlobalScanPlan = copy(child = newChild)
+}
+
+case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
+                          scanAttr: Attribute, child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ scanAttr
+
+  override def requiredChildDistribution
+  : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val valueOrdinal = child.output.indexWhere(_.exprId == value.exprId)
+    require(valueOrdinal >= 0, s"value column $value not in child output")
+    val bound = BoundReference(valueOrdinal, LongType,
+      nullable = value.nullable)
+    // same persist rationale as GlobalRankExec: the sorted child feeds two
+    // passes; without it the post-shuffle sort re-runs per pass, and the
+    // two passes could disagree on tie order (rows must also be copied —
+    // operators reuse mutable UnsafeRow buffers)
+    val input = child.execute()
+      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition sums (longs only cross the driver)
+    val sums = input.mapPartitions({ it =>
+      var s = 0L
+      it.foreach(row => if (!bound.nullable || !row.isNullAt(valueOrdinal))
+        s += bound.eval(row).asInstanceOf[Long])
+      Iterator.single(s)
+    }, preservesPartitioning = true).collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = input.sparkContext.broadcast(offsets)
+    // pass 2: running = exclusive partition prefix + local inclusive
+    // prefix. Rows go out through an UnsafeProjection (created per task —
+    // it holds codegen state): operators like collect()'s byte-array path
+    // require UnsafeRow, and nothing above this node may re-project.
+    val types = output.map(_.dataType).toArray
+    input.mapPartitionsWithIndex({ (pid, it) =>
+      var acc = bc.value(pid)
+      val n = types.length
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(types)
+      it.map { row =>
+        if (!bound.nullable || !row.isNullAt(valueOrdinal))
+          acc += bound.eval(row).asInstanceOf[Long]
+        val out = new GenericInternalRow(n)
+        var j = 0
+        while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
+        out.update(n - 1, acc)
+        proj(out)
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+  : GlobalScanExec = copy(child = newChild)
+}
+
+object GlobalScanStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GlobalScanPlan =>
+      GlobalScanExec(g.order, g.value, g.scanAttr,
+        org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GlobalScan {
+
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(GlobalScanStrategy))
+      classic.experimental.extraStrategies =
+        GlobalScanStrategy +: classic.experimental.extraStrategies
+  }
+
+  /** df + `running` column: prefix sum of LongType column `valueCol` under
+    * the total order given by `keys` ((name, descending) pairs) — the
+    * scale-out replacement for
+    * `sum(value).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * currentRow))`. */
+  def runningSum(df: DataFrame, valueCol: String,
+                 keys: (String, Boolean)*): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val analyzed = classic.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    val value = attr(valueCol)
+    require(value.dataType == LongType,
+      s"runningSum needs a LongType value column, got ${value.dataType}")
+    val order = keys.map { case (name, desc) =>
+      SortOrder(attr(name),
+        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      classic.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      GlobalScanPlan(order, value, analyzed))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.plans.GlobalScan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlobalScanSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("runningSum matches a sequential prefix sum on shuffled input") {
+    val big = spark.range(5000).select(
+      (col("id") * 2654435761L % 1000003L).as("k"),
+      (col("id") % 7 - 3).as("v"))
+      .repartition(11)
+    val got = GlobalScan.runningSum(big, "v", "k" -> false, "v" -> false)
+      .select("k", "v", "running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = got.map(t => (t._1, t._2))
+      .scanLeft(0L)((acc, kv) => acc + kv._2).drop(1)
+    assert(got.map(_._3).toSeq == want.toSeq)
+  }
+
+  test("plans as GlobalScan over a range partitioning, no Window") {
+    val df = Seq((3L, 1L), (1L, 1L), (2L, -1L)).toDF("t", "d")
+    val p = GlobalScan.runningSum(df, "d", "t" -> false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GlobalScan"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("null values contribute nothing and running carries through") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("t", "d")
+    val got = GlobalScan.runningSum(df, "d", "t" -> false)
+      .orderBy("t").select("running").as[Long].collect().toSeq
+    assert(got == Seq(5L, 5L, 7L))
+  }
+}
