@@ -1907,6 +1907,7 @@ object SparkEntry {
           lit(-1L).as("delta")))
       val run = graft.plans.GlobalScan.runningSum(deltas, "delta",
         "t" -> false, "delta" -> false)
+        .localCheckpoint(false) // feeds the peak agg + the join back
       val peak = run.agg(max(col("running")).as("peak"))
       run.join(broadcast(peak), col("running") === col("peak"))
         .agg(max(col("peak")).as("peak"), min(col("t")).as("first_t_us"))
