@@ -557,5 +557,9 @@ object GraftExtensions {
     // WindowExec (rule + the strategy that plans the logical node)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // running-sum rewrite: sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    // PRECEDING) plans as the distributed GlobalScan prefix sum
+    ext.injectOptimizerRule(_ => graft.plans.GlobalScanRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalScanStrategy)
   }
 }

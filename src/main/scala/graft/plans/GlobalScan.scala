@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.LongType
   * ulp and break cross-engine parity anyway). */
 case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
     child: LogicalPlan,
+    // SQL running-sum semantics: NULL until the first non-null value, so
+    // the scan column is nullable exactly when the value column is
     scanAttr: AttributeReference =
       AttributeReference("running", LongType, nullable = false)())
   extends UnaryNode {
@@ -63,32 +65,40 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val input = child.execute()
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition sums (longs only cross the driver)
-    val sums = input.mapPartitions({ it =>
-      var s = 0L
-      it.foreach(row => if (!bound.nullable || !row.isNullAt(valueOrdinal))
-        s += bound.eval(row).asInstanceOf[Long])
-      Iterator.single(s)
+    // pass 1: per-partition (sum, non-null count) — a few longs cross the
+    // driver. The count carries SQL null semantics: a running sum is NULL
+    // until the first non-null value anywhere before the current row.
+    val partials = input.mapPartitions({ it =>
+      var s = 0L; var c = 0L
+      it.foreach(row => if (!bound.nullable || !row.isNullAt(valueOrdinal)) {
+        s += bound.eval(row).asInstanceOf[Long]; c += 1L
+      })
+      Iterator.single((s, c))
     }, preservesPartitioning = true).collect()
-    val offsets = sums.scanLeft(0L)(_ + _)
-    val bc = input.sparkContext.broadcast(offsets)
+    val offsets = partials.map(_._1).scanLeft(0L)(_ + _)
+    val cntOffsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val bc = input.sparkContext.broadcast((offsets, cntOffsets))
     // pass 2: running = exclusive partition prefix + local inclusive
     // prefix. Rows go out through an UnsafeProjection (created per task —
     // it holds codegen state): operators like collect()'s byte-array path
     // require UnsafeRow, and nothing above this node may re-project.
     val types = output.map(_.dataType).toArray
+    val valueNullable = value.nullable
     input.mapPartitionsWithIndex({ (pid, it) =>
-      var acc = bc.value(pid)
+      var acc = bc.value._1(pid)
+      var cnt = bc.value._2(pid)
       val n = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
       it.map { row =>
-        if (!bound.nullable || !row.isNullAt(valueOrdinal))
-          acc += bound.eval(row).asInstanceOf[Long]
+        if (!valueNullable || !row.isNullAt(valueOrdinal)) {
+          acc += bound.eval(row).asInstanceOf[Long]; cnt += 1L
+        }
         val out = new GenericInternalRow(n)
         var j = 0
         while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
-        out.update(n - 1, acc)
+        if (valueNullable && cnt == 0L) out.setNullAt(n - 1)
+        else out.update(n - 1, acc)
         proj(out)
       }
     }, preservesPartitioning = true)
@@ -107,6 +117,39 @@ object GlobalScanStrategy extends Strategy {
   }
 }
 
+/** Optimizer rule, the [[GlobalRankRule]] sibling: rewrite
+  * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the running
+  * sum Spark executes in ONE partition — into [[GlobalScanPlan]].
+  * Conservatively fires only on the exact scale-out-safe shape: a single
+  * un-partitioned window expression, plain (non-DISTINCT, unfiltered)
+  * SUM over a LongType attribute, explicit ROWS frame (the default RANGE
+  * frame gives ties their GROUP total — different semantics — and stays
+  * with WindowExec). Null semantics preserved: the scan is NULL until
+  * the first non-null value. */
+object GlobalScanRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
+    CurrentRow, RowFrame, SpecifiedWindowFrame, UnboundedPreceding,
+    WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case Window(Seq(a @ Alias(WindowExpression(
+          AggregateExpression(Sum(v: CAttr, _), _, false, None, _),
+          WindowSpecDefinition(Seq(), order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+        name)), Seq(), _, child, _)
+        if order.nonEmpty && v.dataType == LongType =>
+      val g = GlobalScanPlan(order, v, child,
+        AttributeReference("running", LongType, nullable = v.nullable)())
+      Project(child.output :+
+        Alias(g.scanAttr, name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata),
+        g)
+  }
+}
+
 object GlobalScan {
 
   def ensureStrategy(spark: SparkSession): Unit = {
@@ -114,6 +157,23 @@ object GlobalScan {
     if (!classic.experimental.extraStrategies.contains(GlobalScanStrategy))
       classic.experimental.extraStrategies =
         GlobalScanStrategy +: classic.experimental.extraStrategies
+  }
+
+  /** Register [[GlobalScanRule]] (+ its strategy) on a session,
+    * idempotently: plain running-sum windows then plan as GlobalScan. */
+  def ensureRule(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(GlobalScanRule))
+      classic.experimental.extraOptimizations =
+        GlobalScanRule +: classic.experimental.extraOptimizations
+  }
+
+  /** Undo [[ensureRule]] (tests; a production session keeps it). */
+  def removeRule(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations.filterNot(_ == GlobalScanRule)
   }
 
   /** df + `running` column: prefix sum of LongType column `valueCol` under
@@ -140,6 +200,8 @@ object GlobalScan {
     }
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       classic.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      GlobalScanPlan(order, value, analyzed))
+      GlobalScanPlan(order, value, analyzed,
+        AttributeReference("running", LongType,
+          nullable = value.nullable)()))
   }
 }

@@ -37,4 +37,33 @@ class GlobalScanSpec extends AnyFunSuite {
       .orderBy("t").select("running").as[Long].collect().toSeq
     assert(got == Seq(5L, 5L, 7L))
   }
+
+  test("running sum is NULL before the first non-null value (SQL parity)") {
+    val df = Seq((1L, None), (2L, None), (3L, Some(4L)), (4L, None))
+      .toDF("t", "d")
+    val got = GlobalScan.runningSum(df, "d", "t" -> false)
+      .orderBy("t").select("running").as[Option[Long]].collect().toSeq
+    assert(got == Seq(None, None, Some(4L), Some(4L)))
+  }
+
+  test("GlobalScanRule rewrites a ROWS-frame running sum, skips RANGE") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalScan.ensureRule(spark)
+    try {
+      val df = Seq((3L, 10L), (1L, 1L), (2L, 5L)).toDF("t", "v")
+      val rows = df.withColumn("rs", sum(col("v")).over(
+        Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val p = rows.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalScan"), p)
+      assert(!p.contains("Window"), p)
+      assert(rows.orderBy("t").select("rs").as[Long].collect().toSeq ==
+        Seq(1L, 6L, 16L))
+      // default RANGE frame: tie-group totals — NOT our semantics, and
+      // must stay on Spark's WindowExec
+      val range = df.withColumn("rs",
+        sum(col("v")).over(Window.orderBy(col("t"))))
+      assert(range.queryExecution.executedPlan.toString.contains("Window"))
+    } finally GlobalScan.removeRule(spark)
+  }
 }
