@@ -1909,8 +1909,13 @@ object SparkEntry {
         "t" -> false, "delta" -> false)
         .localCheckpoint(false) // feeds the peak agg + the join back
       val peak = run.agg(max(col("running")).as("peak"))
+      // groupBy (not a global agg): on an empty/filtered-out input this
+      // yields ZERO rows, matching the oracle's GROUP BY — a global agg
+      // would emit one all-NULL row the SQL side doesn't
       run.join(broadcast(peak), col("running") === col("peak"))
-        .agg(max(col("peak")).as("peak"), min(col("t")).as("first_t_us"))
+        .groupBy(col("peak"))
+        .agg(min(col("t")).as("first_t_us"))
+        .select(col("peak"), col("first_t_us"))
     }),
 
     // Deterministic per-key sampling: at most 3 events per user, chosen by

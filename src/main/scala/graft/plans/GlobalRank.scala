@@ -87,9 +87,11 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
       val n = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
+      // one scratch row per task, reused: the projection copies the
+      // values into its own buffer before the next iteration
+      val out = new GenericInternalRow(n)
       it.map { row =>
         i += 1
-        val out = new GenericInternalRow(n)
         var j = 0
         while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
         out.update(n - 1, i)
@@ -162,49 +164,26 @@ object GlobalRankRule
 object GlobalRank {
 
   /** Register the strategy on a session (idempotent). */
-  def ensureStrategy(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraStrategies.contains(GlobalRankStrategy))
-      classic.experimental.extraStrategies =
-        GlobalRankStrategy +: classic.experimental.extraStrategies
-  }
+  def ensureStrategy(spark: SparkSession): Unit =
+    SessionHooks.ensureStrategy(spark, GlobalRankStrategy)
 
   /** Register [[GlobalRankRule]] (+ the strategy it plans through) on a
     * session, idempotently: every global `row_number()` window on this
     * session then plans as GlobalRank automatically. */
-  def ensureRule(spark: SparkSession): Unit = {
-    ensureStrategy(spark)
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraOptimizations.contains(GlobalRankRule))
-      classic.experimental.extraOptimizations =
-        GlobalRankRule +: classic.experimental.extraOptimizations
-  }
+  def ensureRule(spark: SparkSession): Unit =
+    SessionHooks.ensureRule(spark, GlobalRankRule, GlobalRankStrategy)
 
   /** Undo [[ensureRule]] (tests; a production session keeps it). */
-  def removeRule(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.experimental.extraOptimizations =
-      classic.experimental.extraOptimizations.filterNot(_ == GlobalRankRule)
-  }
+  def removeRule(spark: SparkSession): Unit =
+    SessionHooks.removeRule(spark, GlobalRankRule)
 
   /** df + `rank` column (long, 1..n) under the given total order — the
     * scale-out replacement for `row_number().over(Window.orderBy(...))`.
     * `keys` are (columnName, descending) pairs, significant first. */
   def ranked(df: DataFrame, keys: (String, Boolean)*): DataFrame = {
-    val spark = df.sparkSession
-    ensureStrategy(spark)
-    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    val analyzed = classic.queryExecution.analyzed
-    val order = keys.map { case (name, desc) =>
-      val attr = analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column $name"))
-      SortOrder(attr,
-        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
-        else org.apache.spark.sql.catalyst.expressions.Ascending)
-    }
-    val plan = GlobalRankPlan(order, analyzed)
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      classic.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      plan)
+    ensureStrategy(df.sparkSession)
+    val analyzed = SessionHooks.analyzed(df)
+    SessionHooks.ofRows(df,
+      GlobalRankPlan(SessionHooks.resolveOrder(analyzed, keys), analyzed))
   }
 }

@@ -26,12 +26,26 @@ import org.apache.spark.sql.types.LongType
   * The value column must be LongType (the sweep deltas of the use cases
   * above; floating-point prefix sums would be order-sensitive in the last
   * ulp and break cross-engine parity anyway). */
+// SQL running-sum semantics: NULL until the first non-null value, so the
+// scan column must be nullable exactly when the value column is — the
+// companion apply derives it (a non-null schema over a NULL-emitting exec
+// would let the optimizer fold `running IS NULL` to false). No default on
+// the 4th field: constructing with mismatched nullability should be a
+// conscious act. Constructor field, not a body val: copy()/transform
+// preserve the exprId; only genuinely fresh constructions mint one.
+object GlobalScanPlan {
+  def apply(order: Seq[SortOrder], value: Attribute, child: LogicalPlan,
+            ansi: Boolean): GlobalScanPlan =
+    GlobalScanPlan(order, value, child,
+      AttributeReference("running", LongType, nullable = value.nullable)(),
+      ansi)
+}
+
 case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
-    child: LogicalPlan,
-    // SQL running-sum semantics: NULL until the first non-null value, so
-    // the scan column is nullable exactly when the value column is
-    scanAttr: AttributeReference =
-      AttributeReference("running", LongType, nullable = false)())
+    child: LogicalPlan, scanAttr: AttributeReference,
+    // ANSI addition: running sums raise ArithmeticException on Long
+    // overflow (SQL ANSI mode) instead of silently wrapping (legacy)
+    ansi: Boolean)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ scanAttr
   override def producedAttributes
@@ -43,7 +57,8 @@ case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
 }
 
 case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
-                          scanAttr: Attribute, child: SparkPlan)
+                          scanAttr: Attribute, ansi: Boolean,
+                          child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ scanAttr
 
@@ -68,10 +83,19 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     // pass 1: per-partition (sum, non-null count) — a few longs cross the
     // driver. The count carries SQL null semantics: a running sum is NULL
     // until the first non-null value anywhere before the current row.
+    // ANSI: Math.addExact raises on Long overflow. Pass 1 accumulates
+    // each partition's sum in isolation, so a partition whose LOCAL sum
+    // overflows raises even if a negative offset from earlier partitions
+    // would have kept every global prefix in range — an over-approximation
+    // of ANSI overflow, reachable only with totals adversarially close to
+    // Long.MaxValue.
+    val exact = ansi
     val partials = input.mapPartitions({ it =>
       var s = 0L; var c = 0L
       it.foreach(row => if (!bound.nullable || !row.isNullAt(valueOrdinal)) {
-        s += bound.eval(row).asInstanceOf[Long]; c += 1L
+        val v = bound.eval(row).asInstanceOf[Long]
+        s = if (exact) Math.addExact(s, v) else s + v
+        c += 1L
       })
       Iterator.single((s, c))
     }, preservesPartitioning = true).collect()
@@ -90,11 +114,15 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
       val n = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
+      // one scratch row per task, reused: the projection copies the
+      // values into its own buffer before the next iteration
+      val out = new GenericInternalRow(n)
       it.map { row =>
         if (!valueNullable || !row.isNullAt(valueOrdinal)) {
-          acc += bound.eval(row).asInstanceOf[Long]; cnt += 1L
+          val v = bound.eval(row).asInstanceOf[Long]
+          acc = if (exact) Math.addExact(acc, v) else acc + v
+          cnt += 1L
         }
-        val out = new GenericInternalRow(n)
         var j = 0
         while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
         if (valueNullable && cnt == 0L) out.setNullAt(n - 1)
@@ -111,7 +139,7 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
 object GlobalScanStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalScanPlan =>
-      GlobalScanExec(g.order, g.value, g.scanAttr,
+      GlobalScanExec(g.order, g.value, g.scanAttr, g.ansi,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }
@@ -125,24 +153,29 @@ object GlobalScanStrategy extends Strategy {
   * SUM over a LongType attribute, explicit ROWS frame (the default RANGE
   * frame gives ties their GROUP total — different semantics — and stays
   * with WindowExec). Null semantics preserved: the scan is NULL until
-  * the first non-null value. */
+  * the first non-null value. Overflow semantics preserved per eval mode:
+  * LEGACY wraps, ANSI runs the scan with exact addition (raises on Long
+  * overflow); try_sum (NULL on overflow) has no per-row running
+  * equivalent here and keeps WindowExec. */
 object GlobalScanRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
-    CurrentRow, RowFrame, SpecifiedWindowFrame, UnboundedPreceding,
-    WindowExpression, WindowSpecDefinition}
+    CurrentRow, EvalMode, NumericEvalContext, RowFrame, SpecifiedWindowFrame,
+    UnboundedPreceding, WindowExpression, WindowSpecDefinition}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case Window(Seq(a @ Alias(WindowExpression(
-          AggregateExpression(Sum(v: CAttr, _), _, false, None, _),
+          AggregateExpression(Sum(v: CAttr, ctx: NumericEvalContext),
+            _, false, None, _),
           WindowSpecDefinition(Seq(), order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
         name)), Seq(), _, child, _)
-        if order.nonEmpty && v.dataType == LongType =>
+        if order.nonEmpty && v.dataType == LongType &&
+          ctx.evalMode != EvalMode.TRY =>
       val g = GlobalScanPlan(order, v, child,
-        AttributeReference("running", LongType, nullable = v.nullable)())
+        ansi = ctx.evalMode == EvalMode.ANSI)
       Project(child.output :+
         Alias(g.scanAttr, name)(exprId = a.exprId, qualifier = a.qualifier,
           explicitMetadata = a.explicitMetadata),
@@ -152,29 +185,17 @@ object GlobalScanRule
 
 object GlobalScan {
 
-  def ensureStrategy(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraStrategies.contains(GlobalScanStrategy))
-      classic.experimental.extraStrategies =
-        GlobalScanStrategy +: classic.experimental.extraStrategies
-  }
+  def ensureStrategy(spark: SparkSession): Unit =
+    SessionHooks.ensureStrategy(spark, GlobalScanStrategy)
 
   /** Register [[GlobalScanRule]] (+ its strategy) on a session,
     * idempotently: plain running-sum windows then plan as GlobalScan. */
-  def ensureRule(spark: SparkSession): Unit = {
-    ensureStrategy(spark)
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraOptimizations.contains(GlobalScanRule))
-      classic.experimental.extraOptimizations =
-        GlobalScanRule +: classic.experimental.extraOptimizations
-  }
+  def ensureRule(spark: SparkSession): Unit =
+    SessionHooks.ensureRule(spark, GlobalScanRule, GlobalScanStrategy)
 
   /** Undo [[ensureRule]] (tests; a production session keeps it). */
-  def removeRule(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.experimental.extraOptimizations =
-      classic.experimental.extraOptimizations.filterNot(_ == GlobalScanRule)
-  }
+  def removeRule(spark: SparkSession): Unit =
+    SessionHooks.removeRule(spark, GlobalScanRule)
 
   /** df + `running` column: prefix sum of LongType column `valueCol` under
     * the total order given by `keys` ((name, descending) pairs) — the
@@ -183,25 +204,13 @@ object GlobalScan {
     * currentRow))`. */
   def runningSum(df: DataFrame, valueCol: String,
                  keys: (String, Boolean)*): DataFrame = {
-    val spark = df.sparkSession
-    ensureStrategy(spark)
-    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    val analyzed = classic.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column $name"))
-    val value = attr(valueCol)
+    ensureStrategy(df.sparkSession)
+    val plan = SessionHooks.analyzed(df)
+    val value = SessionHooks.attr(plan, valueCol)
     require(value.dataType == LongType,
       s"runningSum needs a LongType value column, got ${value.dataType}")
-    val order = keys.map { case (name, desc) =>
-      SortOrder(attr(name),
-        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
-        else org.apache.spark.sql.catalyst.expressions.Ascending)
-    }
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      classic.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      GlobalScanPlan(order, value, analyzed,
-        AttributeReference("running", LongType,
-          nullable = value.nullable)()))
+    SessionHooks.ofRows(df,
+      GlobalScanPlan(SessionHooks.resolveOrder(plan, keys), value, plan,
+        ansi = false))
   }
 }

@@ -64,6 +64,17 @@ class GlobalScanSpec extends AnyFunSuite {
       val range = df.withColumn("rs",
         sum(col("v")).over(Window.orderBy(col("t"))))
       assert(range.queryExecution.executedPlan.toString.contains("Window"))
+      // ANSI overflow parity: the rewritten scan must RAISE where the
+      // window sum would, never silently wrap
+      val big = Seq((1L, Long.MaxValue), (2L, 1L)).toDF("t", "v")
+        .withColumn("rs", sum(col("v")).over(
+          Window.orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bp = big.queryExecution.executedPlan.toString
+      assert(bp.contains("GlobalScan"), bp)
+      val e = intercept[org.apache.spark.SparkException](big.collect())
+      assert(e.getMessage.contains("overflow") ||
+        Option(e.getCause).exists(_.isInstanceOf[ArithmeticException]))
     } finally GlobalScan.removeRule(spark)
   }
 }
