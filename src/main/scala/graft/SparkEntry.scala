@@ -1918,6 +1918,26 @@ object SparkEntry {
         .select(col("peak"), col("first_t_us"))
     }),
 
+    // Running revenue, written in the TEXTBOOK single-partition window
+    // form — and rewritten to the distributed GlobalScan by
+    // GlobalScanRule (registered on the session here), so the rule's
+    // value parity is proven by the oracle gate itself, not just specs.
+    // Cents as long: exact prefix sums, no float order-sensitivity.
+    // PlanAuditSpec pins that the executed plan contains GlobalScan and
+    // no Window.
+    "rel_running_revenue" -> ((s, dir) => {
+      graft.plans.GlobalScan.ensureRule(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("running_cents", sum(col("cents")).over(w))
+    }),
+
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
     // users can't dominate a dataset (and the reproducible cousin of
@@ -4073,6 +4093,18 @@ object SparkEntry {
         |       cast(min(r.t) AS bigint) AS first_t_us
         |FROM r JOIN m ON r.running = m.peak
         |GROUP BY m.peak""".stripMargin,
+
+    "rel_running_revenue" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         cast(round(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, cents,
+        |       cast(sum(cents) OVER (ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS running_cents
+        |FROM o""".stripMargin,
 
     "rel_sample_per_key" ->
       """SELECT event_id, user_id, event_type

@@ -193,6 +193,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "n_chars:bigint,lang"), p)
   }
 
+  test("rel_running_revenue: the rule rewrote the window to GlobalScan") {
+    val p = plan("rel_running_revenue")
+    assert(p.contains("GlobalScan"), p)
+    assert(!p.contains("Window"),
+      s"running sum fell back to a single-partition window:\n$p")
+  }
+
   test("rel_sample_per_key: partial WindowGroupLimit below the exchange") {
     val p = plan("rel_sample_per_key")
     // map-side top-k per key: a Partial WindowGroupLimit BEFORE the
