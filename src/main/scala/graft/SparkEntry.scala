@@ -1918,6 +1918,26 @@ object SparkEntry {
         .select(col("peak"), col("first_t_us"))
     }),
 
+    // Cumulative distinct users over time — the growth-analytics
+    // "cumulative uniques" curve, composed scale-first: a PARTITIONED
+    // (hence distributed) first-occurrence window marks each user's
+    // earliest event with delta=1, and the GlobalScan prefix sum turns
+    // the deltas into the running distinct count under the (t, event_id)
+    // total order. Running COUNT DISTINCT has no shuffle-free window
+    // form; this two-stage shape is how it scales.
+    "rel_cumulative_users" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val firsts = ev.withColumn("rn", row_number().over(w))
+        .select(col("t"), col("event_id"),
+          when(col("rn") === 1, 1L).otherwise(0L).as("delta"))
+      graft.plans.GlobalScan.runningSum(firsts, "delta",
+        "t" -> false, "event_id" -> false)
+        .select(col("event_id"), col("running").as("cum_users"))
+    }),
+
     // Running revenue, written in the TEXTBOOK single-partition window
     // form — and rewritten to the distributed GlobalScan by
     // GlobalScanRule (registered on the session here), so the rule's
@@ -4093,6 +4113,23 @@ object SparkEntry {
         |       cast(min(r.t) AS bigint) AS first_t_us
         |FROM r JOIN m ON r.running = m.peak
         |GROUP BY m.peak""".stripMargin,
+
+    "rel_cumulative_users" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+        |),
+        |f AS (
+        |  SELECT t, event_id,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY t, event_id) = 1
+        |              THEN 1 ELSE 0 END AS delta
+        |  FROM e
+        |)
+        |SELECT event_id,
+        |       cast(sum(delta) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS cum_users
+        |FROM f""".stripMargin,
 
     "rel_running_revenue" ->
       """WITH o AS (

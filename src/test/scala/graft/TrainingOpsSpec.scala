@@ -27,6 +27,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(s1.select("event_id").distinct().count() == s1.count())
   }
 
+  test("rel_cumulative_users ends at the true distinct-user count") {
+    val cum = run("rel_cumulative_users")
+    val last = cum.agg(max(col("cum_users"))).head().getLong(0)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val truth = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(last == truth)
+    // a prefix count can never decrease
+    assert(cum.where(col("cum_users") < 0).count() == 0L)
+  }
+
   test("rel_key_skew_profile: totals match the raw table, skew >= 1") {
     val prof = run("rel_key_skew_profile")
     val total = prof.agg(sum("n_events")).head().getLong(0)
