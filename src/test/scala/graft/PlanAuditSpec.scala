@@ -200,6 +200,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"running sum fell back to a single-partition window:\n$p")
   }
 
+  test("rel_cumulative_users: prefix sum rewritten, first-occurrence " +
+    "window stays hash-partitioned") {
+    val p = plan("rel_cumulative_users")
+    // the global running sum must be the two-pass scan, not a
+    // single-partition window (the oracle can't catch this regression:
+    // WindowExec computes the same values, just on one task)
+    assert(p.contains("GlobalScan"), p)
+    // the surviving Window is the per-user row_number, hash-partitioned
+    // by user_id and therefore parallel
+    assert(p.contains("hashpartitioning(user_id"),
+      s"expected the per-user first-occurrence window over a user_id " +
+        s"hash partitioning:\n$p")
+    // an un-rewritten global running sum would demand SinglePartition
+    assert(!p.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n$p")
+  }
+
   test("rel_sample_per_key: partial WindowGroupLimit below the exchange") {
     val p = plan("rel_sample_per_key")
     // map-side top-k per key: a Partial WindowGroupLimit BEFORE the
