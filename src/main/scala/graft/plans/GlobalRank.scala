@@ -130,22 +130,69 @@ object GlobalRankStrategy extends Strategy {
   * (`injectOptimizerRule` + `injectPlannerStrategy`). */
 object GlobalRankRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, RowNumber,
-    WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
+    Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral,
+    LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression,
+    WindowSpecDefinition}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
 
+  private object Limits extends PredicateHelper {
+    /** Mirrors the condition shapes Spark's InferWindowGroupLimit can turn
+      * into per-partition pruning: some conjunct comparing the BARE rank
+      * attribute against an integer literal in the limiting direction.
+      * `rank * 10 <= 20` is NOT such a shape — Spark cannot prune it, so
+      * suppressing the rewrite for it would keep the single-partition
+      * window AND get no pruning. */
+    def isLimit(cond: Expression, rank: CAttr): Boolean =
+      splitConjunctivePredicates(cond).exists {
+        case LessThan(a: CAttr, IntegerLiteral(_)) => a.exprId == rank.exprId
+        case LessThanOrEqual(a: CAttr, IntegerLiteral(_)) =>
+          a.exprId == rank.exprId
+        case EqualTo(a: CAttr, IntegerLiteral(_)) => a.exprId == rank.exprId
+        case EqualTo(IntegerLiteral(_), a: CAttr) => a.exprId == rank.exprId
+        case GreaterThan(IntegerLiteral(_), a: CAttr) =>
+          a.exprId == rank.exprId
+        case GreaterThanOrEqual(IntegerLiteral(_), a: CAttr) =>
+          a.exprId == rank.exprId
+        case _ => false
+      }
+  }
+
+  /** Walk from a Filter down through any chain of Projects to the Window
+    * (if one is there), substituting project aliases into the condition as
+    * we descend: a filter on `pos` where `pos` is a pure rename of the
+    * rank is still a prunable top-k. Returns the Window when the
+    * translated condition is a limit on its rank attribute. */
+  @scala.annotation.tailrec
+  private def rankLimitedWindow(cond: Expression,
+                                node: LogicalPlan): Option[Window] =
+    node match {
+      case p: Project =>
+        val substituted = cond.transformUp {
+          case a: CAttr =>
+            p.projectList.collectFirst {
+              case al: Alias if al.exprId == a.exprId => al.child
+            }.getOrElse(a)
+        }
+        rankLimitedWindow(substituted, p.child)
+      case w: Window if w.windowExpressions.size == 1 &&
+          Limits.isLimit(cond, w.windowExpressions.head.toAttribute) =>
+        Some(w)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // A Filter directly above that references the rank column is a top-k
-    // query: Spark's InferWindowGroupLimit turns it into per-partition
-    // top-k pruning (the shuffle carries <= k rows per partition), which
-    // beats a full two-pass rank over ALL rows when only k survive —
-    // leave those windows alone.
+    // A Filter above that LIMITS the rank column (directly, or renamed
+    // through intervening Projects) is a top-k query: Spark's
+    // InferWindowGroupLimit turns it into per-partition top-k pruning (the
+    // shuffle carries <= k rows per partition), which beats a full
+    // two-pass rank over ALL rows when only k survive — leave those
+    // windows alone. Filters Spark can't prune on (e.g. arithmetic over
+    // the rank) don't suppress the rewrite: there the two-pass rank is
+    // strictly better than an unpruned single-partition window.
     val rankLimited = plan.collect {
-      case Filter(cond, w: Window)
-        if w.windowExpressions.size == 1 &&
-          cond.references.contains(w.windowExpressions.head.toAttribute) =>
-        w
-    }.toSet
+      case Filter(cond, child) => rankLimitedWindow(cond, child)
+    }.flatten.toSet
     plan transform {
       case w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
             WindowSpecDefinition(Seq(), order, _)), name)),

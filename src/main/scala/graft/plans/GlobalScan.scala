@@ -99,7 +99,7 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
       })
       Iterator.single((s, c))
     }, preservesPartitioning = true).collect()
-    val offsets = partials.map(_._1).scanLeft(0L)(_ + _)
+    val offsets = GlobalScan.combineOffsets(partials.map(_._1), exact)
     val cntOffsets = partials.map(_._2).scanLeft(0L)(_ + _)
     val bc = input.sparkContext.broadcast((offsets, cntOffsets))
     // pass 2: running = exclusive partition prefix + local inclusive
@@ -185,6 +185,16 @@ object GlobalScanRule
 
 object GlobalScan {
 
+  /** Exclusive prefix over per-partition sums. The driver-side combine
+    * carries the same overflow contract as the per-partition sums: under
+    * ANSI an overflow that lands exactly on a partition boundary must
+    * raise, not wrap — otherwise every row after the boundary would get a
+    * silently wrong running value while the WindowExec this replaces
+    * raises. */
+  private[graft] def combineOffsets(sums: Array[Long],
+                                    ansi: Boolean): Array[Long] =
+    sums.scanLeft(0L)((a, b) => if (ansi) Math.addExact(a, b) else a + b)
+
   def ensureStrategy(spark: SparkSession): Unit =
     SessionHooks.ensureStrategy(spark, GlobalScanStrategy)
 
@@ -209,8 +219,11 @@ object GlobalScan {
     val value = SessionHooks.attr(plan, valueCol)
     require(value.dataType == LongType,
       s"runningSum needs a LongType value column, got ${value.dataType}")
+    // Overflow semantics must match what the equivalent SQL window would
+    // do on THIS session: ANSI raises, legacy wraps. Hardcoding either
+    // would make the two entry points to the same operator disagree.
     SessionHooks.ofRows(df,
       GlobalScanPlan(SessionHooks.resolveOrder(plan, keys), value, plan,
-        ansi = false))
+        ansi = df.sparkSession.sessionState.conf.ansiEnabled))
   }
 }

@@ -16,26 +16,39 @@ private[graft] object SessionHooks {
   : org.apache.spark.sql.classic.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
-  def ensureStrategy(spark: SparkSession, s: Strategy): Unit = {
-    val c = classic(spark)
-    if (!c.experimental.extraStrategies.contains(s))
-      c.experimental.extraStrategies = s +: c.experimental.extraStrategies
-  }
+  // The experimental lists are bare vars with no synchronization of their
+  // own; check-then-act on them from concurrent threads could register a
+  // strategy/rule twice (rules then run twice per optimizer pass). One
+  // global lock keeps the idempotency contract actually true — these calls
+  // are rare (session setup), never hot-path.
+  def ensureStrategy(spark: SparkSession, s: Strategy): Unit =
+    SessionHooks.synchronized {
+      val c = classic(spark)
+      if (!c.experimental.extraStrategies.contains(s))
+        c.experimental.extraStrategies = s +: c.experimental.extraStrategies
+    }
 
   def ensureRule(spark: SparkSession, r: Rule[LogicalPlan],
                  s: Strategy): Unit = {
     ensureStrategy(spark, s)
-    val c = classic(spark)
-    if (!c.experimental.extraOptimizations.contains(r))
-      c.experimental.extraOptimizations =
-        r +: c.experimental.extraOptimizations
+    SessionHooks.synchronized {
+      val c = classic(spark)
+      if (!c.experimental.extraOptimizations.contains(r))
+        c.experimental.extraOptimizations =
+          r +: c.experimental.extraOptimizations
+    }
   }
 
-  def removeRule(spark: SparkSession, r: Rule[LogicalPlan]): Unit = {
-    val c = classic(spark)
-    c.experimental.extraOptimizations =
-      c.experimental.extraOptimizations.filterNot(_ == r)
-  }
+  // Deliberately leaves the paired strategy registered: a strategy alone
+  // only fires on explicitly constructed Graft plan nodes (it rewrites
+  // nothing), and the DataFrame-API entry points (GlobalRank.ranked,
+  // GlobalScan.runningSum) depend on it staying.
+  def removeRule(spark: SparkSession, r: Rule[LogicalPlan]): Unit =
+    SessionHooks.synchronized {
+      val c = classic(spark)
+      c.experimental.extraOptimizations =
+        c.experimental.extraOptimizations.filterNot(_ == r)
+    }
 
   /** The analyzed plan of `df` plus its attribute-by-name resolver. */
   def analyzed(df: DataFrame): LogicalPlan =

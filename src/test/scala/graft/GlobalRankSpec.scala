@@ -76,4 +76,48 @@ class GlobalRankSpec extends AnyFunSuite {
       assert(topk.collect().map(_.getString(0)).toSet == Set("b", "e"))
     } finally GlobalRank.removeRule(spark)
   }
+
+  test("top-k guard is precise: renamed rank suppresses, arithmetic doesn't") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalRank.ensureRule(spark)
+    try {
+      // (a) filter on a RENAMED rank (pure alias through a Project) — still
+      // a prunable top-k; the guard sees through the rename and keeps
+      // Spark's WindowGroupLimit pruning
+      val renamed = df.withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key").asc)))
+        .select(col("key"), col("rn").as("pos"))
+        .where(col("pos") <= 2)
+      val rp = renamed.queryExecution.executedPlan.toString
+      assert(!rp.contains("GlobalRank"), rp)
+      assert(rp.contains("WindowGroupLimit") ||
+        rp.contains("TakeOrderedAndProject"), rp)
+      assert(renamed.collect().map(_.getString(0)).toSet == Set("b", "e"))
+      // the guard walk itself, on the PRE-pushdown shape
+      // Filter(pos <= 2, Project(pos := rn, Window(...))) — no rewrite
+      val keptWindow = graft.plans.GlobalRankRule(
+        renamed.queryExecution.analyzed).collectFirst {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(keptWindow.isDefined)
+      // (b) filter on an ARITHMETIC derivative of the rank — Spark's
+      // InferWindowGroupLimit cannot prune that shape, so suppressing the
+      // rewrite would keep the single-partition window AND get no
+      // pruning; the rule rewrites it
+      val derived = df.withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key").asc)))
+        .withColumn("decile", col("rn") * 10)
+        .where(col("decile") <= 20)
+      val dp = derived.queryExecution.executedPlan.toString
+      assert(dp.contains("GlobalRank"), dp)
+      assert(!dp.contains("Window"), dp)
+      assert(derived.collect().map(_.getString(0)).toSet == Set("b", "e"))
+      // (c) a filter on an UNRELATED column never suppresses the rewrite
+      val full = df.withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key").asc)))
+        .where(upper(col("key")) =!= "Z")
+      val fp = full.queryExecution.executedPlan.toString
+      assert(fp.contains("GlobalRank"), fp)
+      assert(full.collect().length == 5)
+    } finally GlobalRank.removeRule(spark)
+  }
 }

@@ -77,4 +77,42 @@ class GlobalScanSpec extends AnyFunSuite {
         Option(e.getCause).exists(_.isInstanceOf[ArithmeticException]))
     } finally GlobalScan.removeRule(spark)
   }
+
+  test("driver-side offset combine raises on cross-partition overflow (ANSI)") {
+    // partition 0's LOCAL sum is exactly Long.MaxValue (no within-partition
+    // overflow); partition 1 adds 1 more — the overflow happens only when
+    // the driver folds partition totals into exclusive offsets
+    val sums = Array(Long.MaxValue, 1L, 5L)
+    intercept[ArithmeticException](GlobalScan.combineOffsets(sums, ansi = true))
+    // legacy wraps, same as the window sum it replaces
+    val wrapped = GlobalScan.combineOffsets(sums, ansi = false)
+    assert(wrapped.toSeq == Seq(0L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 5L))
+  }
+
+  test("multi-partition running sum raises on overflow end-to-end (ANSI)") {
+    val df = spark.range(0, 400).select(col("id").as("t"),
+      lit(Long.MaxValue / 100).as("v")).repartition(13)
+    val rs = GlobalScan.runningSum(df, "v", "t" -> false)
+    val e = intercept[Exception](rs.collect())
+    def arithmetic(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[ArithmeticException] ||
+        t.getMessage != null && t.getMessage.toLowerCase.contains("overflow") ||
+        arithmetic(t.getCause))
+    assert(arithmetic(e), e.toString)
+  }
+
+  test("runningSum overflow semantics follow the session's ANSI flag") {
+    // runningSum must agree with the equivalent SQL window on THIS
+    // session: wrap when ansi is off, raise when on (TestSpark runs ANSI
+    // by default in Spark 4 — the end-to-end test above covers that arm)
+    val was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq((1L, Long.MaxValue), (2L, 1L)).toDF("t", "v")
+      val got = GlobalScan.runningSum(df, "v", "t" -> false)
+        .orderBy("t").select("running").as[Long].collect().toSeq
+      assert(got == Seq(Long.MaxValue, Long.MinValue))
+    } finally spark.conf.set("spark.sql.ansi.enabled", was)
+  }
 }
