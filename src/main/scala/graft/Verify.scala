@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -12,16 +12,35 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // session-wide graft surface: native functions + the GlobalRank/
+      // GlobalScan rewrites, so textbook global windows plan distributed
+      // without per-query registration
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // dev knob (unset in driver runs): narrow the dump to a comma-separated
-    // query list while chasing a single query's parity
-    // a blank value means "no filter", not "match nothing" — an empty
-    // env export must not trigger the skipped-query output deletion below
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    run(spark, sfDir, outDir, parseOnly(sys.env.get("SPARK_GRAFT_VERIFY_ONLY")))
+    spark.stop()
+  }
+
+  // dev knob (unset in driver runs): narrow the dump to a comma-separated
+  // query list while chasing a single query's parity
+  // a blank value means "no filter", not "match nothing" — an empty
+  // env export must not trigger the skipped-query output deletion below
+  private[graft] def parseOnly(raw: Option[String]): Option[Set[String]] =
+    raw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+
+  /** The dump itself, separated from main's session lifecycle so the
+    * stale-output guarantees are spec-testable: a query that is SKIPPED
+    * (dev filter) or FAILED must leave no parquet behind — downstream it
+    * must compare as MISSING, never as PASS against results from a
+    * previous build. */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]],
+      queries: Map[String, (SparkSession, String) => DataFrame] =
+        SparkEntry.queries,
+      oracleSql: Map[String, String] = SparkEntry.oracleSql): Unit = {
+    new java.io.File(outDir).mkdirs()
     def rmTree(name: String): Unit = {
       val stale = Paths.get(s"$outDir/$name")
       if (Files.exists(stale)) {
@@ -35,9 +54,9 @@ object Verify {
     // query must compare as MISSING, never as PASS against results from a
     // previous build.
     only.foreach { names =>
-      SparkEntry.queries.keys.filterNot(names.contains).foreach(rmTree)
+      queries.keys.filterNot(names.contains).foreach(rmTree)
     }
-    SparkEntry.queries
+    queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -61,9 +80,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
