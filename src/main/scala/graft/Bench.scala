@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // session-wide graft surface: native functions + the GlobalRank/
+      // GlobalScan rewrites, so textbook global windows plan distributed
+      // without per-query registration
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,9 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Bench/Verify: the plans dumped here are
+      // the plans those sessions execute
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries

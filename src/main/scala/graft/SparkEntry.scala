@@ -1940,13 +1940,14 @@ object SparkEntry {
 
     // Running revenue, written in the TEXTBOOK single-partition window
     // form — and rewritten to the distributed GlobalScan by
-    // GlobalScanRule (registered on the session here), so the rule's
-    // value parity is proven by the oracle gate itself, not just specs.
-    // Cents as long: exact prefix sums, no float order-sensitivity.
-    // PlanAuditSpec pins that the executed plan contains GlobalScan and
-    // no Window.
+    // GlobalScanRule (session-wide via GraftExtensions in the Bench/
+    // Verify/Explain/test session builders), so the rule's value parity
+    // is proven by the oracle gate itself, not just specs. On a session
+    // without the extensions the query still runs correctly as a plain
+    // window. Cents as long: exact prefix sums, no float
+    // order-sensitivity. PlanAuditSpec pins that the executed plan
+    // contains GlobalScan and no Window.
     "rel_running_revenue" -> ((s, dir) => {
-      graft.plans.GlobalScan.ensureRule(s)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("o_orderkey"))
         .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -134,7 +134,25 @@ object GlobalRankRule
     Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral,
     LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression,
     WindowSpecDefinition}
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit,
+    Project, Sort, Window}
+
+  /** A window whose input is already LIMIT-bounded (word_count's top-100
+    * shape: `orderBy(...).limit(k)` then rank) is provably tiny at ANY
+    * data scale — the bound is a static literal, not a function of the
+    * input. There a single-partition WindowExec over <= k rows is optimal;
+    * the two-pass rank's extra jobs + persist would be pure overhead.
+    * Walks through the deterministic unary nodes the optimizer may leave
+    * between the window and its limit. */
+  private val BoundedLimit = 100000L
+  @scala.annotation.tailrec
+  private def limitBounded(p: LogicalPlan): Boolean = p match {
+    case GlobalLimit(IntegerLiteral(n), _) => n <= BoundedLimit
+    case Project(_, c) => limitBounded(c)
+    case Filter(_, c) => limitBounded(c)
+    case s: Sort => limitBounded(s.child)
+    case _ => false
+  }
 
   private object Limits extends PredicateHelper {
     /** Mirrors the condition shapes Spark's InferWindowGroupLimit can turn
@@ -197,7 +215,8 @@ object GlobalRankRule
       case w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
             WindowSpecDefinition(Seq(), order, _)), name)),
           Seq(), _, child, _)
-          if order.nonEmpty && !rankLimited.contains(w) =>
+          if order.nonEmpty && !rankLimited.contains(w) &&
+            !limitBounded(child) =>
         val g = GlobalRankPlan(order, child)
         Project(child.output :+
           Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),

@@ -226,6 +226,66 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the map-side (Partial) WindowGroupLimit:\n$p")
   }
 
+  test("global-window census: every registry query with an un-partitioned " +
+    "window gets the plan it should") {
+    // The session registers GraftExtensions (GlobalRankRule/GlobalScanRule)
+    // like the Bench/Verify sessions do; this pins, for EVERY registered
+    // query that ranks or prefix-sums over a global order, which plan it
+    // gets and why. The oracle can't catch these regressions — WindowExec
+    // computes the same values, just on one task.
+    //
+    // Rewritten to the distributed two-pass operators (unbounded input):
+    val rank = Seq("o1_o2_rank_events", "stock_count_pipeline",
+      "stock_count_formatted", "stock_count_x100", "rel_global_rank_plan")
+    rank.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalRank"), s"$q lost its GlobalRank rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
+    val scan = Seq("rel_running_revenue")
+    scan.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
+    // rel_cumulative_users: GlobalScan + a hash-partitioned per-user
+    // window — pinned by its own test above. rel_peak_concurrency runs
+    // its GlobalScan behind a localCheckpoint (the visible plan starts at
+    // Scan ExistingRDD), so the operator is covered by GlobalScanSpec,
+    // not a plan pin here.
+    //
+    // Deliberately KEPT on WindowExec — the rank runs over a LIMIT-bounded
+    // input (top-100 cut via TakeOrderedAndProject), provably <= k rows at
+    // any data scale; the two-pass rank would be pure overhead there:
+    val bounded = Seq("word_count_pipeline", "word_count_formatted",
+      "word_count_x100")
+    bounded.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost its distributed top-k cut:\n$p")
+      assert(p.contains("Window") && !p.contains("GlobalRank"),
+        s"$q: a limit-bounded rank should stay on WindowExec:\n$p")
+    }
+    // census completeness: no OTHER registry query may plan an
+    // un-partitioned WindowExec (single-partition sort) — any new global
+    // window must either be rewritten or join the bounded list here
+    val known = (rank ++ scan ++ bounded).toSet +
+      "rel_cumulative_users" + "rel_peak_concurrency"
+    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
+      "emb_centroids", "emb_kmeans", "dedup_connected_components",
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
+    SparkEntry.queries.keys
+      .filterNot(known).filterNot(heavy)
+      .filterNot(_.startsWith("stream_"))
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(" +
+          "[^,\\)]*(ASC|DESC).*"),
+          s"$name plans an un-audited global window — add it to the " +
+            s"census:\n$p")
+      }
+  }
+
   test("no cartesian product in any registered query plan") {
     // skip queries whose *plan construction* itself runs jobs
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)

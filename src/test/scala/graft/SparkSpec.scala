@@ -20,9 +20,12 @@ object TestSpark {
       graft.streaming.StreamGate.deleteRecursively(d.toString)))))
 
   lazy val spark: SparkSession = {
+    // same extension surface as the Bench/Verify/Explain sessions, so
+    // plan pins in the specs hold for the production configuration
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
