@@ -56,6 +56,27 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Shared input shape for the `rel_running_*` prefix-frame family:
+    * event stream under the (t, event_id) total order, value in
+    * milli-units as an exact long, NULL for 'error' events (so the SQL
+    * null semantics of each running aggregate are actually exercised). */
+  private def valuedEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      unix_micros(col("ts")).as("t"), col("event_id"),
+      when(col("event_type") =!= "error",
+        round(col("value") * 1000).cast("long")).as("v"))
+
+  /** `ROWS UNBOUNDED PRECEDING .. CURRENT ROW` over the (t, event_id)
+    * total order — the explicit-ROWS frame GlobalScanRule rewrites (the
+    * default RANGE frame has tie-group semantics and stays on
+    * WindowExec). */
+  private def prefixWindow: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+
   /** JVM-lifetime staging root for the batch source round-trip queries
     * (`src_*`): the returned DataFrames read from these files LAZILY (the
     * caller materializes them after the query builder returns), so the
@@ -1958,6 +1979,49 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .withColumn("running_cents", sum(col("cents")).over(w))
     }),
+
+    // The remaining prefix-aggregate frames over a global order — each in
+    // the textbook single-partition window form, each rewritten by
+    // GlobalScanRule into the two-pass distributed scan (PlanAuditSpec's
+    // census pins it). Value in milli-units as long (exact integers end
+    // to end); non-'error' gate injects real NULLs so the SQL null
+    // semantics (counts never null, min/max/avg null until the first
+    // non-null) are exercised, not just typed.
+
+    // Running non-null count: how many valued (non-error) events so far.
+    "rel_running_count" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("n_valued", count(col("v")).over(prefixWindow))
+        .select(col("event_id"), col("n_valued"))),
+
+    // Running row count — count(*), the event's 1-based stream position.
+    "rel_running_row_count" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("n_events", count(lit(1)).over(prefixWindow))
+        .select(col("event_id"), col("n_events"))),
+
+    // Running maximum — the high-water mark of the value stream.
+    "rel_running_high_water" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("high_water", max(col("v")).over(prefixWindow))
+        .select(col("event_id"), col("high_water"))),
+
+    // Running minimum — the low-water mark.
+    "rel_running_low_water" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("low_water", min(col("v")).over(prefixWindow))
+        .select(col("event_id"), col("low_water"))),
+
+    // Running mean of the valued events. The scan divides the EXACT long
+    // sum by the exact count at emit, so the double is a function of the
+    // prefix content, not of evaluation order. Rounded to 6 decimals for
+    // the cross-engine compare only: DuckDB's avg(bigint) sums in
+    // hugeint and divides at a different precision — last-ulp noise.
+    "rel_running_avg" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("avg_v",
+          round(avg(col("v")).over(prefixWindow), 6))
+        .select(col("event_id"), col("avg_v"))),
 
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
@@ -4143,6 +4207,71 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS bigint) AS running_cents
         |FROM o""".stripMargin,
+
+    "rel_running_count" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(count(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS n_valued
+        |FROM e""".stripMargin,
+
+    "rel_running_row_count" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id FROM events
+        |)
+        |SELECT event_id,
+        |       cast(count(*) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS n_events
+        |FROM e""".stripMargin,
+
+    "rel_running_high_water" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(max(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS high_water
+        |FROM e""".stripMargin,
+
+    "rel_running_low_water" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(min(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS low_water
+        |FROM e""".stripMargin,
+
+    // round(x, 6) both sides: DuckDB's avg(bigint) sums in hugeint and
+    // divides at a different precision than the exact-long-over-long
+    // division the scan does — last-ulp noise, not a semantic difference
+    "rel_running_avg" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             6) AS avg_v
+        |FROM e""".stripMargin,
 
     "rel_sample_per_key" ->
       """SELECT event_id, user_id, event_type

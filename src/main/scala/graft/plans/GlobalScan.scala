@@ -9,23 +9,43 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
-/** DISTRIBUTED PREFIX SCAN: `running = sum(value) over rows <= current` in
+/** DISTRIBUTED PREFIX SCAN: `running = agg(value) over rows <= current` in
   * a total order, with NO single-partition stage — [[GlobalRankPlan]]'s
-  * two-pass mechanism generalized from `count` to `sum`.
+  * two-pass mechanism generalized from `count` to the prefix aggregates
+  * (sum / count / count(*) / min / max / avg).
   *
-  * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the sweep-line
-  * primitive behind concurrency counting, running balances, and
-  * watermark accounting — plans in Spark as a single-partition WindowExec,
-  * the same non-scalable shape as global row_number. Here instead:
+  * `agg(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the sweep-line
+  * primitive behind concurrency counting, running balances, high-water
+  * marks, and watermark accounting — plans in Spark as a single-partition
+  * WindowExec, the same non-scalable shape as global row_number. Here
+  * instead:
   *
   *   1. the input is total-ordered by range partitioning (planned sort);
-  *   2. pass 1 computes each partition's LOCAL SUM (numPartitions longs
-  *      to the driver — the only global state);
-  *   3. pass 2 emits `running = exclusivePartitionPrefix + localPrefix`.
+  *   2. pass 1 computes each partition's LOCAL partial (sum, non-null
+  *      count, row count, min, max — a few longs per partition to the
+  *      driver, the only global state);
+  *   3. pass 2 emits `running = combine(exclusivePartitionPrefix,
+  *      localPrefix)` — addition for sum/count, min/max fold for the
+  *      extrema, exact-integer division at emit for avg.
   *
   * The value column must be LongType (the sweep deltas of the use cases
   * above; floating-point prefix sums would be order-sensitive in the last
-  * ulp and break cross-engine parity anyway). */
+  * ulp and break cross-engine parity anyway — avg divides the EXACT long
+  * sum by the exact count at emit, so even its doubles are
+  * order-insensitive). */
+sealed abstract class ScanKind(val sql: String)
+object ScanKind {
+  /** running sum of the value column (null until first non-null) */
+  case object Sum extends ScanKind("sum")
+  /** running count of NON-NULL values (never null, 0 until first) */
+  case object Count extends ScanKind("count")
+  /** running count of ALL rows — `count(*)` (never null) */
+  case object Rows extends ScanKind("count(*)")
+  case object Min extends ScanKind("min")
+  case object Max extends ScanKind("max")
+  /** running exact-sum / exact-count as double (null until first) */
+  case object Avg extends ScanKind("avg")
+}
 // SQL running-sum semantics: NULL until the first non-null value, so the
 // scan column must be nullable exactly when the value column is — the
 // companion apply derives it (a non-null schema over a NULL-emitting exec
@@ -35,17 +55,28 @@ import org.apache.spark.sql.types.LongType
 // preserve the exprId; only genuinely fresh constructions mint one.
 object GlobalScanPlan {
   def apply(order: Seq[SortOrder], value: Attribute, child: LogicalPlan,
-            ansi: Boolean): GlobalScanPlan =
+            ansi: Boolean, kind: ScanKind = ScanKind.Sum): GlobalScanPlan = {
+    // output type/nullability mirror the window aggregate this replaces:
+    // counts are non-null longs, avg is a nullable double, sum/min/max
+    // are null exactly until the first non-null value — i.e. nullable
+    // iff the value column is
+    val (dt, nullable) = kind match {
+      case ScanKind.Count | ScanKind.Rows =>
+        (LongType: org.apache.spark.sql.types.DataType, false)
+      case ScanKind.Avg =>
+        (org.apache.spark.sql.types.DoubleType, value.nullable)
+      case _ => (LongType, value.nullable)
+    }
     GlobalScanPlan(order, value, child,
-      AttributeReference("running", LongType, nullable = value.nullable)(),
-      ansi)
+      AttributeReference("running", dt, nullable)(), ansi, kind)
+  }
 }
 
 case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
     child: LogicalPlan, scanAttr: AttributeReference,
     // ANSI addition: running sums raise ArithmeticException on Long
     // overflow (SQL ANSI mode) instead of silently wrapping (legacy)
-    ansi: Boolean)
+    ansi: Boolean, kind: ScanKind)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ scanAttr
   override def producedAttributes
@@ -57,7 +88,7 @@ case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
 }
 
 case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
-                          scanAttr: Attribute, ansi: Boolean,
+                          scanAttr: Attribute, ansi: Boolean, kind: ScanKind,
                           child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ scanAttr
@@ -80,37 +111,70 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val input = child.execute()
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition (sum, non-null count) — a few longs cross the
-    // driver. The count carries SQL null semantics: a running sum is NULL
+    // pass 1: per-partition partial (sum, non-null count, row count, min,
+    // max) — a few longs per partition cross the driver. The non-null
+    // count carries SQL null semantics: a running sum/min/max/avg is NULL
     // until the first non-null value anywhere before the current row.
-    // ANSI: Math.addExact raises on Long overflow. Pass 1 accumulates
-    // each partition's sum in isolation, so a partition whose LOCAL sum
-    // overflows raises even if a negative offset from earlier partitions
-    // would have kept every global prefix in range — an over-approximation
-    // of ANSI overflow, reachable only with totals adversarially close to
+    // ANSI: Math.addExact raises on Long overflow (sum/avg only — the
+    // other kinds never add values). Pass 1 accumulates each partition's
+    // sum in isolation, so a partition whose LOCAL sum overflows raises
+    // even if a negative offset from earlier partitions would have kept
+    // every global prefix in range — an over-approximation of ANSI
+    // overflow, reachable only with totals adversarially close to
     // Long.MaxValue.
-    val exact = ansi
+    val needSum = kind == ScanKind.Sum || kind == ScanKind.Avg
+    // Count only null-checks the value; Rows never touches it (the plan
+    // carries a dummy attribute there). Evaluating a non-Long dummy as
+    // Long would be a type error, so the eval is gated, not just unused.
+    val needEval =
+      needSum || kind == ScanKind.Min || kind == ScanKind.Max
+    val countsValue = kind != ScanKind.Rows
+    val exact = ansi && needSum
+    val theKind = kind // stable local for task closures
     val partials = input.mapPartitions({ it =>
-      var s = 0L; var c = 0L
-      it.foreach(row => if (!bound.nullable || !row.isNullAt(valueOrdinal)) {
-        val v = bound.eval(row).asInstanceOf[Long]
-        s = if (exact) Math.addExact(s, v) else s + v
-        c += 1L
-      })
-      Iterator.single((s, c))
+      var s = 0L; var c = 0L; var r = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      it.foreach { row =>
+        r += 1L
+        if (countsValue &&
+            (!bound.nullable || !row.isNullAt(valueOrdinal))) {
+          c += 1L
+          if (needEval) {
+            val v = bound.eval(row).asInstanceOf[Long]
+            if (needSum) s = if (exact) Math.addExact(s, v) else s + v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+        }
+      }
+      Iterator.single((s, c, r, mn, mx))
     }, preservesPartitioning = true).collect()
-    val offsets = GlobalScan.combineOffsets(partials.map(_._1), exact)
+    val sumOffsets =
+      if (needSum) GlobalScan.combineOffsets(partials.map(_._1), exact)
+      else Array.fill(partials.length + 1)(0L)
     val cntOffsets = partials.map(_._2).scanLeft(0L)(_ + _)
-    val bc = input.sparkContext.broadcast((offsets, cntOffsets))
-    // pass 2: running = exclusive partition prefix + local inclusive
-    // prefix. Rows go out through an UnsafeProjection (created per task —
-    // it holds codegen state): operators like collect()'s byte-array path
-    // require UnsafeRow, and nothing above this node may re-project.
+    val rowOffsets = partials.map(_._3).scanLeft(0L)(_ + _)
+    // extrema offsets fold with identity elements; validity is carried by
+    // cntOffsets (an offset min/max is meaningful iff some non-null value
+    // exists in an earlier partition)
+    val minOffsets = partials.map(_._4).scanLeft(Long.MaxValue)(Math.min)
+    val maxOffsets = partials.map(_._5).scanLeft(Long.MinValue)(Math.max)
+    val bc = input.sparkContext.broadcast(
+      (sumOffsets, cntOffsets, rowOffsets, minOffsets, maxOffsets))
+    // pass 2: running = combine(exclusive partition prefix, local
+    // inclusive prefix). Rows go out through an UnsafeProjection (created
+    // per task — it holds codegen state): operators like collect()'s
+    // byte-array path require UnsafeRow, and nothing above this node may
+    // re-project.
     val types = output.map(_.dataType).toArray
     val valueNullable = value.nullable
     input.mapPartitionsWithIndex({ (pid, it) =>
-      var acc = bc.value._1(pid)
-      var cnt = bc.value._2(pid)
+      val (sumOff, cntOff, rowOff, minOff, maxOff) = bc.value
+      var acc = sumOff(pid)
+      var cnt = cntOff(pid)
+      var rows = rowOff(pid)
+      var mn = minOff(pid)
+      var mx = maxOff(pid)
       val n = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
@@ -118,15 +182,30 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
       // values into its own buffer before the next iteration
       val out = new GenericInternalRow(n)
       it.map { row =>
-        if (!valueNullable || !row.isNullAt(valueOrdinal)) {
-          val v = bound.eval(row).asInstanceOf[Long]
-          acc = if (exact) Math.addExact(acc, v) else acc + v
+        rows += 1L
+        if (countsValue &&
+            (!valueNullable || !row.isNullAt(valueOrdinal))) {
           cnt += 1L
+          if (needEval) {
+            val v = bound.eval(row).asInstanceOf[Long]
+            if (needSum) acc = if (exact) Math.addExact(acc, v) else acc + v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
         }
         var j = 0
         while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
-        if (valueNullable && cnt == 0L) out.setNullAt(n - 1)
-        else out.update(n - 1, acc)
+        theKind match {
+          case ScanKind.Rows => out.update(n - 1, rows)
+          case ScanKind.Count => out.update(n - 1, cnt)
+          case _ if cnt == 0L => out.setNullAt(n - 1)
+          case ScanKind.Sum => out.update(n - 1, acc)
+          case ScanKind.Min => out.update(n - 1, mn)
+          case ScanKind.Max => out.update(n - 1, mx)
+          // exact long sum / exact count, divided at emit: the double is
+          // a function of the prefix CONTENT, not its evaluation order
+          case ScanKind.Avg => out.update(n - 1, acc.toDouble / cnt)
+        }
         proj(out)
       }
     }, preservesPartitioning = true)
@@ -139,47 +218,73 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
 object GlobalScanStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalScanPlan =>
-      GlobalScanExec(g.order, g.value, g.scanAttr, g.ansi,
+      GlobalScanExec(g.order, g.value, g.scanAttr, g.ansi, g.kind,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }
 }
 
 /** Optimizer rule, the [[GlobalRankRule]] sibling: rewrite
-  * `sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the running
-  * sum Spark executes in ONE partition — into [[GlobalScanPlan]].
-  * Conservatively fires only on the exact scale-out-safe shape: a single
-  * un-partitioned window expression, plain (non-DISTINCT, unfiltered)
-  * SUM over a LongType attribute, explicit ROWS frame (the default RANGE
-  * frame gives ties their GROUP total — different semantics — and stays
-  * with WindowExec). Null semantics preserved: the scan is NULL until
-  * the first non-null value. Overflow semantics preserved per eval mode:
-  * LEGACY wraps, ANSI runs the scan with exact addition (raises on Long
-  * overflow); try_sum (NULL on overflow) has no per-row running
-  * equivalent here and keeps WindowExec. */
+  * `agg(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the running
+  * aggregate Spark executes in ONE partition — into [[GlobalScanPlan]],
+  * for agg in sum / count / count(*) / min / max / avg. Conservatively
+  * fires only on the exact scale-out-safe shape: a single un-partitioned
+  * window expression, plain (non-DISTINCT, unfiltered) aggregate over a
+  * LongType attribute (count: any type — it only null-checks; count(*):
+  * no column at all), explicit ROWS frame (the default RANGE frame gives
+  * ties their GROUP total — different semantics — and stays with
+  * WindowExec). Null semantics preserved: sum/min/max/avg are NULL until
+  * the first non-null value, counts never. Overflow semantics preserved
+  * per eval mode: LEGACY wraps, ANSI runs the scan with exact addition
+  * (raises on Long overflow); try_sum/try_avg (NULL on overflow) have no
+  * per-row running equivalent here and keep WindowExec. */
 object GlobalScanRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
-    CurrentRow, EvalMode, NumericEvalContext, RowFrame, SpecifiedWindowFrame,
-    UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    CurrentRow, EvalMode, Literal, NumericEvalContext, RowFrame,
+    SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+    WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
 
+  /** (kind, value column, ansi) for a rewritable aggregate, else None.
+    * count(*) carries no column — any child attribute serves as the
+    * (never evaluated) placeholder the plan node wants. */
+  private def scannable(agg: AggregateExpression,
+                        child: LogicalPlan): Option[(ScanKind, CAttr, Boolean)] =
+    agg.aggregateFunction match {
+      case Sum(v: CAttr, ctx: NumericEvalContext)
+          if v.dataType == LongType && ctx.evalMode != EvalMode.TRY =>
+        Some((ScanKind.Sum, v, ctx.evalMode == EvalMode.ANSI))
+      case Count(Seq(v: CAttr)) =>
+        Some((ScanKind.Count, v, false))
+      case Count(Seq(l: Literal)) if l.value != null =>
+        child.output.headOption.map((ScanKind.Rows, _, false))
+      case Min(v: CAttr) if v.dataType == LongType =>
+        Some((ScanKind.Min, v, false))
+      case Max(v: CAttr) if v.dataType == LongType =>
+        Some((ScanKind.Max, v, false))
+      case Average(v: CAttr, mode) if v.dataType == LongType &&
+          mode != EvalMode.TRY =>
+        Some((ScanKind.Avg, v, mode == EvalMode.ANSI))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case Window(Seq(a @ Alias(WindowExpression(
-          AggregateExpression(Sum(v: CAttr, ctx: NumericEvalContext),
-            _, false, None, _),
+    case w @ Window(Seq(a @ Alias(WindowExpression(
+          agg: AggregateExpression,
           WindowSpecDefinition(Seq(), order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
         name)), Seq(), _, child, _)
-        if order.nonEmpty && v.dataType == LongType &&
-          ctx.evalMode != EvalMode.TRY =>
-      val g = GlobalScanPlan(order, v, child,
-        ansi = ctx.evalMode == EvalMode.ANSI)
-      Project(child.output :+
-        Alias(g.scanAttr, name)(exprId = a.exprId, qualifier = a.qualifier,
-          explicitMetadata = a.explicitMetadata),
-        g)
+        if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty =>
+      scannable(agg, child).map { case (kind, v, ansi) =>
+        val g = GlobalScanPlan(order, v, child, ansi, kind)
+        Project(child.output :+
+          Alias(g.scanAttr, name)(exprId = a.exprId,
+            qualifier = a.qualifier,
+            explicitMetadata = a.explicitMetadata),
+          g): LogicalPlan
+      }.getOrElse(w)
   }
 }
 

@@ -78,6 +78,48 @@ class GlobalScanSpec extends AnyFunSuite {
     } finally GlobalScan.removeRule(spark)
   }
 
+  test("rule rewrites running count/count(*)/min/max/avg; values match a " +
+    "sequential pass") {
+    import org.apache.spark.sql.expressions.Window
+    // nulls every 7th row so the SQL null semantics differ per kind:
+    // counts never null, min/max/avg null until the first non-null
+    val n = 3000
+    val df = spark.range(n).select(
+      col("id").as("t"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 37) % 1001 - 500).as("v"))
+      .repartition(11)
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vs: Seq[Option[Long]] = (0L until n).map(i =>
+      if (i % 7 == 0) None else Some((i * 37) % 1001 - 500))
+    def run(c: org.apache.spark.sql.Column): Seq[Option[Any]] = {
+      val q = df.withColumn("r", c.over(w))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalScan"), s"not rewritten:\n$p")
+      assert(!p.contains("Window"), s"window left behind:\n$p")
+      q.orderBy("t").select("r").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.get(0))).toSeq
+    }
+    // prefix states: (non-null count, rows, sum, min, max) per position
+    val prefixes = vs.scanLeft((0L, 0L, 0L, Long.MaxValue, Long.MinValue)) {
+      case ((c, r, s, mn, mx), ov) => ov match {
+        case Some(v) => (c + 1, r + 1, s + v, math.min(mn, v), math.max(mx, v))
+        case None => (c, r + 1, s, mn, mx)
+      }
+    }.drop(1)
+    assert(run(count(col("v"))) == prefixes.map(p => Some(p._1)))
+    assert(run(count(lit(1))) == prefixes.map(p => Some(p._2)))
+    assert(run(min(col("v"))) ==
+      prefixes.map(p => if (p._1 == 0) None else Some(p._4)))
+    assert(run(max(col("v"))) ==
+      prefixes.map(p => if (p._1 == 0) None else Some(p._5)))
+    assert(run(avg(col("v"))) ==
+      prefixes.map(p => if (p._1 == 0) None else Some(p._3.toDouble / p._1)))
+    assert(run(sum(col("v"))) ==
+      prefixes.map(p => if (p._1 == 0) None else Some(p._3)))
+  }
+
   test("driver-side offset combine raises on cross-partition overflow (ANSI)") {
     // partition 0's LOCAL sum is exactly Long.MaxValue (no within-partition
     // overflow); partition 1 adds 1 more — the overflow happens only when

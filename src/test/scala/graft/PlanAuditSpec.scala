@@ -242,7 +242,9 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("GlobalRank"), s"$q lost its GlobalRank rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
-    val scan = Seq("rel_running_revenue")
+    val scan = Seq("rel_running_revenue", "rel_running_count",
+      "rel_running_row_count", "rel_running_high_water",
+      "rel_running_low_water", "rel_running_avg")
     scan.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
