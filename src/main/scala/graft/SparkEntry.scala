@@ -2611,27 +2611,43 @@ object SparkEntry {
 
     // Accuracy CONTRACT for the banded-MinHash LSH path (the dedup cousin
     // of emb_ivf_recall / rel_cms_freq_bounded): recall of the capped LSH
-    // candidate generation against the TRUE >= 0.5-Jaccard pair set.
-    // Ground truth never goes O(n^2) in docs: exact pair intersections
-    // come from a shingle self-join (explode -> join on shingle ->
-    // per-pair count), whose cost is the sum of squared shingle-bucket
-    // sizes — the same scale shape as the LSH join it validates, but
-    // UNCAPPED (capping the truth would truncate the denominator). A
-    // ubiquitous shingle therefore goes quadratic here by design: this is
-    // a validation harness to run on a sampled slice next to the
-    // production LSH pass, not a corpus-wide operator. With 4 bands of 2
-    // rows, pairs at J >= 0.5 collide with probability
-    // 1-(1-J^2)^4 >= 0.94, so recall lands near 1 (exact value pinned by
-    // the oracle; bounds and the subset property by TrainingOpsSpec).
+    // candidate generation against the TRUE >= 0.5-Jaccard pair set,
+    // estimated on a DETERMINISTIC 40% document sample (md5-bucket on
+    // doc_id — the rel_stratified_sample idiom, reproducible across
+    // engines/retries). The exact ground truth is a shingle self-join
+    // whose cost is the sum of squared shingle-bucket sizes — UNCAPPED
+    // (capping the truth would truncate the denominator) — so sampling
+    // the docs bounds that cost at ~16% of the full pair stream while the
+    // candidate side stays the PRODUCTION capped LSH pass over the whole
+    // corpus: recall over both-endpoints-sampled pairs is an unbiased
+    // estimate of corpus recall. With 4 bands of 2 rows, pairs at
+    // J >= 0.5 collide with probability 1-(1-J^2)^4 >= 0.94, so recall
+    // lands near 1 (exact value pinned by the oracle; bounds and the
+    // subset property by TrainingOpsSpec).
     "dedup_lsh_recall" -> ((s, dir) => {
-      val sh = tbl(s, dir, "documents").select(col("doc_id"),
-        array_distinct(graft.functions.GraftFunctions
-          .shingles(s, col("text"))).as("sh"))
+      val sampled = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100 < 40
+      val sh = tbl(s, dir, "documents").where(sampled)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.GraftFunctions
+            .shingles(s, col("text"))).as("sh"))
         .localCheckpoint(false) // feeds the explode + both size lookups
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val inter = ex.as("a").join(ex.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      // exact co-occurrence counts WITHOUT the shingle self-join: group
+      // doc ids per shingle, emit ordered pairs from each bucket with
+      // codegen'd higher-order functions, count per pair — the same
+      // sum-of-df^2 pair stream, but one aggregate chain instead of a
+      // two-sided shuffle join. Bucket arrays are (sample rate x df)
+      // long — bounded at harness scale by the doc sample above.
+      val buckets = ex.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+      val inter = buckets.select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x AS id1, y AS id2))))")).as("p"))
+        .select(col("p.id1"), col("p.id2"))
+        .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("inter"))
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
       val truePairs = inter
@@ -4854,16 +4870,24 @@ object SparkEntry {
     // ground truth from an exact shingle self-join; candidates from the
     // same banded chain as dedup_jaccard_pairs; found = their intersection
     "dedup_lsh_recall" -> {
+      // ground truth (ex/inter/sz/tp) runs on the SAME deterministic 50%
+      // md5-bucket doc sample as the Spark side; the candidate CTEs
+      // ($lshPairsCtes + jj/cand) stay full-corpus — the production path
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
-         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         |ssets AS (
+         |  SELECT * FROM sets
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |        % 100 < 40
+         |),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM ssets),
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
          |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM ssets),
          |tp AS (
          |  SELECT id1, id2 FROM inter
          |  JOIN sz s1 ON inter.id1 = s1.doc_id
