@@ -251,13 +251,14 @@ object SparkEntry {
       |ch AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM chs)""".stripMargin
 
   /** Shared banded-LSH candidate-pair CTE chain (expects `shl(doc_id, sh)`
-    * in scope): sigs -> bands -> per-band sizes -> CAPPED pairs. Models
-    * the engine's `maxBucket` cap ([[Dedup.lshCandidatePairs]], 10000):
-    * a band bucket over the cap contributes no candidates, so the oracle
-    * stays faithful at every ladder rung — not only where no bucket
-    * happens to overflow. One definition feeds all seven pair-chain
-    * oracles (jaccard, containment, CC, PageRank, triangle census, LSH
-    * recall, fuzzy-dedup capstone). */
+    * in scope): sigs -> bands -> per-band sizes -> SALTED pairs. Models
+    * the engine's `maxBucket` salting ([[Dedup.lshCandidatePairs]],
+    * 10000): an over-cap band bucket splits into ceil(c/10000)
+    * md5-salted sub-buckets and pairs form only within a sub-bucket, so
+    * the oracle stays faithful at every ladder rung — not only where no
+    * bucket happens to overflow. One definition feeds all seven
+    * pair-chain oracles (jaccard, containment, CC, PageRank, triangle
+    * census, LSH recall, fuzzy-dedup capstone). */
   private val lshPairsCtes: String = {
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
@@ -269,14 +270,16 @@ object SparkEntry {
        |  $bands
        |),
        |bsz AS (SELECT band, count(*) AS c FROM bands GROUP BY 1),
-       |kept AS (
-       |  SELECT doc_id, band FROM bands JOIN bsz USING (band)
-       |  WHERE c <= 10000
+       |salted AS (
+       |  SELECT doc_id, band,
+       |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+       |           % ((c - 1) // 10000 + 1) AS salt
+       |  FROM bands JOIN bsz USING (band)
        |),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM kept a JOIN kept b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id
+       |  FROM salted a JOIN salted b
+       |    ON a.band = b.band AND a.salt = b.salt AND a.doc_id < b.doc_id
        |)""".stripMargin
   }
 

@@ -105,10 +105,19 @@ object Dedup {
   /** Candidate near-duplicate pairs via LSH: docs sharing any band,
     * deduplicated across bands, id1 < id2. The self-join is per-bucket —
     * at scale, bucket sizes stay O(dups), not O(n). */
-  /** `maxBucket` drops degenerate buckets (standard LSH practice): a bucket
-    * of b docs yields b(b-1)/2 candidate pairs, so one non-discriminative
-    * band value over a huge corpus would go quadratic; capping trades those
-    * (near-useless) candidates for a hard bound on the join size. */
+  /** `maxBucket` bounds degenerate buckets by SALTING, not dropping: a
+    * bucket of b docs yields b(b-1)/2 candidate pairs, so one
+    * non-discriminative band value over a huge corpus would go quadratic.
+    * An over-cap bucket is split into s = ceil(b/maxBucket) sub-buckets
+    * by a deterministic md5 salt on the doc id, and pairs form only
+    * within a sub-bucket: per-band join work stays O(b * maxBucket)
+    * instead of O(b^2), while the lost pairs are a RANDOM 1 - 1/s of the
+    * bucket — at 100 TB a hot band (boilerplate shingles) degrades
+    * recall smoothly instead of silently dropping its dup cluster
+    * wholesale. Sub-bucket sizes concentrate tightly around b/s (md5 is
+    * uniform; deviation is O(sqrt(b/s))), so the bound is solid in
+    * practice. The salt is md5-derived (not JVM hash), so retries,
+    * re-partitions, and the DuckDB oracle all agree on it. */
   def lshCandidatePairs(sigs: DataFrame, id: String,
                         k: Int = 8, rows: Int = 2,
                         maxBucket: Int = 10000): DataFrame = {
@@ -129,11 +138,16 @@ object Dedup {
       .localCheckpoint(false)
     val sized = bands.groupBy("band")
       .agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") <= maxBucket)
-      .select("band")
-    val kept = bands.join(sized, "band")
-    val l = kept.as("l"); val r = kept.as("r")
+    // s = ceil(bucket/maxBucket) sub-buckets; normal buckets get s = 1
+    // (salt 0 for every member — the join is within-bucket, unchanged)
+    val salted = bands.join(sized, "band")
+      .select(col("doc_a"), col("band"),
+        (conv(substring(md5(col("doc_a").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") %
+          (floor((col("_bsz") - 1) / maxBucket) + 1)).as("_salt"))
+    val l = salted.as("l"); val r = salted.as("r")
     l.join(r, col("l.band") === col("r.band") &&
+        col("l._salt") === col("r._salt") &&
         col("l.doc_a") < col("r.doc_a"))
       .select(col("l.doc_a").as("id1"), col("r.doc_a").as("id2"))
       .distinct()

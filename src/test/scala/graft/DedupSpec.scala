@@ -81,13 +81,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
-  test("lshCandidatePairs maxBucket drops degenerate buckets") {
+  test("lshCandidatePairs maxBucket salts oversized buckets: bounded " +
+    "join, random (not wholesale) loss") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignature(df, col("text"), col("doc_id"), 8)
     assert(Dedup.lshCandidatePairs(sigs, "doc_id").count() == 3) // all pairs
-    assert(Dedup.lshCandidatePairs(sigs, "doc_id", maxBucket = 2).count() == 0)
+    // cap 2 on a 3-doc bucket -> s = 2 md5-salted sub-buckets:
+    // salt(1) = 0, salt(2) = 1, salt(3) = 0 (deterministic md5 buckets),
+    // so {1,3} pair up and 2 is isolated — pairs survive WITHIN
+    // sub-buckets where the old wholesale drop returned none
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(capped == Seq((1L, 3L)))
   }
 
   test("connectedComponents: chains merge, singletons keep their own id") {
