@@ -77,7 +77,17 @@ object Bench {
     // rows — the scale of BASELINE.md's 486,634-row input (23 s / 22 s)
     val cmp = s"""{"stock_count_x100_sec":${rm.getOrElse("stock_count_x100", -1.0)},""" +
       s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line to a file: the driver's BENCH_r0N.json
+    // captures only a bounded stdout tail, which truncates the per-query
+    // map once the registry grew past ~60 queries — the file is the
+    // complete record (committed per round as BENCH_FULL.json).
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -2026,6 +2026,35 @@ object SparkEntry {
           round(avg(col("v")).over(prefixWindow), 6))
         .select(col("event_id"), col("avg_v"))),
 
+    // Running sum over an INTEGER column — the common analyzed shape
+    // `Sum(Cast(int -> long))`. GlobalScanRule widens p_size below the
+    // scan, so the everyday `sum(int_col) OVER (ORDER BY ...)` plans as
+    // the distributed two-pass scan too, not a single-partition window
+    // (census-pinned). Result type stays the native window's long.
+    "rel_running_size" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"))
+        .withColumn("running_size", sum(col("p_size")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("p_partkey"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))),
+
+    // Running minimum over the same INTEGER column — exercises the scan's
+    // result-narrowing path: min(int) is int, so the rewrite casts the
+    // scan's long back down and the output schema is identical to the
+    // native window's.
+    "rel_running_size_floor" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"))
+        .withColumn("floor_size", min(col("p_size")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("p_partkey"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))),
+
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
     // users can't dominate a dataset (and the reproducible cousin of
@@ -4292,6 +4321,20 @@ object SparkEntry {
         |             6) AS avg_v
         |FROM e""".stripMargin,
 
+    "rel_running_size" ->
+      """SELECT p_partkey, p_size,
+        |       cast(sum(p_size) OVER (ORDER BY p_partkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS running_size
+        |FROM part""".stripMargin,
+
+    "rel_running_size_floor" ->
+      """SELECT p_partkey, p_size,
+        |       cast(min(p_size) OVER (ORDER BY p_partkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS integer) AS floor_size
+        |FROM part""".stripMargin,
+
     "rel_sample_per_key" ->
       """SELECT event_id, user_id, event_type
         |FROM (
@@ -4873,7 +4916,7 @@ object SparkEntry {
     // ground truth from an exact shingle self-join; candidates from the
     // same banded chain as dedup_jaccard_pairs; found = their intersection
     "dedup_lsh_recall" -> {
-      // ground truth (ex/inter/sz/tp) runs on the SAME deterministic 50%
+      // ground truth (ex/inter/sz/tp) runs on the SAME deterministic 40%
       // md5-bucket doc sample as the Spark side; the candidate CTEs
       // ($lshPairsCtes + jj/cand) stay full-corpus — the production path
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),

@@ -208,14 +208,20 @@ object GlobalRankRule
     // windows alone. Filters Spark can't prune on (e.g. arithmetic over
     // the rank) don't suppress the rewrite: there the two-pass rank is
     // strictly better than an unpruned single-partition window.
+    //
+    // Keyed by the rank alias's exprId, NOT the Window node: two
+    // structurally identical windows are case-class-equal, so a Set[Window]
+    // would let the one under a limiting Filter suppress the rewrite of
+    // its un-limited twin. ExprIds are unique per Alias, so they
+    // distinguish the two nodes where structural equality cannot.
     val rankLimited = plan.collect {
       case Filter(cond, child) => rankLimitedWindow(cond, child)
-    }.flatten.toSet
+    }.flatten.map(_.windowExpressions.head.exprId).toSet
     plan transform {
-      case w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+      case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
             WindowSpecDefinition(Seq(), order, _)), name)),
           Seq(), _, child, _)
-          if order.nonEmpty && !rankLimited.contains(w) &&
+          if order.nonEmpty && !rankLimited.contains(a.exprId) &&
             !limitBounded(child) =>
         val g = GlobalRankPlan(order, child)
         Project(child.output :+

@@ -32,7 +32,17 @@ import org.apache.spark.sql.types.LongType
   * above; floating-point prefix sums would be order-sensitive in the last
   * ulp and break cross-engine parity anyway — avg divides the EXACT long
   * sum by the exact count at emit, so even its doubles are
-  * order-insensitive). */
+  * order-insensitive).
+  *
+  * Overflow parity with the WindowExec this replaces, per kind:
+  * sum — ANSI raises on Long overflow, legacy wraps (native does the
+  * same). avg — native accumulates in Double and NEVER overflows (either
+  * eval mode), so avg here must not raise or wrap either: it carries a
+  * parallel Double sum and switches to it (sticky, per prefix) the moment
+  * the exact long sum overflows. In-range prefixes keep the exact
+  * long-sum/count division (cross-engine-reproducible); post-overflow
+  * prefixes degrade to native's approximately-correct double semantics
+  * instead of ANSI exceptions or wildly-wrong wrapped longs. */
 sealed abstract class ScanKind(val sql: String)
 object ScanKind {
   /** running sum of the value column (null until first non-null) */
@@ -112,16 +122,20 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition partial (sum, non-null count, row count, min,
-    // max) — a few longs per partition cross the driver. The non-null
-    // count carries SQL null semantics: a running sum/min/max/avg is NULL
-    // until the first non-null value anywhere before the current row.
-    // ANSI: Math.addExact raises on Long overflow (sum/avg only — the
-    // other kinds never add values). Pass 1 accumulates each partition's
-    // sum in isolation, so a partition whose LOCAL sum overflows raises
-    // even if a negative offset from earlier partitions would have kept
-    // every global prefix in range — an over-approximation of ANSI
-    // overflow, reachable only with totals adversarially close to
-    // Long.MaxValue.
+    // max, double-sum, overflow flag) — a few scalars per partition cross
+    // the driver. The non-null count carries SQL null semantics: a running
+    // sum/min/max/avg is NULL until the first non-null value anywhere
+    // before the current row.
+    // Overflow, per kind: sum under ANSI raises via Math.addExact (native
+    // window sum raises too), sum under legacy wraps (native wraps). Avg
+    // NEVER raises in either mode — native accumulates avg in Double — so
+    // its exact long sum is tried under a catch: on overflow the partition
+    // freezes its long partial and reports ovf=true, and the double sum
+    // carries on. Pass 1 accumulates each partition in isolation, so a
+    // partition whose LOCAL sum overflows marks (sum) raises / (avg)
+    // degrades even if a negative offset from earlier partitions would
+    // have kept every global prefix in range — an over-approximation,
+    // reachable only with totals adversarially close to Long.MaxValue.
     val needSum = kind == ScanKind.Sum || kind == ScanKind.Avg
     // Count only null-checks the value; Rows never touches it (the plan
     // carries a dummy attribute there). Evaluating a non-Long dummy as
@@ -129,11 +143,13 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val needEval =
       needSum || kind == ScanKind.Min || kind == ScanKind.Max
     val countsValue = kind != ScanKind.Rows
-    val exact = ansi && needSum
+    val isAvg = kind == ScanKind.Avg
+    val exact = ansi && kind == ScanKind.Sum
     val theKind = kind // stable local for task closures
     val partials = input.mapPartitions({ it =>
       var s = 0L; var c = 0L; var r = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue
+      var d = 0.0; var ovf = false
       it.foreach { row =>
         r += 1L
         if (countsValue &&
@@ -141,17 +157,34 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
           c += 1L
           if (needEval) {
             val v = bound.eval(row).asInstanceOf[Long]
-            if (needSum) s = if (exact) Math.addExact(s, v) else s + v
+            if (needSum) {
+              if (isAvg) {
+                d += v
+                if (!ovf) {
+                  try s = Math.addExact(s, v)
+                  catch { case _: ArithmeticException => ovf = true }
+                }
+              } else s = if (exact) Math.addExact(s, v) else s + v
+            }
             if (v < mn) mn = v
             if (v > mx) mx = v
           }
         }
       }
-      Iterator.single((s, c, r, mn, mx))
+      Iterator.single((s, c, r, mn, mx, d, ovf))
     }, preservesPartitioning = true).collect()
-    val sumOffsets =
-      if (needSum) GlobalScan.combineOffsets(partials.map(_._1), exact)
-      else Array.fill(partials.length + 1)(0L)
+    // avg: exact long offsets while every earlier partial is exact and the
+    // combine itself stays in range; from the first overflow on, only the
+    // double offsets are meaningful (exactStart marks the switch)
+    val (sumOffsets, dblOffsets, exactStart) =
+      if (isAvg)
+        GlobalScan.combineAvgOffsets(partials.map(_._1),
+          partials.map(_._6), partials.map(_._7))
+      else (
+        if (needSum) GlobalScan.combineOffsets(partials.map(_._1), exact)
+        else Array.fill(partials.length + 1)(0L),
+        Array.fill(partials.length + 1)(0.0),
+        Array.fill(partials.length + 1)(true))
     val cntOffsets = partials.map(_._2).scanLeft(0L)(_ + _)
     val rowOffsets = partials.map(_._3).scanLeft(0L)(_ + _)
     // extrema offsets fold with identity elements; validity is carried by
@@ -160,7 +193,8 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val minOffsets = partials.map(_._4).scanLeft(Long.MaxValue)(Math.min)
     val maxOffsets = partials.map(_._5).scanLeft(Long.MinValue)(Math.max)
     val bc = input.sparkContext.broadcast(
-      (sumOffsets, cntOffsets, rowOffsets, minOffsets, maxOffsets))
+      (sumOffsets, cntOffsets, rowOffsets, minOffsets, maxOffsets,
+        dblOffsets, exactStart))
     // pass 2: running = combine(exclusive partition prefix, local
     // inclusive prefix). Rows go out through an UnsafeProjection (created
     // per task — it holds codegen state): operators like collect()'s
@@ -169,12 +203,14 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val types = output.map(_.dataType).toArray
     val valueNullable = value.nullable
     input.mapPartitionsWithIndex({ (pid, it) =>
-      val (sumOff, cntOff, rowOff, minOff, maxOff) = bc.value
+      val (sumOff, cntOff, rowOff, minOff, maxOff, dblOff, exOk) = bc.value
       var acc = sumOff(pid)
       var cnt = cntOff(pid)
       var rows = rowOff(pid)
       var mn = minOff(pid)
       var mx = maxOff(pid)
+      var dacc = dblOff(pid)
+      var exactOk = exOk(pid)
       val n = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
@@ -188,7 +224,19 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
           cnt += 1L
           if (needEval) {
             val v = bound.eval(row).asInstanceOf[Long]
-            if (needSum) acc = if (exact) Math.addExact(acc, v) else acc + v
+            if (needSum) {
+              if (isAvg) {
+                dacc += v
+                // sticky per prefix: once any prefix overflows Long, this
+                // and every later prefix emit from the double sum (native
+                // Average's accumulator semantics); earlier prefixes
+                // already went out exact
+                if (exactOk) {
+                  try acc = Math.addExact(acc, v)
+                  catch { case _: ArithmeticException => exactOk = false }
+                }
+              } else acc = if (exact) Math.addExact(acc, v) else acc + v
+            }
             if (v < mn) mn = v
             if (v > mx) mx = v
           }
@@ -203,8 +251,11 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
           case ScanKind.Min => out.update(n - 1, mn)
           case ScanKind.Max => out.update(n - 1, mx)
           // exact long sum / exact count, divided at emit: the double is
-          // a function of the prefix CONTENT, not its evaluation order
-          case ScanKind.Avg => out.update(n - 1, acc.toDouble / cnt)
+          // a function of the prefix CONTENT, not its evaluation order.
+          // Post-overflow (exactOk false) the double sum takes over.
+          case ScanKind.Avg =>
+            out.update(n - 1,
+              if (exactOk) acc.toDouble / cnt else dacc / cnt)
         }
         proj(out)
       }
@@ -230,22 +281,47 @@ object GlobalScanStrategy extends Strategy {
   * for agg in sum / count / count(*) / min / max / avg. Conservatively
   * fires only on the exact scale-out-safe shape: a single un-partitioned
   * window expression, plain (non-DISTINCT, unfiltered) aggregate over a
-  * LongType attribute (count: any type — it only null-checks; count(*):
-  * no column at all), explicit ROWS frame (the default RANGE frame gives
+  * LongType or narrower-integral attribute — including the
+  * `Cast(int -> long)` the analyzer wraps around integral sum inputs;
+  * narrower values are widened below the scan and min/max results
+  * narrowed back, so schemas are unchanged (count: any type — it only
+  * null-checks; count(*): no column at all), explicit ROWS frame (the default RANGE frame gives
   * ties their GROUP total — different semantics — and stays with
   * WindowExec). Null semantics preserved: sum/min/max/avg are NULL until
   * the first non-null value, counts never. Overflow semantics preserved
-  * per eval mode: LEGACY wraps, ANSI runs the scan with exact addition
-  * (raises on Long overflow); try_sum/try_avg (NULL on overflow) have no
-  * per-row running equivalent here and keep WindowExec. */
+  * per eval mode: sum LEGACY wraps, sum ANSI runs the scan with exact
+  * addition (raises on Long overflow) — both native-parity; avg never
+  * raises in either mode (native accumulates in Double) — the scan tries
+  * the exact long sum and degrades to its double sum on overflow;
+  * try_sum/try_avg (NULL on overflow) have no per-row running equivalent
+  * here and keep WindowExec. */
 object GlobalScanRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
-    CurrentRow, EvalMode, Literal, NumericEvalContext, RowFrame,
-    SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
+    Cast, CurrentRow, EvalMode, Expression, Literal, NumericEvalContext,
+    RowFrame, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression,
     WindowSpecDefinition}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+  import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** The scan's long-valued input: a LongType attribute, a narrower
+    * integral attribute (the exec runs on Long — the rewrite widens it
+    * below the scan), or the `Cast(integral -> long)` the analyzer wraps
+    * around integral sum inputs — `sum(int_col)` analyzes as
+    * `Sum(Cast(attr, LongType))`, the common case. The upcast can neither
+    * null nor overflow, so value/null semantics are the attribute's own. */
+  private object LongValue {
+    def unapply(e: Expression): Option[CAttr] = e match {
+      case v: CAttr if v.dataType == LongType || integral(v.dataType) =>
+        Some(v)
+      case Cast(v: CAttr, LongType, _, _) if integral(v.dataType) => Some(v)
+      case _ => None
+    }
+  }
 
   /** (kind, value column, ansi) for a rewritable aggregate, else None.
     * count(*) carries no column — any child attribute serves as the
@@ -253,19 +329,21 @@ object GlobalScanRule
   private def scannable(agg: AggregateExpression,
                         child: LogicalPlan): Option[(ScanKind, CAttr, Boolean)] =
     agg.aggregateFunction match {
-      case Sum(v: CAttr, ctx: NumericEvalContext)
-          if v.dataType == LongType && ctx.evalMode != EvalMode.TRY =>
+      case Sum(LongValue(v), ctx: NumericEvalContext)
+          if ctx.evalMode != EvalMode.TRY =>
         Some((ScanKind.Sum, v, ctx.evalMode == EvalMode.ANSI))
       case Count(Seq(v: CAttr)) =>
         Some((ScanKind.Count, v, false))
+      // count over the analyzer's integral upcast: the cast never nulls,
+      // so counting its results == counting the attribute's non-nulls
+      case Count(Seq(Cast(v: CAttr, LongType, _, _)))
+          if integral(v.dataType) =>
+        Some((ScanKind.Count, v, false))
       case Count(Seq(l: Literal)) if l.value != null =>
         child.output.headOption.map((ScanKind.Rows, _, false))
-      case Min(v: CAttr) if v.dataType == LongType =>
-        Some((ScanKind.Min, v, false))
-      case Max(v: CAttr) if v.dataType == LongType =>
-        Some((ScanKind.Max, v, false))
-      case Average(v: CAttr, mode) if v.dataType == LongType &&
-          mode != EvalMode.TRY =>
+      case Min(LongValue(v)) => Some((ScanKind.Min, v, false))
+      case Max(LongValue(v)) => Some((ScanKind.Max, v, false))
+      case Average(LongValue(v), mode) if mode != EvalMode.TRY =>
         Some((ScanKind.Avg, v, mode == EvalMode.ANSI))
       case _ => None
     }
@@ -278,9 +356,25 @@ object GlobalScanRule
         name)), Seq(), _, child, _)
         if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty =>
       scannable(agg, child).map { case (kind, v, ansi) =>
-        val g = GlobalScanPlan(order, v, child, ansi, kind)
+        // narrower integral values are widened to the scan's Long domain
+        // in a Project BELOW the scan; the helper column never escapes
+        // (the outer Project re-selects only child.output + the result)
+        val (inner, value) =
+          if (v.dataType == LongType) (child, v)
+          else {
+            val widened = Alias(Cast(v, LongType), v.name + "_scanl")()
+            (Project(child.output :+ widened, child),
+              widened.toAttribute): (LogicalPlan, CAttr)
+          }
+        val g = GlobalScanPlan(order, value, inner, ansi, kind)
+        // min/max over an integral column keep its type (min(int) is int):
+        // narrow the scan's long back so the output schema is unchanged —
+        // values are original column values, the downcast cannot overflow
+        val result: Expression =
+          if (g.scanAttr.dataType == a.dataType) g.scanAttr
+          else Cast(g.scanAttr, a.dataType)
         Project(child.output :+
-          Alias(g.scanAttr, name)(exprId = a.exprId,
+          Alias(result, name)(exprId = a.exprId,
             qualifier = a.qualifier,
             explicitMetadata = a.explicitMetadata),
           g): LogicalPlan
@@ -299,6 +393,35 @@ object GlobalScan {
   private[graft] def combineOffsets(sums: Array[Long],
                                     ansi: Boolean): Array[Long] =
     sums.scanLeft(0L)((a, b) => if (ansi) Math.addExact(a, b) else a + b)
+
+  /** Avg's offset combine: exclusive prefixes of the exact long sums, the
+    * double sums, and a per-partition "exact start" validity. Exactness is
+    * sticky-false from the first partition whose local sum overflowed OR
+    * whose combine step overflows: from there the long offsets are
+    * meaningless and pass 2 emits from the double offsets — avg must
+    * never raise or wrap (the native window Average it replaces
+    * accumulates in Double and cannot overflow in either eval mode). */
+  private[graft] def combineAvgOffsets(sums: Array[Long],
+      dsums: Array[Double], ovfs: Array[Boolean])
+  : (Array[Long], Array[Double], Array[Boolean]) = {
+    val n = sums.length
+    val so = new Array[Long](n + 1)
+    val dlo = new Array[Double](n + 1)
+    val ok = new Array[Boolean](n + 1)
+    ok(0) = true
+    var s = 0L; var d = 0.0; var valid = true
+    var i = 0
+    while (i < n) {
+      d += dsums(i)
+      if (valid && !ovfs(i)) {
+        try s = Math.addExact(s, sums(i))
+        catch { case _: ArithmeticException => valid = false }
+      } else valid = false
+      so(i + 1) = s; dlo(i + 1) = d; ok(i + 1) = valid
+      i += 1
+    }
+    (so, dlo, ok)
+  }
 
   def ensureStrategy(spark: SparkSession): Unit =
     SessionHooks.ensureStrategy(spark, GlobalScanStrategy)

@@ -120,6 +120,84 @@ class GlobalScanSpec extends AnyFunSuite {
       prefixes.map(p => if (p._1 == 0) None else Some(p._3)))
   }
 
+  test("running avg never raises on Long overflow — degrades to the " +
+    "double sum (native Average parity)") {
+    import org.apache.spark.sql.expressions.Window
+    // native window Average accumulates in Double and cannot overflow in
+    // either eval mode; the scan must not raise (ANSI) or wrap (legacy)
+    // where the operator it replaces returns a value. Values are
+    // power-of-two scaled so every double sum is exact regardless of
+    // partition combine order — the expectation is order-insensitive.
+    GlobalScan.ensureRule(spark)
+    try {
+      val v1 = 1L << 62; val v2 = 1L << 62; val v3 = 1L << 61
+      val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("t", "v")
+        .repartition(3)
+      val q = df.withColumn("a", avg(col("v")).over(
+        Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalScan"), p)
+      val got = q.orderBy("t").select("a").as[Double].collect().toSeq
+      // prefix 1 in Long range -> exact; prefixes 2 and 3 overflow Long
+      // (2^63, 2^63 + 2^61) -> emitted from the double accumulator
+      assert(got == Seq(v1.toDouble,
+        (v1.toDouble + v2.toDouble) / 2,
+        (v1.toDouble + v2.toDouble + v3.toDouble) / 3))
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("rule widens integral value columns: sum(int) plans GlobalScan, " +
+    "min(int) keeps IntegerType") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalScan.ensureRule(spark)
+    try {
+      val n = 500
+      val df = spark.range(n).select(col("id").as("t"),
+        ((col("id") * 13) % 97 - 48).cast("int").as("v"))
+        .repartition(7)
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vs = (0L until n).map(i => ((i * 13) % 97 - 48).toInt)
+      val qs = df.withColumn("rs", sum(col("v")).over(w))
+      val ps = qs.queryExecution.executedPlan.toString
+      assert(ps.contains("GlobalScan"), s"sum(int) not rewritten:\n$ps")
+      assert(!ps.contains("Window"), ps)
+      // sum(int) result type is the native window's LongType
+      assert(qs.schema("rs").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(qs.orderBy("t").select("rs").as[Long].collect().toSeq ==
+        vs.scanLeft(0L)(_ + _).drop(1))
+      // the widening helper column must not leak into the output
+      assert(qs.columns.toSeq == Seq("t", "v", "rs"))
+      val qm = df.withColumn("mn", min(col("v")).over(w))
+      val pm = qm.queryExecution.executedPlan.toString
+      assert(pm.contains("GlobalScan"), s"min(int) not rewritten:\n$pm")
+      // min(int) is int: the scan's long is narrowed back
+      assert(qm.schema("mn").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(qm.orderBy("t").select("mn").as[Int].collect().toSeq ==
+        vs.scanLeft(Int.MaxValue)(math.min).drop(1))
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("combineAvgOffsets: exactness is sticky-false from the first " +
+    "overflowing partition") {
+    val (so, dlo, ok) = GlobalScan.combineAvgOffsets(
+      Array(Long.MaxValue, 10L, 5L),
+      Array(Long.MaxValue.toDouble, 10.0, 5.0),
+      Array(false, false, false))
+    // partition 1 starts exact at MaxValue; folding partition 1's total
+    // overflows, so partitions 2 and 3 start inexact
+    assert(ok.toSeq == Seq(true, true, false, false))
+    assert(so(1) == Long.MaxValue)
+    assert(dlo(3) == Long.MaxValue.toDouble + 15.0)
+    // a partition-local overflow invalidates everything after it
+    val (_, _, ok2) = GlobalScan.combineAvgOffsets(
+      Array(5L, 3L), Array(5.0, 3.0), Array(true, false))
+    assert(ok2.toSeq == Seq(true, false, false))
+  }
+
   test("driver-side offset combine raises on cross-partition overflow (ANSI)") {
     // partition 0's LOCAL sum is exactly Long.MaxValue (no within-partition
     // overflow); partition 1 adds 1 more — the overflow happens only when

@@ -244,7 +244,8 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     val scan = Seq("rel_running_revenue", "rel_running_count",
       "rel_running_row_count", "rel_running_high_water",
-      "rel_running_low_water", "rel_running_avg")
+      "rel_running_low_water", "rel_running_avg",
+      "rel_running_size", "rel_running_size_floor")
     scan.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
