@@ -1046,6 +1046,26 @@ object SparkEntry {
         events(s, dir).select(col("event_id"), col("value")),
         "value" -> true, "event_id" -> false)),
 
+    // Global rank() WITH TIES, written as the textbook un-partitioned
+    // window — rewritten by GlobalRankRule into the boundary-chained
+    // GlobalTies operator (tie groups span range partitions; the driver
+    // chains first/last boundary rows), so the plan has no
+    // single-partition stage. Date-granular order guarantees dense tie
+    // groups (~6 orders/day at sf0.01). Census-pinned in PlanAuditSpec.
+    "rel_global_rank_ties" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .withColumn("rnk", rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d"))))),
+
+    // dense_rank() variant of the same shape: gap-free group numbering —
+    // equivalently the "day index" of each order date.
+    "rel_global_dense_rank" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .withColumn("day_idx", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d"))))),
+
     // As-of join (time-series): for each purchase, the most recent strictly-
     // prior view by the same user — merge-window formulation (one shuffle by
     // user, no range-join explosion)
@@ -2054,6 +2074,29 @@ object SparkEntry {
             .rowsBetween(
               org.apache.spark.sql.expressions.Window.unboundedPreceding,
               org.apache.spark.sql.expressions.Window.currentRow)))),
+
+    // Row-to-row delta over the global event order — the textbook
+    // un-partitioned lag(1), rewritten by GlobalShiftRule into the
+    // boundary-row GlobalShift operator (each partition receives the |n|
+    // values adjacent to its range boundary; no single-partition stage).
+    // Census-pinned in PlanAuditSpec.
+    "rel_running_delta" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("prev_v", lag(col("v"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("event_id"))))
+        .select(col("event_id"), col("prev_v"),
+          (col("v") - col("prev_v")).as("delta"))),
+
+    // Time to the NEXT event — global lead(1), same operator family
+    // (boundary values flow backward instead of forward).
+    "rel_next_event_gap" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("next_t", lead(col("t"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("event_id"))))
+        .select(col("event_id"),
+          (col("next_t") - col("t")).as("gap_us"))),
 
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
@@ -3465,6 +3508,18 @@ object SparkEntry {
         |       row_number() OVER (ORDER BY value DESC, event_id) AS rank
         |FROM events""".stripMargin,
 
+    "rel_global_rank_ties" ->
+      """SELECT o_orderkey, cast(o_orderdate AS date) AS d,
+        |       cast(rank() OVER (ORDER BY cast(o_orderdate AS date))
+        |            AS integer) AS rnk
+        |FROM orders""".stripMargin,
+
+    "rel_global_dense_rank" ->
+      """SELECT o_orderkey, cast(o_orderdate AS date) AS d,
+        |       cast(dense_rank() OVER (ORDER BY cast(o_orderdate AS date))
+        |            AS integer) AS day_idx
+        |FROM orders""".stripMargin,
+
     "rel_pivot_events" ->
       """SELECT user_id,
         |       count(*) FILTER (event_type = 'click') AS click,
@@ -4319,6 +4374,26 @@ object SparkEntry {
         |       round(avg(v) OVER (ORDER BY t, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |             6) AS avg_v
+        |FROM e""".stripMargin,
+
+    "rel_running_delta" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       lag(v, 1) OVER (ORDER BY t, event_id) AS prev_v,
+        |       v - lag(v, 1) OVER (ORDER BY t, event_id) AS delta
+        |FROM e""".stripMargin,
+
+    "rel_next_event_gap" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id FROM events
+        |)
+        |SELECT event_id,
+        |       lead(t, 1) OVER (ORDER BY t, event_id) - t AS gap_us
         |FROM e""".stripMargin,
 
     "rel_running_size" ->

@@ -561,5 +561,9 @@ object GraftExtensions {
     // PRECEDING) plans as the distributed GlobalScan prefix sum
     ext.injectOptimizerRule(_ => graft.plans.GlobalScanRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalScanStrategy)
+    // offset rewrite: un-partitioned lag/lead plans as the boundary-row
+    // GlobalShift operator instead of a single-partition WindowExec
+    ext.injectOptimizerRule(_ => graft.plans.GlobalShiftRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
   }
 }

@@ -104,24 +104,32 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: Attribute,
   : GlobalRankExec = copy(child = newChild)
 }
 
+/** One strategy for the whole rank family (row_number's GlobalRankPlan
+  * and rank/dense_rank's GlobalTiesPlan): every registration site —
+  * GraftExtensions, the ensureRule/ensureStrategy helpers — covers all
+  * three window functions with no extra wiring. */
 object GlobalRankStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalRankPlan =>
       GlobalRankExec(g.order, g.rankAttr,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
+    case g: GlobalTiesPlan =>
+      GlobalTiesExec(g.order, g.kind, g.rankAttr,
+        org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }
 }
 
-/** Optimizer rule: rewrite `row_number()` OVER an UN-PARTITIONED window —
+/** Optimizer rule: rewrite the rank family OVER an UN-PARTITIONED window —
   * the plan Spark executes as a single-partition WindowExec, the one
-  * operator shape that cannot scale past one executor — into
-  * [[GlobalRankPlan]] (range-partitioned two-pass rank, no single-partition
-  * stage). The rewrite preserves the output schema exactly: the rank
-  * attribute is cast back to `row_number()`'s IntegerType under the
+  * operator shape that cannot scale past one executor — into the
+  * distributed two-pass operators: `row_number()` to [[GlobalRankPlan]],
+  * `rank()`/`dense_rank()` to [[GlobalTiesPlan]] (boundary-chained tie
+  * groups). The rewrite preserves the output schema exactly: the rank
+  * attribute is cast back to the function's IntegerType under the
   * original Alias exprId, so downstream references resolve unchanged.
-  * Only fires when the window's sole expression is a bare global
-  * row_number — partitioned windows, ranks/leads, or multi-expression
+  * Only fires when the window's sole expression is one bare global rank
+  * function — partitioned windows, offset functions, or multi-expression
   * windows keep Spark's WindowExec (partitioned windows parallelize fine
   * on their own).
   *
@@ -131,9 +139,9 @@ object GlobalRankStrategy extends Strategy {
 object GlobalRankRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr,
-    Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral,
-    LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression,
-    WindowSpecDefinition}
+    Cast, DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+    IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, Rank,
+    RowNumber, WindowExpression, WindowSpecDefinition}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit,
     Project, Sort, Window}
 
@@ -145,6 +153,10 @@ object GlobalRankRule
     * Walks through the deterministic unary nodes the optimizer may leave
     * between the window and its limit. */
   private val BoundedLimit = 100000L
+  /** Shared with [[GlobalShiftRule]] — the offset family uses the same
+    * "provably tiny input stays on WindowExec" escape. */
+  private[plans] def isLimitBounded(p: LogicalPlan): Boolean =
+    limitBounded(p)
   @scala.annotation.tailrec
   private def limitBounded(p: LogicalPlan): Boolean = p match {
     case GlobalLimit(IntegerLiteral(n), _) => n <= BoundedLimit
@@ -224,6 +236,26 @@ object GlobalRankRule
           if order.nonEmpty && !rankLimited.contains(a.exprId) &&
             !limitBounded(child) =>
         val g = GlobalRankPlan(order, child)
+        Project(child.output :+
+          Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),
+            name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = a.explicitMetadata),
+          g)
+      // rank()/dense_rank() — same un-partitioned shape, tie-aware: plans
+      // as the boundary-chained GlobalTies operator. Same guards: a
+      // prunable top-k filter or a LIMIT-bounded input keeps WindowExec
+      // (InferWindowGroupLimit prunes rank and dense_rank too).
+      case Window(Seq(a @ Alias(WindowExpression(
+            fn @ (_: Rank | _: DenseRank),
+            WindowSpecDefinition(Seq(), order, _)), name)),
+          Seq(), _, child, _)
+          if order.nonEmpty && !rankLimited.contains(a.exprId) &&
+            !limitBounded(child) =>
+        val kind = fn match {
+          case _: Rank => TieKind.Rank
+          case _ => TieKind.DenseRank
+        }
+        val g = GlobalTiesPlan(order, kind, child)
         Project(child.output :+
           Alias(Cast(g.rankAttr, org.apache.spark.sql.types.IntegerType),
             name)(exprId = a.exprId, qualifier = a.qualifier,

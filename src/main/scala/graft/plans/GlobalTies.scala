@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** GLOBAL RANK WITH TIES — `rank()` / `dense_rank()` over a total order,
+  * with NO single-partition stage: [[GlobalRankPlan]]'s two-pass mechanism
+  * extended from gap-free row numbers to tie-aware ranks.
+  *
+  * Ties make this harder than row_number: a tie group may SPAN partition
+  * boundaries after range partitioning, so a row's rank can depend on rows
+  * it never sees. The fix is the same partials idea as GlobalScan's
+  * offsets, enriched with boundary rows:
+  *
+  *   1. the input is total-ordered by range partitioning (planned sort);
+  *   2. pass 1 computes, per partition: row count, tie-group count,
+  *      leading/trailing tie-run lengths, and COPIES OF THE FIRST AND LAST
+  *      ROW — a handful of scalars plus two rows per partition to the
+  *      driver, the only global state;
+  *   3. the driver chains boundary comparisons (does partition p's first
+  *      row tie partition p-1's last?) into three numbers per partition —
+  *      row offset, rank carry (earlier-partition rows tying the first
+  *      group), dense base (distinct groups before, net of shared
+  *      boundary groups) — and broadcasts them;
+  *   4. pass 2 re-detects tie groups locally and emits
+  *      `rank = rowOffset - carry + 1` for the first group,
+  *      `rowOffset + groupStart + 1` for later ones;
+  *      `dense_rank = denseBase + localGroupIndex`.
+  *
+  * Tie detection uses the ORDER's own comparator ([[RowOrdering]] over the
+  * SortOrder expressions — compare == 0), not binary key equality, so SQL
+  * equivalence classes (-0.0 vs 0.0, null ordering) match WindowExec's.
+  */
+sealed abstract class TieKind(val sql: String)
+object TieKind {
+  /** ties share a rank; the next group skips past them (1,1,3) */
+  case object Rank extends TieKind("rank")
+  /** ties share a rank; no gaps (1,1,2) */
+  case object DenseRank extends TieKind("dense_rank")
+}
+
+case class GlobalTiesPlan(order: Seq[SortOrder], kind: TieKind,
+    child: LogicalPlan,
+    // constructor field (not a body val) so copy()/transform preserve the
+    // exprId — a body val would mint a fresh attribute on every tree copy
+    rankAttr: AttributeReference =
+      AttributeReference("rank", LongType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes
+  : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+  : GlobalTiesPlan = copy(child = newChild)
+}
+
+case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
+                          rankAttr: Attribute, child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def requiredChildDistribution
+  : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+
+  import GlobalTiesExec.Partial
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val orderLocal = order
+    val childOutput = child.output
+    // same persist rationale as GlobalRankExec: the sorted child feeds two
+    // passes; the exchange is reused but the post-shuffle sort is not, and
+    // both passes must see the identical row order for the group
+    // structure to line up (rows copied — operators reuse UnsafeRow
+    // buffers)
+    val input = child.execute()
+      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: constant-size partials per partition
+    val partials = input.mapPartitions({ it =>
+      val cmp = RowOrdering.create(orderLocal, childOutput)
+      var count = 0L; var groups = 0L
+      var leadEq = 0L; var trailEq = 0L
+      var first: InternalRow = null
+      var prev: InternalRow = null
+      var leading = true
+      it.foreach { row =>
+        count += 1L
+        if (first == null) { first = row; groups = 1L; leadEq = 1L
+          trailEq = 1L }
+        else if (cmp.compare(prev, row) == 0) {
+          if (leading) leadEq += 1L
+          trailEq += 1L
+        } else { leading = false; groups += 1L; trailEq = 1L }
+        prev = row
+      }
+      Iterator.single(Partial(count, groups, leadEq, trailEq, first, prev))
+    }, preservesPartitioning = true).collect()
+
+    // driver: chain boundaries into (rowOffset, rankCarry, denseBase) per
+    // partition. All O(numPartitions) work on a few rows — no data moves.
+    val cmp = RowOrdering.create(orderLocal, childOutput)
+    val n = partials.length
+    val rowOffsets = partials.map(_.count).scanLeft(0L)(_ + _)
+    val rankCarry = new Array[Long](n)
+    val denseBase = new Array[Long](n)
+    var distinctSoFar = 0L       // distinct groups in partitions < p
+    var prevNonEmpty = -1        // last non-empty partition before p
+    var p = 0
+    while (p < n) {
+      val part = partials(p)
+      if (part.count > 0L) {
+        // shared: does this partition's first group continue the previous
+        // non-empty partition's last group?
+        val shared = prevNonEmpty >= 0 &&
+          cmp.compare(partials(prevNonEmpty).last, part.first) == 0
+        // rank carry: rows in earlier partitions tying our first row —
+        // walk back through trailing runs while they span whole
+        // partitions (a partition that is entirely one tie group passes
+        // the chain through)
+        var carry = 0L
+        if (shared) {
+          var q = prevNonEmpty
+          var chained = true
+          while (chained && q >= 0) {
+            val pq = partials(q)
+            if (pq.count == 0L) q -= 1 // empty partitions are transparent
+            else if (cmp.compare(pq.last, part.first) == 0) {
+              carry += pq.trailEq
+              chained = pq.trailEq == pq.count
+              q -= 1
+            } else chained = false
+          }
+        }
+        rankCarry(p) = carry
+        denseBase(p) = distinctSoFar - (if (shared) 1L else 0L)
+        distinctSoFar += part.groups - (if (shared) 1L else 0L)
+        prevNonEmpty = p
+      }
+      p += 1
+    }
+    val bc = input.sparkContext.broadcast((rowOffsets, rankCarry, denseBase))
+    val isDense = kind == TieKind.DenseRank
+    // pass 2: re-detect local groups, emit ranks through an
+    // UnsafeProjection (created per task — it holds codegen state)
+    val types = output.map(_.dataType).toArray
+    input.mapPartitionsWithIndex({ (pid, it) =>
+      val (rowOff, carryArr, denseArr) = bc.value
+      val cmp2 = RowOrdering.create(orderLocal, childOutput)
+      val base = rowOff(pid)
+      val carry = carryArr(pid)
+      val dBase = denseArr(pid)
+      val nCols = types.length
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(types)
+      val out = new GenericInternalRow(nCols)
+      var prev: InternalRow = null
+      var localIdx = -1L   // 0-based row index within the partition
+      var groupIdx = 0L    // 1-based tie-group index within the partition
+      var groupStart = 0L  // local index of the current group's first row
+      it.map { row =>
+        localIdx += 1L
+        if (prev == null || cmp2.compare(prev, row) != 0) {
+          groupIdx += 1L
+          groupStart = localIdx
+        }
+        prev = row
+        val rank =
+          if (isDense) dBase + groupIdx
+          // first group: earlier-partition ties all got this same value
+          else if (groupIdx == 1L) base - carry + 1L
+          else base + groupStart + 1L
+        var j = 0
+        while (j < nCols - 1) { out.update(j, row.get(j, types(j))); j += 1 }
+        out.update(nCols - 1, rank)
+        proj(out)
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+  : GlobalTiesExec = copy(child = newChild)
+}
+
+object GlobalTiesExec {
+  /** Per-partition pass-1 summary. `first`/`last` are row COPIES (null on
+    * an empty partition); the tie-run lengths let the driver chain groups
+    * across boundaries without seeing any interior row. Top-level (not
+    * nested in the exec) so task closures don't drag the SparkPlan in. */
+  private[plans] case class Partial(count: Long, groups: Long, leadEq: Long,
+      trailEq: Long, first: InternalRow, last: InternalRow)
+}
+
+// Planned by [[GlobalRankStrategy]] — the rank family (row_number, rank,
+// dense_rank) shares one strategy so every existing registration site
+// (GraftExtensions, SessionHooks.ensureRule callers) covers all three.

@@ -242,6 +242,19 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("GlobalRank"), s"$q lost its GlobalRank rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
+    val ties = Seq("rel_global_rank_ties", "rel_global_dense_rank")
+    ties.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalTies"), s"$q lost its GlobalTies rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
+    val shift = Seq("rel_running_delta", "rel_next_event_gap")
+    shift.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalShift"),
+        s"$q lost its GlobalShift rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
     val scan = Seq("rel_running_revenue", "rel_running_count",
       "rel_running_row_count", "rel_running_high_water",
       "rel_running_low_water", "rel_running_avg",
@@ -272,7 +285,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // census completeness: no OTHER registry query may plan an
     // un-partitioned WindowExec (single-partition sort) — any new global
     // window must either be rewritten or join the bounded list here
-    val known = (rank ++ scan ++ bounded).toSet +
+    // census completeness now spans the WHOLE window family: the regex
+    // below catches any un-partitioned windowspecdefinition regardless of
+    // function (row_number, rank, dense_rank, lag, lead, aggregates), so
+    // a new global window of any kind must be rewritten or pinned here
+    val known = (rank ++ ties ++ shift ++ scan ++ bounded).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
