@@ -56,6 +56,14 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** dedup_lsh_recall's truth-side df cap: a shingle shared by more than
+    * this many SAMPLED docs is treated as non-discriminative and excluded
+    * from the truth definition (consistently on both sides of the recall
+    * ratio — found = truth ∩ candidates). Bounds the per-shingle pair
+    * expansion at cap^2 regardless of how universal a boilerplate
+    * shingle is. Mirrored literally in the DuckDB oracle. */
+  private[graft] val TruthDfCap = 64
+
   /** Shared input shape for the `rel_running_*` prefix-frame family:
     * event stream under the (t, event_id) total order, value in
     * milli-units as an exact long, NULL for 'error' events (so the SQL
@@ -2686,22 +2694,35 @@ object SparkEntry {
 
     // Accuracy CONTRACT for the banded-MinHash LSH path (the dedup cousin
     // of emb_ivf_recall / rel_cms_freq_bounded): recall of the capped LSH
-    // candidate generation against the TRUE >= 0.5-Jaccard pair set,
-    // estimated on a DETERMINISTIC 40% document sample (md5-bucket on
-    // doc_id — the rel_stratified_sample idiom, reproducible across
-    // engines/retries). The exact ground truth is a shingle self-join
-    // whose cost is the sum of squared shingle-bucket sizes — UNCAPPED
-    // (capping the truth would truncate the denominator) — so sampling
-    // the docs bounds that cost at ~16% of the full pair stream while the
-    // candidate side stays the PRODUCTION capped LSH pass over the whole
-    // corpus: recall over both-endpoints-sampled pairs is an unbiased
-    // estimate of corpus recall. With 4 bands of 2 rows, pairs at
-    // J >= 0.5 collide with probability 1-(1-J^2)^4 >= 0.94, so recall
-    // lands near 1 (exact value pinned by the oracle; bounds and the
-    // subset property by TrainingOpsSpec).
+    // candidate generation against the TRUE >= 0.5-Jaccard pair set on a
+    // deterministic doc sample (md5-bucket on doc_id — the
+    // rel_stratified_sample idiom, reproducible across engines/retries).
+    // The truth side's cost is BOUNDED BY DESIGN on two axes, not by a
+    // constant that happens to be small:
+    //   * corpus growth — the sample threshold is SCALE-INVERSE:
+    //     min(40%, ceil(20000/N)%) of docs, i.e. an expected ~200
+    //     sampled docs regardless of corpus size (40% at the harness's
+    //     500-doc tables, 0.02% at 1M docs);
+    //   * hot shingles — truth buckets are df-capped at TruthDfCap
+    //     within the sample: a corpus-universal boilerplate shingle
+    //     would otherwise concentrate O(sampledDf^2) pair structs in
+    //     one task. The cap applies to the TRUTH definition (and
+    //     therefore identically to numerator and denominator — found is
+    //     truth ∩ candidates): the contract measures recall over pairs
+    //     witnessed by at least one DISCRIMINATIVE shingle, which is
+    //     exactly the pair class LSH is built to find. Worst-case truth
+    //     cost is sum-per-shingle of min(df, cap)^2 over ~200 docs —
+    //     constant.
+    // The candidate side stays the PRODUCTION capped LSH pass over the
+    // whole corpus. With 4 bands of 2 rows, pairs at J >= 0.5 collide
+    // with probability 1-(1-J^2)^4 >= 0.94, so recall lands near 1
+    // (exact value pinned by the oracle; bounds and the subset property
+    // by TrainingOpsSpec).
     "dedup_lsh_recall" -> ((s, dir) => {
+      val nDocs = math.max(1L, tbl(s, dir, "documents").count())
+      val thr = math.max(1L, math.min(40L, math.ceil(20000.0 / nDocs).toLong))
       val sampled = conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 8), 16, 10).cast("long") % 100 < 40
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100 < thr
       val sh = tbl(s, dir, "documents").where(sampled)
         .select(col("doc_id"),
           array_distinct(graft.functions.GraftFunctions
@@ -2711,12 +2732,13 @@ object SparkEntry {
       // exact co-occurrence counts WITHOUT the shingle self-join: group
       // doc ids per shingle, emit ordered pairs from each bucket with
       // codegen'd higher-order functions, count per pair — the same
-      // sum-of-df^2 pair stream, but one aggregate chain instead of a
-      // two-sided shuffle join. Bucket arrays are (sample rate x df)
-      // long — bounded at harness scale by the doc sample above.
+      // pair stream as a self-join, but one aggregate chain instead of
+      // a two-sided shuffle join. Bucket arrays are at most TruthDfCap
+      // long (see the budget invariant above).
       val buckets = ex.groupBy(col("g"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
+        .where(size(col("ids")) > 1 &&
+          size(col("ids")) <= SparkEntry.TruthDfCap)
       val inter = buckets.select(explode(expr(
           "flatten(transform(ids, (x, i) -> " +
             "transform(slice(ids, i + 2, size(ids)), " +
@@ -4991,21 +5013,31 @@ object SparkEntry {
     // ground truth from an exact shingle self-join; candidates from the
     // same banded chain as dedup_jaccard_pairs; found = their intersection
     "dedup_lsh_recall" -> {
-      // ground truth (ex/inter/sz/tp) runs on the SAME deterministic 40%
-      // md5-bucket doc sample as the Spark side; the candidate CTEs
-      // ($lshPairsCtes + jj/cand) stay full-corpus — the production path
+      // ground truth (ex/inter/sz/tp) mirrors the Spark side's two budget
+      // bounds: the SAME scale-inverse md5-bucket doc sample
+      // (min(40, ceil(20000/N))% — 40% at the harness's 500-doc tables)
+      // and the SAME TruthDfCap discriminative-shingle cut; the candidate
+      // CTEs ($lshPairsCtes + jj/cand) stay full-corpus — the production
+      // path
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
          |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
          |ssets AS (
          |  SELECT * FROM sets
          |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-         |        % 100 < 40
+         |        % 100 < greatest(1, least(40,
+         |          cast(ceil(20000.0 / greatest(1,
+         |            (SELECT count(*) FROM documents))) AS bigint)))
          |),
          |ex AS (SELECT doc_id, unnest(sh) AS g FROM ssets),
+         |keep AS (
+         |  SELECT g FROM ex GROUP BY g
+         |  HAVING count(*) BETWEEN 2 AND $TruthDfCap
+         |),
+         |exd AS (SELECT ex.* FROM ex JOIN keep USING (g)),
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM exd a JOIN exd b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |),
          |sz AS (SELECT doc_id, len(sh) AS n FROM ssets),
