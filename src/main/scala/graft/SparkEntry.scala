@@ -2221,6 +2221,53 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BPE vocabulary TRAINING, k iterated merges — the real tokenizer-
+    // induction loop, not just the first merge statistic: each round
+    // aggregates adjacent-symbol pair counts over the distinct-word
+    // table (distributed, vocabulary-sized), collects exactly ONE row
+    // (the argmax pair — the model-on-driver pattern), and applies the
+    // merge corpus-wide. Words are space-joined symbol strings, so a
+    // merge is replace(ws, "p1 p2", "p1p2") — greedy left-to-right
+    // non-overlapping, byte-identical semantics in Spark and DuckDB
+    // (the oracle replays the same k rounds as chained CTEs). The
+    // driver holds only the k-row merge table; per-round lineage is cut
+    // by a local checkpoint so round i doesn't recompute rounds 1..i-1.
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val k = 6
+      var words = tbl(s, dir, "documents")
+        .select(explode(Dedup.cleanTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("ws"),
+          col("freq"))
+        .localCheckpoint(false)
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var step = 1
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val syms = split(col("ws"), " ")
+        val top = words.where(size(syms) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(syms) - 1),
+            i => concat_ws(" ", element_at(syms, i),
+              element_at(syms, i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          merges += ((step, pair, top(0).getLong(1)))
+          words = words.select(
+            replace(col("ws"), lit(pair), lit(pair.replace(" ", "")))
+              .as("ws"), col("freq"))
+            .localCheckpoint(false)
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "pair", "cnt")
+    }),
+
     // Deterministic train/val/test split: engine-portable hash bucket from
     // md5(doc_id) — reproducible across runs, engines, and partitionings
     // (the sampling/split primitive every training-data pipeline needs;
@@ -4833,6 +4880,44 @@ object SparkEntry {
          |SELECT pair, cast(sum(freq) AS bigint) AS cnt
          |FROM p GROUP BY 1
          |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // replays the same k greedy merge rounds as the Spark driver loop:
+    // per round, pair counts over the space-joined symbol strings, the
+    // (cnt DESC, pair ASC) argmax, then the same left-to-right
+    // non-overlapping replace — chained CTEs because k is a fixed
+    // constant of the query
+    "text_bpe_merges" -> {
+      val k = 6
+      val rounds = (1 to k).map { i =>
+        s"""|p$i AS (
+            |  SELECT pair, cast(sum(freq) AS bigint) AS cnt FROM (
+            |    SELECT freq, unnest(list_transform(range(1, len(s)),
+            |           j -> s[j] || ' ' || s[j+1])) AS pair
+            |    FROM (SELECT string_split(ws, ' ') AS s, freq FROM w${i - 1})
+            |    WHERE len(s) >= 2
+            |  ) GROUP BY 1
+            |),
+            |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+            |w$i AS (
+            |  SELECT replace(ws, (SELECT pair FROM m$i),
+            |                 replace((SELECT pair FROM m$i), ' ', '')) AS ws,
+            |         freq FROM w${i - 1}
+            |)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to k)
+        .map(i => s"SELECT $i AS step, pair, cnt FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wt AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(${cleanToksSql("text")}) AS w FROM documents)
+         |  GROUP BY 1
+         |),
+         |w0 AS (
+         |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws, freq
+         |  FROM wt
+         |),
+         |""".stripMargin + rounds + "\n" + union + "\nORDER BY step"
+    },
 
     "text_balanced_resample" ->
       s"""WITH d AS (

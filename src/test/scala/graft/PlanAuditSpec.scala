@@ -293,6 +293,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
+      "text_bpe_merges",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(known).filterNot(heavy)
@@ -311,6 +312,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
+      "text_bpe_merges",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(heavy)

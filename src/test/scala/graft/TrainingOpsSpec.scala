@@ -142,6 +142,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     if (nTrue > 0) assert(recall >= 0.5, s"LSH recall $recall collapsed")
   }
 
+  test("text_bpe_merges: k distinct well-formed merges, first equals the " +
+    "pair-count argmax") {
+    val m = run("text_bpe_merges").orderBy("step").collect()
+    assert(m.length == 6)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 6))
+    val pairs = m.map(_.getString(1))
+    // each merge is "sym sym" (one space) and is never re-learned: after
+    // a merge that pair no longer exists in the corpus
+    assert(pairs.forall(p => p.count(_ == ' ') == 1))
+    assert(pairs.distinct.length == pairs.length)
+    assert(m.forall(_.getLong(2) > 0L))
+    // round 1 must pick exactly what the standalone merge statistic
+    // (text_bpe_pair_counts, ordered cnt DESC then pair ASC) ranks first,
+    // modulo representation: its 2-char pair "xy" is our "x y"
+    val top = run("text_bpe_pair_counts").head()
+    assert(pairs.head == top.getString(0).mkString(" "),
+      s"first merge ${pairs.head} != pair-count argmax ${top.getString(0)}")
+    assert(m.head.getLong(2) == top.getLong(1))
+  }
+
   test("emb_semantic_dedup keeps one vector per semantic component") {
     val st = run("emb_semantic_dedup")
     // per label: kept <= vecs. A label CAN legitimately keep 0 (all its
