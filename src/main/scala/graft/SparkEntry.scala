@@ -1074,6 +1074,26 @@ object SparkEntry {
         .withColumn("day_idx", dense_rank().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("d"))))),
 
+    // percent_rank() — the relative standing of every order by price.
+    // A function of the tie rank and the global count, so it rides the
+    // same GlobalTies partials (rounded for cross-engine double compare).
+    "rel_percent_rank" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("pr", round(percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"))), 9))),
+
+    // ntile(10) — global decile assignment over the event stream. Needs
+    // a TOTAL order: ntile splits tie groups at bucket boundaries, so an
+    // ambiguous order would be engine-dependent row-by-row.
+    "rel_ntile_buckets" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("t"), col("event_id"))
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("event_id"))))),
+
     // As-of join (time-series): for each purchase, the most recent strictly-
     // prior view by the same user — merge-window formulation (one shuffle by
     // user, no range-join explosion)
@@ -3588,6 +3608,20 @@ object SparkEntry {
         |       cast(dense_rank() OVER (ORDER BY cast(o_orderdate AS date))
         |            AS integer) AS day_idx
         |FROM orders""".stripMargin,
+
+    "rel_percent_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       round(percent_rank() OVER (ORDER BY o_totalprice), 9) AS pr
+        |FROM orders""".stripMargin,
+
+    "rel_ntile_buckets" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id FROM events
+        |)
+        |SELECT t, event_id,
+        |       cast(ntile(10) OVER (ORDER BY t, event_id)
+        |            AS integer) AS decile
+        |FROM e""".stripMargin,
 
     "rel_pivot_events" ->
       """SELECT user_id,

@@ -261,6 +261,37 @@ object GlobalRankRule
             name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = a.explicitMetadata),
           g)
+      // percent_rank()/ntile(n) — functions of the tie rank / row
+      // position plus the global count, which the partials already
+      // carry. No rankLimited suppression: InferWindowGroupLimit cannot
+      // prune these functions, so a filter above them never makes
+      // WindowExec preferable.
+      case w @ Window(Seq(a @ Alias(WindowExpression(
+            fn @ (_: org.apache.spark.sql.catalyst.expressions.PercentRank |
+                  _: org.apache.spark.sql.catalyst.expressions.NTile),
+            WindowSpecDefinition(Seq(), order, _)), name)),
+          Seq(), _, child, _)
+          if order.nonEmpty && !limitBounded(child) =>
+        val kindOpt = fn match {
+          case _: org.apache.spark.sql.catalyst.expressions.PercentRank =>
+            Some(TieKind.PercentRank)
+          case org.apache.spark.sql.catalyst.expressions
+            .NTile(IntegerLiteral(n)) if n > 0 => Some(TieKind.NTile(n))
+          case _ => None
+        }
+        kindOpt.map { kind =>
+          val g = GlobalTiesPlan(order, kind, child)
+          // percent_rank is already the native double; ntile narrows the
+          // scan's long back to the function's int
+          val result: Expression =
+            if (g.rankAttr.dataType == a.dataType) g.rankAttr
+            else Cast(g.rankAttr, a.dataType)
+          Project(child.output :+
+            Alias(result, name)(exprId = a.exprId,
+              qualifier = a.qualifier,
+              explicitMetadata = a.explicitMetadata),
+            g): LogicalPlan
+        }.getOrElse(w)
     }
   }
 }

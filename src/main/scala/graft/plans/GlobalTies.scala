@@ -8,9 +8,12 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
-/** GLOBAL RANK WITH TIES — `rank()` / `dense_rank()` over a total order,
-  * with NO single-partition stage: [[GlobalRankPlan]]'s two-pass mechanism
-  * extended from gap-free row numbers to tie-aware ranks.
+/** GLOBAL RANK WITH TIES — `rank()` / `dense_rank()` / `percent_rank()` /
+  * `ntile(n)` over a total order, with NO single-partition stage:
+  * [[GlobalRankPlan]]'s two-pass mechanism extended from gap-free row
+  * numbers to tie-aware ranks (percent_rank and ntile ride along for
+  * free: both are functions of the rank / row position and the global
+  * count, which the partials already carry).
   *
   * Ties make this harder than row_number: a tie group may SPAN partition
   * boundaries after range partitioning, so a row's rank can depend on rows
@@ -36,20 +39,44 @@ import org.apache.spark.sql.types.LongType
   * SortOrder expressions — compare == 0), not binary key equality, so SQL
   * equivalence classes (-0.0 vs 0.0, null ordering) match WindowExec's.
   */
-sealed abstract class TieKind(val sql: String)
+// Serializable: kinds ride into task closures (NTile is a case CLASS —
+// Java deserialization needs its superclass serializable too)
+sealed abstract class TieKind(val sql: String) extends Serializable
 object TieKind {
   /** ties share a rank; the next group skips past them (1,1,3) */
   case object Rank extends TieKind("rank")
   /** ties share a rank; no gaps (1,1,2) */
   case object DenseRank extends TieKind("dense_rank")
+  /** (rank - 1) / (N - 1) as double, 0.0 for a single row — needs only
+    * the rank plus the global count, both already in the partials */
+  case object PercentRank extends TieKind("percent_rank")
+  /** n near-equal row buckets 1..n: the first (N mod n) buckets get one
+    * extra row — needs only the row position plus the global count */
+  case class NTile(n: Int) extends TieKind("ntile") {
+    require(n > 0, "ntile bucket count must be positive")
+  }
+}
+
+object GlobalTiesPlan {
+  /** Output attribute typed per kind: ranks/buckets are longs (the rule
+    * narrows back to the window function's int), percent_rank is the
+    * native double. All non-null — every row gets a value. */
+  def apply(order: Seq[SortOrder], kind: TieKind,
+            child: LogicalPlan): GlobalTiesPlan = {
+    val dt = kind match {
+      case TieKind.PercentRank => org.apache.spark.sql.types.DoubleType
+      case _ => LongType
+    }
+    GlobalTiesPlan(order, kind, child,
+      AttributeReference("rank", dt, nullable = false)())
+  }
 }
 
 case class GlobalTiesPlan(order: Seq[SortOrder], kind: TieKind,
     child: LogicalPlan,
     // constructor field (not a body val) so copy()/transform preserve the
     // exprId — a body val would mint a fresh attribute on every tree copy
-    rankAttr: AttributeReference =
-      AttributeReference("rank", LongType, nullable = false)())
+    rankAttr: AttributeReference)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes
@@ -148,7 +175,8 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
       p += 1
     }
     val bc = input.sparkContext.broadcast((rowOffsets, rankCarry, denseBase))
-    val isDense = kind == TieKind.DenseRank
+    val theKind = kind // stable local for task closures
+    val totalRows = rowOffsets.last
     // pass 2: re-detect local groups, emit ranks through an
     // UnsafeProjection (created per task — it holds codegen state)
     val types = output.map(_.dataType).toArray
@@ -158,6 +186,16 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
       val base = rowOff(pid)
       val carry = carryArr(pid)
       val dBase = denseArr(pid)
+      // ntile bucket geometry from the global count: the first `rem`
+      // buckets hold `big` rows, the rest hold big - 1 (Spark/SQL
+      // semantics). When N < n every row is its own bucket and the
+      // small-bucket arm is unreachable (no division by zero).
+      val (ntileBig, ntileRem) = theKind match {
+        case TieKind.NTile(n) =>
+          (totalRows / n + (if (totalRows % n > 0) 1L else 0L),
+            totalRows % n)
+        case _ => (1L, 0L)
+      }
       val nCols = types.length
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
@@ -173,14 +211,25 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
           groupStart = localIdx
         }
         prev = row
-        val rank =
-          if (isDense) dBase + groupIdx
-          // first group: earlier-partition ties all got this same value
-          else if (groupIdx == 1L) base - carry + 1L
+        // tie rank: first group continues the earlier partitions' value
+        def rank: Long =
+          if (groupIdx == 1L) base - carry + 1L
           else base + groupStart + 1L
+        val value: Any = theKind match {
+          case TieKind.Rank => rank
+          case TieKind.DenseRank => dBase + groupIdx
+          case TieKind.PercentRank =>
+            if (totalRows <= 1L) 0.0
+            else (rank - 1L).toDouble / (totalRows - 1L).toDouble
+          case TieKind.NTile(n) =>
+            val i0 = base + localIdx // global 0-based row position
+            if (i0 < ntileRem * ntileBig) i0 / ntileBig + 1L
+            else ntileRem + (i0 - ntileRem * ntileBig) /
+              (totalRows / n) + 1L
+        }
         var j = 0
         while (j < nCols - 1) { out.update(j, row.get(j, types(j))); j += 1 }
-        out.update(nCols - 1, rank)
+        out.update(nCols - 1, value)
         proj(out)
       }
     }, preservesPartitioning = true)

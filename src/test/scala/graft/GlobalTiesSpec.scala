@@ -81,6 +81,43 @@ class GlobalTiesSpec extends AnyFunSuite {
     } finally GlobalRank.removeRule(spark)
   }
 
+  test("percent_rank()/ntile(n) rewrite and match WindowExec exactly, " +
+    "including uneven buckets") {
+    // 3001 rows: ntile(7) gets 3001 = 7*428 + 5 — five big buckets of
+    // 429 then two of 428, the uneven arm that exposes off-by-ones
+    val df = spark.range(3001).select(
+      ((col("id") * 13) % 97).as("k"), col("id").as("payload"))
+    def vals(q: org.apache.spark.sql.DataFrame): Seq[Any] =
+      q.orderBy("payload").select("r").collect().map(_.get(0)).toSeq
+    // ntile splits TIE GROUPS at bucket boundaries, so row-level parity
+    // needs a total order (percent_rank is a function of the tie rank and
+    // is order-of-ties invariant — it keeps the tied window deliberately)
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("payload"))
+    val wantP = vals(df.withColumn("r", percent_rank().over(w)))
+    val wantN = vals(df.withColumn("r", ntile(7).over(wt)))
+    GlobalRank.ensureRule(spark)
+    try {
+      val gotP = df.repartition(9).withColumn("r", percent_rank().over(w))
+      val pp = gotP.queryExecution.executedPlan.toString
+      assert(pp.contains("GlobalTies"), s"percent_rank not rewritten:\n$pp")
+      assert(!pp.contains("Window"), pp)
+      assert(gotP.schema("r").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(vals(gotP) == wantP)
+      val gotN = df.repartition(9).withColumn("r", ntile(7).over(wt))
+      val pn = gotN.queryExecution.executedPlan.toString
+      assert(pn.contains("GlobalTies"), s"ntile not rewritten:\n$pn")
+      assert(gotN.schema("r").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(vals(gotN) == wantN)
+      // single-row edge: percent_rank is defined as 0.0
+      val one = Seq(5L).toDF("k").repartition(3)
+        .withColumn("r", percent_rank().over(w))
+      assert(one.select("r").as[Double].collect().toSeq == Seq(0.0))
+    } finally GlobalRank.removeRule(spark)
+  }
+
   test("top-k rank filters and limit-bounded inputs keep WindowExec") {
     GlobalRank.ensureRule(spark)
     try {
