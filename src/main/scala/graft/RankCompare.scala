@@ -40,7 +40,32 @@ object RankCompare {
     val globalSec = run("GlobalRank operator")(
       graft.plans.GlobalRank.ranked(li, "l_extendedprice" -> true,
         "l_orderkey" -> false, "l_linenumber" -> false))
-    println(s"""{"rows":$n,"window_sec":$windowSec,"globalrank_sec":$globalSec}""")
+
+    // the rest of the family: same query text, with vs without the
+    // rewrites (the rule registration is the only difference, so the
+    // deltas isolate exactly what GlobalTies/GlobalShift buy)
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice").desc)
+    def both(label: String)(build: => org.apache.spark.sql.DataFrame)
+    : (Double, Double) = {
+      graft.plans.GlobalRank.removeRule(spark)
+      graft.plans.GlobalShift.removeRule(spark)
+      val win = run(s"$label window")(build)
+      graft.plans.GlobalRank.ensureRule(spark)
+      graft.plans.GlobalShift.ensureRule(spark)
+      val glob = run(s"$label rewritten")(build)
+      (win, glob)
+    }
+    val (rankW, rankG) = both("rank()")(
+      li.withColumn("r", rank().over(wt)))
+    val (cumeW, cumeG) = both("cume_dist()")(
+      li.withColumn("r", cume_dist().over(wt)))
+    val (lagW, lagG) = both("lag(1)")(
+      li.withColumn("r", lag(col("l_extendedprice"), 1).over(w)))
+    println(s"""{"rows":$n,"window_sec":$windowSec,"globalrank_sec":$globalSec,""" +
+      s""""rank_window_sec":$rankW,"rank_ties_sec":$rankG,""" +
+      s""""cume_window_sec":$cumeW,"cume_ties_sec":$cumeG,""" +
+      s""""lag_window_sec":$lagW,"lag_shift_sec":$lagG}""")
     spark.stop()
   }
 }

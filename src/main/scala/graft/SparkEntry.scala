@@ -1084,6 +1084,17 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("o_totalprice"))), 9))),
 
+    // cume_dist() — the empirical CDF of order prices. Tie-invariant
+    // like percent_rank; internally the rewrite plans GlobalTies over
+    // the REVERSED order (a forward scan can't see its tie group's end;
+    // the reverse rank's complement is #{rows <= current}).
+    "rel_cume_dist" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("cd", round(cume_dist().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"))), 9))),
+
     // ntile(10) — global decile assignment over the event stream. Needs
     // a TOTAL order: ntile splits tie groups at bucket boundaries, so an
     // ambiguous order would be engine-dependent row-by-row.
@@ -3612,6 +3623,11 @@ object SparkEntry {
     "rel_percent_rank" ->
       """SELECT o_orderkey, o_totalprice,
         |       round(percent_rank() OVER (ORDER BY o_totalprice), 9) AS pr
+        |FROM orders""".stripMargin,
+
+    "rel_cume_dist" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       round(cume_dist() OVER (ORDER BY o_totalprice), 9) AS cd
         |FROM orders""".stripMargin,
 
     "rel_ntile_buckets" ->

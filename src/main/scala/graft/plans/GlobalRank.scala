@@ -152,6 +152,18 @@ object GlobalRankRule
     * the two-pass rank's extra jobs + persist would be pure overhead.
     * Walks through the deterministic unary nodes the optimizer may leave
     * between the window and its limit. */
+  /** Full comparator inversion: direction AND null ordering flip, so
+    * "strictly before, in the reversed order" is exactly "strictly
+    * after, in the user's order" — including null groups. */
+  private def reverseOrder(so: SortOrder): SortOrder = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending,
+      NullsFirst, NullsLast}
+    SortOrder(so.child,
+      if (so.direction == Ascending) Descending else Ascending,
+      if (so.nullOrdering == NullsFirst) NullsLast else NullsFirst,
+      so.sameOrderExpressions)
+  }
+
   private val BoundedLimit = 100000L
   /** Shared with [[GlobalShiftRule]] — the offset family uses the same
     * "provably tiny input stays on WindowExec" escape. */
@@ -261,26 +273,33 @@ object GlobalRankRule
             name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = a.explicitMetadata),
           g)
-      // percent_rank()/ntile(n) — functions of the tie rank / row
-      // position plus the global count, which the partials already
+      // percent_rank()/ntile(n)/cume_dist() — functions of the tie rank /
+      // row position plus the global count, which the partials already
       // carry. No rankLimited suppression: InferWindowGroupLimit cannot
       // prune these functions, so a filter above them never makes
-      // WindowExec preferable.
+      // WindowExec preferable. cume_dist plans over the REVERSED order
+      // (a forward scan cannot see its tie group's end; under the
+      // reverse order the complement of the rank is exactly
+      // #{rows <= current} — see TieKind.CumeDist).
       case w @ Window(Seq(a @ Alias(WindowExpression(
             fn @ (_: org.apache.spark.sql.catalyst.expressions.PercentRank |
-                  _: org.apache.spark.sql.catalyst.expressions.NTile),
+                  _: org.apache.spark.sql.catalyst.expressions.NTile |
+                  _: org.apache.spark.sql.catalyst.expressions.CumeDist),
             WindowSpecDefinition(Seq(), order, _)), name)),
           Seq(), _, child, _)
           if order.nonEmpty && !limitBounded(child) =>
         val kindOpt = fn match {
           case _: org.apache.spark.sql.catalyst.expressions.PercentRank =>
-            Some(TieKind.PercentRank)
+            Some((TieKind.PercentRank: TieKind, order))
           case org.apache.spark.sql.catalyst.expressions
-            .NTile(IntegerLiteral(n)) if n > 0 => Some(TieKind.NTile(n))
+            .NTile(IntegerLiteral(n)) if n > 0 =>
+            Some((TieKind.NTile(n), order))
+          case _: org.apache.spark.sql.catalyst.expressions.CumeDist =>
+            Some((TieKind.CumeDist, order.map(reverseOrder)))
           case _ => None
         }
-        kindOpt.map { kind =>
-          val g = GlobalTiesPlan(order, kind, child)
+        kindOpt.map { case (kind, planOrder) =>
+          val g = GlobalTiesPlan(planOrder, kind, child)
           // percent_rank is already the native double; ntile narrows the
           // scan's long back to the function's int
           val result: Expression =

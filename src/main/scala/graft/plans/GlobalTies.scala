@@ -55,6 +55,13 @@ object TieKind {
   case class NTile(n: Int) extends TieKind("ntile") {
     require(n > 0, "ntile bucket count must be positive")
   }
+  /** #{rows <= current under the USER's order} / N as double. A forward
+    * scan cannot see its tie group's END, so the plan's `order` here is
+    * the REVERSE of the user's: under it, rank' = 1 + #{rows strictly
+    * after the current group}, giving cume_dist = (N - rank' + 1) / N.
+    * The rule performs the reversal; the exec just emits the
+    * complement. */
+  case object CumeDist extends TieKind("cume_dist")
 }
 
 object GlobalTiesPlan {
@@ -64,7 +71,8 @@ object GlobalTiesPlan {
   def apply(order: Seq[SortOrder], kind: TieKind,
             child: LogicalPlan): GlobalTiesPlan = {
     val dt = kind match {
-      case TieKind.PercentRank => org.apache.spark.sql.types.DoubleType
+      case TieKind.PercentRank | TieKind.CumeDist =>
+        org.apache.spark.sql.types.DoubleType
       case _ => LongType
     }
     GlobalTiesPlan(order, kind, child,
@@ -221,6 +229,11 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
           case TieKind.PercentRank =>
             if (totalRows <= 1L) 0.0
             else (rank - 1L).toDouble / (totalRows - 1L).toDouble
+          // this operator's order is the REVERSE of the user's window
+          // order (see TieKind.CumeDist): rank here counts the strictly-
+          // greater groups, so the complement is #{rows <= current}
+          case TieKind.CumeDist =>
+            (totalRows - rank + 1L).toDouble / totalRows.toDouble
           case TieKind.NTile(n) =>
             val i0 = base + localIdx // global 0-based row position
             if (i0 < ntileRem * ntileBig) i0 / ntileBig + 1L

@@ -118,6 +118,35 @@ class GlobalTiesSpec extends AnyFunSuite {
     } finally GlobalRank.removeRule(spark)
   }
 
+  test("cume_dist() rewrites via the reversed order and matches " +
+    "WindowExec with ties, nulls, and descending order") {
+    val df = spark.range(3000).select(
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 29) % 41).as("k"),
+      col("id").as("payload"))
+    def vals(q: org.apache.spark.sql.DataFrame): Seq[Double] =
+      q.orderBy("payload").select("r").as[Double].collect().toSeq
+    // both directions + both null placements: the rule's comparator
+    // inversion (direction AND null ordering) is exactly what's under test
+    val orders = Seq(
+      org.apache.spark.sql.expressions.Window.orderBy(col("k")),
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("k").desc_nulls_first),
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("k").asc_nulls_last))
+    val wants = orders.map(o => vals(df.withColumn("r", cume_dist().over(o))))
+    GlobalRank.ensureRule(spark)
+    try {
+      orders.zip(wants).foreach { case (o, want) =>
+        val got = df.repartition(7).withColumn("r", cume_dist().over(o))
+        val p = got.queryExecution.executedPlan.toString
+        assert(p.contains("GlobalTies"), s"cume_dist not rewritten:\n$p")
+        assert(!p.contains("Window"), p)
+        assert(vals(got) == want)
+      }
+    } finally GlobalRank.removeRule(spark)
+  }
+
   test("top-k rank filters and limit-bounded inputs keep WindowExec") {
     GlobalRank.ensureRule(spark)
     try {
