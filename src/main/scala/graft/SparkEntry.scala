@@ -2085,6 +2085,20 @@ object SparkEntry {
           round(avg(col("v")).over(prefixWindow), 6))
         .select(col("event_id"), col("avg_v"))),
 
+    // SEVERAL running aggregates in ONE window — the everyday dashboard
+    // shape. Spark merges same-spec window expressions into a single
+    // multi-expression Window node; GlobalScanRule rewrites it into
+    // STACKED scans sharing one range sort (the first scan's
+    // partitioning + ordering satisfy the others — census-pinned: three
+    // GlobalScans, one exchange, no Window).
+    "rel_running_dashboard" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("run_total", sum(col("v")).over(prefixWindow))
+        .withColumn("run_n", count(col("v")).over(prefixWindow))
+        .withColumn("run_max", max(col("v")).over(prefixWindow))
+        .select(col("event_id"), col("run_total"), col("run_n"),
+          col("run_max"))),
+
     // Running sum over an INTEGER column — the common analyzed shape
     // `Sum(Cast(int -> long))`. GlobalScanRule widens p_size below the
     // scan, so the everyday `sum(int_col) OVER (ORDER BY ...)` plans as
@@ -4513,6 +4527,25 @@ object SparkEntry {
         |)
         |SELECT event_id,
         |       lead(t, 1) OVER (ORDER BY t, event_id) - t AS gap_us
+        |FROM e""".stripMargin,
+
+    "rel_running_dashboard" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_total,
+        |       cast(count(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_n,
+        |       cast(max(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_max
         |FROM e""".stripMargin,
 
     "rel_running_size" ->

@@ -108,6 +108,13 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     org.apache.spark.sql.catalyst.plans.physical.OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
   override def outputOrdering: Seq[SortOrder] = order
+  // per-partition 1:1 operator: rows never move, so the child's (range)
+  // partitioning survives — without this the default UnknownPartitioning
+  // makes EnsureRequirements re-shuffle every consumer that wants the
+  // same distribution (e.g. a second scan stacked on this one)
+  override def outputPartitioning
+  : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val valueOrdinal = child.output.indexWhere(_.exprId == value.exprId)
@@ -348,37 +355,75 @@ object GlobalScanRule
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case w @ Window(Seq(a @ Alias(WindowExpression(
-          agg: AggregateExpression,
+  /** One window expression parsed for rewriting: its Alias, its order,
+    * and the scan parameters. */
+  private type Parsed = (Alias, Seq[SortOrder], (ScanKind, CAttr, Boolean))
+
+  private def parse(e: org.apache.spark.sql.catalyst.expressions
+      .NamedExpression, child: LogicalPlan): Option[Parsed] = e match {
+    case a @ Alias(WindowExpression(agg: AggregateExpression,
           WindowSpecDefinition(Seq(), order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-        name)), Seq(), _, child, _)
-        if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty =>
-      scannable(agg, child).map { case (kind, v, ansi) =>
-        // narrower integral values are widened to the scan's Long domain
-        // in a Project BELOW the scan; the helper column never escapes
-        // (the outer Project re-selects only child.output + the result)
-        val (inner, value) =
-          if (v.dataType == LongType) (child, v)
-          else {
-            val widened = Alias(Cast(v, LongType), v.name + "_scanl")()
-            (Project(child.output :+ widened, child),
-              widened.toAttribute): (LogicalPlan, CAttr)
-          }
-        val g = GlobalScanPlan(order, value, inner, ansi, kind)
-        // min/max over an integral column keep its type (min(int) is int):
-        // narrow the scan's long back so the output schema is unchanged —
-        // values are original column values, the downcast cannot overflow
-        val result: Expression =
-          if (g.scanAttr.dataType == a.dataType) g.scanAttr
-          else Cast(g.scanAttr, a.dataType)
-        Project(child.output :+
-          Alias(result, name)(exprId = a.exprId,
+        _) if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty =>
+      scannable(agg, child).map(s => (a, order, s))
+    case _ => None
+  }
+
+  /** Stack one scan on `plan` for a parsed expression; returns the new
+    * plan plus the result expression to project under the alias. */
+  private def stack(plan: LogicalPlan, child: LogicalPlan,
+      order: Seq[SortOrder], p: Parsed): (LogicalPlan, Expression) = {
+    val (a, _, (kind, v, ansi)) = p
+    // narrower integral values are widened to the scan's Long domain in
+    // a Project BELOW the scan; the helper column never escapes (the
+    // outer Project re-selects only child.output + the results)
+    val (inner, value) =
+      if (v.dataType == LongType) (plan, v)
+      else {
+        val widened = Alias(Cast(v, LongType), v.name + "_scanl")()
+        (Project(plan.output :+ widened, plan),
+          widened.toAttribute): (LogicalPlan, CAttr)
+      }
+    val g = GlobalScanPlan(order, value, inner, ansi, kind)
+    // min/max over an integral column keep its type (min(int) is int):
+    // narrow the scan's long back so the output schema is unchanged —
+    // values are original column values, the downcast cannot overflow
+    val result: Expression =
+      if (g.scanAttr.dataType == a.dataType) g.scanAttr
+      else Cast(g.scanAttr, a.dataType)
+    (g, result)
+  }
+
+  /** At most this many expressions of one window are stacked: each scan
+    * persists its input across its two passes, so the rewrite costs one
+    * MEMORY_AND_DISK copy per expression (only the FIRST pays the
+    * exchange + sort — a scan's output keeps the range partitioning and
+    * ordering, satisfying the next scan's requirements). Past this,
+    * review whether a single multi-kind pass is worth building. */
+  private val MaxStacked = 4
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case w @ Window(exprs, Seq(), _, child, _)
+        if exprs.nonEmpty && exprs.size <= MaxStacked =>
+      val parsed = exprs.map(parse(_, child))
+      // all-or-nothing: rewriting a subset would still leave a
+      // single-partition Window for the rest — no win, extra passes
+      val orders = parsed.flatten.map(_._2).distinct
+      if (parsed.exists(_.isEmpty) || orders.size != 1) w
+      else {
+        val order = orders.head
+        var acc: LogicalPlan = child
+        val results = parsed.flatten.map { p =>
+          val (next, result) = stack(acc, child, order, p)
+          acc = next
+          (p._1, result)
+        }
+        Project(child.output ++ results.map { case (a, result) =>
+          Alias(result, a.name)(exprId = a.exprId,
             qualifier = a.qualifier,
-            explicitMetadata = a.explicitMetadata),
-          g): LogicalPlan
-      }.getOrElse(w)
+            explicitMetadata = a.explicitMetadata)
+        }, acc): LogicalPlan
+      }
   }
 }
 

@@ -72,6 +72,13 @@ case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
     org.apache.spark.sql.catalyst.plans.physical.OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
   override def outputOrdering: Seq[SortOrder] = order
+  // per-partition 1:1 operator: rows never move, so the child's (range)
+  // partitioning survives — without this the default UnknownPartitioning
+  // makes EnsureRequirements re-shuffle every consumer that wants the
+  // same distribution (e.g. a second scan stacked on this one)
+  override def outputPartitioning
+  : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val n = math.abs(offset)

@@ -181,6 +181,50 @@ class GlobalScanSpec extends AnyFunSuite {
     } finally GlobalScan.removeRule(spark)
   }
 
+  test("multi-expression window stacks one scan per aggregate — one " +
+    "exchange, no Window") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalScan.ensureRule(spark)
+    try {
+      val n = 2000
+      val df = spark.range(n).select(col("id").as("t"),
+        when(col("id") % 5 === 0, lit(null).cast("long"))
+          .otherwise((col("id") * 17) % 301 - 150).as("v"))
+        .repartition(9)
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // sum + count + avg in ONE window node (same spec -> Spark merges)
+      val q = df
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("rc", count(col("v")).over(w))
+        .withColumn("ra", avg(col("v")).over(w))
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"multi-expr window not rewritten:\n$p")
+      assert("GlobalScan".r.findAllIn(p).size == 3,
+        s"expected three stacked scans:\n$p")
+      // the stacked scans share the first one's range sort: exactly one
+      // planner-inserted exchange (the RoundRobin below is this test's
+      // own repartition(9), not the operator's)
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1,
+        s"stacked scans must not re-shuffle:\n$p")
+      assert("Sort ".r.findAllIn(p).size == 1,
+        s"stacked scans must not re-sort:\n$p")
+      val vs: Seq[Option[Long]] = (0L until n).map(i =>
+        if (i % 5 == 0) None else Some((i * 17) % 301 - 150))
+      val pre = vs.scanLeft((0L, 0L)) { case ((s, c), ov) =>
+        ov.fold((s, c))(v => (s + v, c + 1)) }.drop(1)
+      val got = q.orderBy("t").select("rs", "rc", "ra").collect()
+      got.zip(pre).foreach { case (r, (s, c)) =>
+        if (c == 0) { assert(r.isNullAt(0)); assert(r.isNullAt(2)) }
+        else {
+          assert(r.getLong(0) == s)
+          assert(r.getDouble(2) == s.toDouble / c)
+        }
+        assert(r.getLong(1) == c)
+      }
+    } finally GlobalScan.removeRule(spark)
+  }
+
   test("combineAvgOffsets: exactness is sticky-false from the first " +
     "overflowing partition") {
     val (so, dlo, ok) = GlobalScan.combineAvgOffsets(

@@ -259,11 +259,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val scan = Seq("rel_running_revenue", "rel_running_count",
       "rel_running_row_count", "rel_running_high_water",
       "rel_running_low_water", "rel_running_avg",
-      "rel_running_size", "rel_running_size_floor")
+      "rel_running_size", "rel_running_size_floor",
+      "rel_running_dashboard")
     scan.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
+    // the multi-aggregate window stacks scans over ONE shared range sort
+    locally {
+      val p = plan("rel_running_dashboard")
+      assert("GlobalScan".r.findAllIn(p).size == 3,
+        s"expected three stacked scans:\n$p")
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1,
+        s"stacked scans must share one exchange + sort:\n$p")
     }
     // rel_cumulative_users: GlobalScan + a hash-partitioned per-user
     // window — pinned by its own test above. rel_peak_concurrency runs
