@@ -75,9 +75,9 @@ object SparkEntry {
         round(col("value") * 1000).cast("long")).as("v"))
 
   /** `ROWS UNBOUNDED PRECEDING .. CURRENT ROW` over the (t, event_id)
-    * total order — the explicit-ROWS frame GlobalScanRule rewrites (the
-    * default RANGE frame has tie-group semantics and stays on
-    * WindowExec). */
+    * total order. GlobalScanRule rewrites this explicit-ROWS frame and
+    * the default RANGE frame alike (RANGE emits tie groups their group
+    * total — see `rel_running_range_total`). */
   private def prefixWindow: org.apache.spark.sql.expressions.WindowSpec =
     org.apache.spark.sql.expressions.Window
       .orderBy(col("t"), col("event_id"))
@@ -2127,6 +2127,23 @@ object SparkEntry {
             .rowsBetween(
               org.apache.spark.sql.expressions.Window.unboundedPreceding,
               org.apache.spark.sql.expressions.Window.currentRow)))),
+
+    // The DEFAULT window frame — `agg(v) OVER (ORDER BY sec)` with no
+    // frame clause, which the analyzer resolves to RANGE UNBOUNDED
+    // PRECEDING .. CURRENT ROW: every peer (order tie — here, all events
+    // in one second) carries the tie GROUP's total. GlobalScanRule
+    // rewrites this shape too (peer-group emission + driver boundary
+    // chain for groups spanning partitions); both aggregates stack over
+    // one range sort. Census-pinned: GlobalScan, no Window.
+    "rel_running_range_total" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("sec", floor(col("t") / 1000000L).cast("long"))
+        .withColumn("cum_total", sum(col("v")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sec"))))
+        .withColumn("n_thru_sec", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sec"))))
+        .select(col("event_id"), col("sec"), col("cum_total"),
+          col("n_thru_sec"))),
 
     // Row-to-row delta over the global event order — the textbook
     // un-partitioned lag(1), rewritten by GlobalShiftRule into the
@@ -4561,6 +4578,23 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS integer) AS floor_size
         |FROM part""".stripMargin,
+
+    // no frame clause on either side: both engines resolve it to the
+    // default RANGE UNBOUNDED PRECEDING .. CURRENT ROW (peer-inclusive)
+    "rel_running_range_total" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, cast(floor(t / 1000000) AS bigint) AS sec, v
+        |  FROM e
+        |)
+        |SELECT event_id, sec,
+        |       cast(sum(v) OVER (ORDER BY sec) AS bigint) AS cum_total,
+        |       cast(count(*) OVER (ORDER BY sec) AS bigint) AS n_thru_sec
+        |FROM s""".stripMargin,
 
     "rel_sample_per_key" ->
       """SELECT event_id, user_id, event_type

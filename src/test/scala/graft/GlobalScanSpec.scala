@@ -46,7 +46,8 @@ class GlobalScanSpec extends AnyFunSuite {
     assert(got == Seq(None, None, Some(4L), Some(4L)))
   }
 
-  test("GlobalScanRule rewrites a ROWS-frame running sum, skips RANGE") {
+  test("GlobalScanRule rewrites a ROWS-frame running sum and the default " +
+    "RANGE frame") {
     import org.apache.spark.sql.expressions.Window
     GlobalScan.ensureRule(spark)
     try {
@@ -59,11 +60,15 @@ class GlobalScanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), p)
       assert(rows.orderBy("t").select("rs").as[Long].collect().toSeq ==
         Seq(1L, 6L, 16L))
-      // default RANGE frame: tie-group totals — NOT our semantics, and
-      // must stay on Spark's WindowExec
+      // default RANGE frame (no frame clause): rewrites too; with a
+      // unique order it agrees with ROWS
       val range = df.withColumn("rs",
         sum(col("v")).over(Window.orderBy(col("t"))))
-      assert(range.queryExecution.executedPlan.toString.contains("Window"))
+      val rp = range.queryExecution.executedPlan.toString
+      assert(rp.contains("GlobalScan"), rp)
+      assert(!rp.contains("Window"), rp)
+      assert(range.orderBy("t").select("rs").as[Long].collect().toSeq ==
+        Seq(1L, 6L, 16L))
       // ANSI overflow parity: the rewritten scan must RAISE where the
       // window sum would, never silently wrap
       val big = Seq((1L, Long.MaxValue), (2L, 1L)).toDF("t", "v")
@@ -178,6 +183,95 @@ class GlobalScanSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType)
       assert(qm.orderBy("t").select("mn").as[Int].collect().toSeq ==
         vs.scanLeft(Int.MaxValue)(math.min).drop(1))
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("RANGE frame: every peer gets the tie-group total, for every kind") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalScan.ensureRule(spark)
+    try {
+      val n = 3000
+      // 5 distinct keys, nulls every 7th row: big tie groups, and the
+      // null-until-first-non-null semantics exercised per kind
+      val df = spark.range(n).select(
+        (col("id") % 5).as("k"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise((col("id") * 37) % 1001 - 500).as("v"))
+        .repartition(13)
+      val w = Window.orderBy(col("k")) // no frame clause -> default RANGE
+      val vs: Map[Long, Seq[Option[Long]]] = (0L until n)
+        .map(i => (i % 5, if (i % 7 == 0) None
+          else Some((i * 37) % 1001 - 500)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      // expected value per key = aggregate over ALL rows with key <= k
+      def cum(k: Long): Seq[Long] =
+        (0L to k).flatMap(vs(_)).flatten
+      val q = df
+        .withColumn("rs", sum(col("v")).over(w))
+        .withColumn("rc", count(col("v")).over(w))
+        .withColumn("rr", count(lit(1)).over(w))
+        .withColumn("rmn", min(col("v")).over(w))
+        .withColumn("rmx", max(col("v")).over(w))
+        .withColumn("ra", avg(col("v")).over(w))
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"RANGE window not rewritten:\n$p")
+      assert("GlobalScan".r.findAllIn(p).size == 6, p)
+      q.collect().foreach { r =>
+        val k = r.getLong(0)
+        val c = cum(k)
+        assert(r.getLong(1 + 1) == c.sum, s"sum at k=$k")
+        assert(r.getLong(3) == c.length.toLong, s"count at k=$k")
+        assert(r.getLong(4) == (0L to k).map(vs(_).size).sum.toLong,
+          s"count(*) at k=$k")
+        assert(r.getLong(5) == c.min, s"min at k=$k")
+        assert(r.getLong(6) == c.max, s"max at k=$k")
+        assert(r.getDouble(7) == c.sum.toDouble / c.length, s"avg at k=$k")
+      }
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("RANGE frame: tie groups SPANNING partitions get the full group " +
+    "total via the driver's boundary chain") {
+    import org.apache.spark.sql.expressions.Window
+    GlobalScan.ensureRule(spark)
+    try {
+      val n = 4000
+      // Stacked windows: the inner ROWS scan orders by (k, t) — unique —
+      // and range-partitions on BOTH keys; the outer RANGE window orders
+      // by k alone. RangePartitioning([k,t]) satisfies
+      // OrderedDistribution([k]) (prefix), so NO second exchange is
+      // inserted and rows with equal k genuinely span partition
+      // boundaries — the only way the group total can come out right is
+      // the driver-side leading-run chain.
+      val df = spark.range(n).select(
+        (col("id") % 3).as("k"), // 3 huge tie groups over ~32 partitions
+        col("id").as("t"),
+        ((col("id") * 13) % 97 - 48).as("v"))
+        .repartition(17)
+      val inner = Window.orderBy(col("k"), col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val outer = Window.orderBy(col("k")) // default RANGE, massive ties
+      val q = df
+        .withColumn("a", sum(col("v")).over(inner))
+        .withColumn("b", sum(col("v")).over(outer))
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), p)
+      assert("GlobalScan".r.findAllIn(p).size == 2, p)
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1,
+        s"outer scan must reuse the inner scan's range partitioning:\n$p")
+      val vAt = (i: Long) => (i * 13) % 97 - 48
+      val groupSum: Map[Long, Long] = (0L until 3L).map(g =>
+        g -> (0L until n).filter(_ % 3 <= g).map(vAt).sum).toMap
+      // every row of tie group k must carry the total over keys <= k —
+      // no matter which physical partition the row sat in
+      q.select("k", "b").collect().foreach { r =>
+        assert(r.getLong(1) == groupSum(r.getLong(0)),
+          s"k=${r.getLong(0)}")
+      }
+      // sanity: the rows-frame scan kept per-row prefixes (last row =
+      // global total)
+      assert(q.orderBy(col("k"), col("t")).select("a").as[Long]
+        .collect().last == groupSum(2L))
     } finally GlobalScan.removeRule(spark)
   }
 

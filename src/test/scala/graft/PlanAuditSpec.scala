@@ -260,7 +260,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_running_row_count", "rel_running_high_water",
       "rel_running_low_water", "rel_running_avg",
       "rel_running_size", "rel_running_size_floor",
-      "rel_running_dashboard")
+      "rel_running_dashboard", "rel_running_range_total")
     scan.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
@@ -271,6 +271,16 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = plan("rel_running_dashboard")
       assert("GlobalScan".r.findAllIn(p).size == 3,
         s"expected three stacked scans:\n$p")
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1,
+        s"stacked scans must share one exchange + sort:\n$p")
+    }
+    // the default-RANGE-frame query stacks both peer-inclusive scans
+    // over one shared range sort too
+    locally {
+      val p = plan("rel_running_range_total")
+      assert("GlobalScan".r.findAllIn(p).size == 2,
+        s"expected two stacked range scans:\n$p")
       assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
         "Sort ".r.findAllIn(p).size == 1,
         s"stacked scans must share one exchange + sort:\n$p")
