@@ -2086,18 +2086,17 @@ object SparkEntry {
         .select(col("event_id"), col("avg_v"))),
 
     // SEVERAL running aggregates in ONE window — the everyday dashboard
-    // shape. Spark merges same-spec window expressions into a single
-    // multi-expression Window node; GlobalScanRule rewrites it into
-    // STACKED scans sharing one range sort (the first scan's
-    // partitioning + ordering satisfy the others — census-pinned: three
-    // GlobalScans, one exchange, no Window).
+    // shape, written as one select so the analyzer places all three in a
+    // single multi-expression Window node. GlobalScanRule fuses that
+    // node into ONE GlobalScan computing every aggregate in a single
+    // pair of passes over one persisted input (census-pinned: one
+    // GlobalScan, one exchange, no Window).
     "rel_running_dashboard" -> ((s, dir) =>
       valuedEvents(s, dir)
-        .withColumn("run_total", sum(col("v")).over(prefixWindow))
-        .withColumn("run_n", count(col("v")).over(prefixWindow))
-        .withColumn("run_max", max(col("v")).over(prefixWindow))
-        .select(col("event_id"), col("run_total"), col("run_n"),
-          col("run_max"))),
+        .select(col("event_id"),
+          sum(col("v")).over(prefixWindow).as("run_total"),
+          count(col("v")).over(prefixWindow).as("run_n"),
+          max(col("v")).over(prefixWindow).as("run_max"))),
 
     // Running sum over an INTEGER column — the common analyzed shape
     // `Sum(Cast(int -> long))`. GlobalScanRule widens p_size below the
@@ -2133,17 +2132,17 @@ object SparkEntry {
     // PRECEDING .. CURRENT ROW: every peer (order tie — here, all events
     // in one second) carries the tie GROUP's total. GlobalScanRule
     // rewrites this shape too (peer-group emission + driver boundary
-    // chain for groups spanning partitions); both aggregates stack over
-    // one range sort. Census-pinned: GlobalScan, no Window.
+    // chain for groups spanning partitions); both aggregates fuse into
+    // one scan over one range sort. Census-pinned: one GlobalScan, no
+    // Window.
     "rel_running_range_total" -> ((s, dir) =>
       valuedEvents(s, dir)
         .withColumn("sec", floor(col("t") / 1000000L).cast("long"))
-        .withColumn("cum_total", sum(col("v")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("sec"))))
-        .withColumn("n_thru_sec", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("sec"))))
-        .select(col("event_id"), col("sec"), col("cum_total"),
-          col("n_thru_sec"))),
+        .select(col("event_id"), col("sec"),
+          sum(col("v")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("sec"))).as("cum_total"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("sec"))).as("n_thru_sec"))),
 
     // Row-to-row delta over the global event order — the textbook
     // un-partitioned lag(1), rewritten by GlobalShiftRule into the

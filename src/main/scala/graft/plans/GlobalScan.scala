@@ -28,26 +28,35 @@ import org.apache.spark.sql.types.LongType
   *      localPrefix)` — addition for sum/count, min/max fold for the
   *      extrema, exact-integer division at emit for avg.
   *
-  * The value column must be LongType (the sweep deltas of the use cases
+  * One node computes ALL the aggregates of a window (a [[ScanSpec]] per
+  * expression): a `sum + count + avg` dashboard window costs ONE persist
+  * and ONE pair of passes, not one per aggregate — the per-spec state is
+  * a few scalars each, so the marginal aggregate is near-free. At 100 TB
+  * that is the difference between caching the input once and k times.
+  *
+  * The value columns must be LongType (the sweep deltas of the use cases
   * above; floating-point prefix sums would be order-sensitive in the last
   * ulp and break cross-engine parity anyway — avg divides the EXACT long
   * sum by the exact count at emit, so even its doubles are
   * order-insensitive).
   *
-  * Both frames of the running shape are supported. ROWS UNBOUNDED
-  * PRECEDING emits per row from the live accumulators. The default RANGE
-  * frame (`agg(x) OVER (ORDER BY ...)` with no frame clause — the most
-  * common user spelling) gives every PEER (order-tie) the tie group's
-  * total, and a peer group may SPAN partition boundaries
+  * Both frames of the running shape are supported, per spec. ROWS
+  * UNBOUNDED PRECEDING emits per row from the live accumulators. The
+  * default RANGE frame (`agg(x) OVER (ORDER BY ...)` with no frame
+  * clause — the most common user spelling) gives every PEER (order-tie)
+  * the tie group's total, and a peer group may SPAN partition boundaries
   * (OrderedDistribution does not co-locate equal keys): pass 1 then also
   * ships each partition's first/last row and its LEADING tie-run's own
-  * partial, the driver chains a per-partition "trailing-group completion"
-  * delta (the later-partition peers of the partition's last group —
-  * [[GlobalTiesExec]]'s boundary-chain idea applied to aggregates), and
-  * pass 2 buffers one peer group at a time, emitting the group-end value
-  * (+ the delta for the partition's last group). Memory: the largest peer
-  * group per task — the same buffer WindowExec keeps for a RANGE frame,
-  * but distributed instead of all rows in one task.
+  * partials, the driver chains a per-partition "trailing-group
+  * completion" delta (the later-partition peers of the partition's last
+  * group — [[GlobalTiesExec]]'s boundary-chain idea applied to
+  * aggregates), and pass 2 buffers one peer group at a time, emitting
+  * the group-end value (+ the delta for the partition's last group).
+  * Memory: the largest peer group per task — the same buffer WindowExec
+  * keeps for a RANGE frame, but distributed instead of all rows in one
+  * task. ROWS specs sharing the window with RANGE specs record their
+  * per-row values during group accumulation, so mixing frames costs
+  * nothing extra.
   *
   * Overflow parity with the WindowExec this replaces, per kind:
   * sum — ANSI raises on Long overflow, legacy wraps (native does the
@@ -71,56 +80,78 @@ object ScanKind {
   /** running exact-sum / exact-count as double (null until first) */
   case object Avg extends ScanKind("avg")
 }
-// SQL running-sum semantics: NULL until the first non-null value, so the
-// scan column must be nullable exactly when the value column is — the
+
+/** One aggregate computed by the scan: its kind, whether sum overflow
+  * raises (ANSI) or wraps, and its frame (RANGE: peers share the
+  * tie-group total; ROWS: each row its own prefix). The input column
+  * lives in the plan node's parallel `values` seq — NOT here: Catalyst
+  * only traverses Expression-typed constructor fields for
+  * references/rewrites, so an Attribute buried in a non-Expression spec
+  * would be invisible to column pruning and exprId rewriting.
+  * Serializable — specs ride into task closures. */
+case class ScanSpec(kind: ScanKind, ansi: Boolean, range: Boolean)
+  extends Serializable
+
+// SQL running-sum semantics: NULL until the first non-null value, so each
+// scan column must be nullable exactly when its value column is — the
 // companion apply derives it (a non-null schema over a NULL-emitting exec
-// would let the optimizer fold `running IS NULL` to false). No default on
-// the 4th field: constructing with mismatched nullability should be a
-// conscious act. Constructor field, not a body val: copy()/transform
-// preserve the exprId; only genuinely fresh constructions mint one.
+// would let the optimizer fold `running IS NULL` to false). Constructor
+// field, not a body val: copy()/transform preserve the exprIds; only
+// genuinely fresh constructions mint them.
 object GlobalScanPlan {
+  def apply(order: Seq[SortOrder], specs: Seq[ScanSpec],
+            values: Seq[Attribute], child: LogicalPlan): GlobalScanPlan = {
+    require(specs.nonEmpty, "GlobalScanPlan needs at least one spec")
+    require(specs.length == values.length,
+      "one value column per spec (a placeholder for count(*))")
+    val attrs = specs.zip(values).map { case (sp, value) =>
+      // output type/nullability mirror the window aggregate this
+      // replaces: counts are non-null longs, avg is a nullable double,
+      // sum/min/max are null exactly until the first non-null value —
+      // i.e. nullable iff the value column is
+      val (dt, nullable) = sp.kind match {
+        case ScanKind.Count | ScanKind.Rows =>
+          (LongType: org.apache.spark.sql.types.DataType, false)
+        case ScanKind.Avg =>
+          (org.apache.spark.sql.types.DoubleType, value.nullable)
+        case _ => (LongType, value.nullable)
+      }
+      AttributeReference("running", dt, nullable)()
+    }
+    GlobalScanPlan(order, specs, values, child, attrs)
+  }
+
+  /** Single-aggregate convenience (the [[GlobalScan.runningSum]] entry
+    * point and tests). */
   def apply(order: Seq[SortOrder], value: Attribute, child: LogicalPlan,
             ansi: Boolean, kind: ScanKind = ScanKind.Sum,
-            range: Boolean = false): GlobalScanPlan = {
-    // output type/nullability mirror the window aggregate this replaces:
-    // counts are non-null longs, avg is a nullable double, sum/min/max
-    // are null exactly until the first non-null value — i.e. nullable
-    // iff the value column is
-    val (dt, nullable) = kind match {
-      case ScanKind.Count | ScanKind.Rows =>
-        (LongType: org.apache.spark.sql.types.DataType, false)
-      case ScanKind.Avg =>
-        (org.apache.spark.sql.types.DoubleType, value.nullable)
-      case _ => (LongType, value.nullable)
-    }
-    GlobalScanPlan(order, value, child,
-      AttributeReference("running", dt, nullable)(), ansi, kind, range)
-  }
+            range: Boolean = false): GlobalScanPlan =
+    apply(order, Seq(ScanSpec(kind, ansi, range)), Seq(value), child)
 }
 
-case class GlobalScanPlan(order: Seq[SortOrder], value: Attribute,
-    child: LogicalPlan, scanAttr: AttributeReference,
-    // ANSI addition: running sums raise ArithmeticException on Long
-    // overflow (SQL ANSI mode) instead of silently wrapping (legacy)
-    ansi: Boolean, kind: ScanKind,
-    // true: the default RANGE frame — peers (order ties) share the tie
-    // group's total; false: ROWS — each row its own prefix
-    range: Boolean)
+// `values` is a first-class Seq[Attribute] field (not folded into the
+// specs) so the planner's expression traversal sees it: column pruning
+// keeps the inputs alive and transformExpressions rewrites their exprIds.
+case class GlobalScanPlan(order: Seq[SortOrder], specs: Seq[ScanSpec],
+    values: Seq[Attribute], child: LogicalPlan,
+    scanAttrs: Seq[AttributeReference])
   extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ scanAttr
+  /** head output attribute — single-aggregate callers */
+  def scanAttr: AttributeReference = scanAttrs.head
+  override def output: Seq[Attribute] = child.output ++ scanAttrs
   override def producedAttributes
   : org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(scanAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(scanAttrs)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan)
   : GlobalScanPlan = copy(child = newChild)
 }
 
-case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
-                          scanAttr: Attribute, ansi: Boolean, kind: ScanKind,
-                          range: Boolean, child: SparkPlan)
+case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
+                          values: Seq[Attribute], scanAttrs: Seq[Attribute],
+                          child: SparkPlan)
   extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ scanAttr
+  override def output: Seq[Attribute] = child.output ++ scanAttrs
 
   override def requiredChildDistribution
   : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
@@ -135,16 +166,34 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
   : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
-  import GlobalScanExec.ScanDelta
+  import GlobalScanExec.{ScanDeltas, ScanPartial}
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val valueOrdinal = child.output.indexWhere(_.exprId == value.exprId)
-    require(valueOrdinal >= 0, s"value column $value not in child output")
-    val bound = BoundReference(valueOrdinal, LongType,
-      nullable = value.nullable)
+    val k = specs.length
+    val ords = values.map(v =>
+      child.output.indexWhere(_.exprId == v.exprId)).toArray
+    values.zip(ords).foreach { case (v, o) =>
+      require(o >= 0, s"value column $v not in child output") }
+    val nullables = values.map(_.nullable).toArray
+    val bounds = ords.zip(nullables).map { case (o, nl) =>
+      BoundReference(o, LongType, nullable = nl) }
+    val kinds = specs.map(_.kind).toArray
+    // per-spec evaluation gates. Count only null-checks the value; Rows
+    // never touches it (the spec carries a dummy attribute there).
+    // Evaluating a non-Long dummy as Long would be a type error, so the
+    // eval is gated, not just unused.
+    val needSum = kinds.map(kd => kd == ScanKind.Sum || kd == ScanKind.Avg)
+    val needEval = kinds.map(kd => kd == ScanKind.Sum ||
+      kd == ScanKind.Avg || kd == ScanKind.Min || kd == ScanKind.Max)
+    val countsValue = kinds.map(_ != ScanKind.Rows)
+    val isAvg = kinds.map(_ == ScanKind.Avg)
+    val exacts = specs.map(sp =>
+      sp.ansi && sp.kind == ScanKind.Sum).toArray
+    val ranges = specs.map(_.range).toArray
+    val anyRange = ranges.exists(identity)
+    val anyRows = ranges.exists(!_)
     val orderLocal = order
     val childOutput = child.output
-    val isRange = range
     // same persist rationale as GlobalRankExec: the sorted child feeds two
     // passes; without it the post-shuffle sort re-runs per pass, and the
     // two passes could disagree on tie order (rows must also be copied —
@@ -152,11 +201,11 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     val input = child.execute()
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition partial (sum, non-null count, row count, min,
-    // max, double-sum, overflow flag) — a few scalars per partition cross
-    // the driver. The non-null count carries SQL null semantics: a running
-    // sum/min/max/avg is NULL until the first non-null value anywhere
-    // before the current row.
+    // pass 1: per-partition partials (per spec: sum, non-null count, min,
+    // max, double-sum, overflow flag; shared: row count) — a few scalars
+    // per partition cross the driver. The non-null count carries SQL null
+    // semantics: a running sum/min/max/avg is NULL until the first
+    // non-null value anywhere before the current row.
     // Overflow, per kind: sum under ANSI raises via Math.addExact (native
     // window sum raises too), sum under legacy wraps (native wraps). Avg
     // NEVER raises in either mode — native accumulates avg in Double — so
@@ -167,33 +216,29 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
     // degrades even if a negative offset from earlier partitions would
     // have kept every global prefix in range — an over-approximation,
     // reachable only with totals adversarially close to Long.MaxValue.
-    // RANGE additionally records the partition's first/last row (copies —
-    // the persisted input is copied) and the LEADING tie-run's own
-    // partial, so the driver can complete a peer group spanning partition
-    // boundaries without seeing any interior row.
-    val needSum = kind == ScanKind.Sum || kind == ScanKind.Avg
-    // Count only null-checks the value; Rows never touches it (the plan
-    // carries a dummy attribute there). Evaluating a non-Long dummy as
-    // Long would be a type error, so the eval is gated, not just unused.
-    val needEval =
-      needSum || kind == ScanKind.Min || kind == ScanKind.Max
-    val countsValue = kind != ScanKind.Rows
-    val isAvg = kind == ScanKind.Avg
-    val exact = ansi && kind == ScanKind.Sum
-    val theKind = kind // stable local for task closures
+    // When any spec is RANGE, the partial additionally records the
+    // partition's first/last row (copies — the persisted input is copied)
+    // and the LEADING tie-run's own partials, so the driver can complete
+    // a peer group spanning partition boundaries without seeing any
+    // interior row.
     val partials = input.mapPartitions({ it =>
-      val cmp = if (isRange) RowOrdering.create(orderLocal, childOutput)
+      val cmp = if (anyRange) RowOrdering.create(orderLocal, childOutput)
         else null
-      var s = 0L; var c = 0L; var r = 0L
-      var mn = Long.MaxValue; var mx = Long.MinValue
-      var d = 0.0; var ovf = false
+      val s = new Array[Long](k); val c = new Array[Long](k)
+      var r = 0L
+      val mn = Array.fill(k)(Long.MaxValue)
+      val mx = Array.fill(k)(Long.MinValue)
+      val d = new Array[Double](k)
+      val ovf = new Array[Boolean](k)
       var first: InternalRow = null; var prev: InternalRow = null
       var leading = true; var leadEq = 0L
-      var ls = 0L; var lc = 0L
-      var lmn = Long.MaxValue; var lmx = Long.MinValue
-      var ld = 0.0; var lovf = false
+      val ls = new Array[Long](k); val lc = new Array[Long](k)
+      val lmn = Array.fill(k)(Long.MaxValue)
+      val lmx = Array.fill(k)(Long.MinValue)
+      val ld = new Array[Double](k)
+      val lovf = new Array[Boolean](k)
       it.foreach { row =>
-        if (isRange) {
+        if (anyRange) {
           // leading iff the row ties the partition's FIRST row (ties are
           // transitive under compare == 0, so first-vs-row == prev-vs-row)
           if (first == null) first = row
@@ -202,125 +247,152 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
           if (leading) leadEq += 1L
         }
         r += 1L
-        if (countsValue &&
-            (!bound.nullable || !row.isNullAt(valueOrdinal))) {
-          c += 1L
-          if (isRange && leading) lc += 1L
-          if (needEval) {
-            val v = bound.eval(row).asInstanceOf[Long]
-            if (needSum) {
-              if (isAvg) {
-                d += v
-                if (!ovf) {
-                  try s = Math.addExact(s, v)
-                  catch { case _: ArithmeticException => ovf = true }
-                }
-              } else s = if (exact) Math.addExact(s, v) else s + v
-            }
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            if (isRange && leading) {
-              if (needSum) {
-                if (isAvg) {
-                  ld += v
-                  if (!lovf) {
-                    try ls = Math.addExact(ls, v)
-                    catch { case _: ArithmeticException => lovf = true }
+        var i = 0
+        while (i < k) {
+          if (countsValue(i) &&
+              (!nullables(i) || !row.isNullAt(ords(i)))) {
+            c(i) += 1L
+            if (anyRange && leading) lc(i) += 1L
+            if (needEval(i)) {
+              val v = bounds(i).eval(row).asInstanceOf[Long]
+              if (needSum(i)) {
+                if (isAvg(i)) {
+                  d(i) += v
+                  if (!ovf(i)) {
+                    try s(i) = Math.addExact(s(i), v)
+                    catch { case _: ArithmeticException => ovf(i) = true }
                   }
-                } else ls = if (exact) Math.addExact(ls, v) else ls + v
+                } else s(i) =
+                  if (exacts(i)) Math.addExact(s(i), v) else s(i) + v
               }
-              if (v < lmn) lmn = v
-              if (v > lmx) lmx = v
+              if (v < mn(i)) mn(i) = v
+              if (v > mx(i)) mx(i) = v
+              if (anyRange && leading) {
+                if (needSum(i)) {
+                  if (isAvg(i)) {
+                    ld(i) += v
+                    if (!lovf(i)) {
+                      try ls(i) = Math.addExact(ls(i), v)
+                      catch { case _: ArithmeticException => lovf(i) = true }
+                    }
+                  } else ls(i) =
+                    if (exacts(i)) Math.addExact(ls(i), v) else ls(i) + v
+                }
+                if (v < lmn(i)) lmn(i) = v
+                if (v > lmx(i)) lmx(i) = v
+              }
             }
           }
+          i += 1
         }
       }
-      Iterator.single(GlobalScanExec.ScanPartial(s, c, r, mn, mx, d, ovf,
+      Iterator.single(ScanPartial(s, c, r, mn, mx, d, ovf,
         first, prev, leadEq, ls, lc, lmn, lmx, ld, lovf))
     }, preservesPartitioning = true).collect()
-    // avg: exact long offsets while every earlier partial is exact and the
-    // combine itself stays in range; from the first overflow on, only the
-    // double offsets are meaningful (exactStart marks the switch)
-    val (sumOffsets, dblOffsets, exactStart) =
-      if (isAvg)
-        GlobalScan.combineAvgOffsets(partials.map(_.sum),
-          partials.map(_.dsum), partials.map(_.ovf))
-      else (
-        if (needSum) GlobalScan.combineOffsets(partials.map(_.sum), exact)
-        else Array.fill(partials.length + 1)(0L),
-        Array.fill(partials.length + 1)(0.0),
-        Array.fill(partials.length + 1)(true))
-    val cntOffsets = partials.map(_.cnt).scanLeft(0L)(_ + _)
-    val rowOffsets = partials.map(_.rows).scanLeft(0L)(_ + _)
-    // extrema offsets fold with identity elements; validity is carried by
-    // cntOffsets (an offset min/max is meaningful iff some non-null value
-    // exists in an earlier partition)
-    val minOffsets = partials.map(_.mn).scanLeft(Long.MaxValue)(Math.min)
-    val maxOffsets = partials.map(_.mx).scanLeft(Long.MinValue)(Math.max)
+    val nP = partials.length
+    // per-spec exclusive offsets. avg: exact long offsets while every
+    // earlier partial is exact and the combine itself stays in range;
+    // from the first overflow on, only the double offsets are meaningful
+    // (exOk marks the switch). extrema offsets fold with identity
+    // elements; validity is carried by cntOff (an offset min/max is
+    // meaningful iff some non-null value exists in an earlier partition).
+    val sumOff = new Array[Array[Long]](k)
+    val cntOff = new Array[Array[Long]](k)
+    val minOff = new Array[Array[Long]](k)
+    val maxOff = new Array[Array[Long]](k)
+    val dblOff = new Array[Array[Double]](k)
+    val exOk = new Array[Array[Boolean]](k)
+    var si = 0
+    while (si < k) {
+      if (isAvg(si)) {
+        val (so, dlo, ok) = GlobalScan.combineAvgOffsets(
+          partials.map(_.sums(si)), partials.map(_.dsums(si)),
+          partials.map(_.ovfs(si)))
+        sumOff(si) = so; dblOff(si) = dlo; exOk(si) = ok
+      } else {
+        sumOff(si) =
+          if (needSum(si))
+            GlobalScan.combineOffsets(partials.map(_.sums(si)), exacts(si))
+          else Array.fill(nP + 1)(0L)
+        dblOff(si) = Array.fill(nP + 1)(0.0)
+        exOk(si) = Array.fill(nP + 1)(true)
+      }
+      cntOff(si) = partials.map(_.cnts(si)).scanLeft(0L)(_ + _)
+      minOff(si) = partials.map(_.mns(si)).scanLeft(Long.MaxValue)(Math.min)
+      maxOff(si) = partials.map(_.mxs(si)).scanLeft(Long.MinValue)(Math.max)
+      si += 1
+    }
+    val rowOff = partials.map(_.rows).scanLeft(0L)(_ + _)
     // RANGE: per-partition trailing-group completion — the chained
     // leading-run partials of LATER partitions whose rows tie this
     // partition's last row ([[GlobalTiesExec]]'s boundary chain, applied
     // to aggregates). O(numPartitions) driver work on a few rows. The
-    // delta's exact long sum folds under the same overflow contract as
+    // delta's exact long sums fold under the same overflow contract as
     // the offsets: ANSI sum raises (the native frame containing those
     // peers would raise too — same over-approximation as pass 1), legacy
-    // wraps, avg degrades to its double sum.
-    val deltas = Array.fill(partials.length)(ScanDelta.empty)
-    if (isRange) {
+    // wraps, avg degrades to its double sum. The chain walk is shared
+    // across specs (it depends only on the order's tie structure).
+    val deltas = Array.fill(nP)(ScanDeltas.empty(k))
+    if (anyRange) {
       val cmp = RowOrdering.create(orderLocal, childOutput)
       var p = 0
-      while (p < partials.length) {
+      while (p < nP) {
         val pp = partials(p)
         if (pp.rows > 0L) {
-          var sD = 0L; var cD = 0L; var rD = 0L
-          var mnD = Long.MaxValue; var mxD = Long.MinValue
-          var dD = 0.0; var exD = true
+          val dl = ScanDeltas.empty(k)
+          var rD = 0L
           var q = p + 1; var chained = true
-          while (chained && q < partials.length) {
+          while (chained && q < nP) {
             val pq = partials(q)
             if (pq.rows == 0L) q += 1 // empty partitions are transparent
             else if (cmp.compare(pp.last, pq.first) == 0) {
-              rD += pq.leadEq; cD += pq.lcnt; dD += pq.ld
-              if (pq.lmn < mnD) mnD = pq.lmn
-              if (pq.lmx > mxD) mxD = pq.lmx
-              if (isAvg) {
-                if (exD && !pq.lovf) {
-                  try sD = Math.addExact(sD, pq.lsum)
-                  catch { case _: ArithmeticException => exD = false }
-                } else exD = false
-              } else sD = if (exact) Math.addExact(sD, pq.lsum)
-                else sD + pq.lsum
+              rD += pq.leadEq
+              var i = 0
+              while (i < k) {
+                dl.cnts(i) += pq.lcnts(i); dl.ds(i) += pq.lds(i)
+                if (pq.lmns(i) < dl.mns(i)) dl.mns(i) = pq.lmns(i)
+                if (pq.lmxs(i) > dl.mxs(i)) dl.mxs(i) = pq.lmxs(i)
+                if (isAvg(i)) {
+                  if (dl.exacts(i) && !pq.lovfs(i)) {
+                    try dl.sums(i) = Math.addExact(dl.sums(i), pq.lsums(i))
+                    catch {
+                      case _: ArithmeticException => dl.exacts(i) = false
+                    }
+                  } else dl.exacts(i) = false
+                } else dl.sums(i) =
+                  if (exacts(i)) Math.addExact(dl.sums(i), pq.lsums(i))
+                  else dl.sums(i) + pq.lsums(i)
+                i += 1
+              }
               // the chain continues past q only if ALL of q is one group
               chained = pq.leadEq == pq.rows
               q += 1
             } else chained = false
           }
-          deltas(p) = ScanDelta(sD, cD, rD, mnD, mxD, dD, exD)
+          deltas(p) = dl.copy(rows = rD)
         }
         p += 1
       }
     }
     val bc = input.sparkContext.broadcast(
-      (sumOffsets, cntOffsets, rowOffsets, minOffsets, maxOffsets,
-        dblOffsets, exactStart, deltas))
+      (sumOff, cntOff, rowOff, minOff, maxOff, dblOff, exOk, deltas))
     // pass 2: running = combine(exclusive partition prefix, local
     // inclusive prefix). Rows go out through an UnsafeProjection (created
     // per task — it holds codegen state): operators like collect()'s
     // byte-array path require UnsafeRow, and nothing above this node may
     // re-project.
     val types = output.map(_.dataType).toArray
-    val valueNullable = value.nullable
     input.mapPartitionsWithIndex({ (pid, it) =>
-      val (sumOff, cntOff, rowOff, minOff, maxOff, dblOff, exOk, deltaArr) =
-        bc.value
-      var acc = sumOff(pid)
-      var cnt = cntOff(pid)
-      var rows = rowOff(pid)
-      var mn = minOff(pid)
-      var mx = maxOff(pid)
-      var dacc = dblOff(pid)
-      var exactOk = exOk(pid)
+      val (sumO, cntO, rowO, minO, maxO, dblO, exO, deltaArr) = bc.value
+      val acc = Array.tabulate(k)(i => sumO(i)(pid))
+      val cnt = Array.tabulate(k)(i => cntO(i)(pid))
+      var rows = rowO(pid)
+      val mn = Array.tabulate(k)(i => minO(i)(pid))
+      val mx = Array.tabulate(k)(i => maxO(i)(pid))
+      val dacc = Array.tabulate(k)(i => dblO(i)(pid))
+      val exactOk = Array.tabulate(k)(i => exO(i)(pid))
       val n = types.length
+      val childN = n - k
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
       // one scratch row per task, reused: the projection copies the
@@ -328,107 +400,137 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
       val out = new GenericInternalRow(n)
       def accumulate(row: InternalRow): Unit = {
         rows += 1L
-        if (countsValue &&
-            (!valueNullable || !row.isNullAt(valueOrdinal))) {
-          cnt += 1L
-          if (needEval) {
-            val v = bound.eval(row).asInstanceOf[Long]
-            if (needSum) {
-              if (isAvg) {
-                dacc += v
-                // sticky per prefix: once any prefix overflows Long, this
-                // and every later prefix emit from the double sum (native
-                // Average's accumulator semantics); earlier prefixes
-                // already went out exact
-                if (exactOk) {
-                  try acc = Math.addExact(acc, v)
-                  catch { case _: ArithmeticException => exactOk = false }
-                }
-              } else acc = if (exact) Math.addExact(acc, v) else acc + v
+        var i = 0
+        while (i < k) {
+          if (countsValue(i) &&
+              (!nullables(i) || !row.isNullAt(ords(i)))) {
+            cnt(i) += 1L
+            if (needEval(i)) {
+              val v = bounds(i).eval(row).asInstanceOf[Long]
+              if (needSum(i)) {
+                if (isAvg(i)) {
+                  dacc(i) += v
+                  // sticky per prefix: once any prefix overflows Long,
+                  // this and every later prefix emit from the double sum
+                  // (native Average's accumulator semantics); earlier
+                  // prefixes already went out exact
+                  if (exactOk(i)) {
+                    try acc(i) = Math.addExact(acc(i), v)
+                    catch { case _: ArithmeticException => exactOk(i) = false }
+                  }
+                } else acc(i) =
+                  if (exacts(i)) Math.addExact(acc(i), v) else acc(i) + v
+              }
+              if (v < mn(i)) mn(i) = v
+              if (v > mx(i)) mx(i) = v
             }
-            if (v < mn) mn = v
-            if (v > mx) mx = v
           }
+          i += 1
+        }
+      }
+      // spec i's value at the CURRENT accumulator state; `del` non-null
+      // folds in a partition-final completion delta (RANGE last group
+      // only). null result = SQL NULL. avg: exact long sum / exact count,
+      // divided at emit — the double is a function of the prefix CONTENT,
+      // not its evaluation order; post-overflow the double sum takes over.
+      def valueAt(i: Int, del: ScanDeltas): Any = {
+        val hasD = del != null
+        kinds(i) match {
+          case ScanKind.Rows =>
+            rows + (if (hasD) del.rows else 0L)
+          case ScanKind.Count =>
+            cnt(i) + (if (hasD) del.cnts(i) else 0L)
+          case _ =>
+            val tc = cnt(i) + (if (hasD) del.cnts(i) else 0L)
+            if (tc == 0L) null
+            else kinds(i) match {
+              case ScanKind.Sum =>
+                if (!hasD) acc(i)
+                else if (exacts(i)) Math.addExact(acc(i), del.sums(i))
+                else acc(i) + del.sums(i)
+              case ScanKind.Min =>
+                if (hasD) Math.min(mn(i), del.mns(i)) else mn(i)
+              case ScanKind.Max =>
+                if (hasD) Math.max(mx(i), del.mxs(i)) else mx(i)
+              case ScanKind.Avg =>
+                val dT = dacc(i) + (if (hasD) del.ds(i) else 0.0)
+                if (exactOk(i) && (!hasD || del.exacts(i))) {
+                  try {
+                    (if (hasD) Math.addExact(acc(i), del.sums(i))
+                     else acc(i)).toDouble / tc
+                  } catch { case _: ArithmeticException => dT / tc }
+                } else dT / tc
+              case other =>
+                throw new IllegalStateException(s"unreachable: $other")
+            }
         }
       }
       def fill(row: InternalRow): Unit = {
         var j = 0
-        while (j < n - 1) { out.update(j, row.get(j, types(j))); j += 1 }
+        while (j < childN) { out.update(j, row.get(j, types(j))); j += 1 }
       }
-      if (!isRange) it.map { row =>
+      def emit(i: Int, v: Any): Unit =
+        if (v == null) out.setNullAt(childN + i)
+        else out.update(childN + i, v)
+      if (!anyRange) it.map { row =>
         accumulate(row)
         fill(row)
-        theKind match {
-          case ScanKind.Rows => out.update(n - 1, rows)
-          case ScanKind.Count => out.update(n - 1, cnt)
-          case _ if cnt == 0L => out.setNullAt(n - 1)
-          case ScanKind.Sum => out.update(n - 1, acc)
-          case ScanKind.Min => out.update(n - 1, mn)
-          case ScanKind.Max => out.update(n - 1, mx)
-          // exact long sum / exact count, divided at emit: the double is
-          // a function of the prefix CONTENT, not its evaluation order.
-          // Post-overflow (exactOk false) the double sum takes over.
-          case ScanKind.Avg =>
-            out.update(n - 1,
-              if (exactOk) acc.toDouble / cnt else dacc / cnt)
-        }
+        var i = 0
+        while (i < k) { emit(i, valueAt(i, null)); i += 1 }
         proj(out)
       } else {
         // RANGE: buffer one peer group at a time (row references into the
-        // persisted, copied input — safe to hold), emit the group-end
-        // value to every peer; the partition's LAST group folds in the
-        // driver-chained completion delta (identity when its last row has
-        // no later-partition peers). Memory: the largest peer group.
+        // persisted, copied input — safe to hold), emit each RANGE spec's
+        // group-end value to every peer; the partition's LAST group folds
+        // in the driver-chained completion delta (identity when its last
+        // row has no later-partition peers). ROWS specs sharing the
+        // window record their per-row values during group accumulation.
+        // Memory: the largest peer group.
         val delta = deltaArr(pid)
         val cmp2 = RowOrdering.create(orderLocal, childOutput)
         val peers = it.buffered
         val group = new scala.collection.mutable.ArrayBuffer[InternalRow]
+        val rowVals = new scala.collection.mutable.ArrayBuffer[Array[Any]]
+        val groupVals = new Array[Any](k)
         var gi = 0
-        var gNull = false
-        var gVal: Any = null
         new Iterator[InternalRow] {
           override def hasNext: Boolean =
             gi < group.length || peers.hasNext
           override def next(): InternalRow = {
             if (gi >= group.length) {
-              group.clear(); gi = 0
+              group.clear(); rowVals.clear(); gi = 0
               val head = peers.next(); group += head
               while (peers.hasNext &&
                   cmp2.compare(head, peers.head) == 0)
                 group += peers.next()
+              var j = 0
+              while (j < group.length) {
+                accumulate(group(j))
+                val rv = if (anyRows) new Array[Any](k) else null
+                if (anyRows) {
+                  var i = 0
+                  while (i < k) {
+                    if (!ranges(i)) rv(i) = valueAt(i, null)
+                    i += 1
+                  }
+                }
+                rowVals += rv
+                j += 1
+              }
+              val del = if (peers.hasNext) null else delta
               var i = 0
-              while (i < group.length) { accumulate(group(i)); i += 1 }
-              val last = !peers.hasNext
-              val tc = cnt + (if (last) delta.cnt else 0L)
-              gNull = false
-              gVal = theKind match {
-                case ScanKind.Rows =>
-                  rows + (if (last) delta.rows else 0L)
-                case ScanKind.Count => tc
-                case _ if tc == 0L => gNull = true; null
-                case ScanKind.Sum =>
-                  if (!last) acc
-                  else if (exact) Math.addExact(acc, delta.sum)
-                  else acc + delta.sum
-                case ScanKind.Min =>
-                  if (last) Math.min(mn, delta.mn) else mn
-                case ScanKind.Max =>
-                  if (last) Math.max(mx, delta.mx) else mx
-                case ScanKind.Avg =>
-                  val dTotal = dacc + (if (last) delta.d else 0.0)
-                  if (exactOk && (!last || delta.exact)) {
-                    try {
-                      (if (last) Math.addExact(acc, delta.sum)
-                       else acc).toDouble / tc
-                    } catch {
-                      case _: ArithmeticException => dTotal / tc
-                    }
-                  } else dTotal / tc
+              while (i < k) {
+                if (ranges(i)) groupVals(i) = valueAt(i, del)
+                i += 1
               }
             }
-            val row = group(gi); gi += 1
+            val row = group(gi); val rv = rowVals(gi); gi += 1
             fill(row)
-            if (gNull) out.setNullAt(n - 1) else out.update(n - 1, gVal)
+            var i = 0
+            while (i < k) {
+              emit(i, if (ranges(i)) groupVals(i) else rv(i))
+              i += 1
+            }
             proj(out)
           }
         }
@@ -441,34 +543,40 @@ case class GlobalScanExec(order: Seq[SortOrder], value: Attribute,
 }
 
 object GlobalScanExec {
-  /** Per-partition pass-1 summary. The base fields cover the whole
-    * partition; `first`/`last` are row COPIES (null on an empty
-    * partition) and the `l*` fields are the LEADING tie-run's own partial
-    * — only meaningful under a RANGE frame, identity otherwise. Top-level
-    * (not nested in the exec) so task closures don't drag the SparkPlan
-    * in. */
-  private[plans] case class ScanPartial(sum: Long, cnt: Long, rows: Long,
-      mn: Long, mx: Long, dsum: Double, ovf: Boolean,
+  /** Per-partition pass-1 summary; arrays indexed by spec. The base
+    * fields cover the whole partition; `first`/`last` are row COPIES
+    * (null on an empty partition) and the `l*` fields are the LEADING
+    * tie-run's own partials — only meaningful when some spec is RANGE,
+    * identity otherwise. Top-level (not nested in the exec) so task
+    * closures don't drag the SparkPlan in. */
+  private[plans] case class ScanPartial(sums: Array[Long],
+      cnts: Array[Long], rows: Long, mns: Array[Long], mxs: Array[Long],
+      dsums: Array[Double], ovfs: Array[Boolean],
       first: InternalRow, last: InternalRow, leadEq: Long,
-      lsum: Long, lcnt: Long, lmn: Long, lmx: Long, ld: Double,
-      lovf: Boolean)
+      lsums: Array[Long], lcnts: Array[Long], lmns: Array[Long],
+      lmxs: Array[Long], lds: Array[Double], lovfs: Array[Boolean])
 
   /** Driver-chained completion of a partition's trailing peer group: the
-    * folded leading-run partials of later partitions tying its last row.
-    * `exact` false means the long `sum` overflowed somewhere in the chain
-    * and avg must emit from the double `d`. */
-  private[plans] case class ScanDelta(sum: Long, cnt: Long, rows: Long,
-      mn: Long, mx: Long, d: Double, exact: Boolean)
-  private[plans] object ScanDelta {
-    val empty: ScanDelta =
-      ScanDelta(0L, 0L, 0L, Long.MaxValue, Long.MinValue, 0.0, exact = true)
+    * folded leading-run partials of later partitions tying its last row;
+    * arrays indexed by spec (`rows` is shared — the tie structure is the
+    * order's, not a spec's). `exacts(i)` false means spec i's long sum
+    * overflowed somewhere in the chain and avg must emit from the double
+    * `ds(i)`. */
+  private[plans] case class ScanDeltas(sums: Array[Long],
+      cnts: Array[Long], rows: Long, mns: Array[Long], mxs: Array[Long],
+      ds: Array[Double], exacts: Array[Boolean])
+  private[plans] object ScanDeltas {
+    def empty(k: Int): ScanDeltas = ScanDeltas(new Array[Long](k),
+      new Array[Long](k), 0L, Array.fill(k)(Long.MaxValue),
+      Array.fill(k)(Long.MinValue), new Array[Double](k),
+      Array.fill(k)(true))
   }
 }
 
 object GlobalScanStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalScanPlan =>
-      GlobalScanExec(g.order, g.value, g.scanAttr, g.ansi, g.kind, g.range,
+      GlobalScanExec(g.order, g.specs, g.values, g.scanAttrs,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }
@@ -478,22 +586,24 @@ object GlobalScanStrategy extends Strategy {
   * `agg(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the running
   * aggregate Spark executes in ONE partition — into [[GlobalScanPlan]],
   * for agg in sum / count / count(*) / min / max / avg. Conservatively
-  * fires only on the exact scale-out-safe shape: a single un-partitioned
-  * window expression, plain (non-DISTINCT, unfiltered) aggregate over a
-  * LongType or narrower-integral attribute — including the
-  * `Cast(int -> long)` the analyzer wraps around integral sum inputs;
-  * narrower values are widened below the scan and min/max results
-  * narrowed back, so schemas are unchanged (count: any type — it only
-  * null-checks; count(*): no column at all). BOTH running frames rewrite:
-  * explicit ROWS, and the default RANGE the analyzer gives a frameless
-  * `agg(x) OVER (ORDER BY ...)` — the exec emits peer groups their group
-  * total there (see [[GlobalScanPlan]]). Null semantics preserved:
-  * sum/min/max/avg are NULL until
-  * the first non-null value, counts never. Overflow semantics preserved
-  * per eval mode: sum LEGACY wraps, sum ANSI runs the scan with exact
-  * addition (raises on Long overflow) — both native-parity; avg never
-  * raises in either mode (native accumulates in Double) — the scan tries
-  * the exact long sum and degrades to its double sum on overflow;
+  * fires only on the exact scale-out-safe shape: an un-partitioned
+  * window whose expressions are ALL plain (non-DISTINCT, unfiltered)
+  * aggregates over LongType or narrower-integral attributes — including
+  * the `Cast(int -> long)` the analyzer wraps around integral sum
+  * inputs; narrower values are widened below the scan and min/max
+  * results narrowed back, so schemas are unchanged (count: any type — it
+  * only null-checks; count(*): no column at all). A multi-expression
+  * window becomes ONE scan node computing every aggregate in a single
+  * pair of passes over one persisted input. BOTH running frames rewrite,
+  * per expression: explicit ROWS, and the default RANGE the analyzer
+  * gives a frameless `agg(x) OVER (ORDER BY ...)` — the exec emits peer
+  * groups their group total there (see [[GlobalScanPlan]]). Null
+  * semantics preserved: sum/min/max/avg are NULL until the first
+  * non-null value, counts never. Overflow semantics preserved per eval
+  * mode: sum LEGACY wraps, sum ANSI runs the scan with exact addition
+  * (raises on Long overflow) — both native-parity; avg never raises in
+  * either mode (native accumulates in Double) — the scan tries the
+  * exact long sum and degrades to its double sum on overflow;
   * try_sum/try_avg (NULL on overflow) have no per-row running equivalent
   * here and keep WindowExec. */
 object GlobalScanRule
@@ -526,7 +636,7 @@ object GlobalScanRule
 
   /** (kind, value column, ansi) for a rewritable aggregate, else None.
     * count(*) carries no column — any child attribute serves as the
-    * (never evaluated) placeholder the plan node wants. */
+    * (never evaluated) placeholder the spec wants. */
   private def scannable(agg: AggregateExpression,
                         child: LogicalPlan): Option[(ScanKind, CAttr, Boolean)] =
     agg.aggregateFunction match {
@@ -566,62 +676,48 @@ object GlobalScanRule
     case _ => None
   }
 
-  /** Stack one scan on `plan` for a parsed expression; returns the new
-    * plan plus the result expression to project under the alias. */
-  private def stack(plan: LogicalPlan, p: Parsed)
-  : (LogicalPlan, Expression) = {
-    // narrower integral values are widened to the scan's Long domain in
-    // a Project BELOW the scan; the helper column never escapes (the
-    // outer Project re-selects only child.output + the results)
-    val (inner, value) =
-      if (p.value.dataType == LongType) (plan, p.value)
-      else {
-        val widened =
-          Alias(Cast(p.value, LongType), p.value.name + "_scanl")()
-        (Project(plan.output :+ widened, plan),
-          widened.toAttribute): (LogicalPlan, CAttr)
-      }
-    val g = GlobalScanPlan(p.order, value, inner, p.ansi, p.kind, p.range)
-    // min/max over an integral column keep its type (min(int) is int):
-    // narrow the scan's long back so the output schema is unchanged —
-    // values are original column values, the downcast cannot overflow
-    val result: Expression =
-      if (g.scanAttr.dataType == p.alias.dataType) g.scanAttr
-      else Cast(g.scanAttr, p.alias.dataType)
-    (g, result)
-  }
-
-  /** At most this many expressions of one window are stacked: each scan
-    * persists its input across its two passes, so the rewrite costs one
-    * MEMORY_AND_DISK copy per expression (only the FIRST pays the
-    * exchange + sort — a scan's output keeps the range partitioning and
-    * ordering, satisfying the next scan's requirements). Six covers the
-    * full kind set over one window; past this, a single multi-kind pass
-    * is worth building instead. */
-  private val MaxStacked = 6
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case w @ Window(exprs, Seq(), _, child, _)
-        if exprs.nonEmpty && exprs.size <= MaxStacked =>
+    case w @ Window(exprs, Seq(), _, child, _) if exprs.nonEmpty =>
       val parsed = exprs.map(parse(_, child))
       // all-or-nothing: rewriting a subset would still leave a
       // single-partition Window for the rest — no win, extra passes.
-      // Frames may differ per expression (each scan carries its own);
+      // Frames may differ per expression (each spec carries its own);
       // the order must be shared — it is what the one sort provides.
       val orders = parsed.flatten.map(_.order).distinct
       if (parsed.exists(_.isEmpty) || orders.size != 1) w
       else {
-        var acc: LogicalPlan = child
-        val results = parsed.flatten.map { p =>
-          val (next, result) = stack(acc, p)
-          acc = next
-          (p.alias, result)
+        val ps = parsed.flatten
+        // narrower integral values are widened to the scan's Long domain
+        // in ONE Project BELOW the scan (deduped by exprId — sum(x) and
+        // avg(x) share a widened column); the helper columns never
+        // escape (the outer Project re-selects only child.output + the
+        // results)
+        val widenPairs = ps.map(_.value)
+          .filter(_.dataType != LongType)
+          .groupBy(_.exprId).map(_._2.head)
+          .map(v => v.exprId ->
+            Alias(Cast(v, LongType), v.name + "_scanl")())
+          .toMap
+        val inner: LogicalPlan =
+          if (widenPairs.isEmpty) child
+          else Project(child.output ++ widenPairs.values, child)
+        val specs = ps.map(p => ScanSpec(p.kind, p.ansi, p.range))
+        val values = ps.map(p => widenPairs.get(p.value.exprId)
+          .map(_.toAttribute: CAttr).getOrElse(p.value))
+        val g = GlobalScanPlan(orders.head, specs, values, inner)
+        // min/max over an integral column keep its type (min(int) is
+        // int): narrow the scan's long back so the output schema is
+        // unchanged — values are original column values, the downcast
+        // cannot overflow
+        val results = ps.zip(g.scanAttrs).map { case (p, attr) =>
+          val result: Expression =
+            if (attr.dataType == p.alias.dataType) attr
+            else Cast(attr, p.alias.dataType)
+          Alias(result, p.alias.name)(exprId = p.alias.exprId,
+            qualifier = p.alias.qualifier,
+            explicitMetadata = p.alias.explicitMetadata)
         }
-        Project(child.output ++ results.map { case (a, result) =>
-          Alias(result, a.name)(exprId = a.exprId,
-            qualifier = a.qualifier,
-            explicitMetadata = a.explicitMetadata)
-        }, acc): LogicalPlan
+        Project(child.output ++ results, g): LogicalPlan
       }
   }
 }

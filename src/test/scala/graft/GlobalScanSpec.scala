@@ -206,16 +206,17 @@ class GlobalScanSpec extends AnyFunSuite {
       // expected value per key = aggregate over ALL rows with key <= k
       def cum(k: Long): Seq[Long] =
         (0L to k).flatMap(vs(_)).flatten
-      val q = df
-        .withColumn("rs", sum(col("v")).over(w))
-        .withColumn("rc", count(col("v")).over(w))
-        .withColumn("rr", count(lit(1)).over(w))
-        .withColumn("rmn", min(col("v")).over(w))
-        .withColumn("rmx", max(col("v")).over(w))
-        .withColumn("ra", avg(col("v")).over(w))
+      val q = df.select(col("k"), col("v"),
+        sum(col("v")).over(w).as("rs"),
+        count(col("v")).over(w).as("rc"),
+        count(lit(1)).over(w).as("rr"),
+        min(col("v")).over(w).as("rmn"),
+        max(col("v")).over(w).as("rmx"),
+        avg(col("v")).over(w).as("ra"))
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("Window"), s"RANGE window not rewritten:\n$p")
-      assert("GlobalScan".r.findAllIn(p).size == 6, p)
+      assert("GlobalScan".r.findAllIn(p).size == 1,
+        s"all six kinds must fuse into ONE scan node:\n$p")
       q.collect().foreach { r =>
         val k = r.getLong(0)
         val c = cum(k)
@@ -275,8 +276,8 @@ class GlobalScanSpec extends AnyFunSuite {
     } finally GlobalScan.removeRule(spark)
   }
 
-  test("multi-expression window stacks one scan per aggregate — one " +
-    "exchange, no Window") {
+  test("multi-expression window fuses into ONE scan — one exchange, " +
+    "one pass, no Window") {
     import org.apache.spark.sql.expressions.Window
     GlobalScan.ensureRule(spark)
     try {
@@ -287,22 +288,25 @@ class GlobalScanSpec extends AnyFunSuite {
         .repartition(9)
       val w = Window.orderBy(col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // sum + count + avg in ONE window node (same spec -> Spark merges)
-      val q = df
-        .withColumn("rs", sum(col("v")).over(w))
-        .withColumn("rc", count(col("v")).over(w))
-        .withColumn("ra", avg(col("v")).over(w))
+      // sum + count + avg written in ONE select — the analyzer places
+      // all three in a single multi-expression Window node (chained
+      // withColumns create separate nodes with rename-Projects between
+      // them; those still share one exchange, but only the single-node
+      // shape is guaranteed to fuse)
+      val q = df.select(col("t"), col("v"),
+        sum(col("v")).over(w).as("rs"),
+        count(col("v")).over(w).as("rc"),
+        avg(col("v")).over(w).as("ra"))
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("Window"), s"multi-expr window not rewritten:\n$p")
-      assert("GlobalScan".r.findAllIn(p).size == 3,
-        s"expected three stacked scans:\n$p")
-      // the stacked scans share the first one's range sort: exactly one
-      // planner-inserted exchange (the RoundRobin below is this test's
-      // own repartition(9), not the operator's)
+      assert("GlobalScan".r.findAllIn(p).size == 1,
+        s"expected one fused multi-aggregate scan:\n$p")
+      // exactly one planner-inserted exchange + sort (the RoundRobin
+      // below is this test's own repartition(9), not the operator's)
       assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1,
-        s"stacked scans must not re-shuffle:\n$p")
+        s"the fused scan must not re-shuffle:\n$p")
       assert("Sort ".r.findAllIn(p).size == 1,
-        s"stacked scans must not re-sort:\n$p")
+        s"the fused scan must not re-sort:\n$p")
       val vs: Seq[Option[Long]] = (0L until n).map(i =>
         if (i % 5 == 0) None else Some((i * 17) % 301 - 150))
       val pre = vs.scanLeft((0L, 0L)) { case ((s, c), ov) =>

@@ -266,24 +266,15 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
-    // the multi-aggregate window stacks scans over ONE shared range sort
-    locally {
-      val p = plan("rel_running_dashboard")
-      assert("GlobalScan".r.findAllIn(p).size == 3,
-        s"expected three stacked scans:\n$p")
+    // a multi-aggregate window fuses into ONE scan node over one
+    // exchange + sort — one persisted input, one pair of passes
+    Seq("rel_running_dashboard", "rel_running_range_total").foreach { q =>
+      val p = plan(q)
+      assert("GlobalScan".r.findAllIn(p).size == 1,
+        s"$q: expected one fused multi-aggregate scan:\n$p")
       assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
         "Sort ".r.findAllIn(p).size == 1,
-        s"stacked scans must share one exchange + sort:\n$p")
-    }
-    // the default-RANGE-frame query stacks both peer-inclusive scans
-    // over one shared range sort too
-    locally {
-      val p = plan("rel_running_range_total")
-      assert("GlobalScan".r.findAllIn(p).size == 2,
-        s"expected two stacked range scans:\n$p")
-      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
-        "Sort ".r.findAllIn(p).size == 1,
-        s"stacked scans must share one exchange + sort:\n$p")
+        s"$q: the fused scan must use one exchange + sort:\n$p")
     }
     // rel_cumulative_users: GlobalScan + a hash-partitioned per-user
     // window — pinned by its own test above. rel_peak_concurrency runs
