@@ -1105,6 +1105,55 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("t"), col("event_id"))))),
 
+    // first_value() — the globally first order's price attached to every
+    // row. GlobalEdgeRule plans this as GlobalEdge: the value is spliced
+    // from per-partition head partials on the driver (one single-column
+    // row), never a single-partition window. Unique (date, key) order
+    // keeps the oracle deterministic. Census-pinned.
+    "rel_first_value" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("first_price", first(col("o_totalprice")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .select("o_orderkey", "o_totalprice", "first_price")),
+
+    // last_value(... IGNORE NULLS) — "last known good": each event
+    // carries the latest non-null value at or before it in the total
+    // order (error events are null in valuedEvents). GlobalEdge's
+    // running latest-non-null, seeded per partition from the
+    // driver-spliced carry — the LOCF / gap-fill shape, distributed.
+    "rel_last_known_value" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("last_good",
+          last(col("v"), ignoreNulls = true).over(prefixWindow))
+        .select(col("event_id"), col("v"), col("last_good"))),
+
+    // nth_value(100) — the 100th event's value, NULL for the 99 rows
+    // before it: GlobalEdge's spliced-threshold shape (emit the value
+    // once the frame end reaches global row 100).
+    "rel_nth_value" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("v100", nth_value(col("v"), 100).over(prefixWindow))
+        .select(col("event_id"), col("v100"))),
+
+    // last_value(IGNORE NULLS) over the DEFAULT RANGE frame: peer groups
+    // are hours; null-hours inherit the latest non-null hour code at or
+    // before their group END — GlobalEdge's peer-group buffering plus the
+    // trailing-group chain (hour groups span range partitions). The value
+    // is a function of the hour key, so the result is deterministic even
+    // though RANGE last_value sees ties.
+    "rel_last_good_hour" -> ((s, dir) =>
+      events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("hs"),
+          col("event_id"))
+        .withColumn("hv",
+          when(col("hs") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("hs") % 997))
+        .withColumn("last_good",
+          last(col("hv"), ignoreNulls = true).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("hs"))))),
+
     // As-of join (time-series): for each purchase, the most recent strictly-
     // prior view by the same user — merge-window formulation (one shuffle by
     // user, no range-join explosion)
@@ -3668,6 +3717,50 @@ object SparkEntry {
         |       cast(ntile(10) OVER (ORDER BY t, event_id)
         |            AS integer) AS decile
         |FROM e""".stripMargin,
+
+    "rel_first_value" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       first_value(o_totalprice)
+        |         OVER (ORDER BY o_orderdate, o_orderkey) AS first_price
+        |FROM orders""".stripMargin,
+
+    "rel_last_known_value" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id, v,
+        |       last_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_good
+        |FROM e""".stripMargin,
+
+    "rel_nth_value" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       nth_value(v, 100) OVER (ORDER BY t, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v100
+        |FROM e""".stripMargin,
+
+    "rel_last_good_hour" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hs, event_id FROM events
+        |), e2 AS (
+        |  SELECT hs, event_id,
+        |         CASE WHEN hs % 5 <> 0 THEN hs % 997 END AS hv
+        |  FROM e
+        |)
+        |SELECT hs, event_id, hv,
+        |       last_value(hv IGNORE NULLS) OVER (ORDER BY hs) AS last_good
+        |FROM e2""".stripMargin,
 
     "rel_pivot_events" ->
       """SELECT user_id,

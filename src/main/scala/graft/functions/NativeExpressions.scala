@@ -565,5 +565,9 @@ object GraftExtensions {
     // GlobalShift operator instead of a single-partition WindowExec
     ext.injectOptimizerRule(_ => graft.plans.GlobalShiftRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
+    // edge-value rewrite: un-partitioned first_value/last_value/nth_value
+    // plans as the spliced-threshold GlobalEdge operator
+    ext.injectOptimizerRule(_ => graft.plans.GlobalEdgeRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalEdgeStrategy)
   }
 }

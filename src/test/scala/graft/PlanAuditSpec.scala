@@ -256,6 +256,14 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q lost its GlobalShift rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
+    val edge = Seq("rel_first_value", "rel_last_known_value",
+      "rel_nth_value", "rel_last_good_hour")
+    edge.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalEdge"),
+        s"$q lost its GlobalEdge rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+    }
     val scan = Seq("rel_running_revenue", "rel_running_count",
       "rel_running_row_count", "rel_running_high_water",
       "rel_running_low_water", "rel_running_avg",
@@ -301,7 +309,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // below catches any un-partitioned windowspecdefinition regardless of
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
-    val known = (rank ++ ties ++ shift ++ scan ++ bounded).toSet +
+    val known = (rank ++ ties ++ shift ++ edge ++ scan ++ bounded).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
