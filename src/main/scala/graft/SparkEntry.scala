@@ -2193,6 +2193,41 @@ object SparkEntry {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("sec"))).as("n_thru_sec"))),
 
+    // Event-time WATERMARK by arrival order: running max over the raw
+    // TIMESTAMP column (events arrive out of event-time order; event_id
+    // is the arrival proxy). GlobalScan's generic-extrema path — boxed
+    // values under the type's interpreted ordering, no long arithmetic —
+    // so the shape every streaming engine tracks per-partition plans
+    // distributed here too. The max is taken over the timestamp itself;
+    // only the OUTPUT is converted to micros for cross-engine compare
+    // (ns->us truncation is monotone, so max commutes with it).
+    "rel_running_watermark" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"), col("ts"))
+        .withColumn("hwm", max(col("ts")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("event_id"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("event_id"), unix_micros(col("hwm")).as("hwm_us"))),
+
+    // Running peak price over the raw DOUBLE column — the high-water
+    // mark a ledger keeps. Same generic path (a double prefix-MAX only
+    // compares, so unlike a double prefix-sum it is order-insensitive
+    // and exactly reproducible cross-engine).
+    "rel_running_peak_price" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("peak_price", max(col("o_totalprice")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("peak_price"))),
+
     // Row-to-row delta over the global event order — the textbook
     // un-partitioned lag(1), rewritten by GlobalShiftRule into the
     // boundary-row GlobalShift operator (each partition receives the |n|
@@ -4617,6 +4652,20 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |             6) AS avg_v
         |FROM e""".stripMargin,
+
+    "rel_running_watermark" ->
+      """SELECT event_id,
+        |       epoch_us(max(ts) OVER (ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |         AS hwm_us
+        |FROM events""".stripMargin,
+
+    "rel_running_peak_price" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       max(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS peak_price
+        |FROM orders""".stripMargin,
 
     "rel_running_delta" ->
       """WITH e AS (

@@ -34,11 +34,15 @@ import org.apache.spark.sql.types.LongType
   * a few scalars each, so the marginal aggregate is near-free. At 100 TB
   * that is the difference between caching the input once and k times.
   *
-  * The value columns must be LongType (the sweep deltas of the use cases
-  * above; floating-point prefix sums would be order-sensitive in the last
-  * ulp and break cross-engine parity anyway — avg divides the EXACT long
-  * sum by the exact count at emit, so even its doubles are
-  * order-insensitive).
+  * Sum/avg value columns must be LongType (the sweep deltas of the use
+  * cases above; floating-point prefix sums would be order-sensitive in
+  * the last ulp and break cross-engine parity anyway — avg divides the
+  * EXACT long sum by the exact count at emit, so even its doubles are
+  * order-insensitive). Min/max accept ANY orderable type: a running
+  * extremum only compares, never adds, so doubles, strings, timestamps,
+  * decimals — the high-water-mark / watermark shapes — fold through the
+  * same partials with an interpreted ordering and value copies instead
+  * of long arithmetic (LongType extrema keep the primitive fast path).
   *
   * Both frames of the running shape are supported, per spec. ROWS
   * UNBOUNDED PRECEDING emits per row from the live accumulators. The
@@ -109,11 +113,18 @@ object GlobalScanPlan {
       // replaces: counts are non-null longs, avg is a nullable double,
       // sum/min/max are null exactly until the first non-null value —
       // i.e. nullable iff the value column is
+      if (sp.kind == ScanKind.Sum || sp.kind == ScanKind.Avg)
+        require(value.dataType == LongType,
+          s"${sp.kind.sql} needs a LongType value column, got " +
+            s"${value.dataType} (the rule widens integral inputs)")
       val (dt, nullable) = sp.kind match {
         case ScanKind.Count | ScanKind.Rows =>
           (LongType: org.apache.spark.sql.types.DataType, false)
         case ScanKind.Avg =>
           (org.apache.spark.sql.types.DoubleType, value.nullable)
+        // min/max keep the value's own type (any orderable type rides
+        // the generic path; LongType stays primitive)
+        case ScanKind.Min | ScanKind.Max => (value.dataType, value.nullable)
         case _ => (LongType, value.nullable)
       }
       AttributeReference("running", dt, nullable)()
@@ -175,16 +186,25 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
     values.zip(ords).foreach { case (v, o) =>
       require(o >= 0, s"value column $v not in child output") }
     val nullables = values.map(_.nullable).toArray
-    val bounds = ords.zip(nullables).map { case (o, nl) =>
-      BoundReference(o, LongType, nullable = nl) }
+    val dts = values.map(_.dataType).toArray
+    val bounds = ords.zip(dts.zip(nullables)).map { case (o, (dt, nl)) =>
+      BoundReference(o, dt, nullable = nl) }
     val kinds = specs.map(_.kind).toArray
     // per-spec evaluation gates. Count only null-checks the value; Rows
     // never touches it (the spec carries a dummy attribute there).
-    // Evaluating a non-Long dummy as Long would be a type error, so the
-    // eval is gated, not just unused.
+    // Evaluating a dummy would be a type error, so the eval is gated,
+    // not just unused.
     val needSum = kinds.map(kd => kd == ScanKind.Sum || kd == ScanKind.Avg)
-    val needEval = kinds.map(kd => kd == ScanKind.Sum ||
-      kd == ScanKind.Avg || kd == ScanKind.Min || kd == ScanKind.Max)
+    // a non-Long extremum folds boxed values under an interpreted
+    // ordering (the generic path); Long extrema and all sums/avgs stay on
+    // the primitive long path
+    val generics = Array.tabulate(k)(i =>
+      (kinds(i) == ScanKind.Min || kinds(i) == ScanKind.Max) &&
+        dts(i) != LongType)
+    val needEval = Array.tabulate(k)(i => !generics(i) &&
+      (kinds(i) == ScanKind.Sum || kinds(i) == ScanKind.Avg ||
+        kinds(i) == ScanKind.Min || kinds(i) == ScanKind.Max))
+    val isMin = kinds.map(_ == ScanKind.Min)
     val countsValue = kinds.map(_ != ScanKind.Rows)
     val isAvg = kinds.map(_ == ScanKind.Avg)
     val exacts = specs.map(sp =>
@@ -224,10 +244,24 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
     val partials = input.mapPartitions({ it =>
       val cmp = if (anyRange) RowOrdering.create(orderLocal, childOutput)
         else null
+      // generic-extrema orderings, built per task (DataType ships fine;
+      // the interpreted ordering itself need not be serializable)
+      val gord = Array.tabulate(k)(i =>
+        if (generics(i))
+          org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dts(i))
+        else null)
+      // null = identity (no value yet); replace when the candidate is
+      // strictly better in the spec's direction
+      def gBetter(i: Int, v: Any, cur: Any): Boolean = cur == null || {
+        val c = gord(i).compare(v, cur)
+        if (isMin(i)) c < 0 else c > 0
+      }
       val s = new Array[Long](k); val c = new Array[Long](k)
       var r = 0L
       val mn = Array.fill(k)(Long.MaxValue)
       val mx = Array.fill(k)(Long.MinValue)
+      val gext = new Array[Any](k)
       val d = new Array[Double](k)
       val ovf = new Array[Boolean](k)
       var first: InternalRow = null; var prev: InternalRow = null
@@ -235,6 +269,7 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
       val ls = new Array[Long](k); val lc = new Array[Long](k)
       val lmn = Array.fill(k)(Long.MaxValue)
       val lmx = Array.fill(k)(Long.MinValue)
+      val lgext = new Array[Any](k)
       val ld = new Array[Double](k)
       val lovf = new Array[Boolean](k)
       it.foreach { row =>
@@ -253,7 +288,16 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
               (!nullables(i) || !row.isNullAt(ords(i)))) {
             c(i) += 1L
             if (anyRange && leading) lc(i) += 1L
-            if (needEval(i)) {
+            if (generics(i)) {
+              // boxed extremum fold; copies detach the value from the
+              // (already-copied, persisted) row so partials survive the
+              // collect
+              val v = bounds(i).eval(row)
+              if (gBetter(i, v, gext(i)))
+                gext(i) = InternalRow.copyValue(v)
+              if (anyRange && leading && gBetter(i, v, lgext(i)))
+                lgext(i) = InternalRow.copyValue(v)
+            } else if (needEval(i)) {
               val v = bounds(i).eval(row).asInstanceOf[Long]
               if (needSum(i)) {
                 if (isAvg(i)) {
@@ -287,7 +331,7 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
         }
       }
       Iterator.single(ScanPartial(s, c, r, mn, mx, d, ovf,
-        first, prev, leadEq, ls, lc, lmn, lmx, ld, lovf))
+        first, prev, leadEq, ls, lc, lmn, lmx, ld, lovf, gext, lgext))
     }, preservesPartitioning = true).collect()
     val nP = partials.length
     // per-spec exclusive offsets. avg: exact long offsets while every
@@ -300,8 +344,24 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
     val cntOff = new Array[Array[Long]](k)
     val minOff = new Array[Array[Long]](k)
     val maxOff = new Array[Array[Long]](k)
+    val gextOff = new Array[Array[Any]](k)
     val dblOff = new Array[Array[Double]](k)
     val exOk = new Array[Array[Boolean]](k)
+    // driver-side generic fold (same contract as the task-side one:
+    // null = identity, replace on strictly-better in the spec's
+    // direction)
+    val driverOrd = Array.tabulate(k)(i =>
+      if (generics(i))
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dts(i))
+      else null)
+    def gPick(i: Int, a: Any, b: Any): Any =
+      if (b == null) a
+      else if (a == null) b
+      else {
+        val c = driverOrd(i).compare(b, a)
+        if (if (isMin(i)) c < 0 else c > 0) b else a
+      }
     var si = 0
     while (si < k) {
       if (isAvg(si)) {
@@ -320,6 +380,10 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
       cntOff(si) = partials.map(_.cnts(si)).scanLeft(0L)(_ + _)
       minOff(si) = partials.map(_.mns(si)).scanLeft(Long.MaxValue)(Math.min)
       maxOff(si) = partials.map(_.mxs(si)).scanLeft(Long.MinValue)(Math.max)
+      gextOff(si) =
+        if (generics(si))
+          partials.map(_.gexts(si)).scanLeft(null: Any)(gPick(si, _, _))
+        else Array.fill[Any](nP + 1)(null)
       si += 1
     }
     val rowOff = partials.map(_.rows).scanLeft(0L)(_ + _)
@@ -352,6 +416,8 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
                 dl.cnts(i) += pq.lcnts(i); dl.ds(i) += pq.lds(i)
                 if (pq.lmns(i) < dl.mns(i)) dl.mns(i) = pq.lmns(i)
                 if (pq.lmxs(i) > dl.mxs(i)) dl.mxs(i) = pq.lmxs(i)
+                if (generics(i))
+                  dl.gexts(i) = gPick(i, dl.gexts(i), pq.lgexts(i))
                 if (isAvg(i)) {
                   if (dl.exacts(i) && !pq.lovfs(i)) {
                     try dl.sums(i) = Math.addExact(dl.sums(i), pq.lsums(i))
@@ -375,7 +441,8 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
       }
     }
     val bc = input.sparkContext.broadcast(
-      (sumOff, cntOff, rowOff, minOff, maxOff, dblOff, exOk, deltas))
+      (sumOff, cntOff, rowOff, minOff, maxOff, gextOff, dblOff, exOk,
+        deltas))
     // pass 2: running = combine(exclusive partition prefix, local
     // inclusive prefix). Rows go out through an UnsafeProjection (created
     // per task — it holds codegen state): operators like collect()'s
@@ -383,12 +450,23 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
     // re-project.
     val types = output.map(_.dataType).toArray
     input.mapPartitionsWithIndex({ (pid, it) =>
-      val (sumO, cntO, rowO, minO, maxO, dblO, exO, deltaArr) = bc.value
+      val (sumO, cntO, rowO, minO, maxO, gextO, dblO, exO, deltaArr) =
+        bc.value
       val acc = Array.tabulate(k)(i => sumO(i)(pid))
       val cnt = Array.tabulate(k)(i => cntO(i)(pid))
       var rows = rowO(pid)
       val mn = Array.tabulate(k)(i => minO(i)(pid))
       val mx = Array.tabulate(k)(i => maxO(i)(pid))
+      val gacc = Array.tabulate[Any](k)(i => gextO(i)(pid))
+      val gord2 = Array.tabulate(k)(i =>
+        if (generics(i))
+          org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dts(i))
+        else null)
+      def gBetter2(i: Int, v: Any, cur: Any): Boolean = cur == null || {
+        val c = gord2(i).compare(v, cur)
+        if (isMin(i)) c < 0 else c > 0
+      }
       val dacc = Array.tabulate(k)(i => dblO(i)(pid))
       val exactOk = Array.tabulate(k)(i => exO(i)(pid))
       val n = types.length
@@ -405,7 +483,11 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
           if (countsValue(i) &&
               (!nullables(i) || !row.isNullAt(ords(i)))) {
             cnt(i) += 1L
-            if (needEval(i)) {
+            if (generics(i)) {
+              val v = bounds(i).eval(row)
+              if (gBetter2(i, v, gacc(i)))
+                gacc(i) = InternalRow.copyValue(v)
+            } else if (needEval(i)) {
               val v = bounds(i).eval(row).asInstanceOf[Long]
               if (needSum(i)) {
                 if (isAvg(i)) {
@@ -448,6 +530,18 @@ case class GlobalScanExec(order: Seq[SortOrder], specs: Seq[ScanSpec],
                 if (!hasD) acc(i)
                 else if (exacts(i)) Math.addExact(acc(i), del.sums(i))
                 else acc(i) + del.sums(i)
+              case ScanKind.Min if generics(i) =>
+                if (hasD && del.gexts(i) != null &&
+                    (gacc(i) == null ||
+                      gord2(i).compare(del.gexts(i), gacc(i)) < 0))
+                  del.gexts(i)
+                else gacc(i)
+              case ScanKind.Max if generics(i) =>
+                if (hasD && del.gexts(i) != null &&
+                    (gacc(i) == null ||
+                      gord2(i).compare(del.gexts(i), gacc(i)) > 0))
+                  del.gexts(i)
+                else gacc(i)
               case ScanKind.Min =>
                 if (hasD) Math.min(mn(i), del.mns(i)) else mn(i)
               case ScanKind.Max =>
@@ -554,7 +648,8 @@ object GlobalScanExec {
       dsums: Array[Double], ovfs: Array[Boolean],
       first: InternalRow, last: InternalRow, leadEq: Long,
       lsums: Array[Long], lcnts: Array[Long], lmns: Array[Long],
-      lmxs: Array[Long], lds: Array[Double], lovfs: Array[Boolean])
+      lmxs: Array[Long], lds: Array[Double], lovfs: Array[Boolean],
+      gexts: Array[Any], lgexts: Array[Any])
 
   /** Driver-chained completion of a partition's trailing peer group: the
     * folded leading-run partials of later partitions tying its last row;
@@ -564,12 +659,12 @@ object GlobalScanExec {
     * `ds(i)`. */
   private[plans] case class ScanDeltas(sums: Array[Long],
       cnts: Array[Long], rows: Long, mns: Array[Long], mxs: Array[Long],
-      ds: Array[Double], exacts: Array[Boolean])
+      ds: Array[Double], exacts: Array[Boolean], gexts: Array[Any])
   private[plans] object ScanDeltas {
     def empty(k: Int): ScanDeltas = ScanDeltas(new Array[Long](k),
       new Array[Long](k), 0L, Array.fill(k)(Long.MaxValue),
       Array.fill(k)(Long.MinValue), new Array[Double](k),
-      Array.fill(k)(true))
+      Array.fill(k)(true), new Array[Any](k))
   }
 }
 
@@ -588,11 +683,14 @@ object GlobalScanStrategy extends Strategy {
   * for agg in sum / count / count(*) / min / max / avg. Conservatively
   * fires only on the exact scale-out-safe shape: an un-partitioned
   * window whose expressions are ALL plain (non-DISTINCT, unfiltered)
-  * aggregates over LongType or narrower-integral attributes — including
-  * the `Cast(int -> long)` the analyzer wraps around integral sum
-  * inputs; narrower values are widened below the scan and min/max
-  * results narrowed back, so schemas are unchanged (count: any type — it
-  * only null-checks; count(*): no column at all). A multi-expression
+  * aggregates the scan can run: sums/avgs over LongType or
+  * narrower-integral attributes — including the `Cast(int -> long)` the
+  * analyzer wraps around integral sum inputs; narrower values are
+  * widened below the scan and integral min/max results narrowed back,
+  * so schemas are unchanged (count: any type — it only null-checks;
+  * count(*): no column at all); min/max additionally over ANY orderable
+  * type (double, string, timestamp, date, decimal ... — the generic
+  * boxed path, running high-water marks are not integer-only shapes). A multi-expression
   * window becomes ONE scan node computing every aggregate in a single
   * pair of passes over one persisted input. BOTH running frames rewrite,
   * per expression: explicit ROWS, and the default RANGE the analyzer
@@ -634,35 +732,54 @@ object GlobalScanRule
     }
   }
 
-  /** (kind, value column, ansi) for a rewritable aggregate, else None.
-    * count(*) carries no column — any child attribute serves as the
-    * (never evaluated) placeholder the spec wants. */
-  private def scannable(agg: AggregateExpression,
-                        child: LogicalPlan): Option[(ScanKind, CAttr, Boolean)] =
+  /** (kind, value column, ansi, widen) for a rewritable aggregate, else
+    * None. `widen` marks specs whose value the rewrite must upcast to
+    * Long below the scan (sums/avgs and integral extrema — the primitive
+    * path); count and generic extrema use the raw column — count only
+    * null-checks it, and a generic extremum folds boxed values under the
+    * column's own ordering (widening a non-numeric count column would
+    * EVALUATE a bogus cast for every row). count(*) carries no column —
+    * any child attribute serves as the (never evaluated) placeholder the
+    * spec wants. */
+  private def scannable(agg: AggregateExpression, child: LogicalPlan)
+  : Option[(ScanKind, CAttr, Boolean, Boolean)] =
     agg.aggregateFunction match {
       case Sum(LongValue(v), ctx: NumericEvalContext)
           if ctx.evalMode != EvalMode.TRY =>
-        Some((ScanKind.Sum, v, ctx.evalMode == EvalMode.ANSI))
+        Some((ScanKind.Sum, v, ctx.evalMode == EvalMode.ANSI, true))
       case Count(Seq(v: CAttr)) =>
-        Some((ScanKind.Count, v, false))
+        Some((ScanKind.Count, v, false, false))
       // count over the analyzer's integral upcast: the cast never nulls,
       // so counting its results == counting the attribute's non-nulls
       case Count(Seq(Cast(v: CAttr, LongType, _, _)))
           if integral(v.dataType) =>
-        Some((ScanKind.Count, v, false))
+        Some((ScanKind.Count, v, false, false))
       case Count(Seq(l: Literal)) if l.value != null =>
-        child.output.headOption.map((ScanKind.Rows, _, false))
-      case Min(LongValue(v)) => Some((ScanKind.Min, v, false))
-      case Max(LongValue(v)) => Some((ScanKind.Max, v, false))
+        child.output.headOption.map((ScanKind.Rows, _, false, false))
+      case Min(LongValue(v)) => Some((ScanKind.Min, v, false, true))
+      case Max(LongValue(v)) => Some((ScanKind.Max, v, false, true))
+      // extrema over ANY other orderable type (double, string,
+      // timestamp, date, decimal, arrays): the scan's generic boxed
+      // path — running high-water marks and watermarks are not
+      // integer-only shapes
+      case Min(v: CAttr)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+        Some((ScanKind.Min, v, false, false))
+      case Max(v: CAttr)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+        Some((ScanKind.Max, v, false, false))
       case Average(LongValue(v), mode) if mode != EvalMode.TRY =>
-        Some((ScanKind.Avg, v, mode == EvalMode.ANSI))
+        Some((ScanKind.Avg, v, mode == EvalMode.ANSI, true))
       case _ => None
     }
 
   /** One window expression parsed for rewriting: its Alias, its order,
     * its frame, and the scan parameters. */
   private case class Parsed(alias: Alias, order: Seq[SortOrder],
-      range: Boolean, kind: ScanKind, value: CAttr, ansi: Boolean)
+      range: Boolean, kind: ScanKind, value: CAttr, ansi: Boolean,
+      widen: Boolean)
 
   private def parse(e: org.apache.spark.sql.catalyst.expressions
       .NamedExpression, child: LogicalPlan): Option[Parsed] = e match {
@@ -671,8 +788,8 @@ object GlobalScanRule
             SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))),
         _) if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty &&
           (ft == RowFrame || ft == RangeFrame) =>
-      scannable(agg, child).map { case (kind, v, ansi) =>
-        Parsed(a, order, ft == RangeFrame, kind, v, ansi) }
+      scannable(agg, child).map { case (kind, v, ansi, widen) =>
+        Parsed(a, order, ft == RangeFrame, kind, v, ansi, widen) }
     case _ => None
   }
 
@@ -687,12 +804,14 @@ object GlobalScanRule
       if (parsed.exists(_.isEmpty) || orders.size != 1) w
       else {
         val ps = parsed.flatten
-        // narrower integral values are widened to the scan's Long domain
-        // in ONE Project BELOW the scan (deduped by exprId — sum(x) and
-        // avg(x) share a widened column); the helper columns never
-        // escape (the outer Project re-selects only child.output + the
-        // results)
-        val widenPairs = ps.map(_.value)
+        // narrower integral values of the widen-marked specs are upcast
+        // to the scan's Long domain in ONE Project BELOW the scan
+        // (deduped by exprId — sum(x) and avg(x) share a widened
+        // column); count and generic-extrema specs keep the raw column
+        // (their path never does long arithmetic). The helper columns
+        // never escape (the outer Project re-selects only child.output +
+        // the results).
+        val widenPairs = ps.filter(_.widen).map(_.value)
           .filter(_.dataType != LongType)
           .groupBy(_.exprId).map(_._2.head)
           .map(v => v.exprId ->
@@ -702,8 +821,10 @@ object GlobalScanRule
           if (widenPairs.isEmpty) child
           else Project(child.output ++ widenPairs.values, child)
         val specs = ps.map(p => ScanSpec(p.kind, p.ansi, p.range))
-        val values = ps.map(p => widenPairs.get(p.value.exprId)
-          .map(_.toAttribute: CAttr).getOrElse(p.value))
+        val values = ps.map(p =>
+          if (p.widen) widenPairs.get(p.value.exprId)
+            .map(_.toAttribute: CAttr).getOrElse(p.value)
+          else p.value)
         val g = GlobalScanPlan(orders.head, specs, values, inner)
         // min/max over an integral column keep its type (min(int) is
         // int): narrow the scan's long back so the output schema is

@@ -364,6 +364,108 @@ class GlobalScanSpec extends AnyFunSuite {
     assert(arithmetic(e), e.toString)
   }
 
+  test("generic extrema: running max over double / min over string / " +
+    "max over timestamp plan GlobalScan and match a sequential fold") {
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = 3000
+    // doubles with nulls; strings; timestamps arriving OUT OF ORDER
+    // relative to t (the watermark shape: running max(ts) by arrival)
+    val df = spark.range(n).select(col("id").as("t"),
+      when(col("id") % 13 === 0, lit(null).cast("double"))
+        .otherwise(sin(col("id")) * 1000).as("dv"),
+      concat(lit("w"), format_string("%04d", (col("id") * 37) % 997))
+        .as("sv"),
+      timestamp_micros(col("id") * 1664525L % 1000000007L).as("tv"))
+      .repartition(13)
+    val rows = df.orderBy("t").collect()
+    GlobalScan.ensureRule(spark)
+    try {
+      val q = df
+        .withColumn("peak", max(col("dv")).over(wRows))
+        .withColumn("lo", min(col("sv")).over(wRows))
+        .withColumn("hwm", max(col("tv")).over(wRows))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalScan"), p)
+      assert(!p.contains("Window"), p)
+      // withColumn chaining leaves interleaved Projects, so the three
+      // extrema land on stacked scans rather than one fused node — but
+      // the stack must SHARE one range exchange + sort (outputPartitioning
+      // passthrough), never re-shuffle per scan
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1, p)
+      val got = q.orderBy("t").collect()
+      var peak: Option[Double] = None
+      var lo: Option[String] = None
+      var hwm: Option[java.sql.Timestamp] = None
+      rows.zip(got).foreach { case (in, out) =>
+        if (!in.isNullAt(1)) {
+          val d = in.getDouble(1)
+          peak = Some(peak.fold(d)(Math.max(_, d)))
+        }
+        val s = in.getString(2)
+        lo = Some(lo.fold(s)(x => if (s < x) s else x))
+        val ts = in.getTimestamp(3)
+        hwm = Some(hwm.fold(ts)(x => if (ts.after(x)) ts else x))
+        assert((if (out.isNullAt(4)) None
+          else Some(out.getDouble(4))) == peak, s"peak at t=${in.getLong(0)}")
+        assert(Option(out.getString(5)) == lo, s"lo at t=${in.getLong(0)}")
+        assert(Option(out.getTimestamp(6)) == hwm,
+          s"hwm at t=${in.getLong(0)}")
+      }
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("generic extrema over the default RANGE frame: tie groups " +
+    "spanning partitions share the group-end value") {
+    import org.apache.spark.sql.expressions.Window
+    // 30 groups of 100 rows across 13 range partitions; the string value
+    // varies WITHIN each group, so the group-total max actually differs
+    // from any prefix-by-row result (catches a ROWS/RANGE mix-up), and
+    // the trailing-group chain must fold later partitions' leading runs
+    val df = spark.range(3000).select(
+      (col("id") / 100).cast("long").as("k"), col("id").as("t"),
+      format_string("s%03d", (col("id") * 7) % 500).as("sv"))
+      .repartition(13)
+    val rows = df.orderBy("t").collect()
+    GlobalScan.ensureRule(spark)
+    try {
+      val q = df.withColumn("gmax",
+        max(col("sv")).over(Window.orderBy(col("k"))))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalScan"), p)
+      assert(!p.contains("Window"), p)
+      // sequential oracle: per-prefix-of-groups max (group end value)
+      val byGroup = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      var running: String = null
+      val groupEnd = byGroup.map { case (k, rs) =>
+        val m = rs.map(_.getString(2)).max
+        running = if (running == null || m > running) m else running
+        k -> running
+      }.toMap
+      q.orderBy("t").collect().zip(rows).foreach { case (out, in) =>
+        assert(out.getString(3) == groupEnd(in.getLong(0)),
+          s"t=${in.getLong(1)}")
+      }
+    } finally GlobalScan.removeRule(spark)
+  }
+
+  test("generic extrema: NULL until the first non-null value, and a " +
+    "long-typed extremum stays on the primitive path") {
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = Seq((1L, None), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("t", "s")
+    GlobalScan.ensureRule(spark)
+    try {
+      val got = df.withColumn("mx", max(col("s")).over(wRows))
+        .orderBy("t").select("mx").as[Option[String]].collect().toSeq
+      assert(got == Seq(None, Some("b"), Some("b"), Some("b")))
+    } finally GlobalScan.removeRule(spark)
+  }
+
   test("runningSum overflow semantics follow the session's ANSI flag") {
     // runningSum must agree with the equivalent SQL window on THIS
     // session: wrap when ansi is off, raise when on (TestSpark runs ANSI

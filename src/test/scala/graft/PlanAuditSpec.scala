@@ -268,7 +268,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_running_row_count", "rel_running_high_water",
       "rel_running_low_water", "rel_running_avg",
       "rel_running_size", "rel_running_size_floor",
-      "rel_running_dashboard", "rel_running_range_total")
+      "rel_running_dashboard", "rel_running_range_total",
+      "rel_running_watermark", "rel_running_peak_price")
     scan.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalScan"), s"$q lost its GlobalScan rewrite:\n$p")
