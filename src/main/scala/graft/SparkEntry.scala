@@ -85,6 +85,14 @@ object SparkEntry {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
 
+  /** `ROWS k PRECEDING .. CURRENT ROW` over the same (t, event_id) total
+    * order — the bounded sliding frame GlobalFrameRule rewrites into the
+    * boundary-seeded GlobalFrame operator. */
+  private def slidingWindow(k: Int)
+  : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("event_id")).rowsBetween(-k, 0)
+
   /** JVM-lifetime staging root for the batch source round-trip queries
     * (`src_*`): the returned DataFrames read from these files LAZILY (the
     * caller materializes them after the query builder returns), so the
@@ -2250,6 +2258,61 @@ object SparkEntry {
             .orderBy(col("t"), col("event_id"))))
         .select(col("event_id"),
           (col("next_t") - col("t")).as("gap_us"))),
+
+    // Trailing 100-event moving sum + count over the global event order —
+    // `ROWS BETWEEN 99 PRECEDING AND CURRENT ROW` with no PARTITION BY,
+    // the bounded-frame window Spark plans as a single-partition
+    // WindowExec. GlobalFrameRule rewrites it into the boundary-seeded
+    // GlobalFrame operator: each partition receives the 99 value rows
+    // adjacent to its range boundary and slides a ring buffer — both
+    // aggregates O(1)/row (enter/exit deltas), both fused into ONE node.
+    // Census-pinned in PlanAuditSpec.
+    "rel_frame_moving_sum" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          sum(col("v")).over(slidingWindow(99)).as("mov_sum"),
+          count(col("v")).over(slidingWindow(99)).as("mov_n"))),
+
+    // Trailing 50-event min/max/avg in one window — the fused sliding
+    // dashboard. Extrema ride monotonic deques (amortized O(1)/row);
+    // avg re-folds the 50-row frame in order for native Double parity.
+    // Rounded to 6 decimals for the cross-engine compare only: DuckDB
+    // averages bigints through exact hugeint division, Spark through
+    // Double accumulation — last-ulp noise.
+    "rel_frame_trailing_stats" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          min(col("v")).over(slidingWindow(49)).as("mov_min"),
+          max(col("v")).over(slidingWindow(49)).as("mov_max"),
+          round(avg(col("v")).over(slidingWindow(49)), 6).as("mov_avg"))),
+
+    // Running total AND trailing peak in ONE window — the everyday mixed
+    // dashboard (prefix aggregate + bounded frame over the same order).
+    // The analyzer groups both into one Window node (same partition/order
+    // spec, different frames); GlobalFrameRule splits it into GlobalFrame
+    // stacked on GlobalScan over ONE shared range sort (both operators
+    // are 1:1 and partitioning/order-preserving, so EnsureRequirements
+    // inserts nothing between them). Census-pinned: one exchange, one
+    // sort, no Window.
+    "rel_frame_mixed_dashboard" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          sum(col("v")).over(prefixWindow).as("run_total"),
+          max(col("v")).over(slidingWindow(99)).as("mov_peak"))),
+
+    // Trailing 20-order price band over the raw DOUBLE column — the
+    // sliding band a ledger draws. GlobalFrame's generic-extrema path:
+    // boxed values under the type's interpreted ordering in monotonic
+    // deques (double extrema only compare, so unlike a double sum they
+    // are order-insensitive and exactly reproducible cross-engine).
+    "rel_frame_price_band" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-19, 0)
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          min(col("o_totalprice")).over(w).as("band_low"),
+          max(col("o_totalprice")).over(w).as("band_high"))
+    }),
 
     // Deterministic per-key sampling: at most 3 events per user, chosen by
     // md5 order — the per-user cap a training pipeline applies so heavy
@@ -4686,6 +4749,65 @@ object SparkEntry {
         |SELECT event_id,
         |       lead(t, 1) OVER (ORDER BY t, event_id) - t AS gap_us
         |FROM e""".stripMargin,
+
+    "rel_frame_moving_sum" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS mov_sum,
+        |       cast(count(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS mov_n
+        |FROM e""".stripMargin,
+
+    "rel_frame_trailing_stats" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(min(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS mov_min,
+        |       cast(max(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS mov_max,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+        |             6) AS mov_avg
+        |FROM e""".stripMargin,
+
+    "rel_frame_mixed_dashboard" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_total,
+        |       cast(max(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS mov_peak
+        |FROM e""".stripMargin,
+
+    "rel_frame_price_band" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       min(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS band_low,
+        |       max(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS band_high
+        |FROM orders""".stripMargin,
 
     "rel_running_dashboard" ->
       """WITH e AS (

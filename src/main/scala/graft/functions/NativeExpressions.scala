@@ -569,5 +569,10 @@ object GraftExtensions {
     // plans as the spliced-threshold GlobalEdge operator
     ext.injectOptimizerRule(_ => graft.plans.GlobalEdgeRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalEdgeStrategy)
+    // sliding-frame rewrite: un-partitioned ROWS k PRECEDING..CURRENT ROW
+    // aggregates (optionally mixed with prefix aggregates) plan as the
+    // boundary-seeded GlobalFrame operator, stacked on GlobalScan
+    ext.injectOptimizerRule(_ => graft.plans.GlobalFrameRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalFrameStrategy)
   }
 }

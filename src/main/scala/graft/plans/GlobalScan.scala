@@ -741,7 +741,9 @@ object GlobalScanRule
     * EVALUATE a bogus cast for every row). count(*) carries no column —
     * any child attribute serves as the (never evaluated) placeholder the
     * spec wants. */
-  private def scannable(agg: AggregateExpression, child: LogicalPlan)
+  // private[plans]: [[GlobalFrameRule]] reuses the aggregate matcher and
+  // the prefix-window parser to fuse mixed prefix+sliding windows
+  private[plans] def scannable(agg: AggregateExpression, child: LogicalPlan)
   : Option[(ScanKind, CAttr, Boolean, Boolean)] =
     agg.aggregateFunction match {
       case Sum(LongValue(v), ctx: NumericEvalContext)
@@ -777,11 +779,11 @@ object GlobalScanRule
 
   /** One window expression parsed for rewriting: its Alias, its order,
     * its frame, and the scan parameters. */
-  private case class Parsed(alias: Alias, order: Seq[SortOrder],
+  private[plans] case class Parsed(alias: Alias, order: Seq[SortOrder],
       range: Boolean, kind: ScanKind, value: CAttr, ansi: Boolean,
       widen: Boolean)
 
-  private def parse(e: org.apache.spark.sql.catalyst.expressions
+  private[plans] def parse(e: org.apache.spark.sql.catalyst.expressions
       .NamedExpression, child: LogicalPlan): Option[Parsed] = e match {
     case a @ Alias(WindowExpression(agg: AggregateExpression,
           WindowSpecDefinition(Seq(), order,

@@ -1,0 +1,203 @@
+package graft
+
+import graft.plans.{GlobalFrame, ScanKind}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlobalFrameSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+  private def frame(k: Int) = w.rowsBetween(-k, 0)
+
+  /** Native WindowExec result of `q` (rule off), then the rewritten plan
+    * + result (rule on); asserts the rewrite actually fired. */
+  private def nativeVsRewritten(q: => org.apache.spark.sql.DataFrame,
+      sortCols: String*): (Seq[org.apache.spark.sql.Row],
+      Seq[org.apache.spark.sql.Row], String) = {
+    val native = q.orderBy(sortCols.map(col): _*).collect().toSeq
+    GlobalFrame.ensureRule(spark)
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      val got = q.orderBy(sortCols.map(col): _*).collect().toSeq
+      (native, got, plan)
+    } finally GlobalFrame.removeRule(spark)
+  }
+
+  test("sliding sum/count/min/max/avg over many partitions match the " +
+    "native window bit-for-bit") {
+    val n = 4000
+    val df = spark.range(n).select(col("id").as("t"),
+      (col("id") * 31 % 1009).as("v")).repartition(13)
+    for (k <- Seq(1, 7, 250)) {
+      def q = df.select(col("t"),
+        sum(col("v")).over(frame(k)).as("s"),
+        count(col("v")).over(frame(k)).as("c"),
+        min(col("v")).over(frame(k)).as("mn"),
+        max(col("v")).over(frame(k)).as("mx"),
+        avg(col("v")).over(frame(k)).as("a"))
+      val (native, got, plan) = nativeVsRewritten(q, "t")
+      assert(plan.contains("GlobalFrame"), s"k=$k not rewritten:\n$plan")
+      assert(!plan.contains("Window"), s"k=$k kept a Window:\n$plan")
+      // one fused frame node over one exchange + sort
+      assert("GlobalFrame".r.findAllIn(plan).size == 1, plan)
+      assert(got == native, s"k=$k")
+    }
+  }
+
+  test("boundary wider than any partition: k spans several short " +
+    "partitions") {
+    val n = 3000
+    val df = spark.range(n).select(col("id").as("t"),
+      (col("id") % 97).as("v")).repartition(50) // ~60 rows per partition
+    def q = df.select(col("t"),
+      sum(col("v")).over(frame(500)).as("s"),
+      min(col("v")).over(frame(500)).as("mn"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(got == native)
+  }
+
+  test("nulls in the value column: sum/min/avg skip them, count excludes " +
+    "them, count(*) does not, all-null frames are NULL") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, Some(5L)), (2L, None), (3L, None), (4L, None),
+      (5L, Some(2L)), (6L, None), (7L, Some(9L)), (8L, None))
+      .toDF("t", "v").repartition(3)
+    def q = df.select(col("t"),
+      sum(col("v")).over(frame(2)).as("s"),
+      count(col("v")).over(frame(2)).as("c"),
+      count(lit(1)).over(frame(2)).as("n"),
+      min(col("v")).over(frame(2)).as("mn"),
+      avg(col("v")).over(frame(2)).as("a"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(got == native)
+    // spot-check the all-null frame at t=4 (frame rows 2..4)
+    val r4 = got.find(_.getLong(0) == 4L).get
+    assert(r4.isNullAt(1) && r4.getLong(2) == 0L && r4.getLong(3) == 3L &&
+      r4.isNullAt(4) && r4.isNullAt(5))
+  }
+
+  test("generic extrema: sliding min/max over strings") {
+    val df = Seq((1L, "pear"), (2L, "apple"), (3L, "quince"), (4L, "fig"),
+      (5L, "olive"), (6L, "date"))
+      .toDF("t", "v").repartition(3)
+    def q = df.select(col("t"),
+      min(col("v")).over(frame(2)).as("mn"),
+      max(col("v")).over(frame(2)).as("mx"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(got == native)
+    assert(got.map(r => (r.getString(1), r.getString(2))) == Seq(
+      ("pear", "pear"), ("apple", "pear"), ("apple", "quince"),
+      ("apple", "quince"), ("fig", "quince"), ("date", "olive")))
+  }
+
+  test("integral inputs widen below the frame: sum(int) plans GlobalFrame " +
+    "and keeps the native long result type") {
+    val df = spark.range(500).select(col("id").as("t"),
+      (col("id") % 100).cast("int").as("v")).repartition(7)
+    def q = df.select(col("t"),
+      sum(col("v")).over(frame(9)).as("s"),
+      min(col("v")).over(frame(9)).as("mn"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(got == native)
+    assert(q.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(q.schema("mn").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("mixed window: running total + moving aggregates fuse into " +
+    "GlobalFrame stacked on GlobalScan over ONE sort") {
+    val df = spark.range(2000).select(col("id").as("t"),
+      (col("id") * 17 % 401).as("v")).repartition(11)
+    val runFrame = w.rowsBetween(Long.MinValue, 0)
+    def q = df.select(col("t"),
+      sum(col("v")).over(runFrame).as("run_total"),
+      avg(col("v")).over(frame(99)).as("mov_avg"),
+      max(col("v")).over(frame(99)).as("mov_max"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame") && plan.contains("GlobalScan"),
+      s"mixed window not split across the two operators:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    // the stack shares one exchange + one sort — the scan's output
+    // partitioning/ordering satisfy the frame's requirements
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1 &&
+      "Sort ".r.findAllIn(plan).size == 1,
+      s"expected one shared exchange + sort under the stack:\n$plan")
+    assert(got == native)
+  }
+
+  test("k = 0 (current row only) and k past MaxFrame") {
+    val df = spark.range(100).select(col("id").as("t"),
+      (col("id") % 10).as("v")).repartition(4)
+    def q0 = df.select(col("t"), sum(col("v")).over(frame(0)).as("s"))
+    val (native0, got0, plan0) = nativeVsRewritten(q0, "t")
+    assert(plan0.contains("GlobalFrame"), plan0)
+    assert(got0 == native0)
+    GlobalFrame.ensureRule(spark)
+    try {
+      val far = df.select(col("t"),
+        sum(col("v")).over(frame(GlobalFrame.MaxFrame + 1)).as("s"))
+      assert(!far.queryExecution.executedPlan.toString
+        .contains("GlobalFrame"))
+    } finally GlobalFrame.removeRule(spark)
+  }
+
+  test("partitioned windows and frames reaching forward keep WindowExec") {
+    GlobalFrame.ensureRule(spark)
+    try {
+      val df = spark.range(100).select(col("id").as("t"),
+        (col("id") % 5).as("g"), (col("id") % 10).as("v"))
+      val byG = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("t")).rowsBetween(-3, 0)
+      assert(!df.select(sum(col("v")).over(byG).as("s"))
+        .queryExecution.executedPlan.toString.contains("GlobalFrame"))
+      val fwd = w.rowsBetween(-3, 1)
+      assert(!df.select(sum(col("v")).over(fwd).as("s"))
+        .queryExecution.executedPlan.toString.contains("GlobalFrame"))
+    } finally GlobalFrame.removeRule(spark)
+  }
+
+  test("ANSI sliding sum raises on a frame whose in-order partial " +
+    "overflows, exactly like the native window") {
+    val big = Long.MaxValue / 2 + 10L
+    val df = Seq((1L, big), (2L, big), (3L, 1L)).toDF("t", "v")
+      .repartition(2)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    GlobalFrame.ensureRule(spark)
+    try {
+      val q = df.select(col("t"), sum(col("v")).over(frame(1)).as("s"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("GlobalFrame"))
+      val ex = intercept[org.apache.spark.SparkException] {
+        q.collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[ArithmeticException] ||
+          c.getMessage != null && c.getMessage.contains("overflow")),
+        ex.toString)
+    } finally {
+      GlobalFrame.removeRule(spark)
+      spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+  }
+
+  test("direct API: GlobalFrame.trailing computes the sliding aggregate " +
+    "without the rule") {
+    val df = spark.range(1000).select(col("id").as("t"),
+      (col("id") % 50).as("v")).repartition(8)
+    val got = GlobalFrame.trailing(df, "v", 4, ScanKind.Max, "t" -> false)
+      .orderBy("t").select("frame").as[Long].collect().toSeq
+    val want = (0 until 1000).map(i =>
+      ((math.max(0, i - 4)) to i).map(j => j.toLong % 50).max)
+    assert(got == want)
+  }
+}

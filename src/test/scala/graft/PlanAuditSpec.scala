@@ -256,6 +256,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q lost its GlobalShift rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
+    val frame = Seq("rel_frame_moving_sum", "rel_frame_trailing_stats",
+      "rel_frame_mixed_dashboard", "rel_frame_price_band")
+    frame.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalFrame"),
+        s"$q lost its GlobalFrame rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      // every frame query fuses its aggregates into ONE node over one
+      // exchange + sort
+      assert("GlobalFrame".r.findAllIn(p).size == 1,
+        s"$q: expected one fused sliding-frame node:\n$p")
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1,
+        s"$q: the frame must use one exchange + sort:\n$p")
+    }
+    // the mixed dashboard splits across the two operators but still
+    // shares the single sort (GlobalScan below, GlobalFrame above)
+    assert(plan("rel_frame_mixed_dashboard").contains("GlobalScan"),
+      s"mixed dashboard lost its prefix-aggregate stack:\n" +
+        plan("rel_frame_mixed_dashboard"))
     val edge = Seq("rel_first_value", "rel_last_known_value",
       "rel_nth_value", "rel_last_good_hour")
     edge.foreach { q =>
@@ -310,7 +330,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // below catches any un-partitioned windowspecdefinition regardless of
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
-    val known = (rank ++ ties ++ shift ++ edge ++ scan ++ bounded).toSet +
+    val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
+      bounded).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
