@@ -89,9 +89,14 @@ object SparkEntry {
     * order — the bounded sliding frame GlobalFrameRule rewrites into the
     * boundary-seeded GlobalFrame operator. */
   private def slidingWindow(k: Int)
+  : org.apache.spark.sql.expressions.WindowSpec = slidingBetween(-k, 0)
+
+  /** General bounded `ROWS lo .. hi` frame over the (t, event_id) total
+    * order (negative = preceding, positive = following). */
+  private def slidingBetween(lo: Int, hi: Int)
   : org.apache.spark.sql.expressions.WindowSpec =
     org.apache.spark.sql.expressions.Window
-      .orderBy(col("t"), col("event_id")).rowsBetween(-k, 0)
+      .orderBy(col("t"), col("event_id")).rowsBetween(lo, hi)
 
   /** JVM-lifetime staging root for the batch source round-trip queries
     * (`src_*`): the returned DataFrames read from these files LAZILY (the
@@ -2299,6 +2304,29 @@ object SparkEntry {
         .select(col("event_id"),
           sum(col("v")).over(prefixWindow).as("run_total"),
           max(col("v")).over(slidingWindow(99)).as("mov_peak"))),
+
+    // CENTERED ±50-event smoothing — `ROWS BETWEEN 50 PRECEDING AND 50
+    // FOLLOWING`, the classic symmetric moving average. The frame reaches
+    // FORWARD, so GlobalFrame additionally splices each partition's
+    // following-boundary rows and delays emission behind a 50-row pending
+    // queue; frames truncate at both corpus edges (count tracks the
+    // actual neighborhood size). Rounded for cross-engine avg compare.
+    "rel_frame_centered_avg" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          round(avg(col("v")).over(slidingBetween(-50, 50)), 6)
+            .as("smooth_v"),
+          count(col("v")).over(slidingBetween(-50, 50)).as("n_ctx"))),
+
+    // Pure-LOOKAHEAD frame — the NEXT-10-events peak (`ROWS BETWEEN 1
+    // FOLLOWING AND 10 FOLLOWING`): the frame excludes the current row,
+    // so it is EMPTY for the corpus tail (peak NULL, count 0) — native
+    // window edge semantics, encoded in GlobalFrame's output nullability.
+    "rel_frame_lookahead_peak" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          max(col("v")).over(slidingBetween(1, 10)).as("next_peak"),
+          count(col("v")).over(slidingBetween(1, 10)).as("next_n"))),
 
     // Trailing 20-order price band over the raw DOUBLE column — the
     // sliding band a ledger draws. GlobalFrame's generic-extrema path:
@@ -4799,6 +4827,38 @@ object SparkEntry {
         |       cast(max(v) OVER (ORDER BY t, event_id
         |              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
         |            AS bigint) AS mov_peak
+        |FROM e""".stripMargin,
+
+    "rel_frame_centered_avg" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING),
+        |             6) AS smooth_v,
+        |       cast(count(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+        |            AS bigint) AS n_ctx
+        |FROM e""".stripMargin,
+
+    "rel_frame_lookahead_peak" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(max(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+        |            AS bigint) AS next_peak,
+        |       cast(count(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+        |            AS bigint) AS next_n
         |FROM e""".stripMargin,
 
     "rel_frame_price_band" ->

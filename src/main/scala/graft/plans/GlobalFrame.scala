@@ -9,57 +9,71 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
-/** GLOBAL SLIDING FRAME — `agg(x) OVER (ORDER BY ... ROWS BETWEEN k
-  * PRECEDING AND CURRENT ROW)` with NO PARTITION BY, and NO
-  * single-partition stage: the bounded-frame member of the two-pass
-  * family (GlobalRank: positions, GlobalTies: tie ranks, GlobalScan:
-  * prefix aggregates, GlobalShift: row offsets, GlobalEdge: frame edges,
-  * here: sliding aggregates).
+/** GLOBAL SLIDING FRAME — `agg(x) OVER (ORDER BY ... ROWS BETWEEN lo AND
+  * hi)` for ANY bounded row frame (trailing `k PRECEDING .. CURRENT ROW`,
+  * centered `k PRECEDING .. k FOLLOWING`, lookahead `CURRENT ROW .. k
+  * FOLLOWING`, detached `j PRECEDING .. i PRECEDING`), with NO PARTITION
+  * BY and NO single-partition stage: the bounded-frame member of the
+  * two-pass family (GlobalRank: positions, GlobalTies: tie ranks,
+  * GlobalScan: prefix aggregates, GlobalShift: row offsets, GlobalEdge:
+  * frame edges, here: sliding aggregates).
   *
   * Spark plans an un-partitioned sliding window as one WindowExec on one
-  * partition, even though each output row depends on at most k preceding
-  * rows. After range partitioning those rows are either local or within
-  * k rows of the partition boundary — the same locality GlobalShift
-  * exploits, generalized from one offset row to a k-row frame:
+  * partition, even though each output row depends on a bounded
+  * neighborhood of at most hi-lo+1 rows. After range partitioning that
+  * neighborhood is either local or within max(|lo|, |hi|) rows of a
+  * partition boundary — the locality GlobalShift exploits for one offset
+  * row, generalized to a frame:
   *
   *   1. the input is total-ordered by range partitioning (planned sort);
-  *   2. pass 1 captures each partition's LAST min(k, count) value rows —
-  *      at most k narrow rows per partition to the driver;
-  *   3. the driver splices, per partition, the exact k rows preceding
-  *      its first row (walking across short/empty partitions — an array
-  *      shorter than k means that partition was captured whole, so the
-  *      walk is always safe), and broadcasts them;
-  *   4. pass 2 streams each partition once behind a (k+1)-slot ring
-  *      buffer seeded from the boundary, emitting every aggregate of the
-  *      current frame per row.
+  *   2. pass 1 captures each partition's LAST `before` and FIRST `after`
+  *      value rows (before = max(0,-min lo), after = max(0, max hi)) —
+  *      a bounded number of narrow rows per partition to the driver;
+  *   3. the driver splices, per partition, the exact rows preceding its
+  *      first row and following its last row (walking across short or
+  *      empty partitions — a captured array shorter than requested means
+  *      that partition was captured whole, so the walk never skips an
+  *      in-range row), and broadcasts them;
+  *   4. pass 2 streams each partition once: preceding boundary ++ local
+  *      rows ++ following boundary push through a bounded ring buffer;
+  *      a local row is emitted once the stream has advanced max(hi,0)
+  *      rows past it (a pending queue of at most that many rows), so
+  *      every frame the emission reads is complete.
   *
   * Per-row cost, per aggregate: count / count(*) / legacy sum are O(1)
-  * (enter/exit deltas — wrapping long arithmetic is a ring, so
-  * subtract-on-exit is exact); min/max are amortized O(1) via a monotonic
-  * deque (dominated candidates never resurface); ANSI sum and avg
-  * re-fold the frame in order, O(k) — ANSI sum must raise exactly when
-  * the native window's in-order partial sum overflows, and avg must
-  * reproduce the native Average's in-frame-order Double accumulation
-  * bit-for-bit (Spark's SlidingWindowFunctionFrame recomputes the buffer
-  * per slide the same way). k is capped at [[GlobalFrame.MaxFrame]] — the
-  * boundary state is k narrow rows per partition, and a frame wider than
-  * that is no longer "a small bounded neighborhood" (WindowExec keeps
-  * those).
+  * (per-spec enter/exit pointers — every stream index enters and leaves
+  * each spec's frame exactly once; wrapping long arithmetic is a ring,
+  * so subtract-on-exit is exact); min/max are amortized O(1) via
+  * monotonic deques (dominated candidates never resurface); ANSI sum and
+  * avg re-fold the frame in order, O(frame) — ANSI sum must raise
+  * exactly when the native window's in-order partial sum overflows, and
+  * avg must reproduce the native Average's in-frame-order Double
+  * accumulation bit-for-bit (Spark's SlidingWindowFunctionFrame
+  * recomputes the buffer per slide the same way). |lo| and |hi| are
+  * capped at [[GlobalFrame.MaxFrame]] — the boundary state is that many
+  * narrow rows per partition, and a frame wider than that is no longer
+  * "a small bounded neighborhood" (WindowExec keeps those).
+  *
+  * Frames that do NOT cover the current row (hi < 0 or lo > 0) can be
+  * EMPTY at the corpus edges: sum/min/max/avg emit NULL there, counts 0
+  * — native window semantics, encoded in the output nullability.
   *
   * Aggregate kinds, value typing, widening and result nullability are
   * shared with GlobalScan ([[ScanKind]]): sums/avgs run on Long (the rule
   * widens integral inputs below the plan), extrema fold any orderable
   * type under its interpreted ordering, counts never touch the value.
   */
-case class FrameSpec(kind: ScanKind, k: Int, ansi: Boolean)
+case class FrameSpec(kind: ScanKind, lo: Int, hi: Int, ansi: Boolean)
   extends Serializable {
-  require(k >= 0, s"frame must reach backward: k = $k")
+  require(lo <= hi, s"frame bounds out of order: [$lo, $hi]")
+  /** The frame covers the current row — it can never be empty. */
+  def coversCurrent: Boolean = lo <= 0 && 0 <= hi
 }
 
 // Output type/nullability mirror the window aggregate this replaces —
-// same derivation as GlobalScanPlan (the frame always contains the
-// current row, so sum/min/max/avg are null exactly when every value in
-// the frame is null, i.e. nullable iff the value column is). Constructor
+// same derivation as GlobalScanPlan, plus: a frame that does not cover
+// the current row can be EMPTY at the corpus edges, so sum/min/max/avg
+// are nullable there even over a non-null value column. Constructor
 // field, not a body val: copy()/transform preserve the exprIds.
 object GlobalFramePlan {
   def apply(order: Seq[SortOrder], specs: Seq[FrameSpec],
@@ -72,24 +86,28 @@ object GlobalFramePlan {
         require(value.dataType == LongType,
           s"${sp.kind.sql} needs a LongType value column, got " +
             s"${value.dataType} (the rule widens integral inputs)")
+      val maybeEmpty = !sp.coversCurrent
       val (dt, nullable) = sp.kind match {
         case ScanKind.Count | ScanKind.Rows =>
           (LongType: org.apache.spark.sql.types.DataType, false)
         case ScanKind.Avg =>
-          (org.apache.spark.sql.types.DoubleType, value.nullable)
-        case ScanKind.Min | ScanKind.Max => (value.dataType, value.nullable)
-        case _ => (LongType, value.nullable)
+          (org.apache.spark.sql.types.DoubleType,
+            value.nullable || maybeEmpty)
+        case ScanKind.Min | ScanKind.Max =>
+          (value.dataType, value.nullable || maybeEmpty)
+        case _ => (LongType, value.nullable || maybeEmpty)
       }
       AttributeReference("frame", dt, nullable)()
     }
     GlobalFramePlan(order, specs, values, child, attrs)
   }
 
-  /** Single-aggregate convenience (the [[GlobalFrame.trailing]] entry
-    * point and tests). */
+  /** Single-aggregate convenience (the [[GlobalFrame.trailing]] /
+    * [[GlobalFrame.sliding]] entry points and tests). */
   def apply(order: Seq[SortOrder], value: Attribute, child: LogicalPlan,
-            k: Int, kind: ScanKind, ansi: Boolean): GlobalFramePlan =
-    apply(order, Seq(FrameSpec(kind, k, ansi)), Seq(value), child)
+            lo: Int, hi: Int, kind: ScanKind,
+            ansi: Boolean): GlobalFramePlan =
+    apply(order, Seq(FrameSpec(kind, lo, hi, ansi)), Seq(value), child)
 }
 
 // `values` is a first-class Seq[Attribute] field (not folded into the
@@ -141,10 +159,20 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
     val bounds = ords.indices.map(i =>
       BoundReference(ords(i), dts(i), nullable = values(i).nullable))
     val kinds = specs.map(_.kind).toArray
-    val ks = specs.map(_.k).toArray
+    val los = specs.map(_.lo).toArray
+    val his = specs.map(_.hi).toArray
     val ansis = specs.map(_.ansi).toArray
-    val maxK = ks.max
-    val width = maxK + 1
+    // rows the boundary must carry: `before` preceding rows (frames
+    // reaching back) and `after` following rows (frames reaching
+    // forward); `delay` = pushes a local row waits before emission
+    val before = math.max(0, -los.min)
+    val after = math.max(0, his.max)
+    val delay = after
+    // ring retention: an emission at stream index e reads down to
+    // e + min(lo) - 1 (the departure read) while the stream head is at
+    // e + max(hi,0) — plus one slot so the departing entry is never the
+    // slot the newest push just reused
+    val width = after + before + 2
 
     // same persist rationale as the siblings: the sorted child feeds two
     // passes, and both must see identical row order (rows copied —
@@ -153,75 +181,101 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // pass 1: each partition's LAST min(maxK, count) value rows, in row
-    // order (ring capture, then unroll) — narrow rows only
-    val partials: Array[Array[UnsafeRow]] = input.mapPartitions({ it =>
-      val proj = UnsafeProjection.create(bounds)
-      val ring = new Array[UnsafeRow](math.max(maxK, 1))
-      var count = 0L
-      it.foreach { row =>
-        if (maxK > 0) ring((count % maxK).toInt) = proj(row).copy()
-        count += 1L
-      }
-      val m = math.min(count, maxK.toLong).toInt
-      val tail = new Array[UnsafeRow](m)
-      var j = 0
-      while (j < m) { tail(j) = ring(((count - m + j) % maxK).toInt); j += 1 }
-      Iterator.single(tail)
-    }, preservesPartitioning = true).collect()
+    // pass 1: each partition's FIRST `after` and LAST `before` value
+    // rows, in row order — narrow rows only
+    val partials: Array[(Array[UnsafeRow], Array[UnsafeRow])] =
+      input.mapPartitions({ it =>
+        val proj = UnsafeProjection.create(bounds)
+        val head = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+        val ring = new Array[UnsafeRow](math.max(before, 1))
+        var count = 0L
+        it.foreach { row =>
+          val r = proj(row).copy()
+          if (count < after) head += r
+          if (before > 0) ring((count % before).toInt) = r
+          count += 1L
+        }
+        val m = math.min(count, before.toLong).toInt
+        val tail = new Array[UnsafeRow](m)
+        var j = 0
+        while (j < m) {
+          tail(j) = ring(((count - m + j) % before).toInt); j += 1
+        }
+        Iterator.single((head.toArray, tail))
+      }, preservesPartitioning = true).collect()
 
-    // driver: per partition, the maxK rows immediately preceding its
-    // first row, walking back across partitions shorter than maxK (an
-    // array shorter than maxK means that partition was captured WHOLE, so
-    // skipping past it never loses an in-range row). A spliced boundary
-    // shorter than maxK means the corpus genuinely starts within maxK
-    // rows — pass 2 reads that as "frame truncated at corpus start".
+    // driver: per partition, the `before` rows immediately preceding its
+    // first row and the `after` rows immediately following its last row,
+    // walking across partitions shorter than the request (a captured
+    // array shorter than requested means that partition was captured
+    // WHOLE, so skipping past it never loses an in-range row). Spliced
+    // arrays shorter than requested mean the corpus genuinely ends
+    // within range — pass 2 reads that as "frame truncated at the edge".
     val parts = partials.length
-    val boundaries = new Array[Array[UnsafeRow]](parts)
+    val preceding = new Array[Array[UnsafeRow]](parts)
+    val following = new Array[Array[UnsafeRow]](parts)
     var p = 0
     while (p < parts) {
       val acc = new scala.collection.mutable.ArrayDeque[UnsafeRow]()
-      var need = maxK
+      var need = before
       var q = p - 1
       while (need > 0 && q >= 0) {
-        val t = partials(q)
+        val t = partials(q)._2
         val take = math.min(need, t.length)
         var j = take - 1
         while (j >= 0) { acc.prepend(t(t.length - take + j)); j -= 1 }
         need -= take
         q -= 1
       }
-      boundaries(p) = acc.toArray
+      preceding(p) = acc.toArray
+      val fcc = new scala.collection.mutable.ArrayDeque[UnsafeRow]()
+      need = after
+      q = p + 1
+      while (need > 0 && q < parts) {
+        val t = partials(q)._1
+        val take = math.min(need, t.length)
+        var j = 0
+        while (j < take) { fcc.append(t(j)); j += 1 }
+        need -= take
+        q += 1
+      }
+      following(p) = fcc.toArray
       p += 1
     }
-    val bc = input.sparkContext.broadcast(boundaries)
+    val bcPre = input.sparkContext.broadcast(preceding)
+    val bcPost = input.sparkContext.broadcast(following)
 
-    // pass 2: one streaming pass per partition behind a ring of the last
-    // width = maxK+1 value rows. Boundary rows are PUSHED (state warm-up)
-    // but not emitted; every local row pushes, then emits.
+    // pass 2: one streaming pass per partition. Stream = preceding
+    // boundary ++ local rows ++ following boundary, through a ring of
+    // the last `width` value rows; a local row emits once the stream is
+    // `delay` pushes past it (pending queue), so its widest frame is
+    // fully pushed.
     val types = output.map(_.dataType).toArray
     input.mapPartitionsWithIndex({ (pid, it) =>
-      val boundary = bc.value(pid)
+      val boundary = bcPre.value(pid)
+      val lookahead = bcPost.value(pid)
       val nCols = types.length
       val outProj = UnsafeProjection.create(types)
       val valueProj = UnsafeProjection.create(bounds)
       val out = new GenericInternalRow(nCols)
       val ring = new Array[UnsafeRow](width)
-      // pushed index of the most recent entry; frames live in pushed
-      // space, which equals corpus space truncated to the last maxK rows
-      // (exactly the window any frame can reach)
-      var last = -1L
+      var last = -1L // stream index of the most recent push
+      var emitIdx = -1L // stream index of the most recent emission
 
-      // per-spec incremental state + evaluation gates
+      // per-spec sliding state. Every stream index ENTERS spec i's
+      // incremental state when the emission cursor's frame reaches it
+      // (entered(i) advances to min(e + hi_i, last)) and LEAVES when the
+      // cursor passes it (left(i) advances to e + lo_i - 1) — each index
+      // enters/leaves once, so the work is O(1) amortized per spec.
       val cnt = new Array[Long](nSpecs)  // non-null values in frame
       val wsum = new Array[Long](nSpecs) // wrapping frame sum (legacy)
+      val entered = Array.fill(nSpecs)(-1L)
+      val left = Array.fill(nSpecs)(-1L)
       val isExt = kinds.map(kd => kd == ScanKind.Min || kd == ScanKind.Max)
       val isMin = kinds.map(_ == ScanKind.Min)
       val incremental = Array.tabulate(nSpecs)(i =>
         kinds(i) == ScanKind.Count ||
           (kinds(i) == ScanKind.Sum && !ansis(i)))
-      val incSum = Array.tabulate(nSpecs)(i =>
-        kinds(i) == ScanKind.Sum && !ansis(i))
       // interpreted orderings for the extremum deques (DataType ships
       // fine; the ordering itself is built per task)
       val gord = Array.tabulate(nSpecs)(i =>
@@ -229,9 +283,9 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
           org.apache.spark.sql.catalyst.util.TypeUtils
             .getInterpretedOrdering(dts(i))
         else null)
-      // monotonic deques: (pushed index, boxed value), indexes strictly
+      // monotonic deques: (stream index, boxed value), indexes strictly
       // increasing front to back, values strictly improving toward the
-      // front in the spec's direction. Values are extracted at push time
+      // front in the spec's direction. Values are extracted at entry
       // from that push's own row copy, so later ring-slot reuse never
       // invalidates them.
       val deques = Array.fill(nSpecs)(
@@ -239,55 +293,72 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
 
       def push(vrow: UnsafeRow): Unit = {
         last += 1L
-        // exits first: for k == maxK the departing entry lives in
-        // EXACTLY the ring slot this push reuses — read before overwrite
-        var i = 0
-        while (i < nSpecs) {
-          if (incremental(i)) {
-            val dep = last - ks(i) - 1L
-            if (dep >= 0L) {
-              val drow = ring((dep % width).toInt)
-              if (!drow.isNullAt(i)) {
-                cnt(i) -= 1L
-                if (incSum(i)) wsum(i) -= drow.getLong(i)
-              }
-            }
-          }
-          i += 1
-        }
         ring((last % width).toInt) = vrow
-        i = 0
-        while (i < nSpecs) {
-          if (incremental(i) && !vrow.isNullAt(i)) {
-            cnt(i) += 1L
-            if (incSum(i)) wsum(i) += vrow.getLong(i)
-          }
-          if (isExt(i) && !vrow.isNullAt(i)) {
-            val v = vrow.get(i, dts(i))
-            val dq = deques(i)
-            val ord = gord(i)
-            // a back entry the new value ties-or-beats can never be the
-            // frame extremum again (the new value is newer AND as good)
-            while (dq.nonEmpty && {
-              val c = ord.compare(dq.last._2, v)
-              if (isMin(i)) c >= 0 else c <= 0
-            }) dq.removeLast()
-            dq.append((last, v))
-          }
-          i += 1
-        }
       }
 
       def emit(row: InternalRow): UnsafeRow = {
+        emitIdx += 1L
         val base = nCols - nSpecs
         var j = 0
         while (j < base) { out.update(j, row.get(j, types(j))); j += 1 }
         var i = 0
         while (i < nSpecs) {
           val col = base + i
+          // frame of this emission in stream space, truncated to what
+          // exists: [loIdx, hiIdx] (empty when hiIdx < loIdx — frames
+          // not covering the current row, at the corpus edges)
+          val loIdx = math.max(0L, emitIdx + los(i))
+          val hiIdx = math.min(last, emitIdx + his(i))
+          if (incremental(i) || isExt(i)) {
+            // ENTER every stream index up to the frame end, in ascending
+            // order — each index enters exactly once, so the deque's
+            // front-to-back index invariant holds and the enter/leave
+            // pointers stay symmetric (an index below loIdx entered here
+            // departs or expires within this same emission)
+            var u = entered(i) + 1L
+            while (u <= hiIdx) {
+              val vrow = ring((u % width).toInt)
+              if (!vrow.isNullAt(i)) {
+                if (incremental(i)) {
+                  cnt(i) += 1L
+                  if (kinds(i) == ScanKind.Sum) wsum(i) += vrow.getLong(i)
+                }
+                if (isExt(i)) {
+                  val v = vrow.get(i, dts(i))
+                  val dq = deques(i)
+                  val ord = gord(i)
+                  // a back entry the new value ties-or-beats can never
+                  // be the frame extremum again (newer AND as good)
+                  while (dq.nonEmpty && {
+                    val c = ord.compare(dq.last._2, v)
+                    if (isMin(i)) c >= 0 else c <= 0
+                  }) dq.removeLast()
+                  dq.append((u, v))
+                }
+              }
+              u += 1L
+            }
+            entered(i) = math.max(entered(i), hiIdx)
+            // then LEAVE every index the frame start has passed — but
+            // only ones actually entered (an empty frame's start can
+            // point past the stream end)
+            if (incremental(i)) {
+              val dMax = math.min(loIdx - 1L, entered(i))
+              var d = left(i) + 1L
+              while (d <= dMax) {
+                val drow = ring((d % width).toInt)
+                if (!drow.isNullAt(i)) {
+                  cnt(i) -= 1L
+                  if (kinds(i) == ScanKind.Sum) wsum(i) -= drow.getLong(i)
+                }
+                d += 1L
+              }
+              left(i) = math.max(left(i), dMax)
+            }
+          }
           kinds(i) match {
             case ScanKind.Rows =>
-              out.update(col, math.min(ks(i) + 1L, last + 1L))
+              out.update(col, math.max(0L, hiIdx - loIdx + 1L))
             case ScanKind.Count =>
               out.update(col, cnt(i))
             case ScanKind.Sum if !ansis(i) =>
@@ -298,8 +369,8 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
               // partial overflows (enter/exit deltas could overflow the
               // accumulator on frames whose own sum is in range)
               var s = 0L; var any = false
-              var idx = math.max(0L, last - ks(i))
-              while (idx <= last) {
+              var idx = loIdx
+              while (idx <= hiIdx) {
                 val r = ring((idx % width).toInt)
                 if (!r.isNullAt(i)) {
                   s = Math.addExact(s, r.getLong(i)); any = true
@@ -312,8 +383,8 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
               // Double, in frame order, recomputed per slide
               // (SlidingWindowFunctionFrame) — reproduce bit-for-bit
               var d = 0.0; var c = 0L
-              var idx = math.max(0L, last - ks(i))
-              while (idx <= last) {
+              var idx = loIdx
+              while (idx <= hiIdx) {
                 val r = ring((idx % width).toInt)
                 if (!r.isNullAt(i)) { d += r.getLong(i); c += 1L }
                 idx += 1L
@@ -321,9 +392,8 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
               if (c > 0L) out.update(col, d / c) else out.setNullAt(col)
             case _ => // Min | Max: expire, then read the front
               val dq = deques(i)
-              val lo = last - ks(i)
-              while (dq.nonEmpty && dq.head._1 < lo) dq.removeHead()
-              if (dq.isEmpty) out.setNullAt(col)
+              while (dq.nonEmpty && dq.head._1 < loIdx) dq.removeHead()
+              if (dq.isEmpty || dq.head._1 > hiIdx) out.setNullAt(col)
               else out.update(col, dq.head._2)
           }
           i += 1
@@ -332,9 +402,30 @@ case class GlobalFrameExec(order: Seq[SortOrder], specs: Seq[FrameSpec],
       }
 
       boundary.foreach(push)
-      it.map { row =>
+      emitIdx = last // emissions start at the first LOCAL stream index
+      // local rows pending emission while the stream runs `delay` ahead;
+      // the iterator over the persisted block yields distinct row
+      // objects, so holding them is safe
+      val pending = new scala.collection.mutable.ArrayDeque[InternalRow]()
+      val main = it.flatMap { row =>
+        pending.append(row)
         push(valueProj(row).copy())
-        emit(row)
+        if (pending.length > delay)
+          Iterator.single(emit(pending.removeHead()))
+        else Iterator.empty
+      }
+      // Iterator.++'s operand is by-name: the tail below only runs after
+      // `main` is exhausted. Push the following boundary (draining one
+      // pending emission per push), then flush what remains — their
+      // frames truncate at the corpus end.
+      main ++ {
+        val drained = lookahead.iterator.flatMap { vrow =>
+          push(vrow)
+          if (pending.length > delay)
+            Iterator.single(emit(pending.removeHead()))
+          else Iterator.empty
+        }
+        drained ++ pending.iterator.map(emit)
       }
     }, preservesPartitioning = true)
   }
@@ -353,12 +444,12 @@ object GlobalFrameStrategy extends Strategy {
 }
 
 /** Optimizer rule: rewrite an un-partitioned Window whose expressions are
-  * bounded trailing-frame aggregates (`ROWS BETWEEN k PRECEDING AND
-  * CURRENT ROW`, k <= [[GlobalFrame.MaxFrame]]) — optionally MIXED with
-  * prefix aggregates from GlobalScan's domain (`ROWS/RANGE UNBOUNDED
-  * PRECEDING`, the everyday "running total + moving average" dashboard)
-  * — into [[GlobalFramePlan]] stacked on [[GlobalScanPlan]] over ONE
-  * shared range sort. All-or-nothing, same rationale as GlobalScanRule:
+  * bounded ROWS-frame aggregates (`ROWS BETWEEN lo AND hi`, |lo| and |hi|
+  * <= [[GlobalFrame.MaxFrame]]) — optionally MIXED with prefix aggregates
+  * from GlobalScan's domain (`ROWS/RANGE UNBOUNDED PRECEDING`, the
+  * everyday "running total + moving average" dashboard) — into
+  * [[GlobalFramePlan]] stacked on [[GlobalScanPlan]] over ONE shared
+  * range sort. All-or-nothing, same rationale as GlobalScanRule:
   * rewriting a subset would still leave a single-partition Window for
   * the rest. Partitioned windows parallelize on their own and
   * LIMIT-bounded inputs are provably tiny — both keep WindowExec. */
@@ -371,33 +462,36 @@ object GlobalFrameRule
   import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
 
-  /** `k PRECEDING` as Catalyst encodes it: a negative literal (DataFrame
-    * `rowsBetween(-k, 0)`, or SQL after constant folding), the parser's
-    * still-unfolded `UnaryMinus(k)`, or `CurrentRow` (the degenerate
-    * k = 0 frame — `rowsBetween(0, 0)` encodes its lower bound as
-    * CurrentRow, not a literal). */
-  private object KPreceding {
+  /** A bounded frame offset as Catalyst encodes it: CurrentRow (0), a
+    * signed literal (DataFrame `rowsBetween(lo, hi)`, or SQL after
+    * constant folding — negative = PRECEDING, positive = FOLLOWING), or
+    * the parser's still-unfolded `UnaryMinus(k)` for PRECEDING. */
+  private object BoundOffset {
     def unapply(e: Expression): Option[Int] = e match {
-      case IntegerLiteral(n) if n < 0 && n != Int.MinValue => Some(-n)
-      case UnaryMinus(IntegerLiteral(n), _) if n > 0 => Some(n)
       case CurrentRow => Some(0)
+      case IntegerLiteral(n) if n != Int.MinValue => Some(n)
+      case UnaryMinus(IntegerLiteral(n), _) if n != Int.MinValue =>
+        Some(-n)
       case _ => None
     }
   }
 
-  private case class FParsed(alias: Alias, order: Seq[SortOrder], k: Int,
-      kind: ScanKind, value: CAttr, ansi: Boolean, widen: Boolean)
+  private case class FParsed(alias: Alias, order: Seq[SortOrder],
+      lo: Int, hi: Int, kind: ScanKind, value: CAttr, ansi: Boolean,
+      widen: Boolean)
 
   private def parseFrame(e: NamedExpression,
                          child: org.apache.spark.sql.catalyst.plans
                            .logical.LogicalPlan): Option[FParsed] = e match {
     case a @ Alias(WindowExpression(agg: AggregateExpression,
           WindowSpecDefinition(Seq(), order,
-            SpecifiedWindowFrame(RowFrame, KPreceding(k), CurrentRow))),
+            SpecifiedWindowFrame(RowFrame, BoundOffset(lo),
+              BoundOffset(hi)))),
         _) if order.nonEmpty && !agg.isDistinct && agg.filter.isEmpty &&
-          k <= GlobalFrame.MaxFrame =>
+          lo <= hi && math.max(math.abs(lo), math.abs(hi)) <=
+            GlobalFrame.MaxFrame =>
       GlobalScanRule.scannable(agg, child).map { case (kind, v, ansi,
-          widen) => FParsed(a, order, k, kind, v, ansi, widen) }
+          widen) => FParsed(a, order, lo, hi, kind, v, ansi, widen) }
     case _ => None
   }
 
@@ -453,7 +547,7 @@ object GlobalFrameRule
           }
           val framePs = framed.flatten
           val g = GlobalFramePlan(order,
-            framePs.map(p => FrameSpec(p.kind, p.k, p.ansi)),
+            framePs.map(p => FrameSpec(p.kind, p.lo, p.hi, p.ansi)),
             framePs.map(p => valOf(p.value, p.widen)), base)
           // results in the original expression order, each narrowed back
           // to its alias type under the original exprId so downstream
@@ -479,9 +573,10 @@ object GlobalFrameRule
 }
 
 object GlobalFrame {
-  /** Boundary state is up to MaxFrame narrow rows per partition on the
-    * driver (and a MaxFrame+1-slot ring per task); beyond this the frame
-    * is no longer a small bounded neighborhood and WindowExec keeps it. */
+  /** Boundary state is up to MaxFrame narrow rows per direction per
+    * partition on the driver (and a bounded ring + pending queue per
+    * task); beyond this the frame is no longer a small bounded
+    * neighborhood and WindowExec keeps it. */
   val MaxFrame = 1024
 
   def ensureStrategy(spark: SparkSession): Unit = {
@@ -492,7 +587,7 @@ object GlobalFrame {
   }
 
   /** Register [[GlobalFrameRule]] (+ the strategies it plans through) on
-    * a session, idempotently: un-partitioned trailing-frame windows then
+    * a session, idempotently: un-partitioned bounded-frame windows then
     * plan as GlobalFrame automatically. */
   def ensureRule(spark: SparkSession): Unit = {
     ensureStrategy(spark)
@@ -503,22 +598,27 @@ object GlobalFrame {
   def removeRule(spark: SparkSession): Unit =
     SessionHooks.removeRule(spark, GlobalFrameRule)
 
-  /** df + `trailing` column: the k-PRECEDING..CURRENT-ROW sliding `kind`
+  /** df + `frame` column: the `[lo, hi]` ROWS-frame sliding `kind`
     * aggregate of `valueCol` under the total order given by `keys`
     * ((name, descending) pairs) — the scale-out replacement for
-    * `agg(value).over(Window.orderBy(...).rowsBetween(-k, 0))`. */
-  def trailing(df: DataFrame, valueCol: String, k: Int,
-               kind: ScanKind, keys: (String, Boolean)*): DataFrame = {
+    * `agg(value).over(Window.orderBy(...).rowsBetween(lo, hi))`. */
+  def sliding(df: DataFrame, valueCol: String, lo: Int, hi: Int,
+              kind: ScanKind, keys: (String, Boolean)*): DataFrame = {
     ensureStrategy(df.sparkSession)
     val plan = SessionHooks.analyzed(df)
     val value = SessionHooks.attr(plan, valueCol)
     if (kind == ScanKind.Sum || kind == ScanKind.Avg)
       require(value.dataType == LongType,
-        s"trailing ${kind.sql} needs a LongType value column, got " +
+        s"sliding ${kind.sql} needs a LongType value column, got " +
           s"${value.dataType}")
     SessionHooks.ofRows(df,
       GlobalFramePlan(SessionHooks.resolveOrder(plan, keys), value, plan,
-        k, kind,
+        lo, hi, kind,
         ansi = df.sparkSession.sessionState.conf.ansiEnabled))
   }
+
+  /** Trailing-frame shorthand: `[−k, 0]`. */
+  def trailing(df: DataFrame, valueCol: String, k: Int,
+               kind: ScanKind, keys: (String, Boolean)*): DataFrame =
+    sliding(df, valueCol, -k, 0, kind, keys: _*)
 }

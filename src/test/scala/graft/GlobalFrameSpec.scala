@@ -148,7 +148,7 @@ class GlobalFrameSpec extends AnyFunSuite {
     } finally GlobalFrame.removeRule(spark)
   }
 
-  test("partitioned windows and frames reaching forward keep WindowExec") {
+  test("partitioned windows keep WindowExec") {
     GlobalFrame.ensureRule(spark)
     try {
       val df = spark.range(100).select(col("id").as("t"),
@@ -157,10 +157,78 @@ class GlobalFrameSpec extends AnyFunSuite {
         .partitionBy(col("g")).orderBy(col("t")).rowsBetween(-3, 0)
       assert(!df.select(sum(col("v")).over(byG).as("s"))
         .queryExecution.executedPlan.toString.contains("GlobalFrame"))
-      val fwd = w.rowsBetween(-3, 1)
-      assert(!df.select(sum(col("v")).over(fwd).as("s"))
-        .queryExecution.executedPlan.toString.contains("GlobalFrame"))
     } finally GlobalFrame.removeRule(spark)
+  }
+
+  test("centered frames: k PRECEDING .. k FOLLOWING matches the native " +
+    "window across many partitions") {
+    val n = 3000
+    val df = spark.range(n).select(col("id").as("t"),
+      (col("id") * 13 % 503).as("v")).repartition(17)
+    for ((lo, hi) <- Seq((-5, 5), (-100, 100), (-1, 3))) {
+      def q = df.select(col("t"),
+        sum(col("v")).over(w.rowsBetween(lo, hi)).as("s"),
+        avg(col("v")).over(w.rowsBetween(lo, hi)).as("a"),
+        min(col("v")).over(w.rowsBetween(lo, hi)).as("mn"),
+        count(lit(1)).over(w.rowsBetween(lo, hi)).as("n"))
+      val (native, got, plan) = nativeVsRewritten(q, "t")
+      assert(plan.contains("GlobalFrame"), s"[$lo,$hi] not rewritten:\n$plan")
+      assert(!plan.contains("Window"), plan)
+      assert(got == native, s"[$lo,$hi]")
+    }
+  }
+
+  test("pure-lookahead and detached frames: empty frames at the corpus " +
+    "edges are NULL (counts 0), matching the native window") {
+    val n = 400
+    val df = spark.range(n).select(col("id").as("t"),
+      (col("id") * 7 % 101).as("v")).repartition(9)
+    // CURRENT ROW .. 10 FOLLOWING, 1 .. 5 FOLLOWING (empty at the tail),
+    // 10 .. 3 PRECEDING (empty at the head)
+    for ((lo, hi) <- Seq((0, 10), (1, 5), (-10, -3))) {
+      def q = df.select(col("t"),
+        sum(col("v")).over(w.rowsBetween(lo, hi)).as("s"),
+        max(col("v")).over(w.rowsBetween(lo, hi)).as("mx"),
+        count(col("v")).over(w.rowsBetween(lo, hi)).as("c"))
+      val (native, got, plan) = nativeVsRewritten(q, "t")
+      assert(plan.contains("GlobalFrame"), s"[$lo,$hi] not rewritten:\n$plan")
+      assert(got == native, s"[$lo,$hi]")
+    }
+    // spot-check edge semantics on [1, 5]: the last row's frame is empty
+    GlobalFrame.ensureRule(spark)
+    try {
+      val lastRow = df.select(col("t"),
+        sum(col("v")).over(w.rowsBetween(1, 5)).as("s"),
+        count(col("v")).over(w.rowsBetween(1, 5)).as("c"))
+        .orderBy(col("t").desc).limit(1).collect()(0)
+      assert(lastRow.isNullAt(1) && lastRow.getLong(2) == 0L)
+    } finally GlobalFrame.removeRule(spark)
+  }
+
+  test("nulls with forward frames carry native semantics") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None),
+      (5L, None), (6L, Some(2L)))
+      .toDF("t", "v").repartition(3)
+    def q = df.select(col("t"),
+      sum(col("v")).over(w.rowsBetween(-1, 1)).as("s"),
+      min(col("v")).over(w.rowsBetween(0, 2)).as("mn"),
+      count(col("v")).over(w.rowsBetween(-2, 1)).as("c"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(got == native)
+  }
+
+  test("direct API: GlobalFrame.sliding computes a centered aggregate " +
+    "without the rule") {
+    val df = spark.range(1000).select(col("id").as("t"),
+      (col("id") % 50).as("v")).repartition(8)
+    val got = GlobalFrame.sliding(df, "v", -2, 2, ScanKind.Min,
+      "t" -> false)
+      .orderBy("t").select("frame").as[Long].collect().toSeq
+    val want = (0 until 1000).map(i =>
+      (math.max(0, i - 2) to math.min(999, i + 2)).map(_.toLong % 50).min)
+    assert(got == want)
   }
 
   test("ANSI sliding sum raises on a frame whose in-order partial " +

@@ -257,7 +257,8 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
     val frame = Seq("rel_frame_moving_sum", "rel_frame_trailing_stats",
-      "rel_frame_mixed_dashboard", "rel_frame_price_band")
+      "rel_frame_mixed_dashboard", "rel_frame_price_band",
+      "rel_frame_centered_avg", "rel_frame_lookahead_peak")
     frame.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalFrame"),
