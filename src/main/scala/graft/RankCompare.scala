@@ -62,10 +62,21 @@ object RankCompare {
       li.withColumn("r", cume_dist().over(wt)))
     val (lagW, lagG) = both("lag(1)")(
       li.withColumn("r", lag(col("l_extendedprice"), 1).over(w)))
+    val bothFrame = { // GlobalFrameRule isolated the same way
+      def build = li.withColumn("m",
+        max(col("l_extendedprice")).over(w.rowsBetween(-99, 0)))
+      graft.plans.GlobalFrame.removeRule(spark)
+      val win = run("frame(100) window")(build)
+      graft.plans.GlobalFrame.ensureRule(spark)
+      val glob = run("frame(100) rewritten")(build)
+      (win, glob)
+    }
+    val (frameW, frameG) = bothFrame
     println(s"""{"rows":$n,"window_sec":$windowSec,"globalrank_sec":$globalSec,""" +
       s""""rank_window_sec":$rankW,"rank_ties_sec":$rankG,""" +
       s""""cume_window_sec":$cumeW,"cume_ties_sec":$cumeG,""" +
-      s""""lag_window_sec":$lagW,"lag_shift_sec":$lagG}""")
+      s""""lag_window_sec":$lagW,"lag_shift_sec":$lagG,""" +
+      s""""frame_window_sec":$frameW,"frame_sec":$frameG}""")
     spark.stop()
   }
 }
