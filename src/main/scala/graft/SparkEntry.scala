@@ -2264,6 +2264,30 @@ object SparkEntry {
         .select(col("event_id"),
           (col("next_t") - col("t")).as("gap_us"))),
 
+    // Previous VALID reading — `lag(v, 1) IGNORE NULLS`: the most recent
+    // non-null value strictly before each event (error events carry null
+    // v). GlobalShiftRule plans it distributed: the boundary ships each
+    // partition's last NON-NULL value and the ring advances only on
+    // non-nulls, so arbitrarily long error runs cost nothing.
+    "rel_prev_valid_value" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("prev_valid", lag(col("v"), 1, null, true).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("event_id"))))
+        .select(col("event_id"), col("prev_valid"))),
+
+    // Next VALID reading — `lead(v, 1) IGNORE NULLS`. A forward scan
+    // would queue an unbounded run of null-valued rows, so the rule
+    // plans this as ignore-nulls LAG over the REVERSED order ("next
+    // non-null in the user's order" = "previous non-null in the reversed
+    // order") — same O(n) ring, opposite direction. Census-pinned.
+    "rel_next_valid_value" -> ((s, dir) =>
+      valuedEvents(s, dir)
+        .withColumn("next_valid", lead(col("v"), 1, null, true).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("event_id"))))
+        .select(col("event_id"), col("next_valid"))),
+
     // Trailing 100-event moving sum + count over the global event order —
     // `ROWS BETWEEN 99 PRECEDING AND CURRENT ROW` with no PARTITION BY,
     // the bounded-frame window Spark plans as a single-partition
@@ -4776,6 +4800,30 @@ object SparkEntry {
         |)
         |SELECT event_id,
         |       lead(t, 1) OVER (ORDER BY t, event_id) - t AS gap_us
+        |FROM e""".stripMargin,
+
+    "rel_prev_valid_value" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       lag(v, 1 IGNORE NULLS) OVER (ORDER BY t, event_id)
+        |         AS prev_valid
+        |FROM e""".stripMargin,
+
+    "rel_next_valid_value" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       lead(v, 1 IGNORE NULLS) OVER (ORDER BY t, event_id)
+        |         AS next_valid
         |FROM e""".stripMargin,
 
     "rel_frame_moving_sum" ->

@@ -161,8 +161,10 @@ object GlobalRankRule
     * between the window and its limit. */
   /** Full comparator inversion: direction AND null ordering flip, so
     * "strictly before, in the reversed order" is exactly "strictly
-    * after, in the user's order" — including null groups. */
-  private def reverseOrder(so: SortOrder): SortOrder = {
+    * after, in the user's order" — including null groups.
+    * private[plans]: [[GlobalShiftRule]] reuses it to plan ignore-nulls
+    * lead as ignore-nulls lag over the reversed order. */
+  private[plans] def reverseOrder(so: SortOrder): SortOrder = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending,
       NullsFirst, NullsLast}
     SortOrder(so.child,

@@ -37,7 +37,8 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * partition, and a frame offset beyond that cap is no longer "a fixed
   * small distance" (WindowExec keeps those). */
 case class GlobalShiftPlan(order: Seq[SortOrder], input: Attribute,
-    offset: Int, default: Expression, child: LogicalPlan,
+    offset: Int, default: Expression, ignoreNulls: Boolean,
+    child: LogicalPlan,
     // constructor field so copy()/transform preserve the exprId
     shiftAttr: AttributeReference)
   extends UnaryNode {
@@ -54,15 +55,16 @@ object GlobalShiftPlan {
   /** Output column typed/nulled like the native Lag/Lead it replaces:
     * the input's type; nullable when the input or the default is. */
   def apply(order: Seq[SortOrder], input: Attribute, offset: Int,
-            default: Expression, child: LogicalPlan): GlobalShiftPlan =
-    GlobalShiftPlan(order, input, offset, default, child,
+            default: Expression, child: LogicalPlan,
+            ignoreNulls: Boolean = false): GlobalShiftPlan =
+    GlobalShiftPlan(order, input, offset, default, ignoreNulls, child,
       AttributeReference("shift", input.dataType,
         input.nullable || default.nullable)())
 }
 
 case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
-    offset: Int, default: Expression, shiftAttr: Attribute,
-    child: SparkPlan)
+    offset: Int, default: Expression, ignoreNulls: Boolean,
+    shiftAttr: Attribute, child: SparkPlan)
   extends UnaryExecNode {
   require(offset != 0, "offset 0 is the identity — WindowExec keeps it")
   override def output: Seq[Attribute] = child.output :+ shiftAttr
@@ -83,6 +85,13 @@ case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
   override protected def doExecute(): RDD[InternalRow] = {
     val n = math.abs(offset)
     val isLag = offset < 0
+    // ignore-nulls LEAD never reaches the exec: the rule plans it as
+    // ignore-nulls lag over the REVERSED order (a forward pending queue
+    // would hold an unbounded run of null-valued rows; the backward ring
+    // holds exactly n non-null values)
+    require(isLag || !ignoreNulls,
+      "ignore-nulls lead plans as reversed-order lag")
+    val skipNulls = ignoreNulls
     val ordinal = child.output.indexWhere(_.exprId == input.exprId)
     require(ordinal >= 0, s"shift column $input not in child output")
     val valueType = input.dataType
@@ -98,13 +107,19 @@ case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
       inputRdd.mapPartitions({ it =>
         val proj = UnsafeProjection.create(
           Seq(BoundReference(ordinal, valueType, valueNullable)))
+        // `count` counts QUALIFYING rows (all rows, or non-null values
+        // under ignore-nulls) — the splice invariant "array shorter than
+        // n means captured whole" must hold for the values that count
         var count = 0L
         if (isLag) {
-          // last n values: ring buffer, then unroll in row order
+          // last n qualifying values: ring buffer, then unroll in order
           val ring = new Array[UnsafeRow](n)
           it.foreach { row =>
-            ring((count % n).toInt) = proj(row).copy()
-            count += 1L
+            val pr = proj(row)
+            if (!skipNulls || !pr.isNullAt(0)) {
+              ring((count % n).toInt) = pr.copy()
+              count += 1L
+            }
           }
           val m = math.min(count, n.toLong).toInt
           val tail = new Array[UnsafeRow](m)
@@ -201,8 +216,13 @@ case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
           val slot = (pos % n).toInt
           val shifted = if (pos >= n) ring(slot) else null
           val outRow = emit(row, shifted)
-          ring(slot) = valueProj(row).copy()
-          pos += 1L
+          // under ignore-nulls only non-null values advance the ring —
+          // the read above is then "the n-th previous NON-NULL value"
+          val pr = valueProj(row)
+          if (!skipNulls || !pr.isNullAt(0)) {
+            ring(slot) = pr.copy()
+            pos += 1L
+          }
           outRow
         }
       } else {
@@ -239,7 +259,8 @@ case class GlobalShiftExec(order: Seq[SortOrder], input: Attribute,
 object GlobalShiftStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalShiftPlan =>
-      GlobalShiftExec(g.order, g.input, g.offset, g.default, g.shiftAttr,
+      GlobalShiftExec(g.order, g.input, g.offset, g.default,
+        g.ignoreNulls, g.shiftAttr,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }
@@ -264,18 +285,29 @@ object GlobalShiftRule
       // NOTE: Lag's case-class field is the POSITIVE user-facing offset
       // (its toString renders the derived negation, which is a trap);
       // Lead's is positive too. The plan's signed offset is derived here.
+      // IGNORE NULLS variants plan too: lag directly (the ring keeps the
+      // last n NON-NULL values); lead as ignore-nulls lag over the
+      // REVERSED order — "n-th non-null after, in the user's order" IS
+      // "n-th non-null before, in the reversed order", and the backward
+      // ring stays O(n) where a forward pending queue would hold an
+      // unbounded run of null-valued rows. (Like any offset window over
+      // a non-total order, results on TIES follow the executed sort.)
       val shift = fn match {
-        case Lag(v: CAttr, IntegerLiteral(off), d, false)
+        case Lag(v: CAttr, IntegerLiteral(off), d, ign)
             if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
-          Some((v, -off, d))
+          Some((v, -off, d, ign, order))
         case Lead(v: CAttr, IntegerLiteral(off), d, false)
             if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
-          Some((v, off, d))
+          Some((v, off, d, false, order))
+        case Lead(v: CAttr, IntegerLiteral(off), d, true)
+            if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
+          Some((v, -off, d, true, order.map(GlobalRankRule.reverseOrder)))
         case _ => None
       }
       shift.filter(_ => !GlobalRankRule.isLimitBounded(child))
-        .map { case (v, off, d) =>
-          val g = GlobalShiftPlan(order, v, off, d, child)
+        .map { case (v, off, d, ign, planOrder) =>
+          val g = GlobalShiftPlan(planOrder, v, off, d, child,
+            ignoreNulls = ign)
           Project(child.output :+
             Alias(g.shiftAttr, name)(exprId = a.exprId,
               qualifier = a.qualifier,

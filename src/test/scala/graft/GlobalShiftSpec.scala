@@ -58,6 +58,62 @@ class GlobalShiftSpec extends AnyFunSuite {
     } finally GlobalShift.removeRule(spark)
   }
 
+  test("ignore-nulls lag/lead match the native window, including the " +
+    "reversed-order lead plan") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, Some(10L)), (2L, None), (3L, Some(30L)), (4L, None),
+      (5L, None), (6L, Some(60L)), (7L, None))
+      .toDF("t", "v").repartition(3)
+    def lagQ = df.withColumn("s", lag(col("v"), 1, null, true).over(w))
+    def leadQ = df.withColumn("s", lead(col("v"), 2, null, true).over(w))
+    val nativeLag = lagQ.orderBy("t").collect().toSeq
+    val nativeLead = leadQ.orderBy("t").collect().toSeq
+    GlobalShift.ensureRule(spark)
+    try {
+      val pl = lagQ.queryExecution.executedPlan.toString
+      assert(pl.contains("GlobalShift") && !pl.contains("Window"), pl)
+      val pd = leadQ.queryExecution.executedPlan.toString
+      assert(pd.contains("GlobalShift") && !pd.contains("Window"), pd)
+      assert(lagQ.orderBy("t").collect().toSeq == nativeLag)
+      assert(leadQ.orderBy("t").collect().toSeq == nativeLead)
+    } finally GlobalShift.removeRule(spark)
+  }
+
+  test("ignore-nulls shifts at scale: sparse values across many " +
+    "partitions match a sequential scan") {
+    val n = 4000
+    // ~1/7 of rows carry a value; runs of nulls span whole partitions
+    val df = spark.range(n).select(col("id").as("t"),
+      when(col("id") % 7 === 0, col("id") * 3).as("v")).repartition(31)
+    val vals = (0 until n).filter(_ % 7 == 0).map(i => i.toLong * 3)
+    GlobalShift.ensureRule(spark)
+    try {
+      for (off <- Seq(1, 5)) {
+        val got = df.withColumn("s", lag(col("v"), off, null, true).over(w))
+          .orderBy("t").select("s")
+          .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        val want = (0 until n).map { i =>
+          // count of value-carrying rows strictly before i
+          // (rows 0, 7, 14, ... — ceil(i/7) of them lie below i)
+          val k = (i + 6) / 7
+          if (k >= off) Some(vals(k - off)) else None
+        }
+        assert(got.toSeq == want, s"ignore-nulls lag($off)")
+        val gotLead = df.withColumn("s",
+          lead(col("v"), off, null, true).over(w))
+          .orderBy("t").select("s")
+          .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        val wantLead = (0 until n).map { i =>
+          // value-carrying rows strictly after i: indices 7*j > i
+          val firstAfter = i / 7 + 1
+          val idx = firstAfter + off - 1
+          if (idx < vals.length) Some(vals(idx)) else None
+        }
+        assert(gotLead.toSeq == wantLead, s"ignore-nulls lead($off)")
+      }
+    } finally GlobalShift.removeRule(spark)
+  }
+
   test("offset beyond MaxOffset, partitioned windows, and bounded inputs " +
     "keep WindowExec") {
     GlobalShift.ensureRule(spark)

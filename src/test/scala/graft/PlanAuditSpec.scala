@@ -249,7 +249,8 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("GlobalTies"), s"$q lost its GlobalTies rewrite:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
-    val shift = Seq("rel_running_delta", "rel_next_event_gap")
+    val shift = Seq("rel_running_delta", "rel_next_event_gap",
+      "rel_prev_valid_value", "rel_next_valid_value")
     shift.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalShift"),
