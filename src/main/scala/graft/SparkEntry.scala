@@ -47,13 +47,25 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    * read nanos as long and rebuild a (microsecond) timestamp. Integer `div`
-    * (not `/`) — nanos ~1.7e18 exceeds double's 2^53 exact-integer range. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (rejected by Spark unless
+    * `nanosAsLong` reads it as a raw long) and plain TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ). Normalize both to a
+    * session-zone TIMESTAMP so every downstream query sees one type:
+    * nanos-long is rebuilt with integer `div` (not `/` — nanos ~1.7e18
+    * exceeds double's 2^53 exact-integer range), and NTZ is cast under
+    * the session's UTC zone (wall-clock-preserving, matching how the
+    * DuckDB oracle reads the same naive micros). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** dedup_lsh_recall's truth-side df cap: a shingle shared by more than

@@ -87,10 +87,16 @@ class StreamingMediaSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_join_attrib")(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // ts has shipped as both nanos-long and naive-micros timestamp across
+    // testdata generations — normalize to epoch micros either way
+    val us = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val e = raw
       .where(col("event_type").isin("view", "purchase"))
-      .select(col("user_id"), expr("ts div 1000").as("us"),
-        col("event_type"))
+      .select(col("user_id"), us.as("us"), col("event_type"))
     val v = e.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("us").as("v_us"))
     val batch = e.where(col("event_type") === "purchase")
