@@ -1195,13 +1195,32 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("last_view_us"))
     }),
 
-    // Exact percentiles (sort-based, deterministic) per key
-    "rel_percentiles" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90"),
-          count(lit(1)).as("cnt"))),
+    // Exact percentiles per key — distributed range-narrowing selection
+    // (ops/Selection.quantileCont), NOT built-in percentile(): the
+    // built-in buffers every distinct group value in one task (its
+    // TypedImperativeAggregate OpenHashMap), the one remaining
+    // scale-killer plan this registry had. Bounded memory everywhere;
+    // same quantile_cont contract, round(6) absorbs interpolation ulp.
+    "rel_percentiles" -> ((s, dir) => {
+      val q = graft.ops.Selection.quantileCont(events(s, dir), "value",
+        Seq("event_type"), Seq(0.5, 0.9), qNames = Seq("p50", "p90"))
+      q.select(col("event_type"), round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), col("cnt"))
+    }),
+
+    // Exact grouped quantile ladder on the duplicate-heavy integral
+    // column (l_quantity: 50 distinct values x millions of rows — the
+    // tie-plateau regime where the narrowing collapses to ulp-scale
+    // ranges and resolves by bounded distinct-gather)
+    "rel_exact_quantiles" -> ((s, dir) => {
+      val q = graft.ops.Selection.quantileCont(
+        tbl(s, dir, "lineitem"), "l_quantity", Seq("l_returnflag"),
+        Seq(0.25, 0.5, 0.75, 0.99),
+        qNames = Seq("p25", "p50", "p75", "p99"))
+      q.select(col("l_returnflag"), round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"),
+        round(col("p99"), 6).as("p99"), col("cnt"))
+    }),
 
     // Pivot: one column per event type (explicit value list keeps the
     // schema deterministic — no extra distinct-values job)
@@ -4419,12 +4438,23 @@ object SparkEntry {
         |SELECT event_id, user_id, last_view_us
         |FROM m WHERE event_type = 'purchase'""".stripMargin,
 
+    // cnt is the selection's own non-null count — count(value), not
+    // count(*) (identical on this table, but the contract is explicit)
     "rel_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.9), 6) AS p90,
-        |       count(*) AS cnt
+        |       count(value) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_exact_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(cast(l_quantity AS double), 0.25), 6) AS p25,
+        |       round(quantile_cont(cast(l_quantity AS double), 0.5), 6) AS p50,
+        |       round(quantile_cont(cast(l_quantity AS double), 0.75), 6) AS p75,
+        |       round(quantile_cont(cast(l_quantity AS double), 0.99), 6) AS p99,
+        |       count(l_quantity) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

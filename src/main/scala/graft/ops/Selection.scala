@@ -63,8 +63,13 @@ object Selection {
     * interpolation between adjacent order statistics — the same contract
     * as Spark's `percentile(col, q)` and DuckDB's `quantile_cont(col, q)`
     * (result = lower + (higher - lower) * frac at position q * (n - 1);
-    * nulls excluded). Values are compared in double precision: exact for
-    * double/float columns and for integral columns within 2^53. */
+    * nulls excluded). NaN values are EXCLUDED alongside nulls (documented
+    * deviation: Spark's sort ranks NaN greatest, but a NaN range endpoint
+    * makes every bucket comparison false and the narrowing cannot make
+    * progress — a quantile clean of NaN is also the answer callers
+    * want from a metrics column). Values are compared in double
+    * precision: exact for double/float columns and for integral columns
+    * within 2^53. */
   def quantileCont(df: DataFrame, valueCol: String, groupCols: Seq[String],
                    qs: Seq[Double], qNames: Seq[String] = Nil,
                    buckets: Int = 128, collectThreshold: Int = 8192,
@@ -76,29 +81,49 @@ object Selection {
     val names = if (qNames.nonEmpty) qNames else qs.indices.map(i => s"q_$i")
     require(names.length == qs.length, "qNames must match qs")
 
-    // one comparable string key per group (same idiom as the exact-dedup
-    // key: the  separator keeps multi-column keys collision-free)
-    val keyCol = concat_ws("", groupCols.map(c => col(c).cast("string")): _*)
-    val rows = df.where(col(valueCol).isNotNull)
+    // One comparable string key per group, computed ONCE in Spark and
+    // shared verbatim by the seed, histogram and gather passes — the
+    // driver never re-derives it, so executor-vs-driver formatting
+    // (java.sql.Timestamp's ".0" suffix vs Spark's cast, "null" vs
+    // dropped null) can never make the keys disagree. Encoding: null ->
+    // "u0000", value -> "u0001" ++ cast(string), plain concat —
+    // concat_ws silently DROPS nulls, which would collide ("a", null)
+    // with (null, "a"). A group value containing the marker characters
+    // could still forge a boundary — the same documented contract as the
+    // exact-dedup key idiom.
+    val keyCol: Column =
+      if (groupCols.isEmpty) lit("")
+      else concat(groupCols.map(c => when(col(c).isNull, lit("\u0000"))
+        .otherwise(concat(lit("\u0001"), col(c).cast("string")))): _*)
+    // NaN excluded alongside nulls (see scaladoc): a NaN min/max endpoint
+    // poisons the bucket arithmetic (every comparison false), spinning
+    // the narrowing to maxRounds. Non-floating inputs never cast to NaN.
+    val clean = df.where(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
+    val rows = clean
       .select(keyCol.as("_gkey"), col(valueCol).cast("double").as("_v"))
 
-    // Pass 0: per-group count/min/max seeds every problem's range; also
-    // keeps the original (typed) group columns for the output schema.
-    val seed = df.where(col(valueCol).isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("_n"), min(col(valueCol).cast("double")).as("_lo"),
-        max(col(valueCol).cast("double")).as("_hi"))
+    // Pass 0: per-group count/min/max seeds every problem's range, keyed
+    // by the SAME _gkey expression the later passes join on. The original
+    // (typed) group columns ride along via first(): within one key every
+    // row carries the identical group tuple, so first() is deterministic.
+    val seed = clean
+      .groupBy(keyCol.as("_gkey"))
+      .agg(count(lit(1)).as("_n"),
+        (Seq(min(col(valueCol).cast("double")).as("_lo"),
+          max(col(valueCol).cast("double")).as("_hi")) ++
+          groupCols.map(c => first(col(c)).as(s"_g_$c"))): _*)
       .collect()
 
     var nextPid = 0
     var open = List.empty[Problem]
     val resolved = collection.mutable.Map.empty[(String, Long), Double]
     val meta = seed.map { r =>
-      val gvals = groupCols.indices.map(r.get)
-      val gkey = gvals.map(String.valueOf).mkString("")
-      val n = r.getLong(groupCols.length)
-      val lo = r.getDouble(groupCols.length + 1)
-      val hi = r.getDouble(groupCols.length + 2)
+      val gkey = r.getString(0)
+      val n = r.getLong(1)
+      val lo = r.getDouble(2)
+      val hi = r.getDouble(3)
+      val gvals = groupCols.indices.map(i => r.get(4 + i))
       val positions = qs.map(q => q * (n - 1).toDouble)
       val ranks = positions.flatMap(p =>
         Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
@@ -116,10 +141,12 @@ object Selection {
       // counts with exact below/above overflow buckets re-anchoring the
       // absolute rank (see scaladoc)
       val hist = histogramPass(spark, rows, open, buckets)
+      val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
       val (toGather, stillOpen) = open.map { p =>
-        val h = hist.getOrElse(p.pid, Map.empty[Int, Long])
-        val nBelow = h.getOrElse(B_BELOW, 0L)
-        val nIn = (0 until buckets).map(j => h.getOrElse(j, 0L)).sum
+        val h = hist.getOrElse(p.pid, Map.empty[Int, (Long, Long)])
+        val nBelow = h.getOrElse(B_BELOW, (0L, 0L))._1
+        val nIn = (0 until buckets).map(j => h.getOrElse(j, (0L, 0L))._1).sum
+        val dIn = (0 until buckets).map(j => h.getOrElse(j, (0L, 0L))._2).sum
         val kIn = p.k - nBelow
         if (kIn < 0 || kIn >= nIn)
           throw new IllegalStateException(
@@ -127,12 +154,20 @@ object Selection {
               s"$kIn of $nIn in-range rows (group=${p.gkey}, " +
               s"range=[${p.lo}, ${p.hi}]) — widened narrowing should " +
               "make this unreachable")
-        if (nIn <= collectThreshold) Left((p, kIn))
+        // Gather when the in-range ROW count fits, or when the in-range
+        // DISTINCT count does: a duplicate plateau (many rows, one value)
+        // otherwise narrows forever without ever fitting the row
+        // threshold. The distinct estimate is an HLL sketch (fixed-size
+        // partials — the shuffle stays bounded); the /2 safety factor
+        // dwarfs its 5% rsd, and the gather's own `require` backstops
+        // exactness if the sketch ever lied badly.
+        if (nIn <= collectThreshold || dIn <= gatherDistinctBound / 2)
+          Left((p, kIn))
         else {
           val w = (p.hi - p.lo) / buckets
           var cum = 0L; var j = 0
-          while (cum + h.getOrElse(j, 0L) <= kIn) {
-            cum += h.getOrElse(j, 0L); j += 1
+          while (cum + h.getOrElse(j, (0L, 0L))._1 <= kIn) {
+            cum += h.getOrElse(j, (0L, 0L))._1; j += 1
           }
           // widen one bucket each side: boundary fuzz can never evict
           // the target; clamp and keep global endpoints exact
@@ -185,16 +220,21 @@ object Selection {
   }
 
   /** One aggregation serving every open problem: returns
-    * pid -> (bucket -> count), bucket in {-1} ++ [0, buckets] where -1 is
-    * v < lo and `buckets` is v > hi (both by direct comparison — the
-    * exact re-anchoring buckets). Problems are broadcast (model-sized);
-    * a row joins only the problems of its own group, so the blow-up per
-    * row is the group's open-problem count (<= 2 x quantiles). Partial
-    * aggregation bounds the shuffle at
-    * O(partitions x problems x buckets). */
+    * pid -> (bucket -> (count, approx distinct count)), bucket in {-1} ++
+    * [0, buckets] where -1 is v < lo and `buckets` is v > hi (both by
+    * direct comparison — the exact re-anchoring buckets). The distinct
+    * estimate rides along as an HLL sketch aggregate (equal values land
+    * in equal buckets, so per-bucket sketches sum to the in-range
+    * distinct count) — it is what lets the driver detect duplicate
+    * plateaus and resolve them by gather instead of narrowing forever.
+    * Problems are broadcast (model-sized); a row joins only the problems
+    * of its own group, so the blow-up per row is the group's
+    * open-problem count (<= 2 x quantiles). Partial aggregation bounds
+    * the shuffle at O(partitions x problems x buckets) fixed-size rows
+    * (HLL partials are fixed-size sketches, NOT value sets). */
   private def histogramPass(spark: SparkSession, rows: DataFrame,
                             ps: List[Problem], buckets: Int)
-      : Map[Int, Map[Int, Long]] = {
+      : Map[Int, Map[Int, (Long, Long)]] = {
     val probsDf = spark.createDataFrame(
       ps.map(p => (p.pid, p.gkey, p.lo, p.hi)))
       .toDF("_pid", "_pgkey", "_plo", "_phi")
@@ -205,11 +245,13 @@ object Selection {
     val b = when(v < col("_plo"), lit(B_BELOW))
       .when(v > col("_phi"), lit(buckets)).otherwise(inB)
     rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
-      .groupBy(col("_pid"), b.as("_b")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_pid"), b.as("_b"))
+      .agg(count(lit(1)).as("_c"), approx_count_distinct(v).as("_d"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (pid, rs) =>
-        pid -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        pid -> rs.map(r =>
+          r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
       }
   }
 

@@ -337,7 +337,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "text_bpe_merges",
+      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(known).filterNot(heavy)
@@ -356,7 +356,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "text_bpe_merges",
+      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(heavy)

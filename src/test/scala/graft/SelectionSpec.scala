@@ -1,0 +1,191 @@
+package graft
+
+import graft.ops.Selection
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness contract of the distributed quantile selection
+  * (`Selection.quantileCont`): parity with Spark's built-in exact
+  * `percentile()` on skewed, duplicate-heavy and near-ulp data, forced
+  * through the multi-round narrowing + bounded gather paths (tiny
+  * collectThreshold/buckets), plus the key-semantics regressions from the
+  * round-9 review: timestamp/date group columns and null group values
+  * must NOT desynchronize the driver's group key from the executors'. */
+class SelectionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** quantileCont vs built-in percentile() on the same grouping — both
+    * exact, so equality is strict double equality modulo 1-ulp
+    * interpolation noise (the two compute `lo + (hi-lo)*frac` in the
+    * same order; tolerance covers the built-in's rational-number frac). */
+  private def assertParity(df: org.apache.spark.sql.DataFrame,
+                           valueCol: String, groupCols: Seq[String],
+                           qs: Seq[Double], buckets: Int = 8,
+                           collectThreshold: Int = 16): Unit = {
+    val names = qs.indices.map(i => s"q_$i")
+    val mine = Selection.quantileCont(df, valueCol, groupCols, qs,
+      qNames = names, buckets = buckets,
+      collectThreshold = collectThreshold)
+    val aggs = qs.zip(names).map { case (q, n) =>
+      expr(s"percentile($valueCol, ${q}d)").as(n)
+    } :+ count(when(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")), 1)).as("cnt")
+    val ref =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val key = (r: Row) => groupCols.indices.map(i =>
+      String.valueOf(r.get(r.fieldIndex(groupCols(i))))).mkString("|")
+    val mineMap = mine.collect().map(r => key(r) -> r).toMap
+    val refMap = ref.collect().map(r => key(r) -> r).toMap
+    assert(mineMap.keySet == refMap.keySet,
+      s"group sets differ: ${mineMap.keySet} vs ${refMap.keySet}")
+    refMap.foreach { case (k, rr) =>
+      val mr = mineMap(k)
+      names.foreach { n =>
+        val a = mr.getDouble(mr.fieldIndex(n))
+        val b = rr.getDouble(rr.fieldIndex(n))
+        assert(a == b || math.abs(a - b) <= 4 * math.ulp(b),
+          s"group $k $n: got $a, built-in percentile $b")
+      }
+      assert(mr.getLong(mr.fieldIndex("cnt")) ==
+        rr.getLong(rr.fieldIndex("cnt")))
+    }
+  }
+
+  test("parity on skewed high-cardinality doubles (multi-round narrowing)") {
+    // log-normal-ish skew: dense near 0, long tail; 20k rows per group
+    // with collectThreshold=16 forces several histogram rounds
+    val df = spark.range(0, 40000).select(
+      (col("id") % 2).cast("string").as("g"),
+      (exp(col("id").cast("double") / 4000.0) *
+        (col("id") % 997).cast("double")).as("v"))
+    assertParity(df, "v", Seq("g"), Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))
+  }
+
+  test("parity on duplicate-heavy integers (gather path, tie plateaus)") {
+    // values 1..50 with heavy duplication: ranges collapse to ulp-scale
+    // spans whose in-range row count far exceeds collectThreshold — the
+    // distinct-level gather bound is what keeps this collectable
+    val df = spark.range(0, 30000).select(
+      lit("only").as("g"),
+      ((col("id") * col("id")) % 50 + 1).cast("double").as("v"))
+    assertParity(df, "v", Seq("g"), Seq(0.1, 0.5, 0.77, 0.9))
+  }
+
+  test("parity on near-ulp adjacent values") {
+    // a cluster of doubles one ulp apart around 1.0: bucket width
+    // underflows to 0-progress immediately, exercising the
+    // "range can no longer shrink" resolve-by-gather arm
+    val base = 1.0
+    val vals = (0 until 2000).map(i => base + (i % 5) * math.ulp(base))
+    val df = vals.toDF("v").withColumn("g", lit(1))
+    assertParity(df, "v", Seq("g"), Seq(0.25, 0.5, 0.75))
+  }
+
+  test("timestamp and date group columns do not desync the group key") {
+    // regression: the driver used to re-derive the key via
+    // String.valueOf(java.sql.Timestamp) (".0" suffix) while executors
+    // used cast-to-string — mismatched keys made every histogram see 0
+    // in-range rows and throw. Now the key is computed once in Spark.
+    val df = spark.range(0, 4000).select(
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") % 3) * 86400000000L).as("ts_g"),
+      to_date(timestamp_micros(lit(1700000000000000L) +
+        (col("id") % 2) * 86400000000L)).as("d_g"),
+      col("id").cast("double").as("v"))
+    assertParity(df, "v", Seq("ts_g", "d_g"), Seq(0.5, 0.9))
+  }
+
+  test("null group values form their own group (not merged, not dropped)") {
+    val df = spark.range(0, 3000).select(
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .when(col("id") % 3 === 1, lit("a")).otherwise(lit("b")).as("g"),
+      col("id").cast("double").as("v"))
+    assertParity(df, "v", Seq("g"), Seq(0.5))
+    // and the two-column null patterns (null, "x") vs ("x", null) stay
+    // distinct groups — concat_ws would have collided them
+    val two = spark.range(0, 2000).select(
+      when(col("id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("g1"),
+      when(col("id") % 2 === 0, lit("x"))
+        .otherwise(lit(null).cast("string")).as("g2"),
+      col("id").cast("double").as("v"))
+    val out = Selection.quantileCont(two, "v", Seq("g1", "g2"), Seq(0.5))
+    assert(out.count() == 2L)
+  }
+
+  test("NaN values are excluded (documented deviation) and nulls skipped") {
+    val df = spark.range(0, 1000).select(
+      lit("g").as("g"),
+      when(col("id") % 10 === 0, lit(Double.NaN))
+        .when(col("id") % 10 === 1, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("v"))
+    val out = Selection.quantileCont(df, "v", Seq("g"), Seq(0.5),
+      qNames = Seq("p50"))
+    val r = out.head()
+    // built-in percentile on the NaN-and-null-free slice is the contract
+    val refVal = df.where(!isnan(col("v")) && col("v").isNotNull)
+      .agg(expr("percentile(v, 0.5d)")).head().getDouble(0)
+    assert(r.getDouble(r.fieldIndex("p50")) == refVal)
+    assert(r.getLong(r.fieldIndex("cnt")) == 800L)
+  }
+
+  test("ungrouped (global) quantiles work with an empty groupCols") {
+    val df = spark.range(0, 5000).select(col("id").cast("double").as("v"))
+    assertParity(df, "v", Nil, Seq(0.5, 0.95))
+  }
+
+  test("selection internals plan as bounded broadcast-joined " +
+    "aggregations — no shuffle join, no unbounded collect") {
+    // The scale contract from the scaladoc, pinned on the REAL executed
+    // plans of the operator's internal jobs: every data-touching pass is
+    // an aggregation (its collect() returns per-(problem, bucket) /
+    // per-group rows, never data rows), and the data x problems join is
+    // always a broadcast of the model-sized problem table.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = spark.range(0, 20000).select(
+        (col("id") % 3).cast("string").as("g"),
+        (col("id") % 1000).cast("double").as("v"))
+      Selection.quantileCont(df, "v", Seq("g"), Seq(0.5, 0.9),
+        buckets = 8, collectThreshold = 16)
+      // the listener bus is async: wait for the histogram passes to land
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (!plans.asScala.exists(_.contains("BroadcastHashJoin")) &&
+        System.nanoTime < deadline) Thread.sleep(50)
+      val ps = plans.asScala.toList
+      assert(ps.exists(_.contains("BroadcastHashJoin")),
+        s"no broadcast-joined histogram pass captured among " +
+          s"${ps.size} plans")
+      ps.foreach { p =>
+        assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+          s"selection ran a non-aggregation job (unbounded collect):\n$p")
+        assert(!p.contains("SortMergeJoin") &&
+          !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+          s"selection shuffled data against the problem table:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("invalid quantiles and empty input are loud / empty, not wrong") {
+    val df = Seq(1.0, 2.0).toDF("v").withColumn("g", lit("g"))
+    intercept[IllegalArgumentException] {
+      Selection.quantileCont(df, "v", Seq("g"), Seq(1.5))
+    }
+    val empty = df.where(lit(false))
+    assert(Selection.quantileCont(empty, "v", Seq("g"), Seq(0.5))
+      .count() == 0L)
+  }
+}
