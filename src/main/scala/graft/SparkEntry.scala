@@ -1818,13 +1818,20 @@ object SparkEntry {
                |                AND l.l_quantity >= 45)""".stripMargin)
     }),
 
-    // HLL sketch (approximate distinct). No SQL oracle — engine sketches
-    // differ by design; rows-only check + exactness bound asserted in tests
+    // HLL sketch (approximate distinct). Raw estimates differ per engine
+    // by design, so the ORACLE-CHECKED surface is the accuracy contract:
+    // the sketch estimate must land within 10% of the exact distinct
+    // count (default rsd 5%) — a drifting sketch fails the round loudly
+    // instead of hiding behind a rows-only check.
     "rel_approx_distinct" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("cnt"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("cnt"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
+            .cast("long").as("within_10pct"))),
 
     // TF-IDF weights per token (smoothed idf over document frequency)
     "text_tfidf" -> ((s, dir) => {
@@ -4318,6 +4325,11 @@ object SparkEntry {
     "rel_approx_distinct_bounded" ->
       """SELECT event_type, cast(1 AS bigint) AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_approx_distinct" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       cast(1 AS bigint) AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "rel_hll_union_bounded" ->
       """SELECT event_type, cast(1 AS bigint) AS within_10pct
