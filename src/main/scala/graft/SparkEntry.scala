@@ -2367,6 +2367,28 @@ object SparkEntry {
           sum(col("v")).over(prefixWindow).as("run_total"),
           max(col("v")).over(slidingWindow(99)).as("mov_peak"))),
 
+    // MIXED-FAMILY global window — SIX window-function families in ONE
+    // un-partitioned ORDER BY: row_number (rank family), rank (ties),
+    // running sum (scan), lag (shift), first_value (edge) and a moving
+    // average (frame). The analyzer puts all six expressions in one
+    // Window node; GlobalWindowRule composes the family operators onto
+    // ONE shared range sort — each member is a 1:1 partitioning/order-
+    // preserving node, so EnsureRequirements plans exactly one exchange
+    // + sort under the whole stack and NO single-partition stage exists.
+    // Census-pinned.
+    "rel_window_mixed_global" -> ((s, dir) => {
+      val base = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"), col("event_id"))
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          row_number().over(base).cast("long").as("rn"),
+          rank().over(base).cast("long").as("rnk"),
+          sum(col("v")).over(prefixWindow).as("run_total"),
+          lag(col("v"), 1).over(base).as("prev_v"),
+          first(col("v")).over(prefixWindow).as("first_v"),
+          round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
+    }),
+
     // CENTERED ±50-event smoothing — `ROWS BETWEEN 50 PRECEDING AND 50
     // FOLLOWING`, the classic symmetric moving average. The frame reaches
     // FORWARD, so GlobalFrame additionally splices each partition's
@@ -4946,6 +4968,29 @@ object SparkEntry {
         |              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
         |            AS bigint) AS n_ctx
         |FROM e""".stripMargin,
+
+    "rel_window_mixed_global" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(row_number() OVER o AS bigint) AS rn,
+        |       cast(rank() OVER o AS bigint) AS rnk,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_total,
+        |       lag(v, 1) OVER o AS prev_v,
+        |       first_value(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS first_v,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |             6) AS mov_avg
+        |FROM e
+        |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
 
     "rel_frame_lookahead_peak" ->
       """WITH e AS (

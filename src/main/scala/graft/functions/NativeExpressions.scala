@@ -574,5 +574,9 @@ object GraftExtensions {
     // boundary-seeded GlobalFrame operator, stacked on GlobalScan
     ext.injectOptimizerRule(_ => graft.plans.GlobalFrameRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalFrameStrategy)
+    // mixed-family rewrite: ONE un-partitioned window projecting rank /
+    // tie-ranks / lag / edge values / prefix + sliding aggregates
+    // together composes the family operators onto one shared sort
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowRule)
   }
 }

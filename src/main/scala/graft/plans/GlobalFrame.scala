@@ -476,11 +476,13 @@ object GlobalFrameRule
     }
   }
 
-  private case class FParsed(alias: Alias, order: Seq[SortOrder],
+  // private[plans]: [[GlobalWindowRule]] reuses the bounded-frame parser
+  // to compose mixed-family global windows onto one shared sort
+  private[plans] case class FParsed(alias: Alias, order: Seq[SortOrder],
       lo: Int, hi: Int, kind: ScanKind, value: CAttr, ansi: Boolean,
       widen: Boolean)
 
-  private def parseFrame(e: NamedExpression,
+  private[plans] def parseFrame(e: NamedExpression,
                          child: org.apache.spark.sql.catalyst.plans
                            .logical.LogicalPlan): Option[FParsed] = e match {
     case a @ Alias(WindowExpression(agg: AggregateExpression,

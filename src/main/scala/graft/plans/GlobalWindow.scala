@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute => CAttr, Cast, Expression, IntegerLiteral, NamedExpression, SortOrder, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+import org.apache.spark.sql.types.LongType
+
+/** MIXED-FAMILY GLOBAL WINDOW — one un-partitioned `OVER (ORDER BY ...)`
+  * projecting functions from SEVERAL two-pass families at once (e.g.
+  * `rank() + sum() + lag() + first_value() + a moving average`), with no
+  * single-partition stage.
+  *
+  * The analyzer puts every window expression sharing one
+  * (partitionSpec, orderSpec) into ONE `Window` node — frames differ per
+  * expression. Each family rule (GlobalRank/Ties/Shift/Edge) fires only
+  * on single-expression windows, and GlobalScan/GlobalFrame only on
+  * all-aggregate ones, so a mixed window used to fall through to the one
+  * shape that cannot scale: a single-partition WindowExec computing all
+  * of them. This rule composes the EXISTING logical operators instead:
+  *
+  *   - prefix aggregates fuse into one [[GlobalScanPlan]] (bottom),
+  *   - bounded ROWS frames fuse into one [[GlobalFramePlan]],
+  *   - each rank / tie-rank / offset / edge function stacks its own
+  *     1:1 node ([[GlobalRankPlan]] / [[GlobalTiesPlan]] /
+  *     [[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
+  *
+  * Every operator in the stack requires `OrderedDistribution(order)`,
+  * preserves its child's partitioning AND emits `outputOrdering = order`,
+  * so EnsureRequirements plans exactly ONE range exchange + sort under
+  * the whole stack — the same shared-sort discipline the
+  * GlobalFrame-on-GlobalScan stack already pins in CI. Each operator
+  * adds its own pair of passes over its (persisted) input; the driver
+  * state stays the sum of the members' bounded partials.
+  *
+  * All-or-nothing: if ANY expression is outside the six families (or
+  * needs the REVERSED sort — `cume_dist`, ignore-nulls `lead`), the
+  * whole window keeps WindowExec; rewriting a subset would leave a
+  * single-partition Window for the rest. LIMIT-bounded inputs keep
+  * WindowExec (provably tiny at any scale, same escape as the family
+  * rules). Single-expression and all-aggregate windows are NOT this
+  * rule's territory — the family rules own them (guarded by the
+  * "spans a non-aggregate member + at least two expressions" check).
+  */
+object GlobalWindowRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{CurrentRow, DenseRank,
+    Lag, Lead, NTile, NthValue, PercentRank, Rank, RangeFrame, RowFrame,
+    RowNumber, SpecifiedWindowFrame, UnboundedPreceding}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
+
+  private sealed trait Member
+  private case class MRank(alias: Alias) extends Member
+  private case class MTies(alias: Alias, kind: TieKind) extends Member
+  private case class MShift(alias: Alias, v: CAttr, offset: Int,
+      default: Expression, ignoreNulls: Boolean) extends Member
+  private case class MEdge(alias: Alias,
+      parsed: Either[CAttr, (EdgeKind, CAttr)], range: Boolean)
+    extends Member
+  private case class MScan(p: GlobalScanRule.Parsed) extends Member
+  private case class MFrame(p: GlobalFrameRule.FParsed) extends Member
+
+  /** One window expression parsed into its family, with the order its
+    * member will sort by. The scan/frame parsers run first (they carry
+    * the strictest frame matches); the remaining matches mirror the
+    * single-expression family rules exactly — incl. their caps
+    * ([[GlobalShift.MaxOffset]], [[GlobalEdge.MaxN]]) and their
+    * exclusions (`cume_dist` and ignore-nulls `lead` plan over the
+    * REVERSED order in their own rules, so they cannot share this
+    * stack's one sort). */
+  private def parseMember(e: NamedExpression, child: LogicalPlan)
+  : Option[(Member, Seq[SortOrder])] =
+    GlobalScanRule.parse(e, child).map(p => (MScan(p): Member, p.order))
+      .orElse(GlobalFrameRule.parseFrame(e, child)
+        .map(p => (MFrame(p): Member, p.order)))
+      .orElse(e match {
+        case a @ Alias(WindowExpression(fn,
+              WindowSpecDefinition(Seq(), order, frame)), _)
+            if order.nonEmpty =>
+          val m: Option[Member] = fn match {
+            case RowNumber() => Some(MRank(a))
+            case _: Rank => Some(MTies(a, TieKind.Rank))
+            case _: DenseRank => Some(MTies(a, TieKind.DenseRank))
+            case _: PercentRank => Some(MTies(a, TieKind.PercentRank))
+            case NTile(IntegerLiteral(n)) if n > 0 =>
+              Some(MTies(a, TieKind.NTile(n)))
+            case Lag(v: CAttr, IntegerLiteral(off), d, ign)
+                if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
+              Some(MShift(a, v, -off, d, ign))
+            case Lead(v: CAttr, IntegerLiteral(off), d, false)
+                if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
+              Some(MShift(a, v, off, d, false))
+            case _ => frame match {
+              case SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow)
+                  if ft == RowFrame || ft == RangeFrame =>
+                val range = ft == RangeFrame
+                fn match {
+                  case AggregateExpression(First(v: CAttr, ignoreNulls), _,
+                      false, None, _) =>
+                    Some(MEdge(a, Right((EdgeKind.At(1, ignoreNulls), v)),
+                      range))
+                  case AggregateExpression(Last(v: CAttr, false), _, false,
+                      None, _) =>
+                    // ROWS: the running frame ends at the current row —
+                    // last_value IS the input column (plain projection)
+                    if (range) Some(MEdge(a,
+                      Right((EdgeKind.LastValue, v)), range))
+                    else Some(MEdge(a, Left(v), range))
+                  case AggregateExpression(Last(v: CAttr, true), _, false,
+                      None, _) =>
+                    Some(MEdge(a, Right((EdgeKind.LastNonNull, v)), range))
+                  case NthValue(v: CAttr, IntegerLiteral(n), ignoreNulls)
+                      if n > 0 && n <= GlobalEdge.MaxN =>
+                    Some(MEdge(a, Right((EdgeKind.At(n, ignoreNulls), v)),
+                      range))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+          m.map((_, order))
+        case _ => None
+      })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case w @ Window(exprs, Seq(), _, child, _) if exprs.length >= 2 &&
+        !GlobalRankRule.isLimitBounded(child) =>
+      val parsed = exprs.map(parseMember(_, child))
+      val members = parsed.flatten.map(_._1)
+      val orders = parsed.flatten.map(_._2).distinct
+      // only mixed shapes: at least one non-aggregate member, else the
+      // window belongs to GlobalScanRule / GlobalFrameRule (their fused
+      // single-node plans beat a stack of one)
+      val mixed = members.exists {
+        case _: MRank | _: MTies | _: MShift | _: MEdge => true
+        case _ => false
+      }
+      if (parsed.exists(_.isEmpty) || orders.size != 1 || !mixed) w
+      else {
+        val order = orders.head
+        val scanPs = members.collect { case MScan(p) => p }
+        val framePs = members.collect { case MFrame(p) => p }
+        // integral inputs of widen-marked aggregate specs upcast to Long
+        // in ONE Project below everything (deduped by exprId across the
+        // scan AND frame members — same discipline as GlobalFrameRule)
+        val widenPairs =
+          (scanPs.filter(_.widen).map(_.value) ++
+            framePs.filter(_.widen).map(_.value))
+          .filter(_.dataType != LongType)
+          .groupBy(_.exprId).map(_._2.head)
+          .map(v => v.exprId ->
+            Alias(Cast(v, LongType), v.name + "_gwl")())
+          .toMap
+        val inner: LogicalPlan =
+          if (widenPairs.isEmpty) child
+          else Project(child.output ++ widenPairs.values, child)
+        def valOf(v: CAttr, widen: Boolean): CAttr =
+          if (widen) widenPairs.get(v.exprId)
+            .map(_.toAttribute: CAttr).getOrElse(v)
+          else v
+        // the stack grows bottom-up; each member's result attribute is
+        // recorded as it is placed
+        var cur: LogicalPlan = inner
+        val scanAttrs: Seq[CAttr] =
+          if (scanPs.isEmpty) Nil
+          else {
+            val g = GlobalScanPlan(order,
+              scanPs.map(p => ScanSpec(p.kind, p.ansi, p.range)),
+              scanPs.map(p => valOf(p.value, p.widen)), cur)
+            cur = g
+            g.scanAttrs
+          }
+        val frameAttrs: Seq[CAttr] =
+          if (framePs.isEmpty) Nil
+          else {
+            val g = GlobalFramePlan(order,
+              framePs.map(p => FrameSpec(p.kind, p.lo, p.hi, p.ansi)),
+              framePs.map(p => valOf(p.value, p.widen)), cur)
+            cur = g
+            g.frameAttrs
+          }
+        // results in the original expression order, each narrowed back
+        // to its alias type under the original exprId so downstream
+        // references resolve unchanged (same idiom as the family rules)
+        var si = -1; var fi = -1
+        val results = members.map { m =>
+          val (alias, raw) = m match {
+            case MScan(p) => si += 1; (p.alias, scanAttrs(si): Expression)
+            case MFrame(p) =>
+              fi += 1; (p.alias, frameAttrs(fi): Expression)
+            case MRank(a) =>
+              val g = GlobalRankPlan(order, cur); cur = g
+              (a, g.rankAttr: Expression)
+            case MTies(a, kind) =>
+              val g = GlobalTiesPlan(order, kind, cur); cur = g
+              (a, g.rankAttr: Expression)
+            case MShift(a, v, off, d, ign) =>
+              val g = GlobalShiftPlan(order, v, off, d, cur,
+                ignoreNulls = ign)
+              cur = g
+              (a, g.shiftAttr: Expression)
+            case MEdge(a, Left(v), _) => (a, v: Expression)
+            case MEdge(a, Right((kind, v)), range) =>
+              val g = GlobalEdgePlan(order, kind, range, v, cur); cur = g
+              (a, g.edgeAttr: Expression)
+          }
+          val result =
+            if (raw.dataType == alias.dataType) raw
+            else Cast(raw, alias.dataType)
+          Alias(result, alias.name)(exprId = alias.exprId,
+            qualifier = alias.qualifier,
+            explicitMetadata = alias.explicitMetadata)
+        }
+        Project(child.output ++ results, cur): LogicalPlan
+      }
+  }
+}
+
+object GlobalWindow {
+  /** Register [[GlobalWindowRule]] + every strategy its stack plans
+    * through, idempotently: mixed-family un-partitioned windows then
+    * compose onto one shared sort automatically. */
+  def ensureRule(spark: SparkSession): Unit = {
+    GlobalRank.ensureStrategy(spark)
+    GlobalScan.ensureStrategy(spark)
+    GlobalShift.ensureStrategy(spark)
+    GlobalEdge.ensureStrategy(spark)
+    GlobalFrame.ensureStrategy(spark)
+    SessionHooks.ensureRule(spark, GlobalWindowRule, GlobalRankStrategy)
+  }
+
+  /** Undo [[ensureRule]] (tests; a production session keeps it). */
+  def removeRule(spark: SparkSession): Unit =
+    SessionHooks.removeRule(spark, GlobalWindowRule)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.GlobalWindow
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mixed-family global windows: ONE un-partitioned ORDER BY projecting
+  * rank / tie ranks / offsets / edge values / prefix + sliding aggregates
+  * together must compose the two-pass family operators onto one shared
+  * sort (GlobalWindowRule) — and match, bit for bit, the native window
+  * semantics. The native oracle is the same query over
+  * `partitionBy(lit(0))`: semantically identical (one partition holds
+  * everything), but its non-empty partition spec means NO family rule
+  * ever rewrites it. */
+class GlobalWindowSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val gw = org.apache.spark.sql.expressions.Window
+    .orderBy(col("t"), col("id"))
+  private val nw = org.apache.spark.sql.expressions.Window
+    .partitionBy(lit(0)).orderBy(col("t"), col("id"))
+  private def unbounded(
+      w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+
+  // ties in t (t = id/4), nulls in v — exercises tie chains, null
+  // skipping and boundary splices across 11 partitions at once
+  private def input = spark.range(0, 3000).select(
+    col("id"),
+    (col("id") / 4).cast("long").as("t"),
+    when(col("id") % 7 =!= 0, (col("id") * 31) % 997).as("v"))
+    .repartition(11)
+
+  private def mixed(w: org.apache.spark.sql.expressions.WindowSpec) =
+    input.select(col("id"), col("t"), col("v"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      sum(col("v")).over(unbounded(w)).as("run_total"),
+      lag(col("v"), 1).over(w).as("prev_v"),
+      first(col("v")).over(unbounded(w)).as("first_v"),
+      avg(col("v")).over(w.rowsBetween(-3, 0)).as("mov_avg"))
+
+  test("six families in one window: composed stack matches the native " +
+    "window and plans one shared sort, no single-partition stage") {
+    val got = mixed(gw).orderBy("id").collect().toSeq
+    val native = mixed(nw).orderBy("id").collect().toSeq
+    assert(got == native)
+
+    val plan = mixed(gw).queryExecution.executedPlan.toString
+    Seq("GlobalScan", "GlobalFrame", "GlobalRank", "GlobalTies",
+      "GlobalShift", "GlobalEdge").foreach(n =>
+      assert(plan.contains(n), s"stack lost its $n member:\n$plan"))
+    assert(!plan.contains("Window"),
+      s"mixed window fell back to WindowExec:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n$plan")
+    // the whole stack shares ONE range exchange + ONE sort
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1,
+      s"stack must share one exchange:\n$plan")
+    assert("Sort ".r.findAllIn(plan).size == 1,
+      s"stack must share one sort:\n$plan")
+    // both rank functions stack their own node over that one sort
+    assert("GlobalTies".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("two-family mix (rank + lag), no aggregates") {
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        rank().over(w).cast("long").as("rnk"),
+        lag(col("v"), 2, -1L).over(w).as("prev2"))
+    assert(q(gw).orderBy("id").collect().toSeq ==
+      q(nw).orderBy("id").collect().toSeq)
+    val plan = q(gw).queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalTies") && plan.contains("GlobalShift"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("a member needing the reversed order keeps the WHOLE window on " +
+    "WindowExec (all-or-nothing)") {
+    def q = input.select(col("id"),
+      rank().over(gw).cast("long").as("rnk"),
+      cume_dist().over(gw).as("cd"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"cume_dist cannot share the forward sort — expected the " +
+        s"documented WindowExec fallback:\n$plan")
+    assert(!plan.contains("GlobalTies"), plan)
+  }
+
+  test("all-aggregate windows stay with the fused scan/frame rules " +
+    "(this rule only composes mixed shapes)") {
+    def q = input.select(col("id"),
+      sum(col("v")).over(unbounded(gw)).as("s"),
+      count(col("v")).over(unbounded(gw)).as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalScan") &&
+      "GlobalScan".r.findAllIn(plan).size == 1,
+      s"all-prefix window must stay one fused GlobalScan:\n$plan")
+  }
+}

@@ -278,6 +278,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("rel_frame_mixed_dashboard").contains("GlobalScan"),
       s"mixed dashboard lost its prefix-aggregate stack:\n" +
         plan("rel_frame_mixed_dashboard"))
+    // the six-family mixed window composes ALL the family operators onto
+    // one shared sort (GlobalWindowRule) — one exchange, one sort, no
+    // WindowExec, no single-partition stage
+    val mixedStack = Seq("rel_window_mixed_global")
+    mixedStack.foreach { q =>
+      val p = plan(q)
+      Seq("GlobalScan", "GlobalFrame", "GlobalRank", "GlobalTies",
+        "GlobalShift", "GlobalEdge").foreach(n =>
+        assert(p.contains(n), s"$q lost its $n stack member:\n$p"))
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$q planned a single-partition stage:\n$p")
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1,
+        s"$q: the mixed stack must share one exchange + sort:\n$p")
+    }
     val edge = Seq("rel_first_value", "rel_last_known_value",
       "rel_nth_value", "rel_last_good_hour")
     edge.foreach { q =>
@@ -333,7 +349,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
     val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
-      bounded).toSet +
+      bounded ++ mixedStack).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
