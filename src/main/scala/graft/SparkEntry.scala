@@ -2367,6 +2367,26 @@ object SparkEntry {
           sum(col("v")).over(prefixWindow).as("run_total"),
           max(col("v")).over(slidingWindow(99)).as("mov_peak"))),
 
+    // Bounded VALUE-RANGE frame over the global event timeline —
+    // trailing 5-second totals (`RANGE BETWEEN 5s PRECEDING AND CURRENT
+    // ROW` over unix micros). Frame membership is decided by KEY
+    // DISTANCE, not row position (ties share their frame, sparse regions
+    // shrink it), which is exactly what GlobalFrame's row splice cannot
+    // express: GlobalRangeRule plans the key-spliced GlobalRange
+    // operator instead — boundary rows within 5 s of each partition's
+    // edge key, spliced on the driver, no single-partition stage.
+    // Census-pinned. Results depend only on t, so ties keep the output
+    // deterministic.
+    "rel_range_trailing_global" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rangeBetween(-5000000L, 0L)
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          sum(col("v")).over(w).as("rev_5s"),
+          count(col("v")).over(w).as("n_5s"),
+          max(col("v")).over(w).as("peak_5s"))
+    }),
+
     // MIXED-FAMILY global window — SIX window-function families in ONE
     // un-partitioned ORDER BY: row_number (rank family), rank (ties),
     // running sum (scan), lag (shift), first_value (edge) and a moving
@@ -4968,6 +4988,22 @@ object SparkEntry {
         |              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
         |            AS bigint) AS n_ctx
         |FROM e""".stripMargin,
+
+    "rel_range_trailing_global" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER r AS bigint) AS rev_5s,
+        |       cast(count(v) OVER r AS bigint) AS n_5s,
+        |       cast(max(v) OVER r AS bigint) AS peak_5s
+        |FROM e
+        |WINDOW r AS (ORDER BY t
+        |             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
 
     "rel_window_mixed_global" ->
       """WITH e AS (

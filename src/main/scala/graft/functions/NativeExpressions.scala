@@ -578,5 +578,10 @@ object GraftExtensions {
     // tie-ranks / lag / edge values / prefix + sliding aggregates
     // together composes the family operators onto one shared sort
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowRule)
+    // value-range rewrite: un-partitioned RANGE x PRECEDING..CURRENT ROW
+    // aggregates over a numeric ORDER BY plan as the key-spliced
+    // GlobalRange operator
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRangeRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRangeStrategy)
   }
 }

@@ -278,6 +278,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("rel_frame_mixed_dashboard").contains("GlobalScan"),
       s"mixed dashboard lost its prefix-aggregate stack:\n" +
         plan("rel_frame_mixed_dashboard"))
+    // bounded value-RANGE frames plan the key-spliced GlobalRange
+    // operator — frame membership by key distance, no single-partition
+    // stage
+    val ranges = Seq("rel_range_trailing_global")
+    ranges.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalRange"),
+        s"$q lost its GlobalRange rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      assert("GlobalRange".r.findAllIn(p).size == 1,
+        s"$q: expected one fused value-range node:\n$p")
+      assert(!p.contains("SinglePartition"), p)
+    }
     // the six-family mixed window composes ALL the family operators onto
     // one shared sort (GlobalWindowRule) — one exchange, one sort, no
     // WindowExec, no single-partition stage
@@ -349,7 +362,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
     val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
-      bounded ++ mixedStack).toSet +
+      bounded ++ ranges ++ mixedStack).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
