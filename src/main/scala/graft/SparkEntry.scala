@@ -86,6 +86,14 @@ object SparkEntry {
       when(col("event_type") =!= "error",
         round(col("value") * 1000).cast("long")).as("v"))
 
+  /** Same value shape but keeping the raw TIMESTAMP key — for the
+    * interval-RANGE frames that order by the instant directly. */
+  private def valuedEventsTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("ts"), col("event_id"),
+      when(col("event_type") =!= "error",
+        round(col("value") * 1000).cast("long")).as("v"))
+
   /** `ROWS UNBOUNDED PRECEDING .. CURRENT ROW` over the (t, event_id)
     * total order. GlobalScanRule rewrites this explicit-ROWS frame and
     * the default RANGE frame alike (RANGE emits tie groups their group
@@ -2386,6 +2394,20 @@ object SparkEntry {
           count(col("v")).over(w).as("n_5s"),
           max(col("v")).over(w).as("peak_5s"))
     }),
+
+    // Interval value-RANGE frame DIRECTLY over the timestamp ORDER BY —
+    // `RANGE BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW`
+    // with no manual epoch conversion: GlobalRangeRule normalizes the
+    // day-time interval bound to micros and keeps the timestamp key in
+    // its physical long-micros form (a seconds cast would destroy
+    // sub-second precision). Same key-spliced plan as
+    // rel_range_trailing_global; frames keyed by instant distance.
+    "rel_range_interval_global" -> ((s, dir) =>
+      valuedEventsTs(s, dir).selectExpr("event_id",
+        "sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '5' SECOND " +
+          "PRECEDING AND CURRENT ROW) AS rev_5s",
+        "count(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '5' SECOND " +
+          "PRECEDING AND CURRENT ROW) AS n_5s")),
 
     // MIXED-FAMILY global window — SIX window-function families in ONE
     // un-partitioned ORDER BY: row_number (rank family), rank (ties),
@@ -5004,6 +5026,20 @@ object SparkEntry {
         |WINDOW r AS (ORDER BY t
         |             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+
+    "rel_range_interval_global" ->
+      """WITH e AS (
+        |  SELECT ts, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER r AS bigint) AS rev_5s,
+        |       cast(count(v) OVER r AS bigint) AS n_5s
+        |FROM e
+        |WINDOW r AS (ORDER BY ts RANGE BETWEEN INTERVAL 5 SECOND
+        |             PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "rel_window_mixed_global" ->
       """WITH e AS (

@@ -58,7 +58,10 @@ import org.apache.spark.sql.types.LongType
   * corpus.
   *
   * Scope (the rule keeps WindowExec otherwise): single ASCENDING
-  * integral ORDER key, integral literal bounds. NULL keys follow the SQL
+  * integral OR timestamp ORDER key; integral literal bounds for the
+  * former, day-time/calendar interval bounds (normalized to micros; no
+  * month components — a month is not a fixed number of micros) for the
+  * latter. NULL keys follow the SQL
   * range semantics the native window implements: null-key rows are peers
   * of each other and their frame is exactly their peer group (offset
   * arithmetic over null is null, which bounds the frame to the group),
@@ -155,8 +158,18 @@ case class GlobalRangeExec(order: Seq[SortOrder], key: Attribute,
     // narrow row layout: field 0 = key upcast to Long, field i+1 =
     // spec i's value (count(*)'s placeholder included — never read, but
     // a uniform layout keeps field index == spec index + 1 everywhere)
-    val keyExpr = Cast(BoundReference(keyOrd, key.dataType,
-      nullable = key.nullable), LongType)
+    // Timestamps are ALREADY physical long micros — keep them un-cast
+    // (Cast(ts, long) evaluates to SECONDS, which would silently scale
+    // the frame bounds 10^6 wide); narrower integrals upcast to Long.
+    val keyRef = BoundReference(keyOrd, key.dataType,
+      nullable = key.nullable)
+    val keyExpr: org.apache.spark.sql.catalyst.expressions.Expression =
+      key.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => keyRef
+        case LongType => keyRef
+        case _ => Cast(keyRef, LongType)
+      }
     val bounds = keyExpr +: ords.indices.map(i =>
       BoundReference(ords(i), dts(i), nullable = values(i).nullable))
     val kinds = specs.map(_.kind).toArray
@@ -582,8 +595,12 @@ object GlobalRangeRule
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
   import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
 
-  /** A bounded RANGE offset: CurrentRow (0) or an integral literal
-    * (possibly under the parser's unfolded UnaryMinus). */
+  /** A bounded RANGE offset normalized to the key's LONG domain:
+    * CurrentRow (0), an integral literal, a day-time interval literal
+    * (physical micros — the boundary type Spark resolves for a
+    * timestamp ORDER BY), or a calendar interval with no month
+    * component (months are not a fixed number of micros) — possibly
+    * under the parser's unfolded UnaryMinus. */
   private object RangeOffset {
     def unapply(e: Expression): Option[Long] = e match {
       case CurrentRow => Some(0L)
@@ -591,14 +608,24 @@ object GlobalRangeRule
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Short, ShortType) => Some(v.toLong)
       case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Literal(v: Long, _: org.apache.spark.sql.types
+          .DayTimeIntervalType) if v != Long.MinValue => Some(v)
+      case Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _)
+          if iv.months == 0 =>
+        Some(iv.days * 86400000000L + iv.microseconds)
       case UnaryMinus(RangeOffset(n), _) if n != Long.MinValue => Some(-n)
       case _ => None
     }
   }
 
-  private def integralKey(a: CAttr): Boolean =
+  /** Keys whose physical representation is a long the frame arithmetic
+    * can run on directly: integrals (upcast below the plan) and
+    * timestamps (micros — interval offsets are micros too). */
+  private def supportedKey(a: CAttr): Boolean =
     a.dataType == LongType || a.dataType == IntegerType ||
-      a.dataType == ShortType || a.dataType == ByteType
+      a.dataType == ShortType || a.dataType == ByteType ||
+      a.dataType == org.apache.spark.sql.types.TimestampType ||
+      a.dataType == org.apache.spark.sql.types.TimestampNTZType
 
   private case class RParsed(alias: Alias, order: Seq[SortOrder],
       key: CAttr, lo: Long, hi: Long, kind: ScanKind, value: CAttr,
@@ -616,7 +643,7 @@ object GlobalRangeRule
           // nullable keys are fine: the exec implements the SQL null
           // peer-group semantics
           so.child.isInstanceOf[CAttr] &&
-          integralKey(so.child.asInstanceOf[CAttr]) =>
+          supportedKey(so.child.asInstanceOf[CAttr]) =>
       GlobalScanRule.scannable(agg, child).map { case (kind, v, ansi,
           widen) =>
         RParsed(a, Seq(so), so.child.asInstanceOf[CAttr], lo, hi, kind, v,

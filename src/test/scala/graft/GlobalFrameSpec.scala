@@ -9,20 +9,34 @@ class GlobalFrameSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+  // Native twin: a NON-FOLDABLE always-zero partition key. The session's
+  // extensions keep every Global* rule active, and the optimizer
+  // ELIMINATES foldable window partitions — a partitionBy(lit(0)) twin
+  // (or a plain "collect before ensureRule" scheme, which an
+  // extension-registered rule ignores) would compare the operator
+  // against itself. pmod(t, 1) survives optimization; assertNative pins
+  // that the twin truly ran WindowExec.
+  private val wN = org.apache.spark.sql.expressions.Window
+    .partitionBy(pmod(col("t"), lit(1))).orderBy(col("t"))
   private def frame(k: Int) = w.rowsBetween(-k, 0)
 
-  /** Native WindowExec result of `q` (rule off), then the rewritten plan
-    * + result (rule on); asserts the rewrite actually fired. */
-  private def nativeVsRewritten(q: => org.apache.spark.sql.DataFrame,
+  private type WS = org.apache.spark.sql.expressions.WindowSpec
+
+  /** Native WindowExec result (non-foldable-partition twin, plan-pinned
+    * native) vs the rewritten plan + result; asserts the rewrite fired
+    * on the un-partitioned side. */
+  private def nativeVsRewritten(build: WS => org.apache.spark.sql.DataFrame,
       sortCols: String*): (Seq[org.apache.spark.sql.Row],
       Seq[org.apache.spark.sql.Row], String) = {
-    val native = q.orderBy(sortCols.map(col): _*).collect().toSeq
-    GlobalFrame.ensureRule(spark)
-    try {
-      val plan = q.queryExecution.executedPlan.toString
-      val got = q.orderBy(sortCols.map(col): _*).collect().toSeq
-      (native, got, plan)
-    } finally GlobalFrame.removeRule(spark)
+    val nq = build(wN)
+    val nplan = nq.queryExecution.executedPlan.toString
+    assert(nplan.contains("Window") && !nplan.contains("GlobalFrame"),
+      s"the native twin must run WindowExec:\n$nplan")
+    val native = nq.orderBy(sortCols.map(col): _*).collect().toSeq
+    val q = build(w)
+    val plan = q.queryExecution.executedPlan.toString
+    val got = q.orderBy(sortCols.map(col): _*).collect().toSeq
+    (native, got, plan)
   }
 
   test("sliding sum/count/min/max/avg over many partitions match the " +
@@ -31,12 +45,12 @@ class GlobalFrameSpec extends AnyFunSuite {
     val df = spark.range(n).select(col("id").as("t"),
       (col("id") * 31 % 1009).as("v")).repartition(13)
     for (k <- Seq(1, 7, 250)) {
-      def q = df.select(col("t"),
-        sum(col("v")).over(frame(k)).as("s"),
-        count(col("v")).over(frame(k)).as("c"),
-        min(col("v")).over(frame(k)).as("mn"),
-        max(col("v")).over(frame(k)).as("mx"),
-        avg(col("v")).over(frame(k)).as("a"))
+      def q(b: WS) = df.select(col("t"),
+        sum(col("v")).over(b.rowsBetween(-k, 0)).as("s"),
+        count(col("v")).over(b.rowsBetween(-k, 0)).as("c"),
+        min(col("v")).over(b.rowsBetween(-k, 0)).as("mn"),
+        max(col("v")).over(b.rowsBetween(-k, 0)).as("mx"),
+        avg(col("v")).over(b.rowsBetween(-k, 0)).as("a"))
       val (native, got, plan) = nativeVsRewritten(q, "t")
       assert(plan.contains("GlobalFrame"), s"k=$k not rewritten:\n$plan")
       assert(!plan.contains("Window"), s"k=$k kept a Window:\n$plan")
@@ -51,9 +65,9 @@ class GlobalFrameSpec extends AnyFunSuite {
     val n = 3000
     val df = spark.range(n).select(col("id").as("t"),
       (col("id") % 97).as("v")).repartition(50) // ~60 rows per partition
-    def q = df.select(col("t"),
-      sum(col("v")).over(frame(500)).as("s"),
-      min(col("v")).over(frame(500)).as("mn"))
+    def q(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(-500, 0)).as("s"),
+      min(col("v")).over(b.rowsBetween(-500, 0)).as("mn"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame"), plan)
     assert(got == native)
@@ -65,12 +79,12 @@ class GlobalFrameSpec extends AnyFunSuite {
       (1L, Some(5L)), (2L, None), (3L, None), (4L, None),
       (5L, Some(2L)), (6L, None), (7L, Some(9L)), (8L, None))
       .toDF("t", "v").repartition(3)
-    def q = df.select(col("t"),
-      sum(col("v")).over(frame(2)).as("s"),
-      count(col("v")).over(frame(2)).as("c"),
-      count(lit(1)).over(frame(2)).as("n"),
-      min(col("v")).over(frame(2)).as("mn"),
-      avg(col("v")).over(frame(2)).as("a"))
+    def q(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(-2, 0)).as("s"),
+      count(col("v")).over(b.rowsBetween(-2, 0)).as("c"),
+      count(lit(1)).over(b.rowsBetween(-2, 0)).as("n"),
+      min(col("v")).over(b.rowsBetween(-2, 0)).as("mn"),
+      avg(col("v")).over(b.rowsBetween(-2, 0)).as("a"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame"), plan)
     assert(got == native)
@@ -84,9 +98,9 @@ class GlobalFrameSpec extends AnyFunSuite {
     val df = Seq((1L, "pear"), (2L, "apple"), (3L, "quince"), (4L, "fig"),
       (5L, "olive"), (6L, "date"))
       .toDF("t", "v").repartition(3)
-    def q = df.select(col("t"),
-      min(col("v")).over(frame(2)).as("mn"),
-      max(col("v")).over(frame(2)).as("mx"))
+    def q(b: WS) = df.select(col("t"),
+      min(col("v")).over(b.rowsBetween(-2, 0)).as("mn"),
+      max(col("v")).over(b.rowsBetween(-2, 0)).as("mx"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame"), plan)
     assert(got == native)
@@ -99,15 +113,15 @@ class GlobalFrameSpec extends AnyFunSuite {
     "and keeps the native long result type") {
     val df = spark.range(500).select(col("id").as("t"),
       (col("id") % 100).cast("int").as("v")).repartition(7)
-    def q = df.select(col("t"),
-      sum(col("v")).over(frame(9)).as("s"),
-      min(col("v")).over(frame(9)).as("mn"))
+    def q(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(-9, 0)).as("s"),
+      min(col("v")).over(b.rowsBetween(-9, 0)).as("mn"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame"), plan)
     assert(got == native)
-    assert(q.schema("s").dataType ==
+    assert(q(w).schema("s").dataType ==
       org.apache.spark.sql.types.LongType)
-    assert(q.schema("mn").dataType ==
+    assert(q(w).schema("mn").dataType ==
       org.apache.spark.sql.types.IntegerType)
   }
 
@@ -115,11 +129,10 @@ class GlobalFrameSpec extends AnyFunSuite {
     "GlobalFrame stacked on GlobalScan over ONE sort") {
     val df = spark.range(2000).select(col("id").as("t"),
       (col("id") * 17 % 401).as("v")).repartition(11)
-    val runFrame = w.rowsBetween(Long.MinValue, 0)
-    def q = df.select(col("t"),
-      sum(col("v")).over(runFrame).as("run_total"),
-      avg(col("v")).over(frame(99)).as("mov_avg"),
-      max(col("v")).over(frame(99)).as("mov_max"))
+    def q(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(Long.MinValue, 0)).as("run_total"),
+      avg(col("v")).over(b.rowsBetween(-99, 0)).as("mov_avg"),
+      max(col("v")).over(b.rowsBetween(-99, 0)).as("mov_max"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame") && plan.contains("GlobalScan"),
       s"mixed window not split across the two operators:\n$plan")
@@ -135,29 +148,24 @@ class GlobalFrameSpec extends AnyFunSuite {
   test("k = 0 (current row only) and k past MaxFrame") {
     val df = spark.range(100).select(col("id").as("t"),
       (col("id") % 10).as("v")).repartition(4)
-    def q0 = df.select(col("t"), sum(col("v")).over(frame(0)).as("s"))
+    def q0(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(0, 0)).as("s"))
     val (native0, got0, plan0) = nativeVsRewritten(q0, "t")
     assert(plan0.contains("GlobalFrame"), plan0)
     assert(got0 == native0)
-    GlobalFrame.ensureRule(spark)
-    try {
-      val far = df.select(col("t"),
-        sum(col("v")).over(frame(GlobalFrame.MaxFrame + 1)).as("s"))
-      assert(!far.queryExecution.executedPlan.toString
-        .contains("GlobalFrame"))
-    } finally GlobalFrame.removeRule(spark)
+    val far = df.select(col("t"),
+      sum(col("v")).over(frame(GlobalFrame.MaxFrame + 1)).as("s"))
+    assert(!far.queryExecution.executedPlan.toString
+      .contains("GlobalFrame"))
   }
 
   test("partitioned windows keep WindowExec") {
-    GlobalFrame.ensureRule(spark)
-    try {
-      val df = spark.range(100).select(col("id").as("t"),
-        (col("id") % 5).as("g"), (col("id") % 10).as("v"))
-      val byG = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("g")).orderBy(col("t")).rowsBetween(-3, 0)
-      assert(!df.select(sum(col("v")).over(byG).as("s"))
-        .queryExecution.executedPlan.toString.contains("GlobalFrame"))
-    } finally GlobalFrame.removeRule(spark)
+    val df = spark.range(100).select(col("id").as("t"),
+      (col("id") % 5).as("g"), (col("id") % 10).as("v"))
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("t")).rowsBetween(-3, 0)
+    assert(!df.select(sum(col("v")).over(byG).as("s"))
+      .queryExecution.executedPlan.toString.contains("GlobalFrame"))
   }
 
   test("centered frames: k PRECEDING .. k FOLLOWING matches the native " +
@@ -166,11 +174,11 @@ class GlobalFrameSpec extends AnyFunSuite {
     val df = spark.range(n).select(col("id").as("t"),
       (col("id") * 13 % 503).as("v")).repartition(17)
     for ((lo, hi) <- Seq((-5, 5), (-100, 100), (-1, 3))) {
-      def q = df.select(col("t"),
-        sum(col("v")).over(w.rowsBetween(lo, hi)).as("s"),
-        avg(col("v")).over(w.rowsBetween(lo, hi)).as("a"),
-        min(col("v")).over(w.rowsBetween(lo, hi)).as("mn"),
-        count(lit(1)).over(w.rowsBetween(lo, hi)).as("n"))
+      def q(b: WS) = df.select(col("t"),
+        sum(col("v")).over(b.rowsBetween(lo, hi)).as("s"),
+        avg(col("v")).over(b.rowsBetween(lo, hi)).as("a"),
+        min(col("v")).over(b.rowsBetween(lo, hi)).as("mn"),
+        count(lit(1)).over(b.rowsBetween(lo, hi)).as("n"))
       val (native, got, plan) = nativeVsRewritten(q, "t")
       assert(plan.contains("GlobalFrame"), s"[$lo,$hi] not rewritten:\n$plan")
       assert(!plan.contains("Window"), plan)
@@ -186,23 +194,20 @@ class GlobalFrameSpec extends AnyFunSuite {
     // CURRENT ROW .. 10 FOLLOWING, 1 .. 5 FOLLOWING (empty at the tail),
     // 10 .. 3 PRECEDING (empty at the head)
     for ((lo, hi) <- Seq((0, 10), (1, 5), (-10, -3))) {
-      def q = df.select(col("t"),
-        sum(col("v")).over(w.rowsBetween(lo, hi)).as("s"),
-        max(col("v")).over(w.rowsBetween(lo, hi)).as("mx"),
-        count(col("v")).over(w.rowsBetween(lo, hi)).as("c"))
+      def q(b: WS) = df.select(col("t"),
+        sum(col("v")).over(b.rowsBetween(lo, hi)).as("s"),
+        max(col("v")).over(b.rowsBetween(lo, hi)).as("mx"),
+        count(col("v")).over(b.rowsBetween(lo, hi)).as("c"))
       val (native, got, plan) = nativeVsRewritten(q, "t")
       assert(plan.contains("GlobalFrame"), s"[$lo,$hi] not rewritten:\n$plan")
       assert(got == native, s"[$lo,$hi]")
     }
     // spot-check edge semantics on [1, 5]: the last row's frame is empty
-    GlobalFrame.ensureRule(spark)
-    try {
-      val lastRow = df.select(col("t"),
-        sum(col("v")).over(w.rowsBetween(1, 5)).as("s"),
-        count(col("v")).over(w.rowsBetween(1, 5)).as("c"))
-        .orderBy(col("t").desc).limit(1).collect()(0)
-      assert(lastRow.isNullAt(1) && lastRow.getLong(2) == 0L)
-    } finally GlobalFrame.removeRule(spark)
+    val lastRow = df.select(col("t"),
+      sum(col("v")).over(w.rowsBetween(1, 5)).as("s"),
+      count(col("v")).over(w.rowsBetween(1, 5)).as("c"))
+      .orderBy(col("t").desc).limit(1).collect()(0)
+    assert(lastRow.isNullAt(1) && lastRow.getLong(2) == 0L)
   }
 
   test("nulls with forward frames carry native semantics") {
@@ -210,10 +215,10 @@ class GlobalFrameSpec extends AnyFunSuite {
       (1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None),
       (5L, None), (6L, Some(2L)))
       .toDF("t", "v").repartition(3)
-    def q = df.select(col("t"),
-      sum(col("v")).over(w.rowsBetween(-1, 1)).as("s"),
-      min(col("v")).over(w.rowsBetween(0, 2)).as("mn"),
-      count(col("v")).over(w.rowsBetween(-2, 1)).as("c"))
+    def q(b: WS) = df.select(col("t"),
+      sum(col("v")).over(b.rowsBetween(-1, 1)).as("s"),
+      min(col("v")).over(b.rowsBetween(0, 2)).as("mn"),
+      count(col("v")).over(b.rowsBetween(-2, 1)).as("c"))
     val (native, got, plan) = nativeVsRewritten(q, "t")
     assert(plan.contains("GlobalFrame"), plan)
     assert(got == native)
@@ -238,7 +243,6 @@ class GlobalFrameSpec extends AnyFunSuite {
       .repartition(2)
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    GlobalFrame.ensureRule(spark)
     try {
       val q = df.select(col("t"), sum(col("v")).over(frame(1)).as("s"))
       assert(q.queryExecution.executedPlan.toString
@@ -253,7 +257,6 @@ class GlobalFrameSpec extends AnyFunSuite {
           c.getMessage != null && c.getMessage.contains("overflow")),
         ex.toString)
     } finally {
-      GlobalFrame.removeRule(spark)
       spark.conf.set("spark.sql.ansi.enabled", prev)
     }
   }

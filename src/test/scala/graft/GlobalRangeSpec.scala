@@ -7,14 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Bounded value-RANGE frames over an un-partitioned numeric ORDER BY:
   * GlobalRangeRule must plan the key-spliced GlobalRange operator (no
   * single-partition stage) and match the native window bit for bit. The
-  * native oracle is the same query over `partitionBy(lit(0))` —
-  * semantically identical, never rewritten (non-empty partition spec). */
+  * native oracle is the same query over a NON-FOLDABLE always-zero
+  * partition key — semantically identical, never rewritten, and pinned
+  * to actually run WindowExec (see `assertNative`). */
 class GlobalRangeSpec extends AnyFunSuite {
   import TestSpark.spark
 
   private val gw = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+  // The native twin partitions by a NON-FOLDABLE always-zero key:
+  // Spark's optimizer ELIMINATES foldable window partitions (a
+  // partitionBy(lit(0)) twin becomes un-partitioned and is rewritten by
+  // the very rules under test — a self-comparison that hides bugs; a
+  // micros-vs-seconds key bug really did slip through it). pmod(id, 1)
+  // survives optimization, keeps the partition spec non-empty, and
+  // `assertNative` pins that the twin truly ran WindowExec.
   private val nw = org.apache.spark.sql.expressions.Window
-    .partitionBy(lit(0)).orderBy(col("t"))
+    .partitionBy(pmod(col("id"), lit(1))).orderBy(col("t"))
+  private def assertNative(df: org.apache.spark.sql.DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") && !p.contains("GlobalRange"),
+      s"the native twin must run WindowExec, not the operator under " +
+        s"test:\n$p")
+  }
 
   // sparse + plateau-heavy keys: runs of identical t (peers), gaps wider
   // than the range, nulls in v — across 11 partitions
@@ -38,6 +52,7 @@ class GlobalRangeSpec extends AnyFunSuite {
       avg(col("v")).over(w.rangeBetween(lo, hi)).as("a"))
 
   private def check(lo: Long, hi: Long): Unit = {
+    assertNative(q(nw, lo, hi))
     val got = q(gw, lo, hi).orderBy("id").collect().toSeq
     val native = q(nw, lo, hi).orderBy("id").collect().toSeq
     assert(got == native, s"range [$lo, $hi] diverged from native")
@@ -72,6 +87,7 @@ class GlobalRangeSpec extends AnyFunSuite {
     "several short partitions") {
     val got = q(gw, -300L, 0L)
     val native = q(nw, -300L, 0L)
+    assertNative(native)
     assert(got.orderBy("id").collect().toSeq ==
       native.orderBy("id").collect().toSeq)
   }
@@ -82,6 +98,7 @@ class GlobalRangeSpec extends AnyFunSuite {
     def qq(w: org.apache.spark.sql.expressions.WindowSpec) =
       one.select(col("id"),
         sum(col("v")).over(w.rangeBetween(-3, 0)).as("s"))
+    assertNative(qq(nw))
     assert(qq(gw).orderBy("id").collect().toSeq ==
       qq(nw).orderBy("id").collect().toSeq)
     val empty = one.where(lit(false))
@@ -108,6 +125,7 @@ class GlobalRangeSpec extends AnyFunSuite {
       val gotLegacy = qs(gw)
       assert(gotLegacy.queryExecution.executedPlan.toString
         .contains("GlobalRange"))
+      assertNative(qs(nw))
       assert(gotLegacy.collect().toSeq.map(_.getLong(0)).sorted ==
         qs(nw).collect().toSeq.map(_.getLong(0)).sorted)
       // ANSI: the rewritten frame must raise, like the native window
@@ -137,6 +155,7 @@ class GlobalRangeSpec extends AnyFunSuite {
           count(lit(1)).over(w.rangeBetween(lo, hi)).as("n"),
           min(col("v")).over(w.rangeBetween(lo, hi)).as("mn"),
           avg(col("v")).over(w.rangeBetween(lo, hi)).as("a"))
+      assertNative(qq(nw))
       val got = qq(gw).orderBy("id").collect().toSeq
       val native = qq(nw).orderBy("id").collect().toSeq
       assert(got == native, s"null-key range [$lo, $hi] diverged")
@@ -145,6 +164,31 @@ class GlobalRangeSpec extends AnyFunSuite {
         s"nullable key must still rewrite:\n$plan")
       assert(!plan.contains("Window"), plan)
     }
+  }
+
+  test("timestamp ORDER BY with INTERVAL bounds matches native and " +
+    "rewrites (micros precision, not seconds)") {
+    // timestamps 137 ms apart: a 1-second trailing interval holds ~8
+    // rows — sub-second precision would be destroyed by a seconds cast
+    def td = spark.range(0, 3000).select(col("id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 137000L)
+        .as("ts"),
+      when(col("id") % 7 =!= 0, (col("id") * 31) % 997).as("v"))
+      .repartition(9)
+    def qq(part: String) = td.selectExpr("id",
+      s"sum(v) OVER (${part}ORDER BY ts RANGE BETWEEN INTERVAL '1' " +
+        "SECOND PRECEDING AND CURRENT ROW) AS s",
+      s"count(v) OVER (${part}ORDER BY ts RANGE BETWEEN INTERVAL '1' " +
+        "SECOND PRECEDING AND CURRENT ROW) AS c")
+    // non-foldable always-zero partition key (see assertNative note)
+    assertNative(qq("PARTITION BY id % 1 "))
+    val got = qq("").orderBy("id").collect().toSeq
+    val native = qq("PARTITION BY id % 1 ").orderBy("id").collect().toSeq
+    assert(got == native, "interval range diverged from native")
+    val plan = qq("").queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRange"),
+      s"timestamp interval range not rewritten:\n$plan")
+    assert(!plan.contains("Window"), plan)
   }
 
   test("boundary wider than MaxBoundary throws loudly, not wrongly") {

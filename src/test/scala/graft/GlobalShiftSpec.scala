@@ -66,8 +66,21 @@ class GlobalShiftSpec extends AnyFunSuite {
       .toDF("t", "v").repartition(3)
     def lagQ = df.withColumn("s", lag(col("v"), 1, null, true).over(w))
     def leadQ = df.withColumn("s", lead(col("v"), 2, null, true).over(w))
-    val nativeLag = lagQ.orderBy("t").collect().toSeq
-    val nativeLead = leadQ.orderBy("t").collect().toSeq
+    // native twin: NON-FOLDABLE always-zero partition key — the session
+    // extensions keep the rules active, and a bare un-partitioned twin
+    // (or a foldable-partition one) would be rewritten too, comparing
+    // the operator against itself
+    val wNat = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("t"), lit(1))).orderBy(col("t"))
+    def natQ(f: org.apache.spark.sql.Column) = df.withColumn("s", f)
+    val lagN = natQ(lag(col("v"), 1, null, true).over(wNat))
+    val leadN = natQ(lead(col("v"), 2, null, true).over(wNat))
+    Seq(lagN, leadN).foreach { q =>
+      val np = q.queryExecution.executedPlan.toString
+      assert(np.contains("Window") && !np.contains("GlobalShift"), np)
+    }
+    val nativeLag = lagN.orderBy("t").collect().toSeq
+    val nativeLead = leadN.orderBy("t").collect().toSeq
     GlobalShift.ensureRule(spark)
     try {
       val pl = lagQ.queryExecution.executedPlan.toString

@@ -66,10 +66,20 @@ class GlobalTiesSpec extends AnyFunSuite {
       col("id").as("payload"))
     val wd = org.apache.spark.sql.expressions.Window
       .orderBy(col("k").desc_nulls_last)
+    // native twin: NON-FOLDABLE always-zero partition key (the session
+    // extensions rewrite bare un-partitioned twins — self-comparison)
+    val wdN = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("payload"), lit(1)))
+      .orderBy(col("k").desc_nulls_last)
     def vals(q: org.apache.spark.sql.DataFrame): Seq[Int] =
       q.orderBy("payload").select("r").as[Int].collect().toSeq
-    val wantR = vals(df.withColumn("r", rank().over(wd)))
-    val wantD = vals(df.withColumn("r", dense_rank().over(wd)))
+    def nat(q: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      val np = q.queryExecution.executedPlan.toString
+      assert(np.contains("Window") && !np.contains("GlobalTies"), np)
+      vals(q)
+    }
+    val wantR = nat(df.withColumn("r", rank().over(wdN)))
+    val wantD = nat(df.withColumn("r", dense_rank().over(wdN)))
     GlobalRank.ensureRule(spark)
     try {
       val gotR = df.repartition(9).withColumn("r", rank().over(wd))
@@ -94,8 +104,20 @@ class GlobalTiesSpec extends AnyFunSuite {
     // is order-of-ties invariant — it keeps the tied window deliberately)
     val wt = org.apache.spark.sql.expressions.Window
       .orderBy(col("k"), col("payload"))
-    val wantP = vals(df.withColumn("r", percent_rank().over(w)))
-    val wantN = vals(df.withColumn("r", ntile(7).over(wt)))
+    // native twins with a non-foldable always-zero partition key (see
+    // the rank test above)
+    val wNat = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("payload"), lit(1))).orderBy(col("k"))
+    val wtNat = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("payload"), lit(1)))
+      .orderBy(col("k"), col("payload"))
+    def nat2(q: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val np = q.queryExecution.executedPlan.toString
+      assert(np.contains("Window") && !np.contains("GlobalTies"), np)
+      vals(q)
+    }
+    val wantP = nat2(df.withColumn("r", percent_rank().over(wNat)))
+    val wantN = nat2(df.withColumn("r", ntile(7).over(wtNat)))
     GlobalRank.ensureRule(spark)
     try {
       val gotP = df.repartition(9).withColumn("r", percent_rank().over(w))

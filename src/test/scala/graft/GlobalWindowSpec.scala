@@ -8,18 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * rank / tie ranks / offsets / edge values / prefix + sliding aggregates
   * together must compose the two-pass family operators onto one shared
   * sort (GlobalWindowRule) — and match, bit for bit, the native window
-  * semantics. The native oracle is the same query over
-  * `partitionBy(lit(0))`: semantically identical (one partition holds
-  * everything), but its non-empty partition spec means NO family rule
-  * ever rewrites it. */
+  * semantics. The native oracle is the same query over a NON-FOLDABLE
+  * always-zero partition key: semantically identical (one partition
+  * holds everything), never rewritten, and pinned to actually run
+  * WindowExec (see `assertNative`). */
 class GlobalWindowSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
   private val gw = org.apache.spark.sql.expressions.Window
     .orderBy(col("t"), col("id"))
+  // NON-FOLDABLE always-zero partition key: the optimizer eliminates
+  // foldable window partitions, which would turn a partitionBy(lit(0))
+  // twin into the very un-partitioned shape under test (self-compare).
   private val nw = org.apache.spark.sql.expressions.Window
-    .partitionBy(lit(0)).orderBy(col("t"), col("id"))
+    .partitionBy(pmod(col("id"), lit(1))).orderBy(col("t"), col("id"))
+  private def assertNative(df: org.apache.spark.sql.DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") && !p.contains("Global"),
+      s"the native twin must run WindowExec, not the operators under " +
+        s"test:\n$p")
+  }
   private def unbounded(
       w: org.apache.spark.sql.expressions.WindowSpec) =
     w.rowsBetween(
@@ -46,6 +55,7 @@ class GlobalWindowSpec extends AnyFunSuite {
 
   test("six families in one window: composed stack matches the native " +
     "window and plans one shared sort, no single-partition stage") {
+    assertNative(mixed(nw))
     val got = mixed(gw).orderBy("id").collect().toSeq
     val native = mixed(nw).orderBy("id").collect().toSeq
     assert(got == native)
@@ -72,6 +82,7 @@ class GlobalWindowSpec extends AnyFunSuite {
       input.select(col("id"),
         rank().over(w).cast("long").as("rnk"),
         lag(col("v"), 2, -1L).over(w).as("prev2"))
+    assertNative(q(nw))
     assert(q(gw).orderBy("id").collect().toSeq ==
       q(nw).orderBy("id").collect().toSeq)
     val plan = q(gw).queryExecution.executedPlan.toString

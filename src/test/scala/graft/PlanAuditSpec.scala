@@ -281,7 +281,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounded value-RANGE frames plan the key-spliced GlobalRange
     // operator — frame membership by key distance, no single-partition
     // stage
-    val ranges = Seq("rel_range_trailing_global")
+    val ranges = Seq("rel_range_trailing_global",
+      "rel_range_interval_global")
     ranges.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalRange"),
