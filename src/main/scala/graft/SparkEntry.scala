@@ -2409,6 +2409,21 @@ object SparkEntry {
         "count(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '5' SECOND " +
           "PRECEDING AND CURRENT ROW) AS n_5s")),
 
+    // Mixed window WITH a value-range member: rank + running tie-group
+    // total + trailing 5-second window over ONE single-key ORDER BY.
+    // GlobalWindowRule stacks GlobalTies + GlobalScan + GlobalRange on
+    // one shared range sort. Every function depends only on t, so ties
+    // keep the output deterministic. Census-pinned.
+    "rel_window_mixed_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          rank().over(w).cast("long").as("rnk"),
+          sum(col("v")).over(w).as("run_total"),
+          sum(col("v")).over(w.rangeBetween(-5000000L, 0L)).as("rev_5s"),
+          count(col("v")).over(w.rangeBetween(-5000000L, 0L)).as("n_5s"))
+    }),
+
     // MIXED-FAMILY global window — SIX window-function families in ONE
     // un-partitioned ORDER BY: row_number (rank family), rank (ties),
     // running sum (scan), lag (shift), first_value (edge) and a moving
@@ -5040,6 +5055,23 @@ object SparkEntry {
         |FROM e
         |WINDOW r AS (ORDER BY ts RANGE BETWEEN INTERVAL 5 SECOND
         |             PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "rel_window_mixed_range" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(rank() OVER (ORDER BY t) AS bigint) AS rnk,
+        |       cast(sum(v) OVER (ORDER BY t) AS bigint) AS run_total,
+        |       cast(sum(v) OVER r AS bigint) AS rev_5s,
+        |       cast(count(v) OVER r AS bigint) AS n_5s
+        |FROM e
+        |WINDOW r AS (ORDER BY t
+        |             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
 
     "rel_window_mixed_global" ->
       """WITH e AS (

@@ -627,11 +627,13 @@ object GlobalRangeRule
       a.dataType == org.apache.spark.sql.types.TimestampType ||
       a.dataType == org.apache.spark.sql.types.TimestampNTZType
 
-  private case class RParsed(alias: Alias, order: Seq[SortOrder],
+  // private[plans]: [[GlobalWindowRule]] reuses the value-range parser
+  // to compose mixed-family global windows onto one shared sort
+  private[plans] case class RParsed(alias: Alias, order: Seq[SortOrder],
       key: CAttr, lo: Long, hi: Long, kind: ScanKind, value: CAttr,
       ansi: Boolean, widen: Boolean)
 
-  private def parseRange(e: NamedExpression,
+  private[plans] def parseRange(e: NamedExpression,
                          child: LogicalPlan): Option[RParsed] = e match {
     case a @ Alias(WindowExpression(agg: AggregateExpression,
           WindowSpecDefinition(Seq(), Seq(so),

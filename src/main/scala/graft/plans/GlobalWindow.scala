@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.LongType
   *
   *   - prefix aggregates fuse into one [[GlobalScanPlan]] (bottom),
   *   - bounded ROWS frames fuse into one [[GlobalFramePlan]],
+  *   - bounded value-RANGE frames fuse into one [[GlobalRangePlan]],
   *   - each rank / tie-rank / offset / edge function stacks its own
   *     1:1 node ([[GlobalRankPlan]] / [[GlobalTiesPlan]] /
   *     [[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
@@ -58,6 +59,7 @@ object GlobalWindowRule
     extends Member
   private case class MScan(p: GlobalScanRule.Parsed) extends Member
   private case class MFrame(p: GlobalFrameRule.FParsed) extends Member
+  private case class MRange(p: GlobalRangeRule.RParsed) extends Member
 
   /** One window expression parsed into its family, with the order its
     * member will sort by. The scan/frame parsers run first (they carry
@@ -72,6 +74,8 @@ object GlobalWindowRule
     GlobalScanRule.parse(e, child).map(p => (MScan(p): Member, p.order))
       .orElse(GlobalFrameRule.parseFrame(e, child)
         .map(p => (MFrame(p): Member, p.order)))
+      .orElse(GlobalRangeRule.parseRange(e, child)
+        .map(p => (MRange(p): Member, p.order)))
       .orElse(e match {
         case a @ Alias(WindowExpression(fn,
               WindowSpecDefinition(Seq(), order, frame)), _)
@@ -127,24 +131,36 @@ object GlobalWindowRule
       val parsed = exprs.map(parseMember(_, child))
       val members = parsed.flatten.map(_._1)
       val orders = parsed.flatten.map(_._2).distinct
-      // only mixed shapes: at least one non-aggregate member, else the
-      // window belongs to GlobalScanRule / GlobalFrameRule (their fused
-      // single-node plans beat a stack of one)
-      val mixed = members.exists {
+      // only mixed shapes: a shape some single rule already owns whole
+      // (all-scan, frame+scan, all-range) keeps that rule's fused plan;
+      // anything spanning further — a non-aggregate member, or a
+      // value-range aggregate next to row-frame/prefix ones — is ours
+      val hasOther = members.exists {
         case _: MRank | _: MTies | _: MShift | _: MEdge => true
         case _ => false
       }
+      val hasRange = members.exists {
+        case _: MRange => true
+        case _ => false
+      }
+      val hasRowAgg = members.exists {
+        case _: MScan | _: MFrame => true
+        case _ => false
+      }
+      val mixed = hasOther || (hasRange && hasRowAgg)
       if (parsed.exists(_.isEmpty) || orders.size != 1 || !mixed) w
       else {
         val order = orders.head
         val scanPs = members.collect { case MScan(p) => p }
         val framePs = members.collect { case MFrame(p) => p }
+        val rangePs = members.collect { case MRange(p) => p }
         // integral inputs of widen-marked aggregate specs upcast to Long
         // in ONE Project below everything (deduped by exprId across the
         // scan AND frame members — same discipline as GlobalFrameRule)
         val widenPairs =
           (scanPs.filter(_.widen).map(_.value) ++
-            framePs.filter(_.widen).map(_.value))
+            framePs.filter(_.widen).map(_.value) ++
+            rangePs.filter(_.widen).map(_.value))
           .filter(_.dataType != LongType)
           .groupBy(_.exprId).map(_._2.head)
           .map(v => v.exprId ->
@@ -178,15 +194,26 @@ object GlobalWindowRule
             cur = g
             g.frameAttrs
           }
+        val rangeAttrs: Seq[CAttr] =
+          if (rangePs.isEmpty) Nil
+          else {
+            val g = GlobalRangePlan(order, rangePs.head.key,
+              rangePs.map(p => RangeSpec(p.kind, p.lo, p.hi, p.ansi)),
+              rangePs.map(p => valOf(p.value, p.widen)), cur)
+            cur = g
+            g.rangeAttrs
+          }
         // results in the original expression order, each narrowed back
         // to its alias type under the original exprId so downstream
         // references resolve unchanged (same idiom as the family rules)
-        var si = -1; var fi = -1
+        var si = -1; var fi = -1; var ri = -1
         val results = members.map { m =>
           val (alias, raw) = m match {
             case MScan(p) => si += 1; (p.alias, scanAttrs(si): Expression)
             case MFrame(p) =>
               fi += 1; (p.alias, frameAttrs(fi): Expression)
+            case MRange(p) =>
+              ri += 1; (p.alias, rangeAttrs(ri): Expression)
             case MRank(a) =>
               val g = GlobalRankPlan(order, cur); cur = g
               (a, g.rankAttr: Expression)
@@ -225,6 +252,7 @@ object GlobalWindow {
     GlobalShift.ensureStrategy(spark)
     GlobalEdge.ensureStrategy(spark)
     GlobalFrame.ensureStrategy(spark)
+    GlobalRange.ensureStrategy(spark)
     SessionHooks.ensureRule(spark, GlobalWindowRule, GlobalRankStrategy)
   }
 

@@ -91,6 +91,32 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("value-RANGE member composes with rank + running sum onto the " +
+    "same shared sort") {
+    // single-key order (the range member requires it); every projected
+    // function is a function of the key alone, so ties stay
+    // deterministic
+    val kw = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val kn = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("id"), lit(1))).orderBy(col("t"))
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        rank().over(w).cast("long").as("rnk"),
+        sum(col("v")).over(w).as("run_total"),
+        sum(col("v")).over(w.rangeBetween(-10, 0)).as("s10"),
+        count(col("v")).over(w.rangeBetween(-10, 0)).as("c10"))
+    assertNative(q(kn))
+    assert(q(kw).orderBy("id").collect().toSeq ==
+      q(kn).orderBy("id").collect().toSeq)
+    val plan = q(kw).queryExecution.executedPlan.toString
+    Seq("GlobalTies", "GlobalScan", "GlobalRange").foreach(n =>
+      assert(plan.contains(n), s"stack lost its $n member:\n$plan"))
+    assert(!plan.contains("Window"), plan)
+    assert("Sort ".r.findAllIn(plan).size == 1 &&
+      "ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1,
+      s"range-bearing stack must share one exchange + sort:\n$plan")
+  }
+
   test("a member needing the reversed order keeps the WHOLE window on " +
     "WindowExec (all-or-nothing)") {
     def q = input.select(col("id"),

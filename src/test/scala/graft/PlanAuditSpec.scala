@@ -296,6 +296,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // one shared sort (GlobalWindowRule) — one exchange, one sort, no
     // WindowExec, no single-partition stage
     val mixedStack = Seq("rel_window_mixed_global")
+    // range-bearing mixed stack: ties + scan + range over one sort
+    val mixedRange = Seq("rel_window_mixed_range")
+    mixedRange.foreach { q =>
+      val p = plan(q)
+      Seq("GlobalTies", "GlobalScan", "GlobalRange").foreach(n =>
+        assert(p.contains(n), s"$q lost its $n stack member:\n$p"))
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      assert(!p.contains("SinglePartition"), p)
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+        "Sort ".r.findAllIn(p).size == 1,
+        s"$q: the stack must share one exchange + sort:\n$p")
+    }
     mixedStack.foreach { q =>
       val p = plan(q)
       Seq("GlobalScan", "GlobalFrame", "GlobalRank", "GlobalTies",
@@ -363,7 +375,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
     val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
-      bounded ++ ranges ++ mixedStack).toSet +
+      bounded ++ ranges ++ mixedStack ++ mixedRange).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
