@@ -191,8 +191,16 @@ case class GlobalRangeExec(order: Seq[SortOrder], key: Attribute,
     // rows within the frame reach of its edges — narrow rows only.
     // Null keys sort FIRST: a partition's null rows are a leading run;
     // a partition whose LAST key is null is entirely null.
-    val partials: Array[Partial] = input.mapPartitions({ it =>
+    val numParts = input.getNumPartitions
+    val partials: Array[Partial] = input.mapPartitionsWithIndex({
+      (pid, it) =>
       val proj = UnsafeProjection.create(bounds)
+      // boundary captures only exist to serve OTHER partitions: the
+      // first partition has nobody before it (no head), the last nobody
+      // after (no tail) — skipping them avoids both the work and any
+      // spurious cap throw on a plateau at the corpus edge
+      val wantHead = pid > 0
+      val wantTail = pid < numParts - 1
       var count = 0L
       var firstKey = 0L; var lastKey = 0L
       var firstNull = false; var lastNull = false
@@ -216,8 +224,9 @@ case class GlobalRangeExec(order: Seq[SortOrder], key: Attribute,
         // head: rows any EARLIER partition could need. If this partition
         // starts with nulls, earlier partitions are entirely null and
         // need the leading null run (their peers); otherwise the usual
-        // rows within maxHi of our first key.
-        if (headOpen) {
+        // rows within maxHi of our first key. The head is a prefix
+        // capture (no eviction), so its inline cap check is final.
+        if (wantHead && headOpen) {
           val qualifies =
             if (firstNull) kNull
             else !kNull && maxHi >= 0L && k <= satAdd(firstKey, maxHi)
@@ -231,20 +240,23 @@ case class GlobalRangeExec(order: Seq[SortOrder], key: Attribute,
         // (needed as peers by later all-null partitions); the buffer is
         // discarded wholesale at the first non-null key — from there no
         // later partition can hold nulls, and the usual within-|minLo|
-        // eviction applies.
-        if (kNull) {
-          tail.append(r)
-          if (tail.length > cap) blowUp("last")
-        } else {
-          if (inNullPrefix) { tail.clear(); inNullPrefix = false }
-          if (minLo <= 0L) {
-            while (tail.nonEmpty &&
-              tail.head.getLong(0) < satAdd(k, minLo)) tail.removeHead()
-            tail.append(r)
-            if (tail.length > cap) blowUp("last")
+        // eviction applies. The cap is checked on the FINAL tail below,
+        // not inline: only the final tail ships to the driver, and a
+        // mid-partition plateau that later evicts is pass-2-sized
+        // transient working memory, not a boundary.
+        if (wantTail) {
+          if (kNull) tail.append(r)
+          else {
+            if (inNullPrefix) { tail.clear(); inNullPrefix = false }
+            if (minLo <= 0L) {
+              while (tail.nonEmpty &&
+                tail.head.getLong(0) < satAdd(k, minLo)) tail.removeHead()
+              tail.append(r)
+            }
           }
         }
       }
+      if (tail.length > cap) blowUp("last")
       Iterator.single(Partial(count, firstKey, lastKey, firstNull,
         lastNull, head.toArray, tail.toArray))
     }, preservesPartitioning = true).collect()

@@ -33,14 +33,17 @@ import org.apache.spark.sql.types.LongType
   * adds its own pair of passes over its (persisted) input; the driver
   * state stays the sum of the members' bounded partials.
   *
-  * All-or-nothing: if ANY expression is outside the six families (or
+  * All-or-nothing: if ANY expression is outside the seven families (or
   * needs the REVERSED sort — `cume_dist`, ignore-nulls `lead`), the
   * whole window keeps WindowExec; rewriting a subset would leave a
   * single-partition Window for the rest. LIMIT-bounded inputs keep
   * WindowExec (provably tiny at any scale, same escape as the family
-  * rules). Single-expression and all-aggregate windows are NOT this
-  * rule's territory — the family rules own them (guarded by the
-  * "spans a non-aggregate member + at least two expressions" check).
+  * rules). Shapes a single fused rule already owns whole — all-prefix
+  * (GlobalScanRule), row-frame + prefix (GlobalFrameRule), all-value-
+  * range (GlobalRangeRule), single-expression windows (the family
+  * rules) — are NOT this rule's territory; it fires only on windows
+  * spanning a non-aggregate member, or a value-range aggregate next to
+  * prefix / row-frame ones.
   */
 object GlobalWindowRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {

@@ -192,22 +192,43 @@ class GlobalRangeSpec extends AnyFunSuite {
   }
 
   test("boundary wider than MaxBoundary throws loudly, not wrongly") {
-    // one giant key plateau: every row in range of the partition edge
-    // (the key must stay an ATTRIBUTE: a foldable lit(7) would be
-    // constant-propagated into the window order and the rule would
-    // correctly decline the rewrite)
-    val plateau = spark.range(0, GlobalRange.MaxBoundary * 3L).select(
-      col("id"), greatest(lit(7L), col("id") % 2).as("t"),
-      (col("id") % 5).as("v"))
-      .repartition(2)
-    val e = intercept[Exception] {
-      plateau.select(col("id"),
-        sum(col("v")).over(gw.rangeBetween(-1, 0)).as("s")).collect()
-    }
+    // a range covering the whole key span: every partition's ENTIRE row
+    // set is within frame reach of its last key, so the final tail
+    // capture of any non-last partition exceeds the cap (partitions
+    // hold ~n/4 rows at 4 shuffle partitions — well past MaxBoundary)
+    val n = GlobalRange.MaxBoundary * 5L
+    val dense = spark.range(0, n).select(
+      col("id"), col("id").as("t"), (col("id") % 5).as("v"))
+      .repartition(7)
+    // AQE coalesces a tiny shuffle to ONE partition (no boundary at
+    // all) — pin several post-sort partitions so the capture actually
+    // crosses a boundary, as it would at real scale
+    val coalesceWas =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    val e = try intercept[Exception] {
+      dense.select(col("id"),
+        sum(col("v")).over(gw.rangeBetween(-n, 0)).as("s")).collect()
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", coalesceWas)
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("boundary blow-up")),
       s"expected the loud cap, got: ${messages(e).mkString(" | ")}")
+
+    // a key plateau, by contrast, RANGE-PARTITIONS onto one partition
+    // (equal keys colocate) and is handled locally — no boundary ships,
+    // no spurious throw, results match native
+    val plateau = spark.range(0, GlobalRange.MaxBoundary * 2L).select(
+      col("id"), greatest(lit(7L), col("id") % 2).as("t"),
+      (col("id") % 5).as("v")).repartition(4)
+    def pq(w: org.apache.spark.sql.expressions.WindowSpec) =
+      plateau.select(col("id"),
+        sum(col("v")).over(w.rangeBetween(-1, 0)).as("s"))
+    assertNative(pq(nw))
+    assert(pq(gw).orderBy("id").collect().toSeq ==
+      pq(nw).orderBy("id").collect().toSeq)
   }
 }

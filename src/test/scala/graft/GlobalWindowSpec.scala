@@ -117,6 +117,24 @@ class GlobalWindowSpec extends AnyFunSuite {
       s"range-bearing stack must share one exchange + sort:\n$plan")
   }
 
+  test("several members of ONE family stack their own nodes (lag(1) + " +
+    "lag(7) + lead(2)) and still share the sort") {
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        lag(col("v"), 1).over(w).as("p1"),
+        lag(col("v"), 7).over(w).as("p7"),
+        lead(col("v"), 2).over(w).as("n2"))
+    assertNative(q(nw))
+    assert(q(gw).orderBy("id").collect().toSeq ==
+      q(nw).orderBy("id").collect().toSeq)
+    val plan = q(gw).queryExecution.executedPlan.toString
+    assert("GlobalShift".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("Window"), plan)
+    assert("Sort ".r.findAllIn(plan).size == 1 &&
+      "ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1,
+      s"the shift stack must share one exchange + sort:\n$plan")
+  }
+
   test("a member needing the reversed order keeps the WHOLE window on " +
     "WindowExec (all-or-nothing)") {
     def q = input.select(col("id"),
