@@ -121,7 +121,7 @@ object GlobalRankStrategy extends Strategy {
       GlobalRankExec(g.order, g.rankAttr,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case g: GlobalTiesPlan =>
-      GlobalTiesExec(g.order, g.kind, g.rankAttr,
+      GlobalTiesExec(g.order, g.kinds, g.rankAttrs,
         org.apache.spark.sql.execution.PlanLater(g.child)) :: Nil
     case _ => Nil
   }

@@ -9,11 +9,11 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
 /** GLOBAL RANK WITH TIES — `rank()` / `dense_rank()` / `percent_rank()` /
-  * `ntile(n)` over a total order, with NO single-partition stage:
-  * [[GlobalRankPlan]]'s two-pass mechanism extended from gap-free row
-  * numbers to tie-aware ranks (percent_rank and ntile ride along for
-  * free: both are functions of the rank / row position and the global
-  * count, which the partials already carry).
+  * `ntile(n)` / `cume_dist()` / `row_number()` over a total order, with NO
+  * single-partition stage: [[GlobalRankPlan]]'s two-pass mechanism
+  * extended from gap-free row numbers to tie-aware ranks (percent_rank
+  * and ntile ride along for free: both are functions of the rank / row
+  * position and the global count, which the partials already carry).
   *
   * Ties make this harder than row_number: a tie group may SPAN partition
   * boundaries after range partitioning, so a row's rank can depend on rows
@@ -35,6 +35,14 @@ import org.apache.spark.sql.types.LongType
   *      `rowOffset + groupStart + 1` for later ones;
   *      `dense_rank = denseBase + localGroupIndex`.
   *
+  * One node computes ANY NUMBER of kinds over the same order in ONE
+  * pass-pair — the partials are identical for every kind, so a window
+  * projecting `row_number() + rank() + dense_rank()` fuses into a single
+  * persist + two passes instead of stacking three operators
+  * ([[GlobalWindowRule]] relies on this). `cume_dist` is the one kind
+  * that cannot fuse with the others: it plans over the REVERSED order
+  * (see [[TieKind.CumeDist]]).
+  *
   * Tie detection uses the ORDER's own comparator ([[RowOrdering]] over the
   * SortOrder expressions — compare == 0), not binary key equality, so SQL
   * equivalence classes (-0.0 vs 0.0, null ordering) match WindowExec's.
@@ -47,6 +55,10 @@ object TieKind {
   case object Rank extends TieKind("rank")
   /** ties share a rank; no gaps (1,1,2) */
   case object DenseRank extends TieKind("dense_rank")
+  /** plain global row position (1..n) — lets `row_number()` fuse into a
+    * multi-kind ties node (the single-function rewrite keeps the lighter
+    * [[GlobalRankPlan]], whose partials carry no boundary rows) */
+  case object RowNum extends TieKind("row_number")
   /** (rank - 1) / (N - 1) as double, 0.0 for a single row — needs only
     * the rank plus the global count, both already in the partials */
   case object PercentRank extends TieKind("percent_rank")
@@ -65,40 +77,51 @@ object TieKind {
 }
 
 object GlobalTiesPlan {
-  /** Output attribute typed per kind: ranks/buckets are longs (the rule
-    * narrows back to the window function's int), percent_rank is the
-    * native double. All non-null — every row gets a value. */
-  def apply(order: Seq[SortOrder], kind: TieKind,
+  /** Output attributes typed per kind: ranks/buckets/positions are longs
+    * (the rule narrows back to the window function's int), percent_rank
+    * and cume_dist are the native double. All non-null — every row gets
+    * a value. */
+  def apply(order: Seq[SortOrder], kinds: Seq[TieKind],
             child: LogicalPlan): GlobalTiesPlan = {
-    val dt = kind match {
-      case TieKind.PercentRank | TieKind.CumeDist =>
-        org.apache.spark.sql.types.DoubleType
-      case _ => LongType
+    require(kinds.nonEmpty, "GlobalTiesPlan needs at least one kind")
+    val attrs = kinds.map { kind =>
+      val dt = kind match {
+        case TieKind.PercentRank | TieKind.CumeDist =>
+          org.apache.spark.sql.types.DoubleType
+        case _ => LongType
+      }
+      AttributeReference("rank", dt, nullable = false)()
     }
-    GlobalTiesPlan(order, kind, child,
-      AttributeReference("rank", dt, nullable = false)())
+    GlobalTiesPlan(order, kinds, child, attrs)
   }
+
+  /** Single-kind convenience (the family rules and tests). */
+  def apply(order: Seq[SortOrder], kind: TieKind,
+            child: LogicalPlan): GlobalTiesPlan =
+    apply(order, Seq(kind), child)
 }
 
-case class GlobalTiesPlan(order: Seq[SortOrder], kind: TieKind,
+case class GlobalTiesPlan(order: Seq[SortOrder], kinds: Seq[TieKind],
     child: LogicalPlan,
     // constructor field (not a body val) so copy()/transform preserve the
-    // exprId — a body val would mint a fresh attribute on every tree copy
-    rankAttr: AttributeReference)
+    // exprIds — a body val would mint fresh attributes on every tree copy
+    rankAttrs: Seq[AttributeReference])
   extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  /** head output attribute — single-kind callers */
+  def rankAttr: AttributeReference = rankAttrs.head
+  override def output: Seq[Attribute] = child.output ++ rankAttrs
   override def producedAttributes
   : org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttrs)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan)
   : GlobalTiesPlan = copy(child = newChild)
 }
 
-case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
-                          rankAttr: Attribute, child: SparkPlan)
+case class GlobalTiesExec(order: Seq[SortOrder], kinds: Seq[TieKind],
+                          rankAttrs: Seq[Attribute], child: SparkPlan)
   extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] = child.output ++ rankAttrs
 
   override def requiredChildDistribution
   : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
@@ -190,10 +213,12 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
       p += 1
     }
     val bc = input.sparkContext.broadcast((rowOffsets, rankCarry, denseBase))
-    val theKind = kind // stable local for task closures
+    val theKinds = kinds.toArray // stable local for task closures
+    val nKinds = theKinds.length
     val totalRows = rowOffsets.last
-    // pass 2: re-detect local groups, emit ranks through an
-    // UnsafeProjection (created per task — it holds codegen state)
+    // pass 2: re-detect local groups ONCE per row, emit every kind's
+    // value through an UnsafeProjection (created per task — it holds
+    // codegen state)
     val types = output.map(_.dataType).toArray
     input.mapPartitionsWithIndex({ (pid, it) =>
       val (rowOff, carryArr, denseArr) = bc.value
@@ -201,17 +226,25 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
       val base = rowOff(pid)
       val carry = carryArr(pid)
       val dBase = denseArr(pid)
-      // ntile bucket geometry from the global count: the first `rem`
-      // buckets hold `big` rows, the rest hold big - 1 (Spark/SQL
-      // semantics). When N < n every row is its own bucket and the
-      // small-bucket arm is unreachable (no division by zero).
-      val (ntileBig, ntileRem) = theKind match {
-        case TieKind.NTile(n) =>
-          (totalRows / n + (if (totalRows % n > 0) 1L else 0L),
-            totalRows % n)
-        case _ => (1L, 0L)
+      // ntile bucket geometry from the global count, per ntile kind: the
+      // first `rem` buckets hold `big` rows, the rest hold big - 1
+      // (Spark/SQL semantics). When N < n every row is its own bucket
+      // and the small-bucket arm is unreachable (no division by zero).
+      val ntileBig = new Array[Long](nKinds)
+      val ntileRem = new Array[Long](nKinds)
+      var ki = 0
+      while (ki < nKinds) {
+        theKinds(ki) match {
+          case TieKind.NTile(nb) =>
+            ntileBig(ki) =
+              totalRows / nb + (if (totalRows % nb > 0) 1L else 0L)
+            ntileRem(ki) = totalRows % nb
+          case _ =>
+        }
+        ki += 1
       }
       val nCols = types.length
+      val colBase = nCols - nKinds
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
       val out = new GenericInternalRow(nCols)
@@ -230,26 +263,31 @@ case class GlobalTiesExec(order: Seq[SortOrder], kind: TieKind,
         def rank: Long =
           if (groupIdx == 1L) base - carry + 1L
           else base + groupStart + 1L
-        val value: Any = theKind match {
-          case TieKind.Rank => rank
-          case TieKind.DenseRank => dBase + groupIdx
-          case TieKind.PercentRank =>
-            if (totalRows <= 1L) 0.0
-            else (rank - 1L).toDouble / (totalRows - 1L).toDouble
-          // this operator's order is the REVERSE of the user's window
-          // order (see TieKind.CumeDist): rank here counts the strictly-
-          // greater groups, so the complement is #{rows <= current}
-          case TieKind.CumeDist =>
-            (totalRows - rank + 1L).toDouble / totalRows.toDouble
-          case TieKind.NTile(n) =>
-            val i0 = base + localIdx // global 0-based row position
-            if (i0 < ntileRem * ntileBig) i0 / ntileBig + 1L
-            else ntileRem + (i0 - ntileRem * ntileBig) /
-              (totalRows / n) + 1L
-        }
         var j = 0
-        while (j < nCols - 1) { out.update(j, row.get(j, types(j))); j += 1 }
-        out.update(nCols - 1, value)
+        while (j < colBase) { out.update(j, row.get(j, types(j))); j += 1 }
+        var i = 0
+        while (i < nKinds) {
+          val value: Any = theKinds(i) match {
+            case TieKind.Rank => rank
+            case TieKind.DenseRank => dBase + groupIdx
+            case TieKind.RowNum => base + localIdx + 1L
+            case TieKind.PercentRank =>
+              if (totalRows <= 1L) 0.0
+              else (rank - 1L).toDouble / (totalRows - 1L).toDouble
+            // this operator's order is the REVERSE of the user's window
+            // order (see TieKind.CumeDist): rank here counts the strictly-
+            // greater groups, so the complement is #{rows <= current}
+            case TieKind.CumeDist =>
+              (totalRows - rank + 1L).toDouble / totalRows.toDouble
+            case TieKind.NTile(nb) =>
+              val i0 = base + localIdx // global 0-based row position
+              if (i0 < ntileRem(i) * ntileBig(i)) i0 / ntileBig(i) + 1L
+              else ntileRem(i) + (i0 - ntileRem(i) * ntileBig(i)) /
+                (totalRows / nb) + 1L
+          }
+          out.update(colBase + i, value)
+          i += 1
+        }
         proj(out)
       }
     }, preservesPartitioning = true)

@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.LongType
   *   - prefix aggregates fuse into one [[GlobalScanPlan]] (bottom),
   *   - bounded ROWS frames fuse into one [[GlobalFramePlan]],
   *   - bounded value-RANGE frames fuse into one [[GlobalRangePlan]],
-  *   - each rank / tie-rank / offset / edge function stacks its own
-  *     1:1 node ([[GlobalRankPlan]] / [[GlobalTiesPlan]] /
-  *     [[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
+  *   - the whole rank family (row_number / rank / dense_rank /
+  *     percent_rank / ntile) fuses into ONE multi-kind
+  *     [[GlobalTiesPlan]] — the partials are identical per kind, so
+  *     three rank functions cost one persist + one pass-pair,
+  *   - each offset / edge function stacks its own 1:1 node
+  *     ([[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
   *
   * Every operator in the stack requires `OrderedDistribution(order)`,
   * preserves its child's partitioning AND emits `outputOrdering = order`,
@@ -188,6 +191,19 @@ object GlobalWindowRule
             cur = g
             g.scanAttrs
           }
+        // the whole rank family fuses into one multi-kind ties node
+        // (row_number rides as TieKind.RowNum — same partials)
+        val tiesKinds = members.collect {
+          case MRank(_) => TieKind.RowNum: TieKind
+          case MTies(_, kind) => kind
+        }
+        val tiesAttrs: Seq[CAttr] =
+          if (tiesKinds.isEmpty) Nil
+          else {
+            val g = GlobalTiesPlan(order, tiesKinds, cur)
+            cur = g
+            g.rankAttrs
+          }
         val frameAttrs: Seq[CAttr] =
           if (framePs.isEmpty) Nil
           else {
@@ -209,7 +225,7 @@ object GlobalWindowRule
         // results in the original expression order, each narrowed back
         // to its alias type under the original exprId so downstream
         // references resolve unchanged (same idiom as the family rules)
-        var si = -1; var fi = -1; var ri = -1
+        var si = -1; var fi = -1; var ri = -1; var ti = -1
         val results = members.map { m =>
           val (alias, raw) = m match {
             case MScan(p) => si += 1; (p.alias, scanAttrs(si): Expression)
@@ -218,11 +234,9 @@ object GlobalWindowRule
             case MRange(p) =>
               ri += 1; (p.alias, rangeAttrs(ri): Expression)
             case MRank(a) =>
-              val g = GlobalRankPlan(order, cur); cur = g
-              (a, g.rankAttr: Expression)
-            case MTies(a, kind) =>
-              val g = GlobalTiesPlan(order, kind, cur); cur = g
-              (a, g.rankAttr: Expression)
+              ti += 1; (a, tiesAttrs(ti): Expression)
+            case MTies(a, _) =>
+              ti += 1; (a, tiesAttrs(ti): Expression)
             case MShift(a, v, off, d, ign) =>
               val g = GlobalShiftPlan(order, v, off, d, cur,
                 ignoreNulls = ign)

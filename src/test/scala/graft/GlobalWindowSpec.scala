@@ -61,7 +61,7 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(got == native)
 
     val plan = mixed(gw).queryExecution.executedPlan.toString
-    Seq("GlobalScan", "GlobalFrame", "GlobalRank", "GlobalTies",
+    Seq("GlobalScan", "GlobalFrame", "GlobalTies",
       "GlobalShift", "GlobalEdge").foreach(n =>
       assert(plan.contains(n), s"stack lost its $n member:\n$plan"))
     assert(!plan.contains("Window"),
@@ -73,8 +73,11 @@ class GlobalWindowSpec extends AnyFunSuite {
       s"stack must share one exchange:\n$plan")
     assert("Sort ".r.findAllIn(plan).size == 1,
       s"stack must share one sort:\n$plan")
-    // both rank functions stack their own node over that one sort
-    assert("GlobalTies".r.findAllIn(plan).size == 2, plan)
+    // ALL THREE rank-family functions (row_number + rank + dense_rank)
+    // fuse into ONE multi-kind ties node — one persist, one pass-pair
+    assert("GlobalTies".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("GlobalRankExec"),
+      s"row_number must ride the fused ties node, not its own:\n$plan")
   }
 
   test("two-family mix (rank + lag), no aggregates") {

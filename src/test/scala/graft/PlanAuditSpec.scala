@@ -310,9 +310,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     mixedStack.foreach { q =>
       val p = plan(q)
-      Seq("GlobalScan", "GlobalFrame", "GlobalRank", "GlobalTies",
+      // row_number rides the fused multi-kind ties node (no separate
+      // GlobalRank member in a mixed stack)
+      Seq("GlobalScan", "GlobalFrame", "GlobalTies",
         "GlobalShift", "GlobalEdge").foreach(n =>
         assert(p.contains(n), s"$q lost its $n stack member:\n$p"))
+      assert("GlobalTies".r.findAllIn(p).size == 1,
+        s"$q: the rank family must fuse into one ties node:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
       assert(!p.contains("SinglePartition"),
         s"$q planned a single-partition stage:\n$p")
