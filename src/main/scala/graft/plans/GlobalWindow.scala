@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.LongType
   *     percent_rank / ntile) fuses into ONE multi-kind
   *     [[GlobalTiesPlan]] — the partials are identical per kind, so
   *     three rank functions cost one persist + one pass-pair,
-  *   - each offset / edge function stacks its own 1:1 node
+  *   - respect-nulls null-default `lag(v, n)` / `lead(v, n)` are
+  *     EXACTLY the 1-row detached frame `min(v) OVER (ROWS BETWEEN n
+  *     PRECEDING/FOLLOWING AND n PRECEDING/FOLLOWING)` (same value,
+  *     null, and corpus-edge semantics), so they ride the fused frame
+  *     node too instead of stacking one operator per offset,
+  *   - each remaining offset variant (non-null default, ignore-nulls
+  *     lag) / edge function stacks its own 1:1 node
   *     ([[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
   *
   * Every operator in the stack requires `OrderedDistribution(order)`,
@@ -54,6 +60,17 @@ object GlobalWindowRule
     Lag, Lead, NTile, NthValue, PercentRank, Rank, RangeFrame, RowFrame,
     RowNumber, SpecifiedWindowFrame, UnboundedPreceding}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
+
+  private object NullLit {
+    def unapply(e: Expression): Boolean = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value == null
+      case _ => false
+    }
+  }
+  private def orderable(v: CAttr): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(v.dataType)
 
   private sealed trait Member
   private case class MRank(alias: Alias) extends Member
@@ -93,6 +110,23 @@ object GlobalWindowRule
             case _: PercentRank => Some(MTies(a, TieKind.PercentRank))
             case NTile(IntegerLiteral(n)) if n > 0 =>
               Some(MTies(a, TieKind.NTile(n)))
+            // respect-nulls lag/lead with a NULL default are 1-row
+            // detached ROWS frames: min over [±n, ±n] returns that
+            // row's value (or NULL when the row is null or absent) —
+            // bit-identical to the offset function, and it fuses into
+            // the frame node instead of stacking one operator per
+            // offset. Non-null defaults do NOT convert: coalesce would
+            // also replace an existing-but-null value.
+            case Lag(v: CAttr, IntegerLiteral(off), NullLit(), false)
+                if off > 0 && off <= GlobalFrame.MaxFrame &&
+                  orderable(v) =>
+              Some(MFrame(GlobalFrameRule.FParsed(a, order, -off, -off,
+                ScanKind.Min, v, ansi = false, widen = false)))
+            case Lead(v: CAttr, IntegerLiteral(off), NullLit(), false)
+                if off > 0 && off <= GlobalFrame.MaxFrame &&
+                  orderable(v) =>
+              Some(MFrame(GlobalFrameRule.FParsed(a, order, off, off,
+                ScanKind.Min, v, ansi = false, widen = false)))
             case Lag(v: CAttr, IntegerLiteral(off), d, ign)
                 if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
               Some(MShift(a, v, -off, d, ign))

@@ -62,8 +62,13 @@ class GlobalWindowSpec extends AnyFunSuite {
 
     val plan = mixed(gw).queryExecution.executedPlan.toString
     Seq("GlobalScan", "GlobalFrame", "GlobalTies",
-      "GlobalShift", "GlobalEdge").foreach(n =>
+      "GlobalEdge").foreach(n =>
       assert(plan.contains(n), s"stack lost its $n member:\n$plan"))
+    // the null-default lag rides the FRAME node as a 1-row detached
+    // frame — no standalone shift operator in this stack
+    assert(!plan.contains("GlobalShift"),
+      s"null-default lag must fuse into the frame node:\n$plan")
+    assert("GlobalFrame".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Window"),
       s"mixed window fell back to WindowExec:\n$plan")
     assert(!plan.contains("SinglePartition"),
@@ -120,10 +125,11 @@ class GlobalWindowSpec extends AnyFunSuite {
       s"range-bearing stack must share one exchange + sort:\n$plan")
   }
 
-  test("several members of ONE family stack their own nodes (lag(1) + " +
-    "lag(7) + lead(2)) and still share the sort") {
+  test("a basket of null-default offsets (lag(1) + lag(7) + lead(2)) " +
+    "fuses into ONE frame node — plus rank to make the shape mixed") {
     def q(w: org.apache.spark.sql.expressions.WindowSpec) =
       input.select(col("id"),
+        rank().over(w).cast("long").as("rnk"),
         lag(col("v"), 1).over(w).as("p1"),
         lag(col("v"), 7).over(w).as("p7"),
         lead(col("v"), 2).over(w).as("n2"))
@@ -131,11 +137,28 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(q(gw).orderBy("id").collect().toSeq ==
       q(nw).orderBy("id").collect().toSeq)
     val plan = q(gw).queryExecution.executedPlan.toString
-    assert("GlobalShift".r.findAllIn(plan).size == 3, plan)
+    // all three offsets are 1-row detached frames of one fused node
+    assert("GlobalFrame".r.findAllIn(plan).size == 1 &&
+      !plan.contains("GlobalShift"), plan)
     assert(!plan.contains("Window"), plan)
     assert("Sort ".r.findAllIn(plan).size == 1 &&
       "ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1,
-      s"the shift stack must share one exchange + sort:\n$plan")
+      s"the offset stack must share one exchange + sort:\n$plan")
+  }
+
+  test("ignore-nulls / defaulted offsets keep their own shift node " +
+    "(frames cannot express them)") {
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        rank().over(w).cast("long").as("rnk"),
+        lag(col("v"), 1, null, true).over(w).as("locf"),
+        lag(col("v"), 2, -1L).over(w).as("p2d"))
+    assertNative(q(nw))
+    assert(q(gw).orderBy("id").collect().toSeq ==
+      q(nw).orderBy("id").collect().toSeq)
+    val plan = q(gw).queryExecution.executedPlan.toString
+    assert("GlobalShift".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("a member needing the reversed order keeps the WHOLE window on " +

@@ -310,13 +310,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     mixedStack.foreach { q =>
       val p = plan(q)
-      // row_number rides the fused multi-kind ties node (no separate
-      // GlobalRank member in a mixed stack)
+      // row_number rides the fused multi-kind ties node and the
+      // null-default lag rides the fused frame node — the six function
+      // families plan as FOUR stacked operators over one sort
       Seq("GlobalScan", "GlobalFrame", "GlobalTies",
-        "GlobalShift", "GlobalEdge").foreach(n =>
+        "GlobalEdge").foreach(n =>
         assert(p.contains(n), s"$q lost its $n stack member:\n$p"))
       assert("GlobalTies".r.findAllIn(p).size == 1,
         s"$q: the rank family must fuse into one ties node:\n$p")
+      assert("GlobalFrame".r.findAllIn(p).size == 1 &&
+        !p.contains("GlobalShift"),
+        s"$q: null-default offsets must fuse into the frame node:\n$p")
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
       assert(!p.contains("SinglePartition"),
         s"$q planned a single-partition stage:\n$p")
