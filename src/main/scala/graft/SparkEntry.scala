@@ -834,6 +834,41 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)").cast("double").as("sum_price"))),
 
+    // DYNAMIC partition pruning: the fact side is laid out partitioned by
+    // event_type (the staged write below stands in for how a 100 TB event
+    // log is stored); the dim side keeps only "high-traffic" types — the
+    // types carrying > 20.05% of all events (exact integer cross-multiply,
+    // no float threshold). That predicate depends on corpus COUNTS, not on
+    // the key value itself, so constraint propagation cannot turn it into
+    // a static partition filter on the fact scan — only RUNTIME pruning
+    // can skip fact partitions. Spark plans a DynamicPruningExpression
+    // (reusing the dim broadcast) inside the fact scan's PartitionFilters;
+    // at 100 TB that is the difference between scanning every partition
+    // and scanning the few the dim filter selects. Pinned in PlanAuditSpec
+    // together with the post-run partitions-read metric.
+    "rel_dpp_prune" -> ((s, dir) => {
+      val out = staged("dpp_events")
+      events(s, dir).select(col("event_id"), col("user_id"),
+          round(col("value") * 1000).cast("long").as("v"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      // the corpus total collapses to ONE driver scalar (bounded model
+      // state, same class as the k-means seed collects) — folding it in
+      // as a literal keeps the threshold a Filter NODE over the dim
+      // aggregate. Expressed as a cross join instead, the optimizer
+      // rewrites the predicate into the join condition, and the
+      // PartitionPruning rule (which looks for a selective Filter on the
+      // dim side) no longer fires.
+      val total = events(s, dir).count()
+      val dim = events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+        .where(col("n_type") * lit(10000L) > lit(total * 2005L))
+        .select(col("event_type"), col("n_type"))
+      s.read.parquet(out)
+        .join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("v_total"))
+    }),
+
     // 3-way dimension join chain
     "rel_join_3way" -> ((s, dir) =>
       tbl(s, dir, "customer")
@@ -3774,6 +3809,21 @@ object SparkEntry {
         |       cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the partitioned layout is an optimization detail — the answer is the
+    // plain join + count-threshold filter over the raw events
+    "rel_dpp_prune" ->
+      """WITH f AS (
+        |  SELECT event_type, cast(round(value * 1000) AS bigint) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, count(*) AS n_type FROM events GROUP BY 1
+        |), t AS (SELECT count(*) AS n_total FROM events)
+        |SELECT f.event_type, count(*) AS n_events,
+        |       cast(sum(f.v) AS bigint) AS v_total
+        |FROM f JOIN d USING (event_type) CROSS JOIN t
+        |WHERE d.n_type * 10000 > t.n_total * 2005
+        |GROUP BY f.event_type""".stripMargin,
 
     "rel_join_3way" ->
       """SELECT r_name, count(*) AS n_cust,

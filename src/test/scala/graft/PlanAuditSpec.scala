@@ -184,6 +184,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition window:\n$p")
   }
 
+  test("rel_dpp_prune: runtime pruning reaches the fact scan and prunes " +
+    "partitions at execution") {
+    // AQE wraps query stages in leaf nodes that hide the scans from
+    // collect(); the pruning mechanics are identical without it, so the
+    // plan + metric are pinned on the non-adaptive plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("rel_dpp_prune")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      val ps = p.toString
+      // the dim-side count threshold is not inferable through join
+      // constraints, so the fact partitions can only fall at RUNTIME:
+      // the scan must carry a DynamicPruningExpression partition filter
+      assert(ps.contains("dynamicpruning"),
+        s"expected a DynamicPruningExpression in the fact scan's " +
+          s"PartitionFilters:\n$ps")
+      df.collect()
+      val scans = p.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("dpp_events")) =>
+          f
+      }
+      assert(scans.nonEmpty, s"no fact scan over the staged layout:\n$ps")
+      // sf0.001 type shares: click 21.0%, purchase 20.2%, error 20.1%
+      // pass the >20.05% gate; signup 19.9% and view 18.8% do not — the
+      // scan must have read exactly the 3 surviving partitions of 5
+      val read = scans.head.metrics("numPartitions").value
+      assert(read == 3,
+        s"expected 3 of 5 fact partitions read after dynamic pruning, " +
+          s"got $read")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("src_partitioned_roundtrip: lang predicate prunes partitions") {
     val p = plan("src_partitioned_roundtrip")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]].*"),
