@@ -468,6 +468,63 @@ object SparkEntry {
     // that turns a 100 TB corpus scan into a per-language scan. The
     // partition column round-trips through directory names (value <->
     // path encoding), which is exactly what the oracle cross-checks.
+    // Bucketed layout + co-located join: BOTH fact tables are written
+    // bucketed (and bucket-sorted) by the join key, so every subsequent
+    // join on that key is a LOCAL merge of pre-hashed bucket files — no
+    // exchange on either side. At 100 TB a fact-fact join's shuffle is
+    // the dominant cost; bucketing pays it ONCE at ingest and amortizes
+    // it across every downstream query (the lineitem⋈orders family here
+    // runs in seven registry queries alone). 8 buckets at test scale —
+    // production sizing targets ~128 MB-1 GB per bucket file. The
+    // repartition before each write aligns task hashing with bucket
+    // hashing (same Murmur3 pmod), yielding ONE file per bucket. The
+    // files are also bucket-sorted; Spark still plans a local per-bucket
+    // sort below the merge join (since 3.0 it trusts file order only
+    // under a legacy conf, because multi-file buckets broke it) — that
+    // sort is partition-local over already-sorted runs, shuffle-free.
+    // PlanAuditSpec pins: bucketed scans on both sides, and the ONLY
+    // exchange in the whole plan is the final 3-row aggregation's.
+    "src_bucketed_join" -> ((s, dir) => {
+      val nb = 8
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(nb, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+        .option("path", staged("bucketed_orders"))
+        .saveAsTable("graft_bucketed_orders")
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(nb, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+        .option("path", staged("bucketed_lineitem"))
+        .saveAsTable("graft_bucketed_lineitem")
+      s.table("graft_bucketed_orders").hint("merge")
+        .join(s.table("graft_bucketed_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("sum_qty"))
+    }),
+
+    // Small-file compaction (ops/Compaction): stage a deliberately
+    // fragmented layout (64 files for 500 docs — the shape a streaming
+    // sink or per-task ingest leaves behind), then rewrite it into
+    // size-targeted files. The value check is content IDENTITY through
+    // the rewrite; CompactionSpec pins the sizing contract (file count =
+    // ceil(bytes/target), derived from the layout's actual bytes).
+    "src_compaction" -> ((s, dir) => {
+      val frag = staged("compact_in")
+      val out = staged("compact_out")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      graft.ops.Compaction.compact(s, frag, out, 64 * 1024L)
+      s.read.parquet(out)
+    }),
+
     "src_partitioned_roundtrip" -> ((s, dir) => {
       val out = staged("part_docs")
       tbl(s, dir, "documents")
@@ -3553,6 +3610,18 @@ object SparkEntry {
 
     "s1_scan_project_filter" ->
       "SELECT doc_id, n_chars, source FROM documents WHERE n_chars > 200",
+
+    // the bucketed layout is an optimization detail — the answer is the
+    // plain key join over the raw parquet
+    "src_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // compaction must be a content no-op — the answer is the raw columns
+    "src_compaction" ->
+      "SELECT doc_id, source, n_chars FROM documents",
 
     "src_partitioned_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

@@ -218,6 +218,19 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("src_bucketed_join: co-located bucket scan joins with no exchange " +
+    "below the join") {
+    val p = plan("src_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both sides must scan their bucketed layout:\n$p")
+    // the bucketed layout pre-hashes both sides: the ONLY exchange in the
+    // whole plan is the final 3-row aggregation's — the join itself moves
+    // no data
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange (the final aggregation):\n$p")
+  }
+
   test("src_partitioned_roundtrip: lang predicate prunes partitions") {
     val p = plan("src_partitioned_roundtrip")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]].*"),
