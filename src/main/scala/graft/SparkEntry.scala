@@ -2538,6 +2538,28 @@ object SparkEntry {
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
     }),
 
+    // The COMPLETE mixed stack — all eight families in ONE un-partitioned
+    // window, including the two REVERSED-order members (cume_dist and
+    // ignore-nulls lead) whose presence used to force the whole combined
+    // shape back to single-partition WindowExec. GlobalWindowRule now
+    // stacks them over their own shared reversed sort ABOVE the forward
+    // stack: two exchanges + two sorts total, full parallelism in every
+    // stage, no WindowExec anywhere (census-pinned in PlanAuditSpec).
+    "rel_window_mixed_full" -> ((s, dir) => {
+      val base = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"), col("event_id"))
+      valuedEvents(s, dir)
+        .select(col("event_id"),
+          row_number().over(base).cast("long").as("rn"),
+          rank().over(base).cast("long").as("rnk"),
+          round(cume_dist().over(base), 9).as("cd"),
+          sum(col("v")).over(prefixWindow).as("run_total"),
+          lag(col("v"), 1).over(base).as("prev_v"),
+          lead(col("v"), 1, null, true).over(base).as("next_valid"),
+          first(col("v")).over(prefixWindow).as("first_v"),
+          round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
+    }),
+
     // CENTERED ±50-event smoothing — `ROWS BETWEEN 50 PRECEDING AND 50
     // FOLLOWING`, the classic symmetric moving average. The frame reaches
     // FORWARD, so GlobalFrame additionally splices each partition's
@@ -5206,6 +5228,31 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS bigint) AS run_total,
         |       lag(v, 1) OVER o AS prev_v,
+        |       first_value(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS first_v,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |             6) AS mov_avg
+        |FROM e
+        |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_window_mixed_full" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(row_number() OVER o AS bigint) AS rn,
+        |       cast(rank() OVER o AS bigint) AS rnk,
+        |       round(cume_dist() OVER o, 9) AS cd,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_total,
+        |       lag(v, 1) OVER o AS prev_v,
+        |       lead(v, 1 IGNORE NULLS) OVER o AS next_valid,
         |       first_value(v) OVER (ORDER BY t, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS first_v,

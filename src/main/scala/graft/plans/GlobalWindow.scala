@@ -32,18 +32,27 @@ import org.apache.spark.sql.types.LongType
   *     node too instead of stacking one operator per offset,
   *   - each remaining offset variant (non-null default, ignore-nulls
   *     lag) / edge function stacks its own 1:1 node
-  *     ([[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them.
+  *     ([[GlobalShiftPlan]] / [[GlobalEdgePlan]]) above them,
+  *   - REVERSED-order members — `cume_dist` (its tie group's END is
+  *     only visible scanning backwards, see [[TieKind.CumeDist]]) and
+  *     ignore-nulls `lead` (a bounded backward ring under the reversed
+  *     order, where the forward pending queue is unbounded) — stack
+  *     LAST, sharing ONE reversed range sort above the whole forward
+  *     stack.
   *
-  * Every operator in the stack requires `OrderedDistribution(order)`,
-  * preserves its child's partitioning AND emits `outputOrdering = order`,
-  * so EnsureRequirements plans exactly ONE range exchange + sort under
-  * the whole stack — the same shared-sort discipline the
-  * GlobalFrame-on-GlobalScan stack already pins in CI. Each operator
-  * adds its own pair of passes over its (persisted) input; the driver
-  * state stays the sum of the members' bounded partials.
+  * Every operator in a sub-stack requires `OrderedDistribution` of its
+  * sort, preserves its child's partitioning AND emits that sort as its
+  * `outputOrdering`, so EnsureRequirements plans exactly ONE range
+  * exchange + sort under the forward stack — the same shared-sort
+  * discipline the GlobalFrame-on-GlobalScan stack already pins in CI —
+  * plus (only when reversed members exist) ONE more under the reversed
+  * sub-stack. That second pass is the price of the reversed families; it
+  * replaces the single-partition WindowExec the combined shape used to
+  * keep, and it is a full-parallelism exchange, not a 1-task sort. Each
+  * operator adds its own pair of passes over its (persisted) input; the
+  * driver state stays the sum of the members' bounded partials.
   *
-  * All-or-nothing: if ANY expression is outside the seven families (or
-  * needs the REVERSED sort — `cume_dist`, ignore-nulls `lead`), the
+  * All-or-nothing: if ANY expression is outside the eight families, the
   * whole window keeps WindowExec; rewriting a subset would leave a
   * single-partition Window for the rest. LIMIT-bounded inputs keep
   * WindowExec (provably tiny at any scale, same escape as the family
@@ -56,9 +65,9 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalWindowRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{CurrentRow, DenseRank,
-    Lag, Lead, NTile, NthValue, PercentRank, Rank, RangeFrame, RowFrame,
-    RowNumber, SpecifiedWindowFrame, UnboundedPreceding}
+  import org.apache.spark.sql.catalyst.expressions.{CumeDist, CurrentRow,
+    DenseRank, Lag, Lead, NTile, NthValue, PercentRank, Rank, RangeFrame,
+    RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
 
   private object NullLit {
@@ -80,6 +89,11 @@ object GlobalWindowRule
   private case class MEdge(alias: Alias,
       parsed: Either[CAttr, (EdgeKind, CAttr)], range: Boolean)
     extends Member
+  // reversed-order members (signed offset already negated for the
+  // reversed-lag encoding, mirroring GlobalShiftRule)
+  private case class MRevTies(alias: Alias) extends Member
+  private case class MRevShift(alias: Alias, v: CAttr, offset: Int,
+      default: Expression) extends Member
   private case class MScan(p: GlobalScanRule.Parsed) extends Member
   private case class MFrame(p: GlobalFrameRule.FParsed) extends Member
   private case class MRange(p: GlobalRangeRule.RParsed) extends Member
@@ -88,10 +102,10 @@ object GlobalWindowRule
     * member will sort by. The scan/frame parsers run first (they carry
     * the strictest frame matches); the remaining matches mirror the
     * single-expression family rules exactly — incl. their caps
-    * ([[GlobalShift.MaxOffset]], [[GlobalEdge.MaxN]]) and their
-    * exclusions (`cume_dist` and ignore-nulls `lead` plan over the
-    * REVERSED order in their own rules, so they cannot share this
-    * stack's one sort). */
+    * ([[GlobalShift.MaxOffset]], [[GlobalEdge.MaxN]]). `cume_dist` and
+    * ignore-nulls `lead` parse into the REVERSED-order members
+    * ([[MRevTies]]/[[MRevShift]]) that stack over their own shared
+    * reversed sort. */
   private def parseMember(e: NamedExpression, child: LogicalPlan)
   : Option[(Member, Seq[SortOrder])] =
     GlobalScanRule.parse(e, child).map(p => (MScan(p): Member, p.order))
@@ -133,6 +147,14 @@ object GlobalWindowRule
             case Lead(v: CAttr, IntegerLiteral(off), d, false)
                 if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
               Some(MShift(a, v, off, d, false))
+            // reversed-order members (same guards as their family rules):
+            // ignore-nulls lead = ignore-nulls LAG under the reversed
+            // order (GlobalShiftRule's encoding — the backward ring stays
+            // O(n) where a forward pending queue is unbounded)
+            case Lead(v: CAttr, IntegerLiteral(off), d, true)
+                if off > 0 && off <= GlobalShift.MaxOffset && d.foldable =>
+              Some(MRevShift(a, v, -off, d))
+            case _: CumeDist => Some(MRevTies(a))
             case _ => frame match {
               case SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow)
                   if ft == RowFrame || ft == RangeFrame =>
@@ -176,7 +198,8 @@ object GlobalWindowRule
       // anything spanning further — a non-aggregate member, or a
       // value-range aggregate next to row-frame/prefix ones — is ours
       val hasOther = members.exists {
-        case _: MRank | _: MTies | _: MShift | _: MEdge => true
+        case _: MRank | _: MTies | _: MShift | _: MEdge | _: MRevTies |
+             _: MRevShift => true
         case _ => false
       }
       val hasRange = members.exists {
@@ -256,10 +279,51 @@ object GlobalWindowRule
             cur = g
             g.rangeAttrs
           }
+        // forward offset/edge nodes stack next (one 1:1 node each, in
+        // member order), still sharing the forward sort — they MUST all
+        // sit below the reversed sub-stack, or a forward node above a
+        // reversed one would force a third sort back to the user's order
+        val fwdShiftAttrs: Seq[CAttr] =
+          members.collect { case m: MShift => m }.map { m =>
+            val g = GlobalShiftPlan(order, m.v, m.offset, m.default, cur,
+              ignoreNulls = m.ignoreNulls)
+            cur = g
+            g.shiftAttr
+          }
+        val fwdEdgeAttrs: Seq[CAttr] =
+          members.collect { case MEdge(_, Right(kv), range) =>
+            (kv, range)
+          }.map { case ((kind, v), range) =>
+            val g = GlobalEdgePlan(order, kind, range, v, cur)
+            cur = g
+            g.edgeAttr
+          }
+        // reversed members stack LAST over ONE shared reversed sort (a
+        // second exchange — the price of the reversed families, replacing
+        // the single-partition WindowExec this shape used to keep)
+        lazy val revOrder = order.map(GlobalRankRule.reverseOrder)
+        val revTiesKinds = members.collect {
+          case _: MRevTies => TieKind.CumeDist: TieKind
+        }
+        val revTiesAttrs: Seq[CAttr] =
+          if (revTiesKinds.isEmpty) Nil
+          else {
+            val g = GlobalTiesPlan(revOrder, revTiesKinds, cur)
+            cur = g
+            g.rankAttrs
+          }
+        val revShiftAttrs: Seq[CAttr] =
+          members.collect { case m: MRevShift => m }.map { m =>
+            val g = GlobalShiftPlan(revOrder, m.v, m.offset, m.default,
+              cur, ignoreNulls = true)
+            cur = g
+            g.shiftAttr
+          }
         // results in the original expression order, each narrowed back
         // to its alias type under the original exprId so downstream
         // references resolve unchanged (same idiom as the family rules)
         var si = -1; var fi = -1; var ri = -1; var ti = -1
+        var shi = -1; var ei = -1; var rti = -1; var rsi = -1
         val results = members.map { m =>
           val (alias, raw) = m match {
             case MScan(p) => si += 1; (p.alias, scanAttrs(si): Expression)
@@ -271,15 +335,15 @@ object GlobalWindowRule
               ti += 1; (a, tiesAttrs(ti): Expression)
             case MTies(a, _) =>
               ti += 1; (a, tiesAttrs(ti): Expression)
-            case MShift(a, v, off, d, ign) =>
-              val g = GlobalShiftPlan(order, v, off, d, cur,
-                ignoreNulls = ign)
-              cur = g
-              (a, g.shiftAttr: Expression)
+            case MShift(a, _, _, _, _) =>
+              shi += 1; (a, fwdShiftAttrs(shi): Expression)
             case MEdge(a, Left(v), _) => (a, v: Expression)
-            case MEdge(a, Right((kind, v)), range) =>
-              val g = GlobalEdgePlan(order, kind, range, v, cur); cur = g
-              (a, g.edgeAttr: Expression)
+            case MEdge(a, Right(_), _) =>
+              ei += 1; (a, fwdEdgeAttrs(ei): Expression)
+            case MRevTies(a) =>
+              rti += 1; (a, revTiesAttrs(rti): Expression)
+            case MRevShift(a, _, _, _) =>
+              rsi += 1; (a, revShiftAttrs(rsi): Expression)
           }
           val result =
             if (raw.dataType == alias.dataType) raw

@@ -161,16 +161,49 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("a member needing the reversed order keeps the WHOLE window on " +
-    "WindowExec (all-or-nothing)") {
-    def q = input.select(col("id"),
-      rank().over(gw).cast("long").as("rnk"),
-      cume_dist().over(gw).as("cd"))
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("Window"),
-      s"cume_dist cannot share the forward sort — expected the " +
-        s"documented WindowExec fallback:\n$plan")
-    assert(!plan.contains("GlobalTies"), plan)
+  test("reversed members (cume_dist + ignore-nulls lead) stack over ONE " +
+    "shared reversed sort above the forward stack") {
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        rank().over(w).cast("long").as("rnk"),
+        cume_dist().over(w).as("cd"),
+        sum(col("v")).over(unbounded(w)).as("run_total"),
+        lead(col("v"), 1, null, true).over(w).as("next_valid"),
+        lead(col("v"), 3, null, true).over(w).as("next3_valid"))
+    assertNative(q(nw))
+    assert(q(gw).orderBy("id").collect().toSeq ==
+      q(nw).orderBy("id").collect().toSeq)
+    val plan = q(gw).queryExecution.executedPlan.toString
+    // forward: one scan + one ties; reversed: one cume ties + two
+    // reversed-lag shifts — all reversed members share ONE extra sort
+    assert("GlobalTies".r.findAllIn(plan).size == 2,
+      s"expected the forward ties node AND the reversed cume node:\n$plan")
+    assert("GlobalShift".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("GlobalScan"), plan)
+    assert(!plan.contains("Window"),
+      s"the reversed members must compose, not fall back:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 2 &&
+      "Sort ".r.findAllIn(plan).size == 2,
+      s"expected the forward sort + ONE shared reversed sort:\n$plan")
+  }
+
+  test("an all-reversed window (cume_dist + ignore-nulls lead) needs " +
+    "only the single reversed sort") {
+    def q(w: org.apache.spark.sql.expressions.WindowSpec) =
+      input.select(col("id"),
+        cume_dist().over(w).as("cd"),
+        lead(col("v"), 1, null, true).over(w).as("next_valid"))
+    assertNative(q(nw))
+    assert(q(gw).orderBy("id").collect().toSeq ==
+      q(nw).orderBy("id").collect().toSeq)
+    val plan = q(gw).queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalTies") && plan.contains("GlobalShift"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 1 &&
+      "Sort ".r.findAllIn(plan).size == 1,
+      s"an all-reversed stack shares one reversed exchange + sort:\n$plan")
   }
 
   test("all-aggregate windows stay with the fused scan/frame rules " +

@@ -375,6 +375,31 @@ class PlanAuditSpec extends AnyFunSuite {
         "Sort ".r.findAllIn(p).size == 1,
         s"$q: the mixed stack must share one exchange + sort:\n$p")
     }
+    // the COMPLETE stack adds the two REVERSED-order members: cume_dist
+    // (its own ties node) and ignore-nulls lead (a reversed-lag shift
+    // node) share ONE reversed sort above the whole forward stack — two
+    // exchanges + two sorts total, and still no WindowExec and no
+    // single-partition stage anywhere
+    val mixedFull = Seq("rel_window_mixed_full")
+    mixedFull.foreach { q =>
+      val p = plan(q)
+      Seq("GlobalScan", "GlobalFrame", "GlobalEdge",
+        "GlobalShift").foreach(n =>
+        assert(p.contains(n), s"$q lost its $n stack member:\n$p"))
+      assert("GlobalTies".r.findAllIn(p).size == 2,
+        s"$q: expected the forward multi-kind ties node AND the reversed " +
+          s"cume_dist ties node:\n$p")
+      assert("GlobalShift".r.findAllIn(p).size == 1,
+        s"$q: the ignore-nulls lead must be the only shift node " +
+          s"(reversed-order lag):\n$p")
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$q planned a single-partition stage:\n$p")
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 2 &&
+        "Sort ".r.findAllIn(p).size == 2,
+        s"$q: expected exactly the forward sort + the one shared " +
+          s"reversed sort:\n$p")
+    }
     val edge = Seq("rel_first_value", "rel_last_known_value",
       "rel_nth_value", "rel_last_good_hour")
     edge.foreach { q =>
@@ -430,7 +455,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // function (row_number, rank, dense_rank, lag, lead, aggregates), so
     // a new global window of any kind must be rewritten or pinned here
     val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
-      bounded ++ ranges ++ mixedStack ++ mixedRange).toSet +
+      bounded ++ ranges ++ mixedStack ++ mixedRange ++ mixedFull).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
