@@ -3185,6 +3185,40 @@ object SparkEntry {
           round(col("inter").cast("double") / col("n2").cast("double"), 6)
             .as("contain2"))),
 
+    // FUZZY cross-corpus decontamination — the near-dup cousin of
+    // text_contamination's exact shingle overlap: evaluation documents
+    // (source 'src0' stands in for the benchmark suite) vs the training
+    // corpus (every other source), matched through the SAME capped+salted
+    // MinHash-LSH candidate chain the dedup family uses, then scored by
+    // exact distinct-shingle Jaccard AND one-sided containment on the
+    // candidates only. Containment OF THE EVAL SIDE is the
+    // decontamination-critical score: an eval item quoted inside a long
+    // training document has low Jaccard (big union) but
+    // contain_eval = |overlap|/|eval shingles| ~= 1 — the leakage shape
+    // exact matching misses once a word is paraphrased. Emits the
+    // training docs to DROP with their matched eval doc. 100 TB shape:
+    // O(band collisions), never O(corpus x benchmark); the doc-source
+    // membership map rides broadcasts.
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("bench"))
+      jaccardPairsWithSetsDf(s, dir)
+        .join(broadcast(src.select(col("doc_id").as("id1"),
+          col("bench").as("b1"))), "id1")
+        .join(broadcast(src.select(col("doc_id").as("id2"),
+          col("bench").as("b2"))), "id2")
+        .where(col("b1") =!= col("b2"))
+        .select(
+          when(col("b1"), col("id2")).otherwise(col("id1")).as("doc_id"),
+          when(col("b1"), col("id1")).otherwise(col("id2")).as("eval_id"),
+          round(col("inter").cast("double") / col("uni").cast("double"), 6)
+            .as("jaccard"),
+          round(col("inter").cast("double") /
+            when(col("b1"), col("n1")).otherwise(col("n2")).cast("double"),
+            6).as("contain_eval"))
+        .where(col("jaccard") >= 0.5 || col("contain_eval") >= 0.8)
+    }),
+
     // PageRank (2 unrolled iterations, damping 0.85) over the thresholded
     // near-dup graph — centrality over dup clusters ranks the canonical
     // copy of each cluster (quality propagation, the graph cousin of the
@@ -5898,6 +5932,40 @@ object SparkEntry {
          |       round(cast(inter AS double) / cast(n2 AS double), 6)
          |         AS contain2
          |FROM j""".stripMargin
+    },
+
+    // same candidate chain restricted to (training, benchmark) membership
+    // pairs; scores mirror the engine's jaccard + eval-side containment
+    "dedup_cross_corpus" -> {
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |$lshPairsCtes,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |src AS (SELECT doc_id, (source = 'src0') AS bench FROM documents),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) AS n1, len(s2.sh) AS n2,
+         |         x1.bench AS b1
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |  JOIN src x1 ON pairs.id1 = x1.doc_id
+         |  JOIN src x2 ON pairs.id2 = x2.doc_id
+         |  WHERE x1.bench <> x2.bench
+         |), sc AS (
+         |  SELECT CASE WHEN b1 THEN id2 ELSE id1 END AS doc_id,
+         |         CASE WHEN b1 THEN id1 ELSE id2 END AS eval_id,
+         |         round(cast(inter AS double)
+         |               / cast(n1 + n2 - inter AS double), 6) AS jaccard,
+         |         round(cast(inter AS double)
+         |               / cast(CASE WHEN b1 THEN n1 ELSE n2 END AS double),
+         |               6) AS contain_eval
+         |  FROM j
+         |)
+         |SELECT doc_id, eval_id, jaccard, contain_eval FROM sc
+         |WHERE jaccard >= 0.5 OR contain_eval >= 0.8""".stripMargin
     },
 
     // same thresholded edge chain as dedup_connected_components, then two
