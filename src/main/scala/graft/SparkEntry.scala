@@ -179,6 +179,48 @@ object SparkEntry {
        |  FROM documents
        |)""".stripMargin
 
+  /** DuckDB oracle for `rel_hash_chain_global`, in CLOSED FORM: the
+    * recurrence h_i = M*h_{i-1} + tok_i (mod 2^32) expands to
+    * h_i = m^i * sum_{j<=i} tok_j * inv^j (inv = M^-1 mod 2^32, which
+    * exists because M is odd) — a windowed prefix sum plus per-row
+    * modular powers via 24-bit binary decomposition (constants
+    * generated here with BigInt modPow). A naive recursive-CTE oracle
+    * is O(n) sequential iterations (measured ~80 s at sf0.01); this is
+    * one vectorized pass (~0.3 s). Every product stays below 2^64, so
+    * HUGEINT (int128) arithmetic is exact throughout. */
+  private val hashChainOracleSql: String = {
+    val M = 16777619L
+    val MOD = BigInt(1) << 32
+    val inv = BigInt(M).modInverse(MOD)
+    val mp = (0 until 24).map(k => BigInt(M).modPow(BigInt(1) << k, MOD))
+    val ip = (0 until 24).map(k => inv.modPow(BigInt(1) << k, MOD))
+    def powExpr(bits: Seq[BigInt], v: String): String =
+      bits.zipWithIndex.foldLeft("1::HUGEINT") { case (acc, (p, k)) =>
+        s"(($acc * (CASE WHEN ($v >> $k) & 1 = 1 THEN $p::HUGEINT " +
+          s"ELSE 1::HUGEINT END)) % 4294967296)"
+      }
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |         ('0x' || substr(md5(coalesce(event_type, '~') || ':' ||
+       |            coalesce(cast(round(value * 1000) AS bigint), -1)::VARCHAR),
+       |            1, 8))::UBIGINT::HUGEINT AS tok,
+       |         row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events
+       |), u AS (
+       |  SELECT event_id, rn,
+       |         (tok * ${powExpr(ip, "rn")}) % 4294967296 AS uj
+       |  FROM e
+       |), s AS (
+       |  SELECT event_id, rn,
+       |         (sum(uj) OVER (ORDER BY rn)) % 4294967296 AS si
+       |  FROM u
+       |)
+       |SELECT event_id,
+       |       cast((si::HUGEINT * ${powExpr(mp, "rn")}) % 4294967296
+       |            AS bigint) AS chain
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB expression for [[Dedup.cleanTokens]] over column `src`. */
   private def cleanToksSql(src: String): String =
     s"list_filter(string_split_regex(regexp_replace(lower($src), " +
@@ -2558,6 +2600,65 @@ object SparkEntry {
           lead(col("v"), 1, null, true).over(base).as("next_valid"),
           first(col("v")).over(prefixWindow).as("first_v"),
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
+    }),
+
+    // CHAINED CORPUS FINGERPRINT — h_i = FNV32 * h_{i-1} + token_i over
+    // the global event order: every row carries the polynomial hash of
+    // its ENTIRE prefix, the incremental checksum a 100 TB ingest keeps
+    // per offset (content-addressed checkpoints, replay validation). NO
+    // window function can express it — each value depends on all
+    // previous rows through a non-commutative fold — so Spark has no
+    // distributed plan for it at all; GlobalRecurrence (plans/
+    // GlobalRecur.scala) distributes it by associative affine
+    // composition: pass 1 folds each partition to ONE (M, B) transform,
+    // the driver prefix-composes P scalars, pass 2 threads each
+    // partition locally. Wrapping-Long algebra is exact, and masking to
+    // 32 bits commutes with the recurrence ((m*h+c) mod 2^64 mod 2^32 =
+    // the mod-2^32 chain), which is what makes the value DuckDB-provable:
+    // the oracle re-derives every prefix hash in closed form
+    // (h_i = m^i * sum tok_j*inv^j, binary-decomposition modular powers).
+    "rel_hash_chain_global" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        lit(16777619L).as("m"),
+        conv(substring(md5(concat(coalesce(col("event_type"), lit("~")),
+          lit(":"),
+          coalesce(round(col("value") * 1000).cast("long"), lit(-1L))
+            .cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("tok"))
+      graft.plans.Recurrence.scan(base, "m", "tok", 0L,
+        ("t", false), ("event_id", false))
+        .select(col("event_id"),
+          col("y").bitwiseAND(lit(4294967295L)).as("chain"))
+    }),
+
+    // Per-user EWMA — y = 0.875*y + 0.125*x seeded with each user's
+    // first observation. No built-in window function can express an
+    // EWMA even PARTITIONED (it is a recurrence, not a frame
+    // aggregate); here it runs as a bit-exact left fold inside one
+    // codegen'd projection: sort the user's observations into an array
+    // and fold with `aggregate()`. Both engines execute the SAME
+    // literal fp operation sequence over the same sorted list, so the
+    // rounded compare is exact. Per-user sequences are bounded by a
+    // user's event count (the per-key skew caveat of any collect);
+    // the GLOBAL unbounded recurrence is rel_hash_chain_global's
+    // operator instead.
+    "rel_ewma_per_user" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          when(col("event_type") =!= "error",
+            round(col("value") * 1000).cast("long")).as("v"))
+        .where(col("v").isNotNull)
+      e.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("t"), col("event_id"),
+          col("v").cast("double").as("x")))).as("seq"))
+        .select(col("user_id"),
+          round(aggregate(
+            expr("slice(seq, 2, greatest(size(seq) - 1, 0))"),
+            element_at(col("seq"), 1).getField("x"),
+            (acc, el) => lit(0.875) * acc + lit(0.125) * el.getField("x")),
+            6).as("ewma"),
+          size(col("seq")).cast("long").as("n_obs"))
     }),
 
     // CENTERED ±50-event smoothing — `ROWS BETWEEN 50 PRECEDING AND 50
@@ -5295,6 +5396,28 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_hash_chain_global" -> hashChainOracleSql,
+
+    // same sorted per-user list, same literal fold operations — the two
+    // engines run identical fp sequences, so the rounded compare is exact
+    "rel_ewma_per_user" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |         list(cast(v AS double) ORDER BY t, event_id) AS xs
+        |  FROM e WHERE v IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |       round(list_reduce(xs,
+        |             (acc, x) -> 0.875::DOUBLE * acc + 0.125::DOUBLE * x),
+        |             6) AS ewma,
+        |       cast(len(xs) AS bigint) AS n_obs
+        |FROM g""".stripMargin,
 
     "rel_frame_lookahead_peak" ->
       """WITH e AS (
