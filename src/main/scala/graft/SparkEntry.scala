@@ -799,6 +799,46 @@ object SparkEntry {
           df, Seq("user_id", "event_type")))
         .select(col("user_id"), col("event_type"))),
 
+    // Streaming FUZZY dedup against the HISTORICAL corpus — the streaming
+    // face of the incremental-ingest near-dup gate: the replayed stream is
+    // the "new crawl" half of documents (generations src10+); each
+    // micro-batch MinHash-fingerprints its rows IN-STREAM (the native
+    // MinHashSigExpr is a per-row projection, fully streaming-safe) and
+    // chains four left_anti probes against the static LSH band index of
+    // the historical half (src0-9). A doc survives only if NO band
+    // collides — the same novelty contract as batch LSH candidate
+    // generation, so paraphrased re-crawls are caught, not just
+    // byte-identical ones (this corpus has zero exact cross-generation
+    // dups and 16 near-dup pairs: an exact gate would be a no-op). The
+    // probes hold ZERO streaming state and the band index rides a
+    // broadcast — swap to shuffled probes or a Bloom prefilter
+    // (rel_bloom_join_prune's pattern) when the index outgrows broadcast.
+    "stream_dedup_against_corpus" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val gen = substring(col("source"), 4, 10).cast("int")
+      def withSigs(df: DataFrame): DataFrame = {
+        val sig = df.withColumn("sig",
+          graft.functions.GraftFunctions.minhashSig(s, col("text"), 8))
+        (0 until 8).foldLeft(sig)((d, i) =>
+          d.withColumn(s"sig$i", element_at(col("sig"), i + 1)))
+      }
+      val histBands = withSigs(docs.where(gen < 10))
+        .select(explode(array(Dedup.lshBands(8, 2): _*)).as("band"))
+        .distinct()
+      val incoming = docs.where(gen >= 10)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.streaming.StreamGate.stageAndReplay(s, incoming,
+        "gate_corpus_dedup", "append") { df =>
+        var cur = withSigs(df)
+        Dedup.lshBands(8, 2).zipWithIndex.foreach { case (b, i) =>
+          cur = cur.withColumn(s"band$i", b)
+        }
+        graft.streaming.EventStream.dropCollidingWithIndex(cur, histBands,
+          (0 until 4).map(i => s"band$i"))
+          .select(col("doc_id"), col("source"))
+      }
+    }),
+
     // Custom state via mapGroupsWithState: per-user running event counts
     // (one micro-batch => one open-session update per user)
     "stream_session_counts" -> ((s, dir) => {
@@ -3983,6 +4023,30 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batch re-derivation of the stream-static novelty gate: same sigs,
+    // same 4 band values; novel = no band in the historical band set
+    "stream_dedup_against_corpus" -> {
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, source, md5(sig${2 * b}::VARCHAR || ',' || " +
+          s"sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, source, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, source, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id, source,
+         |       $sigsSql
+         |FROM shl),
+         |bands AS (
+         |  $bandSel
+         |),
+         |hist AS (SELECT DISTINCT band FROM bands
+         |         WHERE cast(substr(source, 4) AS int) < 10)
+         |SELECT d.doc_id, d.source
+         |FROM documents d
+         |WHERE cast(substr(d.source, 4) AS int) >= 10
+         |  AND NOT EXISTS (SELECT 1 FROM bands b JOIN hist h USING (band)
+         |                  WHERE b.doc_id = d.doc_id)""".stripMargin
+    },
 
     "stream_session_counts" ->
       """SELECT user_id, count(*) AS n_events

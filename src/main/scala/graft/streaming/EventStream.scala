@@ -187,6 +187,24 @@ object EventStream {
     df.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static corpus dedup: drop incoming rows that collide with the
+    * static `index` on ANY of the given key columns (chained left_anti
+    * joins — a row survives only if every probe misses). The join is
+    * STATELESS on the stream side: each micro-batch probes the static
+    * relation, so it runs forever with ZERO streaming state — the index
+    * is the only footprint. With `bcast` (the default) the index rides a
+    * broadcast and each probe is a map-side filter; for an index too big
+    * to broadcast, pass false and the probes plan as shuffled joins (or
+    * pre-filter with a Bloom index — `rel_bloom_join_prune`'s pattern). */
+  def dropCollidingWithIndex(stream: DataFrame, index: DataFrame,
+      keys: Seq[String], bcast: Boolean = true): DataFrame = {
+    val idx =
+      if (bcast) org.apache.spark.sql.functions.broadcast(index) else index
+    val indexCol = index.columns.head
+    keys.foldLeft(stream)((df, k) =>
+      df.join(idx.withColumnRenamed(indexCol, k), Seq(k), "left_anti"))
+  }
+
   /** Output-mode helper: windowed aggregations with watermark support
     * Append (emit once, on watermark passing) — the scalable default. */
   val AppendMode: OutputMode = OutputMode.Append()

@@ -159,4 +159,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0) == Seq("a b c", "b c d"))
     assert(got(1) == Seq("a b"))
   }
+
+  test("dropCollidingWithIndex: a row survives only if EVERY key probe " +
+    "misses the index") {
+    val rows = Seq(
+      (1L, "x1", "y1"), // both novel -> kept
+      (2L, "x2", "hit"), // second key collides -> dropped
+      (3L, "hit", "y3"), // first key collides -> dropped
+      (4L, "x4", "y4")   // kept
+    ).toDF("id", "k0", "k1")
+    val index = Seq("hit", "other").toDF("band")
+    val got = graft.streaming.EventStream
+      .dropCollidingWithIndex(rows, index, Seq("k0", "k1"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 4L))
+    // the anti-join chain is stateless probes — with the default
+    // broadcast, every probe plans as a broadcast anti join
+    val p = graft.streaming.EventStream
+      .dropCollidingWithIndex(rows, index, Seq("k0", "k1"))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size == 2 ||
+      "LeftAnti, BuildRight".r.findAllIn(p).size == 2,
+      s"expected two broadcast anti probes:\n$p")
+  }
 }
