@@ -77,6 +77,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rel_interval_bucket_join: overlap join runs as a chunked " +
+    "equi-join, never a nested loop") {
+    val p = plan("rel_interval_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"chunked interval join must not plan a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the chunk key:\n$p")
+  }
+
   test("rel_skew_salted_join: salt must not defeat column pruning") {
     val p = plan("rel_skew_salted_join")
     // only l_partkey + l_quantity are needed; a salt computed from data
