@@ -475,6 +475,57 @@ object SparkEntry {
       |  FROM d
       |)""".stripMargin
 
+  /** Two-pass EXACT global heavy hitters — report every token whose count
+    * exceeds N/k of the whole corpus stream, without ever shuffling the
+    * full key cardinality.
+    *
+    * Pass 1 runs a Misra-Gries candidate sketch ([[graft.functions
+    * .MisraGriesAgg]]) as ONE global ObjectHashAggregate: partial bounded
+    * maps per partition, one merged map (<= capacity entries) on the
+    * driver, plus the stream total N in the same aggregate. The MG
+    * invariant — undercount <= N/(capacity+1) — makes the surviving keys
+    * a guaranteed SUPERSET of every key with count > N/k whenever
+    * capacity >= k-1, so pass 2 (exact counting restricted to the
+    * candidates, then the exact HAVING threshold) returns exactly the
+    * naive groupBy/HAVING answer, which is what the oracle re-derives.
+    *
+    * The scale point: a plain groupBy/HAVING over an open 100 TB
+    * vocabulary shuffles EVERY distinct key; this plan's only key-shuffle
+    * carries rows for <= `cap` candidate keys (the InSet filter sits
+    * below the exchange), and the sketch pass shuffles one bounded map
+    * per partition. Driver state is O(cap). At the test corpus the
+    * 31-token vocabulary fits the sketch exactly; the shrink path and the
+    * superset bound under real Zipfian skew are exercised in
+    * HeavyHittersSpec. */
+  private def heavyHittersDf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FrequentItems.exactHeavyHitters(s,
+      tbl(s, dir, "documents")
+        .select(explode(Dedup.cleanTokens(col("text"))).as("token")),
+      col("token"),
+      k = 50L,   // report tokens with count > N/50 (2% of the stream)
+      cap = 64)  // MG capacity; superset guarantee needs cap >= k-1
+      .select(col("token"), col("cnt"))
+
+  /** Edit-distance-1 similarity self-join via deletion-neighborhood
+    * blocking (the SymSpell/FastSS signature scheme): each name emits
+    * itself plus every single-character deletion as signatures; two
+    * strings within Levenshtein distance 1 ALWAYS share a signature
+    * (substitution: delete the differing position from both;
+    * insert/delete: the shorter string IS a deletion of the longer), so
+    * an equi-join on the signature finds every true pair and a final
+    * exact `levenshtein` check discards the collisions (two different
+    * deletions can meet at distance 2, e.g. "abc"/"cab" at "ab").
+    *
+    * The scale shape: candidate generation is an EQUI-join — shuffle by
+    * signature, len+1 signatures per row, and a signature bucket can only
+    * hold strings one insertion away from it (intrinsically bounded by
+    * alphabet x length, never corpus-sized) — versus the quadratic
+    * all-pairs scan the oracle runs. This is the fuzzy-join primitive for
+    * typo-level entity resolution over billions of keys. */
+  private def editPairsDf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FrequentItems.editDistance1Pairs(
+      tbl(s, dir, "customer").select(col("c_name").as("name")).distinct())
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: the full StockCount pipeline on sf0.001 document lines. */
@@ -2142,6 +2193,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"))
         .where(col("n_occ") > 1)),
+
+    // Two-pass exact heavy hitters: Misra-Gries candidate sketch (one
+    // bounded ObjectHashAggregate, no per-key shuffle) -> exact count of
+    // the <= 64 candidates only -> exact N/k threshold. See heavyHittersDf.
+    "rel_heavy_hitters" -> ((s, dir) => heavyHittersDf(s, dir)),
+
+    // Edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
+    // (equi-join on deletion signatures + exact levenshtein verify) — the
+    // typo-level entity-resolution primitive. See editPairsDf.
+    "dedup_edit_distance_pairs" -> ((s, dir) => editPairsDf(s, dir)),
 
     // Token statistics per document
     "text_token_stats" -> ((s, dir) =>
@@ -5027,6 +5088,28 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(*) AS n_occ,
         |       count(DISTINCT doc_id) AS n_docs
         |FROM chunks GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    // the naive single-pass answer the two-pass MG plan must equal:
+    // every token above N/50 of the whole stream, counted exactly
+    "rel_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(${cleanToksSql("text")}) AS token FROM documents
+         |), tot AS (SELECT count(*) AS n FROM tk)
+         |SELECT token, count(*) AS cnt
+         |FROM tk, tot GROUP BY token, n
+         |HAVING count(*) * 50 > n""".stripMargin,
+
+    // quadratic ground truth for the deletion-signature fuzzy join:
+    // every distinct-name pair within Levenshtein distance 1 (length
+    // prefilter only prunes pairs levenshtein already rejects)
+    "dedup_edit_distance_pairs" ->
+      """WITH tk AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM tk a, tk b
+        |WHERE a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,

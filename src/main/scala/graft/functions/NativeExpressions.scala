@@ -401,6 +401,8 @@ object GraftFunctions {
     "graft_bloom_might_contain" -> (es =>
       BloomMightContainExpr(es.head, es(1))),
     "graft_cms_merge" -> (es => CmsMergeAgg(es.head)),
+    "graft_misra_gries" -> (es => MisraGriesAgg(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "graft_zorder" -> (es => ZOrderExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
@@ -506,6 +508,17 @@ object GraftFunctions {
   def cmsMerge(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cms_merge", c)
+  }
+
+  /** Misra-Gries frequent-items candidate summary (see [[MisraGriesAgg]]);
+    * aggregate function — use inside `.agg(...)`. Returns a
+    * `map<string,bigint>` of at most `capacity` candidate keys whose set
+    * is a guaranteed superset of every key with frequency >
+    * N/(capacity+1). */
+  def misraGries(spark: SparkSession, c: Column, capacity: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_misra_gries", c,
+      org.apache.spark.sql.functions.lit(capacity))
   }
 
   /** Z-order (Morton) value of two long columns (see [[ZOrderExpr]]). */
