@@ -526,6 +526,36 @@ object SparkEntry {
     graft.ops.FrequentItems.editDistance1Pairs(
       tbl(s, dir, "customer").select(col("c_name").as("name")).distinct())
 
+  /** EXACT set-similarity self-join (shingle Jaccard >= t) via
+    * rarest-first prefix filtering — the AllPairs family (Bayardo et al.,
+    * WWW'07; Xiao et al. PPJoin), the exact complement to the
+    * LSH-candidate chain (`dedup_jaccard_pairs` can miss pairs LSH
+    * doesn't collide; this query provably finds every pair).
+    *
+    * Machinery: each doc's distinct shingle set is sorted by GLOBAL
+    * rarity (document frequency asc, shingle asc — one canonical total
+    * order for the corpus), and only the first n - ceil(t*n) + 1
+    * shingles (the "prefix") are exploded into the candidate join. Two
+    * sets with Jaccard >= t MUST share a prefix element: with the size
+    * band |a| >= t*|b| their overlap is >= ceil(t*n) on both sides, and
+    * if the smallest common shingle sat outside either prefix, all
+    * common shingles would have to fit in that side's ceil(t*n)-1
+    * suffix — contradiction. So prefix + size filters lose nothing, and
+    * the exact Jaccard verify on candidates discards false positives.
+    *
+    * The scale shape: the candidate join is an EQUI-join on prefix
+    * shingles only (~(1-t) of each set), and rarest-FIRST ordering keeps
+    * boilerplate shingles out of prefixes — bucket sizes track the df of
+    * RARE shingles, not corpus size. The quadratic all-pairs scan the
+    * oracle runs is exactly what this plan avoids. */
+  private def ssjoinExactDf(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSimilarityPairs(
+      tbl(s, dir, "documents").select(col("doc_id"),
+        array_distinct(
+          graft.functions.GraftFunctions.shingles(s, col("text"))).as("sh"))
+        .localCheckpoint(false), // one shingle pass feeds df/prefix/verify
+      t = 0.6)
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: the full StockCount pipeline on sf0.001 document lines. */
@@ -2203,6 +2233,11 @@ object SparkEntry {
     // (equi-join on deletion signatures + exact levenshtein verify) — the
     // typo-level entity-resolution primitive. See editPairsDf.
     "dedup_edit_distance_pairs" -> ((s, dir) => editPairsDf(s, dir)),
+
+    // EXACT set-similarity join (Jaccard >= 0.6) via rarest-first prefix
+    // filtering — provably finds every pair (no LSH misses); candidate
+    // join touches only ~(1-t) of each set. See ssjoinExactDf.
+    "dedup_ssjoin_exact" -> ((s, dir) => ssjoinExactDf(s, dir)),
 
     // Token statistics per document
     "text_token_stats" -> ((s, dir) =>
@@ -5110,6 +5145,27 @@ object SparkEntry {
         |WHERE a.name < b.name
         |  AND abs(length(a.name) - length(b.name)) <= 1
         |  AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    // quadratic exact ground truth for the prefix-filtered ssjoin: every
+    // doc pair whose distinct-shingle Jaccard clears 0.6 (size band only
+    // prunes pairs the threshold already rejects)
+    "dedup_ssjoin_exact" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l
+         |           FROM documents),
+         |s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM t),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS n1, len(b.sh) AS n2
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(b.sh) >= CAST(ceil(len(a.sh) * 0.6) AS BIGINT)
+         |    AND len(a.sh) >= CAST(ceil(len(b.sh) * 0.6) AS BIGINT)
+         |)
+         |SELECT id1, id2,
+         |       round(inter::DOUBLE / (n1 + n2 - inter), 6) AS jaccard
+         |FROM cand
+         |WHERE inter::DOUBLE / (n1 + n2 - inter) >= 0.6""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,

@@ -251,4 +251,53 @@ object Dedup {
       zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** EXACT set-similarity self-join (Jaccard >= t) via rarest-first
+    * prefix filtering (AllPairs/PPJoin family). Input: (doc_id, sh)
+    * with `sh` the DISTINCT element array per id. Guarantee: with every
+    * set sorted by one canonical corpus order (element document
+    * frequency asc, element asc), two sets at Jaccard >= t always share
+    * an element inside their first n - ceil(t*n) + 1 positions — if the
+    * smallest common element sat outside either prefix, all >= ceil(t*n)
+    * common elements would have to fit in that side's ceil(t*n) - 1
+    * suffix. The size band (|a| >= t*|b|) holds for every true pair, so
+    * prefix + band lose nothing and the exact Jaccard verify on the
+    * candidates makes the result identical to the quadratic all-pairs
+    * answer. Candidate buckets track the df of RARE elements (frequent
+    * boilerplate sorts out of prefixes) — the property that keeps the
+    * equi-join linear-ish where all-pairs is quadratic. */
+  def exactSimilarityPairs(sets: DataFrame, t: Double): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sorted = ex.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("ssh"))
+    val pref = sorted.select(col("doc_id"), size(col("ssh")).as("n"),
+      explode(slice(col("ssh"), lit(1),
+        (size(col("ssh")) - ceil(size(col("ssh")) * t) + 1).cast("int")))
+        .as("shingle"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(col("a.n") * t) &&
+          col("a.n") >= ceil(col("b.n") * t))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          .as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("double").as("tot"))
+      .select(col("id1"), col("id2"),
+        (col("inter") / (col("tot") - col("inter"))).as("raw"))
+      // threshold on the RAW ratio (the oracle does the same); round only
+      // for output so a just-below-t pair can't sneak in via rounding
+      .where(col("raw") >= t)
+      .select(col("id1"), col("id2"), round(col("raw"), 6).as("jaccard"))
+  }
 }

@@ -182,4 +182,48 @@ class DedupSpec extends AnyFunSuite {
       "LeftAnti, BuildRight".r.findAllIn(p).size == 2,
       s"expected two broadcast anti probes:\n$p")
   }
+
+  test("exactSimilarityPairs equals brute-force Jaccard on random sets " +
+    "(prefix filtering loses no pair)") {
+    // random universes small enough that many pairs straddle the 0.6
+    // boundary and set sizes differ (the size band + ceil boundary cases
+    // get exercised), spread over partitions
+    val rnd = new scala.util.Random(11)
+    val univ = (0 until 40).map(i => f"e$i%02d")
+    val sets = (0L until 120L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      (id, rnd.shuffle(univ).take(n).toSeq)
+    }
+    val df = sets.toDF("doc_id", "sh").repartition(5)
+    val t = 0.6
+    val got = Dedup.exactSimilarityPairs(df, t)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val bySet = sets.toMap.view.mapValues(_.toSet).toMap
+    val want = (for {
+      a <- sets.map(_._1); b <- sets.map(_._1) if a < b
+      inter = (bySet(a) & bySet(b)).size.toDouble
+      if inter / (bySet(a).size + bySet(b).size - inter) >= t
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "degenerate test: no similar pairs generated")
+    assert(got == want)
+  }
+
+  test("exactSimilarityPairs finds identical and boundary-ratio sets") {
+    // hand-built edge cases around ceil(t*n): identical sets (jaccard 1),
+    // an 3-of-4 overlap (0.6 exactly at inter=3, union=5), a just-below
+    // pair, and size-band extremes
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),      // identical -> 1.0
+      (3L, Seq("a", "b", "c", "e")),      // inter 3, union 5 -> 0.6 kept
+      (4L, Seq("a", "b", "x", "y")),      // inter 2, union 6 -> 0.333 out
+      (5L, Seq("a")),                     // tiny set, band prunes vs 4-sets
+      (6L, Seq("a"))                      // identical singletons -> 1.0
+    )
+    val got = Dedup.exactSimilarityPairs(rows.toDF("doc_id", "sh"), 0.6)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6),
+      (5L, 6L, 1.0)))
+  }
 }
