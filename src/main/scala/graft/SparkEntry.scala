@@ -2239,6 +2239,25 @@ object SparkEntry {
     // join touches only ~(1-t) of each set. See ssjoinExactDf.
     "dedup_ssjoin_exact" -> ((s, dir) => ssjoinExactDf(s, dir)),
 
+    // Merkle-style two-phase replica diff (ops/TableDiff): per-bucket
+    // XOR-of-rowhash + count checksums reduce each side to 256 rows;
+    // only differing buckets get the row-level full-outer classify.
+    // The new version is a deterministic mutation of orders: keys %101
+    // deleted, %97 repriced, %103 re-inserted under shifted keys — the
+    // oracle computes the same symmetric difference naively.
+    "rel_merkle_diff" -> ((s, dir) => {
+      val old = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 100).cast("long").as("val"))
+      val survived = old.where(col("key") % 101 =!= 0)
+        .select(col("key"),
+          when(col("key") % 97 === 0, round(col("val") * 1.1).cast("long"))
+            .otherwise(col("val")).as("val"))
+      val inserted = old.where(col("key") % 103 === 0)
+        .select((col("key") + 1000000000L).as("key"), col("val"))
+      graft.ops.TableDiff.merkleDiff(old, survived.unionByName(inserted))
+    }),
+
     // Token statistics per document
     "text_token_stats" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -5166,6 +5185,31 @@ object SparkEntry {
          |       round(inter::DOUBLE / (n1 + n2 - inter), 6) AS jaccard
          |FROM cand
          |WHERE inter::DOUBLE / (n1 + n2 - inter) >= 0.6""".stripMargin,
+
+    // the naive symmetric difference the two-phase merkle diff must
+    // equal; 1.1 cast to DOUBLE so the reprice arithmetic matches
+    // Spark's double path (bare literals are DECIMAL in DuckDB)
+    "rel_merkle_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS val
+        |  FROM orders
+        |), nw AS (
+        |  SELECT key,
+        |         CASE WHEN key % 97 = 0
+        |              THEN CAST(round(val * 1.1::DOUBLE) AS BIGINT)
+        |              ELSE val END AS val
+        |  FROM old WHERE key % 101 <> 0
+        |  UNION ALL
+        |  SELECT key + 1000000000, val FROM old WHERE key % 103 = 0
+        |)
+        |SELECT key, change FROM (
+        |  SELECT coalesce(o.key, n.key) AS key,
+        |         CASE WHEN o.key IS NULL THEN 'inserted'
+        |              WHEN n.key IS NULL THEN 'deleted'
+        |              WHEN o.val <> n.val THEN 'modified' END AS change
+        |  FROM old o FULL OUTER JOIN nw n ON o.key = n.key
+        |) WHERE change IS NOT NULL""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,
