@@ -840,6 +840,47 @@ object SparkEntry {
       finally graft.streaming.StreamGate.deleteRecursively(src)
     }),
 
+    // STREAMING heavy hitters with bounded state: users above N/150 of
+    // the whole event stream. The stream side maintains hash-sharded
+    // Misra-Gries summaries in the state store (4 shards x 64 counters —
+    // O(1) state regardless of key cardinality, where a plain streaming
+    // groupBy keeps one row per key forever) via flatMapGroupsWithState,
+    // replayed across MULTIPLE micro-batches so state genuinely carries
+    // over. Each shard's final candidate set is a guaranteed superset of
+    // its keys above seen_shard/(cap+1) — checked LOUDLY against the
+    // report threshold before the batch pass counts the <= shards*cap
+    // candidates exactly. Result == the naive HAVING answer (the oracle).
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val k = 150L; val shards = 4; val cap = 64
+      val ev = events(s, dir).select(col("user_id").cast("long").as("k"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "hh")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))),
+          "gate_hh", "update")(df =>
+          graft.streaming.EventStream.heavyHitterCandidates(
+            df, "k", shards, cap))
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      // final snapshot per shard = the emission with the largest version
+      val fin = sink.groupBy("shard")
+        .agg(max(struct(col("seen"), col("keys"))).as("m"))
+        .select(col("m.seen").as("seen"), col("m.keys").as("keys"))
+        .collect() // bounded: one row per shard
+      val n = fin.map(_.getLong(0)).sum
+      // superset guarantee must cover the report threshold per shard
+      fin.foreach(r => require(r.getLong(0) * k < n * (cap + 1),
+        s"shard saw ${r.getLong(0)} of $n rows: MG cap $cap cannot " +
+          s"guarantee the N/$k threshold — raise cap or shards"))
+      val candidates = fin.flatMap(_.getSeq[Long](1)).distinct.sorted
+      ev.where(col("k").isin(candidates: _*))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * k > n)
+        .select(col("k").as("user_id"), col("cnt"))
+    }),
+
     // Streaming top-K: complete-mode aggregation + ORDER BY + LIMIT —
     // the sorted-sink shape Structured Streaming only permits in complete
     // mode (every trigger re-emits the whole ranked table; at scale the
@@ -4129,6 +4170,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY 1
         |ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+
+    // the naive answer the sharded streaming-MG + exact batch pass must
+    // equal: every user above N/150 of the whole stream
+    "stream_heavy_hitters" ->
+      """WITH tot AS (SELECT count(*) AS n FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS cnt
+        |FROM events, tot GROUP BY user_id, n
+        |HAVING count(*) * 150 > n""".stripMargin,
 
     // batch sessionization (gap > 30 min), minus each user's LAST session
     // — that one is still open in the stream and must not have emitted

@@ -208,4 +208,60 @@ object EventStream {
   /** Output-mode helper: windowed aggregations with watermark support
     * Append (emit once, on watermark passing) — the scalable default. */
   val AppendMode: OutputMode = OutputMode.Append()
+
+  /** Per-shard streaming Misra-Gries state: rows this shard has seen and
+    * the bounded counter map (<= cap entries at every point). */
+  case class HhState(seen: Long, counts: Map[Long, Long])
+
+  /** One candidate emission: the shard's cumulative row count (a strictly
+    * increasing version — the reader keeps each shard's max) and its
+    * current candidate keys. */
+  case class HhCandidates(shard: Int, seen: Long, keys: Seq[Long])
+
+  /** Hash-sharded STREAMING Misra-Gries frequent-items maintenance — the
+    * unbounded-stream face of [[graft.ops.FrequentItems.exactHeavyHitters]]'
+    * candidate pass. Keys hash-partition across `shards` groups, each
+    * group holds one classic MG summary of capacity `cap` in the state
+    * store (insert-or-decrement; the decrement consumes the incoming
+    * key's unit against every resident counter). Because a key's entire
+    * count lands in exactly ONE shard, the per-shard bound applies to its
+    * full count: estimate >= true - seen_shard/(cap+1), so the shard's
+    * survivors are a superset of every key with count > seen_shard/(cap+1)
+    * — state is shards x cap entries FOREVER, no matter the key
+    * cardinality of the stream. Each micro-batch emits the updated
+    * shards' current candidates (Update mode); a periodic batch pass
+    * turns candidates into exact counts (`stream_heavy_hitters`). */
+  def heavyHitterCandidates(keys: DataFrame, keyCol: String,
+      shards: Int, cap: Int): DataFrame = {
+    require(shards > 0 && cap > 0)
+    import keys.sparkSession.implicits._
+    keys.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(k => ((k.hashCode % shards) + shards) % shards)
+      .flatMapGroupsWithState[HhState, HhCandidates](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Long], state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(0L, Map.empty))
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          m ++= st.counts
+          var seen = st.seen
+          rows.foreach { k =>
+            seen += 1
+            if (m.contains(k) || m.size < cap) {
+              m.update(k, m.getOrElse(k, 0L) + 1L)
+            } else {
+              // classic MG decrement: the new key's unit cancels one
+              // unit of every resident counter (all >= 1); zeros leave
+              val resident = m.toArray
+              var i = 0
+              while (i < resident.length) {
+                val (kk, v) = resident(i)
+                if (v == 1L) m.remove(kk) else m.update(kk, v - 1L)
+                i += 1
+              }
+            }
+          }
+          state.update(HhState(seen, m.toMap))
+          Iterator.single(HhCandidates(shard, seen, m.keys.toSeq.sorted))
+      }.toDF("shard", "seen", "keys")
+  }
 }
