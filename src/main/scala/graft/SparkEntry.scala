@@ -2829,6 +2829,43 @@ object SparkEntry {
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
     }),
 
+    // PARETO FRONTIER (2-D skyline) over distinct (price, order-date)
+    // points, maximizing both — "orders not beaten on price AND recency
+    // by any other". The textbook formulation is a quadratic NOT EXISTS
+    // dominance self-join; sorted, it collapses to a sweep: under
+    // (price DESC, odate DESC) a point survives iff its date strictly
+    // exceeds every earlier point's (all higher-price points carry
+    // earlier dates, and an equal-price predecessor with a later date
+    // dominates — distinct pairs make both tests one strict compare
+    // against the exclusive running max). That is ONE un-partitioned
+    // running max + lag stacked on ONE shared range sort (GlobalScan +
+    // GlobalShift, no single-partition stage): the O(n²) dominance join
+    // becomes O(n log n) at 100 TB (ops/Skyline.scala). The oracle is
+    // the INDEPENDENT quadratic derivation (DuckDB IEJoin), not this
+    // sweep.
+    "rel_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.frontier(
+        tbl(s, dir, "orders").select(col("o_totalprice").as("price"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate")),
+        "price", "odate")
+        .withColumnRenamed("n_points", "n_orders")),
+
+    // EXACT MODE per key — argmax of the (key, value) count table with a
+    // deterministic smallest-value tiebreak, as TWO ordinary hash
+    // aggregations: count per pair, then a struct-ordered max per key
+    // ((cnt, -user) lexicographic = highest count, then lowest user).
+    // No per-group value buffer, no window: post-pair-count state per
+    // group is ONE (count, value) pair, partial-aggregated map-side —
+    // the only mode shape that survives a 100 TB categorical column.
+    "rel_mode_per_group" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("cnt"), (-col("user_id")).as("nu"))).as("m"))
+        .select(col("event_type"), col("m.cnt").as("mode_cnt"),
+          (-col("m.nu")).as("mode_user"))),
+
     // CHAINED CORPUS FINGERPRINT — h_i = FNV32 * h_{i-1} + token_i over
     // the global event order: every row carries the polynomial hash of
     // its ENTIRE prefix, the incremental checksum a 100 TB ingest keeps
@@ -5735,6 +5772,35 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    // the INDEPENDENT quadratic dominance derivation (DuckDB plans the
+    // two-inequality NOT EXISTS as an IEJoin) — deliberately NOT the
+    // sorted sweep the Spark side runs
+    "rel_skyline" ->
+      """WITH d AS (
+        |  SELECT o_totalprice AS price, epoch_us(o_orderdate) AS odate,
+        |         count(*)::BIGINT AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT p.price, p.odate, p.n_orders FROM d p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d q
+        |  WHERE q.price >= p.price AND q.odate >= p.odate
+        |    AND (q.price > p.price OR q.odate > p.odate))""".stripMargin,
+
+    // independent row_number-over-counts derivation of the same argmax
+    "rel_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, user_id ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT event_type, cnt AS mode_cnt, user_id AS mode_user
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "rel_hash_chain_global" -> hashChainOracleSql,
 

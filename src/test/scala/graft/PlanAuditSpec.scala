@@ -484,6 +484,22 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("rel_skyline: dominance sweep = GlobalScan + GlobalShift on one sort") {
+    // the O(n²) NOT EXISTS dominance join must plan as the sorted sweep:
+    // distinct-pair aggregate, ONE range sort, the running max (scan) and
+    // its lag (shift) stacked order-preserving on that sort — no
+    // WindowExec, no single-partition stage, no join at all
+    val p = plan("rel_skyline")
+    Seq("GlobalScan", "GlobalShift").foreach(n =>
+      assert(p.contains(n), s"rel_skyline lost its $n sweep member:\n$p"))
+    assert(!p.contains("Window"), s"rel_skyline fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"rel_skyline planned a dominance join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"rel_skyline planned a single-partition stage:\n$p")
+    assert("Sort ".r.findAllIn(p).size == 1,
+      s"rel_skyline: scan and shift must share the one range sort:\n$p")
+  }
+
   test("no cartesian product in any registered query plan") {
     // skip queries whose *plan construction* itself runs jobs
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
