@@ -1557,6 +1557,53 @@ object SparkEntry {
         round(col("p99"), 6).as("p99"), col("cnt"))
     }),
 
+    // WINSORIZED robust statistics — outlier-clipped mean, the standard
+    // robust aggregate over a heavy-tailed metric column: exact per-key
+    // [p05, p95] bounds from the bounded-memory selection operator
+    // (ops/Selection.quantileCont — never a per-group value buffer),
+    // broadcast back (model-sized: one row per group), clip, aggregate.
+    // Bounds rounded to 6 decimals on BOTH sides before clipping (the
+    // interpolation's last ulp may differ across engines); the clipped
+    // mean goes through an exact decimal sum (order-insensitive) with
+    // the final division in double on both sides.
+    "rel_winsorized_stats" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val q = graft.ops.Selection.quantileCont(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.05, 0.95), qNames = Seq("qlo", "qhi"))
+        .select(col("l_returnflag").as("rf"),
+          round(col("qlo"), 6).as("lo"), round(col("qhi"), 6).as("hi"))
+      li.join(broadcast(q), col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .as("w"),
+          col("l_extendedprice").as("x"))
+        .groupBy(col("l_returnflag"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          round(sum(col("w").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("w_avg"))
+    }),
+
+    // EXACT distinct-count rollup via ROARING-STYLE BITMAPS — the
+    // mergeable-and-exact alternative to count(DISTINCT): each
+    // (key, 2^15-value-bucket) group folds its members into ONE fixed
+    // 4 KB bitmap (bitmap_construct_agg — partial-aggregated map-side),
+    // and the final count is a sum of per-bucket popcounts. Where
+    // count(DISTINCT) shuffles every distinct (key, value) pair and an
+    // HLL surrenders exactness, per-segment bitmaps shuffle O(buckets)
+    // fixed bytes, union losslessly across segments/days (the
+    // incremental-rollup shape of rel_cms_merge/rel_hll_union, but
+    // EXACT), and difference/intersect for audience algebra.
+    "rel_bitmap_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))),
+
     // Pivot: one column per event type (explicit value list keeps the
     // schema deterministic — no extra distinct-values job)
     "rel_pivot_events" -> ((s, dir) =>
@@ -5130,6 +5177,33 @@ object SparkEntry {
         |       round(quantile_cont(cast(l_quantity AS double), 0.99), 6) AS p99,
         |       count(l_quantity) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // bounds rounded to 6 decimals BEFORE clipping on both sides; the
+    // clipped mean's sum in DECIMAL (order-insensitive), division in
+    // double — same literal sequence as the Spark side
+    "rel_winsorized_stats" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS rf,
+        |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, lo, hi,
+        |       count(*)::BIGINT AS n,
+        |       sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_clip_lo,
+        |       sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_clip_hi,
+        |       round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+        |                          AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS w_avg
+        |FROM lineitem JOIN q ON l_returnflag = rf
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the bitmap rollup must equal plain exact distinct
+    "rel_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
