@@ -86,6 +86,23 @@ object SparkEntry {
       when(col("event_type") =!= "error",
         round(col("value") * 1000).cast("long")).as("v"))
 
+  /** SCD Type-2 dimension built from the signup changelog: one row per
+    * (user, version) with [vf, vt) micros effectivity, vt NULL while
+    * current. Shared by `rel_scd2_build` (the dimension itself) and
+    * `rel_scd2_pit` (point-in-time enrichment). */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("vf", "event_id")
+    events(s, dir).where(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("vf"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("vt", lead(col("vf"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("vt").isNull)
+      .drop("event_id")
+  }
+
   /** Same value shape but keeping the raw TIMESTAMP key — for the
     * interval-RANGE frames that order by the instant directly. */
   private def valuedEventsTs(s: SparkSession, dir: String): DataFrame =
@@ -1980,6 +1997,36 @@ object SparkEntry {
     // opened — unmatched keys pass through open. A single scan feeds one
     // conditional-array explode (not a self-union, which would re-run the
     // join per branch); at scale this is one shuffle on the merge key.
+    // SCD TYPE-2 DIMENSION BUILD — the warehouse changelog-to-versions
+    // transform: each user's signup events become versioned dimension
+    // rows with [valid_from, valid_to) effectivity (valid_to = next
+    // change's instant, NULL while current). One hash-partitioned
+    // window per user — lead + row_number share the per-user sort, no
+    // global stage, scales with users not history length.
+    "rel_scd2_build" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // POINT-IN-TIME (as-of) ENRICHMENT against the SCD2 dimension:
+    // each purchase joins the dimension version effective AT ITS
+    // instant — the train-serve-skew-free feature lookup. Planned as a
+    // hash equi-join on user_id with the validity interval as residual
+    // predicate: per-user fan-out is bounded by that user's version
+    // count, never a range/nested-loop join. Purchases before the
+    // user's first version keep NULLs (left join — the accounting must
+    // show them, not drop them).
+    "rel_scd2_pit" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir)
+        .select(col("user_id").as("d_user"), col("k"),
+          col("vf"), col("vt"), col("version"))
+      events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+        .join(dim, col("user_id") === col("d_user") &&
+          col("t") >= col("vf") &&
+          (col("vt").isNull || col("t") < col("vt")), "left_outer")
+        .select(col("event_id"), col("user_id"),
+          col("k").as("k_at_purchase"), col("version"))
+    }),
+
     "rel_merge_upsert" -> ((s, dir) => {
       val bal = (c: org.apache.spark.sql.Column) =>
         c.cast("decimal(18,2)").cast("double")
@@ -4991,6 +5038,38 @@ object SparkEntry {
         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_scd2_build" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS vf, event_id,
+        |         cast(json_extract_string(props, '$.k') AS bigint) AS k
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT user_id, vf, k,
+        |       lead(vf) OVER w AS vt,
+        |       cast(row_number() OVER w AS bigint) AS version,
+        |       (lead(vf) OVER w IS NULL) AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)""".stripMargin,
+
+    "rel_scd2_pit" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS vf, event_id,
+        |         cast(json_extract_string(props, '$.k') AS bigint) AS k
+        |  FROM events WHERE event_type = 'signup'
+        |), dim AS (
+        |  SELECT user_id AS d_user, k, vf,
+        |         lead(vf) OVER (PARTITION BY user_id
+        |                        ORDER BY vf, event_id) AS vt,
+        |         cast(row_number() OVER (PARTITION BY user_id
+        |                        ORDER BY vf, event_id) AS bigint) AS version
+        |  FROM c
+        |)
+        |SELECT e.event_id, e.user_id, dim.k AS k_at_purchase, dim.version
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+        |      FROM events WHERE event_type = 'purchase') e
+        |LEFT JOIN dim ON e.user_id = dim.d_user
+        |  AND e.t >= dim.vf AND (dim.vt IS NULL OR e.t < dim.vt)""".stripMargin,
 
     "rel_merge_upsert" ->
       """WITH upd AS (SELECT o_custkey, max(o_totalprice) AS new_bal
