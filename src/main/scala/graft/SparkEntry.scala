@@ -898,6 +898,76 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("cnt"))
     }),
 
+    // STREAMING FIRST-TOUCH FUNNEL — per-user earliest signup/view/
+    // purchase instants as mapGroupsWithState state: a few longs per user
+    // FOREVER. Every state field is a min or a count — COMMUTATIVE — so
+    // the unordered multi-batch replay provably equals the batch answer
+    // (the oracle). The funnel semantics are first-touch: step k+1
+    // counts iff its FIRST instant is strictly after step k's FIRST
+    // instant — the bounded-state funnel (a strict any-interleaving
+    // funnel would need every step-k+1 timestamp retained; see
+    // EventStream.firstTouchFunnel). Final snapshot = max version.
+    "stream_funnel_touch" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .where(col("event_type").isin("signup", "view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "funnel")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("t_us",
+              org.apache.spark.sql.types.LongType))),
+          "gate_funnel", "update")(df =>
+          graft.streaming.EventStream.firstTouchFunnel(
+            df.toDF("_1", "_2", "_3").as[(Long, String, Long)]).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      val none = Long.MaxValue
+      val fin = sink.groupBy(col("userId"))
+        .agg(max(struct(col("ver"), col("s"), col("v"), col("p"),
+          col("n"))).as("m"))
+      val sC = when(col("m.s") =!= none, col("m.s"))
+      val vC = when(col("m.v") =!= none, col("m.v"))
+      val pC = when(col("m.p") =!= none, col("m.p"))
+      fin.select(col("userId").as("user_id"),
+        sC.as("first_signup_us"), vC.as("first_view_us"),
+        pC.as("first_purchase_us"),
+        (when(sC.isNotNull, 1).otherwise(0)
+          + when(sC.isNotNull && vC.isNotNull && vC > sC, 1).otherwise(0)
+          + when(sC.isNotNull && vC.isNotNull && vC > sC &&
+              pC.isNotNull && pC > vC, 1).otherwise(0))
+          .cast("long").as("steps_completed"),
+        col("m.n").as("n_events"))
+    }),
+
+    // STREAMING POINT-IN-TIME ENRICHMENT — the purchase stream joins the
+    // STATIC SCD2 dimension version effective at each event's instant
+    // (stream-static left join, re-planned per micro-batch): the serving
+    // twin of rel_scd2_pit, and the train-serve-consistency contract is
+    // literally the oracle — the streamed result must equal the batch
+    // PIT join row-for-row. Dimension broadcast per batch; no state.
+    "stream_scd2_enrich" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir)
+        .select(col("user_id").as("d_user"), col("k"),
+          col("vf"), col("vt"), col("version"))
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t")),
+        "gate_scd2", "append")(df =>
+        df.join(broadcast(dim), df("user_id") === col("d_user") &&
+            df("t") >= col("vf") &&
+            (col("vt").isNull || df("t") < col("vt")), "left_outer")
+          .select(df("event_id"), df("user_id"),
+            col("k").as("k_at_purchase"), col("version")))
+    }),
+
     // Streaming top-K: complete-mode aggregation + ORDER BY + LIMIT —
     // the sorted-sink shape Structured Streaming only permits in complete
     // mode (every trigger re-emits the whole ranked table; at scale the
@@ -4309,6 +4379,52 @@ object SparkEntry {
         |SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS cnt
         |FROM events, tot GROUP BY user_id, n
         |HAVING count(*) * 150 > n""".stripMargin,
+
+    // the commutative-state contract: the unordered multi-batch replay
+    // must equal this one-shot batch first-touch computation exactly
+    "stream_funnel_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')
+        |), a AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN t END) AS s,
+        |         min(CASE WHEN event_type = 'view' THEN t END) AS v,
+        |         min(CASE WHEN event_type = 'purchase' THEN t END) AS p,
+        |         count(*)::BIGINT AS n_events
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT user_id, s AS first_signup_us, v AS first_view_us,
+        |       p AS first_purchase_us,
+        |       (CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN s IS NOT NULL AND v IS NOT NULL AND v > s
+        |               THEN 1 ELSE 0 END
+        |        + CASE WHEN s IS NOT NULL AND v IS NOT NULL AND v > s
+        |               AND p IS NOT NULL AND p > v THEN 1 ELSE 0 END
+        |       )::BIGINT AS steps_completed,
+        |       n_events
+        |FROM a""".stripMargin,
+
+    // train-serve consistency: the streamed PIT enrichment must equal the
+    // batch PIT join (same SQL as rel_scd2_pit)
+    "stream_scd2_enrich" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS vf, event_id,
+        |         cast(json_extract_string(props, '$.k') AS bigint) AS k
+        |  FROM events WHERE event_type = 'signup'
+        |), dim AS (
+        |  SELECT user_id AS d_user, k, vf,
+        |         lead(vf) OVER (PARTITION BY user_id
+        |                        ORDER BY vf, event_id) AS vt,
+        |         cast(row_number() OVER (PARTITION BY user_id
+        |                        ORDER BY vf, event_id) AS bigint) AS version
+        |  FROM c
+        |)
+        |SELECT e.event_id, e.user_id, dim.k AS k_at_purchase, dim.version
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+        |      FROM events WHERE event_type = 'purchase') e
+        |LEFT JOIN dim ON e.user_id = dim.d_user
+        |  AND e.t >= dim.vf AND (dim.vt IS NULL OR e.t < dim.vt)""".stripMargin,
 
     // batch sessionization (gap > 30 min), minus each user's LAST session
     // — that one is still open in the stream and must not have emitted

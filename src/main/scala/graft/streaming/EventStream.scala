@@ -264,4 +264,45 @@ object EventStream {
           Iterator.single(HhCandidates(shard, seen, m.keys.toSeq.sorted))
       }.toDF("shard", "seen", "keys")
   }
+
+  /** First-touch funnel state: earliest event-time per step (Long.MaxValue
+    * = step never seen), total rows, and a snapshot version — a few longs
+    * per user FOREVER, and every field is a min/count, so the state is
+    * COMMUTATIVE: arrival order across micro-batches cannot change the
+    * final snapshot (the property that makes an unordered replay exact).
+    * A strict "did step k+1 first happen after step k" over arbitrary
+    * interleavings would instead need every step-k+1 timestamp retained —
+    * unbounded; first-touch ordering is the bounded-state funnel. */
+  case class TouchState(s: Long, v: Long, p: Long, n: Long, ver: Long)
+  case class TouchSnap(userId: Long, s: Long, v: Long, p: Long, n: Long,
+                       ver: Long)
+
+  /** Per-user first-touch funnel over (user, step, tsUs) rows via
+    * mapGroupsWithState; emits one cumulative snapshot per user per
+    * micro-batch (update mode) — readers keep the max-version row.
+    * Steps are the literal strings "signup" / "view" / "purchase";
+    * other rows are ignored (not counted). */
+  def firstTouchFunnel(events: Dataset[(Long, String, Long)])
+  : Dataset[TouchSnap] = {
+    import events.sparkSession.implicits._
+    val none = Long.MaxValue
+    events.groupByKey(_._1)
+      .mapGroupsWithState[TouchState, TouchSnap](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[TouchState]) =>
+          var st = state.getOption
+            .getOrElse(TouchState(none, none, none, 0L, 0L))
+          rows.foreach { case (_, step, ts) =>
+            st = step match {
+              case "signup"   => st.copy(s = math.min(st.s, ts), n = st.n + 1)
+              case "view"     => st.copy(v = math.min(st.v, ts), n = st.n + 1)
+              case "purchase" => st.copy(p = math.min(st.p, ts), n = st.n + 1)
+              case _          => st
+            }
+          }
+          st = st.copy(ver = st.ver + 1)
+          state.update(st)
+          TouchSnap(uid, st.s, st.v, st.p, st.n, st.ver)
+      }
+  }
 }
