@@ -1691,6 +1691,49 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(expr("bitmap_count(bm)")).as("n_users"))),
 
+    // K-ANONYMITY SUPPRESSION — the privacy gate before releasing rows
+    // keyed by quasi-identifiers: only rows whose full QID group reaches
+    // size k survive (every released row is identical on its QIDs to at
+    // least k-1 others). Two-phase: the QID group-size table (bounded by
+    // the QID domain, broadcast) joins back row-level — one scan + one
+    // bounded broadcast at any data size, the released set carries its
+    // group size for auditing.
+    "rel_k_anonymity" -> ((s, dir) => {
+      val k = 8
+      val g = tbl(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("grp_n"))
+      tbl(s, dir, "customer")
+        .join(broadcast(g.where(col("grp_n") >= k)),
+          Seq("c_nationkey", "c_mktsegment"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("grp_n"))
+    }),
+
+    // EQUI-DEPTH HISTOGRAM — optimizer/table statistics: decile
+    // boundaries from the bounded-memory exact selection operator (third
+    // Selection.quantileCont call site; never a per-group value buffer),
+    // then one scan assigns buckets against the 9 broadcast-as-literals
+    // boundaries and aggregates per-bucket count + min/max (the zone-map
+    // row). Boundaries rounded HALF_UP to 6 decimals on BOTH sides (the
+    // driver mirrors the SQL round()); bucket = boundaries strictly
+    // below the value, so edge values land identically in both engines.
+    "rel_equi_depth_hist" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders")
+      val q = graft.ops.Selection.quantileCont(ord, "o_totalprice", Nil,
+        (1 to 9).map(_ / 10.0), qNames = (1 to 9).map(i => s"b$i"))
+      val row = q.collect().head // model-sized: 9 doubles + count
+      val bs = (1 to 9).map(i => BigDecimal(row.getAs[Double](s"b$i"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val bucket = bs.map(b =>
+        when(col("o_totalprice") > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+      ord.groupBy(bucket.cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi"))
+    }),
+
     // Pivot: one column per event type (explicit value list keeps the
     // schema deterministic — no extra distinct-values job)
     "rel_pivot_events" -> ((s, dir) =>
@@ -5399,6 +5442,47 @@ object SparkEntry {
     "rel_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "rel_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS grp_n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT c_custkey, c.c_nationkey, c.c_mktsegment, grp_n
+        |FROM customer c
+        |JOIN g USING (c_nationkey, c_mktsegment)
+        |WHERE grp_n >= 8""".stripMargin,
+
+    // decile boundaries rounded HALF_UP to 6 decimals before bucketing on
+    // both sides; bucket = boundaries strictly below the value
+    "rel_equi_depth_hist" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.1), 6) AS b1,
+        |         round(quantile_cont(o_totalprice, 0.2), 6) AS b2,
+        |         round(quantile_cont(o_totalprice, 0.3), 6) AS b3,
+        |         round(quantile_cont(o_totalprice, 0.4), 6) AS b4,
+        |         round(quantile_cont(o_totalprice, 0.5), 6) AS b5,
+        |         round(quantile_cont(o_totalprice, 0.6), 6) AS b6,
+        |         round(quantile_cont(o_totalprice, 0.7), 6) AS b7,
+        |         round(quantile_cont(o_totalprice, 0.8), 6) AS b8,
+        |         round(quantile_cont(o_totalprice, 0.9), 6) AS b9
+        |  FROM orders
+        |)
+        |SELECT (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END)::BIGINT
+        |         AS bucket,
+        |       count(*)::BIGINT AS cnt,
+        |       round(min(o_totalprice), 6) AS lo,
+        |       round(max(o_totalprice), 6) AS hi
+        |FROM orders, b
+        |GROUP BY 1""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
