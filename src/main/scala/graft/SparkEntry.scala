@@ -3743,6 +3743,46 @@ object SparkEntry {
     // intersection/union only on those pairs
     "dedup_jaccard_pairs" -> ((s, dir) => jaccardPairsDf(s, dir)),
 
+    // SORTED-NEIGHBORHOOD candidate generation (SNM) — the classic
+    // record-linkage blocking alternative to LSH: ONE global sort by a
+    // canonical blocking key (normalized-text prefix), then each doc is
+    // compared only to its w=3 predecessors in that order. The three
+    // lags stack on one shared un-partitioned range sort (GlobalShift,
+    // no single-partition stage); candidates are O(w·n) by construction
+    // and the exact Jaccard verify runs only on those. Catches near-dups
+    // whose edits fall OUTSIDE the prefix; complements the capped LSH
+    // chain (probabilistic recall) and the exact prefix-filter join
+    // (dedup_ssjoin_exact) as the third candidate-generation strategy.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bkey"), col("doc_id"))
+      val keyed = tbl(s, dir, "documents").select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, 24).as("bkey"))
+      val nbrs = keyed.select(col("doc_id"),
+        lag(col("doc_id"), 1).over(w).as("n1"),
+        lag(col("doc_id"), 2).over(w).as("n2"),
+        lag(col("doc_id"), 3).over(w).as("n3"))
+      // one explode, not a 3-way union: a union would re-plan the sorted
+      // shift subtree once per branch (3 sorts); here the three lags
+      // share ONE range sort and the array explode fans the pairs out
+      val pairs = nbrs
+        .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id1"),
+          col("doc_id").as("id2"))
+        .where(col("id1").isNotNull)
+      val sh = tbl(s, dir, "documents").select(col("doc_id"),
+        array_distinct(
+          graft.functions.GraftFunctions.shingles(s, col("text"))).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+            / size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+    }),
+
     // Asymmetric containment on the LSH candidate pairs: |A∩B|/|A| and
     // |A∩B|/|B| alongside the symmetric Jaccard — a short document fully
     // quoted inside a long one scores low Jaccard (union is big) but
@@ -6753,6 +6793,47 @@ object SparkEntry {
          |       round(cast(inter AS double) / cast(tot - inter AS double), 6)
          |         AS jaccard
          |FROM j""".stripMargin
+    },
+
+    // same window-lag neighborhood formulation; the exact-Jaccard tail is
+    // shared with dedup_jaccard_pairs' oracle
+    "dedup_sorted_neighborhood" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, ${cleanToksSql("text")} AS l,
+         |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+         |                1, 24) AS bkey
+         |  FROM documents
+         |),
+         |o AS (
+         |  SELECT doc_id,
+         |         lag(doc_id, 1) OVER w AS n1,
+         |         lag(doc_id, 2) OVER w AS n2,
+         |         lag(doc_id, 3) OVER w AS n3
+         |  FROM t WINDOW w AS (ORDER BY bkey, doc_id)
+         |),
+         |p AS (
+         |  SELECT n1 AS id1, doc_id AS id2 FROM o WHERE n1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT n2 AS id1, doc_id AS id2 FROM o WHERE n2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT n3 AS id1, doc_id AS id2 FROM o WHERE n3 IS NOT NULL
+         |),
+         |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM t),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM p
+         |  JOIN sets s1 ON p.id1 = s1.doc_id
+         |  JOIN sets s2 ON p.id2 = s2.doc_id
+         |)
+         |SELECT id1, id2,
+         |       round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |         AS jaccard
+         |FROM j
+         |WHERE round(cast(inter AS double) / cast(tot - inter AS double), 6)
+         |      >= 0.5""".stripMargin
     },
 
     // same candidate-pair chain as dedup_jaccard_pairs, thresholded, then

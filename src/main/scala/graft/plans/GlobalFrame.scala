@@ -494,7 +494,42 @@ object GlobalFrameRule
             GlobalFrame.MaxFrame =>
       GlobalScanRule.scannable(agg, child).map { case (kind, v, ansi,
           widen) => FParsed(a, order, lo, hi, kind, v, ansi, widen) }
+    // respect-nulls lag/lead with a NULL default are 1-row DETACHED ROWS
+    // frames: min over [±n, ±n] is exactly that row's value (or NULL when
+    // the row is null or absent) — bit-identical to the offset function.
+    // The same conversion lives in GlobalWindowRule's mixed-stack parser;
+    // having it HERE makes an ALL-offset window (e.g. the w lags of
+    // sorted-neighborhood blocking) fuse into ONE frame node too — that
+    // shape previously fell between the single-member GlobalShiftRule and
+    // the mixed-only GlobalWindowRule and kept a single-partition
+    // WindowExec. Non-null defaults and IGNORE NULLS keep GlobalShift.
+    case a @ Alias(WindowExpression(
+          org.apache.spark.sql.catalyst.expressions
+            .Lag(v: CAttr, IntegerLiteral(off), d, false),
+          WindowSpecDefinition(Seq(), order, _)), _)
+        if order.nonEmpty && off > 0 && off <= GlobalFrame.MaxFrame &&
+          isNullLiteral(d) &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+      Some(FParsed(a, order, -off, -off, ScanKind.Min, v,
+        ansi = false, widen = false))
+    case a @ Alias(WindowExpression(
+          org.apache.spark.sql.catalyst.expressions
+            .Lead(v: CAttr, IntegerLiteral(off), d, false),
+          WindowSpecDefinition(Seq(), order, _)), _)
+        if order.nonEmpty && off > 0 && off <= GlobalFrame.MaxFrame &&
+          isNullLiteral(d) &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(v.dataType) =>
+      Some(FParsed(a, order, off, off, ScanKind.Min, v,
+        ansi = false, widen = false))
     case _ => None
+  }
+
+  private def isNullLiteral(e: Expression): Boolean = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      l.value == null
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -60,6 +60,28 @@ class GlobalFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("an ALL-offset window (multi-lag/lead, null defaults) fuses into " +
+    "ONE frame node and matches the native twin") {
+    // previously this shape fell between the single-member GlobalShiftRule
+    // and the mixed-only GlobalWindowRule and kept a single-partition
+    // WindowExec; parseFrame's offset conversion makes FrameRule own it.
+    // Nulls in v exercise the respect-nulls fidelity of the min-over-
+    // detached-frame encoding (a present-but-null row must yield null).
+    val n = 3000
+    val df = spark.range(n).select(col("id").as("t"),
+      when(col("id") % 7 =!= 0, col("id") * 17 % 501).as("v"))
+      .repartition(11)
+    def q(b: WS) = df.select(col("t"),
+      lag(col("v"), 1).over(b).as("l1"),
+      lag(col("v"), 3).over(b).as("l3"),
+      lead(col("v"), 2).over(b).as("d2"))
+    val (native, got, plan) = nativeVsRewritten(q, "t")
+    assert(plan.contains("GlobalFrame"), plan)
+    assert(!plan.contains("Window") && !plan.contains("GlobalShift"), plan)
+    assert("GlobalFrame".r.findAllIn(plan).size == 1, plan)
+    assert(got == native)
+  }
+
   test("boundary wider than any partition: k spans several short " +
     "partitions") {
     val n = 3000

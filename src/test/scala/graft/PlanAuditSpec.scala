@@ -501,6 +501,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rel_skyline: scan and shift must share the one range sort:\n$p")
   }
 
+  test("dedup_sorted_neighborhood: the w lags fuse into ONE GlobalFrame " +
+    "on one sort") {
+    // the SNM candidate generator's three lags are null-default offsets —
+    // they convert to 1-row detached frames and fuse into a single frame
+    // node over the single blocking-key range sort; candidate fan-out is
+    // the explode above, never a wider window
+    val p = plan("dedup_sorted_neighborhood")
+    assert(p.contains("GlobalFrame"), p)
+    assert(!p.contains("Window") && !p.contains("GlobalShift"),
+      s"offsets must fuse into the frame node:\n$p")
+    assert("GlobalFrame".r.findAllIn(p).size == 1, p)
+    assert("Sort ".r.findAllIn(p).size == 1,
+      s"expected exactly the one blocking-key sort:\n$p")
+  }
+
   test("no cartesian product in any registered query plan") {
     // skip queries whose *plan construction* itself runs jobs
     // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
