@@ -898,6 +898,35 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("cnt"))
     }),
 
+    // STREAMING EXACT DISTINCT — per-(event_type, 2^15-user-bucket)
+    // bitmaps in mapGroupsWithState: 4 KB of state forever per occupied
+    // bucket regardless of row count (streaming dropDuplicates keeps a
+    // state row PER DISTINCT USER; HLL surrenders exactness). Bitmap OR
+    // is commutative AND idempotent, so the unordered multi-batch replay
+    // — including re-delivered rows — provably equals the batch answer.
+    // The unbounded-stream twin of rel_bitmap_distinct.
+    "stream_bitmap_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "bmdist")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))),
+          "gate_bmdist", "update")(df =>
+          graft.streaming.EventStream.bitmapDistinct(
+            df.toDF("_1", "_2").as[(String, Long)]).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      sink.groupBy(col("key"), col("bucket"))
+        .agg(max(struct(col("ver"), col("distinct"))).as("m"))
+        .groupBy(col("key").as("event_type"))
+        .agg(sum(col("m.distinct")).as("n_users"))
+    }),
+
     // STREAMING FIRST-TOUCH FUNNEL — per-user earliest signup/view/
     // purchase instants as mapGroupsWithState state: a few longs per user
     // FOREVER. Every state field is a min or a count — COMMUTATIVE — so
@@ -4462,6 +4491,11 @@ object SparkEntry {
         |SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS cnt
         |FROM events, tot GROUP BY user_id, n
         |HAVING count(*) * 150 > n""".stripMargin,
+
+    // the streamed bitmap rollup must equal plain batch exact distinct
+    "stream_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the commutative-state contract: the unordered multi-batch replay
     // must equal this one-shot batch first-touch computation exactly

@@ -265,6 +265,46 @@ object EventStream {
       }.toDF("shard", "seen", "keys")
   }
 
+  /** One exact-distinct bitmap snapshot: popcount of the (key, bucket)
+    * bitmap after this micro-batch, with the emission version. */
+  case class BitmapSnap(key: String, bucket: Long, distinct: Long, ver: Long)
+
+  /** STREAMING EXACT DISTINCT via per-(key, 2^15-value-bucket) BITMAPS in
+    * mapGroupsWithState: 4 KB of state FOREVER per occupied bucket,
+    * regardless of how many rows stream through — where streaming
+    * `dropDuplicates` keeps one state row PER DISTINCT VALUE and an HLL
+    * surrenders exactness. The batch twin is rel_bitmap_distinct's
+    * mergeable-bitmap rollup; this is its unbounded-stream form. Bitmap
+    * OR is commutative and idempotent, so arrival order and re-delivery
+    * across micro-batches cannot change the final snapshot. Emits one
+    * cumulative (key, bucket, popcount, version) row per occupied bucket
+    * per micro-batch (update mode) — readers keep the max-version row
+    * and sum popcounts per key. */
+  def bitmapDistinct(rows: Dataset[(String, Long)]): Dataset[BitmapSnap] = {
+    import rows.sparkSession.implicits._
+    val bits = 1 << 15
+    rows.groupByKey { case (k, v) => (k, Math.floorDiv(v, bits.toLong)) }
+      .mapGroupsWithState[(Array[Byte], Long), BitmapSnap](
+        GroupStateTimeout.NoTimeout) {
+        case ((key, bucket), it, state) =>
+          val (prev, ver) = state.getOption
+            .getOrElse((new Array[Byte](bits / 8), 0L))
+          // copy-on-write: the state store may hold the previous array
+          val bm = prev.clone()
+          it.foreach { case (_, v) =>
+            val bit = Math.floorMod(v, bits.toLong).toInt
+            bm(bit >> 3) = (bm(bit >> 3) | (1 << (bit & 7))).toByte
+          }
+          var pc = 0L
+          var i = 0
+          while (i < bm.length) {
+            pc += java.lang.Integer.bitCount(bm(i) & 0xff); i += 1
+          }
+          state.update((bm, ver + 1))
+          BitmapSnap(key, bucket, pc, ver + 1)
+      }
+  }
+
   /** First-touch funnel state: earliest event-time per step (Long.MaxValue
     * = step never seen), total rows, and a snapshot version — a few longs
     * per user FOREVER, and every field is a min/count, so the state is
