@@ -665,6 +665,41 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // MANIFEST / ZONE-MAP FILE PRUNING — the Iceberg/Delta data-skipping
+    // shape done with plain parquet: write range-clustered files, reduce
+    // them to an O(files) manifest of per-file [min, max] (one
+    // aggregation keyed by input_file_name), and answer a selective
+    // range query by reading ONLY the files whose zone overlaps. The
+    // require() makes the skip real — at 100 TB this is the difference
+    // between listing a manifest and scanning the lake; the exact
+    // predicate re-applies on the survivors, so pruning can only skip
+    // whole files, never change the answer (the oracle runs the plain
+    // full-table filter).
+    "src_manifest_prune" -> ((s, dir) => {
+      val d = staged("manifest_orders")
+      tbl(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.mode("overwrite").parquet(d)
+      val stats = s.read.parquet(d)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .collect() // the manifest: O(files) rows
+      val (qLo, qHi) = (50000.0, 150000.0)
+      val picked = stats.filter(r =>
+        r.getDouble(1) <= qHi && r.getDouble(2) >= qLo).map(_.getString(0))
+      require(picked.length < stats.length,
+        s"zone-map pruning skipped nothing (${picked.length} of " +
+          s"${stats.length} files) — range clustering failed")
+      s.read.parquet(picked.toSeq: _*)
+        .where(col("o_totalprice") >= qLo && col("o_totalprice") <= qHi)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("tot"))
+    }),
+
     "src_partitioned_roundtrip" -> ((s, dir) => {
       val out = staged("part_docs")
       tbl(s, dir, "documents")
@@ -1699,6 +1734,33 @@ object SparkEntry {
           sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
           round(sum(col("w").cast("decimal(18,6)")).cast("double") /
             count(lit(1)), 6).as("w_avg"))
+    }),
+
+    // ROBUST OUTLIER DETECTION via MAD (median absolute deviation) —
+    // the robust z-score: per key, med = median(value), mad =
+    // median(|value - med|), outlier iff |value - med| > 3σ-equivalent
+    // (3 × 1.4826 × mad = 4.4478 × mad). BOTH medians run through the
+    // bounded-memory selection operator (two chained quantileCont calls
+    // — never a per-group value buffer); deviations re-derive from the
+    // 6-decimal-rounded medians identically on both sides, so the
+    // threshold comparison is bit-deterministic cross-engine.
+    "rel_outlier_mad" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val med = graft.ops.Selection.quantileCont(ev, "value",
+        Seq("event_type"), Seq(0.5), qNames = Seq("med"))
+        .select(col("event_type").as("t1"), round(col("med"), 6).as("med"))
+      val dev = ev.join(broadcast(med), col("event_type") === col("t1"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+        .localCheckpoint(false)
+      val mad = graft.ops.Selection.quantileCont(dev, "ad",
+        Seq("event_type"), Seq(0.5), qNames = Seq("mad"))
+        .select(col("event_type").as("t2"), round(col("mad"), 6).as("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("t2"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ad") > col("mad") * lit(4.4478), 1L)
+            .otherwise(0L)).as("n_outliers"))
     }),
 
     // EXACT distinct-count rollup via ROARING-STYLE BITMAPS — the
@@ -5516,6 +5578,39 @@ object SparkEntry {
     "rel_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // both medians via quantile_cont, rounded to 6 before deviations /
+    // threshold on both sides; the 4.4478 literal cast to DOUBLE (a bare
+    // DuckDB numeric literal is DECIMAL and would flip the comparison
+    // arithmetic)
+    "rel_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, med, abs(value - med) AS ad
+        |  FROM events e JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, d.med, m.mad,
+        |       count(*)::BIGINT AS n,
+        |       sum(CASE WHEN ad > mad * CAST(4.4478 AS DOUBLE)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // pruning only skips whole files; the answer must equal the plain
+    // full-table range filter
+    "src_manifest_prune" ->
+      """SELECT o_orderpriority,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+        |GROUP BY 1""".stripMargin,
 
     "rel_k_anonymity" ->
       """WITH g AS (

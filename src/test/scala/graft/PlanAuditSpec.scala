@@ -471,7 +471,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
       "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
-      "rel_winsorized_stats", "rel_equi_depth_hist",
+      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
+      "src_manifest_prune",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(known).filterNot(heavy)
@@ -522,7 +523,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
       "emb_centroids", "emb_kmeans", "dedup_connected_components",
       "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
-      "rel_winsorized_stats", "rel_equi_depth_hist",
+      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
+      "src_manifest_prune",
       "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
     SparkEntry.queries.keys
       .filterNot(heavy)
