@@ -2729,6 +2729,61 @@ object SparkEntry {
     // md5-bucket predicate on the row key — never rand(), so the sample
     // is reproducible across engines, retries, and partitionings (the
     // property a training-data pipeline needs for lineage)
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis) made
+    // DETERMINISTIC: u = md5-derived 52-bit uniform per row, key =
+    // -ln(u)/w, keep the k smallest keys — exactly the ES reservoir
+    // scheme, but the "randomness" is a content hash so both engines
+    // (and any re-run) draw the identical sample. One scan + a
+    // distributed top-k (TakeOrderedAndProject) — the training-data
+    // mixing primitive (sample by per-class weight) at any scale. Keys
+    // rounded to 9 decimals with an id tiebreak so the cut row cannot
+    // flip on a last-ulp libm difference.
+    "rel_weighted_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(col("event_id").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      val w = when(col("event_type") === "click", 20.0)
+        .when(col("event_type") === "view", 10.0).otherwise(5.0)
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(-log(u) / w, 9).as("k"))
+        .orderBy(col("k"), col("event_id")).limit(500)
+    }),
+
+    // GROUPED LINEAR REGRESSION in closed form — per-key trend
+    // (slope/intercept of value vs time) from ONE aggregation of exact
+    // integer sums: x = whole seconds since the key's first event
+    // (integer div — exact), y = milli-units; n, Σx, Σy, Σx², Σxy all
+    // fit longs at any per-key span up to decades, partial-aggregated
+    // map-side. The closed-form division happens once per group on
+    // exact sums cast to double in the same literal order both sides.
+    // No window, no per-group buffers — regression at 100 TB is one
+    // hash aggregate.
+    "rel_regression_per_key" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+          unix_micros(col("ts")).as("t"),
+          round(col("value") * 1000).cast("long").as("y"))
+        .where(col("y").isNotNull)
+      val m = ev.groupBy(col("event_type").as("et"))
+        .agg(min(col("t")).as("t0"))
+      val d = ev.join(broadcast(m), col("event_type") === col("et"))
+        .select(col("event_type"),
+          // integer div, not `/` + cast: double division can round
+          // x.999999 up across the integer boundary; div is exact
+          expr("(t - t0) div 1000000").as("x"), col("y"))
+      val a = d.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val slope = (nD * col("sxy").cast("double") - sxD * syD) /
+        (nD * col("sxx").cast("double") - sxD * sxD)
+      a.select(col("event_type"), col("n"),
+        round(slope, 9).as("slope"),
+        round((syD - slope * sxD) / nD, 6).as("intercept"))
+    }),
+
     "rel_stratified_sample" -> ((s, dir) => {
       val bucket = conv(substring(md5(col("event_id").cast("string")
         .cast("binary")), 1, 8), 16, 10).cast("long") % 100
@@ -5951,6 +6006,55 @@ object SparkEntry {
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin
     },
+
+    // identical md5-uniform, identical literal fp sequence; DOUBLE casts
+    // everywhere (bare DuckDB numeric literals are DECIMAL)
+    "rel_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type,
+        |         round(-ln((('0x' || substr(md5(event_id::VARCHAR), 1, 13))
+        |                      ::BIGINT::DOUBLE + CAST(0.5 AS DOUBLE))
+        |                   / CAST(4503599627370496 AS DOUBLE))
+        |               / CASE WHEN event_type = 'click'
+        |                      THEN CAST(20.0 AS DOUBLE)
+        |                      WHEN event_type = 'view'
+        |                      THEN CAST(10.0 AS DOUBLE)
+        |                      ELSE CAST(5.0 AS DOUBLE) END,
+        |               9) AS k
+        |  FROM events
+        |)
+        |SELECT event_id, event_type, k FROM t
+        |ORDER BY k, event_id LIMIT 500""".stripMargin,
+
+    // exact integer sums (DuckDB bigint sums are int128 — exact), the
+    // same closed-form double arithmetic in the same literal order
+    "rel_regression_per_key" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |         cast(round(value * 1000) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE round(value * 1000) IS NOT NULL
+        |), m AS (
+        |  SELECT event_type AS et, min(t) AS t0 FROM e GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, (t - t0) // 1000000 AS x, y
+        |  FROM e JOIN m ON event_type = et
+        |), a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+        |             9) AS slope,
+        |       round((sy::DOUBLE
+        |              - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |                 / (n::DOUBLE * sxx::DOUBLE
+        |                    - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+        |             / n::DOUBLE, 6) AS intercept
+        |FROM a""".stripMargin,
 
     "rel_stratified_sample" ->
       """SELECT event_id, event_type, user_id
