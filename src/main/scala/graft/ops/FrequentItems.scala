@@ -60,18 +60,31 @@ object FrequentItems {
     * quadratic. Returns (name_a, name_b, dist) with name_a < name_b
     * and dist <= 1. */
   def editDistance1Pairs(names: DataFrame): DataFrame = {
+    // lazy-checkpointed: the self-join would otherwise re-plan (and
+    // re-execute) the per-name deletion-neighborhood explode on BOTH
+    // sides — the string-transform scan is the expensive half of the
+    // query, and at any scale you materialize the signature table once
     val sigs = names.select(col("name"), explode(array_distinct(concat(
       array(col("name")),
       transform(sequence(lit(1), length(col("name"))), i =>
         concat(col("name").substr(lit(1), i - lit(1)),
           col("name").substr(i + lit(1), length(col("name")))))))).as("sig"))
+      .localCheckpoint(false)
+    // verify BEFORE dedup: a pair reached via several signatures computes
+    // the (cheap, thresholded) distance per occurrence, but the distinct
+    // then shuffles only the surviving pairs — the smaller set by far
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        // thresholded levenshtein: banded O(threshold·n) with early exit
+        // instead of the full O(n²) DP per pair — the verify is the hot
+        // phase (every candidate pair pays it), and for dist <= t the
+        // returned value equals the unthresholded distance (> t returns
+        // -1), so results are unchanged
+        levenshtein(col("a.name"), col("b.name"), 1).cast("long")
+          .as("dist"))
+      .where(col("dist") >= 0)
       .distinct()
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      .where(col("dist") <= 1)
   }
 }
