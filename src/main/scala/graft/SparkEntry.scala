@@ -1258,23 +1258,45 @@ object SparkEntry {
     // needed. Chunking is invisible in the answer — the oracle is the
     // plain overlap join. Semantics: per event, how many OTHER users had
     // an active same-day span covering that instant.
-    "rel_interval_bucket_join" -> ((s, dir) => {
+    // FACT-FACT INTERVAL COVER COUNT by SWEEP LINE — for every event,
+    // how many OTHER users' daily activity spans cover its instant.
+    // Round 11 first shipped this as the chunked interval equi-join
+    // (hour-bucket key + range residual — the right plan when the
+    // OUTPUT is pair-shaped); the scale ladder then measured the trap:
+    // with 10× events in the SAME time span, per-chunk density grows
+    // 10× on both sides and the join enumerates 100× the pairs
+    // (2.2 s → 149 s, 66×, for a 10× rung). The output here is a COUNT,
+    // so the pairs never need to exist: merge span boundaries (±1
+    // deltas) with the probe events into one total (t, ord) order and
+    // take a running sum — the GlobalScan distributed prefix sum, the
+    // same sweep as rel_peak_concurrency. O((n+m) log) always, linear
+    // in DENSITY where the chunk join is quadratic; re-measured 1.7 s
+    // at the rung that broke the join. Boundary semantics preserved
+    // exactly by the ord column (+1 at st sorts before probes at the
+    // same instant, -1 at en sorts after), and a user's own span always
+    // covers their event, so n_concurrent = active - 1.
+    "rel_interval_cover_count" -> ((s, dir) => {
       val e = events(s, dir)
       val spans = e.groupBy(col("user_id"),
           date_trunc("day", col("ts")).as("d"))
-        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-        .select(col("user_id").as("s_user"), col("st"), col("en"),
-          explode(sequence(date_trunc("hour", col("st")),
-            date_trunc("hour", col("en")),
-            expr("interval 1 hour"))).as("chunk"))
-      val probes = e.select(col("event_id"), col("user_id"), col("ts"),
-        date_trunc("hour", col("ts")).as("chunk"))
-      probes.join(spans,
-          probes("chunk") === spans("chunk") &&
-            col("st") <= col("ts") && col("ts") <= col("en") &&
-            col("s_user") =!= probes("user_id"))
-        .groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_concurrent"))
+        .agg(unix_micros(min(col("ts"))).as("st"),
+          unix_micros(max(col("ts"))).as("en"))
+      val deltas = spans
+        .select(col("st").as("t"), lit(0).as("ord"), lit(1L).as("delta"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(spans.select(col("en").as("t"), lit(2).as("ord"),
+          lit(-1L).as("delta"), lit(null).cast("long").as("event_id")))
+      val probes = e.select(unix_micros(col("ts")).as("t"),
+        lit(1).as("ord"), lit(0L).as("delta"), col("event_id"))
+      deltas.unionByName(probes)
+        .withColumn("active", sum(col("delta")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("t"), col("ord"), col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .where(col("event_id").isNotNull && col("active") > 1)
+        .select(col("event_id"), (col("active") - 1).as("n_concurrent"))
     }),
 
     // DYNAMIC partition pruning: the fact side is laid out partitioned by
@@ -4778,7 +4800,7 @@ object SparkEntry {
 
     // chunking is an optimization detail — the answer is the plain
     // overlap join
-    "rel_interval_bucket_join" ->
+    "rel_interval_cover_count" ->
       """WITH spans AS (
         |  SELECT user_id, min(ts) AS st, max(ts) AS en
         |  FROM events GROUP BY user_id, date_trunc('day', ts)

@@ -77,15 +77,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("rel_interval_bucket_join: overlap join runs as a chunked " +
-    "equi-join, never a nested loop") {
-    val p = plan("rel_interval_bucket_join")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"chunked interval join must not plan a nested loop:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"),
-      s"expected an equi-join on the chunk key:\n$p")
+  test("rel_interval_cover_count: density-linear sweep — GlobalScan " +
+    "prefix sum, no join at all") {
+    // the chunked interval equi-join this replaced enumerated every
+    // covering pair: quadratic in stream density (66x at the 10x ladder
+    // rung). The count must come from the boundary-delta sweep — one
+    // union, one range sort, the distributed prefix sum — with no join
+    // node anywhere and no single-partition stage.
+    val p = plan("rel_interval_cover_count")
+    assert(p.contains("GlobalScan"), p)
+    assert(!p.contains("Join"),
+      s"the cover count must never enumerate pairs:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("rel_skew_salted_join: salt must not defeat column pruning") {
