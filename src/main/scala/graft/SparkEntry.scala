@@ -2223,6 +2223,79 @@ object SparkEntry {
     // opened — unmatched keys pass through open. A single scan feeds one
     // conditional-array explode (not a self-union, which would re-run the
     // join per branch); at scale this is one shuffle on the merge key.
+    // INCREMENTAL VIEW MAINTENANCE of an AGGREGATE — the warehouse
+    // pattern that makes 100 TB dashboards affordable: a stored per-key
+    // aggregate (count + exact decimal sum — both self-decomposable
+    // algebra) absorbs a delta batch by MERGING, never by rescanning
+    // history. Here the "stored" view is orders before the cutover and
+    // the delta is the rest; maintained = full-outer merge of the two
+    // partial aggregates with coalesced algebra. The oracle recomputes
+    // from scratch — IVM's correctness contract is exactly "merge equals
+    // recompute". Cost: O(delta + affected keys), not O(history).
+    "rel_ivm_agg" -> ((s, dir) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      def agg(df: DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      val base = agg(tbl(s, dir, "orders").where(col("o_orderdate") < cut))
+        .select(col("o_custkey").as("k0"), col("n").as("n0"),
+          col("tot").as("t0"))
+      val delta = agg(tbl(s, dir, "orders")
+        .where(col("o_orderdate") >= cut))
+        .select(col("o_custkey").as("k1"), col("n").as("n1"),
+          col("tot").as("t1"))
+      base.join(delta, col("k0") === col("k1"), "full_outer")
+        .select(coalesce(col("k0"), col("k1")).as("o_custkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+            .as("n"),
+          (coalesce(col("t0"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("t1"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("tot"))
+    }),
+
+    // MULTI-TOUCH ATTRIBUTION (linear) — every purchase splits one unit
+    // of credit equally across the same user's views in the prior 30
+    // minutes; per-user credit rollup. The join is per-user equi +
+    // bounded time residual (fan-out = a user's own view density, never
+    // cross-user), credit shares come from an exact per-purchase count,
+    // and only the final division is floating (round 6 both sides).
+    "rel_multi_touch_attrib" -> ((s, dir) => {
+      val e = events(s, dir)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          unix_micros(col("ts")).as("v_t"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_t"))
+      val pairs = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_t") <= col("p_t") &&
+          col("v_t") >= col("p_t") - lit(1800000000L))
+      val k = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("k"))
+      pairs.join(k, "p_id")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(lit(1.0) / col("k").cast("double")), 6)
+            .as("credit"))
+    }),
+
+    // TIME-DECAYED COUNTERS — exp(-(age)/τ) freshness weights per key
+    // (τ = 1 day), the feature-store recency signal. The "now" anchor is
+    // the corpus max instant: ONE-row aggregate broadcast via the
+    // sanctioned crossJoin(broadcast(...)) shape, never a driver
+    // collect in the plan. Double exp-sum rounded to 6 (positive terms
+    // of one magnitude; order error orders below the rounding grain).
+    "rel_decayed_counts" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val now = e.agg(max(col("t")).as("t_now"))
+      e.crossJoin(broadcast(now))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(exp((col("t") - col("t_now")).cast("double") /
+            lit(86400000000.0))), 6).as("decayed"))
+    }),
+
     // SCD TYPE-2 DIMENSION BUILD — the warehouse changelog-to-versions
     // transform: each user's signup events become versioned dimension
     // rows with [valid_from, valid_to) effectivity (valid_to = next
@@ -5410,6 +5483,40 @@ object SparkEntry {
         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // IVM contract: merge-of-partials equals recompute-from-scratch
+    "rel_ivm_agg" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "rel_multi_touch_attrib" ->
+      """WITH v AS (
+        |  SELECT user_id AS v_user, epoch_us(ts) AS v_t FROM events
+        |  WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id AS p_user, epoch_us(ts) AS p_t
+        |  FROM events WHERE event_type = 'purchase'
+        |), pairs AS (
+        |  SELECT p_id, p_user FROM p JOIN v
+        |    ON p_user = v_user AND v_t <= p_t
+        |   AND v_t >= p_t - 1800000000
+        |), k AS (SELECT p_id, count(*)::BIGINT AS k FROM pairs GROUP BY 1)
+        |SELECT p_user AS user_id, count(*)::BIGINT AS n_touches,
+        |       round(sum(CAST(1.0 AS DOUBLE) / k::DOUBLE), 6) AS credit
+        |FROM pairs JOIN k USING (p_id)
+        |GROUP BY 1""".stripMargin,
+
+    "rel_decayed_counts" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        |n AS (SELECT max(t) AS t_now FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       round(sum(exp((t - t_now)::DOUBLE
+        |                     / CAST(86400000000 AS DOUBLE))), 6)
+        |         AS decayed
+        |FROM e CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
 
     "rel_scd2_build" ->
       """WITH c AS (
