@@ -2223,6 +2223,45 @@ object SparkEntry {
     // opened — unmatched keys pass through open. A single scan feeds one
     // conditional-array explode (not a self-union, which would re-run the
     // join per branch); at scale this is one shuffle on the merge key.
+    // DATA-QUALITY CHECK SUITE (Deequ-style) — the validation gate a
+    // pipeline runs before promoting a batch: referential integrity
+    // (orders -> customer orphans, anti-join), domain-range violations,
+    // key-uniqueness violations, and null-rate, each ONE scan or one
+    // broadcast anti-join, unioned into a (check, n_violations,
+    // n_checked) report. At 100 TB each check is a single pass with a
+    // scalar result — the report is O(checks) rows.
+    "rel_dq_checks" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer")
+      val li = tbl(s, dir, "lineitem")
+      val ev = events(s, dir)
+      val orphans = orders.join(cust,
+          orders("o_custkey") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_custkey_fk").as("check"), col("n_violations"))
+        .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_checked"))))
+      val range = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("lineitem_qty_range").as("check"),
+          col("n_violations"), col("n_checked"))
+      val uniq = cust.groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+            .as("n_violations"),
+          sum(col("c")).as("n_checked"))
+        .select(lit("customer_key_unique").as("check"),
+          col("n_violations"), col("n_checked"))
+      val nulls = ev.agg(
+          sum(when(col("value").isNull, 1L).otherwise(0L))
+            .as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("events_value_nonnull").as("check"),
+          col("n_violations"), col("n_checked"))
+      orphans.unionByName(range).unionByName(uniq).unionByName(nulls)
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE of an AGGREGATE — the warehouse
     // pattern that makes 100 TB dashboards affordable: a stored per-key
     // aggregate (count + exact decimal sum — both self-decomposable
@@ -2743,6 +2782,45 @@ object SparkEntry {
     // md5-bucket train/val/test split -> corpus stats per (split, lang).
     // One scan + one dedup shuffle + one final agg; every stage is the
     // operator its standalone query checks.
+    // FEATURE-STORE CAPSTONE — the per-user feature row a serving layer
+    // reads: activity counts, last-seen instant, first-touch funnel
+    // depth, purchase aggregates, and an exp-decayed recency score, ALL
+    // from ONE hash aggregation over the event log (conditional
+    // aggregates per feature — adding a feature costs one agg
+    // expression, not one pass). The only broadcast is the 1-row corpus
+    // max instant anchoring the decay. At 100 TB: one shuffle keyed by
+    // user, partial-aggregated map-side; no windows, no joins, no
+    // per-user buffers.
+    "pipeline_feature_store" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        when(col("event_type") =!= "error",
+          round(col("value") * 1000).cast("long")).as("v"))
+      val now = e.agg(max(col("t")).as("t_now"))
+      val a = e.crossJoin(broadcast(now))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("t")).as("last_seen_us"),
+          min(when(col("event_type") === "signup", col("t"))).as("s"),
+          min(when(col("event_type") === "view", col("t"))).as("w"),
+          min(when(col("event_type") === "purchase", col("t"))).as("p"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase", col("v"))
+            .otherwise(lit(0L))).as("purchase_milli"),
+          round(sum(exp((col("t") - col("t_now")).cast("double") /
+            lit(86400000000.0))), 6).as("recency"))
+      a.select(col("user_id"), col("n_events"), col("last_seen_us"),
+        (when(col("s").isNotNull, 1).otherwise(0)
+          + when(col("s").isNotNull && col("w").isNotNull &&
+              col("w") > col("s"), 1).otherwise(0)
+          + when(col("s").isNotNull && col("w").isNotNull &&
+              col("w") > col("s") && col("p").isNotNull &&
+              col("p") > col("w"), 1).otherwise(0))
+          .cast("long").as("steps_completed"),
+        col("n_purchases"), col("purchase_milli"), col("recency"))
+    }),
+
     "pipeline_training_data" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
         graft.functions.GraftFunctions.langId(s, col("text"))
@@ -5484,6 +5562,30 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "rel_dq_checks" ->
+      """SELECT 'orders_custkey_fk' AS check,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |         AS n_violations,
+        |       (SELECT count(*) FROM orders)::BIGINT AS n_checked
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                THEN 1 ELSE 0 END)::BIGINT,
+        |       count(*)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'customer_key_unique',
+        |       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT,
+        |       sum(c)::BIGINT
+        |FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        |UNION ALL
+        |SELECT 'events_value_nonnull',
+        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |       count(*)::BIGINT
+        |FROM events""".stripMargin,
+
     // IVM contract: merge-of-partials equals recompute-from-scratch
     "rel_ivm_agg" ->
       """SELECT o_custkey, count(*)::BIGINT AS n,
@@ -6068,6 +6170,38 @@ object SparkEntry {
       s"""${langPredCtes("lang")}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "pipeline_feature_store" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS BIGINT) END AS v
+        |  FROM events
+        |), n AS (SELECT max(t) AS t_now FROM e),
+        |a AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |         max(t) AS last_seen_us,
+        |         min(CASE WHEN event_type = 'signup' THEN t END) AS s,
+        |         min(CASE WHEN event_type = 'view' THEN t END) AS w,
+        |         min(CASE WHEN event_type = 'purchase' THEN t END) AS p,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                  ELSE 0 END)::BIGINT AS n_purchases,
+        |         sum(CASE WHEN event_type = 'purchase' THEN v
+        |                  ELSE 0 END)::BIGINT AS purchase_milli,
+        |         round(sum(exp((t - t_now)::DOUBLE
+        |                       / CAST(86400000000 AS DOUBLE))), 6)
+        |           AS recency
+        |  FROM e CROSS JOIN n GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, last_seen_us,
+        |       (CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN s IS NOT NULL AND w IS NOT NULL AND w > s
+        |               THEN 1 ELSE 0 END
+        |        + CASE WHEN s IS NOT NULL AND w IS NOT NULL AND w > s
+        |               AND p IS NOT NULL AND p > w THEN 1 ELSE 0 END
+        |       )::BIGINT AS steps_completed,
+        |       n_purchases, purchase_milli, recency
+        |FROM a""".stripMargin,
 
     "pipeline_training_data" ->
       s"""${langPredCtes("doc_id")},
