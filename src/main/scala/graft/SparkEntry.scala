@@ -253,6 +253,45 @@ object SparkEntry {
   private lazy val stopListDuck: String =
     TextOps.stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Full-corpus BM25 scores for the fixed query terms — shared by
+    * text_bm25 (top-20 positive scores) and emb_hybrid_rrf (rank-fusion
+    * input). Tokenized once and materialized: `base` feeds three
+    * consumers (corpus stats, per-doc tf, the scored join) which would
+    * each re-run the tokenization otherwise. */
+  private def bm25ScoresDf(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "dup")
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), Dedup.cleanTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+      .localCheckpoint(false)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), t).cast("int")).cast("double")
+          .as(s"df$i")
+      }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, 1).otherwise(0)).cast("double").as(s"tf$i")
+    }
+    val tfs = base
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .where(col("t").isin(terms: _*))
+      .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val norm = lit(0.25) + lit(0.75) * col("dl") / col("avgdl")
+    val score = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0.0))
+      log((col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0)) *
+        (tf * lit(2.2)) / (tf + lit(1.2) * norm)
+    }.reduce(_ + _)
+    base.select(col("doc_id"), col("dl"))
+      .join(tfs, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
   /** (doc_id, sig0..sig7) via the native MinHashSigExpr — shared input of
     * the dedup_minhash/lsh/jaccard queries. */
   private def minhashSigDf(s: SparkSession, dir: String): DataFrame = {
@@ -2858,44 +2897,49 @@ object SparkEntry {
     // shuffle carries <= |terms| rows per doc, not the token stream).
     // Score arithmetic is written in the exact same literal order as the
     // oracle; round(6) absorbs last-ulp ln() differences across libms.
-    "text_bm25" -> ((s, dir) => {
-      val terms = Seq("join", "vector", "dup")
-      // tokenized once and materialized: `base` feeds three consumers
-      // (corpus stats, per-doc tf, and the scored join) which would each
-      // re-run the tokenization otherwise
-      val base = tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.cleanTokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("double").as("dl"))
-        .localCheckpoint(false)
-      val statAggs = count(lit(1)).cast("double").as("n") +:
-        avg(col("dl")).as("avgdl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          sum(array_contains(col("toks"), t).cast("int")).cast("double")
-            .as(s"df$i")
-        }
-      val stats = base.agg(statAggs.head, statAggs.tail: _*)
-      val tfAggs = terms.zipWithIndex.map { case (t, i) =>
-        sum(when(col("t") === t, 1).otherwise(0)).cast("double").as(s"tf$i")
-      }
-      val tfs = base
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .where(col("t").isin(terms: _*))
-        .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-      val norm = lit(0.25) + lit(0.75) * col("dl") / col("avgdl")
-      val score = terms.indices.map { i =>
-        val tf = coalesce(col(s"tf$i"), lit(0.0))
-        log((col("n") - col(s"df$i") + lit(0.5)) /
-          (col(s"df$i") + lit(0.5)) + lit(1.0)) *
-          (tf * lit(2.2)) / (tf + lit(1.2) * norm)
-      }.reduce(_ + _)
-      base.select(col("doc_id"), col("dl"))
-        .join(tfs, Seq("doc_id"), "left_outer")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(score, 6).as("bm25"))
+    "text_bm25" -> ((s, dir) =>
+      bm25ScoresDf(s, dir)
         .where(col("bm25") > 0)
         .orderBy(col("bm25").desc, col("doc_id").asc)
-        .limit(20)
+        .limit(20)),
+
+    // HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the standard lexical
+    // + vector fusion: rank the corpus by BM25 and (separately) by
+    // cosine to the query embedding, keep each list's top 50, and fuse
+    // with RRF (Σ 1/(60 + rank)). Both rankings are global row_numbers
+    // over rounded scores with id tiebreaks — planned as the
+    // distributed GlobalRank/GlobalTies, no single-partition stage —
+    // and the fusion is one tiny full-outer join of two ≤50-row lists.
+    // Rank lists, not raw scores, are what make fusion robust to score
+    // scale; determinism comes from rounding before ranking.
+    "emb_hybrid_rrf" -> ((s, dir) => {
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm25ScoresDf(s, dir)
+        .withColumn("r_lex", row_number().over(wLex).cast("long"))
+        .where(col("r_lex") <= 50)
+        .select(col("doc_id").as("lid"), col("r_lex"))
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.ops.Similarity.cosine(col("embedding"),
+            col("q_emb")), 6).as("cos"))
+        .withColumn("r_vec", row_number().over(wVec).cast("long"))
+        .where(col("r_vec") <= 50)
+        .select(col("vec_id").as("vid"), col("r_vec"))
+      lex.join(vec, col("lid") === col("vid"), "full_outer")
+        .select(coalesce(col("lid"), col("vid")).as("id"),
+          col("r_lex"), col("r_vec"),
+          round(coalesce(lit(1.0) / (lit(60.0) +
+              col("r_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) +
+              col("r_vec").cast("double")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(10)
     }),
 
     // Deterministic stratified sampling: per-stratum rates via an
@@ -6268,6 +6312,70 @@ object SparkEntry {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin
+    },
+
+    // same BM25 and cosine formulations as text_bm25 / emb_knn_cosine,
+    // ranked with identical rounded-score + id tiebreaks, fused with
+    // the same DOUBLE-cast RRF arithmetic
+    "emb_hybrid_rrf" -> {
+      val terms = Seq("join", "vector", "dup")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"cast(sum(CASE WHEN list_contains(l, '$t') THEN 1 ELSE 0 END) AS double) AS df$i"
+      }.mkString(",\n         |                ")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"cast(len(list_filter(l, x -> x = '$t')) AS double) AS tf$i"
+      }.mkString(",\n         |         ")
+      val score = terms.indices.map { i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString("\n         |           + ")
+      s"""WITH tk AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |base AS (SELECT doc_id, l, cast(len(l) AS double) AS dl FROM tk),
+         |stats AS (SELECT cast(count(*) AS double) AS n, avg(dl) AS avgdl,
+         |                $dfs
+         |         FROM base),
+         |tf AS (SELECT doc_id, dl,
+         |         $tfs
+         |       FROM base),
+         |bm AS (SELECT doc_id, round($score, 6) AS bm25
+         |       FROM tf CROSS JOIN stats),
+         |lex AS (
+         |  SELECT doc_id AS lid,
+         |         cast(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |              AS BIGINT) AS r_lex
+         |  FROM bm QUALIFY r_lex <= 50
+         |),
+         |q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), $embUnnestCte,
+         |d AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(vx AS double) * cast(qx AS double)) AS dot,
+         |         sum(cast(vx AS double) * cast(vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) GROUP BY v.vec_id
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |),
+         |cosd AS (SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6)
+         |                  AS cos
+         |         FROM d, qq),
+         |vecr AS (
+         |  SELECT vec_id AS vid,
+         |         cast(row_number() OVER (ORDER BY cos DESC, vec_id)
+         |              AS BIGINT) AS r_vec
+         |  FROM cosd QUALIFY r_vec <= 50
+         |)
+         |SELECT coalesce(lid, vid) AS id, r_lex, r_vec,
+         |       round(coalesce(CAST(1.0 AS DOUBLE)
+         |                      / (CAST(60.0 AS DOUBLE) + r_lex::DOUBLE),
+         |                      CAST(0.0 AS DOUBLE))
+         |           + coalesce(CAST(1.0 AS DOUBLE)
+         |                      / (CAST(60.0 AS DOUBLE) + r_vec::DOUBLE),
+         |                      CAST(0.0 AS DOUBLE)), 9) AS rrf
+         |FROM lex FULL OUTER JOIN vecr ON lid = vid
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
     },
 
     // identical md5-uniform, identical literal fp sequence; DOUBLE casts
