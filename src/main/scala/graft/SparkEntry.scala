@@ -972,6 +972,21 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("cnt"))
     }),
 
+    // STREAMING OHLC BARS — rel_ohlc_bars as an incremental windowed
+    // aggregation: open/close fold as struct arg-extrema in the state
+    // store (a few scalars per open bar regardless of throughput);
+    // complete-mode replay, result must equal the batch rollup.
+    "stream_ohlc" -> ((s, dir) =>
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).select(col("ts"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("v"),
+          col("event_type")).where(col("v").isNotNull),
+        "gate_ohlc", "complete")(df =>
+        graft.streaming.EventStream.windowedOhlc(df))
+        .select(unix_micros(col("win_start")).as("bar"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))),
+
     // STREAMING EXACT DISTINCT — per-(event_type, 2^15-user-bucket)
     // bitmaps in mapGroupsWithState: 4 KB of state forever per occupied
     // bucket regardless of row count (streaming dropDuplicates keeps a
@@ -2262,6 +2277,28 @@ object SparkEntry {
     // opened — unmatched keys pass through open. A single scan feeds one
     // conditional-array explode (not a self-union, which would re-run the
     // join per branch); at scale this is one shuffle on the merge key.
+    // TIME-SERIES DOWNSAMPLING to OHLC BARS — the TSDB rollup: per
+    // (key, 5-minute bucket) open/high/low/close/volume. Open and close
+    // are arg-extrema, done WITHOUT a window: lexicographic min/max of
+    // (t, event_id, v) structs fold inside the ordinary hash aggregate
+    // (partial-aggregated map-side; one shuffle keyed by (key, bar) at
+    // any scale, no per-bar buffers, no sort).
+    "rel_ohlc_bars" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("v"))
+        .where(col("v").isNotNull)
+        .withColumn("bar", expr("t div 300000000") * lit(300000000L))
+      e.groupBy(col("event_type"), col("bar"))
+        .agg(
+          min(struct(col("t"), col("event_id"), col("v")))
+            .getField("v").as("open"),
+          max(col("v")).as("high"), min(col("v")).as("low"),
+          max(struct(col("t"), col("event_id"), col("v")))
+            .getField("v").as("close"),
+          count(lit(1)).as("n"))
+    }),
+
     // DATA-QUALITY CHECK SUITE (Deequ-style) — the validation gate a
     // pipeline runs before promoting a batch: referential integrity
     // (orders -> customer orphans, anti-join), domain-range violations,
@@ -5605,6 +5642,52 @@ object SparkEntry {
         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id,
+        |         cast(round(value * 1000) AS BIGINT) AS v,
+        |         (epoch_us(ts) // 300000000) * 300000000 AS bar
+        |  FROM events
+        |  WHERE round(value * 1000) IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |                            ORDER BY t, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |                            ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT event_type, bar,
+        |       max(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |       max(v) AS high, min(v) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |       count(*)::BIGINT AS n
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // the streamed bars must equal the batch rollup (same SQL, win_start
+    // aliased to bar)
+    "stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id,
+        |         cast(round(value * 1000) AS BIGINT) AS v,
+        |         (epoch_us(ts) // 300000000) * 300000000 AS bar
+        |  FROM events
+        |  WHERE round(value * 1000) IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |                            ORDER BY t, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, bar
+        |                            ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT bar, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |       max(v) AS high, min(v) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |       count(*)::BIGINT AS n
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "rel_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS check,

@@ -265,6 +265,26 @@ object EventStream {
       }.toDF("shard", "seen", "keys")
   }
 
+  /** Streaming OHLC downsampling — the TSDB bar rollup as an incremental
+    * windowed aggregation: open/close are lexicographic struct min/max
+    * arg-extrema folding in the state store, so an open bar's state is a
+    * few scalars however many rows stream through it. Input needs
+    * columns (ts TIMESTAMP, t LONG micros, event_id, v, event_type). */
+  def windowedOhlc(events: DataFrame, window: String = "5 minutes")
+  : DataFrame =
+    events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
+        .as("win"), col("event_type"))
+      .agg(
+        min(struct(col("t"), col("event_id"), col("v"))).getField("v")
+          .as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("t"), col("event_id"), col("v"))).getField("v")
+          .as("close"),
+        count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** One exact-distinct bitmap snapshot: popcount of the (key, bucket)
     * bitmap after this micro-batch, with the emission version. */
   case class BitmapSnap(key: String, bucket: Long, distinct: Long, ver: Long)
