@@ -3436,6 +3436,25 @@ object SparkEntry {
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
     }),
 
+    // WATERMARK-LAGGED TOTALS — `sum/count OVER (ORDER BY t RANGE
+    // BETWEEN UNBOUNDED PRECEDING AND 5s PRECEDING)`: the "all data at
+    // least 5 seconds settled" accounting a late-data-tolerant ingest
+    // reads. The half-bounded value-RANGE frame has no direct family
+    // operator; GlobalHalfRangeRule decomposes it algebraically into
+    // the running RANGE prefix minus the bounded [-5s+1, 0] gap frame
+    // (null-faithful via count guards, null order keys via the IsNull
+    // branch), and the family rules fuse all four helper members onto
+    // ONE shared range sort — no single-partition stage, no new
+    // physical operator (plans/GlobalHalfRange.scala).
+    "rel_range_lagged_total" -> ((s, dir) => {
+      val w5 = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rangeBetween(Long.MinValue, -5000000L)
+      valuedEvents(s, dir)
+        .select(col("event_id"), col("t"),
+          sum(col("v")).over(w5).as("lag_total"),
+          count(col("v")).over(w5).as("lag_n"))
+    }),
+
     // PARETO FRONTIER (2-D skyline) over distinct (price, order-date)
     // points, maximizing both — "orders not beaten on price AND recency
     // by any other". The textbook formulation is a quadratic NOT EXISTS
@@ -6852,6 +6871,21 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_range_lagged_total" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id, t,
+        |       cast(sum(v) OVER (ORDER BY t RANGE BETWEEN UNBOUNDED
+        |              PRECEDING AND 5000000 PRECEDING) AS bigint)
+        |         AS lag_total,
+        |       count(v) OVER (ORDER BY t RANGE BETWEEN UNBOUNDED
+        |              PRECEDING AND 5000000 PRECEDING) AS lag_n
+        |FROM e""".stripMargin,
 
     // the INDEPENDENT quadratic dominance derivation (DuckDB plans the
     // two-inequality NOT EXISTS as an IEJoin) — deliberately NOT the

@@ -596,5 +596,10 @@ object GraftExtensions {
     // GlobalRange operator
     ext.injectOptimizerRule(_ => graft.plans.GlobalRangeRule)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRangeStrategy)
+    // half-bounded value-range rewrite: sum/count OVER (RANGE UNBOUNDED
+    // PRECEDING .. y PRECEDING/FOLLOWING) decomposes into the running
+    // prefix minus/plus the bounded gap frame (null-faithful via count
+    // guards); the family rules then fuse the members onto one sort
+    ext.injectOptimizerRule(_ => graft.plans.GlobalHalfRangeRule)
   }
 }

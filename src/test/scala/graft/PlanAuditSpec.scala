@@ -453,8 +453,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // Deliberately KEPT on WindowExec — the rank runs over a LIMIT-bounded
     // input (top-100 cut via TakeOrderedAndProject), provably <= k rows at
     // any data scale; the two-pass rank would be pure overhead there:
+    // emb_hybrid_rrf: LimitPushDownThroughWindow turns `row_number <= 50`
+    // into a TakeOrderedAndProject(50) BELOW the rank — the window then
+    // runs over a provably <= 50-row input, the optimal shape
     val bounded = Seq("word_count_pipeline", "word_count_formatted",
-      "word_count_x100")
+      "word_count_x100", "emb_hybrid_rrf")
     bounded.foreach { q =>
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"),
