@@ -3436,6 +3436,37 @@ object SparkEntry {
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
     }),
 
+    // DECILE LIFT / GAINS TABLE — the model-evaluation report: score
+    // every user (here: activity), cut the population into score
+    // deciles (global ntile — GlobalTies, distributed), and report
+    // per-decile conversion plus the cumulative captured-purchasers
+    // curve. Two global windows, both rewritten (the ntile over all
+    // users; the 10-row cumulative over deciles); everything else hash
+    // aggregates.
+    "rel_decile_lift" -> ((s, dir) => {
+      val peruser = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchaser"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("user_id"))
+      val dec = peruser
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val agg = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("purchaser")).cast("long").as("n_purchasers"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      agg.withColumn("cum_purchasers", sum(col("n_purchasers")).over(w2))
+        .select(col("decile"), col("n_users"), col("n_purchasers"),
+          round(col("n_purchasers").cast("double") / col("n_users"), 6)
+            .as("conv_rate"),
+          col("cum_purchasers"))
+    }),
+
     // WATERMARK-LAGGED TOTALS — `sum/count OVER (ORDER BY t RANGE
     // BETWEEN UNBOUNDED PRECEDING AND 5s PRECEDING)`: the "all data at
     // least 5 seconds settled" accounting a late-data-tolerant ingest
@@ -6871,6 +6902,28 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_decile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS score,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS purchaser
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT user_id, purchaser,
+        |         ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        |  FROM u
+        |), a AS (
+        |  SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+        |         sum(purchaser)::BIGINT AS n_purchasers
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT decile, n_users, n_purchasers,
+        |       round(n_purchasers::DOUBLE / n_users, 6) AS conv_rate,
+        |       cast(sum(n_purchasers) OVER (ORDER BY decile
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_purchasers
+        |FROM a""".stripMargin,
 
     "rel_range_lagged_total" ->
       """WITH e AS (

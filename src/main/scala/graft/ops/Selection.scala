@@ -100,8 +100,13 @@ object Selection {
     // the narrowing to maxRounds. Non-floating inputs never cast to NaN.
     val clean = df.where(col(valueCol).isNotNull &&
       !isnan(col(valueCol).cast("double")))
+    // lazily checkpointed: every narrowing round (histogram + gather)
+    // re-reads this two-column frame — materializing the slim
+    // (key, double) projection once beats re-running the source scan +
+    // filter + cast per round (~log rounds of them)
     val rows = clean
       .select(keyCol.as("_gkey"), col(valueCol).cast("double").as("_v"))
+      .localCheckpoint(false)
 
     // Pass 0: per-group count/min/max seeds every problem's range, keyed
     // by the SAME _gkey expression the later passes join on. The original
