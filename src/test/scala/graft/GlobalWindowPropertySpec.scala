@@ -121,6 +121,32 @@ class GlobalWindowPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random value-RANGE frames match WindowExec (incl. half-bounded)") {
+    for (seed <- 31L to 38L) {
+      val (n, dup, nullPct, parts) = draw(shapeGen, seed)
+      val (lo, hi0) = draw(for {
+        a <- Gen.choose(-25L, 25L); b <- Gen.choose(0L, 25L)
+      } yield (a, b), seed + 300)
+      val hi = math.max(lo, hi0)
+      val df = data(n, dup, nullPct, parts)
+        .withColumn("rid", monotonically_increasing_id())
+      val label = s"seed=$seed n=$n dup=$dup nulls=$nullPct% " +
+        s"parts=$parts range=[$lo,$hi]"
+      // value-RANGE frames are peer-based: tie-invariant, so the
+      // ambiguous ORDER BY t is exactly what they must handle
+      check(b => df.select(col("t"), col("rid"),
+        sum(col("v")).over(b.rangeBetween(lo, hi)).as("s"),
+        count(col("v")).over(b.rangeBetween(lo, hi)).as("c"),
+        min(col("v")).over(b.rangeBetween(lo, hi)).as("m"),
+        // the half-bounded decomposition, same draw
+        sum(col("v")).over(b.rangeBetween(Long.MinValue,
+          if (lo != 0L) lo else -1L)).as("hs"),
+        count(col("v")).over(b.rangeBetween(Long.MinValue,
+          if (lo != 0L) lo else -1L)).as("hc")),
+        "GlobalRange", label)
+    }
+  }
+
   test("random running prefixes + rank family match WindowExec") {
     for (seed <- 21L to 28L) {
       val (n, dup, nullPct, parts) = draw(shapeGen, seed)
