@@ -274,10 +274,16 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("ssh"))
+    // lazily checkpointed: the candidate self-join re-plans its child on
+    // BOTH sides, and this child contains the df-join + per-doc
+    // rarity-sort aggregation — the expensive half of candidate
+    // generation; materialize the narrow (doc, n, prefix-shingle) rows
+    // once instead
     val pref = sorted.select(col("doc_id"), size(col("ssh")).as("n"),
       explode(slice(col("ssh"), lit(1),
         (size(col("ssh")) - ceil(size(col("ssh")) * t) + 1).cast("int")))
         .as("shingle"))
+      .localCheckpoint(false)
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.shingle") === col("b.shingle") &&
