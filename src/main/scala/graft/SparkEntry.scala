@@ -3436,6 +3436,41 @@ object SparkEntry {
           round(avg(col("v")).over(slidingWindow(3)), 6).as("mov_avg"))
     }),
 
+    // A/B EXPERIMENT REPORT — deterministic md5 arm assignment (the
+    // reproducible randomization every experimentation platform uses),
+    // per-arm conversion, and the pooled two-proportion z statistic in
+    // closed form from EXACT counts (one user-keyed aggregate, one
+    // 4-long final fold; the only floating arithmetic is the final
+    // z formula, same literal order both engines, rounded).
+    "rel_abtest_report" -> ((s, dir) => {
+      val arm = (conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 2).as("arm")
+      val peruser = events(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("cv"))
+        .select(col("user_id"), col("cv"), arm)
+      val a = peruser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("cv")).otherwise(0)).cast("long")
+          .as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("cv")).otherwise(0)).cast("long")
+          .as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))
+      // degenerate pooled variance (all users converted, or none): the
+      // z statistic is undefined — NULL, not a 0/0 ANSI error
+      val z = when(se > lit(0.0), (p0 - p1) / se)
+      a.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(p0, 6).as("rate0"), round(p1, 6).as("rate1"),
+        round(z, 6).as("z"))
+    }),
+
     // DECILE LIFT / GAINS TABLE — the model-evaluation report: score
     // every user (here: activity), cut the population into score
     // deciles (global ntile — GlobalTies, distributed), and report
@@ -6902,6 +6937,41 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    // same md5 arm hash, exact counts, same literal double sequence for
+    // the z statistic (all constants DOUBLE-cast)
+    "rel_abtest_report" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS cv,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+        |           AS arm
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |         sum(CASE WHEN arm = 0 THEN cv ELSE 0 END)::BIGINT AS c0,
+        |         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |         sum(CASE WHEN arm = 1 THEN cv ELSE 0 END)::BIGINT AS c1
+        |  FROM u
+        |)
+        |SELECT n0, c0, n1, c1,
+        |       round(c0::DOUBLE / n0::DOUBLE, 6) AS rate0,
+        |       round(c1::DOUBLE / n1::DOUBLE, 6) AS rate1,
+        |       round(CASE WHEN sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |                    * (CAST(1.0 AS DOUBLE)
+        |                       - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |                    * (CAST(1.0 AS DOUBLE) / n0::DOUBLE
+        |                       + CAST(1.0 AS DOUBLE) / n1::DOUBLE))
+        |                  > CAST(0.0 AS DOUBLE)
+        |             THEN (c0::DOUBLE / n0::DOUBLE - c1::DOUBLE / n1::DOUBLE)
+        |             / sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |                    * (CAST(1.0 AS DOUBLE)
+        |                       - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |                    * (CAST(1.0 AS DOUBLE) / n0::DOUBLE
+        |                       + CAST(1.0 AS DOUBLE) / n1::DOUBLE))
+        |             END, 6) AS z
+        |FROM a""".stripMargin,
 
     "rel_decile_lift" ->
       """WITH u AS (
