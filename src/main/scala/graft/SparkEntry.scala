@@ -442,6 +442,69 @@ object SparkEntry {
       |  FROM lcg GROUP BY vec_id
       |)""".stripMargin
 
+  /** [[lcgBucketCtes]] widened to 24 planes: `buckets` from planes 0-7
+    * (identical values) plus `xsigs(vec_id, xsig)` — the 16-bit extended
+    * signature from planes 8-23 that the capped near-dup join's
+    * refinement level keys on ([[Similarity.nearDupPairsBlocked]] with
+    * `firstPlane = 8`). */
+  private val lcgBucketXsigCtes: String =
+    """lcg AS (
+      |  SELECT vec_id, p.p,
+      |         sum(cast(vx AS double) *
+      |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
+      |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
+      |           AS dot
+      |  FROM v CROSS JOIN (SELECT range AS p FROM range(24)) p
+      |  GROUP BY vec_id, p.p
+      |),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
+      |              FILTER (WHERE p < 8) AS bigint) AS bucket
+      |  FROM lcg GROUP BY vec_id
+      |),
+      |xsigs AS (
+      |  SELECT vec_id,
+      |         cast(sum(CASE WHEN dot > 0 THEN power(2, p - 8) ELSE 0 END)
+      |              FILTER (WHERE p >= 8) AS bigint) AS xsig
+      |  FROM lcg GROUP BY vec_id
+      |)""".stripMargin
+
+  /** DuckDB twin of the capped within-block self-join
+    * ([[Similarity.nearDupPairsBlocked]] with a finite `maxBlock`):
+    * expects `blocks(vec_id, blk)` and `xsigs(vec_id, xsig)` in scope,
+    * defines `pairs(id1, id2)`. Level 1 splits an over-cap block into
+    * 2^e sub-buckets keyed by the low e xsig bits (e = bit-length of
+    * ceil(b/cap) - 1, capped at 16); level 2 md5-salts any sub-bucket
+    * still over TWICE the cap — both levels integer/md5-exact, so they
+    * reproduce the engine's pair set at every data scale, not only where
+    * no block happens to overflow. */
+  private def embSaltedPairsCtes(cap: Int): String =
+    s"""bsz AS (SELECT blk, count(*) AS b FROM blocks GROUP BY 1),
+       |esz AS (
+       |  SELECT blk,
+       |         least(CASE WHEN (b - 1) // $cap = 0 THEN 0
+       |                    ELSE length(bin((b - 1) // $cap)) END, 16) AS e
+       |  FROM bsz
+       |),
+       |refined AS (
+       |  SELECT vec_id, blk, xsig & ((1::BIGINT << e) - 1) AS sub
+       |  FROM blocks JOIN esz USING (blk) JOIN xsigs USING (vec_id)
+       |),
+       |bsz2 AS (SELECT blk, sub, count(*) AS b2 FROM refined GROUP BY 1, 2),
+       |salted AS (
+       |  SELECT vec_id, blk, sub,
+       |         ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+       |           % ((b2 - 1) // ${2 * cap} + 1) AS salt
+       |  FROM refined JOIN bsz2 USING (blk, sub)
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+       |  FROM salted a JOIN salted bb
+       |    ON a.blk = bb.blk AND a.sub = bb.sub AND a.salt = bb.salt
+       |   AND a.vec_id < bb.vec_id
+       |)""".stripMargin
+
   /** DuckDB CTE chain computing each document's predicted language into
     * `p(keyCol, lang_pred)` — shared by text_lang_id / text_lang_confusion. */
   private def langPredCtes(keyCol: String): String = {
@@ -4006,10 +4069,15 @@ object SparkEntry {
         .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
           round(col("x"), 6).as("m"))),
 
-    // Near-dup vector pairs, blocked by label (bounded self-join)
+    // Near-dup vector pairs, blocked by label. The label key has FIXED
+    // cardinality (10), so per-block size grows N at N× data — the
+    // maxBlock cap (LSH-refine then md5-salt, Similarity.scala) keeps the
+    // self-join O(n · maxBlock) instead of quadratic; 40 engages the
+    // refinement at every ladder rung including the sf0.01 oracle run.
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairsBlocked(tbl(s, dir, "embeddings"),
-        col("embedding"), col("vec_id"), col("label"), 0.0)
+        col("embedding"), col("vec_id"), col("label"), 0.0,
+        maxBlock = 40, dims = 64)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.35)),
 
@@ -4021,10 +4089,13 @@ object SparkEntry {
 
     // Embedding near-dup via LSH blocking (production shape: no label
     // oracle needed — candidates come from the sign-projection buckets)
+    // capped like emb_near_dup_pairs: 256 sign-projection buckets are
+    // also fixed-cardinality, so hot buckets grow N at N× data
     "emb_lsh_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairsBlocked(tbl(s, dir, "embeddings"),
         col("embedding"), col("vec_id"),
-        Similarity.lshBucket(col("embedding"), 64, 8), minCos = -2.0)
+        Similarity.lshBucket(col("embedding"), 64, 8), minCos = -2.0,
+        maxBlock = 40, dims = 64)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.3)),
 
@@ -4071,7 +4142,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val edges = Similarity.nearDupPairsBlocked(emb, col("embedding"),
           col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8),
-          minCos = -2.0)
+          minCos = -2.0, maxBlock = 40, dims = 64)
         .select(col("id1"), col("id2"),
           round(col("cos"), 6).as("cos"))
         .where(col("cos") >= 0.4)
@@ -7385,17 +7456,21 @@ object SparkEntry {
 
     "emb_near_dup_pairs" ->
       s"""WITH $embUnnestCte,
+         |$lcgBucketXsigCtes,
+         |blocks AS (SELECT vec_id, label AS blk FROM embeddings),
+         |${embSaltedPairsCtes(40)},
          |n AS (
          |  SELECT vec_id,
          |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
          |  FROM v GROUP BY vec_id
          |),
          |d AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |         sum(cast(a.vx AS double) * cast(b.vx AS double)) AS dot
-         |  FROM v a JOIN v b
-         |    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id
+         |  SELECT p.id1, p.id2,
+         |         sum(cast(v1.vx AS double) * cast(v2.vx AS double)) AS dot
+         |  FROM pairs p
+         |  JOIN v v1 ON v1.vec_id = p.id1
+         |  JOIN v v2 ON v2.vec_id = p.id2 AND v1.pos = v2.pos
+         |  GROUP BY p.id1, p.id2
          |)
          |SELECT id1, id2, round(dot / (n1.norm * n2.norm), 6) AS cos
          |FROM d
@@ -7410,16 +7485,13 @@ object SparkEntry {
 
     "emb_lsh_near_dup" ->
       s"""WITH $embUnnestCte,
-         |$lcgBucketCtes,
+         |$lcgBucketXsigCtes,
+         |blocks AS (SELECT vec_id, bucket AS blk FROM buckets),
+         |${embSaltedPairsCtes(40)},
          |n AS (
          |  SELECT vec_id,
          |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
          |  FROM v GROUP BY vec_id
-         |),
-         |pairs AS (
-         |  SELECT a.vec_id AS id1, bb.vec_id AS id2
-         |  FROM buckets a JOIN buckets bb
-         |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          |),
          |d AS (
          |  SELECT p.id1, p.id2,
@@ -7476,16 +7548,13 @@ object SparkEntry {
     // grouped per label against the canonical (min-id) vector
     "emb_semantic_dedup" ->
       s"""WITH RECURSIVE $embUnnestCte,
-         |$lcgBucketCtes,
+         |$lcgBucketXsigCtes,
+         |blocks AS (SELECT vec_id, bucket AS blk FROM buckets),
+         |${embSaltedPairsCtes(40)},
          |n AS (
          |  SELECT vec_id,
          |         sqrt(sum(cast(vx AS double) * cast(vx AS double))) AS norm
          |  FROM v GROUP BY vec_id
-         |),
-         |pairs AS (
-         |  SELECT a.vec_id AS id1, bb.vec_id AS id2
-         |  FROM buckets a JOIN buckets bb
-         |    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          |),
          |d AS (
          |  SELECT p.id1, p.id2,

@@ -58,19 +58,99 @@ object Similarity {
 
   /** Exact near-duplicate pairs within a blocking key (e.g. label, LSH
     * bucket, IVF cell): per-block self-join keeps the quadratic term local
-    * to the block. */
+    * to the block.
+    *
+    * `maxBlock` bounds degenerate blocks with a two-level, data-adaptive
+    * split (the embedding analogue of [[Dedup.lshCandidatePairs]]'s
+    * over-cap salting — without it a FIXED-cardinality blocking key, 10
+    * labels or 256 sign-projection buckets, grows N per block at N× data
+    * and the pair join goes N² quadratic):
+    *
+    *  1. '''LSH refinement''' (recall-preserving): an over-cap block of b
+    *     vectors splits into 2^e sub-buckets, e = min(⌈log2 ⌈b/maxBlock⌉⌉,
+    *     `refinePlanes`), keyed by the low e bits of an EXTENDED
+    *     sign-projection signature (planes `8 until 8+refinePlanes` of the
+    *     same LCG hyperplane family as [[lshBucket]] — disjoint from the
+    *     blocking planes, so the refinement is independent of the block
+    *     key). Unlike a random salt, near-identical vectors agree on each
+    *     extra plane with probability 1 − θ/π (exact duplicates with
+    *     probability 1), so true near-dup pairs stay co-bucketed while the
+    *     block's population spreads across 2^e ≥ ⌈b/maxBlock⌉ keys.
+    *  2. '''md5 salt''' (hard worst-case bound): a sub-bucket still over
+    *     TWICE the cap — possible only when the data is degenerate, e.g.
+    *     one colinear cluster hyperplanes cannot separate — splits by a
+    *     deterministic md5 salt on the id, exactly [[Dedup]]'s scheme.
+    *     The factor-2 slack keeps the lossy salt from engaging on
+    *     sub-buckets the refinement already brought near the cap (level
+    *     1 targets `maxBlock` in EXPECTATION; binomial spread puts some
+    *     sub-buckets modestly over). Per-row join work stays ≤ 2·maxBlock
+    *     — same asymptotics, and the random 1 − 1/s pair loss is confined
+    *     to colinear mass, which is exact-dup territory where
+    *     [[Dedup.exactGroups]] is the right tool anyway.
+    *
+    * Both levels are md5/LCG-deterministic, so re-runs, repartitions, and
+    * the DuckDB oracle reproduce the identical pair set. The default cap
+    * is `Int.MaxValue` = never split (exact within-block pairs).
+    * `dims` is required when a finite cap is set (the refinement planes
+    * need the vector width). */
   def nearDupPairsBlocked(df: DataFrame, emb: Column, id: Column,
-                          block: Column, minCos: Double): DataFrame = {
+                          block: Column, minCos: Double,
+                          maxBlock: Int = Int.MaxValue, dims: Int = 0,
+                          refinePlanes: Int = 16): DataFrame = {
     // norms computed once per vector BEFORE the join (the per-pair cost is
     // then a single dot-product fold, not three)
-    val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"),
-      l2Norm(emb).as("nrm"))
-    val l = v.as("l"); val r = v.as("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.vid") < col("r.vid"))
-      .select(col("l.vid").as("id1"), col("r.vid").as("id2"),
-        (dot(col("l.e"), col("r.e")) / (col("l.nrm") * col("r.nrm")))
-          .as("cos"))
-      .where(col("cos") >= minCos)
+    if (maxBlock == Int.MaxValue) {
+      val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"),
+        l2Norm(emb).as("nrm"))
+      val l = v.as("l"); val r = v.as("r")
+      l.join(r, col("l.blk") === col("r.blk") && col("l.vid") < col("r.vid"))
+        .select(col("l.vid").as("id1"), col("r.vid").as("id2"),
+          (dot(col("l.e"), col("r.e")) / (col("l.nrm") * col("r.nrm")))
+            .as("cos"))
+        .where(col("cos") >= minCos)
+    } else {
+      require(dims > 0, "dims is required when maxBlock is finite")
+      require(refinePlanes >= 1 && refinePlanes <= 32,
+        s"refinePlanes must be in [1, 32], got $refinePlanes")
+      // materialized once (localCheckpoint): consumed by the block-size
+      // aggregate AND both self-join sides — without it the upstream scan
+      // (plus 8 + refinePlanes plane dots per row) runs three times. The
+      // size joins are block-cardinality-sized, so AQE broadcasts them.
+      val v = df.select(block.as("blk"), id.as("vid"), emb.as("e"),
+          l2Norm(emb).as("nrm"),
+          lshBucket(emb, dims, refinePlanes, firstPlane = 8).as("_xsig"))
+        .localCheckpoint(false)
+      // e extra planes for a block of b: s = ceil(b/maxBlock) target
+      // sub-buckets, e = bit-length of (s-1) — integer-exact (length of
+      // the binary rendering, no float log2), capped at refinePlanes
+      val sized = v.groupBy("blk").agg(count(lit(1)).as("_bsz"))
+      val sM1 = floor((col("_bsz") - 1) / maxBlock) // = s - 1
+      val eBits = least(when(sM1 === 0, lit(0))
+        .otherwise(length(bin(sM1))), lit(refinePlanes))
+      val refined = v.join(sized, "blk")
+        .select(col("vid"), col("e"), col("nrm"), col("blk"),
+          col("_xsig").bitwiseAND(
+            pow(lit(2.0), eBits).cast("long") - 1).as("_sub"))
+      // level 2: md5-salt any sub-bucket still over TWICE the cap
+      // (degenerate colinear mass the hyperplanes cannot separate) —
+      // hard 2·maxBlock bound, see the Scaladoc for the slack rationale
+      val sized2 = refined.groupBy("blk", "_sub")
+        .agg(count(lit(1)).as("_bsz2"))
+      val salted = refined.join(sized2, Seq("blk", "_sub"))
+        .select(col("vid"), col("e"), col("nrm"), col("blk"), col("_sub"),
+          (conv(substring(md5(col("vid").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") %
+            (floor((col("_bsz2") - 1) / (2L * maxBlock)) + 1)).as("_salt"))
+      val l = salted.as("l"); val r = salted.as("r")
+      l.join(r, col("l.blk") === col("r.blk") &&
+          col("l._sub") === col("r._sub") &&
+          col("l._salt") === col("r._salt") &&
+          col("l.vid") < col("r.vid"))
+        .select(col("l.vid").as("id1"), col("r.vid").as("id2"),
+          (dot(col("l.e"), col("r.e")) / (col("l.nrm") * col("r.nrm")))
+            .as("cos"))
+        .where(col("cos") >= minCos)
+    }
   }
 
   /** Sign-random-projection LSH bucket (the ANN scale path alongside IVF):
@@ -79,8 +159,15 @@ object Similarity {
     * then one exact division, so any engine reproduces the same weights
     * bit-for-bit. Bucket = little-endian bits of sign(v . h_p). Vectors in
     * the same bucket are near-duplicate candidates; at scale, candidate
-    * generation is a groupBy on the bucket. */
-  def lshBucket(emb: Column, dims: Int, planes: Int = 8): Column = {
+    * generation is a groupBy on the bucket.
+    *
+    * `firstPlane` selects a window of the same infinite LCG plane family:
+    * planes `firstPlane until firstPlane + planes`, with bit i of the
+    * bucket taken from plane `firstPlane + i`. The capped near-dup join
+    * uses planes 8+ as a refinement signature independent of the 0-7
+    * blocking bucket. */
+  def lshBucket(emb: Column, dims: Int, planes: Int = 8,
+                firstPlane: Int = 0): Column = {
     // weights are compile-time constants: materialize them as literal
     // arrays (identical values to the SQL-side arithmetic) instead of
     // re-deriving 512 LCG chains per row inside the lambda
@@ -88,7 +175,7 @@ object Similarity {
       ((1103515245L * (p * dims + d) + 12345L) % 2147483648L).toDouble /
         2147483648.0 - 0.5
     val v = asDouble(emb)
-    (0 until planes).map { p =>
+    (firstPlane until firstPlane + planes).map { p =>
       val w = array((0 until dims).map(d => lit(weight(p, d))): _*)
       // native sequential-order dot (identical accumulation order to the
       // zip_with/aggregate fold, asserted in NativeFunctionsSpec) — 8
@@ -101,7 +188,7 @@ object Similarity {
       // differs between engines — a plane-dot within ~1e-13 of zero could
       // bucket differently (never observed on the fixtures; min |dot|
       // measured 8.8e-5)
-      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotP > 0, lit(1L << (p - firstPlane))).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

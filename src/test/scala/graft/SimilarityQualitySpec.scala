@@ -76,6 +76,65 @@ class SimilarityQualitySpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L))) // (x,y) cross-block pair excluded
   }
 
+  test("maxBlock cap bounds block pair fan-out while keeping near-dup " +
+    "recall") {
+    // one giant block of 200 vectors = 50 tight clusters x 4 near-identical
+    // members (deterministic tiny perturbations, pairwise cos ~ 0.9999) —
+    // the degenerate fixed-cardinality-blocking shape the cap exists for
+    val dims = 16
+    // decorrelated pseudo-random cluster centers (integer LCG hash — a
+    // smooth function of (c, d) like sin(a*c + b*d) makes distinct
+    // clusters collide whenever a*Δc wraps near 2πk)
+    def base(c: Int)(d: Int): Float =
+      (((c * 2654435761L + d * 97531L + 12345L) % 2000L) / 1000.0f) - 1f
+    val rows = for (c <- 0 until 50; m <- 0 until 4) yield
+      (c * 4L + m, Seq.tabulate(dims)(d =>
+        base(c)(d) + 0.001f * math.sin(c * 7 + m * 3 + d).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(cap: Int) = Similarity.nearDupPairsBlocked(df,
+      col("embedding"), col("vec_id"), lit("all"), minCos = -2.0,
+      maxBlock = cap, dims = dims)
+      .select(col("id1"), col("id2"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(40) // b=200, s=5 -> e=3 -> 8 LSH sub-buckets
+    assert(uncapped.length == 200 * 199 / 2)
+    // the quadratic is actually cut: candidate volume shrinks ~8x
+    assert(capped.length < uncapped.length / 3,
+      s"cap did not reduce pair volume: ${capped.length}")
+    // ...but the REFINEMENT split (extra sign planes, not a random salt)
+    // keeps near-identical vectors co-bucketed: recall on the true
+    // within-cluster near-dup pairs stays high
+    val trueDups = (for (c <- 0 until 50; i <- 0 until 4; j <- i + 1 until 4)
+      yield (c * 4L + i, c * 4L + j)).toSet
+    assert(trueDups.size == 300) // 50 clusters x C(4,2)
+    // sanity: the fixture is what it claims — every within-cluster pair
+    // really is near-identical in the uncapped exact result
+    assert(uncapped.filter(p => trueDups((p._1, p._2)))
+      .forall(_._3 >= 0.999))
+    val kept = capped.map(p => (p._1, p._2)).toSet.intersect(trueDups)
+    val recall = kept.size.toDouble / trueDups.size
+    assert(recall >= 0.9, s"near-dup recall under the cap: $recall")
+  }
+
+  test("maxBlock cap hard-bounds a colinear block the hyperplanes cannot " +
+    "split (md5-salt second level)") {
+    // 100 IDENTICAL vectors: every refinement plane assigns the same sign
+    // bits, so level 1 cannot split — the md5 salt level must bound the
+    // join anyway (this is exact-dup territory; losing cross-salt pairs
+    // there is the documented trade)
+    val df = (0 until 100).map(i => (i.toLong, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairsBlocked(df, col("embedding"),
+      col("vec_id"), lit("all"), minCos = -2.0, maxBlock = 10, dims = 8)
+      .collect()
+    assert(capped.nonEmpty)
+    // 5 salts (hard bound = 2 x cap = 20/salt) over 100 rows ->
+    // ~5 x C(20,2) = 950 pairs, vs 4950 uncapped
+    assert(capped.length < 1200,
+      s"salt level failed to bound the colinear block: ${capped.length}")
+  }
+
   test("tokenCount handles blanks and runs of whitespace") {
     val got = Seq("", "   ", "one", " one  two\tthree ").toDF("t")
       .select(Quality.tokenCount(col("t"))).as[Long].collect().toSeq
