@@ -794,12 +794,23 @@ object SparkEntry {
       require(picked.length < stats.length,
         s"zone-map pruning skipped nothing (${picked.length} of " +
           s"${stats.length} files) — range clustering failed")
-      s.read.parquet(picked.toSeq: _*)
-        .where(col("o_totalprice") >= qLo && col("o_totalprice") <= qHi)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("tot"))
+      if (picked.isEmpty) {
+        // the query range overlaps no file's [min,max] zone: the correct
+        // answer is the empty aggregate — spark.read.parquet with zero
+        // paths would throw "unable to infer schema" instead
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("o_orderpriority", StringType),
+            StructField("n", LongType, nullable = false),
+            StructField("tot", DoubleType))))
+      } else {
+        s.read.parquet(picked.toSeq: _*)
+          .where(col("o_totalprice") >= qLo && col("o_totalprice") <= qHi)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("tot"))
+      }
     }),
 
     "src_partitioned_roundtrip" -> ((s, dir) => {
@@ -2745,7 +2756,7 @@ object SparkEntry {
       val dfs = docs
         .select(col("doc_id"), explode(Dedup.cleanTokens(col("text"))).as("token"))
         .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      dfs.crossJoin(docs.agg(count(lit(1)).as("n")))
+      dfs.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
         .select(col("token"), col("df"),
           round(log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0, 6)
             .as("idf"))
@@ -3070,9 +3081,15 @@ object SparkEntry {
     // GROUPED LINEAR REGRESSION in closed form — per-key trend
     // (slope/intercept of value vs time) from ONE aggregation of exact
     // integer sums: x = whole seconds since the key's first event
-    // (integer div — exact), y = milli-units; n, Σx, Σy, Σx², Σxy all
-    // fit longs at any per-key span up to decades, partial-aggregated
-    // map-side. The closed-form division happens once per group on
+    // (integer div — exact), y = milli-units. n, Σx, Σy fit longs, but
+    // the SECOND moments do not at scale — Σx² ≤ n·span² passes
+    // Long.Max at ~100 rows for a decade span (x ≈ 3e8 → x² ≈ 1e17),
+    // so each long product is cast to decimal(38,0) BEFORE summing
+    // (the product itself always fits a long; only the sum widens).
+    // DuckDB's oracle sums in int128, so this also keeps the two
+    // engines exact-equal instead of diverging on a silent non-ANSI
+    // wraparound. Still ONE partial-aggregated hash aggregate.
+    // The closed-form division happens once per group on
     // exact sums cast to double in the same literal order both sides.
     // No window, no per-group buffers — regression at 100 TB is one
     // hash aggregate.
@@ -3090,8 +3107,9 @@ object SparkEntry {
           expr("(t - t0) div 1000000").as("x"), col("y"))
       val a = d.groupBy("event_type").agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
       val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
       val syD = col("sy").cast("double")
       val slope = (nD * col("sxy").cast("double") - sxD * syD) /

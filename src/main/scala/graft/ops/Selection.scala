@@ -100,24 +100,30 @@ object Selection {
     // the narrowing to maxRounds. Non-floating inputs never cast to NaN.
     val clean = df.where(col(valueCol).isNotNull &&
       !isnan(col(valueCol).cast("double")))
-    // lazily checkpointed: every narrowing round (histogram + gather)
-    // re-reads this two-column frame — materializing the slim
-    // (key, double) projection once beats re-running the source scan +
-    // filter + cast per round (~log rounds of them)
+    // lazily checkpointed: every pass (seed + each narrowing round's
+    // histogram/gather) re-reads this slim frame — materializing the
+    // (key, double, group tuple) projection once beats re-running the
+    // source scan + filter + cast per pass (~log rounds of them). The
+    // typed group columns ride IN the checkpoint (they are the model-
+    // cardinality group tuple, one small value per row) so the seed pass
+    // below also runs off the checkpoint instead of a second source scan.
     val rows = clean
-      .select(keyCol.as("_gkey"), col(valueCol).cast("double").as("_v"))
+      .select(keyCol.as("_gkey") +:
+        col(valueCol).cast("double").as("_v") +:
+        groupCols.map(c => col(c).as(s"_g_$c")): _*)
       .localCheckpoint(false)
 
     // Pass 0: per-group count/min/max seeds every problem's range, keyed
-    // by the SAME _gkey expression the later passes join on. The original
-    // (typed) group columns ride along via first(): within one key every
-    // row carries the identical group tuple, so first() is deterministic.
-    val seed = clean
-      .groupBy(keyCol.as("_gkey"))
+    // by the SAME _gkey the later passes join on (it is a materialized
+    // column of the checkpoint — driver and executors can never disagree
+    // on it). Within one key every row carries the identical group
+    // tuple, so first() is deterministic. This is also the action that
+    // materializes the checkpoint.
+    val seed = rows
+      .groupBy(col("_gkey"))
       .agg(count(lit(1)).as("_n"),
-        (Seq(min(col(valueCol).cast("double")).as("_lo"),
-          max(col(valueCol).cast("double")).as("_hi")) ++
-          groupCols.map(c => first(col(c)).as(s"_g_$c"))): _*)
+        (Seq(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")) ++
+          groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
       .collect()
 
     var nextPid = 0

@@ -48,7 +48,11 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * included, in GlobalHalfRangeSpec. ANSI caveat: the running prefix
   * can overflow where the half-bounded frame alone would not; under
   * ANSI that raises loudly (never a wrong answer), matching the
-  * engine-wide overflow discipline.
+  * engine-wide overflow discipline. Decimal sums are NOT rewritten at
+  * all: the long-domain family rules couldn't distribute the helper
+  * members anyway, and under non-ANSI a decimal prefix overflow nulls
+  * out (longs wrap exactly; decimals don't) and would assemble into a
+  * silently wrong 0 — they keep their native WindowExec.
   */
 object GlobalHalfRangeRule
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
@@ -83,6 +87,19 @@ object GlobalHalfRangeRule
           so.child.isInstanceOf[Attribute] && integralKey(so.child) &&
           !agg.isDistinct && agg.filter.isEmpty =>
       agg.aggregateFunction match {
+        // decimal sums are excluded outright, for two independent
+        // reasons: (1) the family rules the helper members plan through
+        // (GlobalScan / GlobalRange) are long-domain only, so the
+        // decomposition would keep its single-partition WindowExec
+        // anyway — all cost, no distribution win; (2) under non-ANSI
+        // mode an overflowing running prefix returns NULL (decimals
+        // null out where longs wrap, and the long wraparound cancels
+        // exactly in the subtract/add), which Coalesce would silently
+        // treat as 0 — a wrong non-null answer where the native
+        // half-bounded frame may not even overflow.
+        case s: Sum if s.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] =>
+          None
         case _: Sum | _: Count =>
           Some(Half(a, Seq(so), so.child.asInstanceOf[Attribute], y, agg))
         case _ => None
@@ -162,6 +179,9 @@ object GlobalHalfRangeRule
                 val n: Expression =
                   if (sub) Subtract(runC.toAttribute, gapC.toAttribute)
                   else Add(runC.toAttribute, gapC.toAttribute)
+                // NOTE sum types here are non-decimal (parse excludes
+                // decimal sums), so Add/Subtract preserve the dataType
+                // and the If branches below type-check
                 val v: Expression =
                   if (sub) Subtract(cz(runS.toAttribute),
                     cz(gapS.toAttribute))

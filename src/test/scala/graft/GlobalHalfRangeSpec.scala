@@ -78,6 +78,22 @@ class GlobalHalfRangeSpec extends AnyFunSuite {
     assert(r5.isNullAt(2) && r5.getLong(3) == 0L, r5)
   }
 
+  test("decimal sums are never decomposed: non-ANSI overflow nulls out " +
+    "(Coalesce would read it as 0) and the long-domain family rules " +
+    "could not distribute the members anyway") {
+    def q() = df(300).select(col("t"), col("rid"),
+      sum(col("v").cast("decimal(20,2)"))
+        .over(w.rangeBetween(Long.MinValue, -2L)).as("s"))
+    for (ansi <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val p = q().queryExecution.executedPlan.toString
+        assert(p.contains("Window"),
+          s"ansi=$ansi: decimal half-bounded sum was decomposed:\n$p")
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    }
+  }
+
   test("NULL order keys: their own peer-group frame, and non-null rows " +
     "include the leading null group — exactly WindowExec's semantics") {
     val d = Seq[(java.lang.Long, Long)]((null, 100L), (null, 10L),

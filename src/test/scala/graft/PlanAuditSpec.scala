@@ -543,4 +543,25 @@ class PlanAuditSpec extends AnyFunSuite {
           s"$name plans a cartesian product:\n$p")
       }
   }
+
+  test("every crossJoin in the registry carries an explicit broadcast " +
+    "hint") {
+    // source-shape audit: the sanctioned cross-join shape is
+    // `crossJoin(broadcast(...))` — an unhinted call happens to plan as
+    // BroadcastNestedLoopJoin only because the 1-row-aggregate side's
+    // STATISTICS are tiny, which a casual refactor (e.g. joining a
+    // non-aggregated small frame) can silently break into a
+    // CartesianProduct. The hint makes the intent load-bearing.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val calls = "crossJoin\\(".r.findAllMatchIn(src).toSeq
+    assert(calls.nonEmpty)
+    val unhinted = calls.filterNot { m =>
+      src.regionMatches(m.end, "broadcast(", 0, "broadcast(".length)
+    }
+    assert(unhinted.isEmpty,
+      s"${unhinted.size} crossJoin call(s) without an immediate " +
+        s"broadcast(...) hint at char offsets ${unhinted.map(_.start)}")
+  }
 }

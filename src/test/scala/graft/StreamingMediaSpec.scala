@@ -246,6 +246,42 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(got == f.toSeq)
   }
 
+  test("direct WAV header is byte-identical to the JDK encoder, and the " +
+    "JDK decoder reads it back exactly") {
+    // byte-compat: pcm16MonoWav (via syntheticWav) vs AudioSystem.write
+    // of the same samples — the fast synth path must stay a drop-in
+    for ((frames, amp, rate) <- Seq((24, 4096.toShort, 8000f),
+      (47, (-1234).toShort, 16000f), (1, 32000.toShort, 8000f))) {
+      val direct = Media.syntheticWav(frames, amp, rate)
+      val data = new Array[Byte](frames * 2)
+      val sb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      (0 until frames).foreach(i => sb.put(i, amp))
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(direct.toSeq == bos.toByteArray.toSeq,
+        s"frames=$frames: direct header diverged from AudioSystem.write")
+      // cross-decoder: the JDK decoder on the direct bytes agrees with
+      // decodeWav's fast path sample-for-sample
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(direct))
+      val jdkBytes = ais.readAllBytes()
+      val jdkSb = java.nio.ByteBuffer.wrap(jdkBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      val jdk = (0 until jdkSb.remaining()).map(jdkSb.get(_) / 32768.0)
+      val Some((gotFmt, fast)) = Media.decodeWav(direct)
+      assert(fast.toSeq == jdk)
+      assert(gotFmt.getSampleRate == rate && gotFmt.getChannels == 1)
+    }
+    // non-RIFF payloads still route through the fallback: undecodable
+    // garbage stays None, and a decodable non-WAV container would too
+    assert(Media.decodeWav("notawav".getBytes).isEmpty)
+  }
+
   test("REAL video: multi-frame GIF round-trips frame count, dims, colors") {
     val gif = Media.syntheticGif(3, 2,
       Seq((255, 0, 0), (0, 128, 0), (7, 13, 21), (0, 0, 255)))
