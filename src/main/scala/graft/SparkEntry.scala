@@ -505,6 +505,63 @@ object SparkEntry {
        |   AND a.vec_id < bb.vec_id
        |)""".stripMargin
 
+  /** DuckDB twin of the one-pass covariance ([[graft.ops.Pca]]): expects
+    * the `v` unnest CTE in scope, defines `mu(pos, m)` and
+    * `cov(i, j, c)` — the full symmetric population covariance
+    * Cᵢⱼ = Σxᵢxⱼ/n − μᵢμⱼ. */
+  private val pcaCovCtes: String =
+    """mu AS MATERIALIZED (
+      |  SELECT pos, sum(cast(vx AS double)) / count(*) AS m
+      |  FROM v GROUP BY pos
+      |),
+      |cxy AS MATERIALIZED (
+      |  SELECT a.pos AS i, b.pos AS j,
+      |         sum(cast(a.vx AS double) * cast(b.vx AS double)) AS sxy,
+      |         count(*) AS n
+      |  FROM v a JOIN v b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |cov AS MATERIALIZED (
+      |  SELECT i, j, sxy / n - m1.m * m2.m AS c
+      |  FROM cxy JOIN mu m1 ON cxy.i = m1.pos JOIN mu m2 ON cxy.j = m2.pos
+      |)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.Pca.powerIteration]]: `iters` chained
+    * matvec+normalize CTE pairs from the all-equal unit start (replaying
+    * the engine's EXACT fixed-step arithmetic — parity does not rest on
+    * convergence), then the same largest-|loading| sign normalization.
+    * Expects `cov` in scope, defines `fin(pos, vv)`. */
+  private def pcaPowerCtes(iters: Int, dims: Int): String = {
+    // every link in the chain is MATERIALIZED: DuckDB otherwise INLINES
+    // multiply-referenced CTEs, and a 24-deep chain of w_k/it_k pairs
+    // (each referencing the previous twice) expands exponentially —
+    // observed as "too many open files" from the repeated parquet scans
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cov.i AS pos, sum(cov.c * it${k - 1}.vv) AS wv
+         |  FROM cov JOIN it${k - 1} ON cov.j = it${k - 1}.pos GROUP BY 1
+         |),
+         |it$k AS MATERIALIZED (
+         |  SELECT pos, wv / (SELECT sqrt(sum(wv * wv)) FROM w$k) AS vv
+         |  FROM w$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""it0 AS MATERIALIZED (
+       |  SELECT DISTINCT pos, 1.0 / sqrt($dims.0) AS vv FROM v
+       |),
+       |$steps,
+       |pick AS (
+       |  SELECT min(pos) AS p0 FROM it$iters
+       |  WHERE abs(vv) = (SELECT max(abs(vv)) FROM it$iters)
+       |),
+       |fin AS MATERIALIZED (
+       |  SELECT pos,
+       |         vv * (SELECT CASE WHEN t.vv >= 0 THEN 1.0 ELSE -1.0 END
+       |               FROM it$iters t, pick WHERE t.pos = pick.p0) AS vv
+       |  FROM it$iters
+       |)""".stripMargin
+  }
+
   /** DuckDB CTE chain computing each document's predicted language into
     * `p(keyCol, lang_pred)` — shared by text_lang_id / text_lang_confusion. */
   private def langPredCtes(keyCol: String): String = {
@@ -4203,6 +4260,53 @@ object SparkEntry {
             lit(0.0), _ + _) / size(col("q")).cast("double"), 6).as("mse"))
     }),
 
+    // MULTI-PROBE LSH search: probe the query's bucket plus the 3
+    // flipped lowest-|margin| buckets (driver math on the query
+    // literal), exact-cosine re-rank, distributed top-10 — the bounded
+    // recall/IO dial between single-bucket LSH and brute force. Query
+    // vector = vec_id 0 (collected; model-sized), excluded from results.
+    "emb_multiprobe_search" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      Similarity.multiProbeSearch(emb.where(col("vec_id") =!= 0),
+        col("embedding"), col("vec_id"), qv, dims = 64, k = 10)
+    }),
+
+    // COVARIANCE MATRIX in one pass: the native VectorOuterSumAgg
+    // accumulates n / Σx / upper-tri Σxᵢxⱼ map-side, so the shuffle
+    // carries one ~17 KB buffer per partition — never 2080 exploded
+    // join rows per vector like the declarative self-join would.
+    // Output is the model (upper triangle, 1-based positions).
+    // (`+ 0.0` kills IEEE -0.0 — both engines normalize the zero sign
+    // identically before the driver's stringified compare)
+    "emb_covariance" -> ((s, dir) =>
+      graft.ops.Pca.covarianceDf(tbl(s, dir, "embeddings"),
+        col("embedding"))
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))),
+
+    // PCA dominant eigenpair: data-sized work is the one-pass moment
+    // aggregate; the 64x64 eigenproblem is driver-side model math (fixed
+    // 24 power-iteration steps from a fixed start — the oracle replays
+    // the identical arithmetic, so parity needs no convergence argument).
+    "emb_pca_power" -> ((s, dir) =>
+      graft.ops.Pca.topComponentDf(tbl(s, dir, "embeddings"),
+        col("embedding"), iters = 24)
+        .select(col("pos"),
+          (round(col("loading"), 6) + lit(0.0)).as("loading"),
+          (round(col("lambda"), 6) + lit(0.0)).as("lambda"))),
+
+    // PCA projection: mean-centered x·v per vector — one codegen'd scan
+    // with the component as literals, the dimensionality-reduction step
+    // a 100 TB embedding pipeline runs before clustering/indexing.
+    "emb_pca_project" -> ((s, dir) =>
+      graft.ops.Pca.projectTop(tbl(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"), iters = 24)
+        .select(col("vec_id"),
+          (round(col("pc1"), 6) + lit(0.0)).as("pc1"))),
+
     // Language-ID confusion matrix: metadata lang vs predicted
     "text_lang_confusion" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -7436,6 +7540,93 @@ object SparkEntry {
          |)
          |SELECT label, round(sum(best), 6) AS maxsim, count(*) AS n_q
          |FROM m GROUP BY label""".stripMargin,
+
+    // probe set derived in SQL exactly as the engine derives it on the
+    // driver: base bucket from the query's plane signs, then xor-flip
+    // the 3 planes with the smallest |dot| (min plane index on ties)
+    "emb_multiprobe_search" ->
+      s"""WITH q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), $embUnnestCte,
+         |$lcgBucketCtes,
+         |qlcg AS (
+         |  SELECT p.p,
+         |         sum(cast(qx AS double) *
+         |             (cast((1103515245 * (p.p * 64 + (pos - 1)) + 12345)
+         |                   % 2147483648 AS double) / 2147483648.0 - 0.5))
+         |           AS dot
+         |  FROM q CROSS JOIN (SELECT range AS p FROM range(8)) p
+         |  GROUP BY p.p
+         |),
+         |qb AS (
+         |  SELECT cast(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END)
+         |              AS bigint) AS b
+         |  FROM qlcg
+         |),
+         |fl AS (
+         |  SELECT p, row_number() OVER (ORDER BY abs(dot), p) AS rnk
+         |  FROM qlcg
+         |),
+         |probes AS (
+         |  SELECT b AS bucket FROM qb
+         |  UNION ALL
+         |  SELECT xor(qb.b, 1::BIGINT << fl.p) AS bucket
+         |  FROM qb, fl WHERE fl.rnk <= 3
+         |),
+         |cand AS (
+         |  SELECT bk.vec_id FROM buckets bk JOIN probes USING (bucket)
+         |  WHERE bk.vec_id <> 0
+         |),
+         |d AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(vx AS double) * cast(qx AS double)) AS dot,
+         |         sum(cast(vx AS double) * cast(vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) JOIN cand ON v.vec_id = cand.vec_id
+         |  GROUP BY v.vec_id
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |)
+         |SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |FROM d, qq
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // `+ 0.0` collapses IEEE negative zero: round() can yield -0.0 on one
+    // engine and +0.0 on the other for a tiny negative, and the driver's
+    // compare stringifies values
+    "emb_covariance" ->
+      s"""WITH $embUnnestCte,
+         |$pcaCovCtes
+         |SELECT i, j, round(c, 6) + 0.0 AS cov FROM cov
+         |WHERE i <= j""".stripMargin,
+
+    "emb_pca_power" ->
+      s"""WITH $embUnnestCte,
+         |$pcaCovCtes,
+         |${pcaPowerCtes(24, 64)},
+         |lam AS (
+         |  SELECT sum(cov.c * a.vv * b.vv) AS l
+         |  FROM cov JOIN fin a ON cov.i = a.pos JOIN fin b ON cov.j = b.pos
+         |)
+         |SELECT fin.pos AS pos, round(fin.vv, 6) + 0.0 AS loading,
+         |       round(lam.l, 6) + 0.0 AS lambda
+         |FROM fin, lam""".stripMargin,
+
+    "emb_pca_project" ->
+      s"""WITH $embUnnestCte,
+         |$pcaCovCtes,
+         |${pcaPowerCtes(24, 64)},
+         |mv AS (
+         |  SELECT sum(mu.m * fin.vv) AS s
+         |  FROM mu JOIN fin ON mu.pos = fin.pos
+         |),
+         |proj AS (
+         |  SELECT a.vec_id, sum(cast(a.vx AS double) * fin.vv) AS xv
+         |  FROM v a JOIN fin ON a.pos = fin.pos GROUP BY 1
+         |)
+         |SELECT vec_id, round(xv - mv.s, 6) + 0.0 AS pc1
+         |FROM proj, mv""".stripMargin,
 
     "emb_knn_cosine" ->
       s"""WITH q AS (

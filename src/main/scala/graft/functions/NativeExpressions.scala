@@ -405,6 +405,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_zorder" -> (es => ZOrderExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
+    "graft_vec_outer_sum" -> (es => VectorOuterSumAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
     "graft_lang_id" -> (es => LangIdExpr(es.head,
@@ -532,6 +533,14 @@ object GraftFunctions {
   def vecMean(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_vec_mean", c)
+  }
+
+  /** Second-moment sums of a vector column (see [[VectorOuterSumAgg]]):
+    * [n, Σxᵢ…, upper-tri Σxᵢxⱼ…] — the covariance/PCA one-pass
+    * primitive; aggregate function — use inside `.agg(...)`. */
+  def vecOuterSum(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_vec_outer_sum", c)
   }
 
   /** Stop-word share of clean tokens (native [[WordSetRatioExpr]] over the

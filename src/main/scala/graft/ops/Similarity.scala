@@ -166,14 +166,34 @@ object Similarity {
     * bucket taken from plane `firstPlane + i`. The capped near-dup join
     * uses planes 8+ as a refinement signature independent of the 0-7
     * blocking bucket. */
+  /** The (plane, dim) LCG hyperplane weight — pure integer arithmetic
+    * then one exact division, bit-identical on any engine. Shared by the
+    * column-side bucket/signature builders and driver-side probe-set
+    * derivation ([[lshPlaneDots]]). */
+  def lshWeight(p: Int, dims: Int, d: Int): Double =
+    ((1103515245L * (p * dims + d) + 12345L) % 2147483648L).toDouble /
+      2147483648.0 - 0.5
+
+  /** Driver-side plane dots of one vector against planes
+    * `firstPlane until firstPlane + planes` — sequential accumulation,
+    * the same order as [[DotProductExpr]]'s fold. */
+  def lshPlaneDots(v: Seq[Double], dims: Int, planes: Int,
+                   firstPlane: Int = 0): IndexedSeq[Double] = {
+    require(v.length == dims, s"vector length ${v.length} != dims $dims")
+    (firstPlane until firstPlane + planes).map { p =>
+      var acc = 0.0
+      var d = 0
+      while (d < dims) { acc += v(d) * lshWeight(p, dims, d); d += 1 }
+      acc
+    }
+  }
+
   def lshBucket(emb: Column, dims: Int, planes: Int = 8,
                 firstPlane: Int = 0): Column = {
     // weights are compile-time constants: materialize them as literal
     // arrays (identical values to the SQL-side arithmetic) instead of
     // re-deriving 512 LCG chains per row inside the lambda
-    def weight(p: Int, d: Int): Double =
-      ((1103515245L * (p * dims + d) + 12345L) % 2147483648L).toDouble /
-        2147483648.0 - 0.5
+    def weight(p: Int, d: Int): Double = lshWeight(p, dims, d)
     val v = asDouble(emb)
     (firstPlane until firstPlane + planes).map { p =>
       val w = array((0 until dims).map(d => lit(weight(p, d))): _*)
@@ -190,6 +210,41 @@ object Similarity {
       // measured 8.8e-5)
       when(dotP > 0, lit(1L << (p - firstPlane))).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Multi-probe LSH search (the Lv et al., VLDB 2007 shape over
+    * sign-projection buckets): for one query vector, probe its own
+    * bucket PLUS the buckets reached by flipping the `flips`
+    * lowest-|margin| planes — the hyperplanes the query sits closest
+    * to, hence the buckets most likely to hold near neighbors that
+    * landed a hair across a boundary. The probe set is pure driver math
+    * on the query literal (the same LCG weights as [[lshBucket]],
+    * [[lshPlaneDots]]); candidates come from ONE scan filtered to the
+    * probe set — at scale, with the bucket materialized as a
+    * partition/cluster key, that prunes I/O to `flips + 1` buckets —
+    * then exact cosine re-ranks and `TakeOrderedAndProject` takes the
+    * distributed top-k. Versus single-bucket probing this trades a
+    * bounded, data-independent number of extra buckets for most of the
+    * boundary-miss recall loss; versus more planes it needs no index
+    * rebuild. Margin ties break on the lower plane index (deterministic
+    * cross-engine, same caveat class as the bucket sign note). */
+  def multiProbeSearch(df: DataFrame, emb: Column, id: Column,
+                       queryVec: Seq[Double], dims: Int, k: Int,
+                       planes: Int = 8, flips: Int = 3): DataFrame = {
+    require(flips >= 0 && flips <= planes)
+    val dots = lshPlaneDots(queryVec, dims, planes)
+    val base = dots.zipWithIndex
+      .map { case (d, p) => if (d > 0) 1L << p else 0L }.sum
+    val flipPlanes = dots.zipWithIndex
+      .sortBy { case (d, p) => (math.abs(d), p) }.take(flips).map(_._2)
+    val probes = base +: flipPlanes.map(p => base ^ (1L << p))
+    val q = array(queryVec.map(lit): _*)
+    df.select(id.as("vec_id"), emb.as("e"),
+        lshBucket(emb, dims, planes).as("bucket"))
+      .where(col("bucket").isin(probes: _*))
+      .select(col("vec_id"), round(cosine(col("e"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** Assign every vector to its nearest centroid by ROUNDED cosine

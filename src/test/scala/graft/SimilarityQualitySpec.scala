@@ -135,6 +135,50 @@ class SimilarityQualitySpec extends AnyFunSuite {
       s"salt level failed to bound the colinear block: ${capped.length}")
   }
 
+  test("multiProbeSearch probes exactly the base + flipped buckets and " +
+    "ranks candidates like brute force") {
+    val dims = 8
+    // query + 60 deterministic perturbations of it: small enough to stay
+    // near-duplicates, large enough that several cross the low-margin
+    // hyperplanes into adjacent buckets
+    val qv = Seq.tabulate(dims)(d => math.sin(d * 5 + 1))
+    val rows = (1 to 60).map { i =>
+      (i.toLong, Seq.tabulate(dims)(d =>
+        (qv(d) + 0.5 * math.sin(i * 13 + d * 7)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // Scala-side model of the probe set (same LCG weights)
+    val dots = Similarity.lshPlaneDots(qv, dims, 8)
+    val base = dots.zipWithIndex
+      .map { case (d, p) => if (d > 0) 1L << p else 0L }.sum
+    val flips = dots.zipWithIndex
+      .sortBy { case (d, p) => (math.abs(d), p) }.take(3).map(_._2)
+    val probeSet = (base +: flips.map(p => base ^ (1L << p))).toSet
+    def bucketOf(v: Seq[Float]): Long =
+      Similarity.lshPlaneDots(v.map(_.toDouble), dims, 8).zipWithIndex
+        .map { case (d, p) => if (d > 0) 1L << p else 0L }.sum
+    val expected = rows.filter(r => probeSet(bucketOf(r._2))).map(_._1).toSet
+    val inBase = rows.filter(r => bucketOf(r._2) == base).map(_._1).toSet
+    // the fixture actually exercises the probes: some neighbors sit in
+    // flipped buckets, none of this is vacuous
+    assert(inBase.nonEmpty && (expected -- inBase).nonEmpty)
+    val got = Similarity.multiProbeSearch(df, col("embedding"),
+      col("vec_id"), qv, dims, k = 60)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == expected)
+    // ranking agrees with brute-force knn restricted to the candidates
+    val brute = Similarity.knn(df, col("embedding"), col("vec_id"), qv, 60)
+      .as[(Long, Double)].collect().filter(r => expected(r._1))
+    assert(got.toSeq == brute.toSeq)
+    // plan: one scan + filter + distributed top-k, no join, no shuffle
+    // beyond the TakeOrderedAndProject
+    val plan = Similarity.multiProbeSearch(df, col("embedding"),
+      col("vec_id"), qv, dims, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("tokenCount handles blanks and runs of whitespace") {
     val got = Seq("", "   ", "one", " one  two\tthree ").toDF("t")
       .select(Quality.tokenCount(col("t"))).as[Long].collect().toSeq
