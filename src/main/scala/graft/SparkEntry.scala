@@ -2008,6 +2008,47 @@ object SparkEntry {
           col("grp_n"))
     }),
 
+    // EXACT WEIGHTED QUANTILES — importance-weighted statistics
+    // (quantity-weighted price percentiles; the corpus analogue is
+    // token-weighted document metrics): Selection.weightedQuantile, the
+    // weighted twin of the bounded-memory narrowing operator. Integer
+    // weights keep every rank quantity an exact long, and the answer is
+    // an actual data value — the cross-engine compare is EXACT, no
+    // rounding discipline needed.
+    "rel_weighted_quantiles" -> ((s, dir) =>
+      graft.ops.Selection.weightedQuantile(tbl(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", Seq("l_returnflag"),
+        Seq(0.25, 0.5, 0.9), qNames = Seq("p25_w", "p50_w", "p90_w"))
+        .select(col("l_returnflag"), col("p25_w"), col("p50_w"),
+          col("p90_w"), col("total_w"))),
+
+    // DIFFERENTIAL-PRIVACY histogram release — the governance gate's
+    // noisy sibling (rel_k_anonymity suppresses, this perturbs): per
+    // (event_type, day) counts + Laplace(1/ε) noise, ε = 1, sensitivity
+    // 1 (one cell per event), non-negativity post-processing, and the
+    // TRUE counts never leave the query. Scale shape: one hash
+    // aggregate; the noise is O(cells) post-aggregation arithmetic. The
+    // noise is md5-SEEDED per cell (deterministic uniform → inverse-CDF
+    // Laplace) so the release is reproducible and oracle-checkable; a
+    // production release would draw fresh randomness — the mechanism,
+    // sensitivity accounting, and post-processing are the engine parts.
+    "rel_dp_histogram" -> ((s, dir) => {
+      val eps = 1.0
+      val cell = concat_ws("|", col("event_type"), col("day"))
+      val u = (conv(substring(md5(cell.cast("binary")), 1, 13), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      val lap = signum(u - lit(0.5)) * lit(-1.0 / eps) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      events(s, dir)
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("true_cnt"))
+        .select(col("event_type"), col("day"),
+          round(greatest(lit(0.0), col("true_cnt") + lap), 6)
+            .as("released"))
+    }),
+
     // EQUI-DEPTH HISTOGRAM — optimizer/table statistics: decile
     // boundaries from the bounded-memory exact selection operator (third
     // Selection.quantileCont call site; never a per-group value buffer),
@@ -6312,6 +6353,58 @@ object SparkEntry {
         |FROM customer c
         |JOIN g USING (c_nationkey, c_mktsegment)
         |WHERE grp_n >= 8""".stripMargin,
+
+    // weighted lower quantile: smallest v whose cumulative weight (in
+    // value order) reaches k = max(1, ceil(q*W)) — k is one correctly-
+    // rounded double product + ceil, bit-identical on both engines
+    "rel_weighted_quantiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS rf, l_extendedprice AS v,
+        |         cast(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |),
+        |agg AS (SELECT rf, v, sum(w) AS wv FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT rf, v, sum(wv) OVER (PARTITION BY rf ORDER BY v) AS cw
+        |  FROM agg
+        |),
+        |tot AS (SELECT rf, sum(w) AS tw FROM t GROUP BY 1),
+        |k AS (
+        |  SELECT rf, tw,
+        |         greatest(1, cast(ceil(0.25 * tw::DOUBLE) AS BIGINT)) AS k25,
+        |         greatest(1, cast(ceil(0.5 * tw::DOUBLE) AS BIGINT)) AS k50,
+        |         greatest(1, cast(ceil(0.9 * tw::DOUBLE) AS BIGINT)) AS k90
+        |  FROM tot
+        |)
+        |SELECT k.rf AS l_returnflag,
+        |       (SELECT min(v) FROM c WHERE c.rf = k.rf AND cw >= k25)
+        |         AS p25_w,
+        |       (SELECT min(v) FROM c WHERE c.rf = k.rf AND cw >= k50)
+        |         AS p50_w,
+        |       (SELECT min(v) FROM c WHERE c.rf = k.rf AND cw >= k90)
+        |         AS p90_w,
+        |       cast(tw AS BIGINT) AS total_w
+        |FROM k""".stripMargin,
+
+    // the same md5-seeded uniform -> inverse-CDF Laplace per cell
+    "rel_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), n AS (
+        |  SELECT event_type, day, c,
+        |         (('0x' || substr(md5(event_type || '|' || day), 1, 13))
+        |            ::BIGINT::DOUBLE + CAST(0.5 AS DOUBLE))
+        |           / CAST(4503599627370496 AS DOUBLE) AS u
+        |  FROM h
+        |)
+        |SELECT event_type, day,
+        |       round(greatest(CAST(0.0 AS DOUBLE),
+        |             c + sign(u - 0.5) * CAST(-1.0 AS DOUBLE)
+        |                 * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS released
+        |FROM n""".stripMargin,
 
     // decile boundaries rounded HALF_UP to 6 decimals before bucketing on
     // both sides; bucket = boundaries strictly below the value

@@ -230,6 +230,201 @@ object Selection {
       spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
   }
 
+  /** Exact WEIGHTED lower quantile per group, scale-out shape — the
+    * importance-weighted twin of [[quantileCont]] (corpus statistics
+    * where each row carries a repeat/importance count: token-weighted
+    * median document length, quantity-weighted price percentiles).
+    *
+    * Semantics: for each quantile q, the smallest value v whose
+    * cumulative weight (in ascending value order) reaches
+    * k = max(1, ceil(q · W)), W = Σ weights — the "weighted lower
+    * quantile" (no interpolation: the answer is an actual data value,
+    * so cross-engine equality is EXACT, no rounding discipline needed).
+    * Weights must be non-negative integers (cast to long): every rank
+    * accounting quantity is then an exact long, immune to
+    * float-accumulation order, and k itself is computed from one
+    * correctly-rounded double product ceil(q · W) — bit-identical on
+    * any IEEE engine. Zero-weight rows cannot be selected; a group with
+    * W = 0 throws.
+    *
+    * Same bounded-memory narrowing as [[quantileCont]] — each round is
+    * ONE whole-table aggregation histogramming per-bucket WEIGHT sums
+    * (with exact below-range re-anchoring), the same duplicate-plateau
+    * distinct-gather escape, the same loud invariant checks. Driver
+    * state stays O(groups × quantiles × buckets).
+    */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
+                       groupCols: Seq[String], qs: Seq[Double],
+                       qNames: Seq[String] = Nil,
+                       buckets: Int = 128, collectThreshold: Int = 8192,
+                       maxRounds: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be within [0, 1]")
+    require(buckets >= 8 && collectThreshold >= 1)
+    val spark = df.sparkSession
+    val names = if (qNames.nonEmpty) qNames else qs.indices.map(i => s"q_$i")
+    require(names.length == qs.length, "qNames must match qs")
+    val keyCol: Column =
+      if (groupCols.isEmpty) lit("")
+      else concat(groupCols.map(c => when(col(c).isNull, lit("\u0000"))
+        .otherwise(concat(lit("\u0001"), col(c).cast("string")))): _*)
+    val clean = df.where(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")) && col(weightCol).isNotNull)
+    val rows = clean
+      .select(keyCol.as("_gkey") +:
+        col(valueCol).cast("double").as("_v") +:
+        col(weightCol).cast("long").as("_w") +:
+        groupCols.map(c => col(c).as(s"_g_$c")): _*)
+      .localCheckpoint(false)
+
+    val seed = rows
+      .groupBy(col("_gkey"))
+      .agg(sum(col("_w")).as("_tw"),
+        (Seq(min(col("_w")).as("_wmin"),
+          min(col("_v")).as("_lo"), max(col("_v")).as("_hi")) ++
+          groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
+      .collect()
+
+    var nextPid = 0
+    var open = List.empty[Problem]
+    // here Problem.k is the 1-based target CUMULATIVE WEIGHT
+    val resolved = collection.mutable.Map.empty[(String, Long), Double]
+    val meta = seed.map { r =>
+      val gkey = r.getString(0)
+      val w = r.getLong(1)
+      require(r.getLong(2) >= 0L,
+        s"weightedQuantile: negative weight in group $gkey")
+      require(w > 0L,
+        s"weightedQuantile: group $gkey has zero total weight")
+      val lo = r.getDouble(3)
+      val hi = r.getDouble(4)
+      val gvals = groupCols.indices.map(i => r.get(5 + i))
+      // ceil(q * W): one correctly-rounded double product + ceil —
+      // identical on every IEEE engine, exact for W < 2^52
+      val ks = qs.map(q => math.max(1L, math.ceil(q * w.toDouble).toLong))
+      ks.distinct.foreach { k =>
+        if (lo == hi) resolved((gkey, k)) = lo
+        else { open ::= Problem(nextPid, gkey, k, lo, hi); nextPid += 1 }
+      }
+      (gvals, gkey, w, ks)
+    }
+
+    var round = 0
+    while (open.nonEmpty && round < maxRounds) {
+      round += 1
+      val hist = whistogramPass(spark, rows, open, buckets)
+      val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
+      val (toGather, stillOpen) = open.map { p =>
+        val h = hist.getOrElse(p.pid, Map.empty[Int, (Long, Long, Long)])
+        val wBelow = h.getOrElse(B_BELOW, (0L, 0L, 0L))._1
+        val wIn = (0 until buckets).map(j =>
+          h.getOrElse(j, (0L, 0L, 0L))._1).sum
+        val nIn = (0 until buckets).map(j =>
+          h.getOrElse(j, (0L, 0L, 0L))._2).sum
+        val dIn = (0 until buckets).map(j =>
+          h.getOrElse(j, (0L, 0L, 0L))._3).sum
+        val kIn = p.k - wBelow
+        if (kIn < 1 || kIn > wIn)
+          throw new IllegalStateException(
+            s"weighted selection invariant violated: target weight " +
+              s"${p.k} re-anchored to $kIn of $wIn in-range weight " +
+              s"(group=${p.gkey}, range=[${p.lo}, ${p.hi}])")
+        if (nIn <= collectThreshold || dIn <= gatherDistinctBound / 2)
+          Left((p, kIn))
+        else {
+          val w = (p.hi - p.lo) / buckets
+          var cum = 0L; var j = 0
+          while (cum + h.getOrElse(j, (0L, 0L, 0L))._1 < kIn) {
+            cum += h.getOrElse(j, (0L, 0L, 0L))._1; j += 1
+          }
+          val nlo = if (j <= 1) p.lo else p.lo + (j - 1) * w
+          val nhi = if (j >= buckets - 2) p.hi else p.lo + (j + 2) * w
+          if (nlo >= nhi || (nlo == p.lo && nhi == p.hi)) Left((p, kIn))
+          else Right(Problem(p.pid, p.gkey, p.k, nlo, nhi))
+        }
+      }.partitionMap(identity)
+      if (toGather.nonEmpty) {
+        val got = wgatherPass(spark, rows, toGather.map(_._1), buckets,
+          collectThreshold)
+        toGather.foreach { case (p, kIn) =>
+          val vcs = got.getOrElse(p.pid, Array.empty[(Double, Long)])
+          var cum = 0L; var i = 0
+          while (i < vcs.length && cum + vcs(i)._2 < kIn) {
+            cum += vcs(i)._2; i += 1
+          }
+          require(i < vcs.length,
+            s"weighted selection gather underflow (group=${p.gkey})")
+          resolved((p.gkey, p.k)) = vcs(i)._1
+        }
+      }
+      open = stillOpen
+    }
+    if (open.nonEmpty)
+      throw new IllegalStateException(
+        s"weighted quantile selection did not converge within " +
+          s"$maxRounds rounds (${open.length} problems open)")
+
+    val outRows = meta.map { case (gvals, gkey, w, ks) =>
+      Row.fromSeq(gvals ++ ks.map(k => resolved((gkey, k))) :+ w)
+    }
+    val groupSchema = df.select(groupCols.map(col): _*).schema
+    val outSchema = StructType(groupSchema.fields ++
+      names.map(StructField(_, DoubleType, nullable = false)) :+
+      StructField("total_w", LongType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
+  }
+
+  /** Weighted histogram pass: pid -> (bucket -> (weight sum, row count,
+    * approx distinct count)) — the weight sum re-anchors the target, the
+    * row/distinct counts drive the same gather escape as the unweighted
+    * operator. All sums are exact longs. */
+  private def whistogramPass(spark: SparkSession, rows: DataFrame,
+                             ps: List[Problem], buckets: Int)
+      : Map[Int, Map[Int, (Long, Long, Long)]] = {
+    val probsDf = spark.createDataFrame(
+      ps.map(p => (p.pid, p.gkey, p.lo, p.hi)))
+      .toDF("_pid", "_pgkey", "_plo", "_phi")
+    val v = col("_v")
+    val w = (col("_phi") - col("_plo")) / lit(buckets.toDouble)
+    val inB = least(greatest(
+      floor((v - col("_plo")) / w).cast("int"), lit(0)), lit(buckets - 1))
+    val b = when(v < col("_plo"), lit(B_BELOW))
+      .when(v > col("_phi"), lit(buckets)).otherwise(inB)
+    rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
+      .groupBy(col("_pid"), b.as("_b"))
+      .agg(sum(col("_w")).as("_ws"), count(lit(1)).as("_c"),
+        approx_count_distinct(v).as("_d"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (pid, rs) =>
+        pid -> rs.map(r =>
+          r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      }
+  }
+
+  /** Weighted bounded gather: per problem, the distinct in-range values
+    * with their WEIGHT sums, ascending. */
+  private def wgatherPass(spark: SparkSession, rows: DataFrame,
+                          ps: List[Problem], buckets: Int,
+                          collectThreshold: Int)
+      : Map[Int, Array[(Double, Long)]] = {
+    val probsDf = spark.createDataFrame(
+      ps.map(p => (p.pid, p.gkey, p.lo, p.hi)))
+      .toDF("_pid", "_pgkey", "_plo", "_phi")
+    val v = col("_v")
+    val out = rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
+      .where(v >= col("_plo") && v <= col("_phi"))
+      .groupBy(col("_pid"), v.as("_val")).agg(sum(col("_w")).as("_ws"))
+      .collect()
+    out.groupBy(_.getInt(0)).map { case (pid, rs) =>
+      require(rs.length <= math.max(collectThreshold, 4 * buckets),
+        s"weighted selection gather exceeded its bound: ${rs.length} " +
+          s"distinct values for problem $pid")
+      pid -> rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    }
+  }
+
   /** One aggregation serving every open problem: returns
     * pid -> (bucket -> (count, approx distinct count)), bucket in {-1} ++
     * [0, buckets] where -1 is v < lo and `buckets` is v > hi (both by

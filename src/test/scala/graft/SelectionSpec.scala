@@ -186,6 +186,60 @@ class SelectionSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  /** Driver-side brute-force weighted lower quantile: smallest v whose
+    * cumulative weight reaches max(1, ceil(q*W)) — the spec's oracle. */
+  private def bruteWeighted(vw: Seq[(Double, Long)], q: Double): Double = {
+    val sorted = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val w = sorted.map(_._2).sum
+    val k = math.max(1L, math.ceil(q * w.toDouble).toLong)
+    var cum = 0L
+    sorted.find { case (_, wv) => cum += wv; cum >= k }.get._1
+  }
+
+  test("weightedQuantile: parity with brute force through narrowing and " +
+    "gather, zero weights unselectable, plateaus, multiple groups") {
+    // two groups, duplicate plateaus, zero-weight rows, skewed weights;
+    // tiny buckets/threshold force the multi-round narrowing path
+    val rows = (0 until 400).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v = if (i % 7 == 0) 42.0 else (i * 37 % 211) + (i % 5) * 0.25
+      val w = if (i % 11 == 0) 0L else (i * 13 % 9) + 1L
+      (g, v, w)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(7)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val got = Selection.weightedQuantile(df, "v", "w", Seq("g"), qs,
+      qNames = Seq("q10", "q50", "q90"), buckets = 8,
+      collectThreshold = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val vw = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      val want = (bruteWeighted(vw, 0.1), bruteWeighted(vw, 0.5),
+        bruteWeighted(vw, 0.9), vw.map(_._2).sum)
+      assert(got(g) == want, s"group $g: ${got(g)} vs $want")
+    }
+    // a zero-weight value strictly above every positive-weight value can
+    // never be selected, even at q = 1.0
+    val z = Seq(("g", 1.0, 5L), ("g", 99.0, 0L)).toDF("g", "v", "w")
+    val top = Selection.weightedQuantile(z, "v", "w", Seq("g"), Seq(1.0))
+      .collect().head.getDouble(1)
+    assert(top == 1.0)
+  }
+
+  test("weightedQuantile: zero total weight and negative weights throw") {
+    val z = Seq(("g", 1.0, 0L)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      Selection.weightedQuantile(z, "v", "w", Seq("g"), Seq(0.5))
+    }
+    val neg = Seq(("g", 1.0, -2L), ("g", 2.0, 5L)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      Selection.weightedQuantile(neg, "v", "w", Seq("g"), Seq(0.5))
+    }
+  }
+
   test("invalid quantiles and empty input are loud / empty, not wrong") {
     val df = Seq(1.0, 2.0).toDF("v").withColumn("g", lit("g"))
     intercept[IllegalArgumentException] {
