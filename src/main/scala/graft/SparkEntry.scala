@@ -3009,13 +3009,32 @@ object SparkEntry {
     }),
 
     // Quality scoring: stop-word share, punctuation noise, diversity, score
+    // all four outputs from ONE native pass (TextStatsExpr: one
+    // code-point walk + one tokenization per row, vs a regex pass plus
+    // three interpreted-HOF token passes) — the ratios recomputed from
+    // the struct are the identical integer/integer double divisions, so
+    // the oracle is unchanged. This was the ladder's one ratio outlier
+    // (9.4 s at sf1, round 11/12).
     "text_quality" -> ((s, dir) => {
-      val sw = graft.functions.GraftFunctions.stopRatio(s, col("text"))
-      tbl(s, dir, "documents").select(col("doc_id"),
-        round(sw, 6).as("sw_ratio"),
-        round(Quality.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(Quality.uniqueRatio(col("text")), 6).as("uniq_ratio"),
-        round(Quality.qualityScoreFrom(col("text"), sw), 6).as("q_score"))
+      val st = graft.functions.GraftFunctions.textStats(s, col("text"))
+      def ratio(num: org.apache.spark.sql.Column,
+                den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+      val sw = ratio(col("st.n_stop"), col("st.n_tokens"))
+      val punct = ratio(col("st.n_punct"), col("st.n_chars"))
+      val uniq = ratio(col("st.n_distinct"), col("st.n_tokens"))
+      val lenOk = when(col("st.n_chars").between(20L, 20000L), lit(1.0))
+        .otherwise(lit(0.0))
+      val swOk = when(sw.between(0.05, 0.6), lit(1.0)).otherwise(lit(0.0))
+      val punctOk = when(punct < 0.2, lit(1.0)).otherwise(lit(0.0))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          round(sw, 6).as("sw_ratio"),
+          round(punct, 6).as("punct_ratio"),
+          round(uniq, 6).as("uniq_ratio"),
+          round((lenOk + swOk + punctOk) / lit(3.0), 6).as("q_score"))
     }),
 
     // Language-ID heuristic (marker-word argmax)
@@ -4109,11 +4128,16 @@ object SparkEntry {
     // <2 tokens, which is the portable real-bigram filter on both sides.
     "text_lm_score" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
+      // materialized once: FIVE consumers below (bigram counts, history
+      // counts, both vocab branches, the scored join) would otherwise
+      // each re-run the full tokenize+shingle explode — the dominant
+      // cost at corpus scale (measured 6.3x at the 10x ladder rung)
       val docBg = docs.select(col("doc_id"),
           explode(graft.functions.GraftFunctions.shingles(s, col("text"), 2))
             .as("bigram"))
         .where(col("bigram").contains(" "))
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .localCheckpoint(false)
       val bgCounts = docBg.groupBy("bigram").agg(count(lit(1)).as("c2"))
       val histCounts = docBg.groupBy("w1").agg(count(lit(1)).as("c1"))
       val vocab = docBg.select(col("w1").as("t"))

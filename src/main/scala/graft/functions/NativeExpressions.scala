@@ -166,6 +166,53 @@ case class WordSetRatioExpr(child: Expression, words: Seq[String])
   : WordSetRatioExpr = copy(child = newChild)
 }
 
+/** One-pass text curation statistics — the native fused twin of the
+  * [[graft.ops.Quality]] ratio columns: `struct(n_chars, n_punct,
+  * n_tokens, n_stop, n_distinct)` from ONE code-point walk plus ONE
+  * tokenization ([[TextHashes.textStats]]). The declarative formulation
+  * runs a regex pass (punct) plus three separate interpreted-HOF token
+  * passes (stop filter, distinct, count) per row; downstream ratios
+  * recomputed from this struct are the identical integer-over-integer
+  * double divisions, so oracles are unaffected. */
+case class TextStatsExpr(child: Expression, stop: Seq[String])
+  extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_chars", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_punct", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_stop", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct", LongType,
+        nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stop.size * 2)
+    stop.foreach(s.add)
+    s
+  }
+  /** Codegen entry point (called from generated Java via a reference to
+    * this instance, which carries the prebuilt stop set). */
+  def stats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = TextHashes.textStats(input.toString, set)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2), a(3), a(4)))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsExpr", this,
+      classOf[TextStatsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.stats($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+  : TextStatsExpr = copy(child = newChild)
+}
+
 /** Marker-word argmax language ID — the native twin of
   * [[graft.ops.Quality.langId]], which evaluates one interpreted `filter`
   * lambda per language per row (4 full token passes); this tokenizes once
@@ -408,6 +455,8 @@ object GraftFunctions {
     "graft_vec_outer_sum" -> (es => VectorOuterSumAgg(es.head)),
     "graft_stop_ratio" -> (es => WordSetRatioExpr(es.head,
       graft.ops.TextOps.stopWords)),
+    "graft_text_stats" -> (es => TextStatsExpr(es.head,
+      graft.ops.TextOps.stopWords)),
     "graft_lang_id" -> (es => LangIdExpr(es.head,
       graft.ops.Quality.langOrder.map(l =>
         l -> graft.ops.Quality.langMarkers(l)), 0.02)))
@@ -548,6 +597,13 @@ object GraftFunctions {
   def stopRatio(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_stop_ratio", c)
+  }
+
+  /** One-pass curation statistics struct (see [[TextStatsExpr]]):
+    * n_chars, n_punct, n_tokens, n_stop, n_distinct. */
+  def textStats(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_text_stats", c)
   }
 
   /** Marker-argmax language ID (native [[LangIdExpr]]); equals

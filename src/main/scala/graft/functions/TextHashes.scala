@@ -70,6 +70,42 @@ object TextHashes {
     }
   }
 
+  /** One-pass text curation statistics —
+    * [n_chars, n_punct, n_tokens, n_stop, n_distinct]:
+    * code-point count, count of code points outside [a-zA-Z0-9] and the
+    * ASCII regex-\s class (exactly what `regexp_replace(text,
+    * "[^a-zA-Z0-9\\s]", "")` removes), clean-token count, stop-word
+    * count, distinct-token count. ONE code-point walk + ONE
+    * tokenization, vs one regex pass + three interpreted-HOF token
+    * passes for the declarative formulation — every downstream ratio is
+    * the same exact-integer-over-exact-integer double division. */
+  def textStats(text: String, stop: java.util.Set[String]): Array[Long] = {
+    var nChars = 0L
+    var nPunct = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      nChars += 1
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      // java regex \s (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r]
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!alnum && !ws) nPunct += 1
+      i += Character.charCount(cp)
+    }
+    val toks = cleanTokens(text)
+    var nStop = 0L
+    val distinct = new java.util.HashSet[String](toks.length * 2)
+    var j = 0
+    while (j < toks.length) {
+      if (stop.contains(toks(j))) nStop += 1
+      distinct.add(toks(j))
+      j += 1
+    }
+    Array(nChars, nPunct, toks.length.toLong, nStop, distinct.size.toLong)
+  }
+
   /** Marker-word argmax language ID, the JVM twin of
     * [[graft.ops.Quality.langId]]: per language (in `langs` order) the
     * share of clean tokens that are marker words; emit the FIRST language

@@ -34,9 +34,13 @@ import org.apache.spark.sql.types._
   * re-anchoring detects it and the operator throws rather than returning
   * a silently wrong quantile.
   *
-  * Cost: ~log_{buckets/3}(n / collectThreshold) rounds (4 rounds for
-  * n = 1e12, buckets = 128), each one aggregation whose shuffle is
-  * O(partitions x problems x buckets) fixed-size rows. Driver state is
+  * Cost: ~log_{buckets/3}(n / collectThreshold) rounds (3 rounds for
+  * n = 1e12 at the defaults buckets = 512 / collectThreshold = 65536 —
+  * raised from 128/8192 after the 10x ladder showed the per-round
+  * whole-table pass, not the shuffle, dominates: wider histograms and an
+  * earlier gather cut a full round off the common shapes for a shuffle
+  * of still only O(partitions x problems x buckets) fixed-size rows and
+  * a <=64k-distinct-value driver gather per problem). Driver state is
   * O(groups x quantiles x buckets) longs — model-sized, like the IVF
   * centroid table, NOT data-sized. Intended for dashboard-shaped group
   * cardinalities (the regime where anyone reads per-group quantiles);
@@ -72,7 +76,7 @@ object Selection {
     * within 2^53. */
   def quantileCont(df: DataFrame, valueCol: String, groupCols: Seq[String],
                    qs: Seq[Double], qNames: Seq[String] = Nil,
-                   buckets: Int = 128, collectThreshold: Int = 8192,
+                   buckets: Int = 512, collectThreshold: Int = 65536,
                    maxRounds: Int = 64): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be within [0, 1]")
@@ -256,7 +260,7 @@ object Selection {
   def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
                        groupCols: Seq[String], qs: Seq[Double],
                        qNames: Seq[String] = Nil,
-                       buckets: Int = 128, collectThreshold: Int = 8192,
+                       buckets: Int = 512, collectThreshold: Int = 65536,
                        maxRounds: Int = 64): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be within [0, 1]")

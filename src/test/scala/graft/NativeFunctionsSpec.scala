@@ -182,6 +182,45 @@ class NativeFunctionsSpec extends AnyFunSuite {
     items.distinct.foreach(it => assert(viaAgg(it) >= exact(it)))
   }
 
+  test("textStats equals the declarative Quality ratios exactly, " +
+    "codegen on (no fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val fixture = texts ++ Seq("Ünïcödé, tõkens — and MORE!!",
+        "\t\n mixed  WS \f chars \r", "digits 123 only 456",
+        "the the the the", "!!!???")
+      val df = fixture.toDF("t")
+      val st = graft.functions.GraftFunctions.textStats(spark, col("t"))
+      def ratio(num: org.apache.spark.sql.Column,
+                den: org.apache.spark.sql.Column) =
+        when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+      val got = df.select(col("t"), st.as("st"))
+        .select(col("t"),
+          ratio(col("st.n_stop"), col("st.n_tokens")).as("sw"),
+          ratio(col("st.n_punct"), col("st.n_chars")).as("punct"),
+          ratio(col("st.n_distinct"), col("st.n_tokens")).as("uniq"),
+          col("st.n_chars").as("nc"), col("st.n_tokens").as("nt"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getLong(5))).toMap
+      val want = df.select(col("t"),
+          graft.ops.Quality.stopwordRatio(col("t")).as("sw"),
+          graft.ops.Quality.punctRatio(col("t")).as("punct"),
+          graft.ops.Quality.uniqueRatio(col("t")).as("uniq"),
+          length(col("t")).cast("long").as("nc"),
+          size(graft.ops.Dedup.cleanTokens(col("t"))).cast("long").as("nt"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getLong(5))).toMap
+      fixture.foreach { t =>
+        assert(got(t) == want(t), s"textStats mismatch on: '$t'")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("every native's generated Java COMPILES — no silent codegen fallback") {
     // spark.sql.codegen.fallback=true (the default) swallows a generated-
     // code compile error by re-running the stage interpreted, so a broken
