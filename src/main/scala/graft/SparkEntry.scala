@@ -1147,6 +1147,45 @@ object SparkEntry {
         .agg(sum(col("m.distinct")).as("n_users"))
     }),
 
+    // STREAMING COVARIANCE "train" — the unbounded-stream twin of
+    // emb_covariance: per-shard flat moment buffers in
+    // mapGroupsWithState (~17 KB × shards of state FOREVER), commutative
+    // sums so the unordered multi-batch CSV replay equals the batch
+    // moments; the final read keeps each shard's max-version snapshot
+    // and merges the model-sized buffers into the covariance (the
+    // partial → final shape). Oracle = the batch covariance SQL.
+    "stream_covariance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "embeddings").select(col("vec_id"),
+        // float -> shortest-round-trip string -> float is exact, so the
+        // CSV gate cannot perturb the vectors
+        concat_ws(";", col("embedding").cast("array<string>")).as("emb"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "momsum")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("emb",
+              org.apache.spark.sql.types.StringType))),
+          "gate_momsum", "update")(df =>
+          graft.streaming.EventStream.momentSumsStream(
+            df.select(col("vec_id"),
+              split(col("emb"), ";").cast("array<float>").as("v"))
+              .as[(Long, Seq[Float])]).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      val bufs = sink.groupBy(col("shard"))
+        .agg(max(struct(col("ver"), col("buf"))).as("m"))
+        .select(col("m.buf")).as[Seq[Double]].collect() // shards, model-sized
+      val flat = bufs.filter(_.nonEmpty).map(_.toArray)
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      val (n, sm, o) = graft.ops.Pca.parseMoments(flat)
+      graft.ops.Pca.covarianceRows(s, graft.ops.Pca.covariance(n, sm, o))
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+    }),
+
     // STREAMING FIRST-TOUCH FUNNEL — per-user earliest signup/view/
     // purchase instants as mapGroupsWithState state: a few longs per user
     // FOREVER. Every state field is a min or a count — COMMUTATIVE — so
@@ -7713,6 +7752,14 @@ object SparkEntry {
     // engine and +0.0 on the other for a tiny negative, and the driver's
     // compare stringifies values
     "emb_covariance" ->
+      s"""WITH $embUnnestCte,
+         |$pcaCovCtes
+         |SELECT i, j, round(c, 6) + 0.0 AS cov FROM cov
+         |WHERE i <= j""".stripMargin,
+
+    // train-serve consistency: the streaming shard-merged moments must
+    // reproduce the batch covariance — same SQL as emb_covariance
+    "stream_covariance" ->
       s"""WITH $embUnnestCte,
          |$pcaCovCtes
          |SELECT i, j, round(c, 6) + 0.0 AS cov FROM cov

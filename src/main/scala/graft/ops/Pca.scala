@@ -32,14 +32,13 @@ import org.apache.spark.sql.types._
   */
 object Pca {
 
-  /** One-pass moment sums: (n, Σxᵢ, full symmetric Σxᵢxⱼ). */
-  def momentSums(df: DataFrame, emb: Column): (Long, Array[Double], Array[Array[Double]]) = {
-    val flat = df.agg(graft.functions.GraftFunctions
-        .vecOuterSum(df.sparkSession, emb).as("m"))
-      .head().getSeq[Double](0).toArray
+  /** Parse the flat moment buffer ([[graft.functions.VectorOuterSumAgg]]
+    * layout: [n, s₀…s_{d−1}, upper-tri oᵢⱼ row-major]) into
+    * (n, Σxᵢ, full symmetric Σxᵢxⱼ). Shared by the batch aggregate path
+    * and the streaming shard-merge path. */
+  def parseMoments(flat: Array[Double])
+  : (Long, Array[Double], Array[Array[Double]]) = {
     val n = flat(0).toLong
-    // layout: [n, s_0..s_{d-1}, upper-tri o_ij row-major] with
-    // 1 + d + d(d+1)/2 entries total
     val d = (math.sqrt(9.0 + 8.0 * (flat.length - 1)).toInt - 3) / 2
     require(1 + d + d * (d + 1) / 2 == flat.length,
       s"moment buffer length ${flat.length} is not 1 + d + d(d+1)/2")
@@ -54,6 +53,12 @@ object Pca {
     }
     (n, s, o)
   }
+
+  /** One-pass moment sums: (n, Σxᵢ, full symmetric Σxᵢxⱼ). */
+  def momentSums(df: DataFrame, emb: Column): (Long, Array[Double], Array[Array[Double]]) =
+    parseMoments(df.agg(graft.functions.GraftFunctions
+        .vecOuterSum(df.sparkSession, emb).as("m"))
+      .head().getSeq[Double](0).toArray)
 
   /** Population covariance Cᵢⱼ = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n). */
   def covariance(n: Long, s: Array[Double], o: Array[Array[Double]])
@@ -120,12 +125,10 @@ object Pca {
     (v, lam)
   }
 
-  /** Upper-triangle covariance as rows (i, j, cov), 1-based positions —
-    * the distributed one-pass aggregate, model-sized output. */
-  def covarianceDf(df: DataFrame, emb: Column): DataFrame = {
-    val spark = df.sparkSession
-    val (n, s, o) = momentSums(df, emb)
-    val c = covariance(n, s, o)
+  /** A (model-sized) covariance matrix as upper-triangle rows
+    * (i, j, cov), 1-based positions. */
+  def covarianceRows(spark: SparkSession, c: Array[Array[Double]])
+  : DataFrame = {
     val rows = for (i <- c.indices; j <- i until c.length)
       yield Row((i + 1).toLong, (j + 1).toLong, c(i)(j))
     spark.createDataFrame(
@@ -133,6 +136,13 @@ object Pca {
       StructType(Seq(StructField("i", LongType, nullable = false),
         StructField("j", LongType, nullable = false),
         StructField("cov", DoubleType, nullable = false))))
+  }
+
+  /** Upper-triangle covariance as rows (i, j, cov), 1-based positions —
+    * the distributed one-pass aggregate, model-sized output. */
+  def covarianceDf(df: DataFrame, emb: Column): DataFrame = {
+    val (n, s, o) = momentSums(df, emb)
+    covarianceRows(df.sparkSession, covariance(n, s, o))
   }
 
   /** The dominant eigenpair as rows (pos, loading, lambda), 1-based. */

@@ -285,6 +285,60 @@ object EventStream {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
+  /** One per-shard moment-sums snapshot (flat
+    * [[graft.functions.VectorOuterSumAgg]] layout: [n, Σxᵢ…, upper-tri
+    * Σxᵢxⱼ…]) after this micro-batch, with the emission version. */
+  case class MomentSnap(shard: Int, ver: Long, buf: Seq[Double])
+
+  /** STREAMING COVARIANCE/PCA "train": per-shard second-moment sums in
+    * mapGroupsWithState — the unbounded-stream twin of the batch
+    * [[graft.functions.VectorOuterSumAgg]] one-pass aggregate. State is
+    * ONE flat (1 + d + d(d+1)/2)-double buffer per hash shard FOREVER
+    * (~17 KB at d = 64, × `shards`), regardless of how many vectors
+    * stream through; every field is a sum — COMMUTATIVE — so unordered
+    * multi-batch replay provably equals the batch moments (the oracle),
+    * modulo float accumulation order (consumers round derived
+    * statistics, exactly like the batch path). Emits one cumulative
+    * snapshot per shard per micro-batch (update mode) — readers keep the
+    * max-version row per shard and SUM the shard buffers (the partial →
+    * final merge, model-sized), then derive covariance via
+    * [[graft.ops.Pca.parseMoments]]/[[graft.ops.Pca.covariance]]. */
+  def momentSumsStream(vecs: Dataset[(Long, Seq[Float])], shards: Int = 8)
+  : Dataset[MomentSnap] = {
+    import vecs.sparkSession.implicits._
+    require(shards >= 1)
+    vecs.groupByKey { case (id, _) => java.lang.Math.floorMod(id, shards.toLong).toInt }
+      .mapGroupsWithState[(Array[Double], Long), MomentSnap](
+        GroupStateTimeout.NoTimeout) {
+        case (shard, it, state) =>
+          val (prev, ver) = state.getOption
+            .getOrElse((null: Array[Double], 0L))
+          // copy-on-write: the state store may hold the previous array
+          var buf = if (prev == null) null else prev.clone()
+          it.foreach { case (_, v) =>
+            if (v != null) {
+              val d = v.length
+              if (buf == null) buf = new Array[Double](1 + d + d * (d + 1) / 2)
+              else require(buf.length == 1 + d + d * (d + 1) / 2,
+                s"momentSumsStream: vector length $d does not match state")
+              buf(0) += 1.0
+              var i = 0
+              var k = 1 + d
+              while (i < d) {
+                buf(1 + i) += v(i)
+                val xi = v(i).toDouble
+                var j = i
+                while (j < d) { buf(k) += xi * v(j); j += 1; k += 1 }
+                i += 1
+              }
+            }
+          }
+          val out = if (buf == null) Array.empty[Double] else buf
+          state.update((out, ver + 1))
+          MomentSnap(shard, ver + 1, out.toSeq)
+      }
+  }
+
   /** One exact-distinct bitmap snapshot: popcount of the (key, bucket)
     * bitmap after this micro-batch, with the emission version. */
   case class BitmapSnap(key: String, bucket: Long, distinct: Long, ver: Long)

@@ -162,6 +162,48 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("momentSumsStream: multi-batch replay merges to the batch moments") {
+    val dims = 5
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq.tabulate(dims)(d =>
+        (math.sin(i * 7 + d * 3) * 2).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // batch truth: the one-pass native aggregate
+    val (bn, bs, bo) = graft.ops.Pca.momentSums(df, col("embedding"))
+    // stream: 3 files -> 3 micro-batches through the CSV gate
+    val staged = df.select(col("vec_id"),
+      concat_ws(";", col("embedding").cast("array<string>")).as("emb"))
+    val src = graft.streaming.StreamGate.scratchDir("stage", "momspec")
+    staged.repartition(3).write.mode("overwrite").csv(src)
+    val sink =
+      try graft.streaming.StreamGate.replayCsvMultiBatch(spark, src,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("emb",
+            org.apache.spark.sql.types.StringType))),
+        "gate_momspec", "update")(d =>
+        graft.streaming.EventStream.momentSumsStream(
+          d.select(col("vec_id"),
+            split(col("emb"), ";").cast("array<float>").as("v"))
+            .as[(Long, Seq[Float])], shards = 4).toDF())
+      finally graft.streaming.StreamGate.deleteRecursively(src)
+    // multiple versions per shard prove multi-batch state actually ran
+    val maxVer = sink.agg(max("ver")).as[Long].head()
+    assert(maxVer >= 2, s"replay collapsed to one micro-batch ($maxVer)")
+    val bufs = sink.groupBy(col("shard"))
+      .agg(max(struct(col("ver"), col("buf"))).as("m"))
+      .select(col("m.buf")).as[Seq[Double]].collect()
+    val flat = bufs.filter(_.nonEmpty).map(_.toArray)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val (sn, ss, so) = graft.ops.Pca.parseMoments(flat)
+    assert(sn == bn)
+    for (i <- 0 until dims)
+      assert(math.abs(ss(i) - bs(i)) < 1e-9, s"sum at $i")
+    for (i <- 0 until dims; j <- 0 until dims)
+      assert(math.abs(so(i)(j) - bo(i)(j)) < 1e-9, s"outer at ($i,$j)")
+  }
+
   test("media pipeline: schema, metadata, real default decoder") {
     val df = Seq(
       (1L, "image", Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),
