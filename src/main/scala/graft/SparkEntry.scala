@@ -4378,6 +4378,33 @@ object SparkEntry {
         col("embedding"), col("vec_id"), qv, dims = 64, k = 10)
     }),
 
+    // EMBEDDING OOD / OUTLIER SCORE — diagonal Mahalanobis distance to
+    // the corpus mean (the curation gate that drops corrupt or
+    // out-of-distribution vectors before training): μ and σ² per
+    // dimension come from the SAME one-pass moment aggregate as the
+    // covariance (model-sized), then scoring is one codegen'd scan with
+    // the statistics as literals + a distributed top-20. Full-matrix
+    // Mahalanobis would need C⁻¹ (driver math too, but the diagonal
+    // variant is the standard first gate and keeps the oracle exact).
+    "emb_ood_score" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (n, sm, o) = graft.ops.Pca.momentSums(emb, col("embedding"))
+      val d = sm.length
+      val mu = sm.map(_ / n)
+      val va = (0 until d).map(i => o(i)(i) / n - mu(i) * mu(i))
+      require(va.forall(_ > 0.0),
+        "emb_ood_score: a zero-variance dimension cannot be normalized")
+      val muArr = array(mu.toIndexedSeq.map(lit): _*)
+      val vaArr = array(va.map(lit): _*)
+      val diff = zip_with(col("embedding").cast("array<double>"), muArr,
+        (a, m) => a - m)
+      val terms = zip_with(diff, vaArr, (dd, vv) => dd * dd / vv)
+      val score = aggregate(terms, lit(0.0), (acc, x) => acc + x)
+      emb.select(col("vec_id"), round(score, 6).as("ood"))
+        .orderBy(col("ood").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // COVARIANCE MATRIX in one pass: the native VectorOuterSumAgg
     // accumulates n / Σx / upper-tri Σxᵢxⱼ map-side, so the shuffle
     // carries one ~17 KB buffer per partition — never 2080 exploded
@@ -7747,6 +7774,27 @@ object SparkEntry {
          |SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
          |FROM d, qq
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same per-dimension μ/σ² algebra (E[x²] − E[x]²) re-derived from the
+    // unnested data; top-20 with the vec_id tiebreak on the ROUNDED score
+    "emb_ood_score" ->
+      s"""WITH $embUnnestCte,
+         |mu AS (
+         |  SELECT pos, sum(cast(vx AS double)) / count(*) AS m,
+         |         sum(cast(vx AS double) * cast(vx AS double)) / count(*)
+         |           AS exx
+         |  FROM v GROUP BY pos
+         |),
+         |st AS (SELECT pos, m, exx - m * m AS va FROM mu),
+         |d AS (
+         |  SELECT v.vec_id,
+         |         sum((cast(vx AS double) - st.m) *
+         |             (cast(vx AS double) - st.m) / st.va) AS score
+         |  FROM v JOIN st USING (pos)
+         |  GROUP BY v.vec_id
+         |)
+         |SELECT vec_id, round(score, 6) AS ood FROM d
+         |ORDER BY ood DESC, vec_id LIMIT 20""".stripMargin,
 
     // `+ 0.0` collapses IEEE negative zero: round() can yield -0.0 on one
     // engine and +0.0 on the other for a tiny negative, and the driver's

@@ -160,6 +160,10 @@ class SelectionSpec extends AnyFunSuite {
         (col("id") % 1000).cast("double").as("v"))
       Selection.quantileCont(df, "v", Seq("g"), Seq(0.5, 0.9),
         buckets = 8, collectThreshold = 16)
+      // the weighted twin runs the same internal shapes — audit it under
+      // the same listener (its gather/histogram jobs land in `plans`)
+      Selection.weightedQuantile(df.withColumn("w", col("v").cast("long") % 7 + 1),
+        "v", "w", Seq("g"), Seq(0.5), buckets = 8, collectThreshold = 16)
       // the listener bus is async: wait for the histogram passes to land
       import scala.jdk.CollectionConverters._
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
