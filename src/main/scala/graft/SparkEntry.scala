@@ -881,6 +881,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
 
+    // Schema evolution across parquet file generations — the lake
+    // reality where old files lack columns new files carry. Two staged
+    // batches diverge (the legacy batch has no `lang`), mergeSchema
+    // unifies them at READ time (footer-metadata union only — no data
+    // rewrite, the missing column materializes as NULL), and the
+    // aggregate is null-aware. At 100 TB schema migration is a metadata
+    // operation, never a table rewrite.
+    "src_schema_evolution" -> ((s, dir) => {
+      val legacy = staged("evo_legacy"); val modern = staged("evo_modern")
+      val docs = tbl(s, dir, "documents")
+      docs.where(col("source") === "src0")
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(legacy)
+      docs.where(col("source") =!= "src0")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(modern)
+      s.read.option("mergeSchema", "true").parquet(legacy, modern)
+        .groupBy(coalesce(col("lang"), lit("<legacy>")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       val out = staged("csv_doc_lines")
       // value-exactness options pinned EXPLICITLY on both sides (not left
@@ -3157,6 +3178,24 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"))),
 
+    // Hashing-trick feature space profile: every token md5-hashes into
+    // 256 fixed buckets (the sparse-vector encoding that needs no
+    // vocabulary broadcast at 100 TB), and the per-bucket collision
+    // profile (distinct tokens sharing the bucket, total term mass)
+    // falls out of one explode + hash aggregate. countDistinct is the
+    // standard two-phase expand — both shuffles key on bucket/token,
+    // bounded cardinality, no driver state.
+    "text_feature_hashing" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("token").cast("binary")), 1, 8),
+        16, 10).cast("long") % 256
+      tbl(s, dir, "documents")
+        .select(explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .select(bucket.as("bucket"), col("token"))
+        .groupBy("bucket")
+        .agg(countDistinct(col("token")).as("n_tokens"),
+          count(lit(1)).as("tf"))
+    }),
+
     // BM25 retrieval: score a fixed 3-term query against the corpus.
     // Corpus stats (N, avgdl, per-term df) come from ONE 1-row aggregate
     // that cross-joins back (the sanctioned 1-row shape); per-doc tf
@@ -3273,6 +3312,153 @@ object SparkEntry {
       a.select(col("event_type"), col("n"),
         round(slope, 9).as("slope"),
         round((syD - slope * sxD) / nD, 6).as("intercept"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavior-model / next-event-prediction shape.
+    // The lag window is PARTITIONED by user (distributed; no global
+    // sort), the pair aggregation is one partial+final hash aggregate,
+    // and the per-source totals frame is |types|² rows, so the
+    // normalizing join broadcasts. At 100 TB: one partitioned window +
+    // one shuffle on a tiny key space.
+    "rel_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .where(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        // |types|² rows; checkpoint so the totals derivation reuses this
+        // tiny frame instead of replaying the scan + window + aggregate
+        .localCheckpoint(false)
+      val tot = pairs.groupBy("src").agg(sum(col("cnt")).as("tot"))
+      pairs.join(broadcast(tot), "src")
+        .select(col("src"), col("dst"), col("cnt"),
+          round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+            .as("prob"))
+    }),
+
+    // Mutual information + chi-squared independence cells for
+    // event_type × hour-of-day — the feature-relevance / drift screen.
+    // ONE hash aggregate over the data produces the joint contingency
+    // table (|types|×24 rows); marginals and N derive from that tiny
+    // frame (localCheckpointed once so the events scan runs once), and
+    // every cell's MI and chi² term is a pure literal double formula
+    // over exact longs — no double SUMMATION anywhere, so the compare
+    // is deterministic (per-cell rows, not an order-dependent total).
+    "rel_mutual_info" -> ((s, dir) => {
+      val joint = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val rm = joint.groupBy(col("event_type").as("et"))
+        .agg(sum(col("cnt")).as("rc"))
+      val cm = joint.groupBy(col("hr").as("h"))
+        .agg(sum(col("cnt")).as("cc"))
+      val n = joint.agg(sum(col("cnt")).as("n"))
+      val cD = col("cnt").cast("double"); val nD = col("n").cast("double")
+      val rD = col("rc").cast("double"); val ccD = col("cc").cast("double")
+      val e = rD * ccD / nD
+      joint.join(broadcast(rm), col("event_type") === col("et"))
+        .join(broadcast(cm), col("hr") === col("h"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("hr"), col("cnt"),
+          round(e, 6).as("exp_cnt"),
+          round((cD - e) * (cD - e) / e, 6).as("chi2_term"),
+          round((cD / nD) * log(cD * nD / (rD * ccD)), 6).as("mi_term"))
+    }),
+
+    // Full Pearson correlation matrix over lineitem's four measures in
+    // ONE pass: every first/second moment (4 sums, 4 sum-of-squares, 6
+    // cross products) accumulates in a single partial+final hash
+    // aggregate — no per-pair scans, no corr() re-reads. Measures are
+    // quantized to exact integer units first (cents/hundredths via the
+    // portable floor(x+0.5)), per-row products fit longs (< 2^47), and
+    // the SUMS widen to decimal(38,0) — Σp² passes Long.Max near 10⁵
+    // rows of 7-digit cents, i.e. immediately at scale. The 6
+    // correlations then unpivot from the one-row aggregate via a
+    // 6-struct explode: at 100 TB this query is exactly one scan + one
+    // 15-column aggregation.
+    "rel_correlation_matrix" -> ((s, dir) => {
+      def units(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+        floor(c * scale + 0.5).cast("long")
+      val li = tbl(s, dir, "lineitem").select(
+        units(col("l_quantity"), 1).as("q"),
+        units(col("l_extendedprice"), 100).as("p"),
+        units(col("l_discount"), 100).as("d"),
+        units(col("l_tax"), 100).as("t"))
+      val cols = Seq("q", "p", "d", "t")
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "d" -> "discount", "t" -> "tax")
+      val sums =
+        Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+        } ++
+        cols.map(c =>
+          sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"s_${c}_$c"))
+      val agg = li.agg(sums.head, sums.tail: _*)
+      val nD = col("n").cast("double")
+      def sD(c: String) = col(s"s_$c").cast("double")
+      def sqD(a: String, b: String) = col(s"s_${a}_$b").cast("double")
+      def corrOf(a: String, b: String): org.apache.spark.sql.Column =
+        round((nD * sqD(a, b) - sD(a) * sD(b)) /
+          (sqrt(nD * sqD(a, a) - sD(a) * sD(a)) *
+            sqrt(nD * sqD(b, b) - sD(b) * sD(b))), 6)
+      val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        struct(lit(names(a)).as("col_a"), lit(names(b)).as("col_b"),
+          corrOf(a, b).as("corr"))
+      }
+      agg.select(col("n"), explode(array(pairs: _*)).as("pr"))
+        .select(col("n"), col("pr.col_a").as("col_a"),
+          col("pr.col_b").as("col_b"), col("pr.corr").as("corr"))
+    }),
+
+    // Single-source shortest hop distance (BFS) over the bipartite
+    // customer–supplier graph induced by orders ⨝ lineitem — the
+    // Pregel-lite iterative shape: O(diameter) rounds, each ONE
+    // frontier⨝edges hash join + distinct + anti-join against the
+    // visited set. The edge list materializes (localCheckpoint) once;
+    // each level checkpoints so lineage stays flat — no 2^hops plan
+    // blowup, no driver-side data (the driver sees only per-level
+    // emptiness). The hop cap (6) mirrors the oracle's recursion bound;
+    // the dense bipartite graph's diameter is ~4, so both terminate on
+    // an empty frontier, not the cap.
+    "rel_shortest_path" -> ((s, dir) => {
+      val half = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = half
+        .unionAll(half.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(false)
+      var visited = s.range(1)
+        .select(lit("s1").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(false)
+      var frontier = visited
+      var hop = 0
+      var done = false
+      while (!done && hop < 6) {
+        hop += 1
+        val next = frontier
+          .join(edges, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop.toLong).as("dist"))
+          .localCheckpoint(false)
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.unionAll(next).localCheckpoint(false)
+          frontier = next
+        }
+      }
+      visited
     }),
 
     "rel_stratified_sample" -> ((s, dir) => {
@@ -4248,6 +4434,40 @@ object SparkEntry {
         .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
           round(col("x"), 6).as("m"))),
 
+    // Embedding drift monitor: per-label centroid of the even-id half
+    // vs the odd-id half, compared by cosine — the corpus-shift gate a
+    // training pipeline runs between ingestion generations. ONE
+    // vector-mean hash aggregate keyed (label, half) does all the data
+    // work (~17 KB buffers, partial+final); the 2×|labels| centroid
+    // rows then self-join and fold the cosine with codegen'd
+    // zip_with/aggregate. Centroids round to 6 decimals BEFORE the
+    // distance math so both engines fold bit-identical model values.
+    "emb_centroid_shift" -> ((s, dir) => {
+      val halves = tbl(s, dir, "embeddings")
+        .groupBy(col("label"), (col("vec_id") % 2).cast("long").as("half"))
+        .agg(graft.functions.GraftFunctions
+            .vecMean(s, col("embedding")).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("half"),
+          transform(col("c"), x => round(x, 6)).as("c"), col("n"))
+        // 2×|labels| centroid rows — checkpoint so the even/odd join
+        // sides reuse them instead of re-aggregating the corpus twice
+        .localCheckpoint(false)
+      val ev = halves.where(col("half") === 0)
+        .select(col("label"), col("c").as("ca"), col("n").as("n_even"))
+      val od = halves.where(col("half") === 1)
+        .select(col("label").as("lbl"), col("c").as("cb"),
+          col("n").as("n_odd"))
+      def fold(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(v, lit(0.0), (acc, x) => acc + x)
+      val dot = fold(zip_with(col("ca"), col("cb"), (x, y) => x * y))
+      val na = sqrt(fold(zip_with(col("ca"), col("ca"), (x, y) => x * y)))
+      val nb = sqrt(fold(zip_with(col("cb"), col("cb"), (x, y) => x * y)))
+      ev.join(od, col("label") === col("lbl"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(dot / (na * nb), 6).as("cos_shift"))
+    }),
+
     // Near-dup vector pairs, blocked by label. The label key has FIXED
     // cardinality (10), so per-block size grows N at N× data — the
     // maxBlock cap (LSH-refine then md5-salt, Similarity.scala) keeps the
@@ -5104,6 +5324,15 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       cast(sum(n_chars) AS bigint) AS chars
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
+    // the staged split is BY source, so the merged-read semantics
+    // re-express directly over the input table: legacy rows have no lang
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN source = 'src0' THEN '<legacy>' ELSE lang END
+        |         AS lang,
+        |       count(*)::BIGINT AS n_docs,
+        |       cast(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "src_csv_roundtrip" ->
       s"""$linesCte
@@ -6971,6 +7200,113 @@ object SparkEntry {
         |             / n::DOUBLE, 6) AS intercept
         |FROM a""".stripMargin,
 
+    // DuckDB's recursive UNION dedups (node, dist) pairs against the
+    // full accumulated set each round — exactly BFS level expansion;
+    // min(dist) at the end equals the Spark side's first-visit distance.
+    // Identical hop cap (dist < 6) on both sides; the graph's diameter
+    // is smaller, so both actually stop on frontier exhaustion.
+    "rel_shortest_path" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+        |                  's' || l_suppkey::VARCHAR AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e2 AS (
+        |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+        |), bfs AS (
+        |  SELECT 's1'::VARCHAR AS node, 0::BIGINT AS dist
+        |  UNION
+        |  SELECT e2.b, bfs.dist + 1
+        |  FROM bfs JOIN e2 ON e2.a = bfs.node
+        |  WHERE bfs.dist < 6
+        |)
+        |SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY 1""".stripMargin,
+
+    "rel_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events
+        |), p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY t, event_id) AS src,
+        |         event_type AS dst
+        |  FROM e
+        |), c AS (
+        |  SELECT src, dst, count(*)::BIGINT AS cnt
+        |  FROM p WHERE src IS NOT NULL GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT src, sum(cnt)::BIGINT AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.src, c.dst, c.cnt,
+        |       round(c.cnt::DOUBLE / tt.tot::DOUBLE, 6) AS prob
+        |FROM c JOIN tt USING (src)""".stripMargin,
+
+    // identical literal per-cell formulas over exact longs; no double
+    // summation on either side, so the rounded compare is exact
+    "rel_mutual_info" ->
+      """WITH j AS (
+        |  SELECT event_type, hour(ts)::BIGINT AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), rm AS (SELECT event_type, sum(cnt)::BIGINT AS rc FROM j GROUP BY 1),
+        |cm AS (SELECT hr, sum(cnt)::BIGINT AS cc FROM j GROUP BY 1),
+        |nn AS (SELECT sum(cnt)::BIGINT AS n FROM j)
+        |SELECT j.event_type, j.hr, j.cnt,
+        |       round(rc::DOUBLE * cc::DOUBLE / n::DOUBLE, 6) AS exp_cnt,
+        |       round((j.cnt::DOUBLE - rc::DOUBLE * cc::DOUBLE / n::DOUBLE)
+        |             * (j.cnt::DOUBLE - rc::DOUBLE * cc::DOUBLE / n::DOUBLE)
+        |             / (rc::DOUBLE * cc::DOUBLE / n::DOUBLE), 6) AS chi2_term,
+        |       round((j.cnt::DOUBLE / n::DOUBLE)
+        |             * ln(j.cnt::DOUBLE * n::DOUBLE
+        |                  / (rc::DOUBLE * cc::DOUBLE)), 6) AS mi_term
+        |FROM j
+        |JOIN rm ON j.event_type = rm.event_type
+        |JOIN cm ON j.hr = cm.hr
+        |CROSS JOIN nn""".stripMargin,
+
+    // exact integer moments (DuckDB sums int128 natively — matching the
+    // Spark side's decimal(38,0) widening), double math in the same
+    // literal order
+    "rel_correlation_matrix" ->
+      """WITH u AS (
+        |  SELECT floor(l_quantity * 1 + 0.5)::BIGINT AS q,
+        |         floor(l_extendedprice * 100 + 0.5)::BIGINT AS p,
+        |         floor(l_discount * 100 + 0.5)::BIGINT AS d,
+        |         floor(l_tax * 100 + 0.5)::BIGINT AS t
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d, sum(t) AS s_t,
+        |         sum(q * q) AS s_qq, sum(p * p) AS s_pp,
+        |         sum(d * d) AS s_dd, sum(t * t) AS s_tt,
+        |         sum(q * p) AS s_qp, sum(q * d) AS s_qd,
+        |         sum(q * t) AS s_qt, sum(p * d) AS s_pd,
+        |         sum(p * t) AS s_pt, sum(d * t) AS s_dt
+        |  FROM u
+        |)
+        |SELECT n, col_a, col_b,
+        |       round((n::DOUBLE * sab - sa * sb)
+        |             / (sqrt(n::DOUBLE * saa - sa * sa)
+        |                * sqrt(n::DOUBLE * sbb - sb * sb)), 6) AS corr
+        |FROM (
+        |  SELECT n, 'quantity' AS col_a, 'extendedprice' AS col_b,
+        |         s_qp::DOUBLE AS sab, s_q::DOUBLE AS sa, s_p::DOUBLE AS sb,
+        |         s_qq::DOUBLE AS saa, s_pp::DOUBLE AS sbb FROM a
+        |  UNION ALL
+        |  SELECT n, 'quantity', 'discount', s_qd::DOUBLE, s_q::DOUBLE,
+        |         s_d::DOUBLE, s_qq::DOUBLE, s_dd::DOUBLE FROM a
+        |  UNION ALL
+        |  SELECT n, 'quantity', 'tax', s_qt::DOUBLE, s_q::DOUBLE,
+        |         s_t::DOUBLE, s_qq::DOUBLE, s_tt::DOUBLE FROM a
+        |  UNION ALL
+        |  SELECT n, 'extendedprice', 'discount', s_pd::DOUBLE, s_p::DOUBLE,
+        |         s_d::DOUBLE, s_pp::DOUBLE, s_dd::DOUBLE FROM a
+        |  UNION ALL
+        |  SELECT n, 'extendedprice', 'tax', s_pt::DOUBLE, s_p::DOUBLE,
+        |         s_t::DOUBLE, s_pp::DOUBLE, s_tt::DOUBLE FROM a
+        |  UNION ALL
+        |  SELECT n, 'discount', 'tax', s_dt::DOUBLE, s_d::DOUBLE,
+        |         s_t::DOUBLE, s_dd::DOUBLE, s_tt::DOUBLE FROM a
+        |)""".stripMargin,
+
     "rel_stratified_sample" ->
       """SELECT event_id, event_type, user_id
         |FROM events
@@ -7615,6 +7951,15 @@ object SparkEntry {
          |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
          |FROM tk GROUP BY token""".stripMargin,
 
+    "text_feature_hashing" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(${cleanToksSql("text")}) AS token FROM documents
+         |)
+         |SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+         |       count(DISTINCT token)::BIGINT AS n_tokens,
+         |       count(*)::BIGINT AS tf
+         |FROM tk GROUP BY 1""".stripMargin,
+
     // the rules re-derived in SQL: dup-bigram fraction = 1 - distinct/
     // total, top share = mode count / total, word stats from the token
     // list; token-less docs fall back to zeros and fail the keep gate
@@ -7874,6 +8219,33 @@ object SparkEntry {
       s"""WITH $embUnnestCte
          |SELECT label, pos, round(avg(cast(vx AS double)), 6) AS m
          |FROM v GROUP BY label, pos""".stripMargin,
+
+    // same rounded-centroid discipline as emb_centroids/PQ: means round
+    // to 6 before the cosine, so both engines fold identical values
+    "emb_centroid_shift" ->
+      s"""WITH $embUnnestCte,
+         |h AS (
+         |  SELECT label, (vec_id % 2)::BIGINT AS half, pos,
+         |         round(avg(cast(vx AS double)), 6) AS m
+         |  FROM v GROUP BY 1, 2, 3
+         |), cnt AS (
+         |  SELECT label, (vec_id % 2)::BIGINT AS half,
+         |         count(*)::BIGINT AS n
+         |  FROM embeddings GROUP BY 1, 2
+         |), d AS (
+         |  SELECT a.label,
+         |         sum(a.m * b.m) AS dot,
+         |         sqrt(sum(a.m * a.m)) AS na,
+         |         sqrt(sum(b.m * b.m)) AS nb
+         |  FROM h a JOIN h b ON a.label = b.label AND a.pos = b.pos
+         |  WHERE a.half = 0 AND b.half = 1
+         |  GROUP BY 1
+         |)
+         |SELECT d.label, ne.n AS n_even, no.n AS n_odd,
+         |       round(dot / (na * nb), 6) AS cos_shift
+         |FROM d
+         |JOIN cnt ne ON d.label = ne.label AND ne.half = 0
+         |JOIN cnt no ON d.label = no.label AND no.half = 1""".stripMargin,
 
     "emb_near_dup_pairs" ->
       s"""WITH $embUnnestCte,

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-13 analytics operators (Markov
+  * transitions, MI/chi² cells, one-pass correlation matrix, BFS shortest
+  * path, feature hashing, schema evolution, centroid drift) on the
+  * sf0.001 tables — cross-query consistency and mathematical properties
+  * the DuckDB hash-compare can't express. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("rel_markov_transitions: rows are a probability kernel") {
+    val m = run("rel_markov_transitions")
+    // per-source probabilities sum to 1
+    val rows = m.groupBy("src").agg(sum("prob").as("z")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+        s"src ${r.get(0)} sums to ${r.getDouble(1)}"))
+    // transition count conservation: n_transitions = n_events - n_users
+    // (every user's sequence contributes len-1 transitions)
+    val total = m.agg(sum("cnt")).head().getLong(0)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val nEvents = raw.count()
+    val nUsers = raw.select("user_id").distinct().count()
+    assert(total == nEvents - nUsers, s"$total != $nEvents - $nUsers")
+  }
+
+  test("rel_mutual_info: cells reconcile and terms are well-formed") {
+    val mi = run("rel_mutual_info")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(mi.agg(sum("cnt")).head().getLong(0) == nEvents)
+    // chi² terms are non-negative, expected counts positive
+    assert(mi.where(col("chi2_term") < 0 || col("exp_cnt") <= 0)
+      .count() == 0L)
+    // total MI over the table is non-negative (within rounding slack)
+    val tot = mi.agg(sum("mi_term")).head().getDouble(0)
+    assert(tot > -1e-4, s"MI total $tot negative")
+  }
+
+  test("rel_correlation_matrix: 6 pairs, all within [-1, 1]") {
+    val c = run("rel_correlation_matrix").collect()
+    assert(c.length == 6)
+    c.foreach { r =>
+      val v = r.getAs[Double]("corr")
+      assert(v >= -1.0 && v <= 1.0, s"${r}")
+    }
+    // cross-check one cell against Spark's own corr() aggregate over
+    // the same integer-quantized units (independent implementation)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      floor(col("l_quantity") + 0.5).cast("long").cast("double").as("q"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        .cast("double").as("p"))
+    val want = li.agg(corr(col("q"), col("p"))).head().getDouble(0)
+    val got = c.find(r => r.getAs[String]("col_a") == "quantity" &&
+      r.getAs[String]("col_b") == "extendedprice").get.getAs[Double]("corr")
+    assert(math.abs(got - want) < 1e-5, s"$got vs corr() = $want")
+  }
+
+  test("rel_shortest_path: BFS levels respect bipartite parity") {
+    val sp = run("rel_shortest_path")
+    // the source is present at distance 0, and only the source
+    val d0 = sp.where(col("dist") === 0).collect()
+    assert(d0.length == 1 && d0.head.getString(0) == "s1")
+    // bipartite graph: suppliers sit at even distance, customers at odd
+    val bad = sp.where(
+      (col("node").startsWith("s") && col("dist") % 2 =!= 0) ||
+        (col("node").startsWith("c") && col("dist") % 2 =!= 1)).count()
+    assert(bad == 0L)
+    // one distance per node
+    assert(sp.select("node").distinct().count() == sp.count())
+  }
+
+  test("text_feature_hashing conserves total token mass") {
+    val fh = run("text_feature_hashing")
+    assert(fh.where(col("bucket") < 0 || col("bucket") >= 256)
+      .count() == 0L)
+    assert(fh.where(col("n_tokens") > col("tf")).count() == 0L)
+    val mass = fh.agg(sum("tf")).head().getLong(0)
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ops.Dedup.cleanTokens(col("text"))))
+      .count()
+    assert(mass == truth)
+  }
+
+  test("src_schema_evolution: merged read reconciles with the source") {
+    val evo = run("src_schema_evolution")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(evo.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    val legacy = evo.where(col("lang") === "<legacy>")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(legacy == docs.where(col("source") === "src0").count())
+  }
+
+  test("emb_centroid_shift: cosines bounded, halves partition each label") {
+    val cs = run("emb_centroid_shift")
+    assert(cs.where(col("cos_shift") < -1.0 || col("cos_shift") > 1.0)
+      .count() == 0L)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perLabel = emb.groupBy("label").count()
+    val joined = cs.join(perLabel, "label")
+      .where(col("n_even") + col("n_odd") =!= col("count"))
+    assert(joined.count() == 0L)
+    // deterministic: identical row multiset on a re-run (the halves are
+    // id-hashed, nothing samples)
+    val again = run("emb_centroid_shift")
+    assert(again.exceptAll(cs).isEmpty && cs.exceptAll(again).isEmpty)
+  }
+}
