@@ -135,6 +135,49 @@ object SparkEntry {
     org.apache.spark.sql.expressions.Window
       .orderBy(col("t"), col("event_id")).rowsBetween(lo, hi)
 
+  /** BPE merge training over the corpus word frequencies: k rounds of
+    * (count adjacent symbol pairs weighted by word freq) → (merge the
+    * top pair, (cnt DESC, pair ASC) tiebreak) → (rewrite the distinct-
+    * word table). Distributed: each round is one pair aggregation over
+    * the CHECKPOINTED distinct-word frame (vocabulary-sized, not
+    * corpus-sized) and only the k winning pairs ever reach the driver —
+    * the model, not the data. Shared by `text_bpe_merges` (the merge
+    * table itself) and `text_bpe_encode` (application). */
+  private def bpeTrainMerges(s: SparkSession, dir: String, k: Int)
+  : Seq[(Int, String, Long)] = {
+    var words = tbl(s, dir, "documents")
+      .select(explode(graft.ops.Dedup.cleanTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("ws"),
+        col("freq"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val syms = split(col("ws"), " ")
+      val top = words.where(size(syms) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => concat_ws(" ", element_at(syms, i),
+            element_at(syms, i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((step, pair, top(0).getLong(1)))
+        words = words.select(
+          replace(col("ws"), lit(pair), lit(pair.replace(" ", "")))
+            .as("ws"), col("freq"))
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** JVM-lifetime staging root for the batch source round-trip queries
     * (`src_*`): the returned DataFrames read from these files LAZILY (the
     * caller materializes them after the query builder returns), so the
@@ -3461,6 +3504,29 @@ object SparkEntry {
       visited
     }),
 
+    // Benford first-digit audit over order totals — the fraud/data-
+    // quality screen: observed leading-digit shares vs the Benford
+    // expectation log10(1+1/d). ONE hash aggregate to 9 rows; the total
+    // derives from the checkpointed digit frame (no second scan) and
+    // broadcasts back. Every per-digit stat is a literal double formula
+    // over exact longs.
+    "rel_benford_profile" -> ((s, dir) => {
+      val digits = tbl(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val tot = digits.agg(sum(col("n")).as("total"))
+      val obs = col("n").cast("double") / col("total").cast("double")
+      val exp9 = log(10.0, lit(1.0) + lit(1.0) / col("digit")
+        .cast("double"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(obs, 6).as("obs_p"),
+          round(exp9, 6).as("exp_p"),
+          round(obs - exp9, 6).as("dev"))
+    }),
+
     "rel_stratified_sample" -> ((s, dir) => {
       val bucket = conv(substring(md5(col("event_id").cast("string")
         .cast("binary")), 1, 8), 16, 10).cast("long") % 100
@@ -4205,38 +4271,31 @@ object SparkEntry {
     // by a local checkpoint so round i doesn't recompute rounds 1..i-1.
     "text_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      val k = 6
-      var words = tbl(s, dir, "documents")
-        .select(explode(Dedup.cleanTokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("ws"),
-          col("freq"))
-        .localCheckpoint(false)
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-      var step = 1
-      var exhausted = false
-      while (step <= k && !exhausted) {
-        val syms = split(col("ws"), " ")
-        val top = words.where(size(syms) >= 2)
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(syms) - 1),
-            i => concat_ws(" ", element_at(syms, i),
-              element_at(syms, i + 1)))).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          merges += ((step, pair, top(0).getLong(1)))
-          words = words.select(
-            replace(col("ws"), lit(pair), lit(pair.replace(" ", "")))
-              .as("ws"), col("freq"))
-            .localCheckpoint(false)
-          step += 1
-        }
-      }
-      merges.toSeq.toDF("step", "pair", "cnt")
+      bpeTrainMerges(s, dir, 6).toDF("step", "pair", "cnt")
+    }),
+
+    // BPE ENCODE — apply the trained merge list to the corpus, the
+    // tokenizer-application half of the BPE roundtrip (merges = the
+    // model, token counts = what the training pipeline actually bills
+    // by). The merge list is model-sized driver state (the PQ-codebook
+    // pattern); encoding is ONE codegen'd projection per token — a
+    // fixed chain of k string replaces over the char-spaced form, the
+    // exact sequential semantics BPE defines (replace() is left-to-
+    // right non-overlapping in both engines, proven by the merges
+    // chain) — then one per-doc hash aggregate. No joins, no UDF, no
+    // vocabulary broadcast.
+    "text_bpe_encode" -> ((s, dir) => {
+      val merges = bpeTrainMerges(s, dir, 6).map(_._2)
+      val spaced = rtrim(regexp_replace(col("token"), "(.)", "$1 "))
+      val encoded = merges.foldLeft[org.apache.spark.sql.Column](spaced)(
+        (c, p) => replace(c, lit(p), lit(p.replace(" ", ""))))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          size(split(encoded, " ")).cast("long").as("n_sym"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
     }),
 
     // Deterministic train/val/test split: engine-portable hash bucket from
@@ -7307,6 +7366,22 @@ object SparkEntry {
         |         s_t::DOUBLE, s_dd::DOUBLE, s_tt::DOUBLE FROM a
         |)""".stripMargin,
 
+    "rel_benford_profile" ->
+      """WITH d AS (
+        |  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::BIGINT
+        |           AS digit,
+        |         count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT sum(n)::BIGINT AS total FROM d)
+        |SELECT digit, n,
+        |       round(n::DOUBLE / total::DOUBLE, 6) AS obs_p,
+        |       round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE), 6)
+        |         AS exp_p,
+        |       round(n::DOUBLE / total::DOUBLE
+        |             - log10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE), 6)
+        |         AS dev
+        |FROM d CROSS JOIN t""".stripMargin,
+
     "rel_stratified_sample" ->
       """SELECT event_id, event_type, user_id
         |FROM events
@@ -8435,6 +8510,48 @@ object SparkEntry {
          |  FROM wt
          |),
          |""".stripMargin + rounds + "\n" + union + "\nORDER BY step"
+    },
+
+    // the merges chain again (same 6 rounds, same tiebreak), but each
+    // wi carries the ORIGINAL word w so the final encoded form joins
+    // back to the per-doc token stream
+    "text_bpe_encode" -> {
+      val k = 6
+      val rounds = (1 to k).map { i =>
+        s"""|p$i AS (
+            |  SELECT pair, cast(sum(freq) AS bigint) AS cnt FROM (
+            |    SELECT freq, unnest(list_transform(range(1, len(s)),
+            |           j -> s[j] || ' ' || s[j+1])) AS pair
+            |    FROM (SELECT string_split(ws, ' ') AS s, freq FROM w${i - 1})
+            |    WHERE len(s) >= 2
+            |  ) GROUP BY 1
+            |),
+            |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+            |w$i AS (
+            |  SELECT w, replace(ws, (SELECT pair FROM m$i),
+            |                 replace((SELECT pair FROM m$i), ' ', '')) AS ws,
+            |         freq FROM w${i - 1}
+            |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wt AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(${cleanToksSql("text")}) AS w FROM documents)
+         |  GROUP BY 1
+         |),
+         |w0 AS (
+         |  SELECT w, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws, freq
+         |  FROM wt
+         |),
+         |""".stripMargin + rounds + s""",
+         |tk AS (
+         |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS w
+         |  FROM documents
+         |)
+         |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+         |       cast(sum(len(string_split(w$k.ws, ' '))) AS BIGINT)
+         |         AS n_symbols
+         |FROM tk JOIN w$k ON tk.w = w$k.w
+         |GROUP BY 1""".stripMargin
     },
 
     "text_balanced_resample" ->

@@ -99,6 +99,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(legacy == docs.where(col("source") === "src0").count())
   }
 
+  test("text_bpe_encode: symbol counts bracket between tokens and chars") {
+    val enc = run("text_bpe_encode")
+    // merging can only SHORTEN a word's symbol sequence, never below 1
+    // symbol per token; with no merges it would equal the char count
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.cleanTokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("t_tokens"),
+        sum(length(col("tok"))).as("t_chars"))
+    val bad = enc.join(truth, "doc_id")
+      .where(col("n_tokens") =!= col("t_tokens") ||
+        col("n_symbols") < col("n_tokens") ||
+        col("n_symbols") > col("t_chars"))
+    assert(bad.count() == 0L)
+    // every tokenized doc is present
+    assert(enc.count() == truth.count())
+  }
+
+  test("rel_benford_profile: digits 1-9, shares and expectations sum to 1") {
+    val b = run("rel_benford_profile")
+    val digits = b.select("digit").collect().map(_.getLong(0)).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    val n = b.agg(sum("n")).head().getLong(0)
+    assert(n == spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(math.abs(b.agg(sum("obs_p")).head().getDouble(0) - 1.0) < 1e-4)
+    // Benford expectation over ALL nine digits sums to 1 — only assert
+    // when every digit actually occurs in the data
+    if (digits.length == 9)
+      assert(math.abs(b.agg(sum("exp_p")).head().getDouble(0) - 1.0) < 1e-4)
+  }
+
   test("emb_centroid_shift: cosines bounded, halves partition each label") {
     val cs = run("emb_centroid_shift")
     assert(cs.where(col("cos_shift") < -1.0 || col("cos_shift") > 1.0)
