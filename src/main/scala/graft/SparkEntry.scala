@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{Dedup, Joins, NaiveCsv, Quality, Rank, Similarity, TextOps}
 import graft.pipelines.{StockCount, WordCount}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -3525,6 +3525,221 @@ object SparkEntry {
           round(obs, 6).as("obs_p"),
           round(exp9, 6).as("exp_p"),
           round(obs - exp9, 6).as("dev"))
+    }),
+
+    // TPC-H Q4 shape: per-priority count of orders with at least one
+    // LATE line (shipped > 60 days after the order date). The EXISTS
+    // becomes a LEFT SEMI join whose condition mixes the equi-key with
+    // the non-equi date predicate — Catalyst keeps the equi part as the
+    // hash-join key and evaluates the date comparison as a join filter,
+    // so the fact-fact semi join still shuffles on orderkey (never a
+    // nested loop). The dataset has no l_commitdate/l_receiptdate
+    // (TESTDATA.md), so lateness is DEFINED against o_orderdate — a
+    // declared adaptation, not canonical Q4.
+    "rel_q4_late_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))),
+
+    // TPC-H Q9 shape: profit per (nation, order year). The dataset has
+    // no partsupp, so supplycost derives exactly as rel_q2_min_cost
+    // does: min(l_extendedprice) per (partkey, suppkey) — one extra
+    // aggregate over lineitem, then a shuffle join back on the SAME
+    // (partkey, suppkey) key. All money math in decimal end to end
+    // (price, discount, cost, quantity each cast to decimal(18,2)
+    // before any product), summed exactly, surfaced as double once.
+    // Dims (supplier, nation) broadcast; the two fact joins (orders,
+    // derived ps) shuffle on their keys.
+    "rel_q9_profit" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ps = li.groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+      val d2 = (c: Column) => c.cast("decimal(18,2)")
+      li.join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(d2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - d2(col("l_discount"))) -
+            d2(col("ps_supplycost")) * d2(col("l_quantity")))
+          .cast("decimal(18,4)").cast("double").as("profit"))
+    }),
+
+    // TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    // one year. Two fact joins shuffle on their keys, nation
+    // broadcasts, and the top-20 runs as TakeOrderedAndProject (never a
+    // global sort): revenue is an exact decimal, and the custkey
+    // tiebreak makes the cut deterministic under the driver's
+    // hash-compare even if two customers tie to the cent.
+    "rel_q10_returned" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem")
+            .where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // TPC-H Q14 shape: promo revenue share per ship month. Part is the
+    // dimension side — broadcast; one hash aggregate keyed by month.
+    // Both revenue sums stay exact decimals; the percentage is the only
+    // double op (a single division of two exactly-agreed doubles, then
+    // one round — deterministic cross-engine).
+    "rel_q14_promo" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,4)").cast("double").as("promo_rev"),
+          sum(rev).cast("decimal(18,4)").cast("double").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+        .select(col("month"),
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+            .as("promo_pct"),
+          col("promo_rev"), col("total_rev"), col("n_lines"))
+    }),
+
+    // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
+    // values), the rank-based twin of rel_abtest_report's z-test.
+    // Scale-first shape: ranks never materialize per row — the stream
+    // aggregates to DISTINCT values (hash agg), the custom GlobalScan
+    // prefix sum turns per-value counts into "count below" (two-pass
+    // distributed, no single-partition window), and the tie-averaged
+    // rank sum folds out of one aggregate in EXACT integer arithmetic:
+    // avg-rank of a tied value = cumBelow + (n+1)/2, carried doubled
+    // (rank2 = 2*run - n + 1) so everything stays integral; sums widen
+    // to decimal(38,0) = DuckDB's int128, so no overflow divergence at
+    // any scale. U, mu, sigma (with the tie correction) and z are
+    // literal formulas over the one aggregate row.
+    "rel_mann_whitney" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val d = events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("ga"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), count(lit(1)).as("n"))
+      val r = graft.plans.GlobalScan.runningSum(d, "n", "v" -> false)
+      val a = r.agg(
+        sum(col("na")).as("n1"),
+        sum(col("n") - col("na")).as("n2"),
+        sum(d38(col("na")) *
+          d38(lit(2L) * col("running") - col("n") + lit(1L))).as("ra2"),
+        sum(d38(col("n")) * d38(col("n")) * d38(col("n")) -
+          d38(col("n"))).as("tsum"),
+        sum(col("n")).as("nn"))
+      val u1x2 = col("ra2") - d38(col("n1")) * d38(col("n1") + 1)
+      val nnD = col("nn").cast("double")
+      val sigma2 = col("n1").cast("double") * col("n2").cast("double") /
+        12.0 * ((nnD + 1.0) -
+          col("tsum").cast("double") / (nnD * (nnD - 1.0)))
+      a.select(col("n1"), col("n2"),
+        (u1x2.cast("double") / 2.0).as("u1"),
+        round((u1x2 - d38(col("n1")) * d38(col("n2"))).cast("double") /
+          (lit(2.0) * sqrt(sigma2)), 6).as("z"))
+    }),
+
+    // AUTOCORRELATION of the hourly event-count series at lags 1..24 —
+    // the seasonality screen. The only data-sized work is ONE hash
+    // aggregate (events → per-hour counts); the series is O(hours in
+    // range), independent of data volume, so the lag self-join and the
+    // moment algebra run on a frame thousands of rows long at ANY
+    // scale. r_k is computed in EXACT integer algebra (multiply the
+    // centered covariance through by N² to clear the mean: N²·Σxa·xb −
+    // N·S·(Σxa+Σxb) + n_k·S² over N²·Σx² − N·S², every sum a
+    // decimal(38,0) = int128), then one double division and one round —
+    // no order-sensitive float accumulation anywhere. Hour gaps are
+    // handled by joining on the hour INDEX (h + k), not row position:
+    // a missing hour simply contributes no pair, same both engines.
+    "rel_autocorrelation" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val hr = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // feeds stats, both join sides
+      val stats = hr.agg(sum(col("x")).as("s"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        count(lit(1)).as("nh"))
+      val lags = s.range(1, 25).select(col("id").as("k"))
+      val pairs = hr.select(col("h"), col("x").as("xa"))
+        .crossJoin(broadcast(lags))
+        .select((col("h") + col("k")).as("hb"), col("k"), col("xa"))
+        .join(hr.select(col("h").as("hb"), col("x").as("xb")), "hb")
+      val perLag = pairs.groupBy("k").agg(
+        sum(d38(col("xa")) * d38(col("xb"))).as("sab"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        count(lit(1)).as("n_pairs"))
+      val n2 = d38(col("nh")) * d38(col("nh"))
+      val num = n2 * col("sab") -
+        d38(col("nh")) * d38(col("s")) * d38(col("sa") + col("sb")) +
+        d38(col("n_pairs")) * d38(col("s")) * d38(col("s"))
+      val den = n2 * col("sxx") -
+        d38(col("nh")) * d38(col("s")) * d38(col("s"))
+      perLag.crossJoin(broadcast(stats))
+        .select(col("k"), col("n_pairs"),
+          round(num.cast("double") / den.cast("double"), 6).as("acf"))
+    }),
+
+    // Per-language corpus token entropy — the diversity screen a
+    // training-data mix needs next to text_domain_mix's weights.
+    // Shannon entropy over the unigram distribution, computed from the
+    // COUNT-OF-COUNTS histogram so the order-sensitive float sum
+    // disappears: H = log2(N) − (Σ_c m_c·c·log2(c))/N, and each
+    // distinct count c contributes ONE term — round(c·log2(c), 6) as an
+    // exact decimal, times the integer multiplicity — so the per-lang
+    // sum is exact decimal arithmetic both engines agree on bit-for-bit
+    // (the only libm call, log2(c), is rounded to 6 before it enters
+    // the sum; c·log2(c) stays far under decimal(28,6)'s integer
+    // range at any realistic per-token count). Two hash aggregates,
+    // both shuffling on shrinking keys: (lang, token) then (lang, c).
+    "text_token_entropy" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("lang"), explode(graft.ops.TextOps.tokenize(
+          graft.ops.TextOps.scrub(col("text")))).as("token"))
+        .where(length(col("token")) > 0)
+      val hist = toks.groupBy("lang", "token")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang", "c").agg(count(lit(1)).as("m"))
+      val term = round(col("c").cast("double") *
+          log2(col("c").cast("double")), 6).cast("decimal(28,6)") *
+        col("m").cast("decimal(10,0)")
+      hist.groupBy("lang").agg(
+          sum(col("m") * col("c")).as("n_tokens"),
+          sum(col("m")).as("n_distinct"),
+          sum(term).as("sclogc"))
+        .select(col("lang"), col("n_tokens"), col("n_distinct"),
+          round(log2(col("n_tokens").cast("double")) -
+            col("sclogc").cast("double") /
+              col("n_tokens").cast("double"), 6).as("entropy"))
     }),
 
     "rel_stratified_sample" -> ((s, dir) => {
@@ -7381,6 +7596,145 @@ object SparkEntry {
         |             - log10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE), 6)
         |         AS dev
         |FROM d CROSS JOIN t""".stripMargin,
+
+    "rel_q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "rel_q9_profit" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey,
+        |                   l_suppkey AS ps_suppkey,
+        |                   min(l_extendedprice) AS ps_supplycost
+        |            FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name, year(o_orderdate) AS o_year,
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                 (cast(1 AS decimal(18,2)) -
+        |                  cast(l_discount AS decimal(18,2))) -
+        |                 cast(ps_supplycost AS decimal(18,2)) *
+        |                 cast(l_quantity AS decimal(18,2)))
+        |            AS decimal(18,4)) AS double) AS profit
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN ps       ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                (cast(1 AS decimal(18,2)) -
+        |                 cast(l_discount AS decimal(18,2))))
+        |            AS decimal(18,4)) AS double) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "rel_q14_promo" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |         cast(cast(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN cast(l_extendedprice AS decimal(18,2)) *
+        |                      (cast(1 AS decimal(18,2)) -
+        |                       cast(l_discount AS decimal(18,2)))
+        |                 ELSE cast(0 AS decimal(18,2)) END)
+        |              AS decimal(18,4)) AS double) AS promo_rev,
+        |         cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |                  (cast(1 AS decimal(18,2)) -
+        |                   cast(l_discount AS decimal(18,2))))
+        |              AS decimal(18,4)) AS double) AS total_rev,
+        |         count(*) AS n_lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT month,
+        |       round(100.0 * promo_rev / total_rev, 6) AS promo_pct,
+        |       promo_rev, total_rev, n_lines
+        |FROM m""".stripMargin,
+
+    "rel_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), d AS (
+        |  SELECT v, sum(ga)::HUGEINT AS na, count(*)::HUGEINT AS n
+        |  FROM s GROUP BY v
+        |), r AS (
+        |  SELECT na, n, sum(n) OVER (ORDER BY v) AS run FROM d
+        |), a AS (
+        |  SELECT sum(na) AS n1, sum(n - na) AS n2,
+        |         sum(na * (2 * run - n + 1)) AS ra2,
+        |         sum(n * n * n - n) AS tsum, sum(n) AS nn
+        |  FROM r
+        |)
+        |SELECT cast(n1 AS BIGINT) AS n1, cast(n2 AS BIGINT) AS n2,
+        |       cast(ra2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |       round(cast(ra2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) /
+        |             (2.0 * sqrt(cast(n1 AS DOUBLE) * cast(n2 AS DOUBLE)
+        |                 / 12.0 *
+        |               (cast(nn AS DOUBLE) + 1.0 - cast(tsum AS DOUBLE) /
+        |                 (cast(nn AS DOUBLE) *
+        |                  (cast(nn AS DOUBLE) - 1.0))))), 6) AS z
+        |FROM a""".stripMargin,
+
+    "rel_autocorrelation" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS x
+        |  FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT sum(x)::HUGEINT AS s,
+        |         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |         count(*)::HUGEINT AS nh
+        |  FROM h
+        |), ks AS (SELECT unnest(generate_series(1, 24)) AS k),
+        |p AS (
+        |  SELECT ks.k AS k, a.x AS xa, b.x AS xb
+        |  FROM h a CROSS JOIN ks CROSS JOIN h b
+        |  WHERE b.h = a.h + ks.k
+        |), pl AS (
+        |  SELECT k, sum(xa::HUGEINT * xb::HUGEINT) AS sab,
+        |         sum(xa)::HUGEINT AS sa, sum(xb)::HUGEINT AS sb,
+        |         count(*)::HUGEINT AS np
+        |  FROM p GROUP BY k
+        |)
+        |SELECT k, cast(np AS BIGINT) AS n_pairs,
+        |       round(cast(nh * nh * sab - nh * s * (sa + sb)
+        |                  + np * s * s AS DOUBLE) /
+        |             cast(nh * nh * sxx - nh * s * s AS DOUBLE), 6) AS acf
+        |FROM pl CROSS JOIN st""".stripMargin,
+
+    "text_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(string_split_regex(
+        |           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+        |           '\s+')) AS token
+        |  FROM documents
+        |), tc AS (
+        |  SELECT lang, token, count(*) AS c
+        |  FROM toks WHERE len(token) > 0 GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT lang, c, count(*) AS m FROM tc GROUP BY 1, 2
+        |)
+        |SELECT lang,
+        |       cast(sum(m * c) AS BIGINT) AS n_tokens,
+        |       cast(sum(m) AS BIGINT) AS n_distinct,
+        |       round(log2(cast(sum(m * c) AS DOUBLE)) -
+        |             cast(sum(cast(round(c * log2(c::DOUBLE), 6)
+        |                           AS decimal(28,6)) * m) AS DOUBLE) /
+        |             cast(sum(m * c) AS DOUBLE), 6) AS entropy
+        |FROM hist GROUP BY lang""".stripMargin,
 
     "rel_stratified_sample" ->
       """SELECT event_id, event_type, user_id
