@@ -3742,6 +3742,104 @@ object SparkEntry {
               col("n_tokens").cast("double"), 6).as("entropy"))
     }),
 
+    // GINI COEFFICIENT of customer revenue concentration — the
+    // inequality metric behind "top 1% of customers drive X%" claims.
+    // Written in the textbook global-window form (row_number over the
+    // total revenue order) and rewritten session-wide to the
+    // distributed GlobalRank — ranks come from a two-pass
+    // range-partitioned sort, never a single-partition WindowExec.
+    // Money in cents as exact longs; Σ i·x_i widens to decimal(38,0)
+    // (= DuckDB's int128), so Gini = (2Σi·x − (n+1)S) / (nS) is a
+    // literal formula over one exactly-agreed aggregate row.
+    "rel_gini_revenue" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val cust = tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("o_custkey"))
+      cust.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(d38(col("i")) * d38(col("cents"))).as("sic"))
+        .select(col("n_customers"), col("total_cents"),
+          round((lit(2).cast("decimal(38,0)") * col("sic") -
+              d38(col("n_customers") + 1) * d38(col("total_cents")))
+              .cast("double") /
+            (d38(col("n_customers")) * d38(col("total_cents")))
+              .cast("double"), 6).as("gini"))
+    }),
+
+    // ZIPF-LAW FIT over the corpus token frequencies — the classic
+    // corpus health check (natural text fits slope ≈ −1). Frequency
+    // rank comes from the same distributed GlobalRank rewrite (global
+    // row_number over (count DESC, token)); the least-squares fit of
+    // log2(freq) on log2(rank) runs over per-TERM decimal terms:
+    // each x, y is rounded to 6 once (the only libm entry), so Σx, Σy,
+    // Σxy, Σx², Σy² are exact decimal sums both engines agree on —
+    // slope/intercept/r² are then closed-form doubles over five
+    // scalars. One token hash agg + one rank sort; no per-row floats.
+    "text_zipf_fit" -> ((s, dir) => {
+      val tf = tbl(s, dir, "documents")
+        .select(explode(graft.ops.TextOps.tokenize(
+          graft.ops.TextOps.scrub(col("text")))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("token"))
+      val xy = tf.withColumn("r", row_number().over(w).cast("long"))
+        .select(
+          round(log2(col("r").cast("double")), 6)
+            .cast("decimal(12,6)").as("x"),
+          round(log2(col("f").cast("double")), 6)
+            .cast("decimal(12,6)").as("y"))
+      val agg = xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n_terms").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      val icept = (sy * sxx - sx * sxy) / (nD * sxx - sx * sx)
+      val r2num = (nD * sxy - sx * sy) * (nD * sxy - sx * sy)
+      val r2den = (nD * sxx - sx * sx) * (nD * syy - sy * sy)
+      agg.select(col("n_terms"), round(slope, 6).as("slope"),
+        round(icept, 6).as("intercept"),
+        round(r2num / r2den, 6).as("r2"))
+    }),
+
+    // HLL sketch INTERSECTION estimate via inclusion-exclusion —
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B) — with the same accuracy-
+    // contract shape as rel_hll_union_bounded: the driver re-checks
+    // every round that the sketch route lands within the bound of the
+    // exact overlap (purchase ∩ click user sets). Inclusion-exclusion
+    // amplifies the union's relative error into the (smaller)
+    // intersection, hence the wider 15% + 100 bound. The exact side is
+    // a distinct-distinct semi-ish join on user_id; the sketch side
+    // never shuffles more than two 4 KB sketches.
+    "rel_hll_intersect_bounded" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+      val ests = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(sum(expr("hll_sketch_estimate(sk)")).as("sum_est"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+      val exact = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+        .join(ev.where(col("event_type") === "click")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_in"))
+      ests.crossJoin(broadcast(exact))
+        .select(col("exact_in"),
+          (abs(col("sum_est") - col("est_union") - col("exact_in")) <=
+            col("exact_in").cast("double") * 0.15 + 100.0)
+            .cast("long").as("within_bound"))
+    }),
+
     "rel_stratified_sample" -> ((s, dir) => {
       val bucket = conv(substring(md5(col("event_id").cast("string")
         .cast("binary")), 1, 8), 16, 10).cast("long") % 100
@@ -7735,6 +7833,80 @@ object SparkEntry {
         |                           AS decimal(28,6)) * m) AS DOUBLE) /
         |             cast(sum(m * c) AS DOUBLE), 6) AS entropy
         |FROM hist GROUP BY lang""".stripMargin,
+
+    "rel_gini_revenue" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents,
+        |         row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM c
+        |), a AS (
+        |  SELECT count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS s,
+        |         sum(i::HUGEINT * cents::HUGEINT) AS sic
+        |  FROM r
+        |)
+        |SELECT cast(n AS BIGINT) AS n_customers,
+        |       cast(s AS BIGINT) AS total_cents,
+        |       round(cast(2 * sic - (n + 1) * s AS DOUBLE) /
+        |             cast(n * s AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(
+        |           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+        |           '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT token, count(*) AS f
+        |  FROM toks WHERE len(token) > 0 GROUP BY 1
+        |), xy AS (
+        |  SELECT cast(round(log2(cast(row_number()
+        |             OVER (ORDER BY f DESC, token) AS DOUBLE)), 6)
+        |           AS decimal(12,6)) AS x,
+        |         cast(round(log2(f::DOUBLE), 6) AS decimal(12,6)) AS y
+        |  FROM tf
+        |), a AS (
+        |  SELECT count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM xy
+        |)
+        |SELECT cast(n AS BIGINT) AS n_terms,
+        |       round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+        |              - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) /
+        |             (cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+        |              - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)), 6)
+        |         AS slope,
+        |       round((cast(sy AS DOUBLE) * cast(sxx AS DOUBLE)
+        |              - cast(sx AS DOUBLE) * cast(sxy AS DOUBLE)) /
+        |             (cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+        |              - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)), 6)
+        |         AS intercept,
+        |       round(((cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+        |               - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) *
+        |              (cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+        |               - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))) /
+        |             ((cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+        |               - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) *
+        |              (cast(n AS DOUBLE) * cast(syy AS DOUBLE)
+        |               - cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 6)
+        |         AS r2
+        |FROM a""".stripMargin,
+
+    "rel_hll_intersect_bounded" ->
+      """WITH i AS (
+        |  SELECT count(*) AS exact_in
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'purchase') a
+        |  JOIN (SELECT DISTINCT user_id FROM events
+        |        WHERE event_type = 'click') b USING (user_id)
+        |)
+        |SELECT exact_in, cast(1 AS BIGINT) AS within_bound
+        |FROM i""".stripMargin,
 
     "rel_stratified_sample" ->
       """SELECT event_id, event_type, user_id

@@ -117,6 +117,50 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_gini_revenue: matches brute-force Gini, bounded") {
+    val row = run("rel_gini_revenue").head()
+    val gini = row.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini out of range")
+    // brute force on collected per-customer cents
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val n = cents.length.toDouble
+    val s0 = cents.map(BigInt(_)).sum
+    val sic = cents.zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * x }.sum
+    val brute = (BigDecimal(2 * sic) - BigDecimal((n + 1).toLong) *
+      BigDecimal(s0)).toDouble / (n * s0.toDouble)
+    assert(math.abs(gini - brute) < 1e-6, s"$gini != $brute")
+    assert(row.getAs[Long]("n_customers") == cents.length)
+  }
+
+  test("text_zipf_fit: negative slope, r2 in [0,1], full vocab") {
+    val row = run("text_zipf_fit").head()
+    assert(row.getAs[Double]("slope") < 0, "zipf slope must be negative")
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ops.TextOps.tokenize(
+        graft.ops.TextOps.scrub(col("text")))).as("t"))
+      .where(length(col("t")) > 0).select("t").distinct().count()
+    assert(row.getAs[Long]("n_terms") == vocab)
+  }
+
+  test("rel_hll_intersect_bounded: contract holds, exact side correct") {
+    val row = run("rel_hll_intersect_bounded").head()
+    assert(row.getAs[Long]("within_bound") == 1L)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val a = ev.where(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val b = ev.where(col("event_type") === "click")
+      .select("user_id").distinct()
+    assert(row.getAs[Long]("exact_in") == a.join(b, "user_id").count())
+  }
+
   test("rel_q9_profit: groups partition the joined fact rows") {
     // profit rows exist for every (nation, year) present in the join;
     // spot-check the join cardinality conservation instead of money
