@@ -1731,8 +1731,16 @@ object SparkEntry {
     "rel_bloom_join_prune" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING")
+      // Size the filter from the DATA, never a constant: a fixed 20k
+      // capacity saturated at the 10x ladder rung (29,430 BUILDING
+      // keys), silently degrading the prune to a pass-through (FP-rate
+      // → ~100%; the downstream inner join kept the ANSWER right, but
+      // the operator stopped pruning — the scale ladder caught it).
+      // One extra dim-side count is the price of a sketch that holds
+      // its FP bound at any scale; driver state stays one long.
+      val nKeys = math.max(20000L, (cust.count() * 13L) / 10L)
       val bloom = cust.agg(graft.functions.GraftFunctions
-        .bloomAgg(s, xxhash64(col("c_custkey")), 20000L).as("bf"))
+        .bloomAgg(s, xxhash64(col("c_custkey")), nKeys).as("bf"))
       tbl(s, dir, "orders")
         .crossJoin(broadcast(bloom))
         .where(graft.functions.GraftFunctions.bloomMightContain(
@@ -1750,12 +1758,17 @@ object SparkEntry {
     // keys. Present keys can never miss (the bloom guarantee — any miss
     // would also silently drop rows in rel_bloom_join_prune); absent-key
     // false positives must stay under the filter's configured 3% default
-    // rate (loose here: the filter is sized for 20k items and holds ~3k)
+    // rate at ANY scale (capacity derives from the segment's key count)
     "rel_bloom_fpp_bounded" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer")
-      val bloom = cust.where(col("c_mktsegment") === "BUILDING")
+      val seg = cust.where(col("c_mktsegment") === "BUILDING")
+      // data-derived capacity, same reasoning as rel_bloom_join_prune:
+      // the 3% FP contract below is only meaningful if the filter is
+      // sized for what it actually holds at THIS scale
+      val nKeys = math.max(20000L, (seg.count() * 13L) / 10L)
+      val bloom = seg
         .agg(graft.functions.GraftFunctions
-          .bloomAgg(s, xxhash64(col("c_custkey")), 20000L).as("bf"))
+          .bloomAgg(s, xxhash64(col("c_custkey")), nKeys).as("bf"))
       cust.crossJoin(broadcast(bloom))
         .select((col("c_mktsegment") === "BUILDING").as("present"),
           graft.functions.GraftFunctions.bloomMightContain(

@@ -49,13 +49,59 @@ object Media {
   // cache — one temp file per read would dominate a batch decode job
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Reader SPIs resolved ONCE per JVM. `ImageIO.read` /
+    * `getImageReaders` scan the IIORegistry under a lock on every call
+    * (~tens of µs per tiny payload, and the lock serializes all 32
+    * executor threads — the same per-row provider-lookup cost the audio
+    * path eliminated with its RIFF fast path). Payloads whose magic
+    * bytes identify the format skip the scan entirely; anything else
+    * falls back to the full registry lookup, so behavior on exotic
+    * containers is unchanged. */
+  private lazy val pngSpi: Option[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    if (it.hasNext) Some(it.next().getOriginatingProvider) else None
+  }
+  private lazy val gifSpi: Option[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (it.hasNext) Some(it.next().getOriginatingProvider) else None
+  }
+
+  private def magicSpi(payload: Array[Byte])
+  : Option[javax.imageio.spi.ImageReaderSpi] =
+    if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') pngSpi
+    else if (payload.length >= 4 && payload(0) == 'G' &&
+      payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') gifSpi
+    else None
+
+  /** Decode the first image of a payload with a known-format SPI reader
+    * (no registry scan); None if the SPI route fails for any reason so
+    * callers can fall back. */
+  private def readViaSpi(payload: Array[Byte],
+      spi: javax.imageio.spi.ImageReaderSpi)
+  : Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val reader = spi.createReaderInstance()
+      try {
+        reader.setInput(iis)
+        Option(reader.read(0))
+      } catch { case _: Exception => None }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** REAL image decode via the JDK's ImageIO: returns (width, height,
-    * pixels) or None for null/undecodable payloads. */
+    * pixels) or None for null/undecodable payloads. PNG/GIF payloads
+    * (identified by magic bytes) decode through the cached SPI — no
+    * per-row IIORegistry scan; everything else takes `ImageIO.read`. */
   def decodeImage(payload: Array[Byte])
   : Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty) None
-    else Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload)))
+    else magicSpi(payload).flatMap(readViaSpi(payload, _)).orElse(
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))))
 
   /** 8 deterministic floats from a decoded image: width, height, aspect,
     * mean R/G/B over all pixels, mean luma (Rec. 601), and 1.0 as a
@@ -347,19 +393,27 @@ object Media {
   def gifFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty) Nil
     else {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // GIF magic → cached SPI reader (no per-row IIORegistry scan —
+      // see decodeImage's Scaladoc); other containers take the full
+      // registry lookup as before
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Nil
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            (0 until n).map(reader.read)
-          } catch { case _: Exception => Nil }
-          finally reader.dispose()
+        val readerOpt = magicSpi(payload) match {
+          case Some(spi) => Some(spi.createReaderInstance())
+          case None =>
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) Some(readers.next()) else None
+        }
+        readerOpt match {
+          case None => Nil
+          case Some(reader) =>
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n).map(reader.read)
+            } catch { case _: Exception => Nil }
+            finally reader.dispose()
         }
       } finally iis.close()
     }
