@@ -3640,6 +3640,378 @@ object SparkEntry {
           col("promo_rev"), col("total_rev"), col("n_lines"))
     }),
 
+    // TPC-H Q8 shape: a nation's market share of STANDARD-part revenue
+    // sold into one customer region, per order year. The two fact joins
+    // (orders on orderkey, customer on custkey) shuffle on their keys;
+    // part, supplier, nation (twice — customer side and supplier side)
+    // and region all broadcast. Revenue stays exact decimal until the
+    // one share division at the end (round 6 — deterministic
+    // cross-engine on exactly-agreed operands).
+    "rel_q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))
+      val custNation = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_nationkey"),
+          col("n_regionkey").as("cn_regionkey"))
+      val suppNation = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_nationkey"),
+          col("n_name").as("supp_nation"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+            .where(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation),
+          col("c_nationkey") === col("cn_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")
+            .where(col("r_name") === "ASIA")),
+          col("cn_regionkey") === col("r_regionkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation),
+          col("s_nationkey") === col("sn_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,4)").cast("double").as("nation_rev"),
+          sum(rev).cast("decimal(18,4)").cast("double").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+        .select(col("o_year"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+          col("total_rev"), col("n_lines"))
+    }),
+
+    // TPC-H Q11 shape: parts whose inventory value (priced from
+    // lineitem — the dataset has no partsupp, declared adaptation)
+    // through one region's suppliers exceeds 0.1% of the region total.
+    // One hash aggregate keyed by partkey does all data work; the
+    // global total is a 1-row broadcast cross join, and the threshold
+    // compare stays EXACT decimal (value*1000 > total — never a
+    // float fraction), so the cut is deterministic on any engine.
+    "rel_q11_important_parts" -> ((s, dir) => {
+      val pv = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")
+            .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .as("value_d"))
+      pv.crossJoin(broadcast(pv.agg(sum(col("value_d")).as("total"))))
+        .where(col("value_d") * lit(1000) > col("total"))
+        .select(col("partkey"),
+          col("value_d").cast("decimal(18,4)").cast("double").as("value"))
+    }),
+
+    // TPC-H Q12 shape: high- vs low-priority order counts per line
+    // status (the dataset has no l_shipmode — l_linestatus stands in,
+    // declared adaptation) among lines shipped >30 days after the
+    // order date in one ship year. The CASE-sum pivot folds both
+    // counters out of ONE fact-fact hash join (shuffle on orderkey)
+    // and one tiny aggregate; the date filters sit on the scan side.
+    "rel_q12_priority_class" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem")
+            .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+              && col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).cast("long")
+            .as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).cast("long")
+            .as("low_line_count"))
+    }),
+
+    // TPC-H Q13 shape: distribution of per-customer order counts over
+    // one year (priority-filtered), INCLUDING the zero bucket — the
+    // filters ride inside the LEFT OUTER join condition so unmatched
+    // customers survive with count 0. Two hash aggregates on shrinking
+    // keys (custkey, then the tiny count domain); the outer join
+    // shuffles on custkey.
+    "rel_q13_order_dist" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("2000-01-01").cast("timestamp")
+              && col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    // bucket, excluding flagged suppliers (s_acctbal < 0 stands in for
+    // the complaints predicate — no comment column, declared
+    // adaptation). The NOT IN becomes a broadcast LEFT ANTI join
+    // (supplier is the dim side; s_suppkey is never null, so anti-join
+    // and NOT IN agree); countDistinct plans as the standard two-phase
+    // expand — both shuffles keyed on the tiny group domain.
+    "rel_q16_supplier_cnt" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+            .where(col("p_brand") =!= "Brand#13"
+              && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")
+            .where(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).cast("long")
+          .as("supplier_cnt"))),
+
+    // TPC-H Q17 shape: yearly revenue lost to small-quantity lines of
+    // one brand — the correlated scalar subquery (0.2 x per-part avg
+    // quantity) becomes a per-part aggregate joined back on partkey.
+    // Quantities are integral doubles, so per-part sums are exact and
+    // the avg (sum/count, one division) agrees bit-for-bit across
+    // engines — the 0.2x threshold compare is deterministic. Revenue
+    // sums exact decimal; one division by 7.0 at the end.
+    "rel_q17_small_qty" -> ((s, dir) => {
+      val pl = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+            .where(col("p_brand") === "Brand#23").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pa = pl.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+      pl.join(pa, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < col("qty_thresh"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,4)").cast("double") / lit(7.0), 6)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape: revenue under a disjunction of three
+    // (brand, size-range, quantity-range) branches. The partkey
+    // equi-condition stays the hash-join key; the OR-of-ANDs rides as
+    // a join filter — one broadcast hash join, never a nested loop,
+    // and the quantity half of each branch pushes to the lineitem scan
+    // as (q BETWEEN 1 AND 11 OR q BETWEEN 10 AND 20 OR ...).
+    "rel_q19_disjunctive" -> ((s, dir) => {
+      val branch = (brand: String, szLo: Int, szHi: Int,
+          qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")),
+          col("p_partkey") === col("l_partkey") &&
+            (branch("Brand#12", 1, 5, 1, 11) ||
+              branch("Brand#23", 1, 10, 10, 20) ||
+              branch("Brand#3", 1, 15, 20, 30)))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who single-handedly held up a
+    // finished multi-supplier order (their line shipped >75 days after
+    // the order date — no receipt/commit dates, declared adaptation).
+    // The canonical EXISTS + NOT EXISTS pair collapses into ONE hash
+    // aggregate per orderkey — distinct suppliers, distinct LATE
+    // suppliers, and (via max over the when-projection, well-defined
+    // because the filter pins exactly one) the late supplier's key —
+    // then a tiny broadcast join to names. Two shuffles total
+    // (orderkey, then s_name), no correlated re-scans.
+    "rel_q21_waiting_supplier" -> ((s, dir) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 75 DAYS")
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("ns"),
+          countDistinct(when(late, col("l_suppkey"))).as("nls"),
+          max(when(late, col("l_suppkey"))).as("late_supp"))
+        .where(col("ns") > 1 && col("nls") === 1)
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22 shape: well-funded customers of a nation set with no
+    // recent orders. The scalar threshold (mean positive balance) is a
+    // 1-row broadcast cross join compared in EXACT decimal
+    // (bal*count > total — never a float mean), so the cut can't
+    // diverge across engines; the "no recent orders" NOT EXISTS is a
+    // LEFT ANTI join shuffling on custkey with the date filter pushed
+    // to the orders scan.
+    "rel_q22_idle_rich" -> ((s, dir) => {
+      val pool = tbl(s, dir, "customer")
+        .where(col("c_nationkey").isin(3, 8, 13, 18, 23))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val thresh = pool.where(col("bal") > 0)
+        .agg(sum(col("bal")).as("pos_total"),
+          count(lit(1)).as("pos_n"))
+      pool.crossJoin(broadcast(thresh))
+        .where(col("bal") * col("pos_n") > col("pos_total"))
+        .join(tbl(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
+    }),
+
+    // TPC-H Q15 shape: the top supplier(s) by revenue in one quarter —
+    // the canonical CREATE VIEW + scalar max becomes one hash
+    // aggregate keyed by suppkey, its 1-row max broadcast back via a
+    // cross join, and an EXACT decimal equality keeps the tie
+    // semantics (every supplier AT the max survives, as the spec
+    // demands — never a top-1 cut that drops ties).
+    "rel_q15_top_supplier" -> ((s, dir) => {
+      val rev = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .as("rev_d"))
+      rev.crossJoin(broadcast(rev.agg(max(col("rev_d")).as("max_rev"))))
+        .where(col("rev_d") === col("max_rev"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("decimal(18,4)").cast("double")
+            .as("total_revenue"))
+    }),
+
+    // TPC-H Q20 shape: suppliers who shipped the majority (>50%) of a
+    // PROMO part's volume in one year — the nested available-quantity
+    // EXISTS becomes two stacked aggregates on SHRINKING keys
+    // ((part, supp), then part) and a join back on partkey; the
+    // majority compare is exact (quantities are integral doubles, so
+    // every sum is exact and *2 never rounds). distinct() collapses a
+    // supplier holding several majorities; supplier names broadcast.
+    "rel_q20_excess_suppliers" -> ((s, dir) => {
+      val sq = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "part")
+            .where(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("supp_qty"))
+      val pt = sq.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("supp_qty")).as("part_qty"))
+      sq.join(pt, col("l_partkey") === col("t_partkey"))
+        .where(col("supp_qty") * 2 > col("part_qty"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name").distinct()
+    }),
+
+    // Exact per-user trailing median (5-row frame) over event time —
+    // the robust-smoothing twin of rel_moving_avg. No built-in exact
+    // median window exists: the frame's values collect into a sorted
+    // 5-element array (bounded — never grows with data) and the median
+    // reads out positionally, interpolating even frames exactly like
+    // the oracle's quantile_cont(0.5). Partitioned window — fully
+    // distributed, no global sort.
+    "rel_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+      val win = sort_array(collect_list(col("value")).over(w))
+      val n = size(win)
+      val mid = element_at(win, ((n + 1) / 2).cast("int"))
+      val midHi = element_at(win, (n / 2).cast("int") + 1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          round(when(n % 2 === 1, mid)
+            .otherwise((mid + midHi) / 2.0), 6).as("rmed"))
+    }),
+
+    // Market-basket pair mining: co-ordered part pairs with support
+    // and lift, top-100 by support. The self-join keys on l_orderkey,
+    // so per-order pair fan-out is (items-per-order choose 2) — a
+    // CONSTANT (~7 lines/order) at any corpus size; work stays linear
+    // in orders, never all-pairs over parts. Per-part supports join
+    // back broadcast (part domain = dim-sized); the top-100 runs as
+    // TakeOrderedAndProject with a (part_a, part_b) tiebreak so the
+    // cut is deterministic through support ties, and lift divides two
+    // exact integers once.
+    "rel_basket_pairs" -> ((s, dir) => {
+      val items = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val x = items.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("part_a"))
+      val y = items.select(col("l_orderkey").as("ok2"),
+        col("l_partkey").as("part_b"))
+      val pairs = x.join(y,
+          col("ok") === col("ok2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("cnt"))
+      val pc = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+      val n = items.agg(
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(broadcast(pc.select(col("l_partkey").as("pa_key"),
+          col("supp").as("supp_a"))), col("part_a") === col("pa_key"))
+        .join(broadcast(pc.select(col("l_partkey").as("pb_key"),
+          col("supp").as("supp_b"))), col("part_b") === col("pb_key"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("cnt"),
+          round((col("cnt") * col("n_orders")).cast("double") /
+            (col("supp_a") * col("supp_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("cnt").desc, col("part_a").asc, col("part_b").asc)
+        .limit(100)
+    }),
+
+    // CUSUM drift screen over the hourly event-count series: the
+    // running deviation from the global mean (S_t = cumsum - t*mu),
+    // the classic change-point indicator. One data-sized hash
+    // aggregate shrinks the stream to O(hours); the global running
+    // sum over that tiny frame is exactly the shape the session
+    // extension rewrites to the distributed GlobalScan (no
+    // single-partition window), and S_t stays exact-integer until the
+    // one t*mu product (two exact ints divided once — deterministic).
+    "rel_cusum_hourly" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+      val h = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      h.crossJoin(broadcast(
+          h.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n"))))
+        .select(col("hr"), col("cnt"),
+          sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)).as("run"),
+          row_number().over(w).as("rn"),
+          col("total"), col("n"))
+        .select(
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("cnt"),
+          round(col("run") -
+            col("rn") * (col("total").cast("double") / col("n")), 6)
+            .as("cusum"))
+    }),
+
     // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
     // values), the rank-based twin of rel_abtest_report's z-test.
     // Scale-first shape: ranks never materialize per row — the stream
@@ -7772,6 +8144,242 @@ object SparkEntry {
         |       round(100.0 * promo_rev / total_rev, 6) AS promo_pct,
         |       promo_rev, total_rev, n_lines
         |FROM m""".stripMargin,
+
+    "rel_q8_market_share" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         cast(l_extendedprice AS decimal(18,2)) *
+        |         (cast(1 AS decimal(18,2)) -
+        |          cast(l_discount AS decimal(18,2))) AS rev,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |)
+        |SELECT o_year,
+        |       round(cast(cast(sum(CASE WHEN supp_nation = 'NATION_7'
+        |                   THEN rev ELSE cast(0 AS decimal(18,2)) END)
+        |              AS decimal(18,4)) AS double) /
+        |             cast(cast(sum(rev) AS decimal(18,4)) AS double), 6)
+        |         AS mkt_share,
+        |       cast(cast(sum(rev) AS decimal(18,4)) AS double)
+        |         AS total_rev,
+        |       count(*) AS n_lines
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "rel_q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS partkey,
+        |         sum(cast(l_extendedprice AS decimal(18,2))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1
+        |), t AS (SELECT sum(value) AS total FROM pv)
+        |SELECT partkey,
+        |       cast(cast(value AS decimal(18,4)) AS double) AS value
+        |FROM pv CROSS JOIN t
+        |WHERE value * 1000 > total""".stripMargin,
+
+    "rel_q12_priority_class" ->
+      """SELECT l_linestatus,
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS high_line_count,
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "rel_q13_order_dist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |    AND o_orderdate <  TIMESTAMP '2000-01-01'
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY 1""".stripMargin,
+
+    "rel_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       cast(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_q17_small_qty" ->
+      """WITH pl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'
+        |), pa AS (
+        |  SELECT l_partkey AS a_partkey,
+        |         cast(0.2 AS DOUBLE) * avg(l_quantity) AS qty_thresh
+        |  FROM pl GROUP BY 1
+        |)
+        |SELECT round(cast(cast(sum(cast(l_extendedprice
+        |                  AS decimal(18,2))) AS decimal(18,4)) AS double)
+        |             / cast(7.0 AS DOUBLE), 6) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM pl JOIN pa ON l_partkey = a_partkey
+        |WHERE l_quantity < qty_thresh""".stripMargin,
+
+    "rel_q19_disjunctive" ->
+      """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+        |            (cast(1 AS decimal(18,2)) -
+        |             cast(l_discount AS decimal(18,2))))
+        |        AS decimal(18,4)) AS double) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "rel_q21_waiting_supplier" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), po AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS ns,
+        |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+        |           AS nls,
+        |         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM lf GROUP BY 1
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE ns > 1 AND nls = 1
+        |GROUP BY 1""".stripMargin,
+
+    "rel_q22_idle_rich" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         cast(c_acctbal AS decimal(18,2)) AS bal
+        |  FROM customer WHERE c_nationkey IN (3, 8, 13, 18, 23)
+        |), thresh AS (
+        |  SELECT sum(bal) AS pos_total, count(*) AS pos_n
+        |  FROM pool WHERE bal > 0
+        |)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       cast(sum(bal) AS double) AS totacctbal
+        |FROM pool CROSS JOIN thresh
+        |WHERE bal * pos_n > pos_total
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    "rel_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(cast(l_extendedprice AS decimal(18,2)) *
+        |             (cast(1 AS decimal(18,2)) -
+        |              cast(l_discount AS decimal(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |), m AS (SELECT max(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name,
+        |       cast(cast(total_rev AS decimal(18,4)) AS double)
+        |         AS total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |CROSS JOIN m
+        |WHERE total_rev = max_rev""".stripMargin,
+
+    "rel_q20_excess_suppliers" ->
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT l_partkey AS t_partkey, sum(supp_qty) AS part_qty
+        |  FROM sq GROUP BY 1
+        |)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM sq
+        |JOIN pt ON l_partkey = t_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 2 > part_qty""".stripMargin,
+
+    "rel_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       round(median(value) OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us, event_id
+        |                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |             6) AS rmed
+        |FROM e""".stripMargin,
+
+    "rel_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+        |         FROM items),
+        |pc AS (SELECT l_partkey, count(*) AS supp FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |         count(*) AS cnt
+        |  FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT part_a, part_b, cnt,
+        |       round(cast(cnt * n_orders AS DOUBLE) /
+        |             cast(pa.supp * pb.supp AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN pc pa ON part_a = pa.l_partkey
+        |JOIN pc pb ON part_b = pb.l_partkey
+        |CROSS JOIN n
+        |ORDER BY cnt DESC, part_a, part_b LIMIT 100""".stripMargin,
+
+    "rel_cusum_hourly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT sum(cnt) AS total, count(*) AS n FROM h),
+        |r AS (
+        |  SELECT hr, cnt,
+        |         sum(cnt) OVER (ORDER BY hr) AS run,
+        |         row_number() OVER (ORDER BY hr) AS rn
+        |  FROM h
+        |)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       cast(cnt AS BIGINT) AS cnt,
+        |       round(run - rn * (cast(total AS DOUBLE) / n), 6) AS cusum
+        |FROM r CROSS JOIN t""".stripMargin,
 
     "rel_mann_whitney" ->
       """WITH s AS (

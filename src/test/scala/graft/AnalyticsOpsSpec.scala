@@ -145,4 +145,77 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val again = run("emb_centroid_shift")
     assert(again.exceptAll(cs).isEmpty && cs.exceptAll(again).isEmpty)
   }
+
+  test("rel_rolling_median: matches a brute-force sliding median") {
+    val got = run("rel_rolling_median").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("rmed")).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) AS tsl", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == rows.length)
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1)
+          .map(_._4).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        val key = (ordered(i)._1, ordered(i)._2)
+        assert(math.abs(got(key) - med) < 1e-6,
+          s"median mismatch at $key: ${got(key)} vs $med")
+      }
+    }
+  }
+
+  test("rel_basket_pairs: supports verified brute-force, cut " +
+      "deterministic through ties") {
+    val rows = run("rel_basket_pairs").collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val pairCnt = collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val supp = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val cnt = r.getAs[Long]("cnt")
+      assert(a < b)
+      assert(cnt == pairCnt((a, b)), s"support mismatch for ($a,$b)")
+      val lift = cnt.toDouble * nOrders / (supp(a) * supp(b)).toDouble
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-5)
+    }
+    // the cut is the true top-|rows| under (cnt DESC, a, b)
+    val expectTop = pairCnt.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(rows.length)
+      .map(_._1)
+    assert(rows.map(r => (r.getAs[Long]("part_a"),
+      r.getAs[Long]("part_b"))).toSeq == expectTop)
+  }
+
+  test("rel_cusum_hourly: telescopes to zero at the series end, " +
+      "hour mass conserved, partial sums recompute") {
+    val rows = run("rel_cusum_hourly").collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("cusum"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._2).sum == nEvents, "hour mass must conserve")
+    // S_n = total - n*(total/n) telescopes to 0 (up to the round-6)
+    assert(math.abs(rows.last._3) < 1e-5,
+      s"CUSUM must telescope to ~0, got ${rows.last._3}")
+    val mu = nEvents.toDouble / rows.length
+    val expect3 = rows.take(3).map(_._2).sum - 3 * mu
+    assert(math.abs(rows(2)._3 - expect3) < 1e-5)
+  }
 }
