@@ -3950,28 +3950,39 @@ object SparkEntry {
     }),
 
     // Market-basket pair mining: co-ordered part pairs with support
-    // and lift, top-100 by support. The self-join keys on l_orderkey,
-    // so per-order pair fan-out is (items-per-order choose 2) — a
-    // CONSTANT (~7 lines/order) at any corpus size; work stays linear
-    // in orders, never all-pairs over parts. Per-part supports join
-    // back broadcast (part domain = dim-sized); the top-100 runs as
-    // TakeOrderedAndProject with a (part_a, part_b) tiebreak so the
-    // cut is deterministic through support ties, and lift divides two
-    // exact integers once.
+    // and lift, top-100 by support. ONE orderkey shuffle builds each
+    // order's sorted part-set (collect_set both dedups per-order
+    // repeats and bounds the basket); pairs then generate MAP-SIDE
+    // from the array (a codegen'd transform/slice/flatten — strictly
+    // ascending, so part_a < part_b by construction) — per-order
+    // fan-out is (basket choose 2), a CONSTANT (~4 lines/order) at
+    // any corpus size, and work stays linear in orders, never
+    // all-pairs over parts. The earlier distinct + self-join shape
+    // shuffled the item set three times (distinct, then both join
+    // sides); this one shuffles lineitem once and the generated pairs
+    // once. Per-part supports come off the same checkpointed baskets
+    // and join back broadcast (part domain = dim-sized); the top-100
+    // runs as TakeOrderedAndProject with a (part_a, part_b) tiebreak
+    // so the cut is deterministic through support ties, and lift
+    // divides two exact integers once.
     "rel_basket_pairs" -> ((s, dir) => {
-      val items = tbl(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val x = items.select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("part_a"))
-      val y = items.select(col("l_orderkey").as("ok2"),
-        col("l_partkey").as("part_b"))
-      val pairs = x.join(y,
-          col("ok") === col("ok2") && col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
+      // materialized once (localCheckpoint): consumed THREE times —
+      // pair generation, per-part supports, and the order count
+      val baskets = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(false)
+      val pairs = baskets
+        .select(explode(flatten(expr(
+          """transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |            y -> struct(x AS a, y AS b)))""".stripMargin)))
+          .as("p"))
+        .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
         .agg(count(lit(1)).as("cnt"))
-      val pc = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
-      val n = items.agg(
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      val pc = baskets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(broadcast(pc.select(col("l_partkey").as("pa_key"),
           col("supp").as("supp_a"))), col("part_a") === col("pa_key"))
