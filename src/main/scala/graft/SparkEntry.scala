@@ -3932,18 +3932,25 @@ object SparkEntry {
     // 5-element array (bounded — never grows with data) and the median
     // reads out positionally, interpolating even frames exactly like
     // the oracle's quantile_cont(0.5). Partitioned window — fully
-    // distributed, no global sort.
+    // distributed, no global sort. The frame array materializes in its
+    // OWN projection before the median math: the physical Window node
+    // evaluates each windowexpression reference separately, so folding
+    // the whole formula over `.over(w)` directly would run SEVEN
+    // identical collect_list buffers per row (observed in the plan);
+    // split this way it runs one.
     "rel_rolling_median" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-4, 0)
-      val win = sort_array(collect_list(col("value")).over(w))
+      val win = col("win")
       val n = size(win)
       val mid = element_at(win, ((n + 1) / 2).cast("int"))
       val midHi = element_at(win, (n / 2).cast("int") + 1)
       events(s, dir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          sort_array(collect_list(col("value")).over(w)).as("win"))
         .select(col("user_id"), col("event_id"),
           round(when(n % 2 === 1, mid)
             .otherwise((mid + midHi) / 2.0), 6).as("rmed"))
