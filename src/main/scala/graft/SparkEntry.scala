@@ -4030,6 +4030,406 @@ object SparkEntry {
             .as("cusum"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov test (purchase vs click values) —
+    // the distribution-SHAPE twin of rel_mann_whitney's location test.
+    // D = max_x |F1(x) - F2(x)|, evaluated EXACTLY: the stream
+    // aggregates to DISTINCT values (hash agg), TWO stacked GlobalScan
+    // prefix sums over the same value order turn per-value counts into
+    // both cumulative ECDFs (two-pass distributed, no single-partition
+    // window; the second scan reuses the first's range partitioning),
+    // and the max deviation folds out of one aggregate in EXACT
+    // integer arithmetic — |n2·cumA − n1·cumB| as decimal(38,0) =
+    // DuckDB's int128 — divided by n1·n2 ONCE at the end. Both ECDFs
+    // step only at observed values, so the max over distinct values IS
+    // the supremum.
+    "rel_ks_test" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val d = events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("ga"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds the scan chain AND the totals
+      val cumA = graft.plans.GlobalScan.runningSum(d, "na", "v" -> false)
+        .withColumnRenamed("running", "cum_a")
+      val cum = graft.plans.GlobalScan
+        .runningSum(cumA, "n", "v" -> false)
+        .withColumnRenamed("running", "cum_n")
+      val tot = d.agg(sum(col("na")).as("n1"),
+        (sum(col("n")) - sum(col("na"))).as("n2"))
+      val dev = abs(d38(col("n2")) * d38(col("cum_a")) -
+        d38(col("n1")) * (d38(col("cum_n")) - d38(col("cum_a"))))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val ksd = col("dnum").cast("double") / (n1d * n2d)
+      cum.crossJoin(broadcast(tot))
+        .groupBy("n1", "n2").agg(max(dev).as("dnum"))
+        .select(col("n1"), col("n2"), round(ksd, 6).as("ks_d"),
+          round(sqrt(n1d * n2d / (n1d + n2d)) * ksd, 6).as("ks_stat"))
+    }),
+
+    // Kaplan-Meier survival curve: per-user time from first signup to
+    // first subsequent error (death), censored at the corpus horizon.
+    // Scale shape: ONE per-user aggregate shrinks the stream to a
+    // users-sized frame, a second hash aggregate shrinks that to
+    // O(distinct durations); the at-risk counts AND the survival
+    // product both come from GlobalScan prefix sums over that tiny
+    // frame (no single-partition window anywhere). The product is
+    // carried as an exact-integer prefix sum of per-row log-terms
+    // (round(ln(1−dᵢ/nᵢ)·1e6) as micros — each term rounds
+    // IDENTICALLY on any engine, so no order-sensitive float
+    // accumulation), exponentiated once per row at the end.
+    "rel_survival_curve" -> ((s, dir) => {
+      val births = events(s, dir)
+        .where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("b"))
+      val firstErr = events(s, dir)
+        .where(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        .join(births, "user_id").where(col("t") >= col("b"))
+        .groupBy("user_id").agg(min(col("t")).as("dt"))
+      val mx = events(s, dir)
+        .agg(max(unix_micros(col("ts"))).as("mx"))
+      val u = births.join(firstErr, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("dt").isNotNull, expr("(dt - b) div 86400000000"))
+            .otherwise(expr("(mx - b) div 86400000000")).as("dur"),
+          when(col("dt").isNotNull, 1L).otherwise(0L).as("evf"))
+      val g = u.groupBy("dur").agg(sum(col("evf")).as("d"),
+          (count(lit(1)) - sum(col("evf"))).as("c"))
+        .withColumn("dc", col("d") + col("c"))
+        .localCheckpoint(false) // feeds the scan chain AND the total
+      val tot = g.agg(sum(col("dc")).as("total"))
+      val risk = graft.plans.GlobalScan
+        .runningSum(g, "dc", "dur" -> false)
+        .crossJoin(broadcast(tot))
+        .select(col("dur"), col("d"), col("c"),
+          (col("total") - col("running") + col("dc")).as("n_risk"))
+      // KM log-term in integer micros; a time where EVERYONE at risk
+      // dies sends the survival to exactly 0 from there on (the -1e10
+      // sentinel underflows exp to 0 regardless of later terms)
+      val term = when(col("d") < col("n_risk"),
+        round(log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double")) *
+          1e6, 0).cast("long"))
+        .otherwise(lit(-10000000000L))
+      val r2 = graft.plans.GlobalScan
+        .runningSum(risk.withColumn("term", term), "term",
+          "dur" -> false)
+      r2.select(col("dur").as("dur_day"), col("n_risk"),
+        col("d").as("deaths"), col("c").as("censored"),
+        round(exp(col("running").cast("double") / 1e6), 6).as("surv"))
+    }),
+
+    // Synchronous label propagation (3 rounds) over the bipartite
+    // customer–supplier co-order graph — the community-detection
+    // sibling of dedup_connected_components (which propagates MIN;
+    // LPA propagates the neighbor-MAJORITY label, min on ties, so
+    // dense local cliques keep their own labels). Same Pregel-lite
+    // scale shape as rel_shortest_path / dedup_pagerank: a FIXED
+    // number of rounds, each one labels⨝edges hash join + two
+    // stacked aggregates on shrinking keys; every round
+    // localCheckpoints so lineage stays flat. Node ids double into
+    // disjoint even/odd spaces so one long column carries both
+    // sides. Output is the community-size histogram (communities ×
+    // 1 row), not per-node labels.
+    "rel_label_propagation" -> ((s, dir) => {
+      val half = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = half
+        .unionAll(half.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(false)
+      var labels = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        labels = labels.join(edges, col("node") === col("a"))
+          .groupBy(col("b"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          // majority label, min on count ties: max of (cnt, -lbl)
+          .groupBy(col("b"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("b").as("node"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+        .select(col("lbl").as("community"), col("size"))
+    }),
+
+    // Matryoshka-representation recall: how much top-10 cosine
+    // retrieval quality survives truncating the 64-dim embeddings to
+    // their FIRST 16 dims (the MRL deployment question — prefix dims
+    // as the cheap index, full dims as the re-rank). For 20 query
+    // vectors: exact top-10 under full-dim cosine vs top-10 under
+    // prefix-dim cosine, recall = overlap/10. One scan × broadcast
+    // query set; BOTH rankings come from row_number windows
+    // partitioned by query (distributed by qid — never a global
+    // sort), cosines rounded to 6 with a vec_id tiebreak so the
+    // rankings are reproducible cross-engine. The eval is
+    // sample-bounded by construction (queries × corpus, one scan).
+    "emb_mrl_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = e.select(col("vec_id"), col("embedding").as("e"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.ops.Similarity.cosine(col("e"), col("qe")), 6)
+            .as("cf"),
+          round(graft.ops.Similarity.cosine(
+            slice(col("e"), 1, 16), slice(col("qe"), 1, 16)), 6)
+            .as("cp"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cf").desc, col("vec_id").asc)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cp").desc, col("vec_id").asc)
+      scored.select(col("qid"), row_number().over(wf).as("rf"),
+          row_number().over(wp).as("rp"))
+        .groupBy("qid")
+        .agg((sum(when(col("rf") <= 10 && col("rp") <= 10, 1L)
+          .otherwise(0L)).cast("double") / 10.0).as("recall"))
+    }),
+
+    // STREAMING QUANTILE SKETCH with bounded state: per-event-type
+    // power-of-two value histograms maintained incrementally (complete
+    // mode), p50/p95 read off the bucket edges afterwards. The bucket
+    // is the BIT LENGTH of the exact cent amount (`length(bin(cents))`
+    // — pure integer arithmetic, bit-identical on any engine; never a
+    // float log that could flip at a boundary), so state is
+    // event_types × ≤64 buckets FOREVER regardless of throughput —
+    // where a streaming exact quantile would keep every distinct
+    // value. Counts are associative, so the unordered multi-batch
+    // replay provably equals the batch histogram; the estimator
+    // (smallest bucket whose cumulative count reaches ceil(p·n), in
+    // exact integer arithmetic) then guarantees est/exact ∈ [1, 2) —
+    // the upper bucket edge against a true value inside the bucket —
+    // which the spec checks against the exact quantile.
+    "stream_quantile_sketch" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        length(bin(round(col("value") * 100).cast("long"))).as("bucket"))
+      val hist = graft.streaming.StreamGate.stageAndReplay(s, ev,
+        "gate_qsketch", "complete")(df =>
+        df.groupBy("event_type", "bucket").count())
+      // batch-side readout over the types × buckets sink: cumulative
+      // counts per type (partitioned window — tiny frame, distributed
+      // by type), then the smallest bucket reaching each exact rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      // the per-type total rides the SAME partitioning as the running
+      // count (a full-partition frame) — no self-join back onto the
+      // memory sink, one shuffle total
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      val cum = hist.select(col("event_type"), col("bucket"),
+        col("count").as("cnt"),
+        sum(col("count")).over(w).as("cum"),
+        sum(col("count")).over(wAll).as("n"))
+      cum
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          // exact integer ranks: ceil(n/2) and ceil(19n/20)
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket")))
+            .as("b50"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"),
+            col("bucket"))).as("b95"))
+        .select(col("event_type"), col("n"),
+          (pow(lit(2.0), col("b50")) / 100.0).as("p50_est"),
+          (pow(lit(2.0), col("b95")) / 100.0).as("p95_est"))
+    }),
+
+    // RFM SEGMENTATION — the classic customer-value grid: per customer
+    // recency (days since last order, against the corpus max date),
+    // frequency (order count) and monetary (exact cents), each scored
+    // into quintiles, reported as the (r,f,m) segment histogram.
+    // Scale shape: ONE custkey hash aggregate shrinks orders to a
+    // customers-sized frame; the three global ntile(5) windows are
+    // exactly what the session extension rewrites to the distributed
+    // GlobalTies (range-partitioned, no single-partition sort), each
+    // with a custkey tiebreak so bucket boundaries are deterministic
+    // cross-engine; the final segment histogram is a 125-key hash agg.
+    "rel_rfm_segments" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val mx = base.agg(max(col("last_d")).as("mxd"))
+      base.crossJoin(broadcast(mx))
+        .select(col("o_custkey"), col("freq"), col("cents"),
+          datediff(col("mxd"), col("last_d")).as("rec"))
+        .select(col("o_custkey"), col("cents"),
+          ntile(5).over(W.orderBy(col("rec").asc, col("o_custkey").asc))
+            .cast("long").as("r_score"),
+          ntile(5).over(W.orderBy(col("freq").asc, col("o_custkey").asc))
+            .cast("long").as("f_score"),
+          ntile(5).over(W.orderBy(col("cents").asc, col("o_custkey").asc))
+            .cast("long").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("customers"),
+          round(sum(col("cents")).cast("double") / 100.0, 2)
+            .as("revenue"))
+    }),
+
+    // COHORT LTV — cumulative revenue per signup cohort by age-in-
+    // days, divided by cohort size: the lifetime-value curve every
+    // subscription dashboard draws (daily grain — the corpus spans one
+    // month, so days are the natural cohort unit). Scale shape:
+    // per-user signup day is one hash aggregate; purchase revenue
+    // aggregates to (cohort, age) BEFORE any window (O(days²) frame);
+    // the cumulative sum is a cohort-PARTITIONED window (distributed
+    // by cohort day — never a global sort); cohort sizes broadcast
+    // back. Cents stay exact longs until the single final division.
+    "rel_cohort_ltv" -> ((s, dir) => {
+      val su = events(s, dir).where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cd"))
+      val sizes = su.groupBy(col("cd")).agg(count(lit(1)).as("users"))
+      val g = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("pd"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .join(su, "user_id")
+        .groupBy(col("cd"), datediff(col("pd"), col("cd")).as("age_day"))
+        .agg(sum(col("cents")).as("dcents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cd").orderBy("age_day")
+        .rowsBetween(Long.MinValue, 0)
+      g.select(col("cd"), col("age_day"),
+          sum(col("dcents")).over(w).as("cum_cents"))
+        .join(broadcast(sizes), "cd")
+        .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort"),
+          col("age_day").cast("long").as("age_day"), col("users"),
+          round(col("cum_cents").cast("double") / 100.0 /
+            col("users").cast("double"), 6).as("ltv"))
+    }),
+
+    // SEASONAL ANOMALY SCREEN — each hour's event count z-scored
+    // against its own HOUR-OF-DAY baseline (3am traffic is judged
+    // against other 3ams, not the daily mean), the standard seasonal
+    // outlier detector. Scale shape: one data-sized hash aggregate
+    // shrinks the stream to O(hours); the 24-row baseline (n, Σx, Σx²
+    // — second moments widened to decimal(38,0) so hourly counts in
+    // the billions can't overflow) broadcasts back onto the hourly
+    // frame. Zero-variance hours yield NULL z, not a divide-by-zero.
+    "rel_seasonal_anomaly" -> ((s, dir) => {
+      val h = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("hr"), col("cnt"), hour(col("hr")).as("hod"))
+      val base = h.groupBy(col("hod")).agg(
+        count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("sxx"))
+      val mean = col("sx").cast("double") / col("n").cast("double")
+      val ex2 = col("sxx").cast("double") / col("n").cast("double")
+      val variance = ex2 - mean * mean
+      h.join(broadcast(base), "hod")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("hod").cast("long").as("hod"), col("cnt"),
+          round(when(variance > 0,
+            (col("cnt").cast("double") - mean) / sqrt(variance)), 6)
+            .as("z"))
+        .select(col("hour"), col("hod"), col("cnt"), col("z"),
+          (abs(col("z")) >= 2.0).cast("long").as("is_anomaly"))
+    }),
+
+    // SINGLE CHANGE-POINT — argmax_t |CUSUM_t| over the hourly count
+    // series (the decision step on top of rel_cusum_hourly's screen),
+    // with the pre/post means and the level shift. Scale shape: the
+    // hourly hash aggregate, ONE GlobalScan-rewritten global window
+    // for (rn, running sum) — no single-partition stage — then a
+    // single-row argmax via max(struct(...)) in EXACT integer
+    // arithmetic: the deviation numerator |run·n − rn·total| is
+    // decimal(38,0) (= DuckDB's int128), ties broken to the EARLIEST
+    // hour by embedding −rn in the struct; doubles appear only in the
+    // final mean/shift formulas over that one row.
+    "rel_changepoint_hourly" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val h = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val r = h.crossJoin(broadcast(
+          h.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n"))))
+        .select(col("hr"), col("total"), col("n"),
+          sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)).as("run"),
+          row_number().over(w).as("rn"))
+        .select(col("total"), col("n"),
+          abs(d38(col("run")) * col("n") - d38(col("rn")) * col("total"))
+            .as("dev"),
+          (-col("rn")).as("nrn"), col("run"), col("rn"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      val best = r.groupBy(col("total"), col("n"))
+        .agg(max(struct(col("dev"), col("nrn"), col("run"),
+          col("rn"), col("hour"))).as("m"))
+      val before = col("m.run").cast("double") /
+        col("m.rn").cast("double")
+      val after = (col("total") - col("m.run")).cast("double") /
+        (col("n") - col("m.rn")).cast("double")
+      best.select(col("m.hour").as("hour"),
+        round(col("m.dev").cast("double") / col("n").cast("double"), 6)
+          .as("cusum_abs"),
+        round(before, 6).as("mean_before"),
+        round(when(col("n") > col("m.rn"), after), 6).as("mean_after"),
+        round(when(col("n") > col("m.rn"), after - before), 6)
+          .as("shift"))
+    }),
+
+    // STREAMING HLL DISTINCT with bounded state: per-event-type
+    // 1024-register HyperLogLog maintained incrementally (complete
+    // mode) — register = low 10 bits of xxhash64(user_id), rho = rank
+    // of the first set bit in the remaining 54 (pure integer
+    // `length(bin(...))`, never a float log). max() is associative and
+    // idempotent, so the unordered multi-batch replay provably equals
+    // the batch registers, and state is types × ≤1024 rows FOREVER —
+    // where exact streaming distinct keeps every user id. The batch
+    // readout applies the standard HLL estimator (α·m²/Σ2^−M, linear
+    // counting below 2.5m), and the driver-checked CONTRACT (same
+    // pattern as rel_hll_union_bounded) pins it within 10% of exact —
+    // m=1024 gives rsd ≈ 3.25%, so 10% is a 3σ bound.
+    "stream_hll_distinct" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("user_id"),
+          xxhash64(col("user_id")).as("h"))
+        .select(col("event_type"),
+          col("h").bitwiseAND(1023).as("reg"),
+          shiftrightunsigned(col("h"), 10).as("rest"))
+        .select(col("event_type"), col("reg"),
+          when(col("rest") === 0, 55)
+            .otherwise(lit(55) - length(bin(col("rest")))).as("rho"))
+      val regs = graft.streaming.StreamGate.stageAndReplay(s, ev,
+        "gate_hll", "complete")(df =>
+        df.groupBy("event_type", "reg").agg(max(col("rho")).as("m")))
+      val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      val est = regs.groupBy("event_type").agg(
+          (sum(pow(lit(2.0), -col("m"))) + (lit(1024) - count(lit(1))))
+            .as("sum_inv"),
+          (lit(1024) - count(lit(1))).as("v"))
+        .select(col("event_type"),
+          when(col("v") > 0 &&
+              lit(alpha * 1024.0 * 1024.0) / col("sum_inv") <= 2560.0,
+            lit(1024.0) * log(lit(1024.0) / col("v")))
+            .otherwise(lit(alpha * 1024.0 * 1024.0) / col("sum_inv"))
+            .as("approx"))
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .join(est, "event_type")
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10)
+            .cast("long").as("within_10pct"))
+    }),
+
     // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
     // values), the rank-based twin of rel_abtest_report's z-test.
     // Scale-first shape: ranks never materialize per row — the stream
@@ -8398,6 +8798,271 @@ object SparkEntry {
         |       cast(cnt AS BIGINT) AS cnt,
         |       round(run - rn * (cast(total AS DOUBLE) / n), 6) AS cusum
         |FROM r CROSS JOIN t""".stripMargin,
+
+    "rel_ks_test" ->
+      """WITH s AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS ga
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), d AS (
+        |  SELECT v, sum(ga) AS na, count(*) AS n FROM s GROUP BY 1
+        |), t AS (
+        |  SELECT sum(na) AS n1, sum(n) - sum(na) AS n2 FROM d
+        |), r AS (
+        |  SELECT v, sum(na) OVER (ORDER BY v) AS cum_a,
+        |         sum(n) OVER (ORDER BY v) AS cum_n
+        |  FROM d
+        |), m AS (
+        |  SELECT max(abs(CAST(n2 AS HUGEINT) * cum_a -
+        |                 CAST(n1 AS HUGEINT) * (cum_n - cum_a)))
+        |           AS dnum
+        |  FROM r CROSS JOIN t
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       round(CAST(dnum AS DOUBLE) /
+        |             (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |         AS ks_d,
+        |       round(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |                  (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |             CAST(dnum AS DOUBLE) /
+        |             (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |         AS ks_stat
+        |FROM m CROSS JOIN t""".stripMargin,
+
+    "rel_survival_curve" ->
+      """WITH b AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS bt FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), dth AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS dt
+        |  FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'error' AND epoch_us(e.ts) >= b.bt
+        |  GROUP BY 1
+        |), mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |u AS (
+        |  SELECT CASE WHEN dt IS NOT NULL THEN (dt - bt) // 86400000000
+        |              ELSE (m - bt) // 86400000000 END AS dur,
+        |         CASE WHEN dt IS NOT NULL THEN 1 ELSE 0 END AS evf
+        |  FROM b LEFT JOIN dth ON b.user_id = dth.user_id CROSS JOIN mx
+        |), g AS (
+        |  SELECT dur, sum(evf) AS d, count(*) - sum(evf) AS c
+        |  FROM u GROUP BY 1
+        |), t AS (SELECT count(*) AS total FROM u),
+        |r AS (
+        |  SELECT dur, d, c,
+        |         total - sum(d + c) OVER (ORDER BY dur) + (d + c)
+        |           AS n_risk
+        |  FROM g CROSS JOIN t
+        |), tl AS (
+        |  SELECT dur, d, c, n_risk,
+        |         CASE WHEN d < n_risk THEN CAST(round(
+        |                ln(1 - d / CAST(n_risk AS DOUBLE)) * 1000000,
+        |                0) AS BIGINT)
+        |              ELSE -10000000000 END AS term
+        |  FROM r
+        |)
+        |SELECT dur AS dur_day, CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS deaths, CAST(c AS BIGINT) AS censored,
+        |       round(exp(sum(term) OVER (ORDER BY dur) / 1e6), 6)
+        |         AS surv
+        |FROM tl""".stripMargin,
+
+    "rel_label_propagation" ->
+      """WITH half AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), edges AS (
+        |  SELECT a, b FROM half UNION ALL SELECT b, a FROM half
+        |), l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+        |g1 AS (
+        |  SELECT e.b AS node, l.lbl, count(*) AS cnt
+        |  FROM l0 l JOIN edges e ON l.node = e.a GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl ASC) AS rn FROM g1) WHERE rn = 1
+        |), g2 AS (
+        |  SELECT e.b AS node, l.lbl, count(*) AS cnt
+        |  FROM l1 l JOIN edges e ON l.node = e.a GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl ASC) AS rn FROM g2) WHERE rn = 1
+        |), g3 AS (
+        |  SELECT e.b AS node, l.lbl, count(*) AS cnt
+        |  FROM l2 l JOIN edges e ON l.node = e.a GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl ASC) AS rn FROM g3) WHERE rn = 1
+        |)
+        |SELECT lbl AS community, count(*) AS size
+        |FROM l3 GROUP BY 1""".stripMargin,
+
+    "emb_mrl_recall" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT vec_id AS qid, pos, vx AS qx FROM v WHERE vec_id < 20
+         |), p AS (
+         |  SELECT q.qid, v.vec_id,
+         |    sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot_f,
+         |    sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS aa_f,
+         |    sum(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS bb_f,
+         |    sum(CASE WHEN v.pos <= 16 THEN
+         |          CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)
+         |        ELSE 0 END) AS dot_p,
+         |    sum(CASE WHEN v.pos <= 16 THEN
+         |          CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)
+         |        ELSE 0 END) AS aa_p,
+         |    sum(CASE WHEN v.pos <= 16 THEN
+         |          CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE)
+         |        ELSE 0 END) AS bb_p
+         |  FROM v JOIN q ON v.pos = q.pos AND v.vec_id <> q.qid
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      round(dot_f / (sqrt(aa_f) * sqrt(bb_f)), 6) DESC,
+         |      vec_id ASC) AS rf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      round(dot_p / (sqrt(aa_p) * sqrt(bb_p)), 6) DESC,
+         |      vec_id ASC) AS rp
+         |  FROM p
+         |)
+         |SELECT qid, sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1
+         |                ELSE 0 END) / 10.0 AS recall
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "stream_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         length(bin(CAST(round(value * 100, 0) AS BIGINT)))
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cnt) AS n FROM h GROUP BY 1
+        |), c AS (
+        |  SELECT h.event_type, h.bucket, t.n,
+        |         sum(cnt) OVER (PARTITION BY h.event_type
+        |                        ORDER BY h.bucket) AS cum
+        |  FROM h JOIN t ON h.event_type = t.event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       pow(2, min(CASE WHEN cum >= (n + 1) // 2
+        |                       THEN bucket END)) / 100.0 AS p50_est,
+        |       pow(2, min(CASE WHEN cum >= (19 * n + 19) // 20
+        |                       THEN bucket END)) / 100.0 AS p95_est
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "rel_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         count(*) AS freq,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS cents
+        |  FROM orders GROUP BY 1
+        |), mx AS (SELECT max(last_d) AS mxd FROM base),
+        |s AS (
+        |  SELECT o_custkey, cents,
+        |    ntile(5) OVER (ORDER BY date_diff('day', last_d, mxd),
+        |                   o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+        |  FROM base CROSS JOIN mx
+        |)
+        |SELECT r_score, f_score, m_score,
+        |       count(*) AS customers,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_cohort_ltv" ->
+      """WITH su AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cd
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), sizes AS (SELECT cd, count(*) AS users FROM su GROUP BY 1),
+        |p AS (
+        |  SELECT s.cd,
+        |         date_diff('day', s.cd, CAST(e.ts AS DATE)) AS age_day,
+        |         sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS dcents
+        |  FROM events e JOIN su s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT cd, age_day,
+        |         sum(dcents) OVER (PARTITION BY cd ORDER BY age_day)
+        |           AS cum_cents
+        |  FROM p
+        |)
+        |SELECT strftime(c.cd, '%Y-%m-%d') AS cohort,
+        |       CAST(age_day AS BIGINT) AS age_day,
+        |       CAST(users AS BIGINT) AS users,
+        |       round(CAST(cum_cents AS DOUBLE) / 100.0 / users, 6)
+        |         AS ltv
+        |FROM c JOIN sizes ON c.cd = sizes.cd""".stripMargin,
+
+    "rel_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT hour(hr) AS hod, count(*) AS n, sum(cnt) AS sx,
+        |         sum(CAST(cnt AS HUGEINT) * cnt) AS sxx
+        |  FROM h GROUP BY 1
+        |), z AS (
+        |  SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |         CAST(b.hod AS BIGINT) AS hod, cnt,
+        |         round(CASE WHEN
+        |             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |             (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |             (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |           THEN (CAST(cnt AS DOUBLE) -
+        |                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |                sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |                     (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                     (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |           END, 6) AS z
+        |  FROM h JOIN b ON hour(h.hr) = b.hod
+        |)
+        |SELECT hour, hod, CAST(cnt AS BIGINT) AS cnt, z,
+        |       CAST(abs(z) >= 2.0 AS BIGINT) AS is_anomaly
+        |FROM z""".stripMargin,
+
+    "rel_changepoint_hourly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT sum(cnt) AS total, count(*) AS n FROM h),
+        |r AS (
+        |  SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |         sum(cnt) OVER (ORDER BY hr) AS run,
+        |         row_number() OVER (ORDER BY hr) AS rn,
+        |         total, n
+        |  FROM h CROSS JOIN t
+        |), d AS (
+        |  SELECT hour, run, rn, total, n,
+        |         abs(CAST(run AS HUGEINT) * n -
+        |             CAST(rn AS HUGEINT) * total) AS dev
+        |  FROM r
+        |)
+        |SELECT hour,
+        |       round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |         AS cusum_abs,
+        |       round(CAST(run AS DOUBLE) / CAST(rn AS DOUBLE), 6)
+        |         AS mean_before,
+        |       round(CASE WHEN n > rn THEN
+        |           CAST(total - run AS DOUBLE) / CAST(n - rn AS DOUBLE)
+        |         END, 6) AS mean_after,
+        |       round(CASE WHEN n > rn THEN
+        |           CAST(total - run AS DOUBLE) / CAST(n - rn AS DOUBLE) -
+        |           CAST(run AS DOUBLE) / CAST(rn AS DOUBLE)
+        |         END, 6) AS shift
+        |FROM d ORDER BY dev DESC, rn ASC LIMIT 1""".stripMargin,
+
+    "stream_hll_distinct" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_10pct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_mann_whitney" ->
       """WITH s AS (

@@ -218,4 +218,92 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val expect3 = rows.take(3).map(_._2).sum - 3 * mu
     assert(math.abs(rows(2)._3 - expect3) < 1e-5)
   }
+
+  test("rel_label_propagation: histogram matches a brute-force " +
+      "3-round synchronous LPA") {
+    val got = run("rel_label_propagation").collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("size"))
+      .toMap
+    val half = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = half ++ half.map { case (x, y) => (y, x) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keySet.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = adj.map { case (n, nbrs) =>
+        val freq = nbrs.groupBy(lbl).view.mapValues(_.length)
+        n -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val expect = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == expect, s"$got != $expect")
+    assert(got.values.sum == adj.size, "sizes partition the node set")
+  }
+
+  test("rel_rfm_segments: segments partition customers, quintile " +
+      "marginals balance, revenue conserves") {
+    val rows = run("rel_rfm_segments").collect()
+      .map(r => ((r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score")), r.getAs[Long]("customers"),
+        r.getAs[Double]("revenue")))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust,
+      "segments partition the customer set")
+    rows.foreach { case ((r, f, m), _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // each dimension's marginal is an ntile(5) partition: bucket sizes
+    // differ by at most 1
+    Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { dim =>
+      val marginal = rows.groupBy(t => dim(t._1))
+        .view.mapValues(_.map(_._2).sum).values.toSeq
+      assert(marginal.max - marginal.min <= 1,
+        s"ntile marginals must balance: $marginal")
+    }
+    // revenue conservation against the raw orders table (cents-exact)
+    val totalCents = orders
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .head().getLong(0)
+    val gotCents = rows.map(r => math.round(r._3 * 100)).sum
+    assert(gotCents == totalCents, s"$gotCents != $totalCents")
+  }
+
+  test("rel_cohort_ltv: ltv is non-decreasing per cohort and total " +
+      "revenue conserves") {
+    val rows = run("rel_cohort_ltv").collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[Long]("age_day"),
+        r.getAs[Long]("users"), r.getAs[Double]("ltv")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, g) =>
+      // one cohort size per cohort; the curve never decreases
+      assert(g.map(_._3).distinct.length == 1)
+      g.sortBy(_._2).map(_._4).foldLeft(0.0) { (prev, cur) =>
+        assert(cur >= prev - 1e-9, s"ltv dips in cohort $cohort"); cur
+      }
+    }
+    // the last point of each curve times cohort size sums to the total
+    // purchase revenue of signed-up users
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val su = ev.where(col("event_type") === "signup")
+      .select("user_id").distinct()
+    val totalCents = ev.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .head().getLong(0)
+    val gotCents = rows.groupBy(_._1).values.map { g =>
+      val last = g.maxBy(_._2)
+      math.round(last._4 * last._3 * 100)
+    }.sum
+    // per-cohort ltv rounds to 1e-6, so the reassembled total is exact
+    // only to users*5e-7 per cohort
+    assert(math.abs(gotCents - totalCents) <= rows.map(_._3).max,
+      s"$gotCents != $totalCents")
+  }
 }

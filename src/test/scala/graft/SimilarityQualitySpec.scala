@@ -205,4 +205,38 @@ class SimilarityQualitySpec extends AnyFunSuite {
       .select(Quality.langId(col("t"))).as[String].collect().toSeq
     assert(got == Seq("en", "es", "unknown"))
   }
+
+  test("emb_mrl_recall: overlap of the two exact top-10 sets, " +
+      "recall in tenths") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("emb_mrl_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall")).toMap
+    assert(rows.keySet == (0L until 20L).toSet)
+    rows.values.foreach { r =>
+      assert(r >= 0.0 && r <= 1.0)
+      assert(math.abs(r * 10 - math.round(r * 10)) < 1e-9,
+        "recall@10 must be a multiple of 0.1")
+    }
+    // brute-force qid=0 on the collected fixture: both top-10 lists
+    // under (round-6 cosine DESC, vec_id ASC), overlap/10
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(aa) * math.sqrt(bb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = all(0L)
+    def top10(dims: Int): Set[Long] = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v.take(dims), q.take(dims))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val expect = (top10(64) & top10(16)).size / 10.0
+    assert(math.abs(rows(0L) - expect) < 1e-9,
+      s"recall ${rows(0L)} != brute $expect")
+  }
 }

@@ -175,4 +175,113 @@ class StatsOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(years == expect, s"$years != $expect")
   }
+
+  test("rel_ks_test: D matches a brute-force ECDF sweep") {
+    val row = run("rel_ks_test").head()
+    val n1 = row.getAs[Long]("n1")
+    val n2 = row.getAs[Long]("n2")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")).collect()
+    val a = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1))
+    val b = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    assert(n1 == a.length && n2 == b.length)
+    // exact rational sweep: max |n2*cumA - n1*cumB| over the merged
+    // distinct values (BigInt — the definition, no shortcut algebra)
+    val values = (a ++ b).distinct.sorted
+    val dnum = values.map { v =>
+      (BigInt(b.length) * a.count(_ <= v) -
+        BigInt(a.length) * b.count(_ <= v)).abs
+    }.max
+    val d = dnum.toDouble / (n1.toDouble * n2.toDouble)
+    assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6)
+    val ks = math.sqrt(n1.toDouble * n2 / (n1.toDouble + n2)) * d
+    assert(math.abs(row.getAs[Double]("ks_stat") - ks) < 1e-6)
+  }
+
+  test("rel_survival_curve: KM product recomputes, risk set conserves") {
+    val rows = run("rel_survival_curve").collect()
+      .map(r => (r.getAs[Long]("dur_day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("deaths"), r.getAs[Long]("censored"),
+        r.getAs[Double]("surv"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the first risk set is every user with a signup; every row's risk
+    // set is total minus everyone who died/censored strictly earlier
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum == users,
+      "every user dies or censors exactly once")
+    var seen = 0L
+    var s = 1.0
+    rows.foreach { case (_, nRisk, d, c, surv) =>
+      assert(nRisk == users - seen, s"risk set $nRisk != ${users - seen}")
+      seen += d + c
+      s *= (if (d < nRisk) 1.0 - d.toDouble / nRisk else 0.0)
+      assert(math.abs(surv - s) < 1e-4, s"KM product $surv != $s")
+    }
+    // survival is non-increasing from 1
+    rows.map(_._5).foldLeft(1.0) { (prev, cur) =>
+      assert(cur <= prev + 1e-9); cur
+    }
+  }
+
+  test("rel_seasonal_anomaly: z matches a brute-force per-hour-of-day " +
+      "standardization") {
+    val rows = run("rel_seasonal_anomaly").collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[Long]("hod"),
+        r.getAs[Long]("cnt"),
+        Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    // brute force: group the hourly counts by hour-of-day, population
+    // moments, z = (x - mu) / sigma
+    val byHod = rows.groupBy(_._2)
+    rows.foreach { case (hour, hod, cnt, z) =>
+      assert(hour.substring(11, 13).toInt == hod.toInt,
+        s"hod $hod disagrees with hour string $hour")
+      val xs = byHod(hod).map(_._3.toDouble)
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => x * x).sum / xs.length - mu * mu
+      if (v > 0)
+        assert(math.abs(z.get - (cnt - mu) / math.sqrt(v)) < 1e-4,
+          s"z at $hour")
+      else assert(z.isEmpty, s"zero-variance hod $hod must yield null z")
+    }
+    // every hour-of-day baseline standardizes to mean ~0 within itself
+    byHod.values.filter(_.flatMap(_._4).nonEmpty).foreach { g =>
+      val zs = g.flatMap(_._4)
+      assert(math.abs(zs.sum / zs.length) < 1e-3)
+    }
+  }
+
+  test("rel_changepoint_hourly: argmax matches a brute-force CUSUM " +
+      "sweep and the means recompute") {
+    val row = run("rel_changepoint_hourly").head()
+    // brute force over the hourly series
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val h = run("rel_cusum_hourly").collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val n = h.length
+    val total = h.map(_._2).sum
+    val devs = h.scanLeft(0L)(_ + _._2).drop(1).zipWithIndex.map {
+      case (run, i) => (BigInt(run) * n - BigInt(i + 1) * total).abs
+    }
+    val bestIdx = devs.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+    assert(row.getAs[String]("hour") == h(bestIdx)._1,
+      s"argmax hour ${row.getAs[String]("hour")} != ${h(bestIdx)._1}")
+    assert(math.abs(row.getAs[Double]("cusum_abs") -
+      (devs(bestIdx).toDouble / n)) < 1e-3)
+    val runAt = h.take(bestIdx + 1).map(_._2).sum
+    val before = runAt.toDouble / (bestIdx + 1)
+    assert(math.abs(row.getAs[Double]("mean_before") - before) < 1e-4)
+    if (bestIdx < n - 1) {
+      val after = (total - runAt).toDouble / (n - bestIdx - 1)
+      assert(math.abs(row.getAs[Double]("mean_after") - after) < 1e-4)
+      assert(math.abs(row.getAs[Double]("shift") - (after - before))
+        < 1e-4)
+    }
+  }
 }
