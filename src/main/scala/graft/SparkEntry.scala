@@ -4430,6 +4430,139 @@ object SparkEntry {
             .cast("long").as("within_10pct"))
     }),
 
+    // KEYWORD EXTRACTION — top-3 tf-idf terms per document, the
+    // per-doc twin of the corpus-level text_tfidf. Scale shape: the
+    // (doc, token, tf) frame is one hash aggregate; document
+    // frequencies join on the token hash (size-based broadcast when
+    // the vocab is small, shuffle once it grows with the corpus — the
+    // plan is declarative either way); the per-doc top-3 is a doc-PARTITIONED
+    // row_number whose rank<=3 filter plans as WindowGroupLimit
+    // (partial top-N before the shuffle). Scores round to 6 BEFORE
+    // ranking, token-asc tiebreak, so the cut is cross-engine exact.
+    "text_keyword_topk" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val tk = docs.select(col("doc_id"),
+          explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfs = tk.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tk.join(dfs, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0))
+            + 1.0), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("score"))
+    }),
+
+    // AUDIO DEDUP — the audio sibling of media_image_dedup: one REAL
+    // WAV decode per document (typed mapPartitions, no shuffle until
+    // the fingerprint aggregate), content fingerprint from the decoded
+    // features (frame count + peak amplitude — constant-amplitude PCM
+    // makes peak = amp/32768 exactly dyadic, so the quantized
+    // fingerprint is bit-stable), then one hash aggregate groups
+    // duplicates. Payload params collide on doc_id % 40 by
+    // construction, so the oracle reproduces groups analytically.
+    "media_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 40
+          (id, graft.multimodal.Media.syntheticWav(
+            (16 + k % 8).toInt, ((k + 1) * 128).toShort))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractWavFeatures(media)
+        .select(col("media_id"),
+          md5(concat_ws(",",
+            element_at(col("features"), 3).cast("long"),
+            round(element_at(col("features"), 6) * 256).cast("long"))
+            .cast("binary")).as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
+    // BINARY-HAMMING ANN — 64-bit sign codes (1 bit per dim, packed
+    // into two 32-bit halves by a single in-scan fold — no explode, no
+    // shuffle to build the index) ranked by bit_count(xor) against the
+    // exact cosine top-10: the memory-bound deployment question (64
+    // bits vs 256 bytes per vector) answered as recall@10 per query.
+    // Codegen-friendly: the fold, xor and popcount are all built-in
+    // expressions; ranking is per-query windows (distributed by qid).
+    "emb_hamming_recall" -> ((s, dir) => {
+      val signCode = (lo: Int) =>
+        s"aggregate(slice(embedding, $lo, 32), 0L, " +
+          "(acc, x) -> acc * 2L + IF(x > 0d, 1L, 0L))"
+      val codes = tbl(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"), expr(signCode(1)).as("lo"),
+        expr(signCode(33)).as("hi"))
+      val q = codes.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+        .where(col("qid") < 20)
+      val scored = codes.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.ops.Similarity.cosine(col("embedding"), col("qe")),
+            6).as("cf"),
+          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").as("ham"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cf").desc, col("vec_id").asc)
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)
+      scored.select(col("qid"), row_number().over(wf).as("rf"),
+          row_number().over(wh).as("rh"))
+        .groupBy("qid")
+        .agg((sum(when(col("rf") <= 10 && col("rh") <= 10, 1L)
+          .otherwise(0L)).cast("double") / 10.0).as("recall"))
+    }),
+
+    // THEIL INDEX — customer-revenue inequality decomposed by nation
+    // (T = Σ share·T_within + Σ between): the additive-decomposition
+    // inequality measure a fairness audit reports per segment. Scale
+    // shape: one custkey aggregate shrinks orders to customers, one
+    // nationkey aggregate to 25 groups (broadcast back for the
+    // per-customer terms); each (x/μ_g)ln(x/μ_g) term is computed from
+    // deterministic inputs, rounded ONCE to 6, and summed as exact
+    // decimal(38,6) — so the sum is order-independent and cross-engine
+    // identical (the float-window discipline used by text_zipf_fit).
+    "rel_theil_index" -> ((s, dir) => {
+      val rev = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .join(tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val g = rev.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("ng"), sum(col("cents")).as("xg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("xg")).as("x"))
+      val mug = col("xg").cast("double") / col("ng").cast("double")
+      val within = rev.join(broadcast(g), "c_nationkey")
+        .select(col("c_nationkey"),
+          round((col("cents").cast("double") / mug) *
+            log(col("cents").cast("double") / mug), 6)
+            .cast("decimal(38,6)").as("term"))
+        .groupBy("c_nationkey").agg(sum(col("term")).as("tsum"))
+      val mu = col("x").cast("double") / col("n").cast("double")
+      g.join(within, "c_nationkey").crossJoin(broadcast(tot))
+        .join(broadcast(tbl(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("ng"),
+          round(col("xg").cast("double") / col("x").cast("double"), 6)
+            .as("share"),
+          round(col("tsum").cast("double") / col("ng").cast("double"), 6)
+            .as("theil_within"),
+          round((col("ng").cast("double") / col("n").cast("double")) *
+            (mug / mu) * log(mug / mu), 6).as("between_term"))
+    }),
+
     // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
     // values), the rank-based twin of rel_abtest_report's z-test.
     // Scale-first shape: ranks never materialize per row — the stream
@@ -9063,6 +9196,107 @@ object SparkEntry {
     "stream_hll_distinct" ->
       """SELECT event_type, cast(1 AS bigint) AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "text_keyword_topk" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
+         |    FROM documents) GROUP BY 1, 2
+         |), dfs AS (
+         |  SELECT token, count(*) AS df FROM tk GROUP BY 1
+         |), n AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT doc_id, token,
+         |         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
+         |           AS score
+         |  FROM tk JOIN dfs USING (token) CROSS JOIN n
+         |), r AS (
+         |  SELECT doc_id, token, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, token ASC) AS rank
+         |  FROM s
+         |)
+         |SELECT doc_id, rank, token, score FROM r
+         |WHERE rank <= 3""".stripMargin,
+
+    "media_audio_dedup" ->
+      """WITH k AS (SELECT doc_id, doc_id % 40 AS k FROM documents)
+        |SELECT md5(concat_ws(',', 16 + k % 8, k + 1)) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "emb_hamming_recall" ->
+      s"""WITH $embUnnestCte,
+         |codes AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN vx > 0 AND pos <= 32
+         |                  THEN (1::BIGINT << (32 - pos))
+         |                  ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN vx > 0 AND pos > 32
+         |                  THEN (1::BIGINT << (64 - pos))
+         |                  ELSE 0 END) AS BIGINT) AS hi
+         |  FROM v GROUP BY 1
+         |), q AS (
+         |  SELECT vec_id AS qid, pos, vx AS qx FROM v WHERE vec_id < 20
+         |), p AS (
+         |  SELECT q.qid, v.vec_id,
+         |    sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot_f,
+         |    sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS aa_f,
+         |    sum(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS bb_f
+         |  FROM v JOIN q ON v.pos = q.pos AND v.vec_id <> q.qid
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT p.qid, p.vec_id,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      round(dot_f / (sqrt(aa_f) * sqrt(bb_f)), 6) DESC,
+         |      p.vec_id ASC) AS rf,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      bit_count(xor(c.lo, cq.lo)) + bit_count(xor(c.hi, cq.hi))
+         |        ASC, p.vec_id ASC) AS rh
+         |  FROM p JOIN codes c ON p.vec_id = c.vec_id
+         |         JOIN codes cq ON p.qid = cq.vec_id
+         |)
+         |SELECT qid, sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1
+         |                ELSE 0 END) / 10.0 AS recall
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "rel_theil_index" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS cents,
+        |         any_value(c_nationkey) AS c_nationkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT c_nationkey, count(*) AS ng, sum(cents) AS xg
+        |  FROM rev GROUP BY 1
+        |), tot AS (SELECT sum(ng) AS n, sum(xg) AS x FROM g),
+        |w AS (
+        |  SELECT rev.c_nationkey,
+        |         sum(CAST(round(
+        |           (CAST(cents AS DOUBLE) /
+        |            (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))) *
+        |           ln(CAST(cents AS DOUBLE) /
+        |              (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))),
+        |           6) AS DECIMAL(38,6))) AS tsum
+        |  FROM rev JOIN g ON rev.c_nationkey = g.c_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name AS nation, CAST(ng AS BIGINT) AS ng,
+        |       round(CAST(xg AS DOUBLE) / CAST(x AS DOUBLE), 6)
+        |         AS share,
+        |       round(CAST(tsum AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+        |         AS theil_within,
+        |       round((CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |             ((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+        |              (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) *
+        |             ln((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+        |                (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |         AS between_term
+        |FROM g JOIN w ON g.c_nationkey = w.c_nationkey
+        |CROSS JOIN tot
+        |JOIN nation ON g.c_nationkey = n_nationkey""".stripMargin,
 
     "rel_mann_whitney" ->
       """WITH s AS (

@@ -239,4 +239,40 @@ class SimilarityQualitySpec extends AnyFunSuite {
     assert(math.abs(rows(0L) - expect) < 1e-9,
       s"recall ${rows(0L)} != brute $expect")
   }
+
+  test("emb_hamming_recall: qid=0 matches a brute-force sign-code " +
+      "hamming ranking, recall in tenths") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("emb_hamming_recall")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall")).toMap
+    assert(rows.keySet == (0L until 20L).toSet)
+    rows.values.foreach { r =>
+      assert(r >= 0.0 && r <= 1.0)
+      assert(math.abs(r * 10 - math.round(r * 10)) < 1e-9)
+    }
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(aa) * math.sqrt(bb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def ham(a: Array[Double], b: Array[Double]): Int =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+    val q = all(0L)
+    val others = all.toSeq.filter(_._1 != 0L)
+    val topCos = others.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val topHam = others.map { case (id, v) => (id, ham(v, q)) }
+      .sortBy { case (id, h) => (h, id) }.take(10).map(_._1).toSet
+    val expect = (topCos & topHam).size / 10.0
+    assert(math.abs(rows(0L) - expect) < 1e-9,
+      s"recall ${rows(0L)} != brute $expect")
+  }
 }

@@ -284,4 +284,30 @@ class StatsOpsSpec extends AnyFunSuite {
         < 1e-4)
     }
   }
+
+  test("rel_theil_index: decomposition reassembles the brute-force " +
+      "total Theil index") {
+    val rows = run("rel_theil_index").collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("ng"),
+        r.getAs[Double]("share"), r.getAs[Double]("theil_within"),
+        r.getAs[Double]("between_term")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4,
+      "shares sum to 1")
+    rows.foreach(r => assert(r._4 >= -1e-9, s"T_within < 0 for ${r._1}"))
+    // brute-force total Theil over per-customer revenue cents
+    val rev = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c").collect().map(_.getLong(0).toDouble)
+    val mu = rev.sum / rev.length
+    val total = rev.map(x => (x / mu) * math.log(x / mu)).sum / rev.length
+    val reassembled = rows.map(r => r._3 * r._4).sum +
+      rows.map(_._5).sum
+    assert(math.abs(reassembled - total) < 1e-3,
+      s"decomposition $reassembled != brute $total")
+    assert(rows.map(_._2).sum == rev.length)
+  }
 }

@@ -415,4 +415,27 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(f20.getWidth == 2 && f20.getHeight == 2) // never upscales
     assert((f20.getRGB(1, 1) & 0xffffff) == 0x090909)
   }
+
+  test("media_audio_dedup: groups partition docs and collapse exactly " +
+      "the doc_id % 40 classes present") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("media_audio_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("content_hash"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // fingerprint classes are exactly doc_id % 40 (frames and amp both
+    // derive from k), so groups == distinct classes, sizes == class sizes
+    val classes = ids.groupBy(_ % 40)
+    assert(rows.length == classes.size)
+    assert(rows.map(_._3).sum == ids.length, "groups partition the docs")
+    val byKeep = rows.map(r => r._2 -> r._3).toMap
+    classes.foreach { case (k, members) =>
+      assert(byKeep(members.min) == members.length,
+        s"class $k: keep_id/min or size mismatch")
+    }
+    // distinct fingerprints really are distinct (no hash collapse)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }

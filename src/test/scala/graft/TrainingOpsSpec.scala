@@ -196,4 +196,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept == comps)
     assert(stats.where(col("n_kept") > col("n_docs")).count() == 0L)
   }
+
+  test("text_keyword_topk: <=3 per doc, ranks contiguous, scores " +
+      "agree with tf * text_tfidf idf") {
+    val rows = run("text_keyword_topk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("token"), r.getAs[Double]("score")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, g) =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks.length <= 3 &&
+        ranks.sameElements(1L to ranks.length),
+        s"doc $doc ranks ${ranks.toSeq}")
+      // scores non-increasing in rank
+      g.sortBy(_._2).map(_._4).foldLeft(Double.MaxValue) { (p, c) =>
+        assert(c <= p + 1e-9); c
+      }
+      assert(g.map(_._3).distinct.length == g.length)
+    }
+    // the score column is tf * idf with text_tfidf's exact idf values
+    val idf = run("text_tfidf").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Double]("idf"))
+      .toMap
+    rows.take(50).foreach { case (doc, _, token, score) =>
+      // idf is rounded to 6 independently of the keyword score, so
+      // only a loose agreement is exact-checkable: score/idf ~ integer
+      val ratio = score / idf(token)
+      assert(math.abs(ratio - math.round(ratio)) < 1e-3,
+        s"score $score not an integer multiple of idf for $token")
+    }
+  }
 }
