@@ -56,7 +56,7 @@ object SparkEntry {
     * exceeds double's 2^53 exact-integer range), and NTZ is cast under
     * the session's UTC zone (wall-clock-preserving, matching how the
     * DuckDB oracle reads the same naive micros). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = tbl(s, dir, "events")
     raw.schema("ts").dataType match {
@@ -4561,6 +4561,137 @@ object SparkEntry {
             .as("theil_within"),
           round((col("ng").cast("double") / col("n").cast("double")) *
             (mug / mu) * log(mug / mu), 6).as("between_term"))
+    }),
+
+    // WELCH'S T-TEST — unequal-variance two-sample test (purchase vs
+    // click values), the parametric member of the A/B family
+    // (rel_abtest_report z, rel_mann_whitney U, rel_ks_test D). ONE
+    // map-side-combined aggregate over the stream computes both
+    // groups' (n, Σx, Σx²) via conditional aggregation — no join, no
+    // second scan; moments stay exact (cents as long, squares as
+    // decimal(38,0) = int128) until the closed-form t and
+    // Welch–Satterthwaite df over the single result row.
+    "rel_welch_ttest" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val isP = col("event_type") === "purchase"
+      val a = events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(isP.as("p"),
+          round(col("value") * 100).cast("long").as("c"))
+        .agg(
+          sum(when(col("p"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("p"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("p"), col("c")).otherwise(0L)).as("s1"),
+          sum(when(!col("p"), col("c")).otherwise(0L)).as("s2"),
+          sum(when(col("p"), d38(col("c")) * col("c")).otherwise(d38(lit(0))))
+            .as("q1"),
+          sum(when(!col("p"), d38(col("c")) * col("c")).otherwise(d38(lit(0))))
+            .as("q2"))
+      val m1 = col("s1").cast("double") / 100.0 / col("n1").cast("double")
+      val m2 = col("s2").cast("double") / 100.0 / col("n2").cast("double")
+      def svar(q: Column, sx: Column, n: Column): Column =
+        (q.cast("double") / 10000.0 -
+          (sx.cast("double") / 100.0) * (sx.cast("double") / 100.0) /
+            n.cast("double")) / (n.cast("double") - 1.0)
+      val v1 = svar(col("q1"), col("s1"), col("n1"))
+      val v2 = svar(col("q2"), col("s2"), col("n2"))
+      val se1 = v1 / col("n1").cast("double")
+      val se2 = v2 / col("n2").cast("double")
+      a.select(col("n1"), col("n2"),
+        round(m1 - m2, 6).as("mean_diff"),
+        round((m1 - m2) / sqrt(se1 + se2), 6).as("t_stat"),
+        round((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (col("n1").cast("double") - 1.0) +
+           se2 * se2 / (col("n2").cast("double") - 1.0)), 2).as("df"))
+    }),
+
+    // JACKKNIFE DAY INFLUENCE — leave-one-day-out means of the
+    // purchase value: which day, removed, moves the corpus mean the
+    // most (the deterministic resampling diagnostic — no RNG, unlike a
+    // bootstrap). Scale shape: one hash aggregate shrinks the stream
+    // to O(days); the global totals broadcast back, and every LOO mean
+    // is a closed-form over exact integers — (S - s_d)/(N - n_d) in
+    // cents — divided once.
+    "rel_jackknife_mean" -> ((s, dir) => {
+      val d = events(s, dir).where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("nd"),
+          sum(round(col("value") * 100).cast("long")).as("sd"))
+      val tot = d.agg(sum(col("nd")).as("n"), sum(col("sd")).as("s"))
+      val theta = col("s").cast("double") / 100.0 / col("n").cast("double")
+      val loo = (col("s") - col("sd")).cast("double") / 100.0 /
+        (col("n") - col("nd")).cast("double")
+      d.crossJoin(broadcast(tot))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("nd"), round(loo, 6).as("mean_loo"),
+          round(theta - loo, 6).as("influence"))
+    }),
+
+    // SEASONAL-NAIVE FORECAST BACKTEST — forecast each hour's count
+    // per event type with the same hour yesterday (lag 24), score
+    // MAE/RMSE per type: the baseline every real forecaster must
+    // beat, and the backtest harness shape (align by key+lag, score
+    // residuals). Scale: the stream shrinks to O(types × hours) in
+    // one aggregate; the lag is a type-PARTITIONED window (distributed
+    // by key, never global); residual moments stay exact (|e| long,
+    // e² decimal(38,0)) until the per-type division.
+    "rel_snaive_backtest" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hr")
+      val h = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      h.select(col("event_type"), col("cnt"),
+          lag(col("cnt"), 24).over(w).as("fc"))
+        .where(col("fc").isNotNull)
+        .select(col("event_type"), (col("cnt") - col("fc")).as("e"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(abs(col("e"))).as("sae"),
+          sum(col("e").cast("decimal(38,0)") * col("e")).as("sse"))
+        .select(col("event_type"), col("n"),
+          round(col("sae").cast("double") / col("n").cast("double"), 6)
+            .as("mae"),
+          round(sqrt(col("sse").cast("double") /
+            col("n").cast("double")), 6).as("rmse"))
+    }),
+
+    // PSI DRIFT — Population Stability Index of the value distribution
+    // per event type, first half of the corpus (by time) as reference
+    // vs second half as current: the standard feature-drift gate in
+    // front of a model retrain. Buckets are the deterministic
+    // power-of-two bit-length bins (pure integer arithmetic — the
+    // stream_quantile_sketch discipline, never a float edge);
+    // Laplace-smoothed so empty cells stay finite; per-bucket terms
+    // round once to 6 and sum as exact decimal(38,6), so the ≤64-term
+    // sum is order-independent. One data-sized aggregate, one tiny
+    // per-type totals broadcast: two shuffles total.
+    "rel_psi_drift" -> ((s, dir) => {
+      val ts = unix_micros(col("ts"))
+      val mid = events(s, dir)
+        .agg(min(ts).as("mn"), max(ts).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val b = events(s, dir).crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          length(bin(round(col("value") * 100).cast("long")))
+            .as("bucket"),
+          (ts < col("mid")).as("ref"))
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("cc"))
+      val tot = b.groupBy("event_type")
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+          count(lit(1)).as("nb"))
+      val p = (col("cr") + 1.0).cast("double") /
+        (col("nr") + col("nb")).cast("double")
+      val q = (col("cc") + 1.0).cast("double") /
+        (col("nc") + col("nb")).cast("double")
+      b.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("nb"),
+          round((p - q) * log(p / q), 6).cast("decimal(38,6)")
+            .as("term"))
+        .groupBy(col("event_type"), col("nb").as("n_buckets"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
     }),
 
     // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
@@ -9259,6 +9390,117 @@ object SparkEntry {
          |SELECT qid, sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1
          |                ELSE 0 END) / 10.0 AS recall
          |FROM r GROUP BY 1""".stripMargin,
+
+    "rel_welch_ttest" ->
+      """WITH a AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n1,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n2,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(round(value * 100, 0) AS BIGINT)
+        |             ELSE 0 END) AS s1,
+        |    sum(CASE WHEN event_type = 'click'
+        |             THEN CAST(round(value * 100, 0) AS BIGINT)
+        |             ELSE 0 END) AS s2,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(CAST(round(value * 100, 0) AS BIGINT)
+        |                  AS HUGEINT) *
+        |                  CAST(round(value * 100, 0) AS BIGINT)
+        |             ELSE 0 END) AS q1,
+        |    sum(CASE WHEN event_type = 'click'
+        |             THEN CAST(CAST(round(value * 100, 0) AS BIGINT)
+        |                  AS HUGEINT) *
+        |                  CAST(round(value * 100, 0) AS BIGINT)
+        |             ELSE 0 END) AS q2
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), f AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |    CAST(s1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / 100.0 / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(q1 AS DOUBLE) / 10000.0 -
+        |     (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+        |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(q2 AS DOUBLE) / 10000.0 -
+        |     (CAST(s2 AS DOUBLE) / 100.0) * (CAST(s2 AS DOUBLE) / 100.0)
+        |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+        |      / CAST(n2 AS DOUBLE) AS se2
+        |  FROM a
+        |)
+        |SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |       round((se1 + se2) * (se1 + se2) /
+        |             (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
+        |              se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df
+        |FROM f""".stripMargin,
+
+    "rel_jackknife_mean" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS nd,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS sd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), t AS (SELECT sum(nd) AS n, sum(sd) AS s FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(nd AS BIGINT) AS nd,
+        |       round(CAST(s - sd AS DOUBLE) / 100.0 /
+        |             CAST(n - nd AS DOUBLE), 6) AS mean_loo,
+        |       round(CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) -
+        |             CAST(s - sd AS DOUBLE) / 100.0 /
+        |             CAST(n - nd AS DOUBLE), 6) AS influence
+        |FROM d CROSS JOIN t""".stripMargin,
+
+    "rel_snaive_backtest" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, cnt,
+        |         lag(cnt, 24) OVER (PARTITION BY event_type
+        |                            ORDER BY hr) AS fc
+        |  FROM h
+        |), e AS (
+        |  SELECT event_type, cnt - fc AS e FROM l WHERE fc IS NOT NULL
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(abs(e)) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS mae,
+        |       round(sqrt(CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE)), 6) AS rmse
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "rel_psi_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |         length(bin(CAST(round(value * 100, 0) AS BIGINT)))
+        |           AS bucket,
+        |         sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |           AS cr,
+        |         sum(CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END)
+        |           AS cc
+        |  FROM events CROSS JOIN m GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cr) AS nr, sum(cc) AS nc,
+        |         count(*) AS nb
+        |  FROM b GROUP BY 1
+        |), terms AS (
+        |  SELECT b.event_type, t.nb,
+        |         CAST(round(
+        |           (CAST(cr + 1.0 AS DOUBLE) / CAST(nr + nb AS DOUBLE) -
+        |            CAST(cc + 1.0 AS DOUBLE) / CAST(nc + nb AS DOUBLE)) *
+        |           ln((CAST(cr + 1.0 AS DOUBLE) / CAST(nr + nb AS DOUBLE))
+        |            / (CAST(cc + 1.0 AS DOUBLE) / CAST(nc + nb AS DOUBLE))),
+        |           6) AS DECIMAL(38,6)) AS term
+        |  FROM b JOIN t ON b.event_type = t.event_type
+        |)
+        |SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+        |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "rel_theil_index" ->
       """WITH rev AS (

@@ -310,4 +310,116 @@ class StatsOpsSpec extends AnyFunSuite {
       s"decomposition $reassembled != brute $total")
     assert(rows.map(_._2).sum == rev.length)
   }
+
+  test("rel_welch_ttest: t and df match a brute-force two-sample pass") {
+    val row = run("rel_welch_ttest").head()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")).collect()
+    def cents(r: org.apache.spark.sql.Row) =
+      math.round(r.getDouble(1) * 100) / 100.0
+    val a = ev.filter(_.getString(0) == "purchase").map(cents)
+    val b = ev.filter(_.getString(0) == "click").map(cents)
+    assert(row.getAs[Long]("n1") == a.length)
+    assert(row.getAs[Long]("n2") == b.length)
+    def meanVar(x: Array[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val (m1, v1) = meanVar(a); val (m2, v2) = meanVar(b)
+    val se = v1 / a.length + v2 / b.length
+    val t = (m1 - m2) / math.sqrt(se)
+    val df = se * se /
+      ((v1 / a.length) * (v1 / a.length) / (a.length - 1) +
+       (v2 / b.length) * (v2 / b.length) / (b.length - 1))
+    assert(math.abs(row.getAs[Double]("mean_diff") - (m1 - m2)) < 1e-4)
+    assert(math.abs(row.getAs[Double]("t_stat") - t) < 1e-3,
+      s"t ${row.getAs[Double]("t_stat")} != brute $t")
+    assert(math.abs(row.getAs[Double]("df") - df) < 0.5)
+  }
+
+  test("rel_jackknife_mean: LOO means recompute, influences sum to " +
+      "~0 weighted") {
+    val rows = run("rel_jackknife_mean").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("nd"),
+        r.getAs[Double]("mean_loo"), r.getAs[Double]("influence")))
+    assert(rows.nonEmpty)
+    val byDay = SparkEntry.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(to_date(col("ts")).cast("string").as("day"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(vs =>
+        (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val n = byDay.values.map(_._1).sum
+    val s = byDay.values.map(_._2).sum
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (day, nd, loo, infl) =>
+      val (bn, bs) = byDay(day)
+      assert(bn == nd)
+      val want = (s - bs).toDouble / 100.0 / (n - bn)
+      assert(math.abs(loo - want) < 1e-4, s"$day loo $loo != $want")
+      val theta = s.toDouble / 100.0 / n
+      assert(math.abs(infl - (theta - want)) < 1e-4)
+    }
+  }
+
+  test("rel_snaive_backtest: MAE/RMSE match a brute-force lag-24 " +
+      "residual pass, RMSE >= MAE") {
+    val rows = run("rel_snaive_backtest").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("mae"), r.getAs[Double]("rmse")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, mae, rmse) =>
+      assert(rmse >= mae - 1e-9, "RMSE dominates MAE")
+    }
+    val series = SparkEntry.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2)))
+    rows.foreach { case (tpe, n, mae, rmse) =>
+      val cnts = series.filter(_._1 == tpe).sortBy(_._2).map(_._3)
+      val errs = cnts.drop(24).zip(cnts.dropRight(24))
+        .map { case (c, f) => (c - f).toDouble }
+      assert(errs.length == n)
+      assert(math.abs(mae - errs.map(math.abs).sum / n) < 1e-4)
+      assert(math.abs(rmse -
+        math.sqrt(errs.map(e => e * e).sum / n)) < 1e-4)
+    }
+  }
+
+  test("rel_psi_drift: psi >= 0 and matches a brute-force " +
+      "smoothed-bucket computation for one type") {
+    val rows = run("rel_psi_drift").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_buckets"), r.getAs[Double]("psi")))
+    assert(rows.nonEmpty)
+    // every (p-q)ln(p/q) term is >= 0, so psi is
+    rows.foreach(r => assert(r._3 >= -1e-9, s"psi < 0 for ${r._1}"))
+    val ev = SparkEntry.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val tpe = rows.head._1
+    val g = ev.filter(_._1 == tpe)
+      .map(e => (java.lang.Long.toBinaryString(e._3).length,
+        e._2 < mid))
+    val buckets = g.map(_._1).distinct
+    assert(rows.find(_._1 == tpe).get._2 == buckets.length)
+    val nr = g.count(_._2); val nc = g.length - nr
+    val psi = buckets.map { bkt =>
+      val cr = g.count(x => x._1 == bkt && x._2)
+      val cc = g.count(x => x._1 == bkt && !x._2)
+      val p = (cr + 1.0) / (nr + buckets.length)
+      val q = (cc + 1.0) / (nc + buckets.length)
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(math.abs(rows.find(_._1 == tpe).get._3 - psi) < 1e-5,
+      s"psi ${rows.find(_._1 == tpe).get._3} != brute $psi")
+  }
 }
