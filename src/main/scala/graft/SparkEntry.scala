@@ -4694,6 +4694,208 @@ object SparkEntry {
         .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
     }),
 
+    // ONE-WAY ANOVA — F-test of equal mean value across ALL event
+    // types at once (the k-group generalization of rel_welch_ttest).
+    // One map-side-combined aggregate shrinks the stream to k=5 moment
+    // rows (n, Σx, Σx² — exact cents / decimal(38,0)); the per-group
+    // SSB/SSW contributions are each rounded ONCE to 6 and summed as
+    // exact decimal(38,6) so the k-term fold is order-independent;
+    // F is a literal formula over the single assembled row.
+    "rel_anova_f" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val g = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+          sum(d38(col("c")) * col("c")).as("qg"))
+        .localCheckpoint(false) // feeds the fold AND the grand totals
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"),
+        count(lit(1)).as("k"))
+      // per-group terms in VALUE units (cents² / 1e4), rounded then
+      // exact-summed: ssb_g = sg²/ng (centered later), ssw_g = qg - sg²/ng
+      val sg2ng = (col("sg").cast("double") / 100.0) *
+        (col("sg").cast("double") / 100.0) / col("ng").cast("double")
+      val folded = g.select(
+          round(sg2ng, 6).cast("decimal(38,6)").as("b"),
+          round(col("qg").cast("double") / 10000.0 - sg2ng, 6)
+            .cast("decimal(38,6)").as("w"))
+        .agg(sum(col("b")).as("sb"), sum(col("w")).as("ssw"))
+      val grand = (col("st").cast("double") / 100.0) *
+        (col("st").cast("double") / 100.0) / col("n").cast("double")
+      val ssb = col("sb").cast("double") - grand
+      val ssw = col("ssw").cast("double")
+      val kd = col("k").cast("double")
+      val nd = col("n").cast("double")
+      folded.crossJoin(broadcast(tot))
+        .select(col("k"), col("n"),
+          round(ssb, 4).as("ss_between"), round(ssw, 4).as("ss_within"),
+          round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).as("f_stat"))
+    }),
+
+    // CRAMÉR'S V — strength of association between nation and market
+    // segment over the customer dimension: the contingency-table
+    // effect size (chi² normalized to [0,1]) a data-quality audit
+    // reports alongside rel_mutual_info's MI. One hash aggregate to
+    // the r×c joint (125 cells); marginals re-aggregate the joint (no
+    // second scan) and broadcast back; per-cell (o−e)²/e terms round
+    // once to 6 and sum as exact decimal(38,6) — order-independent.
+    "rel_cramers_v" -> ((s, dir) => {
+      val joint = tbl(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(false)
+      val rm = joint.groupBy(col("c_nationkey"))
+        .agg(sum(col("o")).as("rt"))
+      val cm = joint.groupBy(col("c_mktsegment"))
+        .agg(sum(col("o")).as("ct"))
+      val tot = joint.agg(sum(col("o")).as("n"),
+        countDistinct(col("c_nationkey")).as("r"),
+        countDistinct(col("c_mktsegment")).as("c"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val term = (col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e
+      joint.join(broadcast(rm), "c_nationkey")
+        .join(broadcast(cm), "c_mktsegment")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"),
+          round(term, 6).cast("decimal(38,6)").as("term"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("term")).as("chi2"))
+        .select(col("n"), col("r"), col("c"),
+          round(col("chi2").cast("double"), 4).as("chi2"),
+          round(sqrt(col("chi2").cast("double") /
+            (col("n").cast("double") *
+             least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
+    // BIGRAM PMI — the collocation detector: top-20 bigrams by
+    // pointwise mutual information (min count 5), ln of the joint
+    // probability over the product of unigram probabilities. Scale
+    // shape: token and bigram streams each shrink to their count
+    // tables in one aggregate; the two unigram lookups join on the
+    // token hash (size-based broadcast); the top-20 is
+    // (pmi desc, bigram asc) through TakeOrderedAndProject — never a
+    // global sort. PMI rounds to 6 BEFORE the cut with a bigram
+    // tiebreak, so the cut is cross-engine exact.
+    "text_bigram_pmi" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val uni = docs.select(explode(
+          graft.functions.GraftFunctions.shingles(s, col("text"), 1))
+          .as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+        .localCheckpoint(false)
+      val n1 = uni.agg(sum(col("cw")).as("n1"))
+      val bg = docs.select(explode(
+          graft.functions.GraftFunctions.shingles(s, col("text"), 2))
+          .as("bigram"))
+        .where(size(split(col("bigram"), " ")) === 2)
+        .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+        .localCheckpoint(false)
+      val n2 = bg.agg(sum(col("cxy")).as("n2"))
+      val p = col("cxy").cast("double") / col("n2").cast("double")
+      val px = col("cw_x").cast("double") / col("n1").cast("double")
+      val py = col("cw_y").cast("double") / col("n1").cast("double")
+      bg.select(col("bigram"), col("cxy"),
+          split(col("bigram"), " ").getItem(0).as("w1"),
+          split(col("bigram"), " ").getItem(1).as("w2"))
+        .join(uni.select(col("w").as("w1"), col("cw").as("cw_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cw_y")), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("bigram"), col("cxy"),
+          round(log(p / (px * py)), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // STREAMING PSI DRIFT — rel_psi_drift's gate as a live stream: the
+    // reference histogram is a BATCH aggregate of the corpus first
+    // half; the current histogram is maintained INCREMENTALLY over the
+    // streamed second half (complete mode, types × ≤64 bit-length
+    // buckets of bounded state — counts are associative, so the
+    // unordered replay provably equals the batch histogram and the
+    // streaming PSI equals the batch PSI, which IS the oracle). The
+    // readout full-outer-joins the two bounded histograms and applies
+    // the same smoothed, round-then-exact-sum fold.
+    "stream_psi_drift" -> ((s, dir) => {
+      val ts = unix_micros(col("ts"))
+      val mid = events(s, dir)
+        .agg(min(ts).as("mn"), max(ts).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val tagged = events(s, dir).crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          length(bin(round(col("value") * 100).cast("long")))
+            .as("bucket"),
+          (ts < col("mid")).as("ref"))
+      val refH = tagged.where(col("ref"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cr"))
+      val curH = graft.streaming.StreamGate.stageAndReplay(s,
+        tagged.where(!col("ref")).select("event_type", "bucket"),
+        "gate_psi", "complete")(df =>
+        df.groupBy("event_type", "bucket").count())
+        .select(col("event_type"), col("bucket"),
+          col("count").as("cc"))
+      val b = refH.join(curH, Seq("event_type", "bucket"), "full_outer")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+      val tot = b.groupBy("event_type")
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+          count(lit(1)).as("nb"))
+      val p = (col("cr") + 1.0).cast("double") /
+        (col("nr") + col("nb")).cast("double")
+      val q = (col("cc") + 1.0).cast("double") /
+        (col("nc") + col("nb")).cast("double")
+      b.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("nb"),
+          round((p - q) * log(p / q), 6).cast("decimal(38,6)")
+            .as("term"))
+        .groupBy(col("event_type"), col("nb").as("n_buckets"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+    }),
+
+    // SPEARMAN RANK CORRELATION — quantity vs price over lineitem,
+    // the monotone-association twin of rel_regression_per_key's
+    // Pearson. Ranks NEVER materialize by sorting rows: each column
+    // aggregates to its DISTINCT values, a GlobalScan prefix sum turns
+    // per-value counts into tie-AVERAGED ranks (carried doubled so
+    // they stay integral — the rel_mann_whitney discipline), and the
+    // tiny rank tables hash-join back onto the fact rows. All five
+    // Pearson moments accumulate as exact decimal(38,0) = DuckDB's
+    // int128; doubles appear only in the final one-row formula.
+    "rel_spearman_corr" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val li = tbl(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      def rank2(colName: String): DataFrame = {
+        val d = li.groupBy(col(colName).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.plans.GlobalScan.runningSum(d, "cnt", "v" -> false)
+          .select(col("v").as(colName),
+            (lit(2L) * col("running") - col("cnt") + 1L)
+              .as(s"r2$colName"))
+      }
+      val ranked = li.join(rank2("x"), "x").join(rank2("y"), "y")
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(d38(col("r2x"))).as("sx"), sum(d38(col("r2y"))).as("sy"),
+        sum(d38(col("r2x")) * col("r2x")).as("sxx"),
+        sum(d38(col("r2y")) * col("r2y")).as("syy"),
+        sum(d38(col("r2x")) * col("r2y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val cov = nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = nd * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      m.select(col("n"), round(cov / sqrt(vx * vy), 6).as("spearman"))
+    }),
+
     // MANN-WHITNEY U — the nonparametric A/B test (purchase vs click
     // values), the rank-based twin of rel_abtest_report's z-test.
     // Scale-first shape: ranks never materialize per row — the stream
@@ -9472,6 +9674,169 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
 
     "rel_psi_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |         length(bin(CAST(round(value * 100, 0) AS BIGINT)))
+        |           AS bucket,
+        |         sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |           AS cr,
+        |         sum(CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END)
+        |           AS cc
+        |  FROM events CROSS JOIN m GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cr) AS nr, sum(cc) AS nc,
+        |         count(*) AS nb
+        |  FROM b GROUP BY 1
+        |), terms AS (
+        |  SELECT b.event_type, t.nb,
+        |         CAST(round(
+        |           (CAST(cr + 1.0 AS DOUBLE) / CAST(nr + nb AS DOUBLE) -
+        |            CAST(cc + 1.0 AS DOUBLE) / CAST(nc + nb AS DOUBLE)) *
+        |           ln((CAST(cr + 1.0 AS DOUBLE) / CAST(nr + nb AS DOUBLE))
+        |            / (CAST(cc + 1.0 AS DOUBLE) / CAST(nc + nb AS DOUBLE))),
+        |           6) AS DECIMAL(38,6)) AS term
+        |  FROM b JOIN t ON b.event_type = t.event_type
+        |)
+        |SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+        |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "rel_spearman_corr" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem
+        |), rx AS (
+        |  SELECT v AS x, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1
+        |           AS r2x
+        |  FROM (SELECT x AS v, count(*) AS cnt FROM li GROUP BY 1)
+        |), ry AS (
+        |  SELECT v AS y, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1
+        |           AS r2y
+        |  FROM (SELECT y AS v, count(*) AS cnt FROM li GROUP BY 1)
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(r2x AS HUGEINT)) AS sx,
+        |         sum(CAST(r2y AS HUGEINT)) AS sy,
+        |         sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |         sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+        |         sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        |  FROM li JOIN rx USING (x) JOIN ry USING (y)
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |             6) AS spearman
+        |FROM m""".stripMargin,
+
+    "rel_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS ng,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS sg,
+        |         sum(CAST(CAST(round(value * 100, 0) AS BIGINT)
+        |             AS HUGEINT) *
+        |             CAST(round(value * 100, 0) AS BIGINT)) AS qg
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT sum(ng) AS n, sum(sg) AS st, count(*) AS k FROM g
+        |), f AS (
+        |  SELECT
+        |    sum(CAST(round((CAST(sg AS DOUBLE) / 100.0) *
+        |        (CAST(sg AS DOUBLE) / 100.0) / CAST(ng AS DOUBLE), 6)
+        |        AS DECIMAL(38,6))) AS sb,
+        |    sum(CAST(round(CAST(qg AS DOUBLE) / 10000.0 -
+        |        (CAST(sg AS DOUBLE) / 100.0) *
+        |        (CAST(sg AS DOUBLE) / 100.0) / CAST(ng AS DOUBLE), 6)
+        |        AS DECIMAL(38,6))) AS ssw
+        |  FROM g
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |       round(CAST(sb AS DOUBLE) -
+        |             (CAST(st AS DOUBLE) / 100.0) *
+        |             (CAST(st AS DOUBLE) / 100.0) / CAST(n AS DOUBLE),
+        |             4) AS ss_between,
+        |       round(CAST(ssw AS DOUBLE), 4) AS ss_within,
+        |       round(((CAST(sb AS DOUBLE) -
+        |               (CAST(st AS DOUBLE) / 100.0) *
+        |               (CAST(st AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
+        |              / (CAST(k AS DOUBLE) - 1.0)) /
+        |             (CAST(ssw AS DOUBLE) /
+        |              (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |         AS f_stat
+        |FROM f CROSS JOIN t""".stripMargin,
+
+    "rel_cramers_v" ->
+      """WITH joint AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS o
+        |  FROM customer GROUP BY 1, 2
+        |), rm AS (
+        |  SELECT c_nationkey, sum(o) AS rt FROM joint GROUP BY 1
+        |), cm AS (
+        |  SELECT c_mktsegment, sum(o) AS ct FROM joint GROUP BY 1
+        |), t AS (
+        |  SELECT sum(o) AS n, count(DISTINCT c_nationkey) AS r,
+        |         count(DISTINCT c_mktsegment) AS c
+        |  FROM joint
+        |), s AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |         CAST(c AS BIGINT) AS c,
+        |    sum(CAST(round(
+        |      (CAST(o AS DOUBLE) -
+        |       CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+        |       CAST(n AS DOUBLE)) *
+        |      (CAST(o AS DOUBLE) -
+        |       CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+        |       CAST(n AS DOUBLE)) /
+        |      (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+        |       CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6))) AS chi2
+        |  FROM joint
+        |  JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment)
+        |  CROSS JOIN t
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT n, r, c, round(CAST(chi2 AS DOUBLE), 4) AS chi2,
+        |       round(sqrt(CAST(chi2 AS DOUBLE) /
+        |             (CAST(n AS DOUBLE) *
+        |              CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+        |         AS cramers_v
+        |FROM s""".stripMargin,
+
+    "text_bigram_pmi" ->
+      s"""WITH t AS (SELECT ${cleanToksSql("text")} AS l FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS cw FROM (
+         |    SELECT unnest(l) AS w FROM t) WHERE w <> '' GROUP BY 1
+         |), n1 AS (SELECT sum(cw) AS n1 FROM uni),
+         |bg AS (
+         |  SELECT bigram, count(*) AS cxy FROM (
+         |    SELECT unnest(CASE WHEN len(l) >= 2
+         |      THEN list_transform(range(1, len(l)),
+         |                          i -> l[i] || ' ' || l[i+1])
+         |      ELSE [array_to_string(l, ' ')] END) AS bigram
+         |    FROM t)
+         |  WHERE len(string_split(bigram, ' ')) = 2
+         |  GROUP BY 1 HAVING count(*) >= 5
+         |)
+         |SELECT bigram, cxy,
+         |       round(ln((CAST(cxy AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+         |             ((CAST(ux.cw AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+         |              (CAST(uy.cw AS DOUBLE) / CAST(n1 AS DOUBLE)))),
+         |             6) AS pmi
+         |FROM bg
+         |JOIN uni ux ON ux.w = string_split(bigram, ' ')[1]
+         |JOIN uni uy ON uy.w = string_split(bigram, ' ')[2]
+         |CROSS JOIN n1
+         |CROSS JOIN (SELECT sum(cxy) AS n2 FROM bg) n2
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "stream_psi_drift" ->
       """WITH m AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
         |  FROM events

@@ -422,4 +422,97 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(rows.find(_._1 == tpe).get._3 - psi) < 1e-5,
       s"psi ${rows.find(_._1 == tpe).get._3} != brute $psi")
   }
+
+  test("stream_psi_drift: replayed-stream PSI equals the batch PSI " +
+      "per type") {
+    val want = run("rel_psi_drift").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Double]("psi"))).toMap
+    val got = run("stream_psi_drift").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Double]("psi"))).toMap
+    // counts are associative, so the unordered multi-batch replay must
+    // reproduce the batch histogram — and therefore the batch PSI
+    assert(got == want, s"$got != $want")
+    got.values.foreach { case (nb, psi) =>
+      assert(nb <= 64, "bit-length buckets bound the state")
+      assert(psi >= -1e-9)
+    }
+  }
+
+  test("rel_anova_f: F matches a brute-force k-group decomposition") {
+    val row = run("rel_anova_f").head()
+    val groups = SparkEntry.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100) / 100.0))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = groups.values.map(_.length).sum
+    assert(row.getAs[Long]("k") == k && row.getAs[Long]("n") == n)
+    val grand = groups.values.flatten.sum / n
+    val ssb = groups.values
+      .map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.values
+      .map(g => { val m = g.sum / g.length
+        g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(row.getAs[Double]("ss_between") - ssb) < 0.5,
+      s"ssb ${row.getAs[Double]("ss_between")} != $ssb")
+    assert(math.abs(row.getAs[Double]("ss_within") - ssw) < 0.5)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-3,
+      s"F ${row.getAs[Double]("f_stat")} != $f")
+  }
+
+  test("rel_cramers_v: chi2 and V match a brute-force contingency " +
+      "table, V in [0,1]") {
+    val row = run("rel_cramers_v").head()
+    val cells = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = cells.length
+    val rows = cells.map(_._1).distinct.length
+    val cols = cells.map(_._2).distinct.length
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("r") == rows && row.getAs[Long]("c") == cols)
+    val joint = cells.groupBy(identity).view.mapValues(_.length)
+    val rm = cells.groupBy(_._1).view.mapValues(_.length)
+    val cm = cells.groupBy(_._2).view.mapValues(_.length)
+    val chi2 = joint.map { case ((nk, seg), o) =>
+      val e = rm(nk).toDouble * cm(seg) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(rows - 1, cols - 1)))
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 0.01)
+    val gotV = row.getAs[Double]("cramers_v")
+    assert(math.abs(gotV - v) < 1e-4)
+    assert(gotV >= 0 && gotV <= 1 + 1e-9)
+  }
+
+  test("rel_spearman_corr: matches a brute-force tie-averaged rank " +
+      "correlation") {
+    val row = run("rel_spearman_corr").head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getAs[Long]("n") == li.length)
+    def avgRanks(xs: Array[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(li.map(_._1)); val ry = avgRanks(li.map(_._2))
+    val pairs = li.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    val cov = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+    val rho = cov / math.sqrt(vx * vy)
+    assert(math.abs(row.getAs[Double]("spearman") - rho) < 1e-4,
+      s"spearman ${row.getAs[Double]("spearman")} != brute $rho")
+  }
 }

@@ -226,4 +226,42 @@ class TrainingOpsSpec extends AnyFunSuite {
         s"score $score not an integer multiple of idf for $token")
     }
   }
+
+  test("text_bigram_pmi: 20 rows, counts >= 5, top PMI matches a " +
+      "brute-force recomputation") {
+    val rows = run("text_bigram_pmi").collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("cxy"),
+        r.getAs[Double]("pmi")))
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 >= 5))
+    // pmi column is sorted descending with bigram tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    // brute-force PMI of the top row from raw token streams
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.toLowerCase.replaceAll("[^a-z ]", " ")
+      .split("\\s+").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length)
+    val n1 = toks.map(_.length).sum
+    val bgs = toks.flatMap(t => t.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1)))
+    val bgCounts = bgs.groupBy(identity).view.mapValues(_.length)
+      .filter(_._2 >= 5)
+    val n2 = bgCounts.values.sum
+    val (top, cxy, pmi) = rows.head
+    assert(bgCounts(top) == cxy)
+    val Array(w1, w2) = top.split(" ")
+    val want = math.log((cxy.toDouble / n2) /
+      ((uni(w1).toDouble / n1) * (uni(w2).toDouble / n1)))
+    assert(math.abs(pmi - want) < 1e-5, s"pmi $pmi != brute $want")
+    // and it really is the maximum over all eligible bigrams
+    val maxPmi = bgCounts.map { case (bg, c) =>
+      val Array(a, b) = bg.split(" ")
+      math.log((c.toDouble / n2) /
+        ((uni(a).toDouble / n1) * (uni(b).toDouble / n1)))
+    }.max
+    assert(math.abs(pmi - maxPmi) < 1e-5)
+  }
 }
