@@ -6942,6 +6942,230 @@ object SparkEntry {
         docLines(s, dir)
           .select(col("line"), explode(sequence(lit(0), lit(99))).as("rep"))
           .select(col("line").as("value")))),
+
+    // ---- round 16: model evaluation / spatial / IVM-join / trend ----------
+
+    // AUC-ROC — the threshold-free binary-classifier metric, computed by
+    // the rank-sum identity AUC = U⁺/(n₁n₀) (a purchase/non-purchase
+    // label against the integer-cents score). Scale-first shape shared
+    // with rel_mann_whitney: ranks NEVER materialize per row — the
+    // stream aggregates to DISTINCT score values (hash agg), the
+    // GlobalScan prefix sum turns per-value counts into tie-averaged
+    // ranks carried DOUBLED so they stay integral, and AUC folds out of
+    // one aggregate row in decimal(38,0) = int128 exact algebra (ties
+    // get the canonical ½ credit automatically via average ranks). One
+    // double division at the end.
+    "rel_auc_roc" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val d = events(s, dir).select(
+          round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy("v")
+        .agg(sum(col("pos")).as("np"), count(lit(1)).as("n"))
+      val r = graft.plans.GlobalScan.runningSum(d, "n", "v" -> false)
+      val a = r.agg(
+        sum(col("np")).as("n1"),
+        sum(col("n") - col("np")).as("n0"),
+        sum(d38(col("np")) *
+          d38(lit(2L) * col("running") - col("n") + lit(1L))).as("ra2"))
+      a.select(col("n1"), col("n0"),
+        round((col("ra2") - d38(col("n1")) * d38(col("n1") + 1))
+            .cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")),
+          6).as("auc"))
+    }),
+
+    // CALIBRATION / reliability bins — does the score mean what it
+    // claims? Score in [0,1) derived as exact integer cents-mod-100 so
+    // the equal-width binning is INTEGER arithmetic (no float-boundary
+    // divergence between engines); per bin the mean score is an exact
+    // integer sum divided once, and the positive rate an exact count
+    // ratio. ONE hash aggregate over the stream; output is O(10) rows
+    // at any scale. (sum(cents) < 100·N keeps the long sum safe past
+    // 10^16 rows.)
+    "rel_calibration_bins" -> ((s, dir) =>
+      events(s, dir).select(
+          (round(col("value") * 100).cast("long") % 100L).as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy(expr("cents div 10").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(col("pos")).as("sp"))
+        .select(col("bin"), col("n"),
+          round(col("sc").cast("double") / (lit(100.0) * col("n")), 6)
+            .as("mean_score"),
+          round(col("sp").cast("double") / col("n").cast("double"), 6)
+            .as("pos_rate"))),
+
+    // COHEN'S KAPPA — chance-corrected agreement between two binary
+    // raters (order finality vs. pre-1998 vintage), the standard
+    // label-quality gate for multi-annotator training data. The whole
+    // statistic folds out of ONE count aggregate; po/pe/kappa are exact
+    // integer algebra (products widened to decimal(38,0) = int128 — n²
+    // passes Long.Max at ~3·10⁹ rows) down to one double division per
+    // output column.
+    "rel_cohens_kappa" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val o = tbl(s, dir, "orders").select(
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("a"),
+        when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("b"))
+      val m = o.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+          .as("n00"),
+        sum(col("a")).as("a1"), sum(col("b")).as("b1"))
+      val agree = d38(col("n11") + col("n00"))
+      val chance = d38(col("a1")) * d38(col("b1")) +
+        (d38(col("n")) - d38(col("a1"))) * (d38(col("n")) - d38(col("b1")))
+      m.select(col("n"),
+        round((col("n11") + col("n00")).cast("double") /
+          col("n").cast("double"), 6).as("po"),
+        round(chance.cast("double") /
+          (d38(col("n")) * d38(col("n"))).cast("double"), 6).as("pe"),
+        round((d38(col("n")) * agree - chance).cast("double") /
+          (d38(col("n")) * d38(col("n")) - chance).cast("double"), 6)
+          .as("kappa"))
+    }),
+
+    // NDCG@10 — ranking quality of the value-score ordering against
+    // graded relevance (purchase 3 > signup 2 > click 1), per user then
+    // averaged. Uses the LINEAR discount 1/rank (declared deviation
+    // from log₂ — and the reason every per-user NDCG is EXACT: gains
+    // are rel·(2520 div rank) with 2520 = lcm(1..10), so DCG and ideal
+    // DCG are integers and their ratio one deterministic division —
+    // no cross-engine libm log in a boundary-sensitive compare). Both
+    // rank and ideal rank come from row_number windows PARTITIONED by
+    // user (one shuffle, two sorts, fully distributed); users with no
+    // relevant event are excluded (ideal DCG 0).
+    "rel_ndcg_eval" -> ((s, dir) => {
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("score").desc, col("event_id").asc)
+      val byRel = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("rel").desc, col("event_id").asc)
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("score"),
+        when(col("event_type") === "purchase", 3L)
+          .when(col("event_type") === "signup", 2L)
+          .when(col("event_type") === "click", 1L).otherwise(0L).as("rel"))
+      e.select(col("user_id"), col("rel"),
+          row_number().over(byScore).as("rk"),
+          row_number().over(byRel).as("irk"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("rk") <= 10, col("rel") * expr("2520 div rk"))
+            .otherwise(0L)).as("dcg"),
+          sum(when(col("irk") <= 10, col("rel") * expr("2520 div irk"))
+            .otherwise(0L)).as("idcg"))
+        .where(col("idcg") > 0)
+        .select(round(col("dcg").cast("double") / col("idcg").cast("double"),
+          6).as("ndcg"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("ndcg")), 6).as("mean_ndcg"))
+    }),
+
+    // GRID-BUCKETED RADIUS JOIN — the canonical spatial join at scale:
+    // points land in cells of side R, and a pair within distance R can
+    // only meet in the 3×3 cell neighborhood, so the candidate join is
+    // an EQUI-join on cell id with one side exploded ×9 — NEVER a cross
+    // join; per-cell density (not corpus size) bounds the verify work.
+    // Coordinates derive from keys by integer congruences and the
+    // radius check is exact integer dx²+dy² ≤ R², so both engines agree
+    // bit-for-bit with no trig/float boundary. Output aggregates pin
+    // the full pair set (count + exact distance-square sum).
+    "rel_geo_radius_join" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val R = 5000L
+      val cust = tbl(s, dir, "customer").select(
+        col("c_custkey").as("ck"),
+        ((col("c_custkey") * 48271L) % 100000L).as("cx"),
+        ((col("c_custkey") * 69621L) % 100000L).as("cy"))
+      val supp = tbl(s, dir, "supplier").select(
+        col("s_suppkey").as("sk"),
+        ((col("s_suppkey") * 48271L + 12345L) % 100000L).as("sx"),
+        ((col("s_suppkey") * 69621L + 54321L) % 100000L).as("sy"))
+      val offs = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val custCells = cust
+        .withColumn("off", explode(array(offs: _*)))
+        .select(col("ck"), col("cx"), col("cy"),
+          (expr(s"cx div $R") + col("off.dx")).as("gx"),
+          (expr(s"cy div $R") + col("off.dy")).as("gy"))
+      val suppCells = supp.select(col("sk"), col("sx"), col("sy"),
+        expr(s"sx div $R").as("gx"), expr(s"sy div $R").as("gy"))
+      val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+        (col("cy") - col("sy")) * (col("cy") - col("sy"))
+      custCells.join(suppCells, Seq("gx", "gy"))
+        .where(d2 <= lit(R * R))
+        .select(col("ck"), col("sk"), d2.as("d2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // exact int128 sum cast once: both engines round the SAME
+          // exact integer to double, so the compare is deterministic
+          sum(d38(col("d2"))).cast("double").as("sum_d2"),
+          min(col("d2")).as("min_d2"))
+    }),
+
+    // IVM of a JOIN view — rel_ivm_agg's big sibling: the maintained
+    // view is an AGGREGATE OVER A JOIN (revenue per customer nation),
+    // and the delta batch only ever joins the DELTA side against the
+    // dimension — O(delta), never a history rescan (the join-view
+    // distributivity that makes materialized marts affordable at
+    // 100 TB). Merge = full-outer coalesced algebra over the two
+    // partial aggregates; the oracle recomputes the view from scratch —
+    // IVM's contract is exactly "merge equals recompute". Money rides
+    // as exact decimal cents to one presentational cast.
+    "rel_ivm_join" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val cut = lit("2001-01-01").cast("timestamp")
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = tbl(s, dir, "orders").select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      def view(df: DataFrame) =
+        df.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey").agg(sum(d38(col("cents"))).as("rev"))
+      val base = view(ord.where(col("o_orderdate") < cut))
+        .select(col("c_nationkey").as("k0"), col("rev").as("r0"))
+      val delta = view(ord.where(col("o_orderdate") >= cut))
+        .select(col("c_nationkey").as("k1"), col("rev").as("r1"))
+      base.join(delta, col("k0") === col("k1"), "full_outer")
+        .select(coalesce(col("k0"), col("k1")).as("c_nationkey"),
+          (coalesce(col("r0"), lit(0).cast("decimal(38,0)")) +
+            coalesce(col("r1"), lit(0).cast("decimal(38,0)")))
+            .cast("double").as("rev_cents"))
+    }),
+
+    // BROWN'S DOUBLE EXPONENTIAL SMOOTHING — level + trend of the
+    // hourly event-count series by chaining the GlobalRecur affine
+    // operator TWICE: s1 smooths the series, s2 smooths s1, and
+    // (level, trend) = (2s1−s2, α/(1−α)·(s1−s2)) — the trend-aware
+    // upgrade of rel_ewma_per_user's flat EWMA, and the operator-
+    // composition showcase: an unbounded recurrence feeding a second
+    // unbounded recurrence, both running as distributed two-pass scans
+    // (no single-partition window anywhere). α = 1/4 is an exact
+    // binary fraction and every step is the same literal IEEE sequence
+    // (0.75·s + 0.25·x) in both engines, so the chain is bit-exact.
+    "rel_double_ewma_trend" -> ((s, dir) => {
+      val hr = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("h").agg(count(lit(1)).cast("double").as("x"))
+        .select(col("h"), col("x"),
+          lit(0.75).as("m"), (lit(0.25) * col("x")).as("c"))
+      val p1 = graft.plans.Recurrence.scan(hr, "m", "c", 0.0, ("h", false))
+        .select(col("h"), col("y").as("s1"),
+          lit(0.75).as("m2"))
+      val p2 = graft.plans.Recurrence
+        .scan(p1.withColumn("c2", lit(0.25) * col("s1")),
+          "m2", "c2", 0.0, ("h", false))
+      p2.select(col("h"),
+        round(col("s1"), 6).as("s1"), round(col("y"), 6).as("s2"),
+        round(lit(2.0) * col("s1") - col("y"), 6).as("level"),
+        round((col("s1") - col("y")) / lit(3.0), 6).as("trend"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -11941,5 +12165,138 @@ object SparkEntry {
          |  FROM counts
          |)
          |SELECT rank, word, cnt FROM ranked WHERE rank <= 100""".stripMargin,
+
+    "rel_auc_roc" ->
+      """WITH s AS (
+        |  SELECT cast(round(value * 100) AS BIGINT) AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |), d AS (
+        |  SELECT v, sum(pos)::HUGEINT AS np, count(*)::HUGEINT AS n
+        |  FROM s GROUP BY v
+        |), r AS (
+        |  SELECT np, n, sum(n) OVER (ORDER BY v) AS run FROM d
+        |), a AS (
+        |  SELECT sum(np) AS n1, sum(n - np) AS n0,
+        |         sum(np * (2 * run - n + 1)) AS ra2
+        |  FROM r
+        |)
+        |SELECT cast(n1 AS BIGINT) AS n1, cast(n0 AS BIGINT) AS n0,
+        |       round(cast(ra2 - n1 * (n1 + 1) AS DOUBLE) /
+        |             (2.0 * cast(n1 AS DOUBLE) * cast(n0 AS DOUBLE)), 6)
+        |         AS auc
+        |FROM a""".stripMargin,
+
+    "rel_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT cast(round(value * 100) AS BIGINT) % 100 AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |)
+        |SELECT cents // 10 AS bin, count(*) AS n,
+        |       round(sum(cents)::DOUBLE / (100.0 * count(*)), 6)
+        |         AS mean_score,
+        |       round(sum(pos)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "rel_cohens_kappa" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS b
+        |  FROM orders
+        |), m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::HUGEINT
+        |           AS n11,
+        |         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::HUGEINT
+        |           AS n00,
+        |         sum(a)::HUGEINT AS a1, sum(b)::HUGEINT AS b1
+        |  FROM s
+        |)
+        |SELECT cast(n AS BIGINT) AS n,
+        |       round(cast(n11 + n00 AS DOUBLE) / cast(n AS DOUBLE), 6)
+        |         AS po,
+        |       round(cast(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE) /
+        |             cast(n * n AS DOUBLE), 6) AS pe,
+        |       round(cast(n * (n11 + n00) - a1 * b1 - (n - a1) * (n - b1)
+        |                  AS DOUBLE) /
+        |             cast(n * n - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE),
+        |             6) AS kappa
+        |FROM m""".stripMargin,
+
+    "rel_ndcg_eval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         cast(round(value * 100) AS BIGINT) AS score,
+        |         CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+        |              WHEN 'click' THEN 1 ELSE 0 END AS rel
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, rel,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY score DESC, event_id) AS rk,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY rel DESC, event_id) AS irk
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN rk <= 10 THEN rel * (2520 // rk)
+        |                  ELSE 0 END) AS dcg,
+        |         sum(CASE WHEN irk <= 10 THEN rel * (2520 // irk)
+        |                  ELSE 0 END) AS idcg
+        |  FROM r GROUP BY user_id
+        |)
+        |SELECT count(*) AS n_users,
+        |       round(avg(round(cast(dcg AS DOUBLE) / cast(idcg AS DOUBLE),
+        |                       6)), 6) AS mean_ndcg
+        |FROM p WHERE idcg > 0""".stripMargin,
+
+    "rel_geo_radius_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS ck,
+        |         (c_custkey * 48271) % 100000 AS cx,
+        |         (c_custkey * 69621) % 100000 AS cy
+        |  FROM customer
+        |), sp AS (
+        |  SELECT s_suppkey AS sk,
+        |         (s_suppkey * 48271 + 12345) % 100000 AS sx,
+        |         (s_suppkey * 69621 + 54321) % 100000 AS sy
+        |  FROM supplier
+        |), p AS (
+        |  SELECT (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+        |  FROM c CROSS JOIN sp
+        |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 25000000
+        |)
+        |SELECT count(*) AS n_pairs,
+        |       cast(sum(d2::HUGEINT) AS DOUBLE) AS sum_d2,
+        |       cast(min(d2) AS BIGINT) AS min_d2
+        |FROM p""".stripMargin,
+
+    "rel_ivm_join" ->
+      """SELECT c_nationkey,
+        |       cast(sum(cast(round(o_totalprice * 100) AS BIGINT)::HUGEINT)
+        |            AS DOUBLE) AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "rel_double_ewma_trend" ->
+      """WITH RECURSIVE hrs AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT h, x, row_number() OVER (ORDER BY h) AS i FROM hrs
+        |), rec AS (
+        |  SELECT 0::BIGINT AS i, NULL::BIGINT AS h,
+        |         0.0::DOUBLE AS s1v, 0.0::DOUBLE AS s2v
+        |  UNION ALL
+        |  SELECT idx.i, idx.h,
+        |         0.75 * rec.s1v + 0.25 * idx.x,
+        |         0.75 * rec.s2v + 0.25 * (0.75 * rec.s1v + 0.25 * idx.x)
+        |  FROM rec JOIN idx ON idx.i = rec.i + 1
+        |)
+        |SELECT h, round(s1v, 6) AS s1, round(s2v, 6) AS s2,
+        |       round(2.0 * s1v - s2v, 6) AS level,
+        |       round((s1v - s2v) / 3.0, 6) AS trend
+        |FROM rec WHERE i > 0""".stripMargin,
   )
 }

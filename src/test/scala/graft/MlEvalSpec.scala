@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-16 operators (AUC-ROC, calibration
+  * bins, Cohen's kappa, NDCG@10, grid radius join, join-view IVM,
+  * double-EWMA trend) on the sf0.001 tables — brute-force recomputes and
+  * conservation laws beyond the DuckDB hash compare. */
+class MlEvalSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def collectedEvents() =
+    SparkEntry.events(spark, sf)
+      .select(col("event_type"), col("value"), col("user_id"),
+        col("event_id"))
+      .collect()
+
+  test("rel_auc_roc matches the brute-force pair count") {
+    val row = run("rel_auc_roc").head()
+    val n1 = row.getAs[Long]("n1")
+    val n0 = row.getAs[Long]("n0")
+    val auc = row.getAs[Double]("auc")
+    val ev = collectedEvents().map(r =>
+      (math.round(r.getDouble(1) * 100), r.getString(0) == "purchase"))
+    val pos = ev.filter(_._2).map(_._1)
+    val neg = ev.filterNot(_._2).map(_._1)
+    assert(n1 == pos.length && n0 == neg.length)
+    val brute = pos.iterator.map { p =>
+      neg.count(p > _) + 0.5 * neg.count(p == _)
+    }.sum / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - brute) < 1e-6, s"auc $auc != brute $brute")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("rel_calibration_bins conserves counts and the global base rate") {
+    val bins = run("rel_calibration_bins").collect()
+    assert(bins.length == 10)
+    assert(bins.map(_.getAs[Long]("bin")).sorted.sameElements(0L until 10L))
+    val ev = collectedEvents()
+    assert(bins.map(_.getAs[Long]("n")).sum == ev.length)
+    bins.foreach { b =>
+      val r = b.getAs[Double]("pos_rate")
+      assert(r >= 0.0 && r <= 1.0)
+      val m = b.getAs[Double]("mean_score")
+      // bin b holds cents in [10b, 10b+9] → mean in [0.10b, 0.10b+0.09]
+      val lo = b.getAs[Long]("bin") * 0.10
+      assert(m >= lo - 1e-9 && m <= lo + 0.09 + 1e-9, s"mean $m bin $lo")
+    }
+    val base = ev.count(_.getString(0) == "purchase").toDouble / ev.length
+    val weighted = bins.map(b =>
+      b.getAs[Double]("pos_rate") * b.getAs[Long]("n")).sum / ev.length
+    assert(math.abs(weighted - base) < 1e-5)
+  }
+
+  test("rel_cohens_kappa matches a brute-force recompute") {
+    val row = run("rel_cohens_kappa").head()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("y"))
+      .collect()
+      .map(r => (r.getString(0) == "F", r.getInt(1) <= 1997))
+    val n = o.length.toDouble
+    val po = o.count(p => p._1 == p._2) / n
+    val pa = o.count(_._1) / n
+    val pb = o.count(_._2) / n
+    val pe = pa * pb + (1 - pa) * (1 - pb)
+    val kappa = (po - pe) / (1 - pe)
+    assert(row.getAs[Long]("n") == o.length)
+    assert(math.abs(row.getAs[Double]("po") - po) < 1e-6)
+    assert(math.abs(row.getAs[Double]("pe") - pe) < 1e-6)
+    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-6)
+    assert(row.getAs[Double]("kappa") >= -1.0 &&
+      row.getAs[Double]("kappa") <= 1.0)
+  }
+
+  test("rel_ndcg_eval matches the brute-force linear-discount NDCG") {
+    val row = run("rel_ndcg_eval").head()
+    val rel = Map("purchase" -> 3L, "signup" -> 2L, "click" -> 1L)
+    val byUser = collectedEvents()
+      .map(r => (r.getLong(2),
+        (math.round(r.getDouble(1) * 100), r.getLong(3),
+          rel.getOrElse(r.getString(0), 0L))))
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val ndcgs = byUser.values.flatMap { evs =>
+      val dcg = evs.sortBy(e => (-e._1, e._2)).take(10).zipWithIndex
+        .map { case (e, i) => e._3 * (2520L / (i + 1)) }.sum
+      val idcg = evs.sortBy(e => (-e._3, e._2)).take(10).zipWithIndex
+        .map { case (e, i) => e._3 * (2520L / (i + 1)) }.sum
+      if (idcg == 0) None
+      else Some(math.rint(dcg.toDouble / idcg * 1e6) / 1e6)
+    }.toSeq
+    assert(row.getAs[Long]("n_users") == ndcgs.length)
+    val mean = ndcgs.sum / ndcgs.length
+    assert(math.abs(row.getAs[Double]("mean_ndcg") - mean) < 1e-5)
+    ndcgs.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("rel_geo_radius_join: the grid join finds every in-radius pair") {
+    val row = run("rel_geo_radius_join").head()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => ((k * 48271) % 100000, (k * 69621) % 100000))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0))
+      .map(k => ((k * 48271 + 12345) % 100000, (k * 69621 + 54321) % 100000))
+    val d2s = for {
+      (cx, cy) <- cust; (sx, sy) <- supp
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= 25000000L
+    } yield d2
+    assert(row.getAs[Long]("n_pairs") == d2s.length)
+    assert(row.getAs[Double]("sum_d2") == d2s.map(BigInt(_)).sum.toDouble)
+    assert(row.getAs[Long]("min_d2") == d2s.min)
+  }
+
+  test("rel_ivm_join: merge equals recompute-from-scratch") {
+    val merged = run("rel_ivm_join").collect()
+      .map(r => r.getAs[Int]("c_nationkey") -> r.getAs[Double]("rev_cents"))
+      .toMap
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .collect()
+      .map(r => r.getAs[Int]("c_nationkey") -> r.getAs[Long]("rev").toDouble)
+      .toMap
+    assert(merged == full)
+  }
+
+  test("rel_double_ewma_trend is bit-exact vs a sequential fold") {
+    val got = run("rel_double_ewma_trend").collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Double]("s1"),
+        r.getAs[Double]("s2"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"))).sortBy(_._1)
+    val hours = SparkEntry.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).sortBy(_._1)
+    var s1 = 0.0; var s2 = 0.0
+    val want = hours.map { case (h, x) =>
+      s1 = 0.75 * s1 + 0.25 * x
+      s2 = 0.75 * s2 + 0.25 * s1
+      (h, math.rint(s1 * 1e6) / 1e6, math.rint(s2 * 1e6) / 1e6,
+        math.rint((2.0 * s1 - s2) * 1e6) / 1e6,
+        math.rint((s1 - s2) / 3.0 * 1e6) / 1e6)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1)
+      assert(math.abs(g._2 - w._2) < 1e-9, s"s1 at h=${g._1}")
+      assert(math.abs(g._3 - w._3) < 1e-9, s"s2 at h=${g._1}")
+      assert(math.abs(g._4 - w._4) < 1e-9, s"level at h=${g._1}")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"trend at h=${g._1}")
+    }
+  }
+}
