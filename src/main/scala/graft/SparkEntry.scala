@@ -775,6 +775,26 @@ object SparkEntry {
         .localCheckpoint(false), // one shingle pass feeds df/prefix/verify
       t = 0.6)
 
+  /** Shared modulus and per-replica affine mix constants for
+    * rel_bootstrap_ci: replica b remixes the row's md5 seed as
+    * (a_b·x + c_b) mod (2³¹−1) with (a_b, c_b) = (48271^(b+1),
+    * 69621^(b+1)) mod P — generated once here and interpolated
+    * verbatim into BOTH the Spark plan and the DuckDB oracle so the
+    * "random" weights are the same bits on both engines. */
+  private[graft] val BootP = 2147483647L
+  private[graft] val bootMix: Seq[(Long, Long, Long)] = {
+    def powmod(g: Long, e: Long): Long = {
+      var r = 1L; var b = g % BootP; var n = e
+      while (n > 0) {
+        if ((n & 1) == 1) r = r * b % BootP
+        b = b * b % BootP; n >>= 1
+      }
+      r
+    }
+    (0 until 20).map(b =>
+      (b.toLong, powmod(48271L, b + 1L), powmod(69621L, b + 1L)))
+  }
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: the full StockCount pipeline on sf0.001 document lines. */
@@ -7139,6 +7159,153 @@ object SparkEntry {
             .cast("double").as("rev_cents"))
     }),
 
+    // ISOTONIC CALIBRATION (PAV) — the monotone fit over the
+    // reliability bins, via the MINIMAX characterization of isotonic
+    // regression: fit_i = max_{j<=i} min_{k>=i} wmean(rate over
+    // [j..k]). One data-sized hash aggregate shrinks the stream to 10
+    // bins; every interval mean is an exact integer ratio (one double
+    // division each), and the minimax runs over O(bins³) tiny rows at
+    // ANY scale — the sequential pool-adjacent-violators loop becomes
+    // three joins over a constant-size frame, nothing sequential left.
+    "rel_isotonic_fit" -> ((s, dir) => {
+      val bins = events(s, dir).select(
+          (round(col("value") * 100).cast("long") % 100L).as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy(expr("cents div 10").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("sp"))
+        .localCheckpoint(false) // tiny; feeds four self-joins
+      val jk = bins.select(col("bin").as("j"))
+        .crossJoin(broadcast(bins.select(col("bin").as("k"))))
+        .where(col("j") <= col("k"))
+      val a = jk.join(broadcast(bins),
+          col("bin") >= col("j") && col("bin") <= col("k"))
+        .groupBy("j", "k")
+        .agg((sum(col("sp")).cast("double") / sum(col("n")).cast("double"))
+          .as("av"))
+      val m = bins.select(col("bin").as("i"))
+        .join(broadcast(a), col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min(col("av")).as("mn"))
+      val fit = m.groupBy("i").agg(max(col("mn")).as("fit"))
+      bins.join(broadcast(fit), col("bin") === col("i"))
+        .select(col("bin"), col("n"),
+          round(col("sp").cast("double") / col("n").cast("double"), 6)
+            .as("raw_rate"),
+          round(col("fit"), 6).as("fit_rate"))
+    }),
+
+    // POISSONIZED BOOTSTRAP CI — the only bootstrap that works at
+    // 100 TB: instead of resampling rows (a global shuffle per
+    // replica), every row draws a DETERMINISTIC Poisson(1) weight per
+    // replica — ONE md5 per row seeds the draw, then each replica is a
+    // cheap affine mod-(2³¹−1) remix of that seed (constants shared
+    // verbatim with the oracle via [[bootMix]]) — so all 20 replicas
+    // ride ONE map-side-combined aggregate: 20 output rows of shuffle,
+    // zero data movement, one crypto hash per ROW (not per row ×
+    // replica). Replica means are exact-integer ratios; the CI is the
+    // 2nd/19th order statistic of the 20 means (one bounded
+    // collect_list). B rides linearly in the explode, never in the
+    // shuffle.
+    "rel_bootstrap_ci" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      // Poisson(1) inverse CDF over u ∈ [0,1): identical literal
+      // thresholds on both engines
+      def pois(u: Column): Column =
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .when(u < 0.9994058151824183, 5L).otherwise(6L)
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val reps = o
+        .select(col("cents"),
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long").as("x"),
+          explode(array(bootMix.map { case (b, a, c) =>
+            struct(lit(b).as("b"), lit(a).as("a"), lit(c).as("c")) }: _*))
+            .as("r"))
+        .select(col("r.b").as("b"), col("cents"),
+          pois(((col("r.a") * (col("x") % BootP) + col("r.c")) % BootP)
+            .cast("double") / lit(BootP.toDouble)).as("w"))
+      val means = reps.groupBy("b").agg(
+          sum(d38(col("w") * col("cents"))).as("swc"),
+          sum(col("w")).as("sw"))
+        .select((col("swc").cast("double") / col("sw").cast("double"))
+          .as("m"))
+      val point = o.agg(
+        (sum(d38(col("cents"))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_cents"))
+      point.crossJoin(broadcast(
+          means.agg(sort_array(collect_list(col("m"))).as("ms"))))
+        .select(round(col("mean_cents"), 6).as("mean_cents"),
+          round(element_at(col("ms"), 2), 6).as("boot_lo"),
+          round(element_at(col("ms"), 19), 6).as("boot_hi"),
+          size(col("ms")).cast("long").as("n_replicas"))
+    }),
+
+    // SEASONAL SMOOTHING — 24 independent hour-of-day EWMA chains over
+    // the daily series (the seasonal component of Holt-Winters, kept
+    // exactly replayable): each slot's day sequence is bounded by the
+    // CALENDAR, not the data, so the per-slot fold is a bounded
+    // codegen'd array aggregate; the seasonal index normalizes by the
+    // cross-slot mean (one broadcast scalar). Both engines fold the
+    // same literal IEEE sequence (0.75·acc + 0.25·x from a 0 seed).
+    "rel_seasonal_smoothing" -> ((s, dir) => {
+      val daily = events(s, dir).select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .groupBy("hod", "day").agg(count(lit(1)).cast("double").as("x"))
+      val sm = daily.groupBy("hod")
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("seq"))
+        .select(col("hod"),
+          aggregate(col("seq"), lit(0.0),
+            (acc, el) => lit(0.75) * acc + lit(0.25) * el.getField("x"))
+            .as("ew"))
+        .localCheckpoint(false) // 24 rows; feeds the mean and the output
+      sm.crossJoin(broadcast(sm.agg(avg(col("ew")).as("mu"))))
+        .select(col("hod"), round(col("ew"), 6).as("ewma"),
+          round(col("ew") / col("mu"), 6).as("seasonal_idx"))
+    }),
+
+    // AMS/CMS SELF-JOIN SIZE (F₂) — join-size estimation from a
+    // Count-Min inner product: the optimizer-statistics primitive that
+    // prices a self-join WITHOUT computing it. The sketch side is 5
+    // rows × 1024 buckets of map-side-combined counters (shuffle =
+    // 5·1024 rows at any scale) vs the exact side's distinct-key
+    // shuffle; est = min over rows of Σ counter² NEVER underestimates
+    // (collisions only add), pinned by spec and by the oracle
+    // replaying the identical mod-(2³¹−1) bucket hashes in SQL.
+    "rel_cms_selfjoin_size" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val P = 2147483647L
+      val hp = Seq((0L, 1103515245L, 12345L), (1L, 1140671485L, 12820163L),
+        (2L, 134775813L, 1L), (3L, 214013L, 2531011L),
+        (4L, 16843009L, 826366247L))
+      val keys = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the exact side and the sketch side
+      val exact = keys.agg(sum(d38(col("c")) * col("c")).as("f2x"))
+      val buckets = keys
+        .withColumn("h", explode(array(hp.map { case (j, a, b) =>
+          struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b")) }: _*)))
+        .select(col("h.j").as("j"),
+          (((col("h.a") * (col("k") % P) + col("h.b")) % P) % 1024L)
+            .as("bkt"),
+          col("c"))
+        .groupBy("j", "bkt").agg(sum(col("c")).as("cb"))
+      val est = buckets.groupBy("j")
+        .agg(sum(d38(col("cb")) * col("cb")).as("f2j"))
+        .agg(min(col("f2j")).as("f2e"))
+      exact.crossJoin(broadcast(est))
+        .select(col("f2x").cast("double").as("f2_exact"),
+          col("f2e").cast("double").as("f2_est"),
+          round(col("f2e").cast("double") / col("f2x").cast("double"), 6)
+            .as("blowup"))
+    }),
+
     // BROWN'S DOUBLE EXPONENTIAL SMOOTHING — level + trend of the
     // hourly event-count series by chaining the GlobalRecur affine
     // operator TWICE: s1 smooths the series, s2 smooths s1, and
@@ -12278,6 +12445,119 @@ object SparkEntry {
         |            AS DOUBLE) AS rev_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+
+    "rel_isotonic_fit" ->
+      """WITH s AS (
+        |  SELECT cast(round(value * 100) AS BIGINT) % 100 AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |), b AS (
+        |  SELECT cents // 10 AS bin, count(*) AS n, sum(pos)::BIGINT AS sp
+        |  FROM s GROUP BY 1
+        |), jk AS (
+        |  SELECT j.bin AS j, k.bin AS k FROM b j CROSS JOIN b k
+        |  WHERE j.bin <= k.bin
+        |), a AS (
+        |  SELECT jk.j, jk.k,
+        |         sum(b.sp)::DOUBLE / sum(b.n)::DOUBLE AS av
+        |  FROM jk JOIN b ON b.bin BETWEEN jk.j AND jk.k
+        |  GROUP BY jk.j, jk.k
+        |), m AS (
+        |  SELECT i.bin AS i, a.j, min(a.av) AS mn
+        |  FROM b i JOIN a ON a.j <= i.bin AND a.k >= i.bin
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT i, max(mn) AS fit FROM m GROUP BY i
+        |)
+        |SELECT b.bin, b.n,
+        |       round(b.sp::DOUBLE / b.n::DOUBLE, 6) AS raw_rate,
+        |       round(f.fit, 6) AS fit_rate
+        |FROM b JOIN f ON f.i = b.bin""".stripMargin,
+
+    "rel_bootstrap_ci" ->
+      s"""WITH o AS (
+        |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT)
+        |           AS cents
+        |  FROM orders
+        |), seeds AS (
+        |  SELECT cents,
+        |         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+        |           ::UBIGINT::BIGINT AS x
+        |  FROM o
+        |), mix AS (
+        |  SELECT * FROM (VALUES
+        |    ${bootMix.map { case (b, a, c) => s"($b, $a, $c)" }
+                 .mkString(",\n        |    ")}) AS t(b, a, c)
+        |), reps AS (
+        |  SELECT mix.b, seeds.cents,
+        |         CASE
+        |           WHEN u < 0.36787944117144233 THEN 0
+        |           WHEN u < 0.7357588823428847 THEN 1
+        |           WHEN u < 0.9196986029286058 THEN 2
+        |           WHEN u < 0.9810118431238462 THEN 3
+        |           WHEN u < 0.9963401531726563 THEN 4
+        |           WHEN u < 0.9994058151824183 THEN 5
+        |           ELSE 6 END AS w
+        |  FROM seeds CROSS JOIN mix,
+        |       LATERAL (SELECT ((mix.a * (seeds.x % $BootP) + mix.c)
+        |           % $BootP)::DOUBLE / $BootP.0 AS u) h
+        |), means AS (
+        |  SELECT sum((w * cents)::HUGEINT)::DOUBLE /
+        |         sum(w)::DOUBLE AS m
+        |  FROM reps GROUP BY b
+        |), ms AS (
+        |  SELECT list(m ORDER BY m) AS ms FROM means
+        |)
+        |SELECT round((SELECT sum(cents::HUGEINT)::DOUBLE /
+        |                     count(*)::DOUBLE FROM o), 6) AS mean_cents,
+        |       round(ms[2], 6) AS boot_lo, round(ms[19], 6) AS boot_hi,
+        |       cast(len(ms) AS BIGINT) AS n_replicas
+        |FROM ms""".stripMargin,
+
+    "rel_seasonal_smoothing" ->
+      """WITH d AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |         epoch_us(ts) // 86400000000 AS day, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT hod,
+        |         list_reduce(list_prepend(0.0::DOUBLE,
+        |             list(x ORDER BY day)),
+        |           (acc, x) -> 0.75::DOUBLE * acc + 0.25::DOUBLE * x) AS ew
+        |  FROM d GROUP BY hod
+        |), mu AS (SELECT avg(ew) AS mu FROM sm)
+        |SELECT hod, round(ew, 6) AS ewma,
+        |       round(ew / mu, 6) AS seasonal_idx
+        |FROM sm CROSS JOIN mu""".stripMargin,
+
+    "rel_cms_selfjoin_size" ->
+      """WITH keys AS (
+        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+        |), ex AS (
+        |  SELECT sum(c::HUGEINT * c) AS f2x FROM keys
+        |), hp AS (
+        |  SELECT * FROM (VALUES (0, 1103515245, 12345),
+        |                        (1, 1140671485, 12820163),
+        |                        (2, 134775813, 1),
+        |                        (3, 214013, 2531011),
+        |                        (4, 16843009, 826366247)) AS t(j, a, b)
+        |), bk AS (
+        |  SELECT hp.j,
+        |         ((hp.a * (keys.k % 2147483647) + hp.b) % 2147483647)
+        |           % 1024 AS bkt,
+        |         keys.c
+        |  FROM keys CROSS JOIN hp
+        |), cb AS (
+        |  SELECT j, bkt, sum(c) AS cb FROM bk GROUP BY 1, 2
+        |), es AS (
+        |  SELECT min(f2j) AS f2e FROM (
+        |    SELECT j, sum(cb::HUGEINT * cb) AS f2j FROM cb GROUP BY j)
+        |)
+        |SELECT cast(f2x AS DOUBLE) AS f2_exact,
+        |       cast(f2e AS DOUBLE) AS f2_est,
+        |       round(cast(f2e AS DOUBLE) / cast(f2x AS DOUBLE), 6)
+        |         AS blowup
+        |FROM ex CROSS JOIN es""".stripMargin,
 
     "rel_double_ewma_trend" ->
       """WITH RECURSIVE hrs AS (

@@ -131,6 +131,108 @@ class MlEvalSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("rel_isotonic_fit matches stack-based PAV and is monotone") {
+    val got = run("rel_isotonic_fit").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("raw_rate"), r.getAs[Double]("fit_rate")))
+      .sortBy(_._1)
+    // monotone nondecreasing
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-9, s"fit not monotone at bin ${b._1}")
+    }
+    // classic pool-adjacent-violators on the same bins
+    case class Pool(var w: Double, var sum: Double) {
+      def mean: Double = sum / w
+    }
+    val pools = scala.collection.mutable.ArrayBuffer[(Pool, Int)]()
+    got.foreach { case (_, n, raw, _) =>
+      pools += ((Pool(n.toDouble, raw * n), 1))
+      while (pools.length > 1 &&
+        pools(pools.length - 2)._1.mean >= pools.last._1.mean - 1e-12) {
+        val (p2, c2) = pools.remove(pools.length - 1)
+        val (p1, c1) = pools.last
+        p1.w += p2.w; p1.sum += p2.sum
+        pools(pools.length - 1) = (p1, c1 + c2)
+      }
+    }
+    val pav = pools.flatMap { case (p, c) => Seq.fill(c)(p.mean) }
+    got.map(_._4).zip(pav).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-5, s"bin $i: fit $g != pav $w")
+    }
+  }
+
+  test("rel_bootstrap_ci replays the deterministic Poisson weights") {
+    val row = run("rel_bootstrap_ci").head()
+    assert(row.getAs[Long]("n_replicas") == 20L)
+    val lo = row.getAs[Double]("boot_lo")
+    val hi = row.getAs[Double]("boot_hi")
+    assert(lo <= hi)
+    // brute replay with java's own md5 + the shared affine mixes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def seed(key: Long): Long = {
+      val h = md.digest(key.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    val th = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val mix = SparkEntry.bootMix.map(m => m._1.toInt -> (m._2, m._3)).toMap
+    val P = SparkEntry.BootP
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (seed(r.getLong(0)), r.getLong(1)))
+    val ms = (0 until 20).map { b =>
+      val (a, c) = mix(b)
+      var swc = BigInt(0); var sw = 0L
+      o.foreach { case (x, cents) =>
+        val u = ((a * (x % P) + c) % P).toDouble / P.toDouble
+        val w = th.indexWhere(u < _) match {
+          case -1 => 6L; case i => i.toLong
+        }
+        swc += BigInt(w) * cents; sw += w
+      }
+      swc.toDouble / sw
+    }.sorted
+    assert(math.abs(lo - math.rint(ms(1) * 1e6) / 1e6) < 1e-6)
+    assert(math.abs(hi - math.rint(ms(18) * 1e6) / 1e6) < 1e-6)
+    // the point estimate sits inside the (loose) bootstrap envelope
+    val mean = row.getAs[Double]("mean_cents")
+    assert(mean >= lo - (hi - lo) && mean <= hi + (hi - lo))
+  }
+
+  test("rel_seasonal_smoothing: 24 slots, index normalizes to mean 1") {
+    val got = run("rel_seasonal_smoothing").collect()
+      .map(r => (r.getAs[Long]("hod"), r.getAs[Double]("ewma"),
+        r.getAs[Double]("seasonal_idx")))
+    assert(got.map(_._1).sorted.sameElements(0L until 24L))
+    val idxMean = got.map(_._3).sum / 24
+    assert(math.abs(idxMean - 1.0) < 1e-4)
+    // slot 0's fold matches a sequential recompute
+    val daily = SparkEntry.events(spark, sf)
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .where(col("hod") === 0)
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).sortBy(_._1)
+    var acc = 0.0
+    daily.foreach { case (_, x) => acc = 0.75 * acc + 0.25 * x }
+    val slot0 = got.find(_._1 == 0L).get._2
+    assert(math.abs(slot0 - math.rint(acc * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("rel_cms_selfjoin_size: estimate never undershoots the exact F2") {
+    val row = run("rel_cms_selfjoin_size").head()
+    val exact = row.getAs[Double]("f2_exact")
+    val est = row.getAs[Double]("f2_est")
+    assert(est >= exact, s"CMS inner product $est < exact $exact")
+    assert(row.getAs[Double]("blowup") >= 1.0)
+    val brute = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_partkey").count().collect()
+      .map(r => BigInt(r.getLong(1)) * r.getLong(1)).sum
+    assert(exact == brute.toDouble)
+  }
+
   test("rel_double_ewma_trend is bit-exact vs a sequential fold") {
     val got = run("rel_double_ewma_trend").collect()
       .map(r => (r.getAs[Long]("h"), r.getAs[Double]("s1"),
