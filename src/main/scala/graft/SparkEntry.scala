@@ -7306,6 +7306,115 @@ object SparkEntry {
             .as("blowup"))
     }),
 
+    // PRECISION-RECALL CURVE — the threshold sweep that AUC integrates
+    // away: predict positive at score ≥ each decile threshold, report
+    // precision/recall per threshold. The stream shrinks to 10 bins in
+    // ONE hash aggregate; suffix sums over the bins (predicted-positive
+    // and true-positive counts above each threshold) run on a
+    // constant-size frame, so the sweep is free at any scale and every
+    // ratio is one exact-integer division.
+    "rel_pr_curve" -> ((s, dir) => {
+      val bins = events(s, dir).select(
+          (round(col("value") * 100).cast("long") % 100L).as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy(expr("cents div 10").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("sp"))
+        .localCheckpoint(false) // 10 rows; feeds thresholds + totals
+      val byTh = bins.select(col("bin").as("t"))
+        .join(broadcast(bins), col("bin") >= col("t"))
+        .groupBy("t").agg(sum(col("n")).as("pp"), sum(col("sp")).as("tp"))
+      byTh.crossJoin(broadcast(bins.agg(sum(col("sp")).as("p"))))
+        .select(col("t"), col("pp"), col("tp"),
+          round(col("tp").cast("double") / col("pp").cast("double"), 6)
+            .as("precision"),
+          round(col("tp").cast("double") / col("p").cast("double"), 6)
+            .as("recall"))
+    }),
+
+    // kNN CLASSIFIER ACCURACY — leave-one-out evaluation of the
+    // embedding space itself: a FIXED 50-query panel (bounded at any
+    // scale — the candidate join is O(50·N), never N²) takes its 10
+    // nearest neighbors by rounded cosine and votes. Per-query work is
+    // one broadcast of the panel, a codegen'd dot product, and two
+    // partitioned windows (top-k cut, then majority vote with the
+    // deterministic (count desc, label asc) tiebreak). Accuracy folds
+    // from exact counts.
+    "emb_knn_accuracy" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 50).select(
+        col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+      val topW = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val voteW = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cnt").desc, col("label").asc)
+      val top = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(topW))
+        .where(col("rk") <= 10)
+      top.groupBy("qid", "qlabel", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("vr", row_number().over(voteW))
+        .where(col("vr") === 1)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_queries"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_queries").cast("double"), 6).as("accuracy"))
+    }),
+
+    // HOLT-WINTERS-STYLE FORECAST — the trend family's capstone: the
+    // next 24 hours as (level + k·trend)·seasonal_idx, composing the
+    // double-EWMA chain (level/trend at the last observed hour, via two
+    // stacked GlobalRecur scans) with the hour-of-day seasonal indices.
+    // Every input is O(hours)/O(24)-sized after one hash aggregate
+    // each; the last-hour cut is TakeOrderedAndProject (never a global
+    // sort), and the 24-step horizon joins against the broadcast
+    // seasonal table.
+    "rel_holt_winters_forecast" -> ((s, dir) => {
+      val hr = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("h").agg(count(lit(1)).cast("double").as("x"))
+        .select(col("h"), col("x"),
+          lit(0.75).as("m"), (lit(0.25) * col("x")).as("c"))
+      val p1 = graft.plans.Recurrence.scan(hr, "m", "c", 0.0, ("h", false))
+        .select(col("h"), col("y").as("s1"), lit(0.75).as("m2"))
+      val p2 = graft.plans.Recurrence
+        .scan(p1.withColumn("c2", lit(0.25) * col("s1")),
+          "m2", "c2", 0.0, ("h", false))
+      val last = p2.orderBy(col("h").desc).limit(1)
+        .select(col("h").as("h0"),
+          (lit(2.0) * col("s1") - col("y")).as("level"),
+          ((col("s1") - col("y")) / lit(3.0)).as("trend"))
+      val daily = events(s, dir).select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .groupBy("hod", "day").agg(count(lit(1)).cast("double").as("x"))
+      val sm = daily.groupBy("hod")
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("seq"))
+        .select(col("hod"),
+          aggregate(col("seq"), lit(0.0),
+            (acc, el) => lit(0.75) * acc + lit(0.25) * el.getField("x"))
+            .as("ew"))
+        .localCheckpoint(false) // 24 rows; feeds the mean and the join
+      val si = sm.crossJoin(broadcast(sm.agg(avg(col("ew")).as("mu"))))
+        .select(col("hod"), (col("ew") / col("mu")).as("sidx"))
+      last.crossJoin(broadcast(
+          s.range(1, 25).select(col("id").as("k"))))
+        .select(col("k"), ((col("h0") + col("k")) % 24).as("hod"),
+          col("level"), col("trend"))
+        .join(broadcast(si), "hod")
+        .select(col("k"), col("hod"),
+          round((col("level") + col("k") * col("trend")) * col("sidx"), 6)
+            .as("forecast"))
+    }),
+
     // BROWN'S DOUBLE EXPONENTIAL SMOOTHING — level + trend of the
     // hourly event-count series by chaining the GlobalRecur affine
     // operator TWICE: s1 smooths the series, s2 smooths s1, and
@@ -12558,6 +12667,104 @@ object SparkEntry {
         |       round(cast(f2e AS DOUBLE) / cast(f2x AS DOUBLE), 6)
         |         AS blowup
         |FROM ex CROSS JOIN es""".stripMargin,
+
+    "rel_pr_curve" ->
+      """WITH s AS (
+        |  SELECT cast(round(value * 100) AS BIGINT) % 100 AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |), b AS (
+        |  SELECT cents // 10 AS bin, count(*) AS n, sum(pos)::BIGINT AS sp
+        |  FROM s GROUP BY 1
+        |), byth AS (
+        |  SELECT t.bin AS t, sum(b.n)::BIGINT AS pp, sum(b.sp)::BIGINT AS tp
+        |  FROM b t JOIN b ON b.bin >= t.bin
+        |  GROUP BY t.bin
+        |), tot AS (SELECT sum(sp)::BIGINT AS p FROM b)
+        |SELECT t, pp, tp,
+        |       round(tp::DOUBLE / pp::DOUBLE, 6) AS precision,
+        |       round(tp::DOUBLE / p::DOUBLE, 6) AS recall
+        |FROM byth CROSS JOIN tot""".stripMargin,
+
+    "emb_knn_accuracy" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT vec_id AS qid, label AS qlabel,
+         |         unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id < 50
+         |), nrm AS (
+         |  SELECT vec_id, sqrt(sum(cast(vx AS DOUBLE) * vx)) AS nv
+         |  FROM v GROUP BY vec_id
+         |), d AS (
+         |  SELECT q.qid, q.qlabel, v.vec_id, v.label,
+         |         sum(cast(v.vx AS DOUBLE) * q.qx) AS dot
+         |  FROM v JOIN q USING (pos)
+         |  WHERE v.vec_id <> q.qid
+         |  GROUP BY q.qid, q.qlabel, v.vec_id, v.label
+         |), c AS (
+         |  SELECT d.qid, d.qlabel, d.vec_id, d.label,
+         |         round(d.dot / (a.nv * b.nv), 6) AS cos
+         |  FROM d JOIN nrm a ON a.vec_id = d.vec_id
+         |         JOIN nrm b ON b.vec_id = d.qid
+         |), top AS (
+         |  SELECT qid, qlabel, label,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id) AS rk
+         |  FROM c
+         |), votes AS (
+         |  SELECT qid, qlabel, label, count(*) AS cnt
+         |  FROM top WHERE rk <= 10 GROUP BY qid, qlabel, label
+         |), pred AS (
+         |  SELECT qid, qlabel, label,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cnt DESC, label) AS vr
+         |  FROM votes
+         |)
+         |SELECT count(*) AS n_queries,
+         |       sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_correct,
+         |       round(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         |               ::DOUBLE / count(*)::DOUBLE, 6) AS accuracy
+         |FROM pred WHERE vr = 1""".stripMargin,
+
+    "rel_holt_winters_forecast" ->
+      """WITH RECURSIVE hrs AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT h, x, row_number() OVER (ORDER BY h) AS i FROM hrs
+        |), rec AS (
+        |  SELECT 0::BIGINT AS i, NULL::BIGINT AS h,
+        |         0.0::DOUBLE AS s1v, 0.0::DOUBLE AS s2v
+        |  UNION ALL
+        |  SELECT idx.i, idx.h,
+        |         0.75 * rec.s1v + 0.25 * idx.x,
+        |         0.75 * rec.s2v + 0.25 * (0.75 * rec.s1v + 0.25 * idx.x)
+        |  FROM rec JOIN idx ON idx.i = rec.i + 1
+        |), lastrow AS (
+        |  SELECT h AS h0, 2.0 * s1v - s2v AS level,
+        |         (s1v - s2v) / 3.0 AS trend
+        |  FROM rec WHERE i = (SELECT max(i) FROM rec)
+        |), dd AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |         epoch_us(ts) // 86400000000 AS day, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT hod,
+        |         list_reduce(list_prepend(0.0::DOUBLE,
+        |             list(x ORDER BY day)),
+        |           (acc, x) -> 0.75::DOUBLE * acc + 0.25::DOUBLE * x) AS ew
+        |  FROM dd GROUP BY hod
+        |), mu AS (SELECT avg(ew) AS mu FROM sm),
+        |si AS (
+        |  SELECT hod, ew / mu AS sidx FROM sm CROSS JOIN mu
+        |), ks AS (SELECT unnest(generate_series(1, 24)) AS k)
+        |SELECT ks.k, (lastrow.h0 + ks.k) % 24 AS hod,
+        |       round((lastrow.level + ks.k * lastrow.trend) * si.sidx, 6)
+        |         AS forecast
+        |FROM lastrow CROSS JOIN ks
+        |     JOIN si ON si.hod = (lastrow.h0 + ks.k) % 24""".stripMargin,
 
     "rel_double_ewma_trend" ->
       """WITH RECURSIVE hrs AS (

@@ -233,6 +233,72 @@ class MlEvalSpec extends AnyFunSuite {
     assert(exact == brute.toDouble)
   }
 
+  test("rel_pr_curve: recall descends with the threshold, endpoints pin") {
+    val rows = run("rel_pr_curve").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("pp"),
+        r.getAs[Long]("tp"), r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(rows.length == 10)
+    // recall is non-increasing in the threshold; t=0 predicts everything
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._5 >= b._5) }
+    val ev = collectedEvents()
+    assert(rows.head._2 == ev.length)
+    assert(rows.head._5 == 1.0)
+    val basePrec = ev.count(_.getString(0) == "purchase").toDouble / ev.length
+    assert(math.abs(rows.head._4 - basePrec) < 1e-6)
+    rows.foreach { r => assert(r._3 <= r._2) }
+  }
+
+  test("emb_knn_accuracy matches a brute-force vote") {
+    val row = run("emb_knn_accuracy").head()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val queries = emb.filter(_._1 < 50)
+    assert(row.getAs[Long]("n_queries") == queries.length)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val correct = queries.count { case (qid, qv, qlabel) =>
+      val top = emb.filter(_._1 != qid)
+        .map { case (id, v, l) => (cos(qv, v), id, l) }
+        .sortBy(t => (-t._1, t._2)).take(10)
+      val pred = top.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy(t => (-t._2, t._1)).head._1
+      pred == qlabel
+    }
+    assert(row.getAs[Long]("n_correct") == correct)
+    val acc = row.getAs[Double]("accuracy")
+    assert(math.abs(acc - correct.toDouble / queries.length) < 1e-6)
+  }
+
+  test("rel_holt_winters_forecast composes the trend and seasonal parts") {
+    val fc = run("rel_holt_winters_forecast").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("hod"),
+        r.getAs[Double]("forecast"))).sortBy(_._1)
+    assert(fc.length == 24)
+    assert(fc.map(_._1).sameElements(1L to 24L))
+    // recompute from the two component queries
+    val tr = run("rel_double_ewma_trend").collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"))).maxBy(_._1)
+    val si = run("rel_seasonal_smoothing").collect()
+      .map(r => r.getAs[Long]("hod") -> r.getAs[Double]("seasonal_idx"))
+      .toMap
+    fc.foreach { case (k, hod, f) =>
+      assert(hod == (tr._1 + k) % 24)
+      val want = (tr._2 + k * tr._3) * si(hod)
+      // components are rounded to 6 before this recompute, so allow the
+      // accumulated rounding slack
+      assert(math.abs(f - want) < 2e-4, s"k=$k: $f vs $want")
+    }
+  }
+
   test("rel_double_ewma_trend is bit-exact vs a sequential fold") {
     val got = run("rel_double_ewma_trend").collect()
       .map(r => (r.getAs[Long]("h"), r.getAs[Double]("s1"),
