@@ -7306,6 +7306,76 @@ object SparkEntry {
             .as("blowup"))
     }),
 
+    // ITEM-ITEM CO-OCCURRENCE SIMILARITY — the collaborative-filtering
+    // primitive: per-item top-5 neighbors by co-order cosine
+    // cnt/√(supp_a·supp_b). Rides rel_basket_pairs' scale shape (ONE
+    // orderkey shuffle builds sorted baskets, pairs generate MAP-SIDE
+    // with per-order-bounded fan-out, supports join back broadcast);
+    // the per-item cut is a partitioned WindowGroupLimit over the
+    // ROUNDED cosine with a neighbor-id tiebreak, so the neighbor
+    // lists are deterministic through ties at any scale.
+    "rel_item_cooccur_sim" -> ((s, dir) => {
+      val baskets = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(false) // feeds pair generation + supports
+      val pairs = baskets
+        .select(explode(flatten(expr(
+          """transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |            y -> struct(x AS a, y AS b)))""".stripMargin)))
+          .as("p"))
+        .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+      val supp = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("supp"))
+      val sym = pairs
+        .select(col("pa").as("item"), col("pb").as("nb"), col("cnt"))
+        .unionAll(pairs
+          .select(col("pb").as("item"), col("pa").as("nb"), col("cnt")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item").orderBy(col("cosine").desc, col("nb").asc)
+      sym
+        .join(broadcast(supp.select(col("pk").as("item"),
+          col("supp").as("si"))), "item")
+        .join(broadcast(supp.select(col("pk").as("nb"),
+          col("supp").as("sn"))), "nb")
+        .select(col("item"), col("nb"), col("cnt"),
+          round(col("cnt").cast("double") /
+            sqrt((col("si") * col("sn")).cast("double")), 6).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+    }),
+
+    // TRAIN/TEST SPLIT LEAKAGE SCAN — pretraining hygiene's last gate:
+    // near-duplicate pairs (LSH-banded candidates, exact Jaccard ≥ 0.5
+    // verify) that STRADDLE the hash-assigned train/val/test split —
+    // each one is an eval answer leaked into training. Composes the
+    // capped LSH candidate chain with text_split_assign's md5 bucket
+    // assignment; the split labels join onto the (sparse) pair list,
+    // never the reverse, so the scan costs one candidate-join pass at
+    // any corpus size.
+    "text_split_leakage" -> ((s, dir) => {
+      val splits = tbl(s, dir, "documents").select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") % 100).as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      jaccardPairsWithSetsDf(s, dir)
+        .select(col("id1"), col("id2"),
+          round(col("inter").cast("double") / col("uni").cast("double"), 6)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .join(broadcast(splits.select(col("doc_id").as("id1"),
+          col("split").as("split1"))), "id1")
+        .join(broadcast(splits.select(col("doc_id").as("id2"),
+          col("split").as("split2"))), "id2")
+        .where(col("split1") =!= col("split2"))
+        .select(col("id1"), col("id2"), col("jaccard"),
+          col("split1"), col("split2"))
+    }),
+
     // PRECISION-RECALL CURVE — the threshold sweep that AUC integrates
     // away: predict positive at score ≥ each decile threshold, report
     // precision/recall per threshold. The stream shrinks to 10 bins in
@@ -12667,6 +12737,69 @@ object SparkEntry {
         |       round(cast(f2e AS DOUBLE) / cast(f2x AS DOUBLE), 6)
         |         AS blowup
         |FROM ex CROSS JOIN es""".stripMargin,
+
+    "rel_item_cooccur_sim" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cnt
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), supp AS (
+        |  SELECT l_partkey AS pk, count(DISTINCT l_orderkey) AS supp
+        |  FROM lineitem GROUP BY 1
+        |), sym AS (
+        |  SELECT pa AS item, pb AS nb, cnt FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS item, pa AS nb, cnt FROM pairs
+        |), sc AS (
+        |  SELECT sym.item, sym.nb, sym.cnt,
+        |         round(sym.cnt::DOUBLE /
+        |               sqrt((si.supp * sn.supp)::DOUBLE), 6) AS cosine
+        |  FROM sym JOIN supp si ON si.pk = sym.item
+        |       JOIN supp sn ON sn.pk = sym.nb
+        |), r AS (
+        |  SELECT item, nb, cnt, cosine,
+        |         row_number() OVER (PARTITION BY item
+        |                            ORDER BY cosine DESC, nb) AS rk
+        |  FROM sc
+        |)
+        |SELECT item, nb, cnt, cosine, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "text_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |$lshPairsCtes,
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+         |j AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))
+         |           AS inter,
+         |         len(s1.sh) + len(s2.sh) AS tot
+         |  FROM pairs
+         |  JOIN sets s1 ON pairs.id1 = s1.doc_id
+         |  JOIN sets s2 ON pairs.id2 = s2.doc_id
+         |), jj AS (
+         |  SELECT id1, id2,
+         |         round(cast(inter AS double) / cast(tot - inter AS double),
+         |               6) AS jaccard
+         |  FROM j
+         |), sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+         |                   ::BIGINT % 100 < 80 THEN 'train'
+         |              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+         |                   ::BIGINT % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT jj.id1, jj.id2, jj.jaccard,
+         |       a.split AS split1, b.split AS split2
+         |FROM jj JOIN sp a ON a.doc_id = jj.id1
+         |     JOIN sp b ON b.doc_id = jj.id2
+         |WHERE jj.jaccard >= 0.5 AND a.split <> b.split""".stripMargin,
 
     "rel_pr_curve" ->
       """WITH s AS (

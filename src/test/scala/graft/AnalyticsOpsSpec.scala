@@ -14,6 +14,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("rel_item_cooccur_sim: symmetric cosine, bounded, consistent " +
+      "with a brute-force recompute") {
+    val got = run("rel_item_cooccur_sim").collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("nb"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("cosine"),
+        r.getAs[Long]("rk")))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, c, rk) =>
+      assert(c > 0.0 && c <= 1.0 + 1e-9); assert(rk >= 1 && rk <= 5)
+    }
+    // per item: ranks are 1..k with cosine non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).sameElements(1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ => ()
+      }
+    }
+    // brute-force the top neighbor of one item
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val supp = baskets.groupBy(_._2).view.mapValues(_.length)
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val item = got.head._1
+    val co = scala.collection.mutable.Map[Long, Int]()
+    byOrder.values.foreach { parts =>
+      if (parts.contains(item))
+        parts.filter(_ != item).foreach(p => co(p) = co.getOrElse(p, 0) + 1)
+    }
+    val want = co.map { case (nb, c) =>
+      (math.rint(c / math.sqrt(supp(item).toDouble * supp(nb)) * 1e6) / 1e6,
+        nb)
+    }.toSeq.sortBy(t => (-t._1, t._2)).head
+    val gotTop = got.filter(t => t._1 == item && t._5 == 1L).head
+    assert(gotTop._2 == want._2)
+    assert(math.abs(gotTop._4 - want._1) < 1e-6)
+  }
+
   test("rel_markov_transitions: rows are a probability kernel") {
     val m = run("rel_markov_transitions")
     // per-source probabilities sum to 1

@@ -14,6 +14,28 @@ class TrainingOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("text_split_leakage: every reported pair straddles splits and " +
+      "is a true near-dup; consistent with the dedup chain") {
+    val leaks = run("text_split_leakage").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard"), r.getAs[String]("split1"),
+        r.getAs[String]("split2")))
+    // split labels must match text_split_assign's assignment exactly
+    val assign = run("text_split_assign").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    leaks.foreach { case (a, b, j, s1, s2) =>
+      assert(s1 != s2)
+      assert(assign(a) == s1 && assign(b) == s2)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    // every cross-split pair of the jaccard chain at >= 0.5 is reported
+    val all = run("dedup_jaccard_pairs").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard")))
+      .filter(t => t._3 >= 0.5 && assign(t._1) != assign(t._2))
+    assert(leaks.map(t => (t._1, t._2)).toSet == all.map(t => (t._1, t._2)).toSet)
+  }
+
   test("rel_sample_per_key caps every user at 3 rows, deterministically") {
     val s1 = run("rel_sample_per_key")
     val perUser = s1.groupBy("user_id").count()
