@@ -7306,6 +7306,41 @@ object SparkEntry {
             .as("blowup"))
     }),
 
+    // WITHIN-DOC REPETITION SCORE — the Gopher rep-ngram signal the
+    // quality gates don't cover: the fraction of DUPLICATE 3-token
+    // shingles inside each document (natural prose repeats almost
+    // none; boilerplate and spam repeat heavily). Pure map-side work
+    // over the same shingle definition the dedup chain uses — one
+    // codegen'd pass, no shuffle at all.
+    "text_repetition_score" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.shingles(s, col("text")).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+            size(col("sh")).cast("double"), 6).as("rep_ratio"))),
+
+    // SQL-INTERFACE PARITY — the library's full ANSI SQL surface comes
+    // free from Spark: register the table as a view and run the Q1
+    // pricing-summary shape as a SQL STRING through spark.sql. Same
+    // partial+final hash-aggregate plan as the DataFrame twin
+    // (Catalyst compiles both to one plan space); money sums exact
+    // decimal to one presentational cast.
+    "rel_sql_interface" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               cast(count(*) AS bigint) AS n,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double)
+                 AS sum_qty,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM graft_lineitem
+        WHERE l_shipdate < timestamp'1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")
+    }),
+
     // ITEM-ITEM CO-OCCURRENCE SIMILARITY — the collaborative-filtering
     // primitive: per-item top-5 neighbors by co-order cosine
     // cnt/√(supp_a·supp_b). Rides rel_basket_pairs' scale shape (ONE
@@ -12737,6 +12772,24 @@ object SparkEntry {
         |       round(cast(f2e AS DOUBLE) / cast(f2x AS DOUBLE), 6)
         |         AS blowup
         |FROM ex CROSS JOIN es""".stripMargin,
+
+    "text_repetition_score" ->
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+         |SELECT doc_id, cast(len(sh) AS BIGINT) AS n_shingles,
+         |       cast(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |       round(1.0::DOUBLE - len(list_distinct(sh))::DOUBLE /
+         |             len(sh)::DOUBLE, 6) AS rep_ratio
+         |FROM shl""".stripMargin,
+
+    "rel_sql_interface" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n,
+        |       sum(cast(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "rel_item_cooccur_sim" ->
       """WITH items AS (

@@ -14,6 +14,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("rel_sql_interface: the SQL-string plan equals the DataFrame twin") {
+    val sql = run("rel_sql_interface").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_qty"),
+          r.getAs[Double]("avg_disc"))).toMap
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_shipdate") <
+        lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_qty"),
+          r.getAs[Double]("avg_disc"))).toMap
+    assert(sql.keySet == df.keySet)
+    sql.foreach { case (k, (n, sq, ad)) =>
+      val (n2, sq2, ad2) = df(k)
+      assert(n == n2 && sq == sq2)
+      assert(math.abs(ad - ad2) < 1e-9)
+    }
+  }
+
+  test("text_repetition_score: bounded, conserves shingle accounting") {
+    val rows = run("text_repetition_score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("rep_ratio")))
+    assert(rows.length == 500)
+    rows.foreach { case (_, n, d, rep) =>
+      assert(n >= 1 && d >= 1 && d <= n)
+      assert(rep >= 0.0 && rep < 1.0)
+      assert(math.abs(rep - (1.0 - d.toDouble / n)) < 1e-6)
+    }
+    // brute-force one document's shingle multiset
+    val (docId, n, d, _) = rows.maxBy(t => t._2 - t._3)
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") === docId).head().getAs[String]("text")
+    val toks = text.toLowerCase.replaceAll("[^a-z ]", " ")
+      .split("\\s+").filter(_.nonEmpty)
+    val sh =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    assert(sh.length == n, s"doc $docId: ${sh.length} != $n")
+    assert(sh.distinct.length == d)
+  }
+
   test("rel_item_cooccur_sim: symmetric cosine, bounded, consistent " +
       "with a brute-force recompute") {
     val got = run("rel_item_cooccur_sim").collect()
