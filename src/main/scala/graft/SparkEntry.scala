@@ -7306,6 +7306,30 @@ object SparkEntry {
             .as("blowup"))
     }),
 
+    // STREAMING CALIBRATION — rel_calibration_bins maintained LIVE:
+    // the 10-bin (count, score-sum, positive-count) state updates
+    // incrementally over the streamed events (complete mode, 10 rows
+    // of bounded state); every counter is associative, so the
+    // unordered replay provably equals the batch bins — which IS the
+    // oracle. The model-quality dashboard shape: metrics stay current
+    // without ever rescanning history.
+    "stream_calibration_bins" -> ((s, dir) => {
+      val src = events(s, dir).select(
+          (round(col("value") * 100).cast("long") % 100L).as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .select(expr("cents div 10").as("bin"), col("cents"), col("pos"))
+      graft.streaming.StreamGate.stageAndReplay(s, src,
+        "gate_calib", "complete")(df =>
+        df.groupBy("bin").agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"), sum(col("pos")).as("sp")))
+        .select(col("bin"), col("n"),
+          round(col("sc").cast("double") / (lit(100.0) * col("n")), 6)
+            .as("mean_score"),
+          round(col("sp").cast("double") / col("n").cast("double"), 6)
+            .as("pos_rate"))
+    }),
+
     // WITHIN-DOC REPETITION SCORE — the Gopher rep-ngram signal the
     // quality gates don't cover: the fraction of DUPLICATE 3-token
     // shingles inside each document (natural prose repeats almost
@@ -12772,6 +12796,18 @@ object SparkEntry {
         |       round(cast(f2e AS DOUBLE) / cast(f2x AS DOUBLE), 6)
         |         AS blowup
         |FROM ex CROSS JOIN es""".stripMargin,
+
+    "stream_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT cast(round(value * 100) AS BIGINT) % 100 AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |)
+        |SELECT cents // 10 AS bin, count(*) AS n,
+        |       round(sum(cents)::DOUBLE / (100.0 * count(*)), 6)
+        |         AS mean_score,
+        |       round(sum(pos)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
+        |FROM s GROUP BY 1""".stripMargin,
 
     "text_repetition_score" ->
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
