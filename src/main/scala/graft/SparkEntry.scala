@@ -3988,7 +3988,9 @@ object SparkEntry {
     // shuffled the item set three times (distinct, then both join
     // sides); this one shuffles lineitem once and the generated pairs
     // once. Per-part supports come off the same checkpointed baskets
-    // and join back broadcast (part domain = dim-sized); the top-100
+    // and shuffle-join back on the part key (the part domain grows
+    // with SF, so it gets no broadcast hint; AQE may still broadcast
+    // a measured-small side); the top-100
     // runs as TakeOrderedAndProject with a (part_a, part_b) tiebreak
     // so the cut is deterministic through support ties, and lift
     // divides two exact integers once.
@@ -4010,11 +4012,14 @@ object SparkEntry {
       val pc = baskets.select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
       val n = baskets.agg(count(lit(1)).as("n_orders"))
+      // per-part supports are vocabulary-sized (distinct parts grow
+      // with SF) — no broadcast hint; the pair list shuffle-joins on
+      // the part key. Only the 1-row order count broadcasts.
       pairs
-        .join(broadcast(pc.select(col("l_partkey").as("pa_key"),
-          col("supp").as("supp_a"))), col("part_a") === col("pa_key"))
-        .join(broadcast(pc.select(col("l_partkey").as("pb_key"),
-          col("supp").as("supp_b"))), col("part_b") === col("pb_key"))
+        .join(pc.select(col("l_partkey").as("pa_key"),
+          col("supp").as("supp_a")), col("part_a") === col("pa_key"))
+        .join(pc.select(col("l_partkey").as("pb_key"),
+          col("supp").as("supp_b")), col("part_b") === col("pb_key"))
         .crossJoin(broadcast(n))
         .select(col("part_a"), col("part_b"), col("cnt"),
           round((col("cnt") * col("n_orders")).cast("double") /
@@ -7081,10 +7086,15 @@ object SparkEntry {
           sum(when(col("irk") <= 10, col("rel") * expr("2520 div irk"))
             .otherwise(0L)).as("idcg"))
         .where(col("idcg") > 0)
-        .select(round(col("dcg").cast("double") / col("idcg").cast("double"),
-          6).as("ndcg"))
+        // per-user NDCG in exact integer micros — half-up rounding of
+        // dcg·10⁶/idcg via (2p+q) div 2q — so the corpus mean is ONE
+        // exact long sum to one double division; a double avg() over
+        // per-user ndcgs would be partial-merge-order dependent and
+        // could flip the 6th decimal cross-engine at large user counts
+        .select(expr("(dcg * 2000000 + idcg) div (idcg * 2)").as("micros"))
         .agg(count(lit(1)).as("n_users"),
-          round(avg(col("ndcg")), 6).as("mean_ndcg"))
+          round(sum(col("micros")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 6).as("mean_ndcg"))
     }),
 
     // GRID-BUCKETED RADIUS JOIN — the canonical spatial join at scale:
@@ -7351,7 +7361,11 @@ object SparkEntry {
     // pricing-summary shape as a SQL STRING through spark.sql. Same
     // partial+final hash-aggregate plan as the DataFrame twin
     // (Catalyst compiles both to one plan space); money sums exact
-    // decimal to one presentational cast.
+    // decimal to one presentational cast. avg_disc follows the repo's
+    // exact-sum-to-one-division convention: a raw double avg() is
+    // summation-order dependent (partial-merge order differs run to
+    // run and engine to engine), so the discount sums as an exact
+    // decimal and divides by the count ONCE in double.
     "rel_sql_interface" -> ((s, dir) => {
       tbl(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
       s.sql("""
@@ -7359,7 +7373,9 @@ object SparkEntry {
                cast(count(*) AS bigint) AS n,
                cast(sum(cast(l_quantity AS decimal(18,2))) AS double)
                  AS sum_qty,
-               round(avg(l_discount), 6) AS avg_disc
+               round(cast(cast(sum(cast(l_discount AS decimal(18,4)))
+                               AS decimal(18,4)) AS double) / count(*), 6)
+                 AS avg_disc
         FROM graft_lineitem
         WHERE l_shipdate < timestamp'1998-09-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus""")
@@ -7369,7 +7385,8 @@ object SparkEntry {
     // primitive: per-item top-5 neighbors by co-order cosine
     // cnt/√(supp_a·supp_b). Rides rel_basket_pairs' scale shape (ONE
     // orderkey shuffle builds sorted baskets, pairs generate MAP-SIDE
-    // with per-order-bounded fan-out, supports join back broadcast);
+    // with per-order-bounded fan-out, supports shuffle-join back on
+    // the part key);
     // the per-item cut is a partitioned WindowGroupLimit over the
     // ROUNDED cosine with a neighbor-id tiebreak, so the neighbor
     // lists are deterministic through ties at any scale.
@@ -7394,11 +7411,14 @@ object SparkEntry {
           .select(col("pb").as("item"), col("pa").as("nb"), col("cnt")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("item").orderBy(col("cosine").desc, col("nb").asc)
+      // supports are one row per distinct part — a VOCABULARY-sized
+      // frame that grows with SF, so no broadcast hint: the pair list
+      // shuffle-joins on the part key (AQE broadcasts when small)
       sym
-        .join(broadcast(supp.select(col("pk").as("item"),
-          col("supp").as("si"))), "item")
-        .join(broadcast(supp.select(col("pk").as("nb"),
-          col("supp").as("sn"))), "nb")
+        .join(supp.select(col("pk").as("item"),
+          col("supp").as("si")), "item")
+        .join(supp.select(col("pk").as("nb"),
+          col("supp").as("sn")), "nb")
         .select(col("item"), col("nb"), col("cnt"),
           round(col("cnt").cast("double") /
             sqrt((col("si") * col("sn")).cast("double")), 6).as("cosine"))
@@ -7411,9 +7431,12 @@ object SparkEntry {
     // verify) that STRADDLE the hash-assigned train/val/test split —
     // each one is an eval answer leaked into training. Composes the
     // capped LSH candidate chain with text_split_assign's md5 bucket
-    // assignment; the split labels join onto the (sparse) pair list,
-    // never the reverse, so the scan costs one candidate-join pass at
-    // any corpus size.
+    // assignment; the split labels shuffle-join onto the (sparse) pair
+    // list on doc_id — NO broadcast hint: `splits` is one row per
+    // document (corpus-sized), so a forced broadcast would OOM the
+    // driver at real corpus scale; the equi-join shuffles the small
+    // pair list instead (AQE may still elect a broadcast when the
+    // frame is measured tiny).
     "text_split_leakage" -> ((s, dir) => {
       val splits = tbl(s, dir, "documents").select(col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
@@ -7426,10 +7449,10 @@ object SparkEntry {
           round(col("inter").cast("double") / col("uni").cast("double"), 6)
             .as("jaccard"))
         .where(col("jaccard") >= 0.5)
-        .join(broadcast(splits.select(col("doc_id").as("id1"),
-          col("split").as("split1"))), "id1")
-        .join(broadcast(splits.select(col("doc_id").as("id2"),
-          col("split").as("split2"))), "id2")
+        .join(splits.select(col("doc_id").as("id1"),
+          col("split").as("split1")), "id1")
+        .join(splits.select(col("doc_id").as("id2"),
+          col("split").as("split2")), "id2")
         .where(col("split1") =!= col("split2"))
         .select(col("id1"), col("id2"), col("jaccard"),
           col("split1"), col("split2"))
@@ -7502,7 +7525,10 @@ object SparkEntry {
     // double-EWMA chain (level/trend at the last observed hour, via two
     // stacked GlobalRecur scans) with the hour-of-day seasonal indices.
     // Every input is O(hours)/O(24)-sized after one hash aggregate
-    // each; the last-hour cut is TakeOrderedAndProject (never a global
+    // each; the hourly frame repartitions to ONE partition before the
+    // scans (see rel_double_ewma_trend — the affine splice is only
+    // ulp-exact on one partition, and the frame is time-span-bounded);
+    // the last-hour cut is TakeOrderedAndProject (never a global
     // sort), and the 24-step horizon joins against the broadcast
     // seasonal table.
     "rel_holt_winters_forecast" -> ((s, dir) => {
@@ -7511,6 +7537,7 @@ object SparkEntry {
         .groupBy("h").agg(count(lit(1)).cast("double").as("x"))
         .select(col("h"), col("x"),
           lit(0.75).as("m"), (lit(0.25) * col("x")).as("c"))
+        .repartition(1)
       val p1 = graft.plans.Recurrence.scan(hr, "m", "c", 0.0, ("h", false))
         .select(col("h"), col("y").as("s1"), lit(0.75).as("m2"))
       val p2 = graft.plans.Recurrence
@@ -7550,16 +7577,24 @@ object SparkEntry {
     // (level, trend) = (2s1−s2, α/(1−α)·(s1−s2)) — the trend-aware
     // upgrade of rel_ewma_per_user's flat EWMA, and the operator-
     // composition showcase: an unbounded recurrence feeding a second
-    // unbounded recurrence, both running as distributed two-pass scans
-    // (no single-partition window anywhere). α = 1/4 is an exact
-    // binary fraction and every step is the same literal IEEE sequence
-    // (0.75·s + 0.25·x) in both engines, so the chain is bit-exact.
+    // unbounded recurrence, both running as two-pass scans. The series
+    // is O(hours) after the hash aggregate (bounded by the time span,
+    // not the corpus), so it REPARTITIONS TO ONE partition before the
+    // scans: GlobalRecur's partition splice composes affine transforms
+    // (cm·y+cb), whose float rounding differs from a sequential fold
+    // in the last ulps — on one partition the splice is the identity
+    // and the chain IS the same literal IEEE sequence (0.75·s + 0.25·x)
+    // DuckDB's recursive CTE folds, hence bit-exact cross-engine. (The
+    // data-sized aggregate stays fully parallel; only the tiny hourly
+    // frame is single-partition. On an unbounded-cardinality series
+    // the distributed splice with a tolerance compare is the shape.)
     "rel_double_ewma_trend" -> ((s, dir) => {
       val hr = events(s, dir)
         .select(expr("unix_micros(ts) div 3600000000").as("h"))
         .groupBy("h").agg(count(lit(1)).cast("double").as("x"))
         .select(col("h"), col("x"),
           lit(0.75).as("m"), (lit(0.25) * col("x")).as("c"))
+        .repartition(1)
       val p1 = graft.plans.Recurrence.scan(hr, "m", "c", 0.0, ("h", false))
         .select(col("h"), col("y").as("s1"),
           lit(0.75).as("m2"))
@@ -12652,8 +12687,9 @@ object SparkEntry {
         |  FROM r GROUP BY user_id
         |)
         |SELECT count(*) AS n_users,
-        |       round(avg(round(cast(dcg AS DOUBLE) / cast(idcg AS DOUBLE),
-        |                       6)), 6) AS mean_ndcg
+        |       round(cast(sum((dcg * 2000000 + idcg) // (idcg * 2))
+        |                  AS DOUBLE) /
+        |             cast(count(*) * 1000000 AS DOUBLE), 6) AS mean_ndcg
         |FROM p WHERE idcg > 0""".stripMargin,
 
     "rel_geo_radius_join" ->
@@ -12822,7 +12858,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       count(*) AS n,
         |       sum(cast(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
-        |       round(avg(l_discount), 6) AS avg_disc
+        |       round(sum(cast(l_discount AS DECIMAL(18,4)))::DOUBLE
+        |             / count(*), 6) AS avg_disc
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,

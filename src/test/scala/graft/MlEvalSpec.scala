@@ -300,7 +300,15 @@ class MlEvalSpec extends AnyFunSuite {
   }
 
   test("rel_double_ewma_trend is bit-exact vs a sequential fold") {
-    val got = run("rel_double_ewma_trend").collect()
+    // bit-exactness holds BECAUSE the O(hours) frame repartitions to one
+    // partition before the GlobalRecur scans (the multi-partition affine
+    // splice rounds differently from a sequential fold in the last
+    // ulps) — pin that the single-partition contract stays
+    val df = run("rel_double_ewma_trend")
+    assert(df.rdd.getNumPartitions == 1,
+      "the hourly recurrence chain must run on one partition for the " +
+        "sequential-fold bit-exactness contract")
+    val got = df.collect()
       .map(r => (r.getAs[Long]("h"), r.getAs[Double]("s1"),
         r.getAs[Double]("s2"), r.getAs[Double]("level"),
         r.getAs[Double]("trend"))).sortBy(_._1)

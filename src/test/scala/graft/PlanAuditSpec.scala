@@ -564,4 +564,77 @@ class PlanAuditSpec extends AnyFunSuite {
       s"${unhinted.size} crossJoin call(s) without an immediate " +
         s"broadcast(...) hint at char offsets ${unhinted.map(_.start)}")
   }
+
+  test("broadcast census: every explicit broadcast() hint sources a " +
+    "bounded frame") {
+    // An explicit broadcast() hint FORCES the build side to the driver
+    // and every executor, overriding AQE's size estimate — so a hint on
+    // a frame that grows with the corpus (one row per document, per
+    // distinct part, ...) is correct at test SF and an OOM at 100 TB.
+    // This census walks the ANALYZED plan of every registry query,
+    // collects each broadcast-hinted subtree, and requires a structural
+    // boundedness witness:
+    //   - a Limit in the subtree (top-k frames, 1-row cuts), or
+    //   - an ungrouped Aggregate (global totals/thresholds — 1 row), or
+    //   - every leaf is a literal (LocalRelation/Range: query panels,
+    //     horizon frames, probe tables) or a declared dimension table
+    //     (TPC-H region/nation/supplier/customer/part — the canonical
+    //     broadcast side of a star join, sub-linear in the fact data).
+    // A hinted subtree with none of these witnesses — e.g. a grouped
+    // aggregate over a fact table, or a projection of `documents` — is
+    // exactly the 100 TB-killer class this census exists to block, and
+    // fails here with the offending plan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val dimTables =
+      Set("region", "nation", "supplier", "customer", "part")
+    def isDimLeaf(leaf: LogicalPlan): Boolean = {
+      val s = leaf.toString
+      dimTables.exists(t => s.contains(s"/$t.parquet"))
+    }
+    def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case l => isDimLeaf(l)
+    }
+    def bounded(p: LogicalPlan): Boolean = {
+      val hasLimit =
+        p.collectFirst { case l @ (_: GlobalLimit | _: LocalLimit) => l }
+          .isDefined
+      val hasScalarAgg =
+        p.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined
+      val leaves = p.collectLeaves()
+      hasLimit || hasScalarAgg ||
+        (leaves.nonEmpty && leaves.forall(boundedLeaf))
+    }
+    // same construction-cost exclusions as the cartesian census: the
+    // heavy set runs driver-side iterations at construction, stream_*
+    // executes the replay gate eagerly
+    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
+      "emb_centroids", "emb_kmeans", "dedup_connected_components",
+      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
+      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
+      "src_manifest_prune",
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
+    // hinted-but-not-structurally-obvious frames, each with its
+    // boundedness argument; additions here need a justification, which
+    // is the point — an unconsidered hint can't slip through
+    val declared: Map[String, String] = Map.empty
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(heavy)
+      .filterNot(_.startsWith("stream_"))
+      .flatMap { name =>
+        val analyzed = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.analyzed
+        val hinted = analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            h.child
+        }
+        hinted.collect {
+          case sub if !bounded(sub) && !declared.contains(name) =>
+            s"$name broadcasts a frame with no boundedness witness:\n$sub"
+        }
+      }
+    assert(bad.isEmpty, bad.mkString("\n\n"))
+  }
 }
