@@ -78,7 +78,16 @@ object ScaleLadder {
     stage("events", shifted("event_id", "user_id"))
 
     stage("documents", { (df, r) =>
-      val letter = ('a' + r).toChar.toString
+      // replica suffix in base-26 letters (identical to the historical
+      // single letter for r <= 25): a bare ('a'+r) turns non-letter at
+      // r >= 26, and word-regex tokenizers would strip it — making high
+      // replicas textually collide and corrupting the near-dup pair
+      // structure at the x30 rung
+      val letter = {
+        var n = r; val sb = new StringBuilder
+        while (n > 0) { sb.append(('a' + (n % 26)).toChar); n /= 26 }
+        sb.toString
+      }
       val text =
         if (r == 0) col("text")
         else regexp_replace(col("text"), "([A-Za-z]+)", "$1" + letter)

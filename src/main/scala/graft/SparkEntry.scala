@@ -103,6 +103,15 @@ object SparkEntry {
       .drop("event_id")
   }
 
+  /** 60-bit uniform hash for the Theta/KMV sketch family: the first 15
+    * hex digits of md5 of the value's decimal string. Engine-portable —
+    * DuckDB reproduces it as `('0x' || substr(md5(x::VARCHAR),1,15))::
+    * BIGINT`, so sketch contents (and therefore the set-operation
+    * estimates) are oracle-checked bit-exactly. */
+  private def thetaHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Same value shape but keeping the raw TIMESTAMP key — for the
     * interval-RANGE frames that order by the instant directly. */
   private def valuedEventsTs(s: SparkSession, dir: String): DataFrame =
@@ -6507,13 +6516,18 @@ object SparkEntry {
     // O(band collisions), never O(corpus x benchmark); the doc-source
     // membership map rides broadcasts.
     "dedup_cross_corpus" -> ((s, dir) => {
+      // `src` is one row per DOCUMENT (corpus-sized) — no broadcast
+      // hint: the sparse candidate-pair list shuffle-joins on doc_id
+      // instead (AQE may still elect a broadcast when the frame is
+      // measured tiny). Same fix class as text_split_leakage; the
+      // PlanAuditSpec broadcast census blocks regressions.
       val src = tbl(s, dir, "documents")
         .select(col("doc_id"), (col("source") === "src0").as("bench"))
       jaccardPairsWithSetsDf(s, dir)
-        .join(broadcast(src.select(col("doc_id").as("id1"),
-          col("bench").as("b1"))), "id1")
-        .join(broadcast(src.select(col("doc_id").as("id2"),
-          col("bench").as("b2"))), "id2")
+        .join(src.select(col("doc_id").as("id1"),
+          col("bench").as("b1")), "id1")
+        .join(src.select(col("doc_id").as("id2"),
+          col("bench").as("b2")), "id2")
         .where(col("b1") =!= col("b2"))
         .select(
           when(col("b1"), col("id2")).otherwise(col("id1")).as("doc_id"),
@@ -7379,6 +7393,241 @@ object SparkEntry {
         FROM graft_lineitem
         WHERE l_shipdate < timestamp'1998-09-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus""")
+    }),
+
+    // SQL-STRING TWINS OF THE Global* REWRITE FAMILIES — the session
+    // extensions (GraftExtensions.inject) register optimizer rules, so
+    // the distributed-window rewrites must fire on ANY logical plan,
+    // however it was built. rel_sql_interface proved the hash-aggregate
+    // shape reaches SQL users; these six prove the custom-operator
+    // surface does too: each is the textbook un-partitioned window
+    // written as an ANSI SQL STRING through spark.sql, one per rewrite
+    // family, and PlanAuditSpec pins that the PARSED plan executes as
+    // the distributed Global* operator (GlobalScan / GlobalRank /
+    // GlobalShift / GlobalEdge / GlobalFrame / GlobalRange) with no
+    // single-partition WindowExec stage — a SQL user gets the same
+    // 100 TB plan as a DataFrame user, with zero extra API.
+
+    // Prefix sum from SQL → GlobalScan (twin of rel_running_revenue).
+    "rel_sql_running_sum" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_sql_orders")
+      s.sql("""
+        SELECT o_orderkey, cents,
+               sum(cents) OVER (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running_cents
+        FROM (SELECT o_orderkey,
+                     cast(round(o_totalprice * 100) AS bigint) AS cents
+              FROM graft_sql_orders)""")
+    }),
+
+    // Global row_number from SQL → GlobalRank (twin of
+    // rel_global_rank_plan, which builds the operator directly).
+    "rel_sql_global_rank" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY value DESC, event_id) AS rank
+        FROM graft_sql_events""")
+    }),
+
+    // Global lag from SQL → GlobalShift (twin of rel_running_delta).
+    "rel_sql_shift_delta" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_id,
+               lag(v, 1) OVER (ORDER BY t, event_id) AS prev_v
+        FROM (SELECT unix_micros(ts) AS t, event_id,
+                     CASE WHEN event_type <> 'error'
+                          THEN cast(round(value * 1000) AS bigint) END AS v
+              FROM graft_sql_events)""")
+    }),
+
+    // Global first_value from SQL → GlobalEdge (twin of rel_first_value).
+    "rel_sql_edge_first" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_sql_orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               first_value(o_totalprice)
+                 OVER (ORDER BY o_orderdate, o_orderkey) AS first_price
+        FROM graft_sql_orders""")
+    }),
+
+    // Bounded ROWS frame from SQL → GlobalFrame (twin of
+    // rel_frame_moving_sum).
+    "rel_sql_frame_sum" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_id,
+               sum(v) OVER w AS mov_sum,
+               count(v) OVER w AS mov_n
+        FROM (SELECT unix_micros(ts) AS t, event_id,
+                     CASE WHEN event_type <> 'error'
+                          THEN cast(round(value * 1000) AS bigint) END AS v
+              FROM graft_sql_events)
+        WINDOW w AS (ORDER BY t, event_id
+                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)""")
+    }),
+
+    // Bounded value-RANGE frame from SQL → GlobalRange (twin of
+    // rel_range_trailing_global). Tie groups over t are included whole
+    // by RANGE semantics, so sum/count are deterministic without an
+    // event_id tiebreak.
+    "rel_sql_range_trailing" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_id,
+               sum(v) OVER r AS rev_5s,
+               count(v) OVER r AS n_5s
+        FROM (SELECT unix_micros(ts) AS t, event_id,
+                     CASE WHEN event_type <> 'error'
+                          THEN cast(round(value * 1000) AS bigint) END AS v
+              FROM graft_sql_events)
+        WINDOW r AS (ORDER BY t
+                     RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)""")
+    }),
+
+    // THETA/KMV SKETCH SET-OPERATION FAMILY — distinct counts of
+    // UNION / INTERSECTION / DIFFERENCE across segments from bounded
+    // mergeable sketches (the DataSketches Theta framework's estimator,
+    // k smallest distinct 60-bit hashes): the only way set-expression
+    // cardinalities stay tractable at 100 TB, where the exact answer
+    // needs a corpus-wide distinct shuffle PER EXPRESSION but the
+    // sketches are built once (k longs per segment, map-side partial
+    // aggregation via the native KmvSketchAgg) and combined in O(k).
+    // Entities are "user-day" activity keys; hashes are md5-derived so
+    // the DuckDB oracle reproduces the sketch BIT-EXACTLY — the
+    // estimates are oracle-checked values, not just bounded claims.
+    // Exact counts ride along in each output as accuracy evidence
+    // (k=128 → rsd ~9%).
+
+    // Per-segment distinct estimate: the base sketch + estimator.
+    "rel_theta_sketch_distinct" -> ((s, dir) => {
+      val k = 128
+      val base = events(s, dir).select(col("event_type"),
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").as("key"))
+      base.select(col("event_type"), col("key"),
+        thetaHash(col("key")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"), countDistinct(col("key")).as("exact"))
+        .select(col("event_type"),
+          size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"),
+          col("exact"))
+    }),
+
+    // Union via MERGE of per-day partial sketches (click ∪ purchase):
+    // the sketches a pipeline stores per segment re-combine without a
+    // rescan, and KMV merge is LOSSLESS (every global k-smallest hash is
+    // retained by its own day's sketch) — so the merged estimate is
+    // oracle-checked against the k-smallest of the union computed
+    // directly.
+    "rel_theta_union_merge" -> ((s, dir) => {
+      val k = 128
+      val base = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(to_date(col("ts")).as("day"),
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+      val daily = base.select(col("day"), thetaHash(col("key")).as("h"))
+        .groupBy("day")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val merged = daily.select(explode(col("ks")).as("h"))
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val exact = base.agg(countDistinct(col("key")).as("exact"))
+      merged.crossJoin(broadcast(exact))
+        .select(size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"),
+          col("exact"))
+    }),
+
+    // Intersection estimate (click ∩ purchase user-days): θ = min of the
+    // two segment thetas; each retained set is a COMPLETE distinct
+    // sample below its own θ, so |kA ∩ kB below θ| / (θ/2^60) estimates
+    // the overlap — two O(k) arrays combined on the executor, no rescan.
+    "rel_theta_intersect" -> ((s, dir) => {
+      val k = 128
+      val p60 = 1152921504606846976L // 2^60: θ of a sub-k (exact) sketch
+      val base = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+      val sk = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val a = sk.where(col("event_type") === "click")
+        .select(col("ks").as("ka")).limit(1)
+      val b = sk.where(col("event_type") === "purchase")
+        .select(col("ks").as("kb")).limit(1)
+      val exact = base.groupBy("key")
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .where(col("nt") === 2).agg(count(lit(1)).as("exact"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
+        .withColumn("theta", least(
+          when(size(col("ka")) < k, lit(p60))
+            .otherwise(element_at(col("ka"), k)),
+          when(size(col("kb")) < k, lit(p60))
+            .otherwise(element_at(col("kb"), k))))
+        .withColumn("s_inter",
+          size(expr("filter(array_intersect(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .select(col("s_inter"),
+          round(col("s_inter").cast("double")
+            * lit(1.152921504606846976e18)
+            / col("theta").cast("double"), 4).as("est"),
+          col("exact"))
+    }),
+
+    // Difference estimate (click ∖ purchase): below θ the B-sample is
+    // complete, so "h ∉ kB" is an exact non-membership test there —
+    // |{h ∈ kA : h < θ, h ∉ kB}| / (θ/2^60).
+    "rel_theta_diff" -> ((s, dir) => {
+      val k = 128
+      val p60 = 1152921504606846976L
+      val base = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+      val sk = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val a = sk.where(col("event_type") === "click")
+        .select(col("ks").as("ka")).limit(1)
+      val b = sk.where(col("event_type") === "purchase")
+        .select(col("ks").as("kb")).limit(1)
+      val exact = base.groupBy("key")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("has_a"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("has_b"))
+        .where(col("has_a") === 1L && col("has_b") === 0L)
+        .agg(count(lit(1)).as("exact"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
+        .withColumn("theta", least(
+          when(size(col("ka")) < k, lit(p60))
+            .otherwise(element_at(col("ka"), k)),
+          when(size(col("kb")) < k, lit(p60))
+            .otherwise(element_at(col("kb"), k))))
+        .withColumn("s_diff",
+          size(expr("filter(array_except(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .select(col("s_diff"),
+          round(col("s_diff").cast("double")
+            * lit(1.152921504606846976e18)
+            / col("theta").cast("double"), 4).as("est"),
+          col("exact"))
     }),
 
     // ITEM-ITEM CO-OCCURRENCE SIMILARITY — the collaborative-filtering
@@ -12863,6 +13112,194 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_sql_running_sum" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         cast(round(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, cents,
+        |       cast(sum(cents) OVER (ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS running_cents
+        |FROM o""".stripMargin,
+
+    "rel_sql_global_rank" ->
+      """SELECT event_id, value,
+        |       cast(row_number() OVER (ORDER BY value DESC, event_id)
+        |            AS integer) AS rank
+        |FROM events""".stripMargin,
+
+    "rel_sql_shift_delta" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       lag(v, 1) OVER (ORDER BY t, event_id) AS prev_v
+        |FROM e""".stripMargin,
+
+    "rel_sql_edge_first" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       first_value(o_totalprice)
+        |         OVER (ORDER BY o_orderdate, o_orderkey) AS first_price
+        |FROM orders""".stripMargin,
+
+    "rel_sql_frame_sum" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER w AS bigint) AS mov_sum,
+        |       cast(count(v) OVER w AS bigint) AS mov_n
+        |FROM e
+        |WINDOW w AS (ORDER BY t, event_id
+        |             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "rel_sql_range_trailing" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(sum(v) OVER r AS bigint) AS rev_5s,
+        |       cast(count(v) OVER r AS bigint) AS n_5s
+        |FROM e
+        |WINDOW r AS (ORDER BY t
+        |             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "rel_theta_sketch_distinct" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, count(*) AS exact FROM b GROUP BY 1
+        |)
+        |SELECT s.event_type, s.n_kept,
+        |       CASE WHEN s.n_kept < 128 THEN round(s.n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / s.theta::DOUBLE, 4) END AS est,
+        |       e.exact
+        |FROM s JOIN e USING (event_type)""".stripMargin,
+
+    "rel_theta_union_merge" ->
+      """WITH b AS (
+        |  SELECT DISTINCT
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), h AS (
+        |  SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h
+        |), s AS (
+        |  SELECT count(*) AS n_kept, max(h) AS theta FROM r WHERE rn <= 128
+        |)
+        |SELECT s.n_kept,
+        |       CASE WHEN s.n_kept < 128 THEN round(s.n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / s.theta::DOUBLE, 4) END AS est,
+        |       (SELECT count(*) FROM b) AS exact
+        |FROM s""".stripMargin,
+
+    "rel_theta_intersect" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), k AS (
+        |  SELECT event_type, h, nd FROM r WHERE rn <= 128
+        |), t AS (
+        |  SELECT min(th) AS theta FROM (
+        |    SELECT CASE WHEN max(nd) < 128 THEN 1152921504606846976
+        |                ELSE max(h) END AS th
+        |    FROM k GROUP BY event_type)
+        |), si AS (
+        |  SELECT count(*) AS s_inter
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka
+        |  JOIN (SELECT h FROM k WHERE event_type = 'purchase') kb
+        |    USING (h), t
+        |  WHERE h < t.theta
+        |), ex AS (
+        |  SELECT count(*) AS exact FROM (
+        |    SELECT key FROM b GROUP BY key HAVING count(*) = 2)
+        |)
+        |SELECT si.s_inter,
+        |       round(si.s_inter::DOUBLE * 1152921504606846976
+        |             / t.theta::DOUBLE, 4) AS est,
+        |       ex.exact
+        |FROM si, t, ex""".stripMargin,
+
+    "rel_theta_diff" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), k AS (
+        |  SELECT event_type, h, nd FROM r WHERE rn <= 128
+        |), t AS (
+        |  SELECT min(th) AS theta FROM (
+        |    SELECT CASE WHEN max(nd) < 128 THEN 1152921504606846976
+        |                ELSE max(h) END AS th
+        |    FROM k GROUP BY event_type)
+        |), sd AS (
+        |  SELECT count(*) AS s_diff
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka, t
+        |  WHERE ka.h < t.theta
+        |    AND ka.h NOT IN (SELECT h FROM k WHERE event_type = 'purchase')
+        |), ex AS (
+        |  SELECT count(*) AS exact FROM (
+        |    SELECT key FROM b WHERE event_type = 'click'
+        |    AND key NOT IN (SELECT key FROM b WHERE event_type = 'purchase'))
+        |)
+        |SELECT sd.s_diff,
+        |       round(sd.s_diff::DOUBLE * 1152921504606846976
+        |             / t.theta::DOUBLE, 4) AS est,
+        |       ex.exact
+        |FROM sd, t, ex""".stripMargin,
 
     "rel_item_cooccur_sim" ->
       """WITH items AS (

@@ -450,6 +450,8 @@ object GraftFunctions {
     "graft_cms_merge" -> (es => CmsMergeAgg(es.head)),
     "graft_misra_gries" -> (es => MisraGriesAgg(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_kmv_sketch" -> (es => KmvSketchAgg(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "graft_zorder" -> (es => ZOrderExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_vec_outer_sum" -> (es => VectorOuterSumAgg(es.head)),
@@ -569,6 +571,15 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_misra_gries", c,
       org.apache.spark.sql.functions.lit(capacity))
+  }
+
+  /** KMV/Theta sketch: k smallest distinct hash values as a sorted
+    * `array<bigint>` (see [[KmvSketchAgg]]); aggregate function — use
+    * inside `.agg(...)`. */
+  def kmvSketch(spark: SparkSession, c: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_kmv_sketch", c,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Z-order (Morton) value of two long columns (see [[ZOrderExpr]]). */

@@ -585,11 +585,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // exactly the 100 TB-killer class this census exists to block, and
     // fails here with the offending plan.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val dimTables =
-      Set("region", "nation", "supplier", "customer", "part")
+    // a dimension-table leaf is recognized by its primary-key column
+    // (the Relation node's toString does NOT print the parquet path, so
+    // path matching silently never fires)
+    val dimKeys = Set("r_regionkey", "n_nationkey", "s_suppkey",
+      "c_custkey", "p_partkey")
     def isDimLeaf(leaf: LogicalPlan): Boolean = {
-      val s = leaf.toString
-      dimTables.exists(t => s.contains(s"/$t.parquet"))
+      val names = leaf.output.map(_.name).toSet
+      dimKeys.exists(names.contains)
     }
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case _: LocalRelation | _: OneRowRelation | _: Range => true
@@ -619,7 +622,39 @@ class PlanAuditSpec extends AnyFunSuite {
     // hinted-but-not-structurally-obvious frames, each with its
     // boundedness argument; additions here need a justification, which
     // is the point — an unconsidered hint can't slip through
-    val declared: Map[String, String] = Map.empty
+    val declared: Map[String, String] = Map(
+      // fixed query panels: a literal filter on the dense unique key
+      // column bounds the frame at the literal regardless of corpus
+      // size (vec_id / doc_id are primary keys)
+      "emb_hamming_recall" -> "query panel vec_id < 20: <= 20 rows",
+      "emb_mrl_recall" -> "query panel vec_id < 20: <= 20 rows",
+      "emb_knn_accuracy" -> "query panel vec_id < 50: <= 50 rows",
+      "emb_hybrid_rrf" -> "single query vector vec_id = 0: 1 row",
+      "text_doc_cosine" -> "query panel doc_id < 5: <= 5 docs' postings",
+      // grouped aggregates over provably bounded key domains — the
+      // census can't see domain bounds structurally, so each is argued
+      // here: event_type has 5 values, nationkey 25, mktsegment 5,
+      // hour-of-day 24, the isotonic/PR frames are 10 calibration bins,
+      // and signup-cohort days are time-span-bounded (calendar days,
+      // not data volume)
+      "rel_dpp_prune" -> "filter over per-event_type counts: <= 5 rows",
+      "rel_regression_per_key" -> "per-event_type t0: <= 5 rows",
+      "rel_markov_transitions" -> "per-src totals, src = event_type: 5",
+      "rel_mutual_info" -> "marginals by event_type (5) / hour (24)",
+      "rel_cramers_v" -> "contingency marginals: nation 25 / segment 5",
+      "rel_theil_index" -> "per-nation group sums: 25 rows",
+      "rel_seasonal_anomaly" -> "hour-of-day profile: 24 rows",
+      "rel_cohort_ltv" -> ("per signup-DAY cohort sizes: time-span-" +
+        "bounded (days), independent of data volume"),
+      "rel_isotonic_fit" -> ("10-bin calibration frame and its pooled " +
+        "interval aggregates: O(bins^2) = 100"),
+      "rel_pr_curve" -> "10-bin score frame",
+      // the contamination scan broadcasts the BENCHMARK side by design:
+      // an eval suite is externally fixed-size (it does not grow with
+      // the training corpus), which is the standing premise of
+      // decontamination pipelines; the corpus side streams
+      "text_contamination" -> ("benchmark (src0) shingle set: eval " +
+        "suites are fixed-size, only the corpus side scales"))
     val bad = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(heavy)
       .filterNot(_.startsWith("stream_"))
@@ -636,5 +671,29 @@ class PlanAuditSpec extends AnyFunSuite {
         }
       }
     assert(bad.isEmpty, bad.mkString("\n\n"))
+  }
+
+  test("SQL-string twins: the Global* rewrites fire on SQL-parsed plans") {
+    // GraftExtensions registers the rewrites as optimizer rules, so they
+    // must be plan-source-agnostic — a window written as an ANSI SQL
+    // string has to get the same distributed operator as its DataFrame
+    // twin, or SQL users silently fall back to the single-partition
+    // WindowExec the whole Global* family exists to kill. One twin per
+    // rewrite family, each pinned to its operator and to the absence of
+    // any window stage.
+    val twins = Seq(
+      "rel_sql_running_sum" -> "GlobalScan",
+      "rel_sql_global_rank" -> "GlobalRank",
+      "rel_sql_shift_delta" -> "GlobalShift",
+      "rel_sql_edge_first" -> "GlobalEdge",
+      "rel_sql_frame_sum" -> "GlobalFrame",
+      "rel_sql_range_trailing" -> "GlobalRange")
+    twins.foreach { case (q, op) =>
+      val p = plan(q)
+      assert(p.contains(op),
+        s"$q: the SQL-parsed plan did not rewrite to $op:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: SQL-parsed plan fell back to a window stage:\n$p")
+    }
   }
 }
