@@ -7630,6 +7630,74 @@ object SparkEntry {
           col("exact"))
     }),
 
+    // STREAMING AS-OF ENRICHMENT — the temporal-join twin of
+    // rel_asof_last_view through the real micro-batch engine: each
+    // purchase carries the most recent strictly-prior view instant by
+    // the same user. State is ONE long per user (the latest view seen)
+    // — no buffered join side, no watermark-horizon retention: the
+    // canonical as-of shape where the lookup side only needs its latest
+    // value, bounded at key cardinality on an unbounded stream. Same
+    // oracle as the batch window, so batch/stream parity is
+    // hash-checked, not argued.
+    "stream_asof_enrich" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t_us"),
+            (col("event_type") === "view").as("is_view")),
+        "gate_asof", "append")(df =>
+        graft.streaming.EventStream.asOfLastView(
+          df.toDF("_1", "_2", "_3", "_4")
+            .as[(Long, Long, Long, Boolean)]).toDF())
+        .select(col("eventId").as("event_id"),
+          col("userId").as("user_id"),
+          col("lastViewUs").as("last_view_us"))
+    }),
+
+    // STREAMING THETA SKETCH — the unbounded-stream twin of
+    // rel_theta_sketch_distinct: per-event_type k-smallest-hash state
+    // (ONE sorted <= 128-long array per key FOREVER) through the real
+    // micro-batch engine on an unordered multi-batch CSV replay.
+    // Min-retention is commutative and idempotent, so the streamed
+    // sketch equals the batch sketch EXACTLY and the same oracle
+    // value-checks the estimate. Readers keep the max-version snapshot
+    // per key; the exact count rides along batch-side as accuracy
+    // evidence, same as the batch query.
+    "stream_theta_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val k = 128
+      val base = events(s, dir).select(col("event_type"),
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").as("key"))
+      val ev = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "thetadist")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))),
+          "gate_thetadist", "update")(df =>
+          graft.streaming.EventStream.thetaSketchStream(
+            df.toDF("_1", "_2").as[(String, Long)]).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      val sketches = sink.groupBy(col("key"))
+        .agg(max(struct(col("ver"), col("ks"))).as("m"))
+        .select(col("key").as("event_type"), col("m.ks").as("ks"))
+      val exact = base.groupBy("event_type")
+        .agg(countDistinct(col("key")).as("exact"))
+      sketches.join(exact, "event_type")
+        .select(col("event_type"),
+          size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"),
+          col("exact"))
+    }),
+
     // ITEM-ITEM CO-OCCURRENCE SIMILARITY — the collaborative-filtering
     // primitive: per-item top-5 neighbors by co-order cosine
     // cnt/√(supp_a·supp_b). Rides rel_basket_pairs' scale shape (ONE
@@ -13300,6 +13368,52 @@ object SparkEntry {
         |             / t.theta::DOUBLE, 4) AS est,
         |       ex.exact
         |FROM sd, t, ex""".stripMargin,
+
+    // identical to rel_asof_last_view's oracle: the streaming operator
+    // must reproduce the batch as-of window bit-for-bit
+    "stream_asof_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_view_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, last_view_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    // identical to rel_theta_sketch_distinct's oracle: the streamed
+    // k-smallest state must equal the batch sketch exactly
+    "stream_theta_distinct" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, count(*) AS exact FROM b GROUP BY 1
+        |)
+        |SELECT s.event_type, s.n_kept,
+        |       CASE WHEN s.n_kept < 128 THEN round(s.n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / s.theta::DOUBLE, 4) END AS est,
+        |       e.exact
+        |FROM s JOIN e USING (event_type)""".stripMargin,
 
     "rel_item_cooccur_sim" ->
       """WITH items AS (

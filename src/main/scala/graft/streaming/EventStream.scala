@@ -136,6 +136,58 @@ object EventStream {
       }
   }
 
+  case class AsOfCarry(lastViewUs: Long)
+  case class AsOfRow(userId: Long, eventId: Long, lastViewUs: Option[Long])
+
+  /** Streaming event-time AS-OF enrichment via flatMapGroupsWithState:
+    * each purchase carries the instant of the most recent STRICTLY PRIOR
+    * view by the same user under the (tsUs, eventId) total order — the
+    * unbounded-stream twin of the batch as-of window
+    * (`rel_asof_last_view`'s `max(view ts) OVER (... ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`).
+    *
+    * Unlike a stream-stream interval join, state is ONE long per user
+    * (the latest view instant seen) — no buffered stream side, no
+    * watermark-horizon retention: the canonical as-of shape where the
+    * lookup side only ever needs its latest value. Per group per batch
+    * the new rows sort in memory (bounded by that user's per-batch
+    * volume, the same contract sessionization makes); the in-order fold
+    * emits each purchase against the carry BEFORE any same-instant,
+    * larger-id view updates it, exactly matching the batch window's
+    * 1-PRECEDING frame. A multi-batch production stream additionally
+    * assumes per-key batch boundaries respect event-time order (or adds
+    * a lateness buffer); the bounded replay drains in one batch, where
+    * the fold is exact unconditionally.
+    *
+    * Input: (userId, eventId, tsUs, isView). */
+  def asOfLastView(events: Dataset[(Long, Long, Long, Boolean)])
+  : Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfCarry, AsOfRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, Boolean)],
+         state: GroupState[AsOfCarry]) =>
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr,
+            (a: (Long, Long, Long, Boolean),
+             b: (Long, Long, Long, Boolean)) =>
+              a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+          var last = state.getOption.map(_.lastViewUs).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfRow]
+          var i = 0
+          while (i < arr.length) {
+            val (_, eventId, tsUs, isView) = arr(i)
+            if (isView) last = tsUs
+            else out += AsOfRow(userId, eventId,
+              if (last == Long.MinValue) None else Some(last))
+            i += 1
+          }
+          if (last != Long.MinValue) state.update(AsOfCarry(last))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the views by
     * the same user in the preceding `window`. Watermarks on BOTH sides
     * bound the join state (each side keeps only rows within the lateness +
@@ -336,6 +388,43 @@ object EventStream {
           val out = if (buf == null) Array.empty[Double] else buf
           state.update((out, ver + 1))
           MomentSnap(shard, ver + 1, out.toSeq)
+      }
+  }
+
+  case class ThetaSnap(key: String, ver: Long, ks: Seq[Long])
+
+  /** STREAMING THETA/KMV SKETCH: the k smallest distinct hashes per key
+    * in mapGroupsWithState — the unbounded-stream twin of the batch
+    * [[graft.functions.KmvSketchAgg]]. State is ONE sorted ≤ k long
+    * array per key FOREVER, regardless of stream volume; min-retention
+    * insert is COMMUTATIVE and IDEMPOTENT (a set of smallest values is
+    * order-independent and duplicate-proof), so an unordered multi-batch
+    * replay equals the batch sketch EXACTLY — the oracle value-checks
+    * the derived estimate, not a tolerance. Emits one cumulative
+    * snapshot per key per micro-batch (update mode); readers keep the
+    * max-version row per key. */
+  def thetaSketchStream(rows: Dataset[(String, Long)], k: Int = 128)
+  : Dataset[ThetaSnap] = {
+    import rows.sparkSession.implicits._
+    require(k > 0)
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Array[Long], Long), ThetaSnap](
+        GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          val (prev, ver) =
+            state.getOption.getOrElse((Array.empty[Long], 0L))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.foreach(v => set.add(v))
+          it.foreach { case (_, h) =>
+            if (set.size < k) set.add(h)
+            else if (h < set.last() && set.add(h)) set.pollLast()
+          }
+          val out = new Array[Long](set.size())
+          var i = 0
+          val iter = set.iterator()
+          while (iter.hasNext) { out(i) = iter.next(); i += 1 }
+          state.update((out, ver + 1))
+          ThetaSnap(key, ver + 1, out.toSeq)
       }
   }
 
