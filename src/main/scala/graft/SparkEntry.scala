@@ -7487,6 +7487,42 @@ object SparkEntry {
                      RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)""")
     }),
 
+    // rank() WITH TIES from SQL → GlobalTies (twin of
+    // rel_global_rank_ties).
+    "rel_sql_rank_ties" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_sql_orders")
+      s.sql("""
+        SELECT o_orderkey, cast(o_orderdate AS date) AS d,
+               rank() OVER (ORDER BY cast(o_orderdate AS date)) AS rnk
+        FROM graft_sql_orders""")
+    }),
+
+    // The MIXED-family single window from SQL → GlobalWindowRule stacks
+    // rank/ties/shift/edge/prefix/sliding onto one shared sort (twin of
+    // rel_window_mixed_global). The analyzer groups the same-spec
+    // functions into one Window node regardless of plan source.
+    "rel_sql_window_mixed" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_id,
+               cast(row_number() OVER (ORDER BY t, event_id) AS bigint)
+                 AS rn,
+               cast(rank() OVER (ORDER BY t, event_id) AS bigint) AS rnk,
+               sum(v) OVER (ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run_total,
+               lag(v, 1) OVER (ORDER BY t, event_id) AS prev_v,
+               first_value(v) OVER (ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_v,
+               round(avg(v) OVER (ORDER BY t, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        FROM (SELECT unix_micros(ts) AS t, event_id,
+                     CASE WHEN event_type <> 'error'
+                          THEN cast(round(value * 1000) AS bigint) END AS v
+              FROM graft_sql_events)""")
+    }),
+
     // THETA/KMV SKETCH SET-OPERATION FAMILY — distinct counts of
     // UNION / INTERSECTION / DIFFERENCE across segments from bounded
     // mergeable sketches (the DataSketches Theta framework's estimator,
@@ -7628,6 +7664,42 @@ object SparkEntry {
             * lit(1.152921504606846976e18)
             / col("theta").cast("double"), 4).as("est"),
           col("exact"))
+    }),
+
+    // Pairwise segment-similarity MATRIX from sketches: theta-Jaccard
+    // for every event-type pair — below the shared θ both retained sets
+    // are complete distinct samples, so J ≈ |kA∩kB < θ| / |kA∪kB < θ|.
+    // The 100 TB shape: 5 sketches built in one pass, all 10 pairwise
+    // similarities from O(k) array algebra on the executors — an exact
+    // pairwise-Jaccard matrix would cost one corpus-wide distinct
+    // shuffle PER PAIR.
+    "rel_theta_jaccard_matrix" -> ((s, dir) => {
+      val k = 128
+      val p60 = 1152921504606846976L
+      val base = events(s, dir).select(col("event_type"),
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").as("key"))
+      val sk = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val a = sk.select(col("event_type").as("ta"), col("ks").as("ka"))
+      val b = sk.select(col("event_type").as("tb"), col("ks").as("kb"))
+      a.crossJoin(broadcast(b)).where(col("ta") < col("tb"))
+        .withColumn("theta", least(
+          when(size(col("ka")) < k, lit(p60))
+            .otherwise(element_at(col("ka"), k)),
+          when(size(col("kb")) < k, lit(p60))
+            .otherwise(element_at(col("kb"), k))))
+        .withColumn("s_inter",
+          size(expr("filter(array_intersect(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .withColumn("s_union",
+          size(expr("filter(array_union(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .select(col("ta"), col("tb"), col("s_inter"), col("s_union"),
+          round(col("s_inter").cast("double") /
+            col("s_union").cast("double"), 6).as("jacc_est"))
     }),
 
     // STREAMING AS-OF ENRICHMENT — the temporal-join twin of
@@ -13245,6 +13317,81 @@ object SparkEntry {
         |WINDOW r AS (ORDER BY t
         |             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+
+    "rel_sql_rank_ties" ->
+      """SELECT o_orderkey, cast(o_orderdate AS date) AS d,
+        |       cast(rank() OVER (ORDER BY cast(o_orderdate AS date))
+        |            AS integer) AS rnk
+        |FROM orders""".stripMargin,
+
+    "rel_sql_window_mixed" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN cast(round(value * 1000) AS bigint) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       cast(row_number() OVER o AS bigint) AS rn,
+        |       cast(rank() OVER o AS bigint) AS rnk,
+        |       cast(sum(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS bigint) AS run_total,
+        |       lag(v, 1) OVER o AS prev_v,
+        |       first_value(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS first_v,
+        |       round(avg(v) OVER (ORDER BY t, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |             6) AS mov_avg
+        |FROM e
+        |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_theta_jaccard_matrix" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), k AS (
+        |  SELECT event_type, h FROM r WHERE rn <= 128
+        |), t AS (
+        |  SELECT event_type,
+        |         CASE WHEN max(nd) < 128 THEN 1152921504606846976
+        |              ELSE max(h) END AS th
+        |  FROM (SELECT event_type, h, nd FROM r WHERE rn <= 128)
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT a.event_type AS ta, bb.event_type AS tb,
+        |         least(a.th, bb.th) AS theta
+        |  FROM t a JOIN t bb ON a.event_type < bb.event_type
+        |), si AS (
+        |  SELECT p.ta, p.tb, count(*) AS s_inter
+        |  FROM p JOIN k ka ON ka.event_type = p.ta AND ka.h < p.theta
+        |         JOIN k kb ON kb.event_type = p.tb AND kb.h = ka.h
+        |  GROUP BY 1, 2
+        |), su AS (
+        |  SELECT p.ta, p.tb, count(DISTINCT u.h) AS s_union
+        |  FROM p JOIN k u ON u.event_type IN (p.ta, p.tb)
+        |                 AND u.h < p.theta
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ta, p.tb,
+        |       coalesce(si.s_inter, 0) AS s_inter, su.s_union,
+        |       round(coalesce(si.s_inter, 0)::DOUBLE
+        |             / su.s_union::DOUBLE, 6) AS jacc_est
+        |FROM p
+        |LEFT JOIN si ON si.ta = p.ta AND si.tb = p.tb
+        |JOIN su ON su.ta = p.ta AND su.tb = p.tb""".stripMargin,
 
     "rel_theta_sketch_distinct" ->
       """WITH b AS (

@@ -644,6 +644,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_cramers_v" -> "contingency marginals: nation 25 / segment 5",
       "rel_theil_index" -> "per-nation group sums: 25 rows",
       "rel_seasonal_anomaly" -> "hour-of-day profile: 24 rows",
+      "rel_theta_jaccard_matrix" -> ("per-event_type sketch frame: 5 " +
+        "rows of <= 128 longs"),
       "rel_cohort_ltv" -> ("per signup-DAY cohort sizes: time-span-" +
         "bounded (days), independent of data volume"),
       "rel_isotonic_fit" -> ("10-bin calibration frame and its pooled " +
@@ -684,6 +686,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val twins = Seq(
       "rel_sql_running_sum" -> "GlobalScan",
       "rel_sql_global_rank" -> "GlobalRank",
+      "rel_sql_rank_ties" -> "GlobalTies",
       "rel_sql_shift_delta" -> "GlobalShift",
       "rel_sql_edge_first" -> "GlobalEdge",
       "rel_sql_frame_sum" -> "GlobalFrame",
@@ -695,5 +698,21 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("Window"),
         s"$q: SQL-parsed plan fell back to a window stage:\n$p")
     }
+    // the mixed-family single window from SQL: GlobalWindowRule stacks
+    // the function families onto one shared sort — and the lag() offset
+    // FUSES into the bounded GlobalFrame (same four-operator stack the
+    // DF twin rel_window_mixed_global pins above: no separate
+    // GlobalShift), no WindowExec, one exchange + one sort
+    val p = plan("rel_sql_window_mixed")
+    Seq("GlobalScan", "GlobalFrame", "GlobalTies", "GlobalEdge")
+      .foreach(n =>
+        assert(p.contains(n), s"rel_sql_window_mixed lost $n:\n$p"))
+    assert(!p.contains("GlobalShift"),
+      s"lag must fuse into the frame operator, not plan standalone:\n$p")
+    assert(!p.contains("Window"),
+      s"rel_sql_window_mixed fell back to a window stage:\n$p")
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1 &&
+      "Sort ".r.findAllIn(p).size == 1,
+      s"the SQL mixed stack must share one exchange + sort:\n$p")
   }
 }
