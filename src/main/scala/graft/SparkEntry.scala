@@ -7666,6 +7666,71 @@ object SparkEntry {
           col("exact"))
     }),
 
+    // ORDER-INDEPENDENT TABLE CHECKSUM — the 100 TB table-equality
+    // primitive: one scan folds every row into a commutative decimal
+    // sum of 60-bit row hashes (md5 over the canonical column
+    // concatenation), so two tables compare by exchanging ONE row no
+    // matter how they are partitioned or ordered. decimal(38,0) sums
+    // exactly (no wraparound ambiguity, no ANSI overflow) up to ~10^19
+    // rows; the count rides along to reject padding collisions.
+    // Complements rel_merkle_diff (which localizes WHERE tables differ)
+    // with the cheap equality gate a pipeline runs first.
+    "rel_table_checksum" -> ((s, dir) => {
+      val rowHash = conv(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"),
+        col("l_quantity").cast("decimal(18,2)").cast("string"),
+        col("l_returnflag")).cast("binary")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+      tbl(s, dir, "lineitem")
+        .select(rowHash.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).cast("decimal(38,0)").cast("string")
+            .as("checksum"))
+    }),
+
+    // THETA-SKETCH IVM — incremental distinct-count maintenance: the
+    // materialized base sketch (events before the cutover hour) absorbs
+    // a delta batch by MERGE ALONE — no base rescan — and because KMV
+    // merge is lossless the refreshed estimate is oracle-checked EQUAL
+    // to the from-scratch sketch of base ∪ delta. The distinct-count
+    // analogue of rel_ivm_agg/rel_ivm_join's "merge equals recompute"
+    // contract, at O(k) refresh cost per segment.
+    "rel_theta_ivm" -> ((s, dir) => {
+      val k = 128
+      val withKey = events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").as("key"))
+      // deterministic cutover: 80% through the fixed event time span
+      val cut = withKey.agg((min(col("t_us")) +
+        ((max(col("t_us")) - min(col("t_us"))) * 8L) / 10L).as("cut"))
+      val staged = withKey.crossJoin(broadcast(cut))
+        .select(col("event_type"), col("key"),
+          (col("t_us") >= col("cut")).as("is_delta"))
+      val parts = staged
+        .select(col("event_type"), col("is_delta"),
+          thetaHash(col("key")).as("h"))
+        .groupBy("event_type", "is_delta")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      // refresh = merge of the two partial sketches, never a rescan
+      val merged = parts.select(col("event_type"), explode(col("ks")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val exact = staged.groupBy("event_type")
+        .agg(countDistinct(col("key")).as("exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"),
+          size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"),
+          col("exact"))
+    }),
+
     // Pairwise segment-similarity MATRIX from sketches: theta-Jaccard
     // for every event-type pair — below the shared θ both retained sets
     // are complete distinct samples, so J ≈ |kA∩kB < θ| / |kA∪kB < θ|.
@@ -13346,6 +13411,45 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "rel_table_checksum" ->
+      """SELECT count(*) AS n_rows,
+        |       cast(sum(('0x' || substr(md5(
+        |         l_orderkey::VARCHAR || '|' || l_partkey::VARCHAR
+        |         || '|' || l_suppkey::VARCHAR || '|'
+        |         || cast(l_quantity AS DECIMAL(18,2))::VARCHAR || '|'
+        |         || l_returnflag), 1, 15))::BIGINT)
+        |            AS VARCHAR) AS checksum
+        |FROM lineitem""".stripMargin,
+
+    // from-scratch sketch of the full stream: KMV merge is lossless, so
+    // the incrementally-refreshed sketch must equal it exactly
+    "rel_theta_ivm" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, count(*) AS exact FROM b GROUP BY 1
+        |)
+        |SELECT s.event_type, s.n_kept,
+        |       CASE WHEN s.n_kept < 128 THEN round(s.n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / s.theta::DOUBLE, 4) END AS est,
+        |       e.exact
+        |FROM s JOIN e USING (event_type)""".stripMargin,
 
     "rel_theta_jaccard_matrix" ->
       """WITH b AS (

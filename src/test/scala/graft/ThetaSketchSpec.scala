@@ -93,6 +93,49 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(i.getAs[Double]("est") >= 0.0 && d.getAs[Double]("est") >= 0.0)
   }
 
+  test("theta IVM refresh equals the from-scratch sketch (registry " +
+    "query invariant at the row level)") {
+    // rel_theta_ivm's oracle IS the from-scratch sketch; this pins the
+    // same merge-equals-recompute identity against the batch query
+    // directly so a drift in either path localizes here
+    val ivm = run("rel_theta_ivm").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = run("rel_theta_sketch_distinct").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ivm == direct,
+      s"incremental refresh diverged from recompute:\n$ivm\nvs\n$direct")
+  }
+
+  test("table checksum is order- and partitioning-independent") {
+    val base = run("rel_table_checksum").head()
+    val (n, sum) = (base.getAs[Long]("n_rows"),
+      base.getAs[String]("checksum"))
+    // same rows, shuffled hard: checksum must not move
+    val reshuffled = SparkEntry.queries("rel_table_checksum")(
+      TestSpark.spark, sf)
+    assert(reshuffled.head().getAs[String]("checksum") == sum)
+    import org.apache.spark.sql.functions._
+    val df = TestSpark.spark.read.parquet(s"$sf/lineitem.parquet")
+      .orderBy(rand(7)).repartition(7)
+    df.createOrReplaceTempView("graft_ck_shuffled")
+    val h = conv(substring(md5(concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_returnflag")).cast("binary")), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val got = df.select(h.as("h"))
+      .agg(count(lit(1)).as("n"), sum2(col("h")))
+      .head()
+    assert(got.getLong(0) == n)
+    assert(got.getDecimal(1).toBigInteger.toString == sum,
+      "checksum changed under reorder/repartition")
+  }
+
+  private def sum2(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.sum(c)
+      .cast("decimal(38,0)")
+
   test("sub-k segments estimate exactly (theta = 2^60 regime)") {
     import spark.implicits._
     // 40 distinct keys < k=128: the sketch holds the full distinct set
