@@ -7666,6 +7666,72 @@ object SparkEntry {
           col("exact"))
     }),
 
+    // FEATURE HASHING (the "hashing trick") — the fixed-dimension
+    // vectorizer for linear models / ngram classifiers at corpus scale:
+    // v[h(token) mod d] += sign(token), so the feature space is d
+    // dimensions REGARDLESS of vocabulary size — no vocabulary build,
+    // no dictionary broadcast, one map-side pass + one doc-keyed
+    // aggregate. The signed variant (Weinberger et al.) makes collision
+    // noise zero-mean. md5-derived hash and sign, so the oracle
+    // reproduces every vector exactly; docs with zero tokens get the
+    // zero vector. (text_feature_hashing profiles the BUCKET collision
+    // structure of the same trick; this one emits the per-doc vectors.)
+    "text_hashed_features" -> ((s, dir) => {
+      val d = 64
+      val feats = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.cleanTokens(col("text"))).as("token"))
+        .select(col("doc_id"), thetaHash(col("token")).as("h"))
+        .select(col("doc_id"), (col("h") % d).as("dim"),
+          when(expr(s"(h div $d) % 2") === 0, 1L).otherwise(-1L)
+            .as("sgn"))
+        .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("val"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("val"))))
+          .as("m"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, ${d - 1}), " +
+            "i -> coalesce(try_element_at(m, cast(i AS bigint)), " +
+            "cast(0 AS bigint)))").as("features"))
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .join(feats, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("features"), expr(
+          s"transform(sequence(0, ${d - 1}), i -> cast(0 AS bigint))"))
+          .as("features"))
+    }),
+
+    // NEAREST-DIRECTION AS-OF JOIN WITH TOLERANCE — the
+    // merge_asof(direction='nearest', tolerance=15min) shape: each
+    // purchase pairs with the CLOSER of the last prior / first
+    // following view by the same user, ties to the earlier, both
+    // candidates gated by the tolerance. Two edge-value windows over
+    // ONE user-partitioned sort — never a range join.
+    "rel_asof_nearest" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tol = 900L * 1000000L
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("pv",
+          max(when(col("event_type") === "view", col("ts_us")))
+            .over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)))
+        .withColumn("nv",
+          min(when(col("event_type") === "view", col("ts_us")))
+            .over(w.rowsBetween(1,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when((col("ts_us") - col("pv")) <= tol &&
+            (col("nv").isNull ||
+              (col("ts_us") - col("pv")) <= (col("nv") - col("ts_us")) ||
+              (col("nv") - col("ts_us")) > tol), col("pv"))
+            .when((col("nv") - col("ts_us")) <= tol, col("nv"))
+            .otherwise(lit(null).cast("long")).as("nearest_view_us"))
+    }),
+
     // ORDER-INDEPENDENT TABLE CHECKSUM — the 100 TB table-equality
     // primitive: one scan folds every row into a commutative decimal
     // sum of 60-bit row hashes (md5 over the canonical column
@@ -13411,6 +13477,55 @@ object SparkEntry {
         |             6) AS mov_avg
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
+
+    "text_hashed_features" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+         |  FROM tok
+         |), e AS (
+         |  SELECT doc_id, h % 64 AS dim,
+         |         CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM f
+         |), g AS (
+         |  SELECT doc_id, dim, cast(sum(sgn) AS bigint) AS val
+         |  FROM e GROUP BY 1, 2
+         |), dd AS (
+         |  SELECT d.doc_id, r.range AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r
+         |)
+         |SELECT dd.doc_id,
+         |       list(coalesce(g.val, 0) ORDER BY dd.dim) AS features
+         |FROM dd LEFT JOIN g ON g.doc_id = dd.doc_id AND g.dim = dd.dim
+         |GROUP BY dd.doc_id""".stripMargin,
+
+    "rel_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pv,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS nv
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN ts_us - pv <= 900000000 AND
+        |                 (nv IS NULL OR ts_us - pv <= nv - ts_us
+        |                  OR nv - ts_us > 900000000)
+        |            THEN pv
+        |            WHEN nv - ts_us <= 900000000 THEN nv
+        |            END AS nearest_view_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
 
     "rel_table_checksum" ->
       """SELECT count(*) AS n_rows,

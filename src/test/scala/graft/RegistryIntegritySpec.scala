@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registry is a Map literal, so a DUPLICATE key silently shadows
+  * the earlier entry — the earlier query (and its oracle) vanish from
+  * the surface with no compile error and no test failure anywhere else
+  * (this nearly shipped once: a second "text_feature_hashing" replaced
+  * the round-13 bucket-profile query). This spec counts the keys in the
+  * SOURCE and requires the constructed Maps to be the same size, and
+  * pins that every query carries an oracle. */
+class RegistryIntegritySpec extends AnyFunSuite {
+
+  private lazy val source = {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    src
+  }
+
+  test("no duplicate query key shadows an earlier registry entry") {
+    val names = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(source).map(_.group(1)).toSeq
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query keys in source: $dupes")
+    assert(SparkEntry.queries.size == names.size,
+      "constructed queries map lost entries vs source")
+  }
+
+  test("every registered query has a DuckDB oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+}
