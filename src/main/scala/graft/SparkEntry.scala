@@ -7487,6 +7487,29 @@ object SparkEntry {
                      RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)""")
     }),
 
+    // Native TYPED AGGREGATE from a SQL string — the injected function
+    // surface: GraftExtensions registers graft_kmv_sketch (and the
+    // other natives) into the session's function registry, so a SQL
+    // user builds the bounded sketch with no DataFrame API at all; the
+    // estimator is plain SQL over the returned array. Oracle = the
+    // k-smallest construction in DuckDB, value-exact.
+    "rel_sql_sketch_agg" -> ((s, dir) => {
+      events(s, dir).select(col("event_type"),
+        thetaHash((col("user_id") * 100000L +
+          unix_date(to_date(col("ts")))).cast("long")).as("h"))
+        .createOrReplaceTempView("graft_sql_hashes")
+      s.sql("""
+        SELECT event_type,
+               cast(size(ks) AS bigint) AS n_kept,
+               round(CASE WHEN size(ks) < 128
+                          THEN cast(size(ks) AS double)
+                          ELSE 127.0 * 1152921504606846976
+                               / cast(element_at(ks, 128) AS double) END,
+                     4) AS est
+        FROM (SELECT event_type, graft_kmv_sketch(h, 128) AS ks
+              FROM graft_sql_hashes GROUP BY event_type)""")
+    }),
+
     // rank() WITH TIES from SQL → GlobalTies (twin of
     // rel_global_rank_ties).
     "rel_sql_rank_ties" -> ((s, dir) => {
@@ -7666,6 +7689,60 @@ object SparkEntry {
           col("exact"))
     }),
 
+    // WOE / INFORMATION VALUE — the credit-scoring feature evaluator:
+    // decile-bin the feature (event value), then per bin
+    // WOE = ln((pos_i/P)/(neg_i/N)) and IV = Σ (pos_i/P − neg_i/N)·WOE.
+    // Labels: purchase vs view. ONE pass bins (GlobalTies ntile under
+    // the extension rewrite — no single-partition stage), one hash
+    // aggregate per bin; counts are exact integers, the ln happens once
+    // per BIN (10 rows) and rounds to 6 like the BM25 precedent.
+    "rel_woe_iv" -> ((s, dir) => {
+      val base = events(s, dir)
+        .where(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("value"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        .withColumn("bin", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("value"), col("event_id"))).cast("long"))
+      val bins = base.groupBy("bin")
+        .agg(sum(col("pos")).as("p_i"),
+          (count(lit(1)) - sum(col("pos"))).as("n_i"))
+      val tot = base.agg(sum(col("pos")).as("p_tot"),
+        (count(lit(1)) - sum(col("pos"))).as("n_tot"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("p_i"), col("n_i"),
+          round(log((col("p_i").cast("double") / col("p_tot")) /
+            (col("n_i").cast("double") / col("n_tot"))), 6).as("woe"),
+          round((col("p_i").cast("double") / col("p_tot") -
+            col("n_i").cast("double") / col("n_tot")) *
+            log((col("p_i").cast("double") / col("p_tot")) /
+              (col("n_i").cast("double") / col("n_tot"))), 6).as("iv_i"))
+    }),
+
+    // ROLLING 7-DAY ACTIVE USERS — the WAU curve: distinct users active
+    // in [d-6, d] per day. COUNT DISTINCT has no window form; the
+    // distributed shape is the bounded fan-out: each (user, active-day)
+    // contributes to exactly 7 observation days (explode factor = the
+    // window length, constant), then ONE day-keyed distinct aggregate.
+    // Never a per-day self-join, never corpus² — at 100 TB this is
+    // 7× the (user,day) DISTINCT frame, not 7× the events.
+    "rel_rolling_active_users" -> ((s, dir) => {
+      val userDays = events(s, dir)
+        .select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .distinct()
+      val span = userDays.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      userDays
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("obs_day"))
+        .crossJoin(broadcast(span))
+        .where(col("obs_day") <= col("d1")) // no post-horizon days
+        .groupBy("obs_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("obs_day"), col("wau"))
+    }),
+
     // FEATURE HASHING (the "hashing trick") — the fixed-dimension
     // vectorizer for linear models / ngram classifiers at corpus scale:
     // v[h(token) mod d] += sign(token), so the feature space is d
@@ -7795,6 +7872,42 @@ object SparkEntry {
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"),
           col("exact"))
+    }),
+
+    // Containment estimate (click ⊆ purchase direction): the ASYMMETRIC
+    // similarity |A∩B|/|A| — below θ both retained sets are complete,
+    // so the ratio of in-sample counts estimates it directly. The
+    // segment-level twin of dedup_containment_pairs' doc-in-doc shape.
+    "rel_theta_containment" -> ((s, dir) => {
+      val k = 128
+      val p60 = 1152921504606846976L
+      val base = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+      val sk = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val a = sk.where(col("event_type") === "click")
+        .select(col("ks").as("ka")).limit(1)
+      val b = sk.where(col("event_type") === "purchase")
+        .select(col("ks").as("kb")).limit(1)
+      a.crossJoin(broadcast(b))
+        .withColumn("theta", least(
+          when(size(col("ka")) < k, lit(p60))
+            .otherwise(element_at(col("ka"), k)),
+          when(size(col("kb")) < k, lit(p60))
+            .otherwise(element_at(col("kb"), k))))
+        .withColumn("s_inter",
+          size(expr("filter(array_intersect(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .withColumn("s_a",
+          size(expr("filter(ka, x -> x < theta)")).cast("long"))
+        .select(col("s_inter"), col("s_a"),
+          round(col("s_inter").cast("double") / col("s_a").cast("double"),
+            6).as("containment"))
     }),
 
     // Pairwise segment-similarity MATRIX from sketches: theta-Jaccard
@@ -13478,6 +13591,47 @@ object SparkEntry {
         |FROM e
         |WINDOW o AS (ORDER BY t, event_id)""".stripMargin,
 
+    "rel_woe_iv" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS pos
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), b AS (
+        |  SELECT pos, ntile(10) OVER (ORDER BY value, event_id) AS bin
+        |  FROM e
+        |), g AS (
+        |  SELECT bin, cast(sum(pos) AS bigint) AS p_i,
+        |         cast(count(*) - sum(pos) AS bigint) AS n_i
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT cast(sum(pos) AS bigint) AS p_tot,
+        |         cast(count(*) - sum(pos) AS bigint) AS n_tot
+        |  FROM e
+        |)
+        |SELECT cast(bin AS bigint) AS bin, p_i, n_i,
+        |       round(ln((p_i::DOUBLE / p_tot) / (n_i::DOUBLE / n_tot)), 6)
+        |         AS woe,
+        |       round((p_i::DOUBLE / p_tot - n_i::DOUBLE / n_tot) *
+        |             ln((p_i::DOUBLE / p_tot) / (n_i::DOUBLE / n_tot)), 6)
+        |         AS iv_i
+        |FROM g, t""".stripMargin,
+
+    "rel_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         (ts::DATE - DATE '1970-01-01') AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT max(day) AS d1 FROM ud
+        |), x AS (
+        |  SELECT user_id, day + r.range AS obs_day FROM ud, range(7) r
+        |)
+        |SELECT cast(obs_day AS bigint) AS obs_day,
+        |       count(DISTINCT user_id) AS wau
+        |FROM x, sp WHERE obs_day <= sp.d1
+        |GROUP BY 1""".stripMargin,
+
     "text_hashed_features" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
@@ -13565,6 +13719,68 @@ object SparkEntry {
         |                       / s.theta::DOUBLE, 4) END AS est,
         |       e.exact
         |FROM s JOIN e USING (event_type)""".stripMargin,
+
+    "rel_theta_containment" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), k AS (
+        |  SELECT event_type, h, nd FROM r WHERE rn <= 128
+        |), t AS (
+        |  SELECT min(th) AS theta FROM (
+        |    SELECT CASE WHEN max(nd) < 128 THEN 1152921504606846976
+        |                ELSE max(h) END AS th
+        |    FROM k GROUP BY event_type)
+        |), si AS (
+        |  SELECT count(*) AS s_inter
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka
+        |  JOIN (SELECT h FROM k WHERE event_type = 'purchase') kb
+        |    USING (h), t
+        |  WHERE h < t.theta
+        |), sa AS (
+        |  SELECT count(*) AS s_a
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka, t
+        |  WHERE ka.h < t.theta
+        |)
+        |SELECT si.s_inter, sa.s_a,
+        |       round(si.s_inter::DOUBLE / sa.s_a::DOUBLE, 6)
+        |         AS containment
+        |FROM si, sa""".stripMargin,
+
+    "rel_sql_sketch_agg" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |)
+        |SELECT event_type, n_kept,
+        |       CASE WHEN n_kept < 128 THEN round(n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / theta::DOUBLE, 4) END AS est
+        |FROM s""".stripMargin,
 
     "rel_theta_jaccard_matrix" ->
       """WITH b AS (
