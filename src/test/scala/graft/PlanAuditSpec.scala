@@ -305,7 +305,8 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
     }
     val ties = Seq("rel_global_rank_ties", "rel_global_dense_rank",
-      "rel_percent_rank", "rel_ntile_buckets", "rel_cume_dist")
+      "rel_percent_rank", "rel_ntile_buckets", "rel_cume_dist",
+      "rel_woe_iv")
     ties.foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalTies"), s"$q lost its GlobalTies rewrite:\n$p")
