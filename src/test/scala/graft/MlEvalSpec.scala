@@ -333,4 +333,64 @@ class MlEvalSpec extends AnyFunSuite {
       assert(math.abs(g._5 - w._5) < 1e-9, s"trend at h=${g._1}")
     }
   }
+
+  test("rel_asof_nearest matches a brute-force nearest-with-tolerance " +
+    "scan") {
+    val tol = 900L * 1000000L
+    val evs = SparkEntry.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val want = evs.filter(_._3 == "purchase").map {
+      case (u, eid, _, t) =>
+        val all = byUser(u).sortBy(e => (e._4, e._2))
+        val idx = all.indexWhere(e => e._2 == eid)
+        // strictly prior in (ts, event_id) order / strictly after
+        val pv = all.take(idx).filter(_._3 == "view").map(_._4)
+          .sorted.lastOption
+        val nv = all.drop(idx + 1).filter(_._3 == "view").map(_._4)
+          .sorted.headOption
+        val db = pv.map(t - _)
+        val df = nv.map(_ - t)
+        val nearest = (db, df) match {
+          case (Some(b), _) if b <= tol &&
+            df.forall(f => b <= f || f > tol) => pv
+          case (_, Some(f)) if f <= tol => nv
+          case _ => None
+        }
+        eid -> nearest
+    }.toMap
+    val got = run("rel_asof_nearest").collect().map(r =>
+      r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("nearest_view_us"))
+          .map(_.longValue())).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // the corners actually occur in the data: some backward, some
+    // forward, some out-of-tolerance nulls
+    assert(want.values.exists(_.isEmpty))
+    assert(want.values.exists(_.nonEmpty))
+  }
+
+  test("rel_woe_iv conserves counts and its IV terms are consistent") {
+    val rows = run("rel_woe_iv").collect()
+    assert(rows.length == 10)
+    val p = rows.map(_.getAs[Long]("p_i")).sum
+    val n = rows.map(_.getAs[Long]("n_i")).sum
+    val base = SparkEntry.events(spark, sf)
+      .where(col("event_type").isin("purchase", "view")).count()
+    assert(p + n == base, "bins must partition the labeled population")
+    rows.foreach { r =>
+      val woe = r.getAs[Double]("woe")
+      val iv = r.getAs[Double]("iv_i")
+      val pi = r.getAs[Long]("p_i").toDouble / p
+      val ni = r.getAs[Long]("n_i").toDouble / n
+      // iv_i = (pi - ni) * woe to rounding; sign(iv) >= 0 always
+      assert(iv >= -1e-6, s"IV term must be nonnegative, got $iv")
+      assert(math.abs(iv - (pi - ni) * woe) < 1e-4,
+        s"iv term inconsistent with woe: $iv vs ${(pi - ni) * woe}")
+    }
+  }
 }
