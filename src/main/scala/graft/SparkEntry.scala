@@ -3520,8 +3520,12 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
         .distinct()
+      // partitioned on the frontier-join key before the one-time
+      // checkpoint (preserved by localCheckpoint), so each hop shuffles
+      // only the frontier — see rel_label_propagation
       val edges = half
         .unionAll(half.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
         .localCheckpoint(false)
       var visited = s.range(1)
         .select(lit("s1").as("node"), lit(0L).as("dist"))
@@ -4177,8 +4181,14 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+      // hash-partition the static edge list on the per-round join key
+      // BEFORE the one-time checkpoint: localCheckpoint preserves the
+      // physical partitioning, so every round's labels⨝edges join
+      // reuses it and shuffles only the O(nodes) label frame — the
+      // O(edges) side never crosses the wire again after round 0
       val edges = half
         .unionAll(half.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
         .localCheckpoint(false)
       var labels = edges.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
@@ -6551,6 +6561,8 @@ object SparkEntry {
       val pairs = jaccardPairsDf(s, dir).where(col("jaccard") >= 0.5)
       val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .repartition(col("src")) // partitioning survives the checkpoint:
+        // deg and both rank-iteration joins reuse it shuffle-free
         .localCheckpoint(false) // feeds deg + both iterations
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = tbl(s, dir, "documents").agg(count(lit(1)).as("n"))
@@ -7546,6 +7558,90 @@ object SparkEntry {
               FROM graft_sql_events)""")
     }),
 
+    // SQL-STRING TWINS OF THE REMAINING NATIVE AGGREGATES — the
+    // injected-function surface beyond graft_kmv_sketch: Misra-Gries,
+    // CMS merge+estimate, bitmap exact distinct, and the vector mean
+    // each reachable from a raw ANSI SQL string with no DataFrame API,
+    // value-checked by the same oracles as their DataFrame twins.
+
+    // Misra-Gries candidates -> exact two-pass heavy hitters, all from
+    // SQL (twin of rel_heavy_hitters). The MG map's keys are a
+    // guaranteed superset of every token with count > N/50 (cap 64 >=
+    // k-1), so the exact join + HAVING returns the naive groupBy/HAVING
+    // answer; the candidate frame is <= 64 rows, which AQE broadcasts
+    // by stats — the only key-shuffle carries candidate tokens only.
+    "rel_sql_misra_gries" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(Dedup.cleanTokens(col("text"))).as("token"))
+        .createOrReplaceTempView("graft_sql_tokens")
+      s.sql("""
+        WITH cand AS (
+          SELECT graft_misra_gries(token, 64) AS m,
+                 cast(count(*) AS bigint) AS n
+          FROM graft_sql_tokens
+        ),
+        k AS (SELECT explode(map_keys(m)) AS token, n FROM cand)
+        SELECT t.token, cast(count(*) AS bigint) AS cnt
+        FROM graft_sql_tokens t JOIN k ON t.token = k.token
+        GROUP BY t.token, k.n
+        HAVING count(*) * 50 > k.n""")
+    }),
+
+    // Daily CMS partials merged by graft_cms_merge, probed by
+    // graft_cms_estimate — the rel_cms_merge_bounded sandwich
+    // (exact <= est <= exact + eps*N), entirely from SQL.
+    "rel_sql_cms_merge" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        WITH daily AS (
+          SELECT to_date(ts) AS day,
+                 count_min_sketch(event_type, 0.001d, 0.999d, 42) AS cms,
+                 cast(count(*) AS bigint) AS n
+          FROM graft_sql_events GROUP BY to_date(ts)
+        ),
+        exact AS (
+          SELECT event_type, cast(count(*) AS bigint) AS exact
+          FROM graft_sql_events GROUP BY event_type
+        )
+        SELECT /*+ BROADCAST(m) */ e.event_type,
+               cast(graft_cms_estimate(m.cms, e.event_type)
+                    BETWEEN e.exact
+                        AND e.exact + cast(ceil(m.n * 0.001) AS bigint)
+                    AS bigint) AS within_eps
+        FROM exact e CROSS JOIN (
+          SELECT graft_cms_merge(cms) AS cms, sum(n) AS n FROM daily) m""")
+    }),
+
+    // Exact segmented distinct via the bitmap aggregate family from SQL
+    // (twin of rel_bitmap_distinct): per-bucket fixed-size bitmaps,
+    // lossless popcount rollup — O(buckets) shuffle bytes, exact.
+    "rel_sql_bitmap_distinct" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_sql_events")
+      s.sql("""
+        SELECT event_type, cast(sum(bitmap_count(bm)) AS bigint) AS n_users
+        FROM (SELECT event_type,
+                     bitmap_construct_agg(bitmap_bit_position(user_id))
+                       AS bm
+              FROM graft_sql_events
+              GROUP BY event_type, bitmap_bucket_number(user_id))
+        GROUP BY event_type""")
+    }),
+
+    // Per-label embedding centroid via the native graft_vec_mean
+    // aggregate from SQL (one ~17 KB-buffer hash aggregate, partial +
+    // final); posexplode to (label, pos, m) rows — 1-based pos to match
+    // the oracle's generate_subscripts — rounded to 6 like the
+    // emb_centroid_shift precedent.
+    "rel_sql_vec_mean" -> ((s, dir) => {
+      tbl(s, dir, "embeddings")
+        .createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("""
+        SELECT label, cast(pos + 1 AS bigint) AS pos, round(x, 6) AS m
+        FROM (SELECT label, graft_vec_mean(embedding) AS c
+              FROM graft_sql_embeddings GROUP BY label)
+        LATERAL VIEW posexplode(c) p AS pos, x""")
+    }),
+
     // THETA/KMV SKETCH SET-OPERATION FAMILY — distinct counts of
     // UNION / INTERSECTION / DIFFERENCE across segments from bounded
     // mergeable sketches (the DataSketches Theta framework's estimator,
@@ -7696,6 +7792,9 @@ object SparkEntry {
     // the extension rewrite — no single-partition stage), one hash
     // aggregate per bin; counts are exact integers, the ln happens once
     // per BIN (10 rows) and rounds to 6 like the BM25 precedent.
+    // Laplace-smoothed ((x+0.5)/(T+0.5), identically in the oracle) so
+    // a pure bin (zero positives or negatives) yields a finite WOE
+    // instead of engine-dependent ln(0) behavior.
     "rel_woe_iv" -> ((s, dir) => {
       val base = events(s, dir)
         .where(col("event_type").isin("purchase", "view"))
@@ -7709,14 +7808,14 @@ object SparkEntry {
           (count(lit(1)) - sum(col("pos"))).as("n_i"))
       val tot = base.agg(sum(col("pos")).as("p_tot"),
         (count(lit(1)) - sum(col("pos"))).as("n_tot"))
+      val pr = (col("p_i").cast("double") + lit(0.5)) /
+        (col("p_tot").cast("double") + lit(0.5))
+      val nr = (col("n_i").cast("double") + lit(0.5)) /
+        (col("n_tot").cast("double") + lit(0.5))
       bins.crossJoin(broadcast(tot))
         .select(col("bin"), col("p_i"), col("n_i"),
-          round(log((col("p_i").cast("double") / col("p_tot")) /
-            (col("n_i").cast("double") / col("n_tot"))), 6).as("woe"),
-          round((col("p_i").cast("double") / col("p_tot") -
-            col("n_i").cast("double") / col("n_tot")) *
-            log((col("p_i").cast("double") / col("p_tot")) /
-              (col("n_i").cast("double") / col("n_tot"))), 6).as("iv_i"))
+          round(log(pr / nr), 6).as("woe"),
+          round((pr - nr) * log(pr / nr), 6).as("iv_i"))
     }),
 
     // ROLLING 7-DAY ACTIVE USERS — the WAU curve: distinct users active
@@ -7772,8 +7871,14 @@ object SparkEntry {
             "cast(0 AS bigint)))").as("features"))
       tbl(s, dir, "documents").select(col("doc_id"))
         .join(feats, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("features"), expr(
-          s"transform(sequence(0, ${d - 1}), i -> cast(0 AS bigint))"))
+        // Serialize the vector as ";"-joined exact longs: the driver's
+        // pandas/DuckDB hash compare can't sort an array-typed column,
+        // and the string round-trip is exact for integers (same pattern
+        // as the embedding serialization above).
+        .select(col("doc_id"), concat_ws(";",
+          coalesce(col("features"), expr(
+            s"transform(sequence(0, ${d - 1}), i -> cast(0 AS bigint))"))
+            .cast("array<string>"))
           .as("features"))
     }),
 
@@ -7817,14 +7922,18 @@ object SparkEntry {
     // exactly (no wraparound ambiguity, no ANSI overflow) up to ~10^19
     // rows; the count rides along to reject padding collisions.
     // Complements rel_merkle_diff (which localizes WHERE tables differ)
-    // with the cheap equality gate a pipeline runs first.
+    // with the cheap equality gate a pipeline runs first. NULL fields
+    // are encoded as an explicit '\N' sentinel (concat_ws would drop
+    // them silently, making rows differing only in WHICH column is
+    // NULL hash-equal).
     "rel_table_checksum" -> ((s, dir) => {
+      def c(x: Column): Column = coalesce(x.cast("string"), lit("\\N"))
       val rowHash = conv(substring(md5(concat_ws("|",
-        col("l_orderkey").cast("string"),
-        col("l_partkey").cast("string"),
-        col("l_suppkey").cast("string"),
-        col("l_quantity").cast("decimal(18,2)").cast("string"),
-        col("l_returnflag")).cast("binary")), 1, 15), 16, 10)
+        c(col("l_orderkey")),
+        c(col("l_partkey")),
+        c(col("l_suppkey")),
+        c(col("l_quantity").cast("decimal(18,2)")),
+        c(col("l_returnflag"))).cast("binary")), 1, 15), 16, 10)
         .cast("decimal(38,0)")
       tbl(s, dir, "lineitem")
         .select(rowHash.as("h"))
@@ -7872,6 +7981,47 @@ object SparkEntry {
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"),
           col("exact"))
+    }),
+
+    // SKETCH PERSISTENCE ROUND-TRIP — the store-partials warehouse
+    // pattern that is the main production use of mergeable sketches:
+    // per-(segment, day) KMV partials are WRITTEN to a parquet table
+    // (k longs per cell — the table a 100 TB pipeline materializes
+    // nightly), then a SEPARATE read merges-at-read per segment and
+    // estimates. KMV merge is lossless (union of k-smallest sets,
+    // re-truncated to k), so the round-tripped estimate is
+    // oracle-checked EQUAL to the from-scratch sketch of the raw data —
+    // the persisted partials lose nothing, and refresh cost is
+    // O(days * k) per segment, never a rescan of the corpus.
+    "rel_sketch_roundtrip" -> ((s, dir) => {
+      val k = 128
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "sketchstore")
+      events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          thetaHash((col("user_id") * 100000L +
+            unix_date(to_date(col("ts")))).cast("long")).as("h"))
+        .groupBy("event_type", "day")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+        .write.mode("overwrite").parquet(store)
+      // separate read: merge-at-read over the persisted partials only.
+      // Eagerly checkpointed so the scratch store can be deleted (the
+      // result is O(segments × k) — model-sized)
+      try {
+        s.read.parquet(store)
+          .select(col("event_type"), explode(col("ks")).as("h"))
+          .groupBy("event_type")
+          .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+            .as("ks"))
+          .select(col("event_type"),
+            size(col("ks")).cast("long").as("n_kept"),
+            round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+              .otherwise(lit((k - 1).toDouble)
+                * lit(1.152921504606846976e18)
+                / element_at(col("ks"), k).cast("double")), 4).as("est"))
+          .localCheckpoint(true)
+      } finally graft.streaming.StreamGate.deleteRecursively(store)
     }),
 
     // Containment estimate (click ⊆ purchase direction): the ASYMMETRIC
@@ -7971,6 +8121,56 @@ object SparkEntry {
           col("lastViewUs").as("last_view_us"))
     }),
 
+    // GROUPED / MULTI-LOOKUP STREAMING AS-OF — asOfLastByType: each
+    // purchase carries the last strictly-prior instant of EVERY lookup
+    // type (view AND click) by the same user, in ONE pass with
+    // |types| longs of state per user (the composite-key as-of the
+    // r12 verdict sketches). Long-format output (one row per purchase
+    // x lookup type), so the lookup set widens without schema change;
+    // oracle = two conditional edge-value carries over the same batch
+    // window, unioned.
+    "stream_asof_multi" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir)
+          .where(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t_us"), col("event_type")),
+        "gate_asof_multi", "append")(df =>
+        graft.streaming.EventStream.asOfLastByType(
+          df.toDF("_1", "_2", "_3", "_4")
+            .as[(Long, Long, Long, String)]).toDF())
+        .select(col("eventId").as("event_id"),
+          col("userId").as("user_id"),
+          col("lookupType").as("lookup_type"),
+          col("lastUs").as("last_us"))
+    }),
+
+    // PRODUCTION-PARITY STREAMING AS-OF — asOfLastViewBounded: the
+    // out-of-order-stream twin with a watermark-keyed lateness buffer
+    // and an event-time state TTL (see EventStream.asOfLastViewBounded).
+    // Emission is watermark-gated, so the replay's enriched output is
+    // exactly the purchases at or before `max event time − lateness`
+    // (10 min); the oracle applies the same horizon cut — the lateness
+    // tail is precisely what an unbounded stream hasn't finalized yet.
+    // Multi-batch out-of-order exactness is pinned in StreamAsOfSpec
+    // with a controlled two-batch file replay.
+    "stream_asof_bounded" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamGate.stageAndReplay(s,
+        events(s, dir).where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id").as("userId"),
+            col("event_id").as("eventId"), col("ts"),
+            unix_micros(col("ts")).as("tsUs"),
+            (col("event_type") === "view").as("isView")),
+        "gate_asof_bounded", "append")(df =>
+        graft.streaming.EventStream.asOfLastViewBounded(
+          df.as[graft.streaming.EventStream.AsOfIn]).toDF())
+        .select(col("eventId").as("event_id"),
+          col("userId").as("user_id"),
+          col("lastViewUs").as("last_view_us"))
+    }),
+
     // STREAMING THETA SKETCH — the unbounded-stream twin of
     // rel_theta_sketch_distinct: per-event_type k-smallest-hash state
     // (ONE sorted <= 128-long array per key FOREVER) through the real
@@ -8012,6 +8212,89 @@ object SparkEntry {
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"),
           col("exact"))
+    }),
+
+    // STREAMING THETA SET OPERATIONS ACROSS TWO STREAMS — the audience-
+    // algebra twin of rel_theta_{union_merge,intersect,diff}: the click
+    // and purchase user-day keys arrive on two INDEPENDENT streams
+    // (separate multi-batch replays — production's two pipelines each
+    // snapshotting its own ≤128-long sketch state), and the final
+    // max-version snapshots combine in O(k) on the executors: merged
+    // k-smallest for the union, θ = min(θ_a, θ_b) membership for
+    // intersection/difference. Min-retention is commutative+idempotent,
+    // so each streamed sketch equals its batch sketch EXACTLY and the
+    // combined estimates are value-checked by the batch oracles; exact
+    // counts ride along as accuracy evidence.
+    "stream_theta_setops" -> ((s, dir) => {
+      import s.implicits._
+      val k = 128
+      val p60 = 1152921504606846976L
+      val base = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+      def sideSketch(side: String, tag: String): DataFrame = {
+        val ev = base.where(col("event_type") === side)
+          .select(col("event_type"), thetaHash(col("key")).as("h"))
+        val src = graft.streaming.StreamGate
+          .scratchDir("stage", s"thetaso$tag")
+        ev.repartition(3).write.mode("overwrite").csv(src)
+        val sink =
+          try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.LongType))),
+            s"gate_thetaso$tag", "update")(df =>
+            graft.streaming.EventStream.thetaSketchStream(
+              df.toDF("_1", "_2").as[(String, Long)]).toDF())
+          finally graft.streaming.StreamGate.deleteRecursively(src)
+        sink.groupBy(col("key"))
+          .agg(max(struct(col("ver"), col("ks"))).as("m"))
+          .select(col("m.ks").as(s"k$tag"))
+      }
+      val a = sideSketch("click", "a")     // 1 row: click sketch
+      val b = sideSketch("purchase", "b")  // 1 row: purchase sketch
+      val flags = base.groupBy("key").agg(
+        max((col("event_type") === "click").cast("int")).as("ha"),
+        max((col("event_type") === "purchase").cast("int")).as("hb"))
+      val exacts = flags.agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ha") === 1 && col("hb") === 1, 1L).otherwise(0L))
+          .as("exact_inter"),
+        sum(when(col("ha") === 1 && col("hb") === 0, 1L).otherwise(0L))
+          .as("exact_diff"))
+      def thetaOf(c: Column): Column =
+        when(size(c) < k, lit(p60)).otherwise(element_at(c, k))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exacts))
+        // union: global k-smallest of the merged arrays (each global
+        // k-smallest hash is inside its own segment's k-smallest, so
+        // the merge is lossless — same argument as the daily merge)
+        .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), " +
+          s"1, $k)"))
+        .withColumn("theta", least(thetaOf(col("ka")), thetaOf(col("kb"))))
+        .withColumn("s_inter",
+          size(expr("filter(array_intersect(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .withColumn("s_diff",
+          size(expr("filter(array_except(ka, kb), x -> x < theta)"))
+            .cast("long"))
+        .select(
+          size(col("ku")).cast("long").as("n_union"),
+          round(when(size(col("ku")) < k, size(col("ku")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ku"), k).cast("double")), 4)
+            .as("est_union"),
+          col("s_inter"),
+          round(col("s_inter").cast("double")
+            * lit(1.152921504606846976e18)
+            / col("theta").cast("double"), 4).as("est_inter"),
+          col("s_diff"),
+          round(col("s_diff").cast("double")
+            * lit(1.152921504606846976e18)
+            / col("theta").cast("double"), 4).as("est_diff"),
+          col("exact_union"), col("exact_inter"), col("exact_diff"))
     }),
 
     // ITEM-ITEM CO-OCCURRENCE SIMILARITY — the collaborative-filtering
@@ -13610,11 +13893,12 @@ object SparkEntry {
         |  FROM e
         |)
         |SELECT cast(bin AS bigint) AS bin, p_i, n_i,
-        |       round(ln((p_i::DOUBLE / p_tot) / (n_i::DOUBLE / n_tot)), 6)
-        |         AS woe,
-        |       round((p_i::DOUBLE / p_tot - n_i::DOUBLE / n_tot) *
-        |             ln((p_i::DOUBLE / p_tot) / (n_i::DOUBLE / n_tot)), 6)
-        |         AS iv_i
+        |       round(ln(((p_i + 0.5) / (p_tot + 0.5)) /
+        |                ((n_i + 0.5) / (n_tot + 0.5))), 6) AS woe,
+        |       round(((p_i + 0.5) / (p_tot + 0.5) -
+        |              (n_i + 0.5) / (n_tot + 0.5)) *
+        |             ln(((p_i + 0.5) / (p_tot + 0.5)) /
+        |                ((n_i + 0.5) / (n_tot + 0.5))), 6) AS iv_i
         |FROM g, t""".stripMargin,
 
     "rel_rolling_active_users" ->
@@ -13652,7 +13936,8 @@ object SparkEntry {
          |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r
          |)
          |SELECT dd.doc_id,
-         |       list(coalesce(g.val, 0) ORDER BY dd.dim) AS features
+         |       string_agg(cast(coalesce(g.val, 0) AS VARCHAR), ';'
+         |                  ORDER BY dd.dim) AS features
          |FROM dd LEFT JOIN g ON g.doc_id = dd.doc_id AND g.dim = dd.dim
          |GROUP BY dd.doc_id""".stripMargin,
 
@@ -13684,10 +13969,12 @@ object SparkEntry {
     "rel_table_checksum" ->
       """SELECT count(*) AS n_rows,
         |       cast(sum(('0x' || substr(md5(
-        |         l_orderkey::VARCHAR || '|' || l_partkey::VARCHAR
-        |         || '|' || l_suppkey::VARCHAR || '|'
-        |         || cast(l_quantity AS DECIMAL(18,2))::VARCHAR || '|'
-        |         || l_returnflag), 1, 15))::BIGINT)
+        |         coalesce(l_orderkey::VARCHAR, '\N') || '|'
+        |         || coalesce(l_partkey::VARCHAR, '\N') || '|'
+        |         || coalesce(l_suppkey::VARCHAR, '\N') || '|'
+        |         || coalesce(cast(l_quantity AS DECIMAL(18,2))::VARCHAR,
+        |                     '\N') || '|'
+        |         || coalesce(l_returnflag, '\N')), 1, 15))::BIGINT)
         |            AS VARCHAR) AS checksum
         |FROM lineitem""".stripMargin,
 
@@ -13781,6 +14068,56 @@ object SparkEntry {
         |            ELSE round(127.0 * 1152921504606846976
         |                       / theta::DOUBLE, 4) END AS est
         |FROM s""".stripMargin,
+
+    // the round-tripped (persisted-then-merged) sketch must equal the
+    // from-scratch k-smallest construction — KMV merge is lossless
+    "rel_sketch_roundtrip" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |)
+        |SELECT event_type, n_kept,
+        |       CASE WHEN n_kept < 128 THEN round(n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / theta::DOUBLE, 4) END AS est
+        |FROM s""".stripMargin,
+
+    // SQL-reachability twins of the native aggregates: same answers as
+    // their DataFrame siblings' oracles
+    "rel_sql_misra_gries" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(${cleanToksSql("text")}) AS token FROM documents
+         |), tot AS (SELECT count(*) AS n FROM tk)
+         |SELECT token, count(*) AS cnt
+         |FROM tk, tot GROUP BY token, n
+         |HAVING count(*) * 50 > n""".stripMargin,
+
+    "rel_sql_cms_merge" ->
+      """SELECT event_type, cast(1 AS bigint) AS within_eps
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_sql_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rel_sql_vec_mean" ->
+      s"""WITH $embUnnestCte
+         |SELECT label, cast(pos AS bigint) AS pos,
+         |       round(avg(cast(vx AS double)), 6) AS m
+         |FROM v GROUP BY 1, 2""".stripMargin,
 
     "rel_theta_jaccard_matrix" ->
       """WITH b AS (
@@ -13951,6 +14288,72 @@ object SparkEntry {
         |       ex.exact
         |FROM sd, t, ex""".stripMargin,
 
+    // the two streamed sketches equal their batch sketches exactly, so
+    // the combined estimates equal the batch set-operation oracles
+    "stream_theta_setops" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), k AS (
+        |  SELECT event_type, h, nd FROM r WHERE rn <= 128
+        |), hu AS (
+        |  SELECT DISTINCT h FROM h
+        |), ru AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hu
+        |), su AS (
+        |  SELECT count(*) AS n_union, max(h) AS theta_u
+        |  FROM ru WHERE rn <= 128
+        |), t AS (
+        |  SELECT min(th) AS theta FROM (
+        |    SELECT CASE WHEN max(nd) < 128 THEN 1152921504606846976
+        |                ELSE max(h) END AS th
+        |    FROM k GROUP BY event_type)
+        |), si AS (
+        |  SELECT count(*) AS s_inter
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka
+        |  JOIN (SELECT h FROM k WHERE event_type = 'purchase') kb
+        |    USING (h), t
+        |  WHERE h < t.theta
+        |), sd AS (
+        |  SELECT count(*) AS s_diff
+        |  FROM (SELECT h FROM k WHERE event_type = 'click') ka, t
+        |  WHERE ka.h < t.theta
+        |    AND ka.h NOT IN (SELECT h FROM k WHERE event_type = 'purchase')
+        |), ex AS (
+        |  SELECT count(DISTINCT key) AS exact_union,
+        |         count(DISTINCT CASE WHEN n = 2 THEN key END)
+        |           AS exact_inter
+        |  FROM (SELECT key, count(DISTINCT event_type) AS n
+        |        FROM b GROUP BY key)
+        |), exd AS (
+        |  SELECT count(*) AS exact_diff FROM (
+        |    SELECT key FROM b WHERE event_type = 'click'
+        |    AND key NOT IN (SELECT key FROM b WHERE event_type = 'purchase'))
+        |)
+        |SELECT su.n_union,
+        |       CASE WHEN su.n_union < 128 THEN round(su.n_union::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / su.theta_u::DOUBLE, 4) END AS est_union,
+        |       si.s_inter,
+        |       round(si.s_inter::DOUBLE * 1152921504606846976
+        |             / t.theta::DOUBLE, 4) AS est_inter,
+        |       sd.s_diff,
+        |       round(sd.s_diff::DOUBLE * 1152921504606846976
+        |             / t.theta::DOUBLE, 4) AS est_diff,
+        |       ex.exact_union, ex.exact_inter, exd.exact_diff
+        |FROM su, t, si, sd, ex, exd""".stripMargin,
+
     // identical to rel_asof_last_view's oracle: the streaming operator
     // must reproduce the batch as-of window bit-for-bit
     "stream_asof_enrich" ->
@@ -13967,6 +14370,48 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, last_view_us
         |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    // two conditional edge-value carries over the same as-of window,
+    // long format: one row per purchase x lookup type
+    "stream_asof_multi" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), m AS (
+        |  SELECT user_id, event_id, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER w AS lv,
+        |         max(CASE WHEN event_type = 'click' THEN ts_us END)
+        |           OVER w AS lc
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, 'view' AS lookup_type, lv AS last_us
+        |FROM m WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, 'click' AS lookup_type, lc AS last_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    // same strictly-prior-view window, cut at the final watermark
+    // horizon (max ms-floored event time − 10 min lateness): the
+    // watermark-gated stream has finalized exactly these purchases
+    "stream_asof_bounded" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), w AS (
+        |  SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS h FROM e
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_view_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, last_view_us
+        |FROM m, w WHERE event_type = 'purchase' AND ts_us <= w.h""".stripMargin,
 
     // identical to rel_theta_sketch_distinct's oracle: the streamed
     // k-smallest state must equal the batch sketch exactly

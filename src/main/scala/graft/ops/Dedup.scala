@@ -184,8 +184,13 @@ object Dedup {
     // typically the full LSH->jaccard candidate pipeline — without this
     // the dominant hashing work would run twice before the loop starts
     val e0 = edges.select(col("id1"), col("id2")).localCheckpoint(false)
+    // hash-partitioned on the per-round join key before the one-time
+    // checkpoint: localCheckpoint preserves physical partitioning, so
+    // every propagation round shuffles only the O(nodes) label frame —
+    // the O(edges) side never re-crosses the wire after round 0
     val e = e0.select(col("id1").as("src"), col("id2").as("dst"))
       .union(e0.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(false)
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lab"))
       .localCheckpoint(false)

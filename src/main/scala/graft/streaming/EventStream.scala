@@ -188,6 +188,146 @@ object EventStream {
       }
   }
 
+  case class AsOfTypedRow(userId: Long, eventId: Long, lookupType: String,
+                          lastUs: Option[Long])
+
+  /** GROUPED/MULTI-LOOKUP streaming as-of: each target event (purchase)
+    * carries the most recent strictly-prior instant of EVERY lookup type
+    * (view, click, ...) by the same user — the composite-key
+    * generalization of [[asOfLastView]], enriching one fact stream
+    * against N lookup streams in a single pass. State is ONE long per
+    * (user, lookup type) — |lookupTypes| longs per user, still bounded
+    * at key cardinality, never a buffered join side. Emits long-format
+    * rows (one per target event x lookup type) so the lookup-type set
+    * scales without schema changes. Same bounded-replay contract as
+    * [[asOfLastView]]; the same-instant tiebreak follows the
+    * (tsUs, eventId) total order.
+    *
+    * Input: (userId, eventId, tsUs, eventType). */
+  def asOfLastByType(events: Dataset[(Long, Long, Long, String)],
+                     lookupTypes: Seq[String] = Seq("view", "click"),
+                     targetType: String = "purchase")
+  : Dataset[AsOfTypedRow] = {
+    import events.sparkSession.implicits._
+    val lookups = lookupTypes.toArray
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Long)], AsOfTypedRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[List[(String, Long)]]) =>
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr,
+            (a: (Long, Long, Long, String),
+             b: (Long, Long, Long, String)) =>
+              a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+          val carry = scala.collection.mutable.LinkedHashMap[String, Long](
+            state.getOption.getOrElse(Nil): _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfTypedRow]
+          var i = 0
+          while (i < arr.length) {
+            val (_, eventId, tsUs, tpe) = arr(i)
+            if (lookups.contains(tpe)) carry(tpe) = tsUs
+            if (tpe == targetType) {
+              var j = 0
+              while (j < lookups.length) {
+                out += AsOfTypedRow(userId, eventId, lookups(j),
+                  carry.get(lookups(j)))
+                j += 1
+              }
+            }
+            i += 1
+          }
+          if (carry.nonEmpty) state.update(carry.toList)
+          out.iterator
+      }
+  }
+
+  /** Watermark-ordered input row for [[asOfLastViewBounded]]: `ts` drives
+    * the event-time watermark; `tsUs` carries the exact microsecond
+    * instant (the watermark column itself is ms-granular in the stats). */
+  case class AsOfIn(userId: Long, eventId: Long, ts: java.sql.Timestamp,
+                    tsUs: Long, isView: Boolean)
+
+  /** Per-user bounded as-of state: the strictly-prior-view carry, the
+    * last event-time activity (drives the TTL), and the lateness buffer
+    * of rows not yet finalized by the watermark. */
+  case class AsOfPending(lastViewUs: Long, lastActivityUs: Long,
+                         buf: List[(Long, Long, Boolean)])
+
+  /** PRODUCTION-PARITY streaming as-of enrichment — the unbounded-,
+    * out-of-order-stream twin of [[asOfLastView]] (which is exact only
+    * when per-key batch boundaries respect event time, e.g. the bounded
+    * one-batch replay).
+    *
+    * Correctness on a multi-batch out-of-order stream comes from a
+    * LATENESS BUFFER keyed on event time: rows park in per-user state
+    * until the watermark passes them, then drain in (tsUs, eventId)
+    * order through the same strictly-prior-view fold as the batch
+    * window — so a purchase is emitted only once every view that could
+    * precede it (up to the declared lateness) has arrived, whatever
+    * batch it rode in on. Rows arriving AFTER the watermark passed them
+    * are dropped (the standard late-data contract). State is bounded on
+    * both axes: the buffer holds at most the lateness horizon of one
+    * user's rows, and the one-long view carry expires via
+    * EventTimeTimeout once a user has been idle past `ttl` — no
+    * per-user state lives forever.
+    *
+    * Emission is watermark-gated, so at any instant the enriched output
+    * covers exactly the purchases at or before `watermark = max event
+    * time − lateness`; the tail inside the lateness horizon is emitted
+    * as the watermark advances (on a finite replay it stays pending —
+    * the oracle applies the same horizon cut). */
+  def asOfLastViewBounded(events: Dataset[AsOfIn],
+                          lateness: String = "10 minutes",
+                          ttlUs: Long = 30L * 86400L * 1000000L)
+  : Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsOfPending, AsOfRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[AsOfIn],
+         state: GroupState[AsOfPending]) =>
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption
+            .getOrElse(AsOfPending(Long.MinValue, Long.MinValue, Nil))
+          // late drops: the watermark already finalized these instants
+          val incoming = rows
+            .map(r => (r.tsUs, r.eventId, r.isView))
+            .filter(_._1 > wUs).toList
+          // incoming rows are all > wUs, so only buffered rows from
+          // earlier batches can be final on this invocation
+          val all = (prev.buf ++ incoming).sortBy(t => (t._1, t._2))
+          val (ready, pending) = all.partition(_._1 <= wUs)
+          var last = prev.lastViewUs
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfRow]
+          ready.foreach { case (tsUs, eventId, isView) =>
+            if (isView) last = tsUs
+            else out += AsOfRow(userId, eventId,
+              if (last == Long.MinValue) None else Some(last))
+          }
+          val lastActivity = (prev.lastActivityUs ::
+            all.lastOption.map(_._1).toList).max
+          val expired = state.hasTimedOut && pending.isEmpty &&
+            incoming.isEmpty && wUs >= lastActivity + ttlUs
+          if (expired || (pending.isEmpty && last == Long.MinValue &&
+            lastActivity == Long.MinValue)) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfPending(last, lastActivity, pending))
+            // wake when the earliest pending row becomes final, else at
+            // TTL expiry; EventTimeTimeout requires a timestamp beyond
+            // the current watermark
+            val wakeMs = pending.headOption
+              .map(_._1 / 1000L + 1L)
+              .getOrElse(lastActivity / 1000L + ttlUs / 1000L)
+            state.setTimeoutTimestamp(
+              math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the views by
     * the same user in the preceding `window`. Watermarks on BOTH sides
     * bound the join state (each side keeps only rows within the lateness +

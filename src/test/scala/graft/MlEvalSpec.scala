@@ -385,12 +385,16 @@ class MlEvalSpec extends AnyFunSuite {
     rows.foreach { r =>
       val woe = r.getAs[Double]("woe")
       val iv = r.getAs[Double]("iv_i")
-      val pi = r.getAs[Long]("p_i").toDouble / p
-      val ni = r.getAs[Long]("n_i").toDouble / n
+      // Laplace-smoothed proportions, matching the query ((x+0.5)/(T+0.5))
+      val pi = (r.getAs[Long]("p_i") + 0.5) / (p + 0.5)
+      val ni = (r.getAs[Long]("n_i") + 0.5) / (n + 0.5)
       // iv_i = (pi - ni) * woe to rounding; sign(iv) >= 0 always
+      // (smoothing preserves this: sign(pr - nr) == sign(ln(pr/nr)))
       assert(iv >= -1e-6, s"IV term must be nonnegative, got $iv")
       assert(math.abs(iv - (pi - ni) * woe) < 1e-4,
         s"iv term inconsistent with woe: $iv vs ${(pi - ni) * woe}")
+      assert(math.abs(woe - math.log(pi / ni)) < 1e-5,
+        s"woe must be the smoothed log-odds ratio: $woe vs ${math.log(pi / ni)}")
     }
   }
 }

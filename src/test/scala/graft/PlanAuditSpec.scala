@@ -481,7 +481,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
       "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
       "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
+      "rel_sketch_roundtrip")
     SparkEntry.queries.keys
       .filterNot(known).filterNot(heavy)
       .filterNot(_.startsWith("stream_"))
@@ -533,7 +534,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
       "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
       "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
+      "rel_sketch_roundtrip")
     SparkEntry.queries.keys
       .filterNot(heavy)
       .filterNot(_.startsWith("stream_")) // replay gate executes eagerly
@@ -619,7 +621,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
       "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
       "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives")
+      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
+      "rel_sketch_roundtrip")
     // hinted-but-not-structurally-obvious frames, each with its
     // boundedness argument; additions here need a justification, which
     // is the point — an unconsidered hint can't slip through

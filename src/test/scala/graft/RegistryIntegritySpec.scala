@@ -33,4 +33,32 @@ class RegistryIntegritySpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
   }
+
+  test("output-schema census: no registry query emits a top-level " +
+    "array/map/struct column") {
+    // The driver's correctness harness loads both result sets into
+    // pandas and sorts every column to hash rows; an ndarray/dict-valued
+    // cell makes that sort throw (`unhashable type`), so the query's
+    // oracle compare silently degrades to `err` instead of failing CI.
+    // Canonical fix at the query site: serialize the collection as an
+    // exact string (`concat_ws(";", col.cast("array<string>"))` — the
+    // embedding / text_hashed_features precedent). This census walks
+    // EVERY registry query's output schema so the next array-valued
+    // query fails here, not in the driver.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    import TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "harness-unhashable top-level columns (serialize them as " +
+        s"strings):\n${offenders.mkString("\n")}")
+  }
 }
