@@ -44,7 +44,7 @@ object SparkEntry {
 
   // ---- shared inputs ------------------------------------------------------
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` has shipped in two physical forms across testdata
@@ -5164,6 +5164,65 @@ object SparkEntry {
             .when(col("event_type") === "view", 10).otherwise(5))
         .where(col("bucket") < col("rate"))
         .select(col("event_id"), col("event_type"), col("user_id"))
+    }),
+
+    // WEIGHTED SAMPLE WITHOUT REPLACEMENT (priority / sequential-Poisson
+    // sampling, Ohlsson; Duffield et al.) — the data-mixing primitive:
+    // each order draws priority = w/u with u uniform from its md5, and
+    // the global top-k by priority IS a weighted sample without
+    // replacement (inclusion probability increases with weight). The
+    // arithmetic is EXACT integers end to end — u = h/2^32 from the
+    // first 8 md5 hex digits (h=0 guarded to 1), so priority =
+    // (w_cents * 2^32) div h with no float anywhere and the oracle
+    // reproduces the sample bit-for-bit. The plan is the O(k)-per-
+    // partition TakeOrderedAndProject — never a global sort: at 100 TB
+    // each task keeps its local top-100 and the driver merges
+    // partitions × k rows.
+    "rel_priority_sample" -> ((s, dir) => {
+      val h = greatest(conv(substring(md5(col("o_orderkey").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) AS bigint)").as("w_cents"),
+          h.as("h"))
+        .select(col("o_orderkey"), col("w_cents"),
+          expr("(w_cents * 4294967296) div h").as("priority"))
+        .orderBy(col("priority").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // PRIORITY-SAMPLING SUBSET-SUM ESTIMATOR (Duffield-Lund-Thorup):
+    // the reason a pipeline keeps priority samples — estimate the TOTAL
+    // weight from k rows: with τ = the (k+1)-th priority, ŵ_i =
+    // max(w_i, τ) is the Horvitz-Thompson estimate under inclusion
+    // probability min(1, w_i/τ), and Σŵ is unbiased for Σw (priority
+    // w/u is already weight-scaled: u = h/2^32 cancels the 2^32) —
+    // integers end to end, so the oracle reproduces the estimate
+    // bit-for-bit; the exact total rides along as accuracy evidence.
+    // Two TakeOrderedAndProject passes (k and k+1 rows), never a sort.
+    "rel_priority_sample_est" -> ((s, dir) => {
+      val h = greatest(conv(substring(md5(col("o_orderkey").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L))
+      val pri = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) AS bigint)").as("w_cents"),
+          h.as("h"))
+        .select(col("o_orderkey"), col("w_cents"),
+          expr("(w_cents * 4294967296) div h").as("priority"))
+      val top101 = pri
+        .orderBy(col("priority").desc, col("o_orderkey").asc).limit(101)
+      // τ = the smallest of the k+1 highest priorities = the (k+1)-th
+      val tau = top101.agg(min(col("priority")).as("tau"))
+      val exact = pri.agg(sum(col("w_cents")).as("exact_total"))
+      top101
+        .orderBy(col("priority").desc, col("o_orderkey").asc).limit(100)
+        .crossJoin(broadcast(tau))
+        .select(col("w_cents"),
+          greatest(col("w_cents"), col("tau")).as("w_hat"), col("tau"))
+        .groupBy(col("tau"))
+        .agg(sum(col("w_hat")).as("est_total"))
+        .crossJoin(broadcast(exact))
+        .select(col("tau"), col("est_total"), col("exact_total"))
     }),
 
     // Peak concurrency by sweep line: each event opens a 5-minute
@@ -11639,6 +11698,49 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100
         |      < CASE WHEN event_type = 'click' THEN 20
         |             WHEN event_type = 'view' THEN 10 ELSE 5 END""".stripMargin,
+
+    // exact-integer priority sampling: identical md5 draw and floor
+    // division, so the top-100 sample reproduces bit-for-bit
+    "rel_priority_sample" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |         cast(round(o_totalprice * 100) AS bigint) AS w_cents,
+        |         greatest(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+        |                    ::BIGINT, 1) AS h
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, w_cents,
+        |       cast((w_cents * 4294967296) // h AS bigint) AS priority
+        |FROM b
+        |ORDER BY priority DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // same exact-integer draw; τ = the 101st priority, ŵ = max(w, τ)
+    "rel_priority_sample_est" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |         cast(round(o_totalprice * 100) AS bigint) AS w_cents,
+        |         greatest(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+        |                    ::BIGINT, 1) AS h
+        |  FROM orders
+        |), p AS (
+        |  SELECT o_orderkey, w_cents,
+        |         cast((w_cents * 4294967296) // h AS bigint) AS priority
+        |  FROM b
+        |), t AS (
+        |  SELECT o_orderkey, w_cents, priority,
+        |         row_number() OVER (ORDER BY priority DESC, o_orderkey)
+        |           AS rn
+        |  FROM p
+        |), tau AS (
+        |  SELECT cast(min(priority) AS bigint) AS tau FROM t WHERE rn <= 101
+        |)
+        |SELECT tau.tau,
+        |       cast(sum(greatest(w_cents, tau.tau)) AS bigint)
+        |           AS est_total,
+        |       (SELECT cast(sum(w_cents) AS bigint) FROM b) AS exact_total
+        |FROM t, tau WHERE t.rn <= 100
+        |GROUP BY tau.tau""".stripMargin,
 
     // the same sweep as a single-partition SQL window; running values
     // within an identical (t, delta) tie block differ per row but form

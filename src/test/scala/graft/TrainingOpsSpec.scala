@@ -14,6 +14,62 @@ class TrainingOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("rel_priority_sample: true global top-100 by exact integer " +
+      "priority, planned as TakeOrderedAndProject") {
+    import org.apache.spark.sql.functions._
+    val df = run("rel_priority_sample")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must keep the O(k)-per-partition plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"weighted sample must never globally sort:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("priority"), r.getAs[Long]("o_orderkey")))
+    assert(got.length == 100)
+    // the full priority frame from the same exact-integer construction
+    // (no limit): the sample must be ITS top 100 under the same order
+    val h = greatest(conv(substring(md5(col("o_orderkey").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L))
+    val full = SparkEntry.tbl(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) AS bigint)").as("w_cents"),
+        h.as("h"))
+      .select(expr("(w_cents * 4294967296) div h").as("priority"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.sortBy(p => (-p._1, p._2)).take(100)
+    assert(got.toSeq == want.toSeq,
+      "sample must be the exact global top-100 with the orderkey tiebreak")
+    // weighted-sampling sanity: the sampled weights skew heavy — the
+    // sample's mean weight should exceed the population's
+    val sampleKeys = got.map(_._2).toSet
+    val wByKey = SparkEntry.tbl(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) AS bigint)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanSample = sampleKeys.toSeq.map(wByKey).sum.toDouble / 100
+    val meanAll = wByKey.values.sum.toDouble / wByKey.size
+    assert(meanSample > meanAll,
+      s"weighted sample should over-represent heavy rows: " +
+        s"$meanSample vs $meanAll")
+  }
+
+  test("rel_priority_sample_est: DLT estimate is consistent and lands " +
+      "near the exact total") {
+    val r = run("rel_priority_sample_est").head()
+    val tau = r.getAs[Long]("tau")
+    val est = r.getAs[Long]("est_total")
+    val exact = r.getAs[Long]("exact_total")
+    assert(tau > 0 && est > 0 && exact > 0)
+    // ŵ = max(w, τ) ≥ τ for each of the 100 sampled rows
+    assert(est >= 100L * tau, "each HT term is at least tau")
+    // priority sampling's relative error concentrates around 1/sqrt(k);
+    // 60% is a loose deterministic bound for the fixed md5 draw
+    val ratio = est.toDouble / exact.toDouble
+    assert(ratio > 0.4 && ratio < 1.6,
+      s"estimate implausibly far from exact: $est vs $exact ($ratio)")
+  }
+
   test("text_split_leakage: every reported pair straddles splits and " +
       "is a true near-dup; consistent with the dedup chain") {
     val leaks = run("text_split_leakage").collect()
