@@ -7901,6 +7901,44 @@ object SparkEntry {
         .select(col("obs_day"), col("wau"))
     }),
 
+    // ROLLING DISTINCT VIA MERGEABLE SKETCH PARTIALS — the scale twin of
+    // rel_rolling_active_users. The exact query ships every
+    // (user, obs_day) pair through the shuffle: O(users × 7) rows, with
+    // a countDistinct state per window. Here each day is first reduced
+    // to ONE k-long KMV partial (map-side bounded state), and the
+    // 7-day window is a merge-at-read over those partials: the sliding
+    // explode fans out O(days × 7) sketch rows — k longs each,
+    // INDEPENDENT of user count — so the window stage costs
+    // O(days × 7 × k) regardless of corpus size. KMV merge is lossless
+    // (the global k smallest distinct hashes of a union are each among
+    // their own day's k smallest), so the merged window sketch EQUALS
+    // the from-scratch sketch of the window's users — which is exactly
+    // what the DuckDB oracle computes, bit-for-bit (md5-derived hash).
+    "rel_rolling_wau_sketch" -> ((s, dir) => {
+      val k = 128
+      val daily = events(s, dir)
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+          thetaHash(col("user_id").cast("long")).as("h"))
+        .groupBy("day")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+      val span = daily.agg(max(col("day")).as("d1"))
+      daily
+        .select(explode(expr("sequence(day, day + 6)")).as("obs_day"),
+          col("ks"))
+        .crossJoin(broadcast(span))
+        .where(col("obs_day") <= col("d1")) // no post-horizon days
+        .select(col("obs_day"), explode(col("ks")).as("h"))
+        .groupBy("obs_day")
+        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          .as("ks"))
+        .select(col("obs_day").cast("long").as("obs_day"),
+          size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"))
+    }),
+
     // FEATURE HASHING (the "hashing trick") — the fixed-dimension
     // vectorizer for linear models / ngram classifiers at corpus scale:
     // v[h(token) mod d] += sign(token), so the feature space is d
@@ -8271,6 +8309,62 @@ object SparkEntry {
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"),
           col("exact"))
+    }),
+
+    // STREAM-TO-WAREHOUSE SKETCH HANDOFF — the Kappa-architecture seam
+    // the two sketch queries above each show half of: the STREAM side
+    // computes a batch-local KMV partial per micro-batch (a stateless
+    // per-batch aggregation — no streaming state at all, executor
+    // memory bounded by keys × k longs per batch) and APPENDS it to a
+    // parquet store via foreachBatch; a SEPARATE batch reader merges
+    // the accumulated partials at read. k-smallest union re-truncation
+    // makes the merge lossless over any batch slicing, so the served
+    // estimate equals the from-scratch batch sketch bit-for-bit — the
+    // oracle never sees the store, only the definition. At 100 TB/day
+    // the store grows O(batches × keys × k) — independent of event
+    // volume — and serving never rescans the stream.
+    "stream_sketch_handoff" -> ((s, dir) => {
+      val k = 128
+      val base = events(s, dir).select(col("event_type"),
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").as("key"))
+      val ev = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "skhandoff")
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "skhandoffstore")
+      ev.repartition(3).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToParquetStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))),
+          "gate_skhandoff", store)(df =>
+          df.groupBy("event_type")
+            .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+              .as("ks")))
+        val merged = s.read.parquet(store)
+          .select(col("event_type"), explode(col("ks")).as("h"))
+          .groupBy("event_type")
+          .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+            .as("ks"))
+        val exact = base.groupBy("event_type")
+          .agg(countDistinct(col("key")).as("exact"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"),
+            size(col("ks")).cast("long").as("n_kept"),
+            round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+              .otherwise(lit((k - 1).toDouble)
+                * lit(1.152921504606846976e18)
+                / element_at(col("ks"), k).cast("double")), 4).as("est"),
+            col("exact"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
     }),
 
     // STREAMING THETA SET OPERATIONS ACROSS TWO STREAMS — the audience-
@@ -14018,6 +14112,36 @@ object SparkEntry {
         |FROM x, sp WHERE obs_day <= sp.d1
         |GROUP BY 1""".stripMargin,
 
+    // From-scratch k-smallest per window == the merged per-day partials
+    // (lossless KMV merge identity) — so the oracle never sees the
+    // store, only the definition
+    "rel_rolling_wau_sketch" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         (ts::DATE - DATE '1970-01-01') AS day
+        |  FROM events
+        |), sp AS (
+        |  SELECT max(day) AS d1 FROM ud
+        |), x AS (
+        |  SELECT DISTINCT day + r.range AS obs_day,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM ud, range(7) r
+        |), rk AS (
+        |  SELECT obs_day, h,
+        |         row_number() OVER (PARTITION BY obs_day ORDER BY h)
+        |           AS rn
+        |  FROM x, sp WHERE obs_day <= sp.d1
+        |), s AS (
+        |  SELECT obs_day, count(*) AS n_kept, max(h) AS theta
+        |  FROM rk WHERE rn <= 128 GROUP BY 1
+        |)
+        |SELECT cast(obs_day AS bigint) AS obs_day, n_kept,
+        |       CASE WHEN n_kept < 128 THEN round(n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / theta::DOUBLE, 4) END AS est
+        |FROM s""".stripMargin,
+
     "text_hashed_features" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${cleanToksSql("text")}) AS token
@@ -14518,6 +14642,35 @@ object SparkEntry {
     // identical to rel_theta_sketch_distinct's oracle: the streamed
     // k-smallest state must equal the batch sketch exactly
     "stream_theta_distinct" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, count(*) AS exact FROM b GROUP BY 1
+        |)
+        |SELECT s.event_type, s.n_kept,
+        |       CASE WHEN s.n_kept < 128 THEN round(s.n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / s.theta::DOUBLE, 4) END AS est,
+        |       e.exact
+        |FROM s JOIN e USING (event_type)""".stripMargin,
+
+    // lossless over any batch slicing: the merged store partials equal
+    // the from-scratch sketch, so the oracle is the same definition
+    "stream_sketch_handoff" ->
       """WITH b AS (
         |  SELECT DISTINCT event_type,
         |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key

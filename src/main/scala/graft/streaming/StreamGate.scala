@@ -119,6 +119,35 @@ object StreamGate {
     spark.table(name)
   }
 
+  /** CSV multi-batch replay whose sink is a parquet STORE, not a memory
+    * table: foreachBatch hands each micro-batch to `perBatch` as a plain
+    * batch frame and APPENDS the result (tagged with its batch id) to
+    * `storeDir` — the stream-to-warehouse handoff shape, where a
+    * streaming pipeline materializes mergeable partials and batch
+    * consumers merge them at read. The stream itself keeps NO state
+    * between batches (per-batch work is a normal batch aggregation),
+    * so executor memory is bounded by the per-batch reduction output
+    * regardless of stream length; durability is the store's.
+    * One micro-batch per staged file, same as [[replayCsvMultiBatch]]. */
+  def replayCsvToParquetStore(spark: SparkSession, sourceDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              name: String, storeDir: String)
+                             (perBatch: DataFrame => DataFrame)
+  : Unit = withReplayPartitions(spark) {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").csv(sourceDir)
+    val ckpt = ckptDir(name)
+    val q = src.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        perBatch(df)
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(storeDir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+  }
+
   /** Stage `df` to a scratch parquet directory (a DISTRIBUTED write) and
     * replay it through [[replayFileSource]] — the production-shaped
     * replacement for the MemoryStream gate: the executors write the staged

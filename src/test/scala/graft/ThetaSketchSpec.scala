@@ -136,6 +136,111 @@ class ThetaSketchSpec extends AnyFunSuite {
     org.apache.spark.sql.functions.sum(c)
       .cast("decimal(38,0)")
 
+  test("stream-to-store handoff: the store accumulates one partial per " +
+    "micro-batch and the merge-at-read equals the batch sketch") {
+    val k = 64
+    val ev = SparkEntry.events(spark, sf).select(col("event_type"),
+      conv(substring(md5(
+        (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+          .cast("long").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val src = graft.streaming.StreamGate.scratchDir("stage", "skhotest")
+    val store = graft.streaming.StreamGate
+      .scratchDir("stage", "skhoteststore")
+    ev.repartition(3).write.mode("overwrite").csv(src)
+    try {
+      graft.streaming.StreamGate.replayCsvToParquetStore(spark, src,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType))),
+        "gate_skhotest", store)(df =>
+        df.groupBy("event_type")
+          .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+            .as("ks")))
+      val parts = spark.read.parquet(store)
+      // one file per trigger → one appended partial set per micro-batch
+      assert(parts.select("batch_id").distinct().count() >= 2,
+        "replay must actually slice the stream into multiple batches")
+      val merged = parts
+        .select(col("event_type"), explode(col("ks")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+          .as("ks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      val direct = ev.groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+          .as("ks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(merged == direct,
+        "merge-at-read over stored per-batch partials diverged from " +
+          "the from-scratch batch sketch")
+    } finally {
+      graft.streaming.StreamGate.deleteRecursively(src)
+      graft.streaming.StreamGate.deleteRecursively(store)
+    }
+  }
+
+  test("rolling-window sketch: merged per-day partials equal the " +
+    "from-scratch window sketch, and estimates track exact WAU") {
+    import spark.implicits._
+    // the sliding-window lossless-merge identity at sketch-content
+    // level, with k=32 so truncation actually happens at sf0.001
+    val k = 32
+    val h = conv(substring(md5(col("user_id").cast("long").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val userDays = SparkEntry.events(spark, sf)
+      .select(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .distinct()
+    val d1 = userDays.agg(max(col("day"))).head().getLong(0)
+    // from scratch: sketch the users active in each trailing window
+    val direct = userDays
+      .select(h.as("h"), explode(expr("sequence(day, day + 6)"))
+        .as("obs_day"))
+      .where(col("obs_day") <= d1)
+      .groupBy("obs_day")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // merge-at-read: one k-long partial per day, re-merged per window
+    val merged = SparkEntry.events(spark, sf)
+      .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+        h.as("h"))
+      .groupBy("day")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks"))
+      .select(explode(expr("sequence(day, day + 6)")).as("obs_day"),
+        col("ks"))
+      .where(col("obs_day") <= d1)
+      .select(col("obs_day"), explode(col("ks")).as("h"))
+      .groupBy("obs_day")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(merged == direct,
+      "sliding-window merge-at-read diverged from the from-scratch " +
+        "window sketch — the lossless-merge identity is broken")
+    // registry query vs the exact rolling count: sub-k windows are
+    // exact; truncated windows land within 4 rsd (k=128 → ~36%)
+    val exact = run("rel_rolling_active_users").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = run("rel_rolling_wau_sketch").collect()
+    assert(est.nonEmpty && est.map(_.getLong(0)).toSet == exact.keySet,
+      "window key sets differ between exact and sketch twins")
+    est.foreach { r =>
+      val (day, nKept, e) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val w = exact(day)
+      if (nKept < 128) assert(e == w.toDouble,
+        s"day $day: sub-k window must be exact ($e vs $w)")
+      else assert(math.abs(e - w) / w < 0.36,
+        s"day $day: estimate $e off exact $w beyond 4 rsd")
+    }
+  }
+
   test("sub-k segments estimate exactly (theta = 2^60 regime)") {
     import spark.implicits._
     // 40 distinct keys < k=128: the sketch holds the full distinct set
