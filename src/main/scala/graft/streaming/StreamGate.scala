@@ -128,6 +128,14 @@ object StreamGate {
     * between batches (per-batch work is a normal batch aggregation),
     * so executor memory is bounded by the per-batch reduction output
     * regardless of stream length; durability is the store's.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a crash between the store append
+    * and the checkpoint commit replays the batch, appending its partial
+    * twice. Consumers that merge with an idempotent operation (KMV/theta
+    * k-smallest union, bitmap OR, max/min) are unaffected — duplicate
+    * partials merge away — which is why the sketch handoff needs no
+    * dedup-by-batch_id read filter; non-idempotent consumers (count
+    * sums) must dedup on the appended batch_id column first.
     * One micro-batch per staged file, same as [[replayCsvMultiBatch]]. */
   def replayCsvToParquetStore(spark: SparkSession, sourceDir: String,
                               schema: org.apache.spark.sql.types.StructType,

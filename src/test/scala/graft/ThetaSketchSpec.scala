@@ -178,6 +178,21 @@ class ThetaSketchSpec extends AnyFunSuite {
       assert(merged == direct,
         "merge-at-read over stored per-batch partials diverged from " +
           "the from-scratch batch sketch")
+      // foreachBatch is at-least-once: a crash between append and
+      // checkpoint commit replays a batch, duplicating its partial in
+      // the store. KMV merge is a set union, so duplicated partials
+      // merge away — serve-side results are exactly-once-EFFECTIVE
+      // with no dedup-by-batch_id filter. Pin it: double the store.
+      val doubled = parts.unionAll(parts)
+        .select(col("event_type"), explode(col("ks")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+          .as("ks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(doubled == direct,
+        "a replayed (duplicated) partial changed the served sketch — " +
+          "merge lost idempotence")
     } finally {
       graft.streaming.StreamGate.deleteRecursively(src)
       graft.streaming.StreamGate.deleteRecursively(store)
