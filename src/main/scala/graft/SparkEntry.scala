@@ -8121,6 +8121,97 @@ object SparkEntry {
       } finally graft.streaming.StreamGate.deleteRecursively(store)
     }),
 
+    // SKETCH DATA CUBE — distinct-count rollups over grouping sets,
+    // all merged from the FINEST-grain partials: one KMV partial per
+    // (event_type, day-of-week) cell, then the three coarser grouping
+    // sets ((type), (dow), ()) are O(cells × k) re-merges of those
+    // partials — events are scanned ONCE for the whole cube. Lossless
+    // at every level (any hash among a rollup's k smallest is among
+    // its own finest cell's k smallest), so every cell of every
+    // grouping set is oracle-checked bit-exactly against the
+    // from-scratch sketch. This is the additivity story COUNT(DISTINCT)
+    // famously lacks in OLAP cubes: distinct counts don't sum across
+    // cells, but their sketches union.
+    "rel_sketch_cube" -> ((s, dir) => {
+      val k = 128
+      val kmv = (c: Column) =>
+        graft.functions.GraftFunctions.kmvSketch(s, c, k)
+      val fin = events(s, dir)
+        .select(col("event_type"),
+          (unix_date(to_date(col("ts"))).cast("long") % 7).as("dow"),
+          thetaHash(col("user_id").cast("long")).as("h"))
+        .groupBy("event_type", "dow")
+        .agg(kmv(col("h")).as("ks"))
+        // finest grain is types × 7 rows of k longs — model-sized;
+        // lazily checkpointed so the three rollups reuse ONE
+        // materialization instead of rescanning events each
+        .localCheckpoint(false)
+      val cell = fin.select(col("event_type").as("event_type_g"),
+        col("dow").as("dow_g"), col("ks"))
+      val byType = fin.select(col("event_type"), explode(col("ks")).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("ks"))
+        .select(col("event_type").as("event_type_g"),
+          lit(-1L).as("dow_g"), col("ks"))
+      val byDow = fin.select(col("dow"), explode(col("ks")).as("h"))
+        .groupBy("dow").agg(kmv(col("h")).as("ks"))
+        .select(lit("ALL").as("event_type_g"), col("dow").as("dow_g"),
+          col("ks"))
+      val total = fin.select(explode(col("ks")).as("h"))
+        .agg(kmv(col("h")).as("ks"))
+        .select(lit("ALL").as("event_type_g"), lit(-1L).as("dow_g"),
+          col("ks"))
+      cell.unionByName(byType).unionByName(byDow).unionByName(total)
+        .select(col("event_type_g"), col("dow_g"),
+          size(col("ks")).cast("long").as("n_kept"),
+          round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+            .otherwise(lit((k - 1).toDouble)
+              * lit(1.152921504606846976e18)
+              / element_at(col("ks"), k).cast("double")), 4).as("est"))
+    }),
+
+    // QUANTILE SERVING FROM HISTOGRAM PARTIALS — the pre-aggregation
+    // twin of the sketch store, for the OTHER mergeable summary: one
+    // log2-bucket histogram per (event_type, day) — O(days × types ×
+    // 64) partial rows, merged by plain count-sum — serves p50/p95 for
+    // ANY day-range slice without rescanning events (here: the
+    // trailing 7 observed days). Bucketing matches
+    // stream_quantile_sketch (length(bin(round(value*100)))), so the
+    // readout is the same cumulative-rank walk and the oracle is
+    // exact: both engines compute identical bucket boundaries.
+    "rel_quantile_partials" -> ((s, dir) => {
+      val parts = events(s, dir).select(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"),
+          length(bin(round(col("value") * 100).cast("long"))).as("bucket"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val span = parts.agg(max(col("day")).as("d1"))
+      val sliced = parts.crossJoin(broadcast(span))
+        .where(col("day") > col("d1") - 7)
+        .groupBy("event_type", "bucket")
+        .agg(sum(col("cnt")).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      sliced.select(col("event_type"), col("bucket"), col("cnt"),
+          sum(col("cnt")).over(w).as("cum"),
+          sum(col("cnt")).over(wAll).as("n"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket")))
+            .as("b50"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"),
+            col("bucket"))).as("b95"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          (pow(lit(2.0), col("b50")) / 100.0).as("p50_est"),
+          (pow(lit(2.0), col("b95")) / 100.0).as("p95_est"))
+    }),
+
     // Containment estimate (click ⊆ purchase direction): the ASYMMETRIC
     // similarity |A∩B|/|A| — below θ both retained sets are complete,
     // so the ratio of in-sample counts estimates it directly. The
@@ -14320,6 +14411,68 @@ object SparkEntry {
         |            ELSE round(127.0 * 1152921504606846976
         |                       / theta::DOUBLE, 4) END AS est
         |FROM s""".stripMargin,
+
+    // every grouping-set cell from scratch: the cube's rollups-from-
+    // partials must equal these bit-for-bit (lossless merge at every
+    // level)
+    "rel_sketch_cube" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |         (ts::DATE - DATE '1970-01-01') % 7 AS dow
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type AS tg, dow AS dg, user_id FROM ud
+        |  UNION
+        |  SELECT event_type, -1, user_id FROM ud
+        |  UNION
+        |  SELECT 'ALL', dow, user_id FROM ud
+        |  UNION
+        |  SELECT 'ALL', -1, user_id FROM ud
+        |), h AS (
+        |  SELECT tg, dg,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM c
+        |), r AS (
+        |  SELECT tg, dg, h,
+        |         row_number() OVER (PARTITION BY tg, dg ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT tg, dg, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1, 2
+        |)
+        |SELECT tg AS event_type_g, cast(dg AS bigint) AS dow_g, n_kept,
+        |       CASE WHEN n_kept < 128 THEN round(n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / theta::DOUBLE, 4) END AS est
+        |FROM s""".stripMargin,
+
+    "rel_quantile_partials" ->
+      """WITH p AS (
+        |  SELECT event_type, (ts::DATE - DATE '1970-01-01') AS day,
+        |         length(bin(CAST(round(value * 100, 0) AS BIGINT)))
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), sp AS (SELECT max(day) AS d1 FROM p),
+        |h AS (
+        |  SELECT event_type, bucket, sum(cnt) AS cnt
+        |  FROM p, sp WHERE day > sp.d1 - 7 GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(cnt) AS n FROM h GROUP BY 1
+        |), c AS (
+        |  SELECT h.event_type, h.bucket, t.n,
+        |         sum(cnt) OVER (PARTITION BY h.event_type
+        |                        ORDER BY h.bucket) AS cum
+        |  FROM h JOIN t ON h.event_type = t.event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       pow(2, min(CASE WHEN cum >= (n + 1) // 2
+        |                       THEN bucket END)) / 100.0 AS p50_est,
+        |       pow(2, min(CASE WHEN cum >= (19 * n + 19) // 20
+        |                       THEN bucket END)) / 100.0 AS p95_est
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // SQL-reachability twins of the native aggregates: same answers as
     // their DataFrame siblings' oracles

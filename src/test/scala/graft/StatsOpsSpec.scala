@@ -515,4 +515,33 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("spearman") - rho) < 1e-4,
       s"spearman ${row.getAs[Double]("spearman")} != brute $rho")
   }
+
+  test("rel_quantile_partials: serving from per-day histogram partials " +
+    "equals the direct readout on the sliced raw events") {
+    // pre-aggregation invariance: merging (event_type, day, bucket)
+    // count partials over the day range must give the same p50/p95 as
+    // bucketing the range's raw rows directly — histograms are
+    // mergeable by sum, so the served slice never needs the raw scan
+    val served = run("rel_quantile_partials").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = SparkEntry.events(spark, sf).select(col("event_type"),
+      unix_date(to_date(col("ts"))).cast("long").as("day"),
+      length(bin(round(col("value") * 100).cast("long"))).as("bucket"))
+    val d1 = ev.agg(max(col("day"))).head().getLong(0)
+    val raw = ev.where(col("day") > d1 - 7)
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(raw.nonEmpty)
+    val direct = raw.groupBy(_._1).map { case (tpe, rows) =>
+      val buckets = rows.map(_._2).sorted
+      val n = buckets.length.toLong
+      def pick(rank: Long) = buckets((rank - 1).toInt)
+      tpe -> (n,
+        math.pow(2.0, pick((n + 1) / 2)) / 100.0,
+        math.pow(2.0, pick((19 * n + 19) / 20)) / 100.0)
+    }
+    assert(served == direct,
+      s"partial-served quantiles diverged from the raw slice:\n" +
+        s"$served\nvs\n$direct")
+  }
 }

@@ -136,6 +136,56 @@ class ThetaSketchSpec extends AnyFunSuite {
     org.apache.spark.sql.functions.sum(c)
       .cast("decimal(38,0)")
 
+  test("sketch cube: every rollup grouping set merged from the finest " +
+    "partials equals its from-scratch sketch") {
+    // k=8 so truncation is active at sf0.001 (15 distinct users) — the
+    // lossless-rollup claim is trivially true in the sub-k regime
+    val k = 8
+    val h = conv(substring(md5(col("user_id").cast("long").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val base = SparkEntry.events(spark, sf).select(col("event_type"),
+      (unix_date(to_date(col("ts"))).cast("long") % 7).as("dow"),
+      h.as("h"))
+    val fin = base.groupBy("event_type", "dow")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0).toString ->
+        r.getSeq[Long](1).toSeq).toMap
+    // by-type rollup from partials vs from scratch
+    val rolled = collectMap(fin
+      .select(col("event_type"), explode(col("ks")).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks")))
+    val direct = collectMap(base.groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks")))
+    assert(rolled == direct, "by-type rollup diverged from scratch")
+    // grand total from partials vs from scratch
+    val rolledAll = fin.select(explode(col("ks")).as("h"))
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k))
+      .head().getSeq[Long](0)
+    val directAll = base
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k))
+      .head().getSeq[Long](0)
+    assert(rolledAll == directAll, "grand-total rollup diverged")
+    assert(rolledAll.size == k, "expected a truncated (full-k) sketch — " +
+      "raise the data size or lower k so the test bites")
+    // the registry query's cube: cells of each grouping set must cover
+    // the full cross of observed values (5 types × 7 dows + 5 + 7 + 1)
+    val cube = run("rel_sketch_cube").collect()
+    val types = cube.map(_.getString(0)).distinct
+    val dows = cube.map(_.getLong(1)).distinct
+    assert(types.contains("ALL") && dows.contains(-1L))
+    val cells = cube.filter(r => r.getString(0) != "ALL" &&
+      r.getLong(1) != -1L).length
+    val nTypes = types.count(_ != "ALL")
+    val nDows = dows.count(_ != -1L)
+    assert(cube.length == cells + nTypes + nDows + 1,
+      s"grouping sets malformed: ${cube.length} rows, $cells cells")
+  }
+
   test("stream-to-store handoff: the store accumulates one partial per " +
     "micro-batch and the merge-at-read equals the batch sketch") {
     val k = 64
