@@ -50,6 +50,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+    // SPARK_GRAFT_BENCH_EXPLAIN=1 dumps each selected query's formatted
+    // physical plan to stderr before timing — used by the scale-ladder
+    // adjudication protocol to check e.g. broadcast-vs-shuffle flips
+    // across rungs without a separate driver program.
+    val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
 
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)
@@ -58,6 +63,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (explain) {
+          try System.err.println(s"=== explain $name ===\n" +
+            fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] explain $name failed: ${e.getMessage}") }
+        }
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           val ok =

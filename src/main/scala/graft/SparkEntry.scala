@@ -4166,14 +4166,21 @@ object SparkEntry {
     // customer–supplier co-order graph — the community-detection
     // sibling of dedup_connected_components (which propagates MIN;
     // LPA propagates the neighbor-MAJORITY label, min on ties, so
-    // dense local cliques keep their own labels). Same Pregel-lite
-    // scale shape as rel_shortest_path / dedup_pagerank: a FIXED
-    // number of rounds, each one labels⨝edges hash join + two
-    // stacked aggregates on shrinking keys; every round
-    // localCheckpoints so lineage stays flat. Node ids double into
-    // disjoint even/odd spaces so one long column carries both
+    // dense local cliques keep their own labels). Node ids double
+    // into disjoint even/odd spaces so one long column carries both
     // sides. Output is the community-size histogram (communities ×
     // 1 row), not per-node labels.
+    //
+    // Runs through ops/LabelProp.propagate — the ADAPTIVE-frontier LPA:
+    // exact synchronous rounds, but each round picks full-aggregate vs
+    // frontier-recompute from the MEASURED changed count of the round
+    // before (and ends early at convergence — a no-op under fixed-round
+    // semantics, since stable labels stay stable). On THIS graph the
+    // frontier never engages: a bipartite graph under synchronous
+    // updates oscillates en masse (measured at sf0.1: 15999/15999
+    // nodes change in every round), so the adaptive rule keeps the
+    // one-O(edges)-shuffle-per-round full shape — while cliquey
+    // converging graphs (see LabelPropSpec) get frontier-sized rounds.
     "rel_label_propagation" -> ((s, dir) => {
       val half = tbl(s, dir, "orders")
         .join(tbl(s, dir, "lineitem"),
@@ -4181,29 +4188,10 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      // hash-partition the static edge list on the per-round join key
-      // BEFORE the one-time checkpoint: localCheckpoint preserves the
-      // physical partitioning, so every round's labels⨝edges join
-      // reuses it and shuffles only the O(nodes) label frame — the
-      // O(edges) side never crosses the wire again after round 0
-      val edges = half
+      val sym = half
         .unionAll(half.select(col("b").as("a"), col("a").as("b")))
-        .repartition(col("a"))
-        .localCheckpoint(false)
-      var labels = edges.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-        .localCheckpoint(false)
-      for (_ <- 1 to 3) {
-        labels = labels.join(edges, col("node") === col("a"))
-          .groupBy(col("b"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-          // majority label, min on count ties: max of (cnt, -lbl)
-          .groupBy(col("b"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("b").as("node"), (-col("m.nl")).as("lbl"))
-          .localCheckpoint(false)
-      }
-      labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+      graft.ops.LabelProp.propagate(sym, 3)
+        .groupBy("lbl").agg(count(lit(1)).as("size"))
         .select(col("lbl").as("community"), col("size"))
     }),
 
@@ -5211,8 +5199,15 @@ object SparkEntry {
           expr("(w_cents * 4294967296) div h").as("priority"))
       val top101 = pri
         .orderBy(col("priority").desc, col("o_orderkey").asc).limit(101)
-      // τ = the smallest of the k+1 highest priorities = the (k+1)-th
-      val tau = top101.agg(min(col("priority")).as("tau"))
+      // τ = the smallest of the k+1 highest priorities = the (k+1)-th.
+      // Sub-k guard (DLT definition): with n <= k rows EVERY row is
+      // sampled with probability 1 and ŵ = w exactly — τ is 0, not a
+      // retained row's own priority (which would overestimate via
+      // max(w, τ)). greatest(w, 0) = w for the non-negative w_cents,
+      // so τ=0 makes the estimator collapse to the exact sum.
+      val tau = top101.agg(
+        when(count(lit(1)) <= 100, lit(0L))
+          .otherwise(min(col("priority"))).as("tau"))
       val exact = pri.agg(sum(col("w_cents")).as("exact_total"))
       top101
         .orderBy(col("priority").desc, col("o_orderkey").asc).limit(100)
@@ -7581,6 +7576,32 @@ object SparkEntry {
               FROM graft_sql_hashes GROUP BY event_type)""")
     }),
 
+    // O(k) SKETCH-COLUMN MERGE from a SQL string — the reachability
+    // twin of graft_kmv_merge: daily graft_kmv_sketch partials merged
+    // per segment by graft_kmv_merge, both stages raw SQL. Lossless
+    // merge ⇒ the same from-scratch oracle as rel_sql_sketch_agg.
+    "rel_sql_kmv_merge" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        thetaHash((col("user_id") * 100000L +
+          unix_date(to_date(col("ts")))).cast("long")).as("h"))
+        .createOrReplaceTempView("graft_sql_day_hashes")
+      s.sql("""
+        SELECT event_type,
+               cast(size(ks) AS bigint) AS n_kept,
+               round(CASE WHEN size(ks) < 128
+                          THEN cast(size(ks) AS double)
+                          ELSE 127.0 * 1152921504606846976
+                               / cast(element_at(ks, 128) AS double) END,
+                     4) AS est
+        FROM (SELECT event_type, graft_kmv_merge(ks, 128) AS ks
+              FROM (SELECT event_type, day,
+                           graft_kmv_sketch(h, 128) AS ks
+                    FROM graft_sql_day_hashes GROUP BY event_type, day)
+              GROUP BY event_type)""")
+    }),
+
     // rank() WITH TIES from SQL → GlobalTies (twin of
     // rel_global_rank_ties).
     "rel_sql_rank_ties" -> ((s, dir) => {
@@ -7649,6 +7670,15 @@ object SparkEntry {
     // Daily CMS partials merged by graft_cms_merge, probed by
     // graft_cms_estimate — the rel_cms_merge_bounded sandwich
     // (exact <= est <= exact + eps*N), entirely from SQL.
+    // SEED/DATA COUPLING (same caveat as rel_cms_merge_bounded): the
+    // within_eps=1 oracle relies on this CMS (eps=0.001, delta=0.001,
+    // seed=42) never overshooting eps*N for any event_type on the
+    // CURRENT testdata. The eps bound itself holds only with
+    // probability 1-delta per probe — deterministic here because the
+    // seed and data are fixed, but REGENERATING the test datasets could
+    // legitimately flip a probe to 0; that would be a data-vs-sketch
+    // coincidence expiring, not an engine bug. If it fires, widen the
+    // upper bound to the delta-exempt `exact + 2*eps*N` on both engines.
     "rel_sql_cms_merge" -> ((s, dir) => {
       events(s, dir).createOrReplaceTempView("graft_sql_events")
       s.sql("""
@@ -8064,10 +8094,11 @@ object SparkEntry {
         .groupBy("event_type", "is_delta")
         .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
           .as("ks"))
-      // refresh = merge of the two partial sketches, never a rescan
-      val merged = parts.select(col("event_type"), explode(col("ks")).as("h"))
+      // refresh = O(k) merge of the two partial sketch COLUMNS
+      // (graft_kmv_merge), never a rescan and never an explode
+      val merged = parts
         .groupBy("event_type")
-        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+        .agg(graft.functions.GraftFunctions.kmvMerge(s, col("ks"), k)
           .as("ks"))
       val exact = staged.groupBy("event_type")
         .agg(countDistinct(col("key")).as("exact"))
@@ -8107,9 +8138,9 @@ object SparkEntry {
       // result is O(segments × k) — model-sized)
       try {
         s.read.parquet(store)
-          .select(col("event_type"), explode(col("ks")).as("h"))
           .groupBy("event_type")
-          .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          // O(k) column merge: partials never explode back to rows
+          .agg(graft.functions.GraftFunctions.kmvMerge(s, col("ks"), k)
             .as("ks"))
           .select(col("event_type"),
             size(col("ks")).cast("long").as("n_kept"),
@@ -8146,18 +8177,22 @@ object SparkEntry {
         // lazily checkpointed so the three rollups reuse ONE
         // materialization instead of rescanning events each
         .localCheckpoint(false)
+      // rollups = O(cells × k) column merges (graft_kmv_merge): the
+      // partials never explode back to cells × k rows
+      val mrg = (c: Column) =>
+        graft.functions.GraftFunctions.kmvMerge(s, c, k)
       val cell = fin.select(col("event_type").as("event_type_g"),
         col("dow").as("dow_g"), col("ks"))
-      val byType = fin.select(col("event_type"), explode(col("ks")).as("h"))
-        .groupBy("event_type").agg(kmv(col("h")).as("ks"))
+      val byType = fin
+        .groupBy("event_type").agg(mrg(col("ks")).as("ks"))
         .select(col("event_type").as("event_type_g"),
           lit(-1L).as("dow_g"), col("ks"))
-      val byDow = fin.select(col("dow"), explode(col("ks")).as("h"))
-        .groupBy("dow").agg(kmv(col("h")).as("ks"))
+      val byDow = fin
+        .groupBy("dow").agg(mrg(col("ks")).as("ks"))
         .select(lit("ALL").as("event_type_g"), col("dow").as("dow_g"),
           col("ks"))
-      val total = fin.select(explode(col("ks")).as("h"))
-        .agg(kmv(col("h")).as("ks"))
+      val total = fin
+        .agg(mrg(col("ks")).as("ks"))
         .select(lit("ALL").as("event_type_g"), lit(-1L).as("dow_g"),
           col("ks"))
       cell.unionByName(byType).unionByName(byDow).unionByName(total)
@@ -8210,6 +8245,87 @@ object SparkEntry {
         .select(col("event_type"), col("n").cast("long").as("n"),
           (pow(lit(2.0), col("b50")) / 100.0).as("p50_est"),
           (pow(lit(2.0), col("b95")) / 100.0).as("p95_est"))
+    }),
+
+    // RANK-ERROR-BOUNDED QUANTILE SKETCH (the KLL-role summary, md5-
+    // deterministic; see functions/QuantileSketchAgg.scala): per
+    // event_type, retain the rows whose 60-bit md5(event_id) hash has
+    // trailing-zero count >= the minimal level L keeping <= 256 rows —
+    // an order-insensitive, engine-reproducible level sample. Quantile
+    // reads are retained-value ranks: p50/p95 = value at ceil(q*m) of
+    // the sorted retained multiset; rank error ~ sqrt(q(1-q)/m) of n
+    // (~4% at m=256), INDEPENDENT of the value distribution — unlike
+    // rel_quantile_partials' log2 buckets, whose value error is up to
+    // ~2x within a bucket. The oracle rebuilds the exact retained SET
+    // from the definition and checks the full sketch CONTENTS
+    // bit-for-bit (the ";"-joined [lvl, h, v, ...] string), not just
+    // the served quantiles.
+    "rel_quantile_sketch" -> ((s, dir) => {
+      val cap = 256
+      events(s, dir).select(col("event_type"),
+          thetaHash(col("event_id")).as("h"),
+          expr("cast(round(value * 1000) AS bigint)").as("cents"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions
+          .qsketch(s, col("h"), col("cents"), cap).as("qs"))
+        // values sit at even 0-based positions >= 2 of [L, h1, v1, ...]
+        .select(col("event_type"), col("qs"),
+          expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+            .as("vals"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("lvl"),
+          size(col("vals")).cast("long").as("n_kept"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+            .as("p50_cents"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+            .as("p95_cents"),
+          concat_ws(";", col("qs").cast("array<string>")).as("contents"))
+    }),
+
+    // QUANTILE-SKETCH PARTIALS STORE — the serving twin: one 256-cap
+    // sketch per (event_type, day) persisted to parquet (O(days ×
+    // types × cap) longs), then ANY day-range slice is served by an
+    // O(cap) graft_qsketch_merge of the partials in range (here the
+    // trailing 7 observed days) — never a rescan of events. The merge
+    // is LOSSLESS (minimal-level identity, see QSketch): the merged
+    // sketch is bit-identical to sketching the sliced raw rows from
+    // scratch, which is exactly what the oracle computes — contents
+    // included. Supersedes rel_quantile_partials' log2-bucket serving
+    // with distribution-independent rank error.
+    "rel_qsketch_store" -> ((s, dir) => {
+      val cap = 256
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "qsketchstore")
+      events(s, dir).select(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"),
+          thetaHash(col("event_id")).as("h"),
+          expr("cast(round(value * 1000) AS bigint)").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(graft.functions.GraftFunctions
+          .qsketch(s, col("h"), col("cents"), cap).as("qs"))
+        .write.mode("overwrite").parquet(store)
+      try {
+        val parts = s.read.parquet(store)
+        val span = parts.agg(max(col("day")).as("d1"))
+        parts.crossJoin(broadcast(span))
+          .where(col("day") > col("d1") - 7)
+          .groupBy("event_type")
+          .agg(graft.functions.GraftFunctions
+            .qsketchMerge(s, col("qs"), cap).as("qs"))
+          .select(col("event_type"), col("qs"),
+            expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+              .as("vals"))
+          .select(col("event_type"),
+            element_at(col("qs"), 1).as("lvl"),
+            size(col("vals")).cast("long").as("n_kept"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+              .as("p50_cents"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+              .as("p95_cents"),
+            concat_ws(";", col("qs").cast("array<string>")).as("contents"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally graft.streaming.StreamGate.deleteRecursively(store)
     }),
 
     // Containment estimate (click ⊆ purchase direction): the ASYMMETRIC
@@ -8436,9 +8552,9 @@ object SparkEntry {
             .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
               .as("ks")))
         val merged = s.read.parquet(store)
-          .select(col("event_type"), explode(col("ks")).as("h"))
           .groupBy("event_type")
-          .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+          // O(k) column merge of the appended batch partials
+          .agg(graft.functions.GraftFunctions.kmvMerge(s, col("ks"), k)
             .as("ks"))
         val exact = base.groupBy("event_type")
           .agg(countDistinct(col("key")).as("exact"))
@@ -8450,6 +8566,102 @@ object SparkEntry {
                 * lit(1.152921504606846976e18)
                 / element_at(col("ks"), k).cast("double")), 4).as("est"),
             col("exact"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
+    }),
+
+    // NON-IDEMPOTENT HANDOFF CONSUMER, PROVEN — the at-least-once
+    // caveat on replayCsvToParquetStore made concrete: COUNT/SUM
+    // partials (NOT idempotent under re-append, unlike the sketch
+    // handoff's k-smallest union) land per micro-batch in an append
+    // store, and the query then INJECTS the failure mode into its own
+    // checked path — batch 0's partial is re-appended, exactly what a
+    // crash between the store write and the checkpoint commit produces
+    // on recovery. The read path dedups by batch_id FIRST (per-batch
+    // partials are deterministic, so duplicates are identical rows and
+    // max = the value) and only then sums across batches — so the
+    // oracle-checked totals survive the duplicated append. At 100 TB/
+    // day the store holds O(batches × keys) partial rows and the dedup
+    // group-by costs O(store), never a stream rescan.
+    "stream_count_handoff" -> ((s, dir) => {
+      val base = events(s, dir).select(col("event_type"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "cnthandoff")
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "cnthandoffstore")
+      base.repartition(3).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToParquetStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_cnthandoff", store)(df =>
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")))
+        // inject the at-least-once failure mode: re-append batch 0's
+        // partial (a recovered foreachBatch re-running after a crash
+        // that hit between store append and checkpoint commit)
+        s.read.parquet(store).where(col("batch_id") === 0)
+          .write.mode("append").parquet(store)
+        s.read.parquet(store)
+          .groupBy(col("batch_id"), col("event_type"))
+          .agg(max(col("cnt")).as("cnt"),
+            max(col("sum_cents")).as("sum_cents"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_events"),
+            sum(col("sum_cents")).as("sum_cents"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
+    }),
+
+    // EXACTLY-ONCE HANDOFF — the idempotent alternative to the append
+    // store above: each micro-batch's partial lands via DYNAMIC
+    // PARTITION OVERWRITE into its own batch_id= partition
+    // (StreamGate.replayCsvToPartitionedStore), so a replayed batch
+    // REPLACES its previous partition instead of duplicating it. The
+    // query re-presents batch 0 through the identical write path (the
+    // same recovery scenario the append-store query injects) and the
+    // store is byte-identical after — which is why the read path here
+    // is a PLAIN scan-and-sum with no dedup filter at all. Same exact
+    // totals, same oracle as the at-least-once twin: the two queries
+    // differ only in where the idempotence lives (read-side dedup vs
+    // write-side replace).
+    "stream_count_handoff_eo" -> ((s, dir) => {
+      val base = events(s, dir).select(col("event_type"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "cnteo")
+      val store = graft.streaming.StreamGate.scratchDir("stage", "cnteostore")
+      base.repartition(3).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToPartitionedStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_cnteo", store)(df =>
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")))
+        // replay batch 0 through the identical exactly-once write path:
+        // dynamic overwrite replaces partition batch_id=0 in place
+        graft.streaming.StreamGate.writeBatchPartition(
+          s.read.parquet(store).where(col("batch_id") === 0)
+            .drop("batch_id"), 0L, store)
+        // exactly-once store ⇒ plain read, no dedup anywhere
+        s.read.parquet(store)
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_events"),
+            sum(col("sum_cents")).as("sum_cents"))
           // eager: the scratch store is deleted on exit
           .localCheckpoint(true)
       } finally {
@@ -11918,7 +12130,11 @@ object SparkEntry {
         |           AS rn
         |  FROM p
         |), tau AS (
-        |  SELECT cast(min(priority) AS bigint) AS tau FROM t WHERE rn <= 101
+        |  -- sub-k guard (DLT): with n <= 100 rows every row is sampled
+        |  -- exactly, so tau = 0 and greatest(w, 0) = w
+        |  SELECT CASE WHEN count(*) <= 100 THEN cast(0 AS bigint)
+        |              ELSE cast(min(priority) AS bigint) END AS tau
+        |  FROM t WHERE rn <= 101
         |)
         |SELECT tau.tau,
         |       cast(sum(greatest(w_cents, tau.tau)) AS bigint)
@@ -14386,6 +14602,32 @@ object SparkEntry {
         |                       / theta::DOUBLE, 4) END AS est
         |FROM s""".stripMargin,
 
+    // daily partials merged in O(k) must equal the from-scratch
+    // k-smallest construction — KMV merge is lossless
+    "rel_sql_kmv_merge" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |         user_id * 100000 + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_kept, max(h) AS theta
+        |  FROM r WHERE rn <= 128 GROUP BY 1
+        |)
+        |SELECT event_type, n_kept,
+        |       CASE WHEN n_kept < 128 THEN round(n_kept::DOUBLE, 4)
+        |            ELSE round(127.0 * 1152921504606846976
+        |                       / theta::DOUBLE, 4) END AS est
+        |FROM s""".stripMargin,
+
     // the round-tripped (persisted-then-merged) sketch must equal the
     // from-scratch k-smallest construction — KMV merge is lossless
     "rel_sketch_roundtrip" ->
@@ -14473,6 +14715,96 @@ object SparkEntry {
         |       pow(2, min(CASE WHEN cum >= (19 * n + 19) // 20
         |                       THEN bucket END)) / 100.0 AS p95_est
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // the retained set is a pure function of the data (minimal level L
+    // with <= 256 rows of trailing-zero count >= L over md5(event_id)),
+    // so the oracle rebuilds it from the definition and checks the full
+    // sketch contents string bit-for-bit, plus the rank readouts
+    "rel_quantile_sketch" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         cast(round(value * 1000) AS bigint) AS cents,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM events
+        |), z AS (
+        |  SELECT *, CASE WHEN h = 0 THEN 60
+        |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
+        |            END AS tz
+        |  FROM t
+        |), lev AS (
+        |  SELECT event_type, l, count(*) FILTER (WHERE tz >= l) AS cnt
+        |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
+        |  GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT event_type, min(l) AS lvl FROM lev WHERE cnt <= 256
+        |  GROUP BY 1
+        |), ret AS (
+        |  SELECT z.event_type, z.h, z.cents, lv.lvl
+        |  FROM z JOIN lv USING (event_type) WHERE z.tz >= lv.lvl
+        |), ord AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents, h) AS rv,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM ret
+        |)
+        |SELECT event_type, cast(lvl AS bigint) AS lvl,
+        |       cast(m AS bigint) AS n_kept,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
+        |                THEN cents END) AS p50_cents,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
+        |                THEN cents END) AS p95_cents,
+        |       lvl::VARCHAR || ';' ||
+        |         string_agg(h::VARCHAR || ';' || cents::VARCHAR, ';'
+        |                    ORDER BY h, cents) AS contents
+        |FROM ord GROUP BY event_type, lvl, m""".stripMargin,
+
+    // lossless merge identity: the trailing-7-day merge of per-day
+    // partials equals the from-scratch sketch of the sliced raw rows —
+    // same definition as above, applied after the day cut
+    "rel_qsketch_store" ->
+      """WITH t0 AS (
+        |  SELECT event_type, (ts::DATE - DATE '1970-01-01') AS day,
+        |         cast(round(value * 1000) AS bigint) AS cents,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM events
+        |), sp AS (SELECT max(day) AS d1 FROM t0),
+        |t AS (
+        |  SELECT event_type, cents, h FROM t0, sp WHERE day > sp.d1 - 7
+        |), z AS (
+        |  SELECT *, CASE WHEN h = 0 THEN 60
+        |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
+        |            END AS tz
+        |  FROM t
+        |), lev AS (
+        |  SELECT event_type, l, count(*) FILTER (WHERE tz >= l) AS cnt
+        |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
+        |  GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT event_type, min(l) AS lvl FROM lev WHERE cnt <= 256
+        |  GROUP BY 1
+        |), ret AS (
+        |  SELECT z.event_type, z.h, z.cents, lv.lvl
+        |  FROM z JOIN lv USING (event_type) WHERE z.tz >= lv.lvl
+        |), ord AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents, h) AS rv,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM ret
+        |)
+        |SELECT event_type, cast(lvl AS bigint) AS lvl,
+        |       cast(m AS bigint) AS n_kept,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
+        |                THEN cents END) AS p50_cents,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
+        |                THEN cents END) AS p95_cents,
+        |       lvl::VARCHAR || ';' ||
+        |         string_agg(h::VARCHAR || ';' || cents::VARCHAR, ';'
+        |                    ORDER BY h, cents) AS contents
+        |FROM ord GROUP BY event_type, lvl, m""".stripMargin,
 
     // SQL-reachability twins of the native aggregates: same answers as
     // their DataFrame siblings' oracles
@@ -14849,6 +15181,23 @@ object SparkEntry {
         |                       / s.theta::DOUBLE, 4) END AS est,
         |       e.exact
         |FROM s JOIN e USING (event_type)""".stripMargin,
+
+    // partials partition the stream exactly, and the injected duplicate
+    // append is removed by the dedup-by-batch_id read — so the served
+    // totals are the plain exact aggregate
+    "stream_count_handoff" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n_events,
+        |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the exactly-once store replaces a replayed batch's partition in
+    // place, so the plain scan-and-sum read serves the same exact totals
+    "stream_count_handoff_eo" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n_events,
+        |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_item_cooccur_sim" ->
       """WITH items AS (

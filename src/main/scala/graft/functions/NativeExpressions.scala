@@ -452,6 +452,12 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_kmv_sketch" -> (es => KmvSketchAgg(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_kmv_merge" -> (es => KmvMergeAgg(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_qsketch" -> (es => QuantileSketchAgg(es(0), es(1),
+      es(2).eval().asInstanceOf[Number].intValue())),
+    "graft_qsketch_merge" -> (es => QuantileSketchMergeAgg(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "graft_zorder" -> (es => ZOrderExpr(es.head, es(1))),
     "graft_vec_mean" -> (es => VectorMeanAgg(es.head)),
     "graft_vec_outer_sum" -> (es => VectorOuterSumAgg(es.head)),
@@ -580,6 +586,39 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_kmv_sketch", c,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** O(k) union of KMV sketch COLUMNS keeping the k smallest distinct
+    * values (see [[KmvMergeAgg]]): merges already-built sketches
+    * without exploding them back to rows; lossless vs re-sketching the
+    * concatenated raw streams. Aggregate function — use inside
+    * `.agg(...)`. */
+  def kmvMerge(spark: SparkSession, c: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_kmv_merge", c,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Deterministic mergeable quantile sketch over (rowHash, value) —
+    * md5-level sampling, rank error ~O(sqrt(1/capacity)); see
+    * [[QSketch]] for the wire format and the lossless-merge identity.
+    * Aggregate function — use inside `.agg(...)`. */
+  def qsketch(spark: SparkSession, hash: Column, value: Column,
+              capacity: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_qsketch", hash, value,
+      org.apache.spark.sql.functions.lit(capacity))
+  }
+
+  /** O(capacity) merge of quantile-sketch COLUMNS (the [[QSketch]]
+    * wire format) — the partials-store read path; lossless vs
+    * sketching the concatenated raw data. Aggregate function — use
+    * inside `.agg(...)`. */
+  def qsketchMerge(spark: SparkSession, c: Column, capacity: Int)
+  : Column = {
+    ensureRegistered(spark)
+    call_function("graft_qsketch_merge", c,
+      org.apache.spark.sql.functions.lit(capacity))
   }
 
   /** Z-order (Morton) value of two long columns (see [[ZOrderExpr]]). */

@@ -291,12 +291,17 @@ object EventStream {
           val wUs = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption
             .getOrElse(AsOfPending(Long.MinValue, Long.MinValue, Nil))
-          // late drops: the watermark already finalized these instants
+          // Boundary convention (symmetric on both sides): a row whose
+          // event time is EXACTLY the watermark is still accepted
+          // (>= wUs below) and is finalized on this invocation
+          // (<= wUs in the partition) — so whether a boundary-instant
+          // row is included never depends on which batch it arrived in,
+          // matching Spark's own "late iff strictly older than the
+          // watermark" aggregation contract and the batch oracle's
+          // `ts <= horizon` cut.
           val incoming = rows
             .map(r => (r.tsUs, r.eventId, r.isView))
-            .filter(_._1 > wUs).toList
-          // incoming rows are all > wUs, so only buffered rows from
-          // earlier batches can be final on this invocation
+            .filter(_._1 >= wUs).toList
           val all = (prev.buf ++ incoming).sortBy(t => (t._1, t._2))
           val (ready, pending) = all.partition(_._1 <= wUs)
           var last = prev.lastViewUs

@@ -156,6 +156,48 @@ object StreamGate {
     try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
   }
 
+  /** The EXACTLY-ONCE sibling of [[replayCsvToParquetStore]]: each
+    * micro-batch's partial lands via DYNAMIC PARTITION OVERWRITE into
+    * its own `batch_id=` partition instead of a blind append — a
+    * replayed batch (the at-least-once failure mode: crash between the
+    * store write and the checkpoint commit) REPLACES its previous
+    * partition byte-for-byte rather than duplicating it, because
+    * foreachBatch re-presents the same batch with the same batchId.
+    * That makes the store write idempotent and the read path a plain
+    * scan — no dedup-by-batch_id filter needed (contrast the
+    * append-store consumers). Requires the per-batch transform to be
+    * deterministic, which per-batch aggregations are. Only the
+    * replayed batch's partition is touched: overwrite mode with
+    * partitionOverwriteMode=dynamic deletes nothing outside the
+    * partitions present in the written frame. */
+  def replayCsvToPartitionedStore(spark: SparkSession, sourceDir: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  name: String, storeDir: String)
+                                 (perBatch: DataFrame => DataFrame)
+  : Unit = withReplayPartitions(spark) {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").csv(sourceDir)
+    val ckpt = ckptDir(name)
+    val q = src.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        writeBatchPartition(perBatch(df), batchId, storeDir)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+  }
+
+  /** The exactly-once store write for ONE batch partial — factored out
+    * so a test (or a recovering pipeline) can re-present a batch through
+    * the identical write path and observe the store unchanged. */
+  def writeBatchPartition(partial: DataFrame, batchId: Long,
+                          storeDir: String): Unit =
+    partial
+      .withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+
   /** Stage `df` to a scratch parquet directory (a DISTRIBUTED write) and
     * replay it through [[replayFileSource]] — the production-shaped
     * replacement for the MemoryStream gate: the executors write the staged

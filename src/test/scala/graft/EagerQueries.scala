@@ -1,0 +1,41 @@
+package graft
+
+/** SINGLE SOURCE OF TRUTH for the registry queries whose *plan
+  * construction* itself runs Spark jobs (driver-side model fits,
+  * iterate-to-fixpoint loops, scratch-store writes). The plan-census
+  * specs must exclude them — calling `queries(name)` there would run
+  * dozens of end-to-end jobs just to read a plan string — but an
+  * exclusion is a census hole, so EVERY entry carries a justification:
+  * adding a name here requires writing down WHY it executes eagerly
+  * (the same discipline as PlanAuditSpec's broadcast `declared` map).
+  * The excluded queries are not unaudited — each family's functional
+  * spec (EmbSpec/DedupSpec/TextSpec/SketchStoreSpec/...) covers its
+  * semantics, and the oracle gate covers its results.
+  *
+  * `stream_*` queries are excluded by prefix at the census sites (the
+  * replay gate executes eagerly by design) and are not listed here.
+  */
+object EagerQueries {
+  val justification: Map[String, String] = Map(
+    "emb_ivf_search" -> "k-means coarse quantizer fit at construction",
+    "emb_knn_cosine" -> "collects the query panel to build the probe",
+    "emb_ivf_assign" -> "k-means centroid fit at construction",
+    "emb_centroids" -> "Lloyd iterations run jobs at construction",
+    "emb_kmeans" -> "Lloyd iterations run jobs at construction",
+    "dedup_connected_components" ->
+      "label-convergence loop iterates jobs at construction",
+    "text_bpe_merges" -> "greedy merge loop: one job per merge round",
+    "rel_percentiles" -> "two-pass quantiles: pass 1 at construction",
+    "rel_exact_quantiles" -> "distributed selection iterates jobs",
+    "rel_winsorized_stats" -> "clip bounds computed by a first pass",
+    "rel_equi_depth_hist" -> "bin edges computed by a first pass",
+    "rel_outlier_mad" -> "median-of-medians passes at construction",
+    "src_manifest_prune" -> "reads the manifest store it first writes",
+    "pipeline_fuzzy_dedup" -> "multi-stage pipeline materializes stages",
+    "emb_semantic_dedup" -> "centroid fit + threshold pass",
+    "emb_hard_negatives" -> "mines against a collected query panel",
+    "rel_sketch_roundtrip" -> "writes the scratch parquet partials store",
+    "rel_qsketch_store" -> "writes the scratch parquet partials store",
+  )
+  val names: Set[String] = justification.keySet
+}

@@ -476,15 +476,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val known = (rank ++ ties ++ shift ++ edge ++ scan ++ frame ++
       bounded ++ ranges ++ mixedStack ++ mixedRange ++ mixedFull).toSet +
       "rel_cumulative_users" + "rel_peak_concurrency"
-    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
-      "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
-      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
-      "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
-      "rel_sketch_roundtrip")
+    // construction-cost exclusions: one shared justified set
     SparkEntry.queries.keys
-      .filterNot(known).filterNot(heavy)
+      .filterNot(known).filterNot(EagerQueries.names)
       .filterNot(_.startsWith("stream_"))
       .foreach { name =>
         val p = plan(name)
@@ -527,17 +521,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no cartesian product in any registered query plan") {
-    // skip queries whose *plan construction* itself runs jobs
-    // (collect-driven centroid/seed models, iterate-to-fixpoint loops)
-    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
-      "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
-      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
-      "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
-      "rel_sketch_roundtrip")
+    // skip queries whose *plan construction* itself runs jobs — the
+    // shared justified set (see EagerQueries)
     SparkEntry.queries.keys
-      .filterNot(heavy)
+      .filterNot(EagerQueries.names)
       .filterNot(_.startsWith("stream_")) // replay gate executes eagerly
       .foreach { name =>
         val p = plan(name)
@@ -614,15 +601,10 @@ class PlanAuditSpec extends AnyFunSuite {
         (leaves.nonEmpty && leaves.forall(boundedLeaf))
     }
     // same construction-cost exclusions as the cartesian census: the
-    // heavy set runs driver-side iterations at construction, stream_*
-    // executes the replay gate eagerly
-    val heavy = Set("emb_ivf_search", "emb_knn_cosine", "emb_ivf_assign",
-      "emb_centroids", "emb_kmeans", "dedup_connected_components",
-      "text_bpe_merges", "rel_percentiles", "rel_exact_quantiles",
-      "rel_winsorized_stats", "rel_equi_depth_hist", "rel_outlier_mad",
-      "src_manifest_prune",
-      "pipeline_fuzzy_dedup", "emb_semantic_dedup", "emb_hard_negatives",
-      "rel_sketch_roundtrip")
+    // shared justified set (see EagerQueries) runs driver-side
+    // iterations at construction, stream_* executes the replay gate
+    // eagerly
+    val heavy = EagerQueries.names
     // hinted-but-not-structurally-obvious frames, each with its
     // boundedness argument; additions here need a justification, which
     // is the point — an unconsidered hint can't slip through

@@ -34,8 +34,24 @@ class RegistryIntegritySpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
   }
 
+  test("plan-census exclusion list names only real registry queries") {
+    // EagerQueries is the shared justified exclusion set for the plan
+    // censuses; a renamed/deleted query must not leave a stale entry
+    // silently weakening nothing (or worse, masking a future query
+    // that reuses the name without being eager).
+    val stale = EagerQueries.names -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"EagerQueries entries not in registry: $stale")
+  }
+
   test("output-schema census: no registry query emits a top-level " +
     "array/map/struct column") {
+    // COST NOTE (ADVICE r13): constructing stream_* / store-roundtrip
+    // queries executes full replays + scratch writes eagerly, so this
+    // census runs dozens of end-to-end sf0.001 jobs just to read
+    // schemas. Measured acceptable today; if CI time grows, swap the
+    // eager names (EagerQueries + stream_*) to a declared-schema map
+    // validated by their functional specs, keeping the census
+    // exhaustive.
     // The driver's correctness harness loads both result sets into
     // pandas and sorts every column to hash rows; an ndarray/dict-valued
     // cell makes that sort throw (`unhashable type`), so the query's

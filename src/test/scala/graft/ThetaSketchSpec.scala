@@ -321,4 +321,54 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(ks.forall(v => v >= 0 && v < P60),
       "hashes must be 60-bit nonnegative")
   }
+
+  test("KmvMergeAgg: O(k) column merge equals the direct sketch of the " +
+    "concatenated data, under any partitioning") {
+    import spark.implicits._
+    val vals = (1L to 900L).map(v => v * 6151L % 10007L)
+    val k = 32
+    val expected = vals.distinct.sorted.take(k)
+    val partials = vals.zipWithIndex
+      .map { case (v, i) => (i % 13, v) }.toDF("g", "h")
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions.kmvSketch(spark, col("h"), k)
+        .as("ks"))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = partials.repartition(parts)
+        .agg(graft.functions.GraftFunctions.kmvMerge(spark, col("ks"), k))
+        .head().getSeq[Long](0)
+      assert(got.toSeq == expected, s"parts=$parts")
+    }
+  }
+
+  test("KmvMergeAgg: unsorted inputs, null sketches, and empty arrays " +
+    "merge correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq(50L, 10L, 30L))), // unsorted on purpose
+      (2, None),
+      (3, Some(Seq.empty[Long])),
+      (4, Some(Seq(20L, 10L, 40L)))) // overlapping values dedup
+      .toDF("g", "ks")
+    val got = df
+      .agg(graft.functions.GraftFunctions.kmvMerge(spark, col("ks"), 4))
+      .head().getSeq[Long](0)
+    assert(got.toSeq == Seq(10L, 20L, 30L, 40L), got.toString)
+  }
+
+  test("graft_kmv_merge is reachable from a raw SQL string and agrees " +
+    "with the DataFrame path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    (1L to 300L).map(v => (v % 5, v * 271L % 997L))
+      .toDF("g", "h").createOrReplaceTempView("kmv_merge_probe")
+    val got = spark.sql("""
+      SELECT graft_kmv_merge(ks, 16) AS ks
+      FROM (SELECT g, graft_kmv_sketch(h, 16) AS ks
+            FROM kmv_merge_probe GROUP BY g)""")
+      .head().getSeq[Long](0)
+    val want = (1L to 300L).map(v => v * 271L % 997L)
+      .distinct.sorted.take(16)
+    assert(got.toSeq == want, got.toString)
+  }
 }
