@@ -643,6 +643,54 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** DuckDB from-scratch rebuild of the deterministic quantile sketch
+    * over ALL events (see functions/QuantileSketchAgg.scala): minimal
+    * level keeping <= 256 rows by md5(event_id) trailing zeros, exact
+    * retained contents + rank readouts. Shared by rel_quantile_sketch,
+    * rel_sql_qsketch, and stream_qsketch_handoff — each builds the
+    * same sketch through a different engine path (one group-by, a SQL
+    * build+merge, a stream-to-store handoff), and the lossless merge
+    * identity makes all three equal this one definition. */
+  private val qsketchFromScratchSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         cast(round(value * 1000) AS bigint) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+      |           AS h
+      |  FROM events
+      |), z AS (
+      |  SELECT *, CASE WHEN h = 0 THEN 60
+      |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
+      |            END AS tz
+      |  FROM t
+      |), lev AS (
+      |  SELECT event_type, l, count(*) FILTER (WHERE tz >= l) AS cnt
+      |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
+      |  GROUP BY 1, 2
+      |), lv AS (
+      |  SELECT event_type, min(l) AS lvl FROM lev WHERE cnt <= 256
+      |  GROUP BY 1
+      |), ret AS (
+      |  SELECT z.event_type, z.h, z.cents, lv.lvl
+      |  FROM z JOIN lv USING (event_type) WHERE z.tz >= lv.lvl
+      |), ord AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY cents, h) AS rv,
+      |         count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM ret
+      |)
+      |SELECT event_type, cast(lvl AS bigint) AS lvl,
+      |       cast(m AS bigint) AS n_kept,
+      |       max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
+      |                THEN cents END) AS p50_cents,
+      |       max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
+      |                THEN cents END) AS p95_cents,
+      |       lvl::VARCHAR || ';' ||
+      |         string_agg(h::VARCHAR || ';' || cents::VARCHAR, ';'
+      |                    ORDER BY h, cents) AS contents
+      |FROM ord GROUP BY event_type, lvl, m""".stripMargin
+
   /** DuckDB CTE exploding embeddings to (vec_id, label, pos, vx). */
   private val embUnnestCte =
     """v AS (
@@ -7602,6 +7650,39 @@ object SparkEntry {
               GROUP BY event_type)""")
     }),
 
+    // QUANTILE SKETCH from a SQL string — reachability twin covering
+    // BOTH new aggregates: daily graft_qsketch partials merged per
+    // segment by graft_qsketch_merge, readout (quantile ranks +
+    // contents string) in plain SQL over the wire-format array.
+    // Lossless merge ⇒ the same from-scratch oracle as
+    // rel_quantile_sketch.
+    "rel_sql_qsketch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      events(s, dir).select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"),
+        thetaHash(col("event_id")).as("h"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+        .createOrReplaceTempView("graft_sql_qs_rows")
+      s.sql("""
+        SELECT event_type,
+               element_at(qs, 1) AS lvl,
+               cast(size(vals) AS bigint) AS n_kept,
+               element_at(vals, cast(ceil(size(vals) * 0.5) AS int))
+                 AS p50_cents,
+               element_at(vals, cast(ceil(size(vals) * 0.95) AS int))
+                 AS p95_cents,
+               concat_ws(';', cast(qs AS array<string>)) AS contents
+        FROM (
+          SELECT event_type, qs,
+                 array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))
+                   AS vals
+          FROM (SELECT event_type, graft_qsketch_merge(qs, 256) AS qs
+                FROM (SELECT event_type, day,
+                             graft_qsketch(h, cents, 256) AS qs
+                      FROM graft_sql_qs_rows GROUP BY event_type, day)
+                GROUP BY event_type))""")
+    }),
+
     // rank() WITH TIES from SQL → GlobalTies (twin of
     // rel_global_rank_ties).
     "rel_sql_rank_ties" -> ((s, dir) => {
@@ -8662,6 +8743,68 @@ object SparkEntry {
           .groupBy(col("event_type"))
           .agg(sum(col("cnt")).as("n_events"),
             sum(col("sum_cents")).as("sum_cents"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
+    }),
+
+    // STREAM-TO-STORE QUANTILE-SKETCH HANDOFF — the qsketch partials
+    // ride the EXACTLY-ONCE store, and that choice is the point:
+    // unlike the KMV handoff above (k-smallest SET union — duplicate
+    // partials merge away, append store fine), the quantile sketch is
+    // a MULTISET of (hash, value) pairs, so an at-least-once duplicate
+    // append would double-count retained rows. The write side is
+    // therefore the dynamic-partition-overwrite store (a replayed
+    // batch replaces its partition) and the read is a plain O(cap)
+    // graft_qsketch_merge — proven here by re-presenting batch 0
+    // through the identical write path before reading. Lossless merge
+    // identity ⇒ the served sketch equals the from-scratch sketch of
+    // all events, contents and all; the oracle never sees the store.
+    "stream_qsketch_handoff" -> ((s, dir) => {
+      val cap = 256
+      val base = events(s, dir).select(col("event_type"),
+        thetaHash(col("event_id")).as("h"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "qshandoff")
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "qshandoffstore")
+      base.repartition(3).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToPartitionedStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_qshandoff", store)(df =>
+          df.groupBy("event_type")
+            .agg(graft.functions.GraftFunctions
+              .qsketch(s, col("h"), col("cents"), cap).as("qs")))
+        // replay batch 0 through the identical exactly-once write path
+        // — the store must be unchanged or the multiset merge breaks
+        graft.streaming.StreamGate.writeBatchPartition(
+          s.read.parquet(store).where(col("batch_id") === 0)
+            .drop("batch_id"), 0L, store)
+        s.read.parquet(store)
+          .groupBy("event_type")
+          .agg(graft.functions.GraftFunctions
+            .qsketchMerge(s, col("qs"), cap).as("qs"))
+          .select(col("event_type"), col("qs"),
+            expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+              .as("vals"))
+          .select(col("event_type"),
+            element_at(col("qs"), 1).as("lvl"),
+            size(col("vals")).cast("long").as("n_kept"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+              .as("p50_cents"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+              .as("p95_cents"),
+            concat_ws(";", col("qs").cast("array<string>")).as("contents"))
           // eager: the scratch store is deleted on exit
           .localCheckpoint(true)
       } finally {
@@ -14720,45 +14863,14 @@ object SparkEntry {
     // with <= 256 rows of trailing-zero count >= L over md5(event_id)),
     // so the oracle rebuilds it from the definition and checks the full
     // sketch contents string bit-for-bit, plus the rank readouts
-    "rel_quantile_sketch" ->
-      """WITH t AS (
-        |  SELECT event_type,
-        |         cast(round(value * 1000) AS bigint) AS cents,
-        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
-        |           AS h
-        |  FROM events
-        |), z AS (
-        |  SELECT *, CASE WHEN h = 0 THEN 60
-        |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
-        |            END AS tz
-        |  FROM t
-        |), lev AS (
-        |  SELECT event_type, l, count(*) FILTER (WHERE tz >= l) AS cnt
-        |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
-        |  GROUP BY 1, 2
-        |), lv AS (
-        |  SELECT event_type, min(l) AS lvl FROM lev WHERE cnt <= 256
-        |  GROUP BY 1
-        |), ret AS (
-        |  SELECT z.event_type, z.h, z.cents, lv.lvl
-        |  FROM z JOIN lv USING (event_type) WHERE z.tz >= lv.lvl
-        |), ord AS (
-        |  SELECT *,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY cents, h) AS rv,
-        |         count(*) OVER (PARTITION BY event_type) AS m
-        |  FROM ret
-        |)
-        |SELECT event_type, cast(lvl AS bigint) AS lvl,
-        |       cast(m AS bigint) AS n_kept,
-        |       max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
-        |                THEN cents END) AS p50_cents,
-        |       max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
-        |                THEN cents END) AS p95_cents,
-        |       lvl::VARCHAR || ';' ||
-        |         string_agg(h::VARCHAR || ';' || cents::VARCHAR, ';'
-        |                    ORDER BY h, cents) AS contents
-        |FROM ord GROUP BY event_type, lvl, m""".stripMargin,
+    "rel_quantile_sketch" -> qsketchFromScratchSql,
+
+    // SQL build+merge path: lossless merge ⇒ same from-scratch oracle
+    "rel_sql_qsketch" -> qsketchFromScratchSql,
+
+    // stream-to-store path (exactly-once partials, replayed batch
+    // replaces): lossless merge ⇒ same from-scratch oracle
+    "stream_qsketch_handoff" -> qsketchFromScratchSql,
 
     // lossless merge identity: the trailing-7-day merge of per-day
     // partials equals the from-scratch sketch of the sliced raw rows —

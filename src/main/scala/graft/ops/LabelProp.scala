@@ -50,14 +50,19 @@ object LabelProp {
 
   def propagate(edgesIn: DataFrame, rounds: Int,
                 frontierFraction: Double = 0.125): DataFrame =
-    propagateStats(edgesIn, rounds, frontierFraction)._1
+    propagateStats(edgesIn, rounds, frontierFraction,
+      collectStats = false)._1
 
   /** As [[propagate]], also returning the per-round changed counts —
     * the observable a spec needs to prove the frontier actually
     * engaged (counts after the first are the frontier-trigger inputs).
+    * `collectStats = false` (the [[propagate]] path) skips the FINAL
+    * round's changed count: it feeds no strategy decision and no early
+    * exit, so it would be a pure extra pass over the merge result.
     */
   def propagateStats(edgesIn: DataFrame, rounds: Int,
-                     frontierFraction: Double = 0.125)
+                     frontierFraction: Double = 0.125,
+                     collectStats: Boolean = true)
   : (DataFrame, Seq[Long]) = {
     val edges = edgesIn.select(col("a"), col("b"))
       .repartition(col("a")).localCheckpoint(false)
@@ -108,8 +113,10 @@ object LabelProp {
         .localCheckpoint(false)
       changed = merged.where(col("old_lbl") =!= col("lbl"))
         .select(col("node"))
-      changedCount = changed.count() // merged is materialized: cheap
-      stats += changedCount
+      if (round < rounds || collectStats) {
+        changedCount = changed.count() // merged is materialized: cheap
+        stats += changedCount
+      }
       labels = merged.select(col("node"), col("lbl"))
       round += 1
     }

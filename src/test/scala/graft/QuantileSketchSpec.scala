@@ -84,6 +84,34 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate partials: KMV merge is idempotent, qsketch merge is " +
+    "NOT — why the quantile handoff rides the exactly-once store") {
+    // the at-least-once append store re-presents a batch's partial on
+    // crash recovery; a SET union (KMV) absorbs the duplicate, a
+    // MULTISET of (h, v) pairs (qsketch) double-counts it — pinning
+    // the store-choice rationale documented in StreamGate
+    val a = Seq(10L, 20L).toDF("h")
+      .agg(GraftFunctions.kmvSketch(spark, col("h"), 8)).head().getSeq[Long](0)
+    val b = Seq(30L, 40L).toDF("h")
+      .agg(GraftFunctions.kmvSketch(spark, col("h"), 8)).head().getSeq[Long](0)
+    def kmvM(parts: Seq[Seq[Long]]) = parts.toDF("ks")
+      .agg(GraftFunctions.kmvMerge(spark, col("ks"), 8)).head().getSeq[Long](0)
+    assert(kmvM(Seq(a, b, a)) == kmvM(Seq(a, b)), "KMV must absorb dups")
+
+    def qs(rows: Seq[(Long, Long)]) = rows.toDF("h", "v")
+      .agg(GraftFunctions.qsketch(spark, col("h"), col("v"), 8))
+      .head().getSeq[Long](0)
+    val qa = qs(Seq((10L, 1L), (20L, 2L)))
+    val qb = qs(Seq((30L, 3L), (40L, 4L)))
+    def qsM(parts: Seq[Seq[Long]]) = parts.toDF("qs")
+      .agg(GraftFunctions.qsketchMerge(spark, col("qs"), 8))
+      .head().getSeq[Long](0)
+    assert(qsM(Seq(qa, qb)) == qs(Seq((10L, 1L), (20L, 2L), (30L, 3L),
+      (40L, 4L))), "clean merge must be lossless")
+    assert(qsM(Seq(qa, qb, qa)) != qsM(Seq(qa, qb)),
+      "a duplicated qsketch partial must be observable (multiset)")
+  }
+
   test("null hashes/values contribute nothing; sub-cap input is exact " +
     "(level 0, all rows retained)") {
     val df = Seq((Some(8L), Some(3L)), (None, Some(9L)), (Some(12L), None),
