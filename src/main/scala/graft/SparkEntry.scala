@@ -5268,6 +5268,69 @@ object SparkEntry {
         .select(col("tau"), col("est_total"), col("exact_total"))
     }),
 
+    // WEIGHTED QUANTILES FROM A PRIORITY SAMPLE — the SKETCHED sibling
+    // of rel_weighted_quantiles (which narrows to the EXACT answer via
+    // Selection.weightedQuantile's multi-pass selection): what the DLT
+    // estimator is FOR — revenue-weighted percentiles ("the median
+    // dollar": the order price p such that orders totaling half the
+    // spend are priced <= p) served from a bounded 256-row priority
+    // sample per segment, never a full sort of the weights. est_rank(x)
+    // = Σ_{retained, v<=x} max(w, τ) is the Horvitz-Thompson subset-sum
+    // estimate, so the weighted p50/p95 fall out of one cumulative
+    // window over <= 256 retained rows; τ carries the sub-k guard
+    // (τ=0 ⇒ exact when a segment has <= 256 orders). Integer
+    // arithmetic end to end — the oracle reproduces the sample AND the
+    // served quantiles bit-for-bit. Scale shape: the rn <= k+1 filter
+    // under a partitioned row_number plans WindowGroupLimit (each task
+    // keeps its local top-257 per segment before the shuffle); the
+    // cumulative window runs over segments × 256 rows — model-sized.
+    "rel_weighted_quantile_sample" -> ((s, dir) => {
+      val k = 256
+      val h = greatest(conv(substring(md5(col("o_orderkey").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L))
+      val pri = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("seg"), col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) AS bigint)").as("w_cents"),
+          h.as("h"))
+        .select(col("seg"), col("o_orderkey"), col("w_cents"),
+          expr("(w_cents * 4294967296) div h").as("priority"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg")
+        .orderBy(col("priority").desc, col("o_orderkey").asc)
+      val top = pri.withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= k + 1)
+      val tau = top.groupBy("seg").agg(
+        when(count(lit(1)) <= k, lit(0L))
+          .otherwise(min(col("priority"))).as("tau"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg").orderBy(col("w_cents"), col("o_orderkey"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      val exact = tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("seg"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) AS bigint)"))
+          .as("exact_total"))
+      top.where(col("rn") <= k)
+        .join(broadcast(tau), "seg")
+        .select(col("seg"), col("w_cents"), col("o_orderkey"),
+          greatest(col("w_cents"), col("tau")).as("w_hat"))
+        .select(col("seg"), col("w_cents"),
+          sum(col("w_hat")).over(wCum).as("cum"),
+          sum(col("w_hat")).over(wAll).as("est_total"))
+        .groupBy(col("seg"), col("est_total"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(when(col("cum") * 2 >= col("est_total"), col("w_cents")))
+            .as("p50w_cents"),
+          min(when(col("cum") * 20 >= col("est_total") * 19,
+            col("w_cents"))).as("p95w_cents"))
+        .join(broadcast(exact), "seg")
+        .select(col("seg"), col("n_kept"), col("est_total"),
+          col("exact_total"), col("p50w_cents"), col("p95w_cents"))
+    }),
+
     // Peak concurrency by sweep line: each event opens a 5-minute
     // interval; +1/-1 deltas sorted by time run through the custom
     // GlobalScan operator (distributed prefix sum — range-partitioned
@@ -8039,15 +8102,57 @@ object SparkEntry {
           col("ks"))
         .crossJoin(broadcast(span))
         .where(col("obs_day") <= col("d1")) // no post-horizon days
-        .select(col("obs_day"), explode(col("ks")).as("h"))
         .groupBy("obs_day")
-        .agg(graft.functions.GraftFunctions.kmvSketch(s, col("h"), k)
+        // O(k) column merge (graft_kmv_merge): the window stage ships
+        // O(days × 7) sketch ROWS, never explodes them back to hashes
+        .agg(graft.functions.GraftFunctions.kmvMerge(s, col("ks"), k)
           .as("ks"))
         .select(col("obs_day").cast("long").as("obs_day"),
           size(col("ks")).cast("long").as("n_kept"),
           round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"))
+    }),
+
+    // ROLLING p95 DASHBOARD FROM QUANTILE-SKETCH PARTIALS — the
+    // quantile sibling of rel_rolling_wau_sketch: each day reduces to
+    // ONE 256-cap qsketch partial, and every observation day's
+    // trailing-7-day p50/p95 is an O(cap) merge of seven partials —
+    // the window stage costs O(days × 7 × cap) REGARDLESS of event
+    // volume, where an exact rolling percentile would re-rank 7 days
+    // of raw values per window. The merge is lossless (minimal-level
+    // identity), so each window's sketch — contents included — equals
+    // the from-scratch sketch of the window's raw rows, which is what
+    // the oracle computes.
+    "rel_rolling_p95_sketch" -> ((s, dir) => {
+      val cap = 256
+      val daily = events(s, dir)
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+          thetaHash(col("event_id")).as("h"),
+          expr("cast(round(value * 1000) AS bigint)").as("cents"))
+        .groupBy("day")
+        .agg(graft.functions.GraftFunctions
+          .qsketch(s, col("h"), col("cents"), cap).as("qs"))
+      val span = daily.agg(max(col("day")).as("d1"))
+      daily
+        .select(explode(expr("sequence(day, day + 6)")).as("obs_day"),
+          col("qs"))
+        .crossJoin(broadcast(span))
+        .where(col("obs_day") <= col("d1")) // no post-horizon days
+        .groupBy("obs_day")
+        .agg(graft.functions.GraftFunctions
+          .qsketchMerge(s, col("qs"), cap).as("qs"))
+        .select(col("obs_day"), col("qs"),
+          expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+            .as("vals"))
+        .select(col("obs_day").cast("long").as("obs_day"),
+          element_at(col("qs"), 1).as("lvl"),
+          size(col("vals")).cast("long").as("n_kept"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+            .as("p50_cents"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+            .as("p95_cents"),
+          concat_ws(";", col("qs").cast("array<string>")).as("contents"))
     }),
 
     // FEATURE HASHING (the "hashing trick") — the fixed-dimension
@@ -8597,6 +8702,54 @@ object SparkEntry {
             .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
               / element_at(col("ks"), k).cast("double")), 4).as("est"),
           col("exact"))
+    }),
+
+    // STREAMING QUANTILE SKETCH WITH BOUNDED STATE — the unbounded-
+    // stream twin of rel_quantile_sketch (and the rank-error-bounded
+    // replacement of stream_quantile_sketch's log2 buckets): per
+    // event_type, the deterministic level sample lives in
+    // mapGroupsWithState (level + <= 256 pairs per key FOREVER) and is
+    // maintained incrementally across an unordered multi-batch CSV
+    // replay. The retained set is a pure function of the row multiset
+    // — arrival order and batch slicing cannot change it — so the
+    // streamed sketch equals the batch sketch BIT-FOR-BIT and the same
+    // from-scratch oracle checks contents and rank readouts. Readers
+    // keep the max-version snapshot per key.
+    "stream_qsketch" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 256
+      val base = events(s, dir).select(col("event_type"),
+        thetaHash(col("event_id")).as("h"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "qstream")
+      base.repartition(3).write.mode("overwrite").csv(src)
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_qstream", "update")(df =>
+          graft.streaming.EventStream.qsketchStream(
+            df.toDF("_1", "_2", "_3").as[(String, Long, Long)], cap).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      sink.groupBy(col("key"))
+        .agg(max(struct(col("ver"), col("qs"))).as("m"))
+        .select(col("key").as("event_type"), col("m.qs").as("qs"))
+        .select(col("event_type"), col("qs"),
+          expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+            .as("vals"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("lvl"),
+          size(col("vals")).cast("long").as("n_kept"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+            .as("p50_cents"),
+          expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+            .as("p95_cents"),
+          concat_ws(";", col("qs").cast("array<string>")).as("contents"))
     }),
 
     // STREAM-TO-WAREHOUSE SKETCH HANDOFF — the Kappa-architecture seam
@@ -12286,6 +12439,53 @@ object SparkEntry {
         |FROM t, tau WHERE t.rn <= 100
         |GROUP BY tau.tau""".stripMargin,
 
+    // same exact-integer sample per segment; the served weighted
+    // quantiles are the HT subset-sum readout over the retained rows
+    "rel_weighted_quantile_sample" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS seg, o_orderkey,
+        |         cast(round(o_totalprice * 100) AS bigint) AS w_cents,
+        |         greatest(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+        |                    ::BIGINT, 1) AS h
+        |  FROM orders
+        |), p AS (
+        |  SELECT seg, o_orderkey, w_cents,
+        |         cast((w_cents * 4294967296) // h AS bigint) AS priority
+        |  FROM b
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY seg
+        |                               ORDER BY priority DESC, o_orderkey)
+        |           AS rn
+        |  FROM p
+        |), tau AS (
+        |  SELECT seg, CASE WHEN count(*) <= 256 THEN cast(0 AS bigint)
+        |                   ELSE cast(min(priority) AS bigint) END AS tau
+        |  FROM t WHERE rn <= 257 GROUP BY 1
+        |), r AS (
+        |  SELECT t.seg, t.w_cents, t.o_orderkey,
+        |         greatest(t.w_cents, tau.tau) AS w_hat
+        |  FROM t JOIN tau USING (seg) WHERE t.rn <= 256
+        |), c AS (
+        |  SELECT seg, w_cents,
+        |         sum(w_hat) OVER (PARTITION BY seg
+        |                          ORDER BY w_cents, o_orderkey) AS cum,
+        |         sum(w_hat) OVER (PARTITION BY seg) AS est_total
+        |  FROM r
+        |), e AS (
+        |  SELECT o_orderpriority AS seg,
+        |         cast(sum(cast(round(o_totalprice * 100) AS bigint))
+        |              AS bigint) AS exact_total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT c.seg, cast(count(*) AS bigint) AS n_kept,
+        |       cast(c.est_total AS bigint) AS est_total, e.exact_total,
+        |       min(CASE WHEN 2 * cum >= est_total THEN w_cents END)
+        |         AS p50w_cents,
+        |       min(CASE WHEN 20 * cum >= 19 * est_total THEN w_cents END)
+        |         AS p95w_cents
+        |FROM c JOIN e USING (seg)
+        |GROUP BY c.seg, c.est_total, e.exact_total""".stripMargin,
+
     // the same sweep as a single-partition SQL window; running values
     // within an identical (t, delta) tie block differ per row but form
     // the same multiset, and only aggregates of them are compared
@@ -14617,6 +14817,58 @@ object SparkEntry {
          |FROM dd LEFT JOIN g ON g.doc_id = dd.doc_id AND g.dim = dd.dim
          |GROUP BY dd.doc_id""".stripMargin,
 
+    // each rolling window's sketch from scratch over the window's raw
+    // rows — the lossless merge makes the partials path equal it
+    // bit-for-bit, contents included
+    "rel_rolling_p95_sketch" ->
+      """WITH t AS (
+        |  SELECT (ts::DATE - DATE '1970-01-01') AS day,
+        |         cast(round(value * 1000) AS bigint) AS cents,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM events
+        |), sp AS (SELECT max(day) AS d1 FROM t),
+        |obs AS (
+        |  SELECT DISTINCT day + g AS obs_day
+        |  FROM (SELECT DISTINCT day FROM t)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS g), sp
+        |  WHERE day + g <= sp.d1
+        |), w AS (
+        |  SELECT o.obs_day, t.cents, t.h
+        |  FROM obs o JOIN t ON t.day BETWEEN o.obs_day - 6 AND o.obs_day
+        |), z AS (
+        |  SELECT *, CASE WHEN h = 0 THEN 60
+        |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
+        |            END AS tz
+        |  FROM w
+        |), lev AS (
+        |  SELECT obs_day, l, count(*) FILTER (WHERE tz >= l) AS cnt
+        |  FROM z CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
+        |  GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT obs_day, min(l) AS lvl FROM lev WHERE cnt <= 256
+        |  GROUP BY 1
+        |), ret AS (
+        |  SELECT z.obs_day, z.h, z.cents, lv.lvl
+        |  FROM z JOIN lv USING (obs_day) WHERE z.tz >= lv.lvl
+        |), ord AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY obs_day
+        |                            ORDER BY cents, h) AS rv,
+        |         count(*) OVER (PARTITION BY obs_day) AS m
+        |  FROM ret
+        |)
+        |SELECT cast(obs_day AS bigint) AS obs_day,
+        |       cast(lvl AS bigint) AS lvl, cast(m AS bigint) AS n_kept,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
+        |                THEN cents END) AS p50_cents,
+        |       max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
+        |                THEN cents END) AS p95_cents,
+        |       lvl::VARCHAR || ';' ||
+        |         string_agg(h::VARCHAR || ';' || cents::VARCHAR, ';'
+        |                    ORDER BY h, cents) AS contents
+        |FROM ord GROUP BY obs_day, lvl, m""".stripMargin,
+
     "rel_asof_nearest" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
@@ -14871,6 +15123,10 @@ object SparkEntry {
     // stream-to-store path (exactly-once partials, replayed batch
     // replaces): lossless merge ⇒ same from-scratch oracle
     "stream_qsketch_handoff" -> qsketchFromScratchSql,
+
+    // unbounded-stream stateful path: order-insensitive retained set ⇒
+    // streamed == batch bit-for-bit, same from-scratch oracle
+    "stream_qsketch" -> qsketchFromScratchSql,
 
     // lossless merge identity: the trailing-7-day merge of per-day
     // partials equals the from-scratch sketch of the sliced raw rows —

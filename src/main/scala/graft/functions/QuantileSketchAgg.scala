@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ships <= c pairs per group — map-side combine, never the row
   * stream.
   */
-private[functions] object QSketch {
+private[graft] object QSketch {
 
   /** levels above 60 cannot occur for 60-bit hashes; h=0 parks at 60
     * (the oracle uses the same convention) */

@@ -573,6 +573,50 @@ object EventStream {
       }
   }
 
+  case class QSketchSnap(key: String, ver: Long, qs: Seq[Long])
+
+  /** STREAMING QUANTILE SKETCH: the deterministic level sample per key
+    * in mapGroupsWithState — the unbounded-stream twin of the batch
+    * [[graft.functions.QuantileSketchAgg]]. State is ONE level + <= cap
+    * (hash, value) pairs per key FOREVER, regardless of stream volume.
+    * The retained set is the minimal-level rule — a pure function of
+    * the row multiset, not of arrival order or batch slicing — so an
+    * unordered multi-batch replay equals the batch sketch BIT-FOR-BIT
+    * (wire format included) and the same from-scratch oracle checks
+    * both. Emits one cumulative wire-format snapshot per key per
+    * micro-batch (update mode); readers keep the max-version row. */
+  def qsketchStream(rows: Dataset[(String, Long, Long)], cap: Int = 256)
+  : Dataset[QSketchSnap] = {
+    import rows.sparkSession.implicits._
+    require(cap > 0)
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Int, Array[Long], Long), QSketchSnap](
+        GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          val (lvl0, flat, ver) =
+            state.getOption.getOrElse((0, Array.empty[Long], 0L))
+          val buf = new graft.functions.QSketch.Buf(lvl0,
+            scala.collection.mutable.ArrayBuffer.empty)
+          var i = 0
+          while (i < flat.length) {
+            buf.pairs += ((flat(i), flat(i + 1))); i += 2
+          }
+          it.foreach { case (_, h, v) =>
+            graft.functions.QSketch.insert(buf, h, v, cap)
+          }
+          val next = new Array[Long](2 * buf.pairs.size)
+          var j = 0
+          buf.pairs.foreach { case (h, v) =>
+            next(j) = h; next(j + 1) = v; j += 2
+          }
+          state.update((buf.level, next, ver + 1))
+          // emit the canonical wire format (sorted pairs)
+          val sorted = buf.pairs.sortBy(identity)
+          QSketchSnap(key, ver + 1,
+            buf.level.toLong +: sorted.flatMap(p => Seq(p._1, p._2)).toSeq)
+      }
+  }
+
   /** One exact-distinct bitmap snapshot: popcount of the (key, bucket)
     * bitmap after this micro-batch, with the emission version. */
   case class BitmapSnap(key: String, bucket: Long, distinct: Long, ver: Long)

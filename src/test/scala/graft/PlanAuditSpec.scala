@@ -624,6 +624,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // and signup-cohort days are time-span-bounded (calendar days,
       // not data volume)
       "rel_dpp_prune" -> "filter over per-event_type counts: <= 5 rows",
+      "rel_weighted_quantile_sample" -> ("tau and exact totals are " +
+        "per-o_orderpriority aggregates: <= 5 rows each"),
       "rel_regression_per_key" -> "per-event_type t0: <= 5 rows",
       "rel_markov_transitions" -> "per-src totals, src = event_type: 5",
       "rel_mutual_info" -> "marginals by event_type (5) / hour (24)",

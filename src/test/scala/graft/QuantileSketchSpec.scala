@@ -112,6 +112,20 @@ class QuantileSketchSpec extends AnyFunSuite {
       "a duplicated qsketch partial must be observable (multiset)")
   }
 
+  test("plan: the sketch aggregates partially map-side — two " +
+    "ObjectHashAggregate stages around one exchange, <= cap pairs " +
+    "shipped per partition per group") {
+    val p = mk(10000)
+      .withColumn("g", col("h") % 5)
+      .groupBy("g")
+      .agg(GraftFunctions.qsketch(spark, col("h"), col("v"), cap))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(p.contains("Exchange hashpartitioning(g"),
+      s"expected the one key exchange between the stages:\n$p")
+  }
+
   test("null hashes/values contribute nothing; sub-cap input is exact " +
     "(level 0, all rows retained)") {
     val df = Seq((Some(8L), Some(3L)), (None, Some(9L)), (Some(12L), None),
