@@ -78,6 +78,13 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
+        // storage hygiene between queries: localCheckpoint blocks from
+        // iterative queries persist until GC — across a 360+-query
+        // sweep in one JVM they accumulate into heap pressure (the ×30
+        // rung OOM'd mid-sweep at 8 GiB without this). Each query is
+        // measured against a clean storage pool, as it would run alone.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
