@@ -100,6 +100,52 @@ class StreamAsOfSpec extends AnyFunSuite {
       2L -> Some(us(0)), 6L -> Some(us(95)), 4L -> Some(us(95))))
   }
 
+  test("asOfLastViewBounded: a row at EXACTLY the watermark is " +
+    "accepted and finalized; one strictly below is dropped — the " +
+    "symmetric boundary convention") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // batch A: view@0 and view@100 (sets watermark = 100 - 10 = 90 s).
+    // batch B: purchase@90 — event time EXACTLY the watermark — must be
+    //   ACCEPTED (>= wm) and FINALIZED this batch (<= wm), enriched by
+    //   the strictly-prior view@0; purchase@85 (< wm) is late-dropped.
+    // Before the symmetric convention, the @90 row's fate depended on
+    // which batch it arrived in (buffered-then-emitted vs dropped).
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    def us(sec: Long): Long = (base.getEpochSecond + sec) * 1000000L
+    def row(id: Long, sec: Long, isView: Boolean): String = {
+      val s = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(base.plusSeconds(sec))
+      s"1,$id,$s,${us(sec)},$isView"
+    }
+    val dir = TestSpark.scratchDir("asof-boundary")
+    val fa = dir.resolve("a.csv")
+    val fb = dir.resolve("b.csv")
+    java.nio.file.Files.write(fa,
+      Seq(row(1, 0, true), row(2, 100, true)).mkString("\n").getBytes)
+    java.nio.file.Files.write(fb,
+      Seq(row(3, 90, false), row(4, 85, false)).mkString("\n").getBytes)
+    java.nio.file.Files.setLastModifiedTime(fa,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(fb,
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = StructType(Seq(
+      StructField("userId", LongType), StructField("eventId", LongType),
+      StructField("ts", TimestampType), StructField("tsUs", LongType),
+      StructField("isView", BooleanType)))
+    val got = graft.streaming.StreamGate.replayCsvMultiBatch(spark,
+      dir.toString, schema, "gate_asof_boundary", "append")(df =>
+      graft.streaming.EventStream.asOfLastViewBounded(
+        df.as[graft.streaming.EventStream.AsOfIn], "10 seconds").toDF())
+      .collect().map(r => r.getAs[Long]("eventId") ->
+        Option(r.getAs[java.lang.Long]("lastViewUs")).map(_.longValue()))
+      .toMap
+    assert(got == Map(3L -> Some(us(0))),
+      s"boundary row mishandled: $got")
+  }
+
   test("asOfLastByType: per-type carries respect the (ts, event_id) " +
     "order and types stay independent") {
     import spark.implicits._
