@@ -67,6 +67,33 @@ class LabelPropSpec extends AnyFunSuite {
     assert(stats == Seq(4L, 4L, 4L, 4L), stats.toString)
   }
 
+  test("adaptive/full/frontier all equal a plain-Scala reference on a " +
+    "200-node pseudo-random graph") {
+    // independent oracle: synchronous majority-min LPA computed locally
+    val n = 200L
+    val pairs = (for {
+      i <- 1L to n
+      j <- Seq((i * 7919L) % n + 1L, (i * 104729L) % n + 1L)
+      if i != j
+    } yield (math.min(i, j), math.max(i, j))).distinct
+    val edges = sym(pairs)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rounds = 4
+    var ref = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      ref = adj.map { case (node, nbrs) =>
+        val best = nbrs.groupBy(ref).map { case (l, xs) => (l, xs.size) }
+          .toSeq.maxBy { case (l, c) => (c, -l) }._1
+        node -> best
+      }
+    }
+    for (frac <- Seq(0.0, 0.125, 1.0)) {
+      val got = labelMap(LabelProp.propagate(edges, rounds, frac))
+      assert(got == ref, s"fraction=$frac diverges from the reference")
+    }
+  }
+
   test("clique labels: each clique collapses to its min member") {
     val got = labelMap(LabelProp.propagate(cliques, 5, 1.0))
     // both cliques stabilize on their minimum id (ties break to the
