@@ -83,6 +83,13 @@ object Bench {
         // sweep in one JVM they accumulate into heap pressure (the ×30
         // rung OOM'd mid-sweep at 8 GiB without this). Each query is
         // measured against a clean storage pool, as it would run alone.
+        // HAZARD: unpersisting a localCheckpointed RDD truncates its
+        // lineage permanently — it can never be recomputed. Safe here
+        // only because every registry query builds its frames per
+        // invocation; a future cross-query memoized checkpointed frame
+        // would fail far from this line with a missing-checkpoint-block
+        // error. If such a cache is ever added, restrict this sweep to
+        // RDD ids that first appeared during the current query's loop.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         name -> (if (times.contains(-1.0)) -1.0 else times.min)

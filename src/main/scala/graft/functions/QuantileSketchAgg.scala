@@ -196,11 +196,21 @@ case class QuantileSketchMergeAgg(
       val n = arr.numElements()
       require(n % 2 == 1,
         s"graft_qsketch_merge expects [level, (h,v)*] pairs, got $n longs")
-      val other = new QSketch.Buf(arr.getLong(0).toInt,
+      val declaredLevel = arr.getLong(0).toInt
+      val other = new QSketch.Buf(declaredLevel,
         scala.collection.mutable.ArrayBuffer.empty)
       var i = 1
       while (i < n) {
-        other.pairs += ((arr.getLong(i), arr.getLong(i + 1))); i += 2
+        val h = arr.getLong(i)
+        // a pair below the declared level cannot come from a canonical
+        // minimal-level sketch — a corrupted or hand-built input would
+        // otherwise silently break the lossless-merge identity (the
+        // merged result would no longer equal the from-scratch sketch)
+        require(QSketch.levelOf(h) >= declaredLevel,
+          s"graft_qsketch_merge: pair hash $h has level " +
+            s"${QSketch.levelOf(h)} < declared level $declaredLevel — " +
+            "not a canonical minimal-level sketch")
+        other.pairs += ((h, arr.getLong(i + 1))); i += 2
       }
       QSketch.merge(buf, other, capacity)
     }

@@ -48,22 +48,53 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
+  /** Switch threshold: a round runs FRONTIER iff the previous round's
+    * changed count is <= nNodes/8. Why 1/8 is safe for BOTH measured
+    * graph classes (not derived per-graph — justified by the cost
+    * asymmetry):
+    *
+    *  - A frontier round runs ~3 frontier-sized shuffle stages
+    *    (affected-set build, incident-edge recompute, label lookup)
+    *    where a full round runs 1 full-edge stage, and the first
+    *    frontier round also pays the one-time dest-partitioned edge
+    *    copy. The frontier only wins decisively when the affected
+    *    set's INCIDENT EDGES are well under E/3; since the affected
+    *    set fans out from the changed set by up to the average degree,
+    *    requiring changed <= n/8 keeps the recompute safely under
+    *    break-even even with ~3x degree fan-out.
+    *  - The penalty for a WRONG choice is bounded and self-correcting:
+    *    choosing FULL when frontier would win costs at most the full
+    *    round we could always afford (the oscillating co-order graph
+    *    lives here permanently, changed = n every round, and never
+    *    dips near n/8); choosing FRONTIER wrongly costs <= ~3x one
+    *    full round, once, and the NEXT round re-decides from that
+    *    round's measured count. Converging graphs (cliquey similarity
+    *    graphs) crash through 1/8 within a round or two of converging,
+    *    so the threshold's exact value only shifts the switch by ~one
+    *    round — LabelPropSpec pins exactness on both sides of the
+    *    boundary.
+    */
+  val DefaultFrontierFraction = 0.125
+
   def propagate(edgesIn: DataFrame, rounds: Int,
-                frontierFraction: Double = 0.125): DataFrame =
+                frontierFraction: Double = DefaultFrontierFraction)
+  : DataFrame =
     propagateStats(edgesIn, rounds, frontierFraction,
       collectStats = false)._1
 
   /** As [[propagate]], also returning the per-round changed counts —
     * the observable a spec needs to prove the frontier actually
-    * engaged (counts after the first are the frontier-trigger inputs).
+    * engaged (counts after the first are the frontier-trigger inputs)
+    * — and the per-round strategy chosen ("full" | "frontier"), the
+    * observable a spec needs to cover the switch boundary itself.
     * `collectStats = false` (the [[propagate]] path) skips the FINAL
     * round's changed count: it feeds no strategy decision and no early
     * exit, so it would be a pure extra pass over the merge result.
     */
   def propagateStats(edgesIn: DataFrame, rounds: Int,
-                     frontierFraction: Double = 0.125,
+                     frontierFraction: Double = DefaultFrontierFraction,
                      collectStats: Boolean = true)
-  : (DataFrame, Seq[Long]) = {
+  : (DataFrame, Seq[Long], Seq[String]) = {
     val edges = edgesIn.select(col("a"), col("b"))
       .repartition(col("a")).localCheckpoint(false)
     // destination-partitioned copy for the frontier recompute, built
@@ -82,10 +113,14 @@ object LabelProp {
     var changed: DataFrame = null
     var changedCount = nNodes // round 1 is always full
     val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val strategies = scala.collection.mutable.ArrayBuffer.empty[String]
     var round = 1
     while (round <= rounds && changedCount > 0) {
+      val useFull =
+        round == 1 || changedCount > nNodes * frontierFraction
+      strategies += (if (useFull) "full" else "frontier")
       val newLbl =
-        if (round == 1 || changedCount > nNodes * frontierFraction)
+        if (useFull)
           argmax(labels.join(edges, col("node") === col("a"))
             .select(col("b"), col("lbl")))
         else {
@@ -120,6 +155,6 @@ object LabelProp {
       labels = merged.select(col("node"), col("lbl"))
       round += 1
     }
-    (labels, stats.toSeq)
+    (labels, stats.toSeq, strategies.toSeq)
   }
 }

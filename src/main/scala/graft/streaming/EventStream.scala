@@ -299,6 +299,18 @@ object EventStream {
           // matching Spark's own "late iff strictly older than the
           // watermark" aggregation contract and the batch oracle's
           // `ts <= horizon` cut.
+          // RESIDUAL CAVEAT (same-instant cross-batch ties): INCLUSION
+          // is batch-independent, but the FOLD ORDER of two rows at
+          // exactly the watermark instant is not — a purchase finalized
+          // in batch N cannot be enriched by a lower-eventId same-
+          // instant view that only arrives in batch N+1 while the
+          // watermark is stalled at that instant (the batch oracle
+          // folds by (tsUs, eventId) globally). Holding boundary rows
+          // pending until the watermark STRICTLY passes (finalize on
+          // < wUs) would close it, but rows at the stream's final
+          // watermark would then never finalize; the divergence needs
+          // two same-microsecond boundary rows split across batches
+          // under a stalled watermark — accepted and documented.
           val incoming = rows
             .map(r => (r.tsUs, r.eventId, r.isView))
             .filter(_._1 >= wUs).toList

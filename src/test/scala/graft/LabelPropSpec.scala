@@ -48,7 +48,7 @@ class LabelPropSpec extends AnyFunSuite {
   }
 
   test("the frontier engages, shrinks, and converges early") {
-    val (_, stats) = LabelProp.propagateStats(cliques, 10, 1.0)
+    val (_, stats, _) = LabelProp.propagateStats(cliques, 10, 1.0)
     // round 1 (full) changes most nodes; later (frontier) rounds must
     // shrink to zero well before the 10-round budget — the early exit
     assert(stats.length < 10, s"never converged: $stats")
@@ -62,7 +62,7 @@ class LabelPropSpec extends AnyFunSuite {
 
   test("oscillating graph flips en masse every round (the adaptive " +
     "rule's reason to stay full)") {
-    val (_, stats) = LabelProp.propagateStats(square, 4, 0.0)
+    val (_, stats, _) = LabelProp.propagateStats(square, 4, 0.0)
     // all 4 nodes change label in every synchronous round
     assert(stats == Seq(4L, 4L, 4L, 4L), stats.toString)
   }
@@ -92,6 +92,33 @@ class LabelPropSpec extends AnyFunSuite {
       val got = labelMap(LabelProp.propagate(edges, rounds, frac))
       assert(got == ref, s"fraction=$frac diverges from the reference")
     }
+  }
+
+  test("the switch boundary: fractions straddling round-1's changed " +
+    "count flip the round-2 strategy without changing any label") {
+    // learn the graph's round-1 changed count and node count, then pin
+    // fractions an epsilon on either side of changed/n: below it round
+    // 2 must stay FULL, above it round 2 must go FRONTIER — and the
+    // labels must be identical (the adaptive rule only picks WORK,
+    // never answers). This is the spec coverage for the
+    // DefaultFrontierFraction constant's switch condition.
+    // round 1 relabels every node (all start self-labeled), so the
+    // first PARTIAL changed count is round 2's — straddle that and
+    // observe round 3's strategy flip
+    val (_, statsFull, _) = LabelProp.propagateStats(cliques, 2, 0.0)
+    val c2 = statsFull(1)
+    val n = cliques.select("a").distinct().count()
+    assert(c2 > 0 && c2 < n, s"need a partial round-2 change: $c2/$n")
+    val below = (c2 - 0.5) / n // changed > n*below  -> round 3 FULL
+    val above = (c2 + 0.5) / n // changed <= n*above -> round 3 FRONTIER
+    val (lblB, _, stratB) = LabelProp.propagateStats(cliques, 3, below)
+    val (lblA, _, stratA) = LabelProp.propagateStats(cliques, 3, above)
+    assert(stratB.take(3) == Seq("full", "full", "full"),
+      stratB.toString)
+    assert(stratA.take(3) == Seq("full", "full", "frontier"),
+      stratA.toString)
+    assert(labelMap(lblB) == labelMap(lblA),
+      "labels diverge across the strategy switch")
   }
 
   test("clique labels: each clique collapses to its min member") {
