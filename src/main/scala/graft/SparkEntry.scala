@@ -2459,6 +2459,26 @@ object SparkEntry {
           col("n_frames_in_win"), round(col("rms"), 6).as("rms"))
     }),
 
+    // REAL spectral audio analysis, exact to the last bit: the same
+    // two-segment WAV through the actual decoder, then an 8-point DFT
+    // per window computed in the ring Z[√2] (twiddles 2·e^(-2πik/8) are
+    // all a+b√2 with integer a, b) — every per-bin power, the spectral
+    // energy, and the centroid numerator are exact INTEGERS, and
+    // Parseval (e_tot == 32·sum_sq) is an integer identity required
+    // per window in-path. The oracle replays the identical integer
+    // arithmetic from the analytic fixture (no cos() on either side).
+    "media_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.multimodal.Media.syntheticWav2(
+            (16 + id % 32).toInt,
+            ((id % 1000 + 1) * 16).toShort,
+            ((id % 700 + 1) * 20).toShort))
+        }).toDF("media_id", "payload")
+      graft.multimodal.Media.extractAudioSpectral(media)
+    }),
+
     // REAL video-frame sampling, driver-checked: synthesize a multi-frame
     // animated GIF per doc (frame count, dims, and per-frame solid colors
     // all derived from doc_id), decode every frame through the JDK's
@@ -10046,6 +10066,72 @@ object SparkEntry {
         |       round(sqrt((n1 * a1 * a1 + (n - n1) * a2 * a2) / n), 6)
         |         AS rms
         |FROM w""".stripMargin,
+
+    // from-scratch integer replay of the Z[√2] 8-point DFT: sample s at
+    // global frame g = 8i+n is a1 below f/2, a2 below f, 0 (zero-pad)
+    // after; twiddle 2·e^(-2πij/8) at j=(k*n)%8 has (re, im) components
+    // (a, b) with value a+b√2, hard-coded on both sides — no cos()
+    // anywhere; |X|² = (ra²+2rb²+ia²+2ib²) + 2(ra·rb+ia·ib)·√2
+    "media_audio_spectral" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         cast(16 + doc_id % 32 AS bigint) AS f,
+        |         cast((doc_id % 1000 + 1) * 16 AS bigint) AS a1,
+        |         cast((doc_id % 700 + 1) * 20 AS bigint) AS a2
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, f, a1, a2, i,
+        |         least(i * 8 + 8, f) - i * 8 AS n_in
+        |  FROM g CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i)
+        |  WHERE i * 8 < f
+        |), x AS (
+        |  SELECT doc_id, i, f, n_in, k, n,
+        |         CASE WHEN i * 8 + n >= f THEN 0
+        |              WHEN i * 8 + n < f // 2 THEN a1 ELSE a2 END AS s,
+        |         (k * n) % 8 AS j
+        |  FROM w
+        |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS tk(k)
+        |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS tn(n)
+        |), bins AS (
+        |  SELECT doc_id, i, f, n_in, k,
+        |    sum(s * CASE j WHEN 0 THEN 2 WHEN 4 THEN -2 ELSE 0 END)
+        |      AS xra,
+        |    sum(s * CASE j WHEN 1 THEN 1 WHEN 7 THEN 1
+        |                   WHEN 3 THEN -1 WHEN 5 THEN -1 ELSE 0 END)
+        |      AS xrb,
+        |    sum(s * CASE j WHEN 2 THEN -2 WHEN 6 THEN 2 ELSE 0 END)
+        |      AS xia,
+        |    sum(s * CASE j WHEN 5 THEN 1 WHEN 7 THEN 1
+        |                   WHEN 1 THEN -1 WHEN 3 THEN -1 ELSE 0 END)
+        |      AS xib
+        |  FROM x GROUP BY 1, 2, 3, 4, 5
+        |), pw AS (
+        |  SELECT doc_id, i, f, n_in, k,
+        |         xra*xra + 2*xrb*xrb + xia*xia + 2*xib*xib AS pa,
+        |         2 * (xra*xrb + xia*xib) AS pb
+        |  FROM bins
+        |), agg AS (
+        |  SELECT doc_id, i, f, n_in,
+        |         sum(pa) AS e_tot,
+        |         sum(CASE WHEN k = 0 THEN pa ELSE 0 END) AS p_dc,
+        |         sum(least(k, 8 - k) * pa) AS cnum_a,
+        |         sum(least(k, 8 - k) * pb) AS cnum_b
+        |  FROM pw GROUP BY 1, 2, 3, 4
+        |), ss AS (
+        |  SELECT doc_id, i, sum(s * s) AS sum_sq
+        |  FROM x WHERE k = 0 GROUP BY 1, 2
+        |)
+        |SELECT agg.doc_id AS media_id,
+        |       cast(agg.i AS bigint) AS win_idx,
+        |       cast((f + 7) // 8 AS bigint) AS n_win,
+        |       cast(n_in AS bigint) AS n_frames_in_win,
+        |       cast(sum_sq AS bigint) AS sum_sq,
+        |       cast(p_dc AS bigint) AS p_dc,
+        |       cast(e_tot AS bigint) AS e_tot,
+        |       cast(cnum_a AS bigint) AS cnum_a,
+        |       cast(cnum_b AS bigint) AS cnum_b
+        |FROM agg JOIN ss ON agg.doc_id = ss.doc_id AND agg.i = ss.i"""
+        .stripMargin,
 
     // one row per sampled (every-2nd) frame; solid indexed-palette frames
     // make every decoded mean an exact integer

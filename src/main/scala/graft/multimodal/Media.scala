@@ -314,6 +314,108 @@ object Media {
       .toDF("media_id", "win_idx", "n_win", "n_frames_in_win", "rms")
   }
 
+  /** Exact 8-point spectral profile per audio window — the FFT-role
+    * operator of the LLM-pipeline audio-quality filter, computed in the
+    * ring Z[√2] so every output is an EXACT INTEGER (pair) both engines
+    * reproduce bit-for-bit.
+    *
+    * The 8th roots of unity have coordinates in {0, ±1, ±√2/2}; scaled
+    * by 2 they all live in Z[√2] = {a + b·√2 : a, b ∈ Z} — so the DFT
+    * X[k] = Σₙ s[n]·2e^(-2πikn/8) of integer PCM16 samples is computed
+    * with INTEGER (a, b) pairs, no floating point and no transcendental
+    * calls anywhere (a textbook float FFT would hang cross-engine
+    * parity on cos() ulps; here √2 is exact BY REPRESENTATION — the
+    * same replayability discipline as the PCA fixed power iteration,
+    * but with zero fp noise). Direct 64-multiply evaluation per window
+    * is chosen over a butterfly: at N=8 the butterfly saves nothing and
+    * the direct form keeps one uniform scale (each term carries exactly
+    * one 2× twiddle, so |X[k]|² = 4·|DFT[k]|² for every k).
+    *
+    * Per window of 8 frames (zero-padded tail — the standard FFT
+    * convention for partials) the output row carries:
+    *  - `sum_sq`   = Σ s[n]²                      (time-domain energy)
+    *  - `p_dc`     = |X[0]|²                      (DC power, pure int)
+    *  - `e_tot`    = Σₖ |X[k]|²                   (spectral energy)
+    *  - `cnum_a/b` = Σₖ min(k, 8−k)·|X[k]|² as a + b√2 — the spectral-
+    *    centroid NUMERATOR (denominator is e_tot; the division is left
+    *    to the consumer so the stored profile stays exact)
+    * PARSEVAL is an exact integer identity here: e_tot == 32·sum_sq
+    * (N=8 times the 2² twiddle scale), `require`d per window and pinned
+    * against the real decode path in StreamingMediaSpec. |X[k]|² for a
+    * value (ra + rb√2) + i(ia + ib√2) is (ra² + 2rb² + ia² + 2ib²) +
+    * 2(ra·rb + ia·ib)·√2 — still in the ring; the √2-parts of e_tot
+    * cancel exactly (Parseval's sum is rational), which the require
+    * also witnesses.
+    *
+    * Input: (media_id: long, payload: binary WAV). Output: (media_id,
+    * win_idx, n_win, n_frames_in_win, sum_sq, p_dc, e_tot, cnum_a,
+    * cnum_b) — all bigint. Undecodable payloads contribute no rows.
+    * Bounds: |s| ≤ 32768 ⇒ |X parts| < 2²⁰, powers < 2⁴², centroid
+    * numerators < 2⁴⁷ — no overflow for any PCM16 input. */
+  def extractAudioSpectral(df: DataFrame): DataFrame = {
+    val N = 8
+    // W[j] = 2·e^(-2πij/8) as (reA, reB, imA, imB): value = a + b·√2
+    val creA = Array(2L, 0L, 0L, 0L, -2L, 0L, 0L, 0L)
+    val creB = Array(0L, 1L, 0L, -1L, 0L, -1L, 0L, 1L)
+    val cimA = Array(0L, 0L, -2L, 0L, 0L, 0L, 2L, 0L)
+    val cimB = Array(0L, -1L, 0L, -1L, 0L, 1L, 0L, 1L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload) match {
+          case None => Iterator.empty
+          case Some((_, samples)) =>
+            val nWin = (samples.length + N - 1) / N
+            (0 until nWin).iterator.map { wi =>
+              val lo = wi * N
+              val hi = math.min(lo + N, samples.length)
+              // recover the exact PCM16 integer (decode normalized by
+              // 32768, a dyadic scale — the round-trip is exact)
+              val s = new Array[Long](N)
+              var i = lo
+              while (i < hi) {
+                s(i - lo) = math.round(samples(i) * 32768.0); i += 1
+              }
+              var sumSq = 0L
+              var n = 0
+              while (n < N) { sumSq += s(n) * s(n); n += 1 }
+              var eTotA = 0L; var eTotB = 0L
+              var pDc = 0L; var cnumA = 0L; var cnumB = 0L
+              var k = 0
+              while (k < N) {
+                var xra = 0L; var xrb = 0L; var xia = 0L; var xib = 0L
+                n = 0
+                while (n < N) {
+                  val j = (k * n) % N
+                  val v = s(n)
+                  xra += v * creA(j); xrb += v * creB(j)
+                  xia += v * cimA(j); xib += v * cimB(j)
+                  n += 1
+                }
+                val pa = xra * xra + 2 * xrb * xrb +
+                  xia * xia + 2 * xib * xib
+                val pb = 2 * (xra * xrb + xia * xib)
+                if (k == 0) pDc = pa
+                eTotA += pa; eTotB += pb
+                val fk = math.min(k, N - k).toLong
+                cnumA += fk * pa; cnumB += fk * pb
+                k += 1
+              }
+              // Parseval in Z[√2]: exact, or the transform is broken
+              require(eTotA == 32L * sumSq && eTotB == 0L,
+                s"Parseval violated: e_tot=($eTotA,$eTotB), " +
+                  s"32*sum_sq=${32L * sumSq}")
+              (id, wi.toLong, nWin.toLong, (hi - lo).toLong,
+                sumSq, pDc, eTotA, cnumA, cnumB)
+            }
+        }
+      })
+      .toDF("media_id", "win_idx", "n_win", "n_frames_in_win",
+        "sum_sq", "p_dc", "e_tot", "cnum_a", "cnum_b")
+  }
+
   /** Canonical 44-byte RIFF/WAVE header + PCM16LE mono samples — the
     * byte layout the JDK's WAVE writer emits for this shape, written
     * directly: `AudioSystem.write` costs ~54 µs per tiny payload in a

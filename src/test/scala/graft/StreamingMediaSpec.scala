@@ -387,6 +387,59 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 8L))
   }
 
+  test("REAL audio spectral: Parseval holds exactly and the Z[√2] DFT " +
+    "matches a from-scratch double-precision DFT") {
+    // 20 frames, two segments; windows of 8 -> one pure-a1 window, one
+    // mixed, one zero-padded partial — all three shapes covered
+    val wav = Media.syntheticWav2(frames = 20, amp1 = 4096, amp2 = 8192)
+    val df = Seq((7L, wav), (8L, Array[Byte](1, 2)))
+      .toDF("media_id", "payload")
+    val got = Media.extractAudioSpectral(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((7L, 0L, 3L, 8L), (7L, 1L, 3L, 8L), (7L, 2L, 3L, 4L)))
+    assert(!got.exists(_._1 == 8L)) // undecodable -> no rows
+    // PARSEVAL, exactly: e_tot == 32 * sum_sq on every row (N=8 times
+    // the 2^2 twiddle scale) — the energy the window holds in time is
+    // the energy its spectrum holds, as an integer identity
+    got.foreach { r => assert(r._7 == 32L * r._5, r.toString) }
+    // window 0 is constant (all 4096): every non-DC bin cancels, so the
+    // whole spectrum is DC and the centroid numerator is zero
+    val w0 = got(0)
+    assert(w0._6 == w0._7 && w0._8 == 0L && w0._9 == 0L, w0.toString)
+    // independent check: from-scratch complex-double DFT of each window
+    // (samples from the fixture definition), |X|^2 scaled by 4; the
+    // ring arithmetic must agree to fp tolerance on every output
+    val samples = (0 until 20).map(i => if (i < 10) 4096L else 8192L)
+    for (wi <- 0 until 3) {
+      val s = (0 until 8).map { n =>
+        val g = wi * 8 + n
+        if (g < 20) samples(g).toDouble else 0.0
+      }
+      val pows = (0 until 8).map { k =>
+        val (re, im) = (0 until 8).foldLeft((0.0, 0.0)) {
+          case ((a, b), n) =>
+            val th = -2.0 * math.Pi * k * n / 8.0
+            (a + s(n) * math.cos(th), b + s(n) * math.sin(th))
+        }
+        4.0 * (re * re + im * im) // twiddle scale 2 -> power scale 4
+      }
+      val eTot = pows.sum
+      val cnum = pows.zipWithIndex
+        .map { case (p, k) => math.min(k, 8 - k) * p }.sum
+      val r = got(wi)
+      val gotETot = r._7.toDouble
+      val gotCnum = r._8.toDouble + r._9.toDouble * math.sqrt(2.0)
+      assert(math.abs(gotETot - eTot) / math.max(eTot, 1.0) < 1e-12,
+        s"win $wi e_tot: $gotETot vs $eTot")
+      assert(math.abs(gotCnum - cnum) / math.max(eTot, 1.0) < 1e-12,
+        s"win $wi cnum: $gotCnum vs $cnum")
+      assert(math.abs(r._6.toDouble - pows.head) /
+        math.max(pows.head, 1.0) < 1e-12, s"win $wi p_dc")
+    }
+  }
+
   test("REAL video resize: sampled frames scaled per-frame, PNG re-encoded") {
     // 12x6 solid frames -> maxDim 4 scales to 4x2; 2x2 frames pass
     // through unscaled; undecodable payloads contribute no rows
