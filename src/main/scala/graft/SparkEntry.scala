@@ -8488,6 +8488,51 @@ object SparkEntry {
           concat_ws(";", col("qs").cast("array<string>")).as("contents"))
     }),
 
+    // QSKETCH CAP CURVE — the accuracy/cost knob demonstrated from
+    // data: the same sketch at cap 256 / 1024 / 4096 per event_type,
+    // each served estimate's TRUE rank error measured against the full
+    // value multiset and emitted in basis points as EXACT integers
+    // (|2·rank(p50) − n|·10⁴ div 2n and |20·rank(p95) − 19n|·10⁴ div
+    // 20n — no fp anywhere, both engines replay the division). A
+    // consumer picks the cap from this table: error falls ~1/sqrt(cap)
+    // while the shuffled state grows O(cap) per group (the per-cap
+    // sketch aggregates stay partial+final; the readout join back to
+    // events broadcasts the 3×types-row estimate frame).
+    "rel_qsketch_cap_curve" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        thetaHash(col("event_id")).as("h"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val perCap = Seq(256, 1024, 4096).map { cap =>
+        ev.groupBy("event_type")
+          .agg(graft.functions.GraftFunctions
+            .qsketch(s, col("h"), col("cents"), cap).as("qs"))
+          .select(col("event_type"), lit(cap.toLong).as("cap"),
+            element_at(col("qs"), 1).as("lvl"),
+            expr("array_sort(filter(qs, (x, i) -> i >= 2 AND i % 2 = 0))")
+              .as("vals"))
+          .select(col("event_type"), col("cap"), col("lvl"),
+            size(col("vals")).cast("long").as("n_kept"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.5) AS int))")
+              .as("p50_cents"),
+            expr("element_at(vals, cast(ceil(size(vals) * 0.95) AS int))")
+              .as("p95_cents"))
+      }.reduce(_ unionAll _)
+      ev.join(broadcast(perCap), "event_type")
+        .groupBy(col("event_type"), col("cap"), col("lvl"),
+          col("n_kept"), col("p50_cents"), col("p95_cents"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") <= col("p50_cents"), 1L).otherwise(0L))
+            .as("r50"),
+          sum(when(col("cents") <= col("p95_cents"), 1L).otherwise(0L))
+            .as("r95"))
+        .select(col("event_type"), col("cap"), col("lvl"),
+          col("n_kept"),
+          col("p50_cents"), col("p95_cents"),
+          expr("abs(2 * r50 - n) * 10000 div (2 * n)").as("err50_bp"),
+          expr("abs(20 * r95 - 19 * n) * 10000 div (20 * n)")
+            .as("err95_bp"))
+    }),
+
     // QUANTILE-SKETCH PARTIALS STORE — the serving twin: one 256-cap
     // sketch per (event_type, day) persisted to parquet (O(days ×
     // types × cap) longs), then ANY day-range slice is served by an
@@ -15202,6 +15247,66 @@ object SparkEntry {
     // so the oracle rebuilds it from the definition and checks the full
     // sketch contents string bit-for-bit, plus the rank readouts
     "rel_quantile_sketch" -> qsketchFromScratchSql,
+
+    // cap curve: the from-scratch rebuild parameterized by cap, plus
+    // the exact integer rank-error readout of each served estimate
+    "rel_qsketch_cap_curve" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         cast(round(value * 1000) AS bigint) AS cents,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h
+        |  FROM events
+        |), z AS (
+        |  SELECT *, CASE WHEN h = 0 THEN 60
+        |                 ELSE bit_count(CAST((~h) & (h - 1) AS BIGINT))
+        |            END AS tz
+        |  FROM t
+        |), lev AS (
+        |  SELECT event_type, cap, l,
+        |         count(*) FILTER (WHERE tz >= l) AS cnt
+        |  FROM z
+        |  CROSS JOIN (VALUES (256), (1024), (4096)) AS c(cap)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS l)
+        |  GROUP BY 1, 2, 3
+        |), lv AS (
+        |  SELECT event_type, cap, min(l) AS lvl FROM lev
+        |  WHERE cnt <= cap GROUP BY 1, 2
+        |), ret AS (
+        |  SELECT z.event_type, lv.cap, z.cents, lv.lvl
+        |  FROM z JOIN lv USING (event_type) WHERE z.tz >= lv.lvl
+        |), ord AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, cap
+        |                            ORDER BY cents) AS rv,
+        |         count(*) OVER (PARTITION BY event_type, cap) AS m
+        |  FROM ret
+        |), est AS (
+        |  SELECT event_type, cap, lvl, cast(m AS bigint) AS n_kept,
+        |         max(CASE WHEN rv = cast(ceil(m * 0.5) AS bigint)
+        |                  THEN cents END) AS p50_cents,
+        |         max(CASE WHEN rv = cast(ceil(m * 0.95) AS bigint)
+        |                  THEN cents END) AS p95_cents
+        |  FROM ord GROUP BY event_type, cap, lvl, m
+        |), rk AS (
+        |  SELECT e.event_type, e.cap, e.lvl, e.n_kept,
+        |         e.p50_cents, e.p95_cents,
+        |         count(*) AS n,
+        |         sum(CASE WHEN t.cents <= e.p50_cents THEN 1
+        |                  ELSE 0 END) AS r50,
+        |         sum(CASE WHEN t.cents <= e.p95_cents THEN 1
+        |                  ELSE 0 END) AS r95
+        |  FROM est e JOIN t ON t.event_type = e.event_type
+        |  GROUP BY 1, 2, 3, 4, 5, 6
+        |)
+        |SELECT event_type, cast(cap AS bigint) AS cap,
+        |       cast(lvl AS bigint) AS lvl, n_kept,
+        |       p50_cents, p95_cents,
+        |       cast(abs(2 * r50 - n) * 10000 // (2 * n) AS bigint)
+        |         AS err50_bp,
+        |       cast(abs(20 * r95 - 19 * n) * 10000 // (20 * n) AS bigint)
+        |         AS err95_bp
+        |FROM rk""".stripMargin,
 
     // SQL build+merge path: lossless merge ⇒ same from-scratch oracle
     "rel_sql_qsketch" -> qsketchFromScratchSql,

@@ -84,6 +84,42 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("accuracy/cost curve: rank error shrinks ~1/sqrt(cap) across " +
+    "cap 256 / 1024 / 4096 on the skewed distribution") {
+    // the knob-selection table (verdict r14 #2): a consumer picks cap
+    // from measured error, not the asymptotic formula. Deterministic
+    // md5 coins make every number here stable run-to-run.
+    val n = 50000
+    val df = mk(n)
+    val exact = df.select("v").collect().map(_.getLong(0)).sorted
+    val qGrid = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val rows = for (c <- Seq(256, 1024, 4096)) yield {
+      val arr = df.repartition(16)
+        .agg(GraftFunctions.qsketch(spark, col("h"), col("v"), c))
+        .head().getSeq[Long](0)
+      val m = (arr.size - 1) / 2
+      assert(m <= c && m > c / 4, s"cap=$c retained $m")
+      val vals = (1 to m).map(i => arr(2 * i)).sorted
+      val errs = qGrid.map { q =>
+        val est = vals((math.ceil(q * m) - 1).toInt.max(0))
+        val rank = exact.count(_ <= est)
+        val err = math.abs(rank - q * n) / n
+        // per-point bound at every cap: ~sqrt(q(1-q)/m), 4 sd
+        assert(err < 4.0 * math.sqrt(q * (1 - q) / m) + 1.0 / m,
+          s"cap=$c q=$q err=$err")
+        err
+      }
+      (c, m, errs.max)
+    }
+    // the curve must actually descend: each 4x cap step cuts the worst
+    // grid error (the 1/sqrt(cap) shape a consumer buys with memory)
+    val worst = rows.map(_._3)
+    assert(worst(1) < worst(0) && worst(2) < worst(1),
+      s"error not descending across caps: $rows")
+    info(rows.map { case (c, m, e) =>
+      f"cap=$c%4d m=$m%4d maxErr=${e * 100}%.3f%%" }.mkString("; "))
+  }
+
   test("duplicate partials: KMV merge is idempotent, qsketch merge is " +
     "NOT — why the quantile handoff rides the exactly-once store") {
     // the at-least-once append store re-presents a batch's partial on
