@@ -10,11 +10,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_BENCH_CONF: semicolon-separated key=value Spark confs
+    // applied on top of the defaults — the scale-ladder A/B protocol's
+    // regime switch (e.g. autoBroadcastJoinThreshold=-1 to measure the
+    // cannot-broadcast regime a 100 TB dimension forces, or lowered AQE
+    // skew thresholds so OptimizeSkewedJoin engages at rung scale).
+    // Unset in driver runs: official numbers always use the defaults.
+    val extraConf = sys.env.get("SPARK_GRAFT_BENCH_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       // session-wide graft surface: native functions + the GlobalRank/
       // GlobalScan rewrites, so textbook global windows plan distributed
       // without per-query registration

@@ -2874,6 +2874,24 @@ object SparkEntry {
             .cast("decimal(18,2)").cast("double").as("sum_qty"))
     }),
 
+    // The UNSALTED twin of rel_skew_salted_join — the straight join a
+    // user writes, same oracle. Exists for the skew-rung A/B: on a
+    // Zipf-keyed fact table in the cannot-broadcast regime (a 100 TB
+    // vocabulary dim exceeds any broadcast budget; simulated on the
+    // rung via SPARK_GRAFT_BENCH_CONF autoBroadcastJoinThreshold=-1)
+    // this plan concentrates the hot key on one reducer unless AQE's
+    // OptimizeSkewedJoin splits it, while the salted twin spreads it
+    // structurally — SCALE_LADDER.md records the measured pair.
+    "rel_skew_unsalted_join" -> ((s, dir) => {
+      val partDim = tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      tbl(s, dir, "lineitem").join(partDim, Seq("l_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("sum_qty"))
+    }),
+
     // Broadcast range join: fact value against a [lo, hi) band dimension
     // (BroadcastNestedLoopJoin — the fact side streams, never shuffles)
     "rel_range_join" -> ((s, dir) => {
@@ -10547,6 +10565,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_skew_salted_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    // identical results to the salted form by construction — the A/B
+    // twin shares the one unsalted definition
+    "rel_skew_unsalted_join" ->
       """SELECT p_brand, count(*) AS cnt,
         |       cast(cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS double) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey

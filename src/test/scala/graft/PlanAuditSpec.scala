@@ -634,6 +634,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_seasonal_anomaly" -> "hour-of-day profile: 24 rows",
       "rel_theta_jaccard_matrix" -> ("per-event_type sketch frame: 5 " +
         "rows of <= 128 longs"),
+      "rel_qsketch_cap_curve" -> ("3-cap union of per-event_type " +
+        "estimate rows: <= 15 rows"),
       "rel_cohort_ltv" -> ("per signup-DAY cohort sizes: time-span-" +
         "bounded (days), independent of data volume"),
       "rel_isotonic_fit" -> ("10-bin calibration frame and its pooled " +
