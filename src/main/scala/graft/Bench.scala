@@ -68,7 +68,14 @@ object Bench {
     // physical plan to stderr before timing — used by the scale-ladder
     // adjudication protocol to check e.g. broadcast-vs-shuffle flips
     // across rungs without a separate driver program.
-    val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
+    // SPARK_GRAFT_BENCH_EXPLAIN=final EXECUTES the query once first and
+    // dumps the ADAPTIVE final plan — the only place AQE's runtime
+    // decisions (OptimizeSkewedJoin's skew=true markers, coalesced
+    // partition counts) are visible; the static plan only shows
+    // isFinalPlan=false. Used by the skew-rung A/B protocol.
+    val explainEnv = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN")
+    val explainFinal = explainEnv.contains("final")
+    val explain = explainEnv.contains("1") || explainFinal
 
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)
@@ -78,9 +85,17 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         if (explain) {
-          try System.err.println(s"=== explain $name ===\n" +
-            fn(spark, sfDir).queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode))
+          try {
+            val df = fn(spark, sfDir)
+            // a `write` would execute a SEPARATE QueryExecution and
+            // leave this one unfinalized (isFinalPlan=false); running
+            // the df's own toRdd is what finalizes ITS adaptive plan
+            if (explainFinal)
+              df.queryExecution.toRdd.foreachPartition(_ => ())
+            System.err.println(s"=== explain $name ===\n" +
+              df.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] explain $name failed: ${e.getMessage}") }
         }
