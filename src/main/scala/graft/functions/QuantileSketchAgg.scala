@@ -30,7 +30,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * bound: O(sqrt(q(1-q)/m)) with m retained rows (~4% at m=256,
   * independent of n) versus KLL's ~O(1/m). That trade is deliberate:
   * the oracle gate needs reproducible CONTENTS, and capacity is the
-  * accuracy knob.
+  * accuracy knob (QuantileSketchSpec pins the measured curve: max grid
+  * error 3.8% / 3.3% / 1.0% at cap 256 / 1024 / 4096; the
+  * rel_qsketch_cap_curve query serves the same table oracle-checked).
+  *
+  * THE O(1/m) ROUTE WAS EXAMINED AND REJECTED (r14 verdict stretch
+  * goal): KLL's 1/m bound comes from RANK-ALTERNATING compaction —
+  * keeping every other element in sorted order makes adjacent survival
+  * errors cancel instead of accumulating like independent coins. A
+  * deterministic, order-insensitive version exists (keep odd SORTED
+  * RANKS within the level — a pure function of the set, perfectly SQL-
+  * replayable), but it is NOT losslessly mergeable: rank parity is
+  * relative to the containing multiset, so parity(A ∪ B) cannot be
+  * derived from parity(A) and parity(B) — two partials retain rows the
+  * union's sketch must drop and vice versa, and the partials-store /
+  * exactly-once-handoff / mapGroupsWithState paths (which all lean on
+  * merge == from-scratch bit-equality) would silently diverge from the
+  * batch oracle. Per-row hash coins are the unique point where
+  * determinism, order-insensitivity, AND lossless merge meet; the
+  * sqrt(1/m) error is the price of that intersection, and the cap
+  * curve above is the documented compensation.
   *
   * LOSSLESS MERGE IDENTITY (same discipline as the KMV family): for
   * partials A, B with minimal levels LA, LB and the union's minimal
