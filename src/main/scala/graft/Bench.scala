@@ -77,6 +77,32 @@ object Bench {
     val explainFinal = explainEnv.contains("final")
     val explain = explainEnv.contains("1") || explainFinal
 
+    // SPARK_GRAFT_BENCH_SPILL=1 (unset in driver runs): register a
+    // task-metrics listener and report per-query shuffle/sort/agg SPILL
+    // bytes as an extra "spill_bytes" JSON field — the memory-pressure
+    // ladder's evidence that a heavy query under a deliberately small
+    // heap COMPLETES by spilling (the 100 TB behavior: executors never
+    // size to the data) rather than OOMing. Listener delivery is
+    // asynchronous, so per-query attribution is exact only when the
+    // process runs ONE query (SPARK_GRAFT_BENCH_ONLY solo protocol);
+    // in a full sweep adjacent queries can trade a task's attribution.
+    val spillOn = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    if (spillOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    val spillByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+
     // noop sink: forces full evaluation of every output column (a count()
     // would let Catalyst prune projection-only work and under-measure)
     // failed queries report -1, never their time-to-failure (a crash after
@@ -99,6 +125,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] explain $name failed: ${e.getMessage}") }
         }
+        val (m0, d0) = (spillMem.get(), spillDisk.get())
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -121,6 +148,9 @@ object Bench {
         // RDD ids that first appeared during the current query's loop.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        if (spillOn)
+          spillByQuery(name) =
+            (spillMem.get() - m0, spillDisk.get() - d0)
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -132,7 +162,12 @@ object Bench {
     // rows — the scale of BASELINE.md's 486,634-row input (23 s / 22 s)
     val cmp = s"""{"stock_count_x100_sec":${rm.getOrElse("stock_count_x100", -1.0)},""" +
       s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp,"sf":"$sfDir"}"""
+    val spillField =
+      if (spillByQuery.isEmpty) ""
+      else spillByQuery.map { case (k, (m, d)) =>
+        "\"" + k + "\":{\"mem\":" + m + ",\"disk\":" + d + "}"
+      }.mkString(""","spill_bytes":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp$spillField,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver's BENCH_r0N.json
     // captures only a bounded stdout tail, which truncates the per-query

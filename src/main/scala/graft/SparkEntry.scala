@@ -204,6 +204,62 @@ object SparkEntry {
   private def staged(name: String): String =
     stageRoot.resolve(name).toString
 
+  /** Stage the transaction-log table for one `src_txn_*` / time-travel
+    * query (sources/TxnLog — the lakehouse metadata layer over plain
+    * parquet). Five serial commits build a deterministic history over
+    * `orders(o_orderkey, o_orderstatus, o_totalprice)` bucketed by
+    * `o_orderkey % 4`:
+    *
+    *   v0  add b0            v1  add b1, b2        v2  add b3   (full table)
+    *   v3  remove b2, add b2d = b2 WHERE o_orderstatus <> 'F'
+    *       (a copy-on-write DELETE transaction)
+    *   v4  remove b0, b1, add c01 = their compacted rewrite
+    *       (metadata-transacted compaction — a content no-op)
+    *
+    * Each query stages under its OWN root (`txnlog_<name>`): commits are
+    * create-exclusive, so the stager resets the root first, and a shared
+    * root would let one query's reset (or the vacuum query's physical
+    * delete) corrupt another's lazily-read snapshot. A log entry is a
+    * data OBJECT — the directory one parquet write produced — not a
+    * single file; at 100 TB a commit's add-set is whatever the
+    * distributed write laid down, and the log stays O(actions) either
+    * way. Returns the log directory. */
+  private def txnLogStage(s: SparkSession, dir: String, name: String)
+      : String = {
+    import graft.sources.TxnLog
+    val root = staged(s"txnlog_$name")
+    graft.streaming.StreamGate.deleteRecursively(root)
+    val logDir = s"$root/_log"
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def obj(part: String, df: DataFrame): String = {
+      val d = s"$root/$part"
+      df.write.mode("overwrite").parquet(d)
+      d
+    }
+    val b = (0 to 3).map(i =>
+      obj(s"b$i", orders.where(col("o_orderkey") % 4 === i)))
+    TxnLog.commit(s, logDir, 0L, adds = Seq(b(0)))
+    TxnLog.commit(s, logDir, 1L, adds = Seq(b(1), b(2)))
+    TxnLog.commit(s, logDir, 2L, adds = Seq(b(3)))
+    val b2d = obj("b2_del", orders.where(
+      col("o_orderkey") % 4 === 2 && col("o_orderstatus") =!= "F"))
+    TxnLog.commit(s, logDir, 3L, adds = Seq(b2d), removes = Seq(b(2)))
+    val c01 = obj("c01", s.read.parquet(b(0), b(1)))
+    TxnLog.commit(s, logDir, 4L, adds = Seq(c01),
+      removes = Seq(b(0), b(1)))
+    logDir
+  }
+
+  /** Status-keyed value aggregate of a TxnLog snapshot — the shared
+    * readout of the time-travel queries (decimal-exact sum, double
+    * rendering, per the oracle-parity conventions above). */
+  private def txnSnapAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("tot"))
+
   /** Synthetic raw-CSV-line view of `documents`, exercising the reference's
     * naive-split semantics: field 0 = id, interior = headline (with embedded
     * commas injected around the word "spark"), field n-2 = lang ("date"
@@ -1074,6 +1130,66 @@ object SparkEntry {
           col("s_acctbal"))
       graft.sources.AvroRoundTrip.write(slice, out)
       graft.sources.AvroRoundTrip.read(s, out, slice.schema)
+    }),
+
+    // SNAPSHOT ISOLATION / TIME TRAVEL over a transaction log
+    // (sources/TxnLog): version 2 predates the copy-on-write DELETE, so
+    // its snapshot must read the full table; version 4 follows both the
+    // delete and a compaction commit, so it must show the delete and
+    // NOTHING from the compaction (a content no-op). The require pins
+    // that head resolution is log algebra — exactly 3 live objects
+    // (c01, b2d, b3), never a directory listing.
+    "src_time_travel" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "tt")
+      val log = TxnLog.readLog(s, logDir)
+      val head = TxnLog.liveFiles(log, 4L)
+      require(head.size == 3,
+        s"head snapshot should resolve to 3 data objects, got $head")
+      def snap(v: Long): DataFrame =
+        txnSnapAgg(TxnLog.readSnapshot(s, logDir, v))
+          .withColumn("version", lit(v))
+          .select(col("version"), col("o_orderstatus"), col("n"),
+            col("tot"))
+      snap(2L).unionAll(snap(4L))
+    }),
+
+    // INCREMENTAL (CDC-style) version consumption: the rows deleted by
+    // the v3 transaction are recovered by reading ONLY the objects that
+    // changed in (2, 3] — one removed, one added — and anti-joining the
+    // rewrite from the original by key. O(transaction) bytes, never two
+    // snapshots; at 100 TB this is the difference between a downstream
+    // consumer tailing commits and it re-diffing the lake.
+    "src_time_travel_diff" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "diff")
+      val log = TxnLog.readLog(s, logDir)
+      val (added, removed) = TxnLog.changedBetween(log, 2L, 3L)
+      require(added.size == 1 && removed.size == 1,
+        s"v3 should touch exactly one object each way: +$added -$removed")
+      s.read.parquet(removed: _*)
+        .join(s.read.parquet(added: _*).select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
+    // VACUUM under a retention floor: with retain = v3, the only
+    // physically deletable object is the one the delete transaction
+    // removed (b2) — the compaction's removals (v4 > retain) must stay
+    // because snapshot v3 still references them. After the reclaim the
+    // head snapshot is byte-identically readable; TxnLogSpec pins that
+    // time travel BELOW the floor now fails at read (the documented
+    // public VACUUM contract).
+    "src_txn_vacuum" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "vac")
+      val cands = TxnLog.vacuumCandidates(TxnLog.readLog(s, logDir), 3L)
+      require(cands.size == 1 && cands.head.endsWith("/b2"),
+        s"retain=3 should reclaim exactly the deleted bucket, got $cands")
+      val deleted = TxnLog.vacuum(s, logDir, 3L)
+      require(deleted == cands, s"vacuum deleted $deleted, planned $cands")
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
     // P1: Java-split parity — field arity per line
@@ -8987,6 +9103,66 @@ object SparkEntry {
       }
     }),
 
+    // TRANSACTION-LOG HANDOFF — the third idempotence mechanism, completing
+    // the triptych: the append store dedups at READ, the partitioned store
+    // replaces at WRITE, and this store PUBLISHES atomically — each batch's
+    // partial becomes a data object named by a create-exclusive log commit
+    // whose version is the engine's batchId (sources/TxnLog — the public
+    // Delta-streaming txn mechanism). Both failure modes are injected
+    // in-path: (1) batch 0 is re-presented through the identical publish
+    // path — its object rewrites in place, its commit finds version 0
+    // already published, store unchanged; (2) a crashed batch's HALF-
+    // WRITTEN object is planted in the store directory — no commit names
+    // it, so the log-resolved read never sees it (the property neither
+    // twin has: their readers trust the directory). Same totals, same
+    // oracle as the twins; plain scan-and-sum read, no dedup anywhere.
+    "stream_txn_sink" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val base = events(s, dir).select(col("event_type"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "txnsink")
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "txnsinkstore")
+      base.repartition(3).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToTxnStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_txnsink", store)(df =>
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")))
+        val logDir = s"$store/_log"
+        val head = TxnLog.latestVersion(s, logDir)
+        // (1) recovery replay: re-present batch 0's partial through the
+        // identical publish path — the idempotent commit must refuse
+        // localCheckpoint first: the publish overwrites the very object
+        // the recovered partial is read from (exactly as a real recovery
+        // recomputes the batch from source, then rewrites the object)
+        val republished = graft.streaming.StreamGate.publishBatchTxn(
+          s.read.parquet(s"$store/batch_0").localCheckpoint(true), 0L, store)
+        require(!republished, "replayed batch 0 must not publish twice")
+        require(TxnLog.latestVersion(s, logDir) == head,
+          "replay must not advance the log")
+        // (2) crash-mid-write garbage: a half-written object with no
+        // commit — invisible to the log-resolved read below
+        s.range(1).selectExpr("'GARBAGE' AS event_type",
+          "9L AS cnt", "9L AS sum_cents")
+          .write.mode("overwrite").parquet(s"$store/batch_orphan")
+        TxnLog.readSnapshot(s, logDir, head)
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_events"),
+            sum(col("sum_cents")).as("sum_cents"))
+          // eager: the scratch store is deleted on exit
+          .localCheckpoint(true)
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
+    }),
+
     // STREAM-TO-STORE QUANTILE-SKETCH HANDOFF — the qsketch partials
     // ride the EXACTLY-ONCE store, and that choice is the point:
     // unlike the KMV handoff above (k-smallest SET union — duplicate
@@ -9389,6 +9565,42 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_docs,
         |       cast(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // snapshot v2 = the full table; snapshot v4 = the table minus the
+    // rows the copy-on-write delete dropped (bucket 2, status 'F') —
+    // the compaction commit between them must be content-invisible
+    "src_time_travel" ->
+      """WITH s2 AS (
+        |  SELECT 2::BIGINT AS version, o_orderstatus,
+        |         count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS tot
+        |  FROM orders GROUP BY 2
+        |), s4 AS (
+        |  SELECT 4::BIGINT AS version, o_orderstatus,
+        |         count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS tot
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')
+        |  GROUP BY 2
+        |)
+        |SELECT * FROM s2 UNION ALL SELECT * FROM s4""".stripMargin,
+
+    // the changed-objects-only read must recover exactly the deleted rows
+    "src_time_travel_diff" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'F'""".stripMargin,
+
+    // storage reclaim below the retention floor must not change the head
+    "src_txn_vacuum" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
 
     "src_csv_roundtrip" ->
       s"""$linesCte
@@ -15779,6 +15991,14 @@ object SparkEntry {
     // the exactly-once store replaces a replayed batch's partition in
     // place, so the plain scan-and-sum read serves the same exact totals
     "stream_count_handoff_eo" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n_events,
+        |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the txn-log store publishes atomically: a replayed batch's commit
+    // refuses, uncommitted garbage is invisible — same exact totals
+    "stream_txn_sink" ->
       """SELECT event_type, cast(count(*) AS bigint) AS n_events,
         |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
         |         AS sum_cents

@@ -198,6 +198,49 @@ object StreamGate {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(storeDir)
 
+  /** The TRANSACTION-LOG sibling of the two handoff stores — the third
+    * place sink idempotence can live: each micro-batch's partial is
+    * written as a data object and then PUBLISHED by a create-exclusive
+    * log commit whose version IS the engine's batchId
+    * (sources/TxnLog.idempotentCommit — the public Delta-streaming
+    * mechanism). A replayed batch (crash between object write and
+    * checkpoint commit) rewrites its object in place and then finds its
+    * version already committed, so the store is unchanged; a batch that
+    * crashed MID-WRITE leaves a half-written object that no commit
+    * names — readers resolve the snapshot from the log and never see
+    * it. That last property is what neither the append store (read-side
+    * dedup) nor the partition store (write-side replace) gives: those
+    * readers trust the directory, this one trusts only published
+    * commits. Bonus: every prefix of the stream is a readable snapshot
+    * (batch-aligned time travel). One micro-batch per staged file. */
+  def replayCsvToTxnStore(spark: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          name: String, storeRoot: String)
+                         (perBatch: DataFrame => DataFrame)
+  : Unit = withReplayPartitions(spark) {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").csv(sourceDir)
+    val ckpt = ckptDir(name)
+    val q = src.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        publishBatchTxn(perBatch(df), batchId, storeRoot): Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+  }
+
+  /** The txn-store publish for ONE batch partial — factored out so a
+    * test (or a recovering pipeline) can re-present a batch through the
+    * identical path and observe the store unchanged. Returns whether
+    * this call was the one that published the version. */
+  def publishBatchTxn(partial: DataFrame, batchId: Long,
+                      storeRoot: String): Boolean = {
+    val obj = s"$storeRoot/batch_$batchId"
+    partial.write.mode("overwrite").parquet(obj)
+    graft.sources.TxnLog.idempotentCommit(partial.sparkSession,
+      s"$storeRoot/_log", batchId, adds = Seq(obj))
+  }
+
   /** Stage `df` to a scratch parquet directory (a DISTRIBUTED write) and
     * replay it through [[replayFileSource]] — the production-shaped
     * replacement for the MemoryStream gate: the executors write the staged

@@ -67,6 +67,12 @@ object DeclaredSchemas {
       "struct<l_returnflag:string,lo:double,hi:double,n:bigint,n_clip_lo:bigint,n_clip_hi:bigint,w_avg:double>",
     "src_manifest_prune" ->
       "struct<o_orderpriority:string,n:bigint,tot:double>",
+    "src_time_travel" ->
+      "struct<version:bigint,o_orderstatus:string,n:bigint,tot:double>",
+    "src_time_travel_diff" ->
+      "struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>",
+    "src_txn_vacuum" ->
+      "struct<o_orderstatus:string,n:bigint,tot:double>",
     "stream_asof_bounded" ->
       "struct<event_id:bigint,user_id:bigint,last_view_us:bigint>",
     "stream_asof_enrich" ->
@@ -125,6 +131,8 @@ object DeclaredSchemas {
       "struct<n_union:bigint,est_union:double,s_inter:bigint,est_inter:double,s_diff:bigint,est_diff:double,exact_union:bigint,exact_inter:bigint,exact_diff:bigint>",
     "stream_topk_types" ->
       "struct<event_type:string,cnt:bigint>",
+    "stream_txn_sink" ->
+      "struct<event_type:string,n_events:bigint,sum_cents:bigint>",
     "stream_windowed_counts" ->
       "struct<win_start_us:bigint,event_type:string,cnt:bigint>",
     "stream_windowed_counts_file" ->

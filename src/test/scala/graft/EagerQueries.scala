@@ -31,6 +31,9 @@ object EagerQueries {
     "rel_equi_depth_hist" -> "bin edges computed by a first pass",
     "rel_outlier_mad" -> "median-of-medians passes at construction",
     "src_manifest_prune" -> "reads the manifest store it first writes",
+    "src_time_travel" -> "stages the txn log + data objects, resolves snapshots",
+    "src_time_travel_diff" -> "stages the txn log, reads change-set metadata",
+    "src_txn_vacuum" -> "stages the txn log and physically vacuums it",
     "pipeline_fuzzy_dedup" -> "multi-stage pipeline materializes stages",
     "emb_semantic_dedup" -> "centroid fit + threshold pass",
     "emb_hard_negatives" -> "mines against a collected query panel",
