@@ -4397,6 +4397,36 @@ object SparkEntry {
         .select(col("lbl").as("community"), col("size"))
     }),
 
+    // K-CORE DECOMPOSITION (ops/KCore): distributed peeling on the
+    // part co-purchase graph (parts sharing an order >= 2 times — the
+    // support filter keeps the graph sparse enough that cores are
+    // structure, not noise). Both the 2-core and the 3-core ship in one
+    // result so the gate exercises a REAL cascade (at sf0.01 the 3-core
+    // peel takes 11 rounds: deleting light parts drops neighbors below
+    // k, which peels more — the fixpoint loop, not a single filter).
+    // Deletion-order independence makes the bulk-synchronous peel exact
+    // against the oracle's sequential recursion; the DuckDB twin runs
+    // the identical peel as a recursive CTE capped at the same round
+    // budget. Per-round cost is O(E) with E only shrinking; the
+    // convergence require turns a pathological chain into a loud
+    // failure, never a silent partial core.
+    "rel_kcore" -> ((s, dir) => {
+      val items = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+        .select(col("a"), col("b"))
+      val sym = pairs
+        .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true) // both peels start here; don't rebuild pairs
+      graft.ops.KCore.peel(sym, 2, 30).withColumn("k", lit(2L))
+        .unionAll(graft.ops.KCore.peel(sym, 3, 30).withColumn("k", lit(3L)))
+        .select(col("k"), col("vertex"), col("core_deg"))
+    }),
+
     // Matryoshka-representation recall: how much top-10 cosine
     // retrieval quality survives truncating the 64-dim embeddings to
     // their FIRST 16 dims (the MRL deployment question — prefix dims
@@ -12066,6 +12096,46 @@ object SparkEntry {
         |)
         |SELECT lbl AS community, count(*) AS size
         |FROM l3 GROUP BY 1""".stripMargin,
+
+    // the identical peel as a recursive CTE: each iteration keeps the
+    // edges whose BOTH endpoints have degree >= k in the current set
+    // (symmetric list: PARTITION BY a and PARTITION BY b are the two
+    // endpoint degrees). Capped at the same 30-round budget as the
+    // Spark loop; by round 30 the set is stable, so `it = 30` IS the
+    // fixpoint (deletion-order independence makes both engines land on
+    // the same subgraph)
+    "rel_kcore" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), prs AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM items x JOIN items y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), edges AS (
+        |  SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs
+        |), peel2(it, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT it + 1, a, b FROM (
+        |    SELECT it, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel2) WHERE it < 30 AND da >= 2 AND db >= 2
+        |), peel3(it, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT it + 1, a, b FROM (
+        |    SELECT it, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel3) WHERE it < 30 AND da >= 3 AND db >= 3
+        |)
+        |SELECT 2::BIGINT AS k, a AS vertex, count(*)::BIGINT AS core_deg
+        |FROM peel2 WHERE it = 30 GROUP BY 2
+        |UNION ALL
+        |SELECT 3::BIGINT, a, count(*)::BIGINT
+        |FROM peel3 WHERE it = 30 GROUP BY 2""".stripMargin,
 
     "emb_mrl_recall" ->
       s"""WITH $embUnnestCte,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by distributed peeling — the degeneracy
+  * structure the graph family (connected components, label propagation,
+  * PageRank, triangles, shortest path) was missing. The k-core is the
+  * maximal subgraph in which every vertex keeps degree >= k; peeling
+  * (repeatedly deleting vertices of degree < k — Matula & Beck 1983)
+  * converges to it regardless of deletion order, which is what makes a
+  * BULK-synchronous distributed version exact: each round deletes ALL
+  * currently-light vertices at once, and the fixpoint is the same
+  * subgraph a sequential peel reaches.
+  *
+  * Scale design: each round is one degree aggregation plus two
+  * left-semi joins on the surviving edge list — O(E) shuffle work per
+  * round, no collect anywhere, and E only SHRINKS. The edge list is
+  * `localCheckpoint`ed per round (the LabelProp discipline: truncate
+  * the growing iterative lineage so round r doesn't replay rounds
+  * 0..r-1), and convergence is detected by count equality — peeling
+  * only deletes, so equal counts imply the edge SET is stable. Round
+  * count is data-dependent but bounded by the peeling depth (the
+  * longest cascade chain), not graph size; `maxRounds` turns a
+  * pathological chain into a loud failure instead of a runaway loop.
+  */
+object KCore {
+
+  /** Peel the symmetric edge list `sym(a, b)` (both directions present,
+    * no self-loops) to its k-core; returns `(vertex, core_deg)` — each
+    * surviving vertex with its within-core degree (>= k by
+    * construction). An empty k-core is a valid result (the cascade
+    * consumed the graph); a cascade still shrinking after `maxRounds`
+    * fails loudly. */
+  def peel(sym: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    var cur = sym.select(col("a"), col("b")).localCheckpoint(true)
+    var curN = cur.count()
+    var stable = false
+    var round = 0
+    while (!stable && curN > 0 && round < maxRounds) {
+      val keep = cur.groupBy(col("a"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("a"))
+      val next = cur
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nextN = next.count()
+      stable = nextN == curN
+      cur = next
+      curN = nextN
+      round += 1
+    }
+    require(stable || curN == 0,
+      s"$k-core peel still shrinking after $maxRounds rounds")
+    cur.groupBy(col("a"))
+      .agg(count(lit(1)).as("core_deg"))
+      .select(col("a").as("vertex"), col("core_deg"))
+  }
+}

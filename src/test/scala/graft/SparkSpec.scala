@@ -23,7 +23,12 @@ object TestSpark {
     // same extension surface as the Bench/Verify/Explain sessions, so
     // plan pins in the specs hold for the production configuration
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry, so TaskRetrySpec can inject a
+      // first-attempt failure and prove the custom two-pass operators are
+      // retry-exact. Behavior-neutral for every other test: a retry only
+      // happens after a task failure, and tests that expect job failure
+      // still fail (after one extra attempt).
+      .master("local[4, 2]")
       .appName("graft-test")
       .withExtensions(graft.functions.GraftExtensions.inject)
       .config("spark.sql.shuffle.partitions", "4")
