@@ -4421,9 +4421,12 @@ object SparkEntry {
         .select(col("a"), col("b"))
       val sym = pairs
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true) // both peels start here; don't rebuild pairs
-      graft.ops.KCore.peel(sym, 2, 30).withColumn("k", lit(2L))
-        .unionAll(graft.ops.KCore.peel(sym, 3, 30).withColumn("k", lit(3L)))
+      // cores nest: peel the 3-core FROM the 2-core's edges, so the
+      // expensive early cascade runs once
+      val core2 = graft.ops.KCore.peelEdges(sym, 2, 30)
+      val core3 = graft.ops.KCore.peelEdges(core2, 3, 30)
+      graft.ops.KCore.degrees(core2).withColumn("k", lit(2L))
+        .unionAll(graft.ops.KCore.degrees(core3).withColumn("k", lit(3L)))
         .select(col("k"), col("vertex"), col("core_deg"))
     }),
 

@@ -26,36 +26,62 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Rounds unrolled LAZILY between materializations: the dominant
+    * per-round cost on an already-small surviving edge list is job
+    * overhead (a checkpoint action + a count action per round), not
+    * data. Peeling is idempotent at the fixpoint (an extra round is a
+    * no-op) and the edge count is monotone decreasing, so batching B
+    * rounds into one plan and checkpointing/counting once per batch is
+    * EXACT: equal batch-boundary counts imply no round inside the batch
+    * changed anything. Cuts actions ~3x on cascades like the sf0.01
+    * 3-core (11 rounds -> 4 batches). */
+  private val RoundsPerBatch = 3
+
+  /** One lazy peel round: keep the edges whose BOTH endpoints have
+    * degree >= k in `cur`. */
+  private def round(cur: DataFrame, k: Int): DataFrame = {
+    val keep = cur.groupBy(col("a"))
+      .agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select(col("a"))
+    cur.join(keep, Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+  }
+
   /** Peel the symmetric edge list `sym(a, b)` (both directions present,
-    * no self-loops) to its k-core; returns `(vertex, core_deg)` — each
-    * surviving vertex with its within-core degree (>= k by
-    * construction). An empty k-core is a valid result (the cascade
-    * consumed the graph); a cascade still shrinking after `maxRounds`
-    * fails loudly. */
-  def peel(sym: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    * no self-loops) to its k-core's surviving EDGES. An empty k-core is
+    * a valid result (the cascade consumed the graph); a cascade still
+    * shrinking after `maxRounds` rounds fails loudly. Because cores
+    * nest (the k-core contains the (k+1)-core), a caller computing a
+    * core ladder should feed each peel the previous core's edges. */
+  def peelEdges(sym: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"k=$k")
     var cur = sym.select(col("a"), col("b")).localCheckpoint(true)
     var curN = cur.count()
     var stable = false
-    var round = 0
-    while (!stable && curN > 0 && round < maxRounds) {
-      val keep = cur.groupBy(col("a"))
-        .agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("a"))
-      val next = cur
-        .join(keep, Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+    var rounds = 0
+    while (!stable && curN > 0 && rounds < maxRounds) {
+      val batch = math.min(RoundsPerBatch, maxRounds - rounds)
+      val next = (1 to batch).foldLeft(cur)((d, _) => round(d, k))
         .localCheckpoint(true)
       val nextN = next.count()
       stable = nextN == curN
       cur = next
       curN = nextN
-      round += 1
+      rounds += batch
     }
     require(stable || curN == 0,
       s"$k-core peel still shrinking after $maxRounds rounds")
-    cur.groupBy(col("a"))
+    cur
+  }
+
+  /** `(vertex, core_deg)` readout of a peeled edge list: each surviving
+    * vertex with its within-core degree (>= k by construction). */
+  def degrees(coreEdges: DataFrame): DataFrame =
+    coreEdges.groupBy(col("a"))
       .agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("vertex"), col("core_deg"))
-  }
+
+  /** Peel to the k-core and read out `(vertex, core_deg)`. */
+  def peel(sym: DataFrame, k: Int, maxRounds: Int): DataFrame =
+    degrees(peelEdges(sym, k, maxRounds))
 }

@@ -66,6 +66,12 @@ class KCoreSpec extends AnyFunSuite {
     assert(c3.keySet.subsetOf(c2.keySet))
     // within-core degree can only drop when peeling harder
     assert(c3.forall { case (v, d) => d <= c2(v) })
+    // the chained form the registry query uses: peeling the 3-core FROM
+    // the 2-core's edges equals peeling it from the full graph
+    val chained = KCore.degrees(
+        KCore.peelEdges(KCore.peelEdges(symDf(edges), 2, 100), 3, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained == c3)
   }
 
   test("a cycle is its own 2-core; a tree's 2-core is empty") {
