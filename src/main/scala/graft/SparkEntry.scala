@@ -1046,6 +1046,72 @@ object SparkEntry {
       }
     }),
 
+    // Z-ORDER CLUSTERING + MULTI-DIM DATA SKIPPING — what 1-D range
+    // clustering (src_manifest_prune) cannot do: a predicate on the
+    // SECOND dimension. Two layouts of the same orders slice are staged:
+    // price-range-clustered, and clustered by the Morton curve over
+    // (price, order-day), both dims normalized to the full 16-bit curve
+    // range (un-normalized dims degenerate the curve to one-dim-major
+    // order — the classic z-order mistake). The same O(files) zone-map
+    // manifest is built over each, and a DATE-narrow query is pruned
+    // against both: the price-clustered layout must read EVERY file
+    // (each file spans all dates — that require is the negative
+    // control), the z-ordered layout at most half (its files are
+    // rectangles in (price, day) space). The exact predicate re-applies
+    // on survivors, so skipping whole files never changes the answer;
+    // the curve value orders the LAYOUT only and is dropped before the
+    // write. At 100 TB this is the difference between scanning the lake
+    // and reading one date band of every price tier.
+    "src_zorder_prune" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      // layout-only quantization: fixed spans, never data-derived (a
+      // clustering pass must not need a prior global min/max job)
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long")
+      val pq = least(floor(col("o_totalprice") * 65535.0 / 600000.0)
+        .cast("long"), lit(65535L))
+      val dq = least(greatest(floor(day * 65535.0 / 2405.0).cast("long"),
+        lit(0L)), lit(65535L))
+      def stage(name: String, clusterBy: Column): String = {
+        val out = staged(name)
+        o.repartitionByRange(16, clusterBy)
+          .sortWithinPartitions(clusterBy)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+      val zDir = stage("zorder_2d",
+        graft.functions.GraftFunctions.zorder(s, pq, dq))
+      val pDir = stage("zorder_1d", col("o_totalprice"))
+      // the zone-map manifest: per-file [min, max] of the DAY number
+      def manifest(d: String): Array[(String, Long, Long)] =
+        s.read.parquet(d)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(day).as("dlo"), max(day).as("dhi"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // date-narrow predicate: 1997-01-01 <= o_orderdate < 1997-07-01,
+      // i.e. day numbers 731..911 INCLUSIVE from the 1995-01-01 epoch
+      // (1995+1996 = 731 days; 1997-06-30 is day 911)
+      val (qLo, qHi) = (731L, 911L)
+      def prune(m: Array[(String, Long, Long)]): Seq[String] =
+        m.filter { case (_, lo, hi) => lo <= qHi && hi >= qLo }
+          .map(_._1).toSeq
+      val zM = manifest(zDir); val pM = manifest(pDir)
+      val zPick = prune(zM); val pPick = prune(pM)
+      require(pPick.size == pM.length,
+        s"negative control broken: price clustering pruned the date " +
+          s"query (${pPick.size} of ${pM.length})")
+      require(zPick.size <= zM.length / 2,
+        s"z-order pruned nothing: ${zPick.size} of ${zM.length} files")
+      s.read.parquet(zPick: _*)
+        .where(col("o_orderdate") >= lit("1997-01-01")
+          && col("o_orderdate") < lit("1997-07-01"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("tot"))
+    }),
+
     "src_partitioned_roundtrip" -> ((s, dir) => {
       val out = staged("part_docs")
       tbl(s, dir, "documents")
@@ -9584,6 +9650,17 @@ object SparkEntry {
     // compaction must be a content no-op — the answer is the raw columns
     "src_compaction" ->
       "SELECT doc_id, source, n_chars FROM documents",
+
+    // z-order pruning only skips whole files; the answer must equal the
+    // plain full-table date filter
+    "src_zorder_prune" ->
+      """SELECT o_orderpriority,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+        |GROUP BY 1""".stripMargin,
 
     "src_partitioned_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

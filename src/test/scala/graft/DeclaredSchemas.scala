@@ -75,6 +75,8 @@ object DeclaredSchemas {
       "struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>",
     "src_txn_vacuum" ->
       "struct<o_orderstatus:string,n:bigint,tot:double>",
+    "src_zorder_prune" ->
+      "struct<o_orderpriority:string,n:bigint,tot:double>",
     "stream_asof_bounded" ->
       "struct<event_id:bigint,user_id:bigint,last_view_us:bigint>",
     "stream_asof_enrich" ->

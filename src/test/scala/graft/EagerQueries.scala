@@ -35,6 +35,7 @@ object EagerQueries {
     "src_time_travel" -> "stages the txn log + data objects, resolves snapshots",
     "src_time_travel_diff" -> "stages the txn log, reads change-set metadata",
     "src_txn_vacuum" -> "stages the txn log and physically vacuums it",
+    "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",
     "pipeline_fuzzy_dedup" -> "multi-stage pipeline materializes stages",
     "emb_semantic_dedup" -> "centroid fit + threshold pass",
     "emb_hard_negatives" -> "mines against a collected query panel",
