@@ -23,14 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (`removeVersion <= retain`), so storage reclaim never touches a
   *     retained snapshot.
   *
-  * Commit protocol: one file per version, `%020d.commit`, written with
-  * HDFS create-exclusive (`fs.create(path, overwrite = false)`). On
-  * stores with atomic create (HDFS, local FS) that IS optimistic
-  * concurrency control: two writers racing to the same version — the
-  * serial `latest + 1` — collide on the create and the loser retries on
-  * a fresh read of the log. (Object stores without atomic create need a
-  * putIfAbsent coordination service; that is a log-store property, not a
-  * log-format one — same as the public Delta design.)
+  * Commit protocol: one file per version, `%020d.commit`, published via
+  * the store's ATOMIC create-exclusive primitive (see
+  * [[createExclusive]] — POSIX O_EXCL for local stores, HDFS
+  * create-exclusive otherwise; Hadoop's local `create(!overwrite)` is a
+  * non-atomic check-then-create and is deliberately NOT used). That
+  * publish IS optimistic concurrency control: two writers racing to the
+  * same version — the serial `latest + 1` — collide on the create and
+  * the loser retries on a fresh read of the log; TxnLogSpec's
+  * two-thread race pins exactly-one-winner. (Object stores without
+  * atomic create need a putIfAbsent coordination service; that is a
+  * log-store property, not a log-format one — same as the public Delta
+  * design.)
   *
   * Scale: the log is O(commits) driver-side metadata, the same listing
   * any table-format client performs; snapshot resolution, diff, and
@@ -54,6 +58,28 @@ object TxnLog {
   private def commitPath(logDir: String, version: Long): Path =
     new Path(logDir, f"$version%020d.commit")
 
+  /** The atomic-publish primitive, chosen PER STORE (the same split the
+    * public Delta LogStore design makes): Hadoop's RawLocalFileSystem
+    * implements `create(path, overwrite = false)` as a NON-atomic
+    * exists-check-then-create — TxnLogSpec's two-writer race test
+    * double-committed through it — so local stores go through POSIX
+    * O_EXCL (`CREATE_NEW`) directly, which the kernel arbitrates; other
+    * stores use the filesystem's own create-exclusive (atomic on HDFS;
+    * object stores without it need an external putIfAbsent service).
+    * Note the publish unit is the commit FILE's existence: a reader
+    * racing the writer between create and close can see a partial
+    * commit and fails loudly on the malformed line (never silently) —
+    * full read-after-publish needs temp-file + atomic-rename, which is
+    * a store property, not a format one. */
+  private def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): java.io.OutputStream =
+    if (f.getScheme == "file") {
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else f.create(p, /* overwrite = */ false)
+
   /** Append commit `version` with the given file actions. Enforces the
     * serial-history invariant (`version == latestVersion + 1`) and then
     * relies on create-exclusive for the atomic publish: if a concurrent
@@ -71,7 +97,7 @@ object TxnLog {
     val latest = latestVersion(spark, logDir)
     require(version == latest + 1,
       s"non-serial commit: version=$version, latest=$latest")
-    val out = f.create(commitPath(logDir, version), /* overwrite = */ false)
+    val out = createExclusive(f, commitPath(logDir, version))
     try {
       val body = (adds.map(p => s"add\t$p") ++
         removes.map(p => s"remove\t$p")).mkString("", "\n", "\n")

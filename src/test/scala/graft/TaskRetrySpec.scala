@@ -78,6 +78,15 @@ class TaskRetrySpec extends AnyFunSuite {
     assert(got == clean)
   }
 
+  test("GlobalFrame sliding aggregate is retry-exact") {
+    import graft.plans.{GlobalFrame, ScanKind}
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GlobalFrame.sliding(df, "v", -3, 2, ScanKind.Sum,
+          "k" -> false, "v" -> false)
+        .orderBy("k", "v").select("frame").as[Long].collect().toSeq
+    assert(run(failOnce(base, 4)) == run(base))
+  }
+
   test("txn-log publish under an injected write failure: the commit " +
     "publishes once and the snapshot is exact") {
     import graft.sources.TxnLog

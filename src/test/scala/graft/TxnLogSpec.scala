@@ -48,6 +48,33 @@ class TxnLogSpec extends AnyFunSuite {
     }
   }
 
+  test("two writers racing the same version: exactly one commit " +
+    "publishes, the log holds exactly one file for it") {
+    val (_, logDir, o) = freshTable("race")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = Seq(o(1), o(2)).map { obj =>
+      new Thread(() => {
+        barrier.await()
+        try { TxnLog.commit(spark, logDir, 1L, adds = Seq(obj)); wins.incrementAndGet() }
+        catch {
+          // loser fails either at the serial check (saw the winner's
+          // commit) or at the create-exclusive publish (raced past it)
+          case _: IllegalArgumentException | _: java.io.IOException =>
+            losses.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1 && losses.get() == 1, s"${wins.get()}/${losses.get()}")
+    val log = TxnLog.readLog(spark, logDir)
+    assert(log.count(_.version == 1L) == 1, log.toString)
+    // the winner's object is the live one; no partial commit leaked
+    assert(TxnLog.liveFiles(log, 1L).size == 2)
+  }
+
   test("liveFiles: add/remove algebra, corruption fails loudly") {
     val a = Seq(
       TxnLog.Action(0, "add", "p0"),
