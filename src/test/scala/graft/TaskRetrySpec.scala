@@ -87,6 +87,19 @@ class TaskRetrySpec extends AnyFunSuite {
     assert(run(failOnce(base, 4)) == run(base))
   }
 
+  test("GlobalRecur linear recurrence is retry-exact") {
+    import graft.plans.Recurrence
+    // unique order key: recurrence output is order-dependent, so ties
+    // would make even the clean run ambiguous
+    val df = spark.range(4000).select(col("id").as("t"),
+      (col("id") % 3 + 1).as("m"), (col("id") % 7).as("c"))
+      .repartition(7)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Recurrence.scan(d, "m", "c", 1L, "t" -> false)
+        .orderBy("t").select("y").as[Long].collect().toSeq
+    assert(run(failOnce(df, 2)) == run(df))
+  }
+
   test("txn-log publish under an injected write failure: the commit " +
     "publishes once and the snapshot is exact") {
     import graft.sources.TxnLog
