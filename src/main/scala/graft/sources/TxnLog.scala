@@ -190,17 +190,26 @@ object TxnLog {
 
   /** Files added and removed in `(sinceV, untilV]` — the O(transaction)
     * footprint an incremental consumer reads instead of two snapshots.
-    * A file both added and removed inside the range (e.g. ingested then
-    * compacted away) cancels out: its content is present on both sides
-    * of the diff and contributes no row changes. */
+    * Semantics are NET per path (the liveness delta between the two
+    * snapshots): a path whose in-window adds and removes balance (e.g.
+    * ingested then compacted away) contributes no change, while a path
+    * removed and later RE-added in the window is a net add — the naive
+    * added∩removed cancellation would wrongly drop it (caught by the
+    * TxnLogSpec re-add property; valid histories alternate add/remove
+    * per path, so the net is always −1, 0, or +1). The identity the
+    * property pins: live(untilV) == (live(sinceV) \ removed) ∪ added. */
   def changedBetween(log: Seq[Action], sinceV: Long, untilV: Long)
       : (Seq[String], Seq[String]) = {
     require(sinceV < untilV, s"empty version range ($sinceV, $untilV]")
     val window = log.filter(a => a.version > sinceV && a.version <= untilV)
+    val net = window.groupBy(_.path).map { case (p, as) =>
+      p -> as.map(a => if (a.action == "add") 1 else -1).sum
+    }
     val added = window.collect { case Action(_, "add", p) => p }
+      .distinct.filter(net(_) > 0)
     val removed = window.collect { case Action(_, "remove", p) => p }
-    val transient0 = added.toSet intersect removed.toSet
-    (added.filterNot(transient0), removed.filterNot(transient0))
+      .distinct.filter(net(_) < 0)
+    (added, removed)
   }
 
   /** Files physically deletable under a retention floor: every snapshot

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the TxnLog's pure log algebra (no filesystem, no
+  * Spark): on RANDOM VALID histories, snapshot resolution must equal a
+  * brute-force replay at every version, and `changedBetween` must
+  * satisfy the liveness-delta identity
+  * `live(v1) == (live(v0) \ removed) ∪ added` for every version pair —
+  * the contract an incremental consumer relies on. The re-add case
+  * (remove then add the same path inside a window, a net add) is what
+  * a naive added∩removed cancellation gets wrong — this suite caught
+  * exactly that in the first implementation.
+  *
+  * Deterministic: fixed scalacheck seeds, explicit draws (the house
+  * idiom of GlobalWindowPropertySpec); a failure names its seed. */
+class TxnLogPropertySpec extends AnyFunSuite {
+  import graft.sources.TxnLog
+  import TxnLog.Action
+
+  /** Random valid history: each commit adds 0-2 fresh paths, may
+    * RE-add a previously-removed path (the restore/undo shape), and
+    * may remove one currently-live path; at least one action per
+    * commit (commit() rejects empty ones). */
+  private val genHistory: Gen[Seq[Action]] = {
+    def step(v: Long, live: Vector[String], dead: Vector[String],
+             next: Int, acc: Vector[Action], remaining: Int)
+    : Gen[Seq[Action]] =
+      if (remaining == 0) Gen.const(acc)
+      else for {
+        nAdd <- Gen.choose(0, 2)
+        reAdd <- if (dead.nonEmpty) Gen.oneOf(true, false)
+                 else Gen.const(false)
+        readdIdx <- Gen.choose(0, math.max(0, dead.size - 1))
+        doRemove <- if (live.nonEmpty) Gen.oneOf(true, false)
+                    else Gen.const(false)
+        removeIdx <- Gen.choose(0, math.max(0, live.size - 1))
+        forceAdd = nAdd == 0 && !reAdd && !doRemove
+        fresh = (0 until (if (forceAdd) 1 else nAdd))
+          .map(i => s"p${next + i}")
+        reAdded = if (reAdd) Seq(dead(readdIdx)) else Nil
+        removed = if (doRemove) Seq(live(removeIdx)) else Nil
+        out <- step(v + 1,
+          (live ++ fresh ++ reAdded).filterNot(removed.contains),
+          (dead.filterNot(reAdded.contains) ++ removed).distinct,
+          next + fresh.size,
+          acc ++ fresh.map(Action(v, "add", _)) ++
+            reAdded.map(Action(v, "add", _)) ++
+            removed.map(Action(v, "remove", _)),
+          remaining - 1)
+      } yield out
+    Gen.choose(2, 12).flatMap(n =>
+      step(0L, Vector.empty, Vector.empty, 0, Vector.empty, n))
+  }
+
+  private def draw(seed: Long): Seq[Action] =
+    genHistory.apply(Gen.Parameters.default, Seed(seed)).get
+
+  /** Brute-force liveness at `v`: replay the prefix into a set. */
+  private def bruteLive(log: Seq[Action], v: Long): Set[String] =
+    log.takeWhile(_.version <= v).foldLeft(Set.empty[String]) {
+      case (s, Action(_, "add", p)) => s + p
+      case (s, Action(_, "remove", p)) => s - p
+      case (s, _) => s
+    }
+
+  test("liveFiles equals the brute-force replay at every version, on " +
+    "200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val log = draw(seed)
+      log.map(_.version).distinct.foreach { v =>
+        assert(TxnLog.liveFiles(log, v).toSet == bruteLive(log, v),
+          s"seed=$seed v=$v log=$log")
+      }
+    }
+  }
+
+  test("changedBetween satisfies the liveness-delta identity for every " +
+    "version pair, including re-adds, on 200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val log = draw(seed)
+      val versions = log.map(_.version).distinct
+      for (v0 <- versions; v1 <- versions if v0 < v1) {
+        val (added, removed) = TxnLog.changedBetween(log, v0, v1)
+        val got = (bruteLive(log, v0) -- removed) ++ added
+        assert(got == bruteLive(log, v1),
+          s"seed=$seed ($v0,$v1] log=$log added=$added removed=$removed")
+        // each path is one NET op: no repeats, no overlap
+        assert(added.distinct == added && removed.distinct == removed &&
+          (added.toSet intersect removed.toSet).isEmpty,
+          s"seed=$seed ($v0,$v1] added=$added removed=$removed")
+      }
+    }
+  }
+
+  test("the concrete re-add shapes the naive cancellation gets wrong") {
+    val log = Seq(
+      Action(0, "add", "a"), Action(0, "add", "b"),
+      Action(1, "remove", "b"), // b compacted away...
+      Action(2, "add", "b"))    // ...then restored
+    // remove + re-add inside (0, 2]: net NO change
+    assert(TxnLog.changedBetween(log, 0, 2) ==
+      (Seq.empty[String], Seq.empty[String]))
+    // b is dead at v1 and re-added at v2: net ADD over (1, 2]
+    assert(TxnLog.changedBetween(log, 1, 2) ==
+      (Seq("b"), Seq.empty[String]))
+    // only the remove falls in (0, 1]: net REMOVE
+    assert(TxnLog.changedBetween(log, 0, 1) ==
+      (Seq.empty[String], Seq("b")))
+  }
+}
