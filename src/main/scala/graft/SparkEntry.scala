@@ -239,15 +239,20 @@ object SparkEntry {
     }
     val b = (0 to 3).map(i =>
       obj(s"b$i", orders.where(col("o_orderkey") % 4 === i)))
-    TxnLog.commit(s, logDir, 0L, adds = Seq(b(0)))
-    TxnLog.commit(s, logDir, 1L, adds = Seq(b(1), b(2)))
-    TxnLog.commit(s, logDir, 2L, adds = Seq(b(3)))
+    // checkpointEvery = 2 routes the history through real checkpoints
+    // (v2, v4): snapshot resolution in every src_txn_* query below reads
+    // one checkpoint + the commit tail, never the whole log — the
+    // O(tail) path a long-lived 100 TB table needs
+    TxnLog.commit(s, logDir, 0L, adds = Seq(b(0)), checkpointEvery = 2)
+    TxnLog.commit(s, logDir, 1L, adds = Seq(b(1), b(2)), checkpointEvery = 2)
+    TxnLog.commit(s, logDir, 2L, adds = Seq(b(3)), checkpointEvery = 2)
     val b2d = obj("b2_del", orders.where(
       col("o_orderkey") % 4 === 2 && col("o_orderstatus") =!= "F"))
-    TxnLog.commit(s, logDir, 3L, adds = Seq(b2d), removes = Seq(b(2)))
+    TxnLog.commit(s, logDir, 3L, adds = Seq(b2d), removes = Seq(b(2)),
+      checkpointEvery = 2)
     val c01 = obj("c01", s.read.parquet(b(0), b(1)))
     TxnLog.commit(s, logDir, 4L, adds = Seq(c01),
-      removes = Seq(b(0), b(1)))
+      removes = Seq(b(0), b(1)), checkpointEvery = 2)
     logDir
   }
 
@@ -1067,8 +1072,13 @@ object SparkEntry {
         col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
       // layout-only quantization: fixed spans, never data-derived (a
       // clustering pass must not need a prior global min/max job)
+      // epoch = 1992-01-01 and span = 2405 days: the full TPC-H order-date
+      // range (1992-01-01 .. 1998-08-02), so every order maps into the
+      // positive curve range — a mismatched epoch would clamp the early
+      // years onto one Morton coordinate, exactly the un-normalized-dims
+      // degeneration the comment below warns against
       val day = datediff(col("o_orderdate").cast("date"),
-        lit("1995-01-01").cast("date")).cast("long")
+        lit("1992-01-01").cast("date")).cast("long")
       val pq = least(floor(col("o_totalprice") * 65535.0 / 600000.0)
         .cast("long"), lit(65535L))
       val dq = least(greatest(floor(day * 65535.0 / 2405.0).cast("long"),
@@ -1090,9 +1100,10 @@ object SparkEntry {
           .agg(min(day).as("dlo"), max(day).as("dhi"))
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       // date-narrow predicate: 1997-01-01 <= o_orderdate < 1997-07-01,
-      // i.e. day numbers 731..911 INCLUSIVE from the 1995-01-01 epoch
-      // (1995+1996 = 731 days; 1997-06-30 is day 911)
-      val (qLo, qHi) = (731L, 911L)
+      // i.e. day numbers 1827..2007 INCLUSIVE from the 1992-01-01 epoch
+      // (1992..1996 = 366+365+365+365+366 = 1827 days; 1997-06-30 is
+      // day 1827 + 180 = 2007)
+      val (qLo, qHi) = (1827L, 2007L)
       def prune(m: Array[(String, Long, Long)]): Seq[String] =
         m.filter { case (_, lo, hi) => lo <= qHi && hi >= qLo }
           .map(_._1).toSeq

@@ -5,12 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal transaction log over plain parquet — the lakehouse metadata
   * layer (the public Delta Lake / Iceberg design, VLDB 2020) re-expressed
-  * with nothing but a directory of commit files, giving four capabilities
+  * with nothing but a directory of commit files, giving the capabilities
   * no raw parquet directory has:
   *
   *   - **snapshot isolation / time travel**: a snapshot AS OF version v is
   *     the file set `adds(<=v) \ removes(<=v)`, resolved from O(commits)
   *     metadata — the data directory is NEVER listed;
+  *   - **checkpointed resolution**: every N commits a full live-set
+  *     snapshot file is written (`%020d.checkpoint` + a `_last_checkpoint`
+  *     pointer, the public Delta design), so resolving a snapshot reads
+  *     ONE checkpoint plus the commits after it — O(tail), not
+  *     O(total-commits) driver file opens on a long-lived table;
   *   - **incremental (CDC-style) consumption**: the rows that changed
   *     between two versions live only in the files added/removed in that
   *     version range, so a consumer reads O(transaction) bytes, not two
@@ -18,39 +23,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - **metadata-transacted maintenance**: compaction is a commit that
   *     removes N small files and adds their size-targeted rewrite — a
   *     content no-op visible atomically, with every older version intact;
-  *   - **vacuum**: a file is physically deletable exactly when every
-  *     snapshot that references it is older than the retention floor
-  *     (`removeVersion <= retain`), so storage reclaim never touches a
-  *     retained snapshot.
+  *   - **file-level stats → metadata-only data skipping**: an add action
+  *     optionally carries a stats string written ONCE at write time
+  *     (e.g. per-file `[min,max]` of the cluster columns); readers prune
+  *     whole objects from the log alone, before any data file is opened;
+  *   - **vacuum**: a file is physically deletable exactly when NO snapshot
+  *     at or above the retention floor references it — a path removed at
+  *     `r <= retain` but re-added later is live again and is NEVER
+  *     reclaimed (the remove-then-re-add histories the log algebra
+  *     explicitly supports);
+  *   - **optimistic concurrency**: concurrent writers race on the
+  *     create-exclusive commit file; [[commitRetry]] re-reads the log on
+  *     collision, re-stamps when the intervening commits touch a DISJOINT
+  *     file set (disjoint commits commute — e.g. appends to different
+  *     partitions), and fails loudly on a logical conflict.
   *
   * Commit protocol: one file per version, `%020d.commit`, published via
-  * the store's ATOMIC create-exclusive primitive (see
-  * [[createExclusive]] — POSIX O_EXCL for local stores, HDFS
-  * create-exclusive otherwise; Hadoop's local `create(!overwrite)` is a
-  * non-atomic check-then-create and is deliberately NOT used). That
-  * publish IS optimistic concurrency control: two writers racing to the
-  * same version — the serial `latest + 1` — collide on the create and
-  * the loser retries on a fresh read of the log; TxnLogSpec's
-  * two-thread race pins exactly-one-winner. (Object stores without
+  * the store's ATOMIC exclusive-publish primitive (see
+  * [[publishExclusive]]). On local stores the body is first written to a
+  * temp file and then published via a POSIX hard link — `link(2)` is both
+  * atomic and exclusive (fails if the target exists), so a reader can
+  * never observe a torn commit and two racing writers get exactly one
+  * winner (Hadoop's local `create(!overwrite)` is a non-atomic
+  * check-then-create and is deliberately NOT used). On stores without an
+  * atomic full-content publish (HDFS create-exclusive streams the body),
+  * torn writes are still DETECTED at read: every commit file ends with a
+  * `commit\t<n>` terminator line carrying the action count, and
+  * [[readLog]] fails loudly on a missing/short terminator — a truncated
+  * body can never silently drop trailing actions. (Object stores without
   * atomic create need a putIfAbsent coordination service; that is a
   * log-store property, not a log-format one — same as the public Delta
-  * design.)
+  * LogStore design.)
   *
   * Scale: the log is O(commits) driver-side metadata, the same listing
-  * any table-format client performs; snapshot resolution, diff, and
+  * any table-format client performs — and with checkpoints, resolution
+  * is O(live set + tail). Snapshot resolution, diff, skipping, and
   * vacuum planning are pure log algebra. Data-file reads stay fully
   * distributed (`spark.read.parquet(liveFiles: _*)`). At 100 TB the
   * difference between this and re-listing the lake per query is the
   * difference between milliseconds of metadata and minutes of S3 LIST.
   *
-  * Commit-file format: one action per line, `add\t<path>` or
-  * `remove\t<path>` (paths contain no tabs/newlines by construction —
-  * they are staged under a managed root). A text format keeps the log
-  * readable by anything, like Delta's JSON commits.
+  * Commit-file format: one action per line —
+  * `add\t<path>[\t<stats>]` or `remove\t<path>` — closed by a
+  * `commit\t<actionCount>` terminator (paths and stats contain no
+  * tabs/newlines by construction — they are staged under a managed
+  * root). A text format keeps the log readable by anything, like
+  * Delta's JSON commits. Checkpoint files use the same line format
+  * (adds only — the live set in first-add order, stats carried
+  * forward) with the same terminator.
   */
 object TxnLog {
 
-  final case class Action(version: Long, action: String, path: String)
+  final case class Action(version: Long, action: String, path: String,
+      stats: Option[String] = None)
+
+  /** Loud failure type for logical write-write conflicts under OCC. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,51 +87,182 @@ object TxnLog {
   private def commitPath(logDir: String, version: Long): Path =
     new Path(logDir, f"$version%020d.commit")
 
-  /** The atomic-publish primitive, chosen PER STORE (the same split the
-    * public Delta LogStore design makes): Hadoop's RawLocalFileSystem
-    * implements `create(path, overwrite = false)` as a NON-atomic
+  private def checkpointPath(logDir: String, version: Long): Path =
+    new Path(logDir, f"$version%020d.checkpoint")
+
+  private def lastCheckpointPath(logDir: String): Path =
+    new Path(logDir, "_last_checkpoint")
+
+  // ---------------------------------------------------------------------
+  // Publish primitives
+  // ---------------------------------------------------------------------
+
+  /** Atomic, exclusive, FULL-CONTENT publish, chosen PER STORE (the same
+    * split the public Delta LogStore design makes). Local stores: write a
+    * temp file in the same directory, then `Files.createLink(target,
+    * temp)` — the kernel arbitrates `link(2)`, which is atomic AND fails
+    * with EEXIST if the target exists, so the publish unit is the
+    * complete body (a reader can never see a torn commit, and two racing
+    * writers get exactly one winner). Hadoop's RawLocalFileSystem
+    * `create(path, overwrite = false)` is a NON-atomic
     * exists-check-then-create — TxnLogSpec's two-writer race test
-    * double-committed through it — so local stores go through POSIX
-    * O_EXCL (`CREATE_NEW`) directly, which the kernel arbitrates; other
-    * stores use the filesystem's own create-exclusive (atomic on HDFS;
-    * object stores without it need an external putIfAbsent service).
-    * Note the publish unit is the commit FILE's existence: a reader
-    * racing the writer between create and close can see a partial
-    * commit and fails loudly on the malformed line (never silently) —
-    * full read-after-publish needs temp-file + atomic-rename, which is
-    * a store property, not a format one. */
-  private def createExclusive(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): java.io.OutputStream =
+    * double-committed through it — and rename-based publish is not
+    * exclusive (POSIX rename silently replaces), which is why the hard
+    * link is the right local primitive. Other stores use the
+    * filesystem's own create-exclusive stream (atomic publish-by-
+    * existence on HDFS; the content-torn-write case is covered by the
+    * terminator line [[readLog]] requires). */
+  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, body: Array[Byte]): Unit =
     if (f.getScheme == "file") {
-      java.nio.file.Files.newOutputStream(
-        java.nio.file.Paths.get(p.toUri.getPath),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-    } else f.create(p, /* overwrite = */ false)
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, s".${target.getFileName}.", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, body)
+        try java.nio.file.Files.createLink(target, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.io.IOException(
+              s"commit file already exists (lost the publish race): $p", e)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = f.create(p, /* overwrite = */ false)
+      try out.write(body) finally out.close()
+    }
+
+  /** Serialize actions + terminator into the commit/checkpoint body. */
+  private def renderBody(lines: Seq[String]): Array[Byte] =
+    (lines :+ s"commit\t${lines.size}")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def actionLine(action: String, path: String,
+      stats: Option[String]): String = stats match {
+    case Some(st) => s"$action\t$path\t$st"
+    case None => s"$action\t$path"
+  }
+
+  /** Parse one commit/checkpoint body. Fails loudly on a malformed line,
+    * a missing terminator, or an action count that disagrees with the
+    * terminator — a torn or truncated write (including one truncated AT
+    * a newline boundary, which would otherwise parse as a shorter but
+    * well-formed body) is always detected, never silently shortened. */
+  private def parseBody(text: String, v: Long, where: String)
+      : Seq[Action] = {
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"torn $where v$v: empty body")
+    val term = lines.last
+    require(term.startsWith("commit\t"),
+      s"torn $where v$v: missing commit terminator (last line: $term)")
+    val declared = term.substring("commit\t".length).toLong
+    val actions = lines.init
+    require(actions.size.toLong == declared,
+      s"torn $where v$v: terminator declares $declared actions, " +
+        s"body has ${actions.size}")
+    require(declared > 0, s"$where v$v declares zero actions")
+    actions.map { line =>
+      val parts = line.split('\t')
+      require(parts.length == 2 || parts.length == 3,
+        s"malformed $where line in v$v: $line")
+      require(parts(0) == "add" || parts(0) == "remove",
+        s"malformed $where line in v$v: unknown action '${parts(0)}'")
+      require(parts.length == 2 || parts(0) == "add",
+        s"malformed $where line in v$v: stats on a remove: $line")
+      Action(v, parts(0), parts(1),
+        if (parts.length == 3) Some(parts(2)) else None)
+    }
+  }
+
+  private def readActionFile(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, v: Long, where: String): Seq[Action] = {
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseBody(text, v, where)
+  }
+
+  // ---------------------------------------------------------------------
+  // Commit
+  // ---------------------------------------------------------------------
 
   /** Append commit `version` with the given file actions. Enforces the
     * serial-history invariant (`version == latestVersion + 1`) and then
-    * relies on create-exclusive for the atomic publish: if a concurrent
-    * writer won the race after our check, the create throws and no
-    * partial commit is visible. */
+    * relies on the exclusive publish for atomicity: if a concurrent
+    * writer won the race after our check, the publish throws and no
+    * partial commit is ever visible. `stats` optionally carries a
+    * per-added-path stats string (written once, at write time — the
+    * data-skipping metadata readers prune from without opening data
+    * files). `checkpointEvery > 0` writes a live-set checkpoint after
+    * every Nth commit (see [[checkpoint]]). */
   def commit(spark: SparkSession, logDir: String, version: Long,
-      adds: Seq[String], removes: Seq[String] = Nil): Unit = {
+      adds: Seq[String] = Nil, removes: Seq[String] = Nil,
+      stats: Map[String, String] = Map.empty,
+      checkpointEvery: Int = 0): Unit = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    (adds ++ removes).foreach { p =>
+    (adds ++ removes ++ stats.values).foreach { p =>
       require(!p.contains('\t') && !p.contains('\n'),
-        s"path not representable in the commit format: $p")
+        s"not representable in the commit format: $p")
     }
+    stats.keys.foreach(p => require(adds.contains(p),
+      s"stats for a path this commit does not add: $p"))
     val f = fs(spark, logDir)
     f.mkdirs(new Path(logDir))
     val latest = latestVersion(spark, logDir)
     require(version == latest + 1,
       s"non-serial commit: version=$version, latest=$latest")
-    val out = createExclusive(f, commitPath(logDir, version))
-    try {
-      val body = (adds.map(p => s"add\t$p") ++
-        removes.map(p => s"remove\t$p")).mkString("", "\n", "\n")
-      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
+    val lines = adds.map(p => actionLine("add", p, stats.get(p))) ++
+      removes.map(p => actionLine("remove", p, None))
+    publishExclusive(f, commitPath(logDir, version), renderBody(lines))
+    if (checkpointEvery > 0 && version > 0 && version % checkpointEvery == 0)
+      checkpoint(spark, logDir, version)
+  }
+
+  /** OCC commit with logical conflict detection and bounded retry — the
+    * multi-writer path. The writer names the snapshot version it READ
+    * (`readVersion`); on a publish collision the log is re-read and the
+    * intervening commits `(readVersion, latest]` are checked for logical
+    * compatibility: commits touching DISJOINT file sets commute (e.g.
+    * appends to different partitions), so the commit is re-stamped at
+    * `latest + 1` and retried; any path overlap (the winner removed a
+    * file we also remove, or touched one we read-modify-write) is a real
+    * write-write conflict and fails loudly with
+    * [[CommitConflictException]] — never silently last-writer-wins.
+    * Returns the version the commit landed at. */
+  def commitRetry(spark: SparkSession, logDir: String,
+      readVersion: Long, adds: Seq[String], removes: Seq[String] = Nil,
+      stats: Map[String, String] = Map.empty,
+      maxAttempts: Int = 10): Long = {
+    val mine = (adds ++ removes).toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val latest = latestVersion(spark, logDir)
+      if (latest > readVersion) {
+        val intervening = readLog(spark, logDir)
+          .filter(a => a.version > readVersion && a.version <= latest)
+        val overlap = intervening.map(_.path).toSet intersect mine
+        if (overlap.nonEmpty)
+          throw new CommitConflictException(
+            s"write-write conflict: commits ($readVersion, $latest] " +
+              s"touched ${overlap.mkString(", ")}")
+      }
+      try {
+        commit(spark, logDir, latest + 1, adds, removes, stats)
+        return latest + 1
+      } catch {
+        // lost the race (serial check or the exclusive publish) — the
+        // next loop iteration re-reads the log and re-checks conflicts
+        case _: java.io.IOException =>
+        case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("non-serial") =>
+      }
+    }
+    throw new java.io.IOException(
+      s"commit did not land after $maxAttempts attempts (log churn)")
   }
 
   /** Idempotent publish for sinks keyed by an EXTERNAL transaction id
@@ -114,14 +274,24 @@ object TxnLog {
     * TxnLog store needs NO read-side dedup and NO partition-replace
     * discipline: the data object may be rewritten by the replay, but
     * the log names it exactly once, and a half-written object whose
-    * commit never published is simply invisible. Single writer per
-    * version assumed (one streaming query owns the sink); the
-    * create-exclusive commit file is the backstop if that is violated. */
+    * commit never published is simply invisible. The exists-then-commit
+    * is NOT atomic, so a concurrent duplicate presenter of the same
+    * version (a zombie attempt racing the recovery replay) may pass the
+    * exists check and lose the exclusive publish — that loss is
+    * re-checked and deduped to `false`, never surfaced as a failure of
+    * the streaming query. */
   def idempotentCommit(spark: SparkSession, logDir: String, version: Long,
       adds: Seq[String], removes: Seq[String] = Nil): Boolean = {
     val f = fs(spark, logDir)
     if (f.exists(commitPath(logDir, version))) false
-    else { commit(spark, logDir, version, adds, removes); true }
+    else try {
+      commit(spark, logDir, version, adds, removes); true
+    } catch {
+      // someone published this exact version while we were trying: the
+      // external txn id is committed — dedup, don't fail the query
+      case _: java.io.IOException | _: IllegalArgumentException
+        if f.exists(commitPath(logDir, version)) => false
+    }
   }
 
   /** Highest committed version, or -1 for an empty/absent log. */
@@ -138,52 +308,155 @@ object TxnLog {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Log reading
+  // ---------------------------------------------------------------------
+
   /** The full action log, version-ordered. O(commits) driver work — the
-    * metadata a table-format client holds, never data-sized. */
-  def readLog(spark: SparkSession, logDir: String): Seq[Action] = {
+    * metadata a table-format client holds, never data-sized. Full-history
+    * consumers (vacuum planning, change feeds from v0) need this;
+    * snapshot RESOLUTION should prefer [[liveActionsAt]], which reads one
+    * checkpoint + the tail. */
+  def readLog(spark: SparkSession, logDir: String): Seq[Action] =
+    readCommitRange(spark, logDir, -1L, Long.MaxValue)
+
+  /** Commit actions in `(fromExclusive, toInclusive]` — opens ONLY the
+    * commit files in the range (the checkpoint tail-read primitive). */
+  def readCommitRange(spark: SparkSession, logDir: String,
+      fromExclusive: Long, toInclusive: Long): Seq[Action] = {
     val f = fs(spark, logDir)
     f.listStatus(new Path(logDir)).iterator.toSeq
       .filter(_.getPath.getName.endsWith(".commit"))
       .sortBy(_.getPath.getName)
       .flatMap { st =>
         val v = st.getPath.getName.stripSuffix(".commit").toLong
-        val in = f.open(st.getPath)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split('\n').iterator.filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('\t')
-          require(i > 0, s"malformed commit line in v$v: $line")
-          Action(v, line.substring(0, i), line.substring(i + 1))
-        }
+        if (v > fromExclusive && v <= toInclusive)
+          readActionFile(f, st.getPath, v, "commit")
+        else Nil
       }
   }
 
-  /** Snapshot file set AS OF `asOf`: adds up to the version minus removes
-    * up to it, in first-add order (deterministic read plans). A remove of
-    * a never-added path and a second add of a live path are both history
-    * corruption and fail loudly. */
-  def liveFiles(log: Seq[Action], asOf: Long): Seq[String] = {
+  // ---------------------------------------------------------------------
+  // Checkpoints
+  // ---------------------------------------------------------------------
+
+  /** Write a live-set checkpoint at `version`: a `%020d.checkpoint` file
+    * holding the snapshot's add actions (first-add order, stats carried
+    * forward) and the `_last_checkpoint` pointer (the public Delta
+    * `_last_checkpoint` design). Resolution for any `asOf >= version`
+    * then reads this one file plus the commits after it. Checkpoint
+    * content is a pure function of the log, so an overwrite by a
+    * concurrent checkpointer is harmless. */
+  def checkpoint(spark: SparkSession, logDir: String, version: Long)
+      : Unit = {
+    val live = liveActions(readLog(spark, logDir), version)
+    val f = fs(spark, logDir)
+    val lines = live.map(a => actionLine("add", a.path, a.stats))
+    val out = f.create(checkpointPath(logDir, version), true)
+    try out.write(renderBody(lines)) finally out.close()
+    val ptr = f.create(lastCheckpointPath(logDir), true)
+    try ptr.write(s"$version\n".getBytes("UTF-8")) finally ptr.close()
+  }
+
+  /** Latest checkpoint version at or below `asOf`, if any. Fast path:
+    * the `_last_checkpoint` pointer names the newest checkpoint — if it
+    * qualifies, no listing filter is needed; otherwise (time travel
+    * below the newest checkpoint) fall back to listing `.checkpoint`
+    * files. */
+  def lastCheckpointAtOrBefore(spark: SparkSession, logDir: String,
+      asOf: Long): Option[Long] = {
+    val f = fs(spark, logDir)
+    val ptrP = lastCheckpointPath(logDir)
+    val fromPtr: Option[Long] =
+      if (!f.exists(ptrP)) None
+      else {
+        val in = f.open(ptrP)
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val pv = v.toLong
+        if (pv <= asOf && f.exists(checkpointPath(logDir, pv))) Some(pv)
+        else None
+      }
+    fromPtr.orElse {
+      val vs = f.listStatus(new Path(logDir)).iterator
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong)
+        .filter(_ <= asOf)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Snapshot resolution through the checkpoint: read the newest
+    * checkpoint at or below `asOf` (one file, O(live set)) and replay
+    * only the commits after it. Without a checkpoint, falls back to the
+    * full-log replay. Equal to `liveActions(readLog(..), asOf)` by
+    * construction — TxnLogPropertySpec pins the identity at every
+    * version of every generated history. */
+  def liveActionsAt(spark: SparkSession, logDir: String, asOf: Long)
+      : Seq[Action] =
+    lastCheckpointAtOrBefore(spark, logDir, asOf) match {
+      case None => liveActions(readLog(spark, logDir), asOf)
+      case Some(cv) =>
+        val f = fs(spark, logDir)
+        val base = readActionFile(f, checkpointPath(logDir, cv), cv,
+          "checkpoint")
+        val tail = readCommitRange(spark, logDir, cv, asOf)
+        replayActions(base, tail)
+    }
+
+  def liveFilesAt(spark: SparkSession, logDir: String, asOf: Long)
+      : Seq[String] = liveActionsAt(spark, logDir, asOf).map(_.path)
+
+  // ---------------------------------------------------------------------
+  // Pure log algebra
+  // ---------------------------------------------------------------------
+
+  /** Replay `tail` on top of an initial live set — the shared algebra of
+    * full-log and checkpointed resolution (pure; property-tested). A
+    * re-add of a live path and a remove of a non-live path are history
+    * corruption and fail loudly. First-add order is preserved
+    * (deterministic read plans); a removed-then-re-added path re-enters
+    * at its re-add position, exactly as the full replay orders it. */
+  def replayActions(initial: Seq[Action], tail: Seq[Action])
+      : Seq[Action] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Action]
+    initial.foreach { a =>
+      require(!live.contains(a.path), s"checkpoint re-adds ${a.path}")
+      live(a.path) = a
+    }
+    tail.foreach {
+      case a @ Action(v, "add", p, _) =>
+        require(!live.contains(p), s"v$v re-adds live file $p")
+        live(p) = a
+      case Action(v, "remove", p, _) =>
+        require(live.remove(p).isDefined, s"v$v removes non-live file $p")
+      case Action(v, a, _, _) => sys.error(s"v$v: unknown action '$a'")
+    }
+    live.values.toSeq
+  }
+
+  /** Snapshot live ADD actions (path + stats) AS OF `asOf`, replayed from
+    * the full log in first-add order. */
+  def liveActions(log: Seq[Action], asOf: Long): Seq[Action] = {
     require(log.nonEmpty && asOf >= log.head.version,
       s"asOf=$asOf precedes the log")
     require(asOf <= log.map(_.version).max,
       s"asOf=$asOf is past the latest commit")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    log.iterator.takeWhile(_.version <= asOf).foreach {
-      case Action(v, "add", p) =>
-        require(live.add(p), s"v$v re-adds live file $p")
-      case Action(v, "remove", p) =>
-        require(live.remove(p), s"v$v removes non-live file $p")
-      case Action(v, a, _) => sys.error(s"v$v: unknown action '$a'")
-    }
-    live.toSeq
+    replayActions(Nil, log.filter(_.version <= asOf))
   }
 
+  /** Snapshot file set AS OF `asOf` (see [[liveActions]]). */
+  def liveFiles(log: Seq[Action], asOf: Long): Seq[String] =
+    liveActions(log, asOf).map(_.path)
+
   /** Distributed read of the snapshot AS OF `asOf` — only the live files,
-    * resolved from the log; the data directory is never listed. */
+    * resolved from one checkpoint + the commit tail (or the full log when
+    * no checkpoint exists); the data directory is never listed. */
   def readSnapshot(spark: SparkSession, logDir: String, asOf: Long)
       : DataFrame = {
-    val files = liveFiles(readLog(spark, logDir), asOf)
+    val files = liveFilesAt(spark, logDir, asOf)
     require(files.nonEmpty, s"snapshot v$asOf is empty")
     spark.read.parquet(files: _*)
   }
@@ -205,22 +478,33 @@ object TxnLog {
     val net = window.groupBy(_.path).map { case (p, as) =>
       p -> as.map(a => if (a.action == "add") 1 else -1).sum
     }
-    val added = window.collect { case Action(_, "add", p) => p }
+    val added = window.collect { case Action(_, "add", p, _) => p }
       .distinct.filter(net(_) > 0)
-    val removed = window.collect { case Action(_, "remove", p) => p }
+    val removed = window.collect { case Action(_, "remove", p, _) => p }
       .distinct.filter(net(_) < 0)
     (added, removed)
   }
 
-  /** Files physically deletable under a retention floor: every snapshot
-    * that references a file removed at version r is strictly older than
-    * r, so `removeVersion <= retain` keeps all snapshots >= retain
-    * readable. Files removed AFTER the floor stay, because snapshot
-    * `retain` itself may reference them. */
-  def vacuumCandidates(log: Seq[Action], retain: Long): Seq[String] =
-    log.collect {
-      case Action(v, "remove", p) if v <= retain => p
-    }
+  /** Files physically deletable under a retention floor — deletable
+    * exactly when NO snapshot at or above `retain` references the path:
+    * its last action at `version <= retain` is a remove (it is dead in
+    * snapshot `retain` itself) AND it has no add after `retain` (a
+    * later RE-add makes it live again in some retained snapshot — the
+    * remove-then-re-add histories `changedBetween` handles net-wise
+    * would otherwise lose live data irreversibly here). Files removed
+    * AFTER the floor always stay, because snapshot `retain` may still
+    * reference them. */
+  def vacuumCandidates(log: Seq[Action], retain: Long): Seq[String] = {
+    val byPath = log.groupBy(_.path) // groupBy preserves log order
+    log.collect { case Action(v, "remove", p, _) if v <= retain => p }
+      .distinct
+      .filter { p =>
+        val history = byPath(p)
+        val atFloor = history.filter(_.version <= retain)
+        atFloor.last.action == "remove" &&
+          !history.exists(a => a.version > retain && a.action == "add")
+      }
+  }
 
   /** Physically delete the vacuum candidates. Returns the deleted paths.
     * Irreversible by design — time travel to versions older than the

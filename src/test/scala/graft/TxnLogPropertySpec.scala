@@ -61,8 +61,8 @@ class TxnLogPropertySpec extends AnyFunSuite {
   /** Brute-force liveness at `v`: replay the prefix into a set. */
   private def bruteLive(log: Seq[Action], v: Long): Set[String] =
     log.takeWhile(_.version <= v).foldLeft(Set.empty[String]) {
-      case (s, Action(_, "add", p)) => s + p
-      case (s, Action(_, "remove", p)) => s - p
+      case (s, Action(_, "add", p, _)) => s + p
+      case (s, Action(_, "remove", p, _)) => s - p
       case (s, _) => s
     }
 
@@ -91,6 +91,53 @@ class TxnLogPropertySpec extends AnyFunSuite {
         assert(added.distinct == added && removed.distinct == removed &&
           (added.toSet intersect removed.toSet).isEmpty,
           s"seed=$seed ($v0,$v1] added=$added removed=$removed")
+      }
+    }
+  }
+
+  test("checkpointed resolution equals full-replay resolution at every " +
+    "(checkpoint, asOf) pair of 200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val log = draw(seed)
+      val versions = log.map(_.version).distinct
+      for (c <- versions; asOf <- versions if asOf >= c) {
+        // a checkpoint at c is exactly the live ADD set at c; resolution
+        // replays only the tail (c, asOf] on top of it
+        val base = TxnLog.liveActions(log, c)
+        val tail = log.filter(a => a.version > c && a.version <= asOf)
+        val viaCheckpoint = TxnLog.replayActions(base, tail)
+        val full = TxnLog.liveActions(log, asOf)
+        assert(viaCheckpoint == full,
+          s"seed=$seed c=$c asOf=$asOf log=$log")
+      }
+    }
+  }
+
+  test("vacuum never reclaims a path live in ANY snapshot >= retain " +
+    "(re-adds included), and reclaims every truly-dead below-floor " +
+    "removal, on 200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val log = draw(seed)
+      val versions = log.map(_.version).distinct
+      for (retain <- versions) {
+        val cands = TxnLog.vacuumCandidates(log, retain).toSet
+        // safety: no candidate is referenced by a retained snapshot
+        versions.filter(_ >= retain).foreach { s =>
+          val overlap = cands intersect bruteLive(log, s)
+          assert(overlap.isEmpty,
+            s"seed=$seed retain=$retain snapshot=$s would lose $overlap")
+        }
+        // completeness: a path removed at <= retain whose history never
+        // adds it again is reclaimable
+        val expected = log.collect {
+          case Action(v, "remove", p, _) if v <= retain => p
+        }.distinct.filter { p =>
+          !log.exists(a =>
+            a.path == p && a.action == "add" && a.version > retain) &&
+            log.filter(a => a.path == p && a.version <= retain)
+              .last.action == "remove"
+        }.toSet
+        assert(cands == expected, s"seed=$seed retain=$retain log=$log")
       }
     }
   }

@@ -148,6 +148,183 @@ class TxnLogSpec extends AnyFunSuite {
     assert(snap.where(col("payload") === "GARBAGE").isEmpty)
   }
 
+  test("vacuum: a path removed below the floor but RE-added after it is " +
+    "live data and is never reclaimed") {
+    val (_, logDir, o) = freshTable("vacreadd")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0), o(1)))
+    TxnLog.commit(spark, logDir, 1L, removes = Seq(o(1))) // archived...
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(1)))    // ...restored
+    TxnLog.commit(spark, logDir, 3L, adds = Seq(o(2)))
+    // o(1) was removed at v1 <= retain=2, but its v2 re-add makes it live
+    // in every snapshot >= 2 — reclaiming it would be irreversible loss
+    assert(TxnLog.vacuumCandidates(TxnLog.readLog(spark, logDir), 2L)
+      .isEmpty)
+    assert(TxnLog.vacuum(spark, logDir, 2L).isEmpty)
+    assert(TxnLog.readSnapshot(spark, logDir, 3L).count() == 300L)
+    // same-path shape where reclaim IS legal: dead at the floor, never
+    // re-added after it
+    val (_, logDir2, p) = freshTable("vacdead")
+    TxnLog.commit(spark, logDir2, 0L, adds = Seq(p(0), p(1)))
+    TxnLog.commit(spark, logDir2, 1L, removes = Seq(p(1)))
+    TxnLog.commit(spark, logDir2, 2L, adds = Seq(p(2)))
+    assert(TxnLog.vacuumCandidates(TxnLog.readLog(spark, logDir2), 2L) ==
+      Seq(p(1)))
+  }
+
+  test("torn writes are detected at read: a truncated or terminator-less " +
+    "commit file fails loudly, never parses as fewer actions") {
+    val (_, logDir, o) = freshTable("torn")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+    val dir = java.nio.file.Paths.get(new java.net.URI(
+      new org.apache.hadoop.fs.Path(logDir).toUri.toString).getPath)
+    // an empty commit file (crash between create and write)
+    java.nio.file.Files.write(dir.resolve(f"${1L}%020d.commit"),
+      Array.emptyByteArray)
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.readLog(spark, logDir)
+    }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    // a body truncated AT a newline boundary: well-formed lines, but the
+    // trailing actions (and the terminator) are gone
+    java.nio.file.Files.write(dir.resolve(f"${1L}%020d.commit"),
+      s"add\t${o(1)}\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.readLog(spark, logDir)
+    }
+    assert(e2.getMessage.contains("terminator"), e2.getMessage)
+    // terminator disagreeing with the body (mid-line truncation repaired
+    // by a partial flush) also fails
+    java.nio.file.Files.write(dir.resolve(f"${1L}%020d.commit"),
+      s"add\t${o(1)}\ncommit\t2\n".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.readLog(spark, logDir)
+    }
+    assert(e3.getMessage.contains("declares"), e3.getMessage)
+    // repair the file through the real protocol shape and the log reads
+    java.nio.file.Files.write(dir.resolve(f"${1L}%020d.commit"),
+      s"add\t${o(1)}\ncommit\t1\n".getBytes("UTF-8"))
+    assert(TxnLog.liveFiles(TxnLog.readLog(spark, logDir), 1L) ==
+      Seq(o(0), o(1)))
+  }
+
+  test("idempotentCommit: two concurrent presenters of the same version " +
+    "yield exactly one true — the loser dedups to false, never throws") {
+    val (_, logDir, o) = freshTable("idemrace")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(o(1), o(2)).map { obj =>
+      new Thread(() => {
+        barrier.await()
+        try results.add(
+          TxnLog.idempotentCommit(spark, logDir, 1L, adds = Seq(obj)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    val rs = results.iterator()
+    val seq = Seq(rs.next(), rs.next())
+    assert(seq.count(identity) == 1, seq.toString)
+    assert(TxnLog.latestVersion(spark, logDir) == 1L)
+  }
+
+  test("checkpointed log: resolution reads one checkpoint + the tail — " +
+    "proven by physically deleting every commit at or below the " +
+    "checkpoint and still resolving") {
+    val (root, logDir, o) = freshTable("ckpt")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(2)),
+      removes = Seq(o(0)), checkpointEvery = 2)
+    val rewrite = s"$root/o0_rw"
+    spark.read.parquet(o(0)).limit(50)
+      .write.mode("overwrite").parquet(rewrite)
+    TxnLog.commit(spark, logDir, 3L, adds = Seq(rewrite),
+      checkpointEvery = 2)
+    // checkpoint exists at v2; resolution at 2 and 3 must match full replay
+    val full = TxnLog.readLog(spark, logDir)
+    assert(TxnLog.liveFilesAt(spark, logDir, 2L) ==
+      TxnLog.liveFiles(full, 2L))
+    assert(TxnLog.liveFilesAt(spark, logDir, 3L) ==
+      TxnLog.liveFiles(full, 3L))
+    assert(TxnLog.readSnapshot(spark, logDir, 3L).count() == 250L)
+    // the proof resolution never opens the pre-checkpoint commits:
+    // delete them; checkpoint-based resolution still succeeds verbatim
+    val dir = java.nio.file.Paths.get(new java.net.URI(logDir).getPath)
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.delete(dir.resolve(f"$v%020d.commit"))
+    }
+    assert(TxnLog.liveFilesAt(spark, logDir, 3L) ==
+      TxnLog.liveFiles(full, 3L))
+    assert(TxnLog.liveFilesAt(spark, logDir, 2L) ==
+      TxnLog.liveFiles(full, 2L))
+    assert(TxnLog.readSnapshot(spark, logDir, 3L).count() == 250L)
+  }
+
+  test("commitRetry: concurrent DISJOINT commits both land at " +
+    "consecutive versions; an overlapping commit conflicts loudly") {
+    val (_, logDir, o) = freshTable("occ")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+    // two writers, both read v0, commit disjoint file sets concurrently
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(o(1), o(2)).map { obj =>
+      new Thread(() => {
+        barrier.await()
+        try landed.add(TxnLog.commitRetry(spark, logDir,
+          readVersion = 0L, adds = Seq(obj)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(landed.size == 2)
+    val vs = { val it = landed.iterator(); Seq(it.next(), it.next()) }
+    assert(vs.toSet == Set(1L, 2L), vs.toString)
+    assert(TxnLog.liveFiles(TxnLog.readLog(spark, logDir), 2L).toSet ==
+      Set(o(0), o(1), o(2)))
+    // overlap: a writer that read v0 and removes o(1) — which a later
+    // commit (v1 or v2) added — is a write-write conflict, loud
+    intercept[TxnLog.CommitConflictException] {
+      TxnLog.commitRetry(spark, logDir, readVersion = 0L,
+        adds = Nil, removes = Seq(o(1)))
+    }
+    // the same intent declared against the CURRENT snapshot is legal
+    val v3 = TxnLog.commitRetry(spark, logDir, readVersion = 2L,
+      adds = Nil, removes = Seq(o(1)))
+    assert(v3 == 3L)
+    assert(TxnLog.liveFiles(TxnLog.readLog(spark, logDir), 3L).toSet ==
+      Set(o(0), o(2)))
+  }
+
+  test("stats ride the log: written once at commit time, served from " +
+    "metadata alone, carried forward through a checkpoint") {
+    val (_, logDir, o) = freshTable("stats")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0), o(1)),
+      stats = Map(o(0) -> "0,99", o(1) -> "100,199"), checkpointEvery = 1)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(2)),
+      stats = Map(o(2) -> "200,299"), checkpointEvery = 1)
+    val live = TxnLog.liveActionsAt(spark, logDir, 1L)
+    assert(live.map(a => a.path -> a.stats.get) ==
+      Seq(o(0) -> "0,99", o(1) -> "100,199", o(2) -> "200,299"))
+    // prune from the log alone: only the object whose [lo,hi] overlaps
+    val picked = live.filter { a =>
+      val Array(lo, hi) = a.stats.get.split(',').map(_.toLong)
+      lo <= 150L && hi >= 120L
+    }
+    assert(picked.map(_.path) == Seq(o(1)))
+    // the checkpoint at v1 carries the v0 stats forward: delete the v0
+    // commit, stats still resolve
+    val dir = java.nio.file.Paths.get(new java.net.URI(logDir).getPath)
+    java.nio.file.Files.delete(dir.resolve(f"${0L}%020d.commit"))
+    assert(TxnLog.liveActionsAt(spark, logDir, 1L)
+      .map(a => a.path -> a.stats.get) ==
+      Seq(o(0) -> "0,99", o(1) -> "100,199", o(2) -> "200,299"))
+  }
+
   test("vacuum: retention floor keeps every snapshot >= retain readable; " +
     "time travel below the floor fails at read") {
     val (root, logDir, o) = freshTable("vacuum")
