@@ -1269,6 +1269,79 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // THE FULL LAKEHOUSE READ PATH — TxnLog + z-order + file-level stats
+    // IN THE LOG: each ingest batch is z-order-clustered at write time
+    // over (price, order-day), and the per-file [min,max] of BOTH
+    // cluster dims is computed once, on the freshly written batch, and
+    // carried as commit-action stats. The reader plans the scan from
+    // log metadata ALONE (one checkpoint + tail — liveActionsAt), prunes
+    // whole files on both dimensions, and opens zero data files beyond
+    // the survivors; the exact predicate re-applies on them, so skipping
+    // never changes the answer. Unlike src_manifest_prune /
+    // src_zorder_prune (which rebuild their zone maps by scanning data
+    // each run), the stats here are written once and served forever from
+    // O(files) metadata — at 100 TB that is the difference between a
+    // planning scan of the lake and a millisecond log read.
+    "src_txn_skipping" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_skip")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      // same fixed-span quantization as src_zorder_prune: 1992-01-01
+      // epoch over the full 2405-day TPC-H order-date range
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long")
+      val pq = least(floor(col("o_totalprice") * 65535.0 / 600000.0)
+        .cast("long"), lit(65535L))
+      val dq = least(greatest(floor(day * 65535.0 / 2405.0).cast("long"),
+        lit(0L)), lit(65535L))
+      val zcol = graft.functions.GraftFunctions.zorder(s, pq, dq)
+      def ingest(version: Long, batch: DataFrame): Unit = {
+        val out = s"$root/batch_$version"
+        batch.repartitionByRange(8, zcol).sortWithinPartitions(zcol)
+          .write.mode("overwrite").parquet(out)
+        // the write-time stats pass: one scan of the batch JUST written
+        // (never of the table), stats stamped into the commit actions
+        val st = s.read.parquet(out)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(day).as("dlo"), max(day).as("dhi"),
+            min(col("o_totalprice")).as("plo"),
+            max(col("o_totalprice")).as("phi"))
+          .collect()
+          .map(r => r.getString(0) ->
+            s"${r.getLong(1)},${r.getLong(2)},${r.getDouble(3)},${r.getDouble(4)}")
+        TxnLog.commit(s, logDir, version, adds = st.map(_._1).toSeq,
+          stats = st.toMap, checkpointEvery = 1)
+      }
+      ingest(0L, o.where(col("o_orderkey") % 2 === 0))
+      ingest(1L, o.where(col("o_orderkey") % 2 === 1))
+      // metadata-only planning: the head snapshot's add actions (served
+      // through the v1 checkpoint) carry everything the pruner needs
+      val live = TxnLog.liveActionsAt(s, logDir, 1L)
+      require(live.forall(_.stats.isDefined), "an add action lost its stats")
+      val (dLo, dHi) = (1827L, 2007L) // 1997-01-01 .. 1997-06-30
+      val (pLo, pHi) = (100000.0, 250000.0)
+      val picked = live.filter { a =>
+        val Array(flo, fhi, plo, phi) = a.stats.get.split(',')
+        flo.toLong <= dHi && fhi.toLong >= dLo &&
+          plo.toDouble <= pHi && phi.toDouble >= pLo
+      }.map(_.path)
+      require(picked.size <= live.size / 2,
+        s"log-stats pruning too weak: ${picked.size} of ${live.size} files")
+      require(picked.nonEmpty,
+        s"empty survivor set — the 1997H1 mid-price band must be populated")
+      s.read.parquet(picked: _*)
+        .where(col("o_orderdate") >= lit("1997-01-01")
+          && col("o_orderdate") < lit("1997-07-01")
+          && col("o_totalprice") >= pLo && col("o_totalprice") <= pHi)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("tot"))
+    }),
+
     // P1: Java-split parity — field arity per line
     "p1_java_split_arity" -> ((s, dir) =>
       docLines(s, dir).select(col("doc_id"),
@@ -3343,6 +3416,69 @@ object SparkEntry {
           .as(Seq("band_idx", "band")))
         .select(col("band_idx").cast("long").as("band_idx"), col("band"))
         .groupBy("band_idx", "band").agg(count(lit(1)).as("bucket_size"))),
+
+    // INCREMENTAL LSH INDEX MAINTENANCE DRIVEN BY THE TXN-LOG DIFF — the
+    // production LLM-pipeline shape: a standing signature store is kept
+    // next to a TxnLog table; when the table moves from v0 to v1,
+    // `changedBetween` names exactly the objects the index must
+    // re-process — re-LSH only the net-added objects, retire the rows of
+    // the net-removed ones. The rel_ivm_agg merge-equals-recompute
+    // discipline, applied to dedup: the in-path require pins that the
+    // incrementally-maintained index equals a from-scratch index of the
+    // new snapshot, row for row. At 100 TB the incremental path
+    // re-shingles O(transaction) documents instead of the corpus.
+    "dedup_txn_incremental_lsh" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_inc_lsh")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      def obj(name: String, df: DataFrame): String = {
+        val d = s"$root/$name"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      def lshRows(in: DataFrame): DataFrame = {
+        val sigs = in.select(col("doc_id"),
+          graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
+            .as("sig"))
+          .select(col("doc_id") +: (0 until 8).map(i =>
+            element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+        sigs.select(col("doc_id"),
+            posexplode(array(Dedup.lshBands(8, 2): _*))
+              .as(Seq("band_idx", "band")))
+          .select(col("doc_id"),
+            col("band_idx").cast("long").as("band_idx"), col("band"))
+      }
+      val o0 = obj("d0", docs.where(col("doc_id") < 200))
+      val o1 = obj("d1", docs.where(col("doc_id") >= 200
+        && col("doc_id") < 350))
+      val o2 = obj("d2", docs.where(col("doc_id") >= 350))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(o0, o1), checkpointEvery = 2)
+      // the standing signature store, built once at v0 and persisted
+      val index0Dir = s"$root/index_v0"
+      lshRows(TxnLog.readSnapshot(s, logDir, 0L))
+        .write.mode("overwrite").parquet(index0Dir)
+      // v1: one transaction retires a slice and ingests a new one
+      TxnLog.commit(s, logDir, 1L, adds = Seq(o2), removes = Seq(o1),
+        checkpointEvery = 2)
+      val (added, removed) =
+        TxnLog.changedBetween(TxnLog.readLog(s, logDir), 0L, 1L)
+      require(added == Seq(o2) && removed == Seq(o1),
+        s"log diff should name exactly the v1 objects: +$added -$removed")
+      // incremental maintenance: O(transaction) re-shingling only
+      val retired = s.read.parquet(removed: _*).select(col("doc_id"))
+      val incremental = s.read.parquet(index0Dir)
+        .join(retired, Seq("doc_id"), "left_anti")
+        .unionAll(lshRows(s.read.parquet(added: _*)))
+      // merge == recompute: the maintained index must equal the index a
+      // from-scratch build of snapshot v1 produces
+      val scratch = lshRows(TxnLog.readSnapshot(s, logDir, 1L))
+      require(incremental.exceptAll(scratch).isEmpty
+        && scratch.exceptAll(incremental).isEmpty,
+        "incremental LSH index diverged from the from-scratch index")
+      incremental.groupBy(col("band_idx"), col("band"))
+        .agg(count(lit(1)).as("bucket_size"))
+    }),
 
     // SimHash (64-bit, md5-based ±1 bit sums) via the native SimHash64Expr.
     // Fully oracle-checked: every step is md5 + exact integer arithmetic,
@@ -9714,6 +9850,18 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'F'""".stripMargin,
 
+    // log-stats skipping only drops whole files; the answer must equal
+    // the plain full-table two-dimensional filter
+    "src_txn_skipping" ->
+      """SELECT o_orderpriority,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+        |  AND o_totalprice BETWEEN 100000 AND 250000
+        |GROUP BY 1""".stripMargin,
+
     // storage reclaim below the retention floor must not change the head
     "src_txn_vacuum" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
@@ -11272,6 +11420,27 @@ object SparkEntry {
           s"md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |sigs AS (SELECT doc_id,
+         |       $sigsSql
+         |FROM sh),
+         |bands AS (
+         |  $bands
+         |)
+         |SELECT band_idx, band, count(*) AS bucket_size
+         |FROM bands GROUP BY band_idx, band""".stripMargin
+    },
+
+    // the incremental index must equal a from-scratch index of snapshot
+    // v1 (docs outside [200, 350)) — so the oracle is the LSH bucket
+    // histogram over exactly that document slice
+    "dedup_txn_incremental_lsh" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT cast($b AS bigint) AS band_idx, " +
+          s"md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS band FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, ${cleanToksSql("text")} AS l FROM documents
+         |           WHERE doc_id < 200 OR doc_id >= 350),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
          |sigs AS (SELECT doc_id,
          |       $sigsSql

@@ -75,6 +75,10 @@ object DeclaredSchemas {
       "struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>",
     "src_txn_vacuum" ->
       "struct<o_orderstatus:string,n:bigint,tot:double>",
+    "src_txn_skipping" ->
+      "struct<o_orderpriority:string,n:bigint,tot:double>",
+    "dedup_txn_incremental_lsh" ->
+      "struct<band_idx:bigint,band:string,bucket_size:bigint>",
     "src_zorder_prune" ->
       "struct<o_orderpriority:string,n:bigint,tot:double>",
     "stream_asof_bounded" ->

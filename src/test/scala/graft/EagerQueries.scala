@@ -35,6 +35,10 @@ object EagerQueries {
     "src_time_travel" -> "stages the txn log + data objects, resolves snapshots",
     "src_time_travel_diff" -> "stages the txn log, reads change-set metadata",
     "src_txn_vacuum" -> "stages the txn log and physically vacuums it",
+    "src_txn_skipping" ->
+      "stages two log-committed batches, prunes from commit stats",
+    "dedup_txn_incremental_lsh" ->
+      "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",
     "pipeline_fuzzy_dedup" -> "multi-stage pipeline materializes stages",
     "emb_semantic_dedup" -> "centroid fit + threshold pass",
