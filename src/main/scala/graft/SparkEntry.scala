@@ -4643,6 +4643,30 @@ object SparkEntry {
         .select(col("k"), col("vertex"), col("core_deg"))
     }),
 
+    // FULL (capped) CORENESS DECOMPOSITION — the complete core number
+    // per vertex via the iterated peel ladder the nesting property
+    // licenses: each rung peels the (k+1)-core from the k-core's edges,
+    // so the cascades run on an only-shrinking edge list. The cap (K=4)
+    // makes the semantic replayable by ANY engine in bounded work — the
+    // DuckDB oracle runs exactly three recursive-CTE peels and
+    // classifies vertices by rung membership — and is honest at scale,
+    // where an unbounded ladder's depth is data-dependent. Same
+    // support-filtered part co-purchase graph as rel_kcore.
+    "rel_coreness" -> ((s, dir) => {
+      val items = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+        .select(col("a"), col("b"))
+      val sym = pairs
+        .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.KCore.coreness(sym, 4, 30)
+        .select(col("vertex"), col("coreness"))
+    }),
+
     // Matryoshka-representation recall: how much top-10 cosine
     // retrieval quality survives truncating the 64-dim embeddings to
     // their FIRST 16 dims (the MRL deployment question — prefix dims
@@ -12396,6 +12420,57 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3::BIGINT, a, count(*)::BIGINT
         |FROM peel3 WHERE it = 30 GROUP BY 2""".stripMargin,
+
+    // identical peel replay per rung (deletion-order independence makes
+    // both engines land on the same subgraphs); coreness = the highest
+    // rung whose fixpoint still contains the vertex, capped at 4
+    "rel_coreness" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), prs AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM items x JOIN items y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), edges AS (
+        |  SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs
+        |), peel2(it, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT it + 1, a, b FROM (
+        |    SELECT it, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel2) WHERE it < 30 AND da >= 2 AND db >= 2
+        |), peel3(it, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT it + 1, a, b FROM (
+        |    SELECT it, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel3) WHERE it < 30 AND da >= 3 AND db >= 3
+        |), peel4(it, a, b) AS (
+        |  SELECT 0, a, b FROM edges
+        |  UNION ALL
+        |  SELECT it + 1, a, b FROM (
+        |    SELECT it, a, b,
+        |           count(*) OVER (PARTITION BY a) AS da,
+        |           count(*) OVER (PARTITION BY b) AS db
+        |    FROM peel4) WHERE it < 30 AND da >= 4 AND db >= 4
+        |), v1 AS (SELECT DISTINCT a FROM edges),
+        |v2 AS (SELECT DISTINCT a FROM peel2 WHERE it = 30),
+        |v3 AS (SELECT DISTINCT a FROM peel3 WHERE it = 30),
+        |v4 AS (SELECT DISTINCT a FROM peel4 WHERE it = 30)
+        |SELECT v1.a AS vertex,
+        |       (CASE WHEN v4.a IS NOT NULL THEN 4
+        |             WHEN v3.a IS NOT NULL THEN 3
+        |             WHEN v2.a IS NOT NULL THEN 2
+        |             ELSE 1 END)::BIGINT AS coreness
+        |FROM v1
+        |LEFT JOIN v2 ON v1.a = v2.a
+        |LEFT JOIN v3 ON v1.a = v3.a
+        |LEFT JOIN v4 ON v1.a = v4.a""".stripMargin,
 
     "emb_mrl_recall" ->
       s"""WITH $embUnnestCte,

@@ -84,4 +84,39 @@ object KCore {
   /** Peel to the k-core and read out `(vertex, core_deg)`. */
   def peel(sym: DataFrame, k: Int, maxRounds: Int): DataFrame =
     degrees(peelEdges(sym, k, maxRounds))
+
+  /** CAPPED coreness decomposition: `(vertex, coreness)` where coreness
+    * is `min(core number, maxK)` — the core number being the largest k
+    * whose k-core contains the vertex. Computed by the iterated peel
+    * ladder the nesting property licenses (KCore doc above): peel the
+    * (k+1)-core FROM the k-core's edges, so each rung's cascade runs on
+    * an only-shrinking edge list; the vertices that drop between rung k
+    * and rung k+1 have coreness exactly k. The cap bounds BOTH engines'
+    * work — a cross-engine oracle replays exactly maxK-1 peels, whatever
+    * the graph's true degeneracy — and is the honest semantic at scale:
+    * an unbounded ladder's depth is data-dependent (degeneracy can be
+    * O(sqrt(E))), while production coreness users bucket the tail
+    * anyway. Every vertex of `sym` appears exactly once (edge-list
+    * vertices all have degree >= 1, so coreness >= 1). */
+  def coreness(sym: DataFrame, maxK: Int, maxRounds: Int): DataFrame = {
+    require(maxK >= 1, s"maxK=$maxK")
+    var curEdges = sym.select(col("a"), col("b"))
+    var curVerts = sym.select(col("a")).distinct().localCheckpoint(true)
+    var out: Option[DataFrame] = None
+    var k = 1
+    while (k < maxK) {
+      val nextEdges = peelEdges(curEdges, k + 1, maxRounds)
+      val nextVerts = nextEdges.select(col("a")).distinct()
+        .localCheckpoint(true)
+      val dropped = curVerts.join(nextVerts, Seq("a"), "left_anti")
+        .select(col("a").as("vertex"), lit(k.toLong).as("coreness"))
+      out = Some(out.map(_.unionAll(dropped)).getOrElse(dropped))
+      curEdges = nextEdges
+      curVerts = nextVerts
+      k += 1
+    }
+    val capped = curVerts
+      .select(col("a").as("vertex"), lit(maxK.toLong).as("coreness"))
+    out.map(_.unionAll(capped)).getOrElse(capped)
+  }
 }

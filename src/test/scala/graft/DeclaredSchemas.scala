@@ -63,6 +63,8 @@ object DeclaredSchemas {
       "struct<event_type:string,lvl:bigint,n_kept:bigint,p50_cents:bigint,p95_cents:bigint,contents:string>",
     "rel_kcore" ->
       "struct<k:bigint,vertex:bigint,core_deg:bigint>",
+    "rel_coreness" ->
+      "struct<vertex:bigint,coreness:bigint>",
     "rel_sketch_roundtrip" ->
       "struct<event_type:string,n_kept:bigint,est:double>",
     "rel_winsorized_stats" ->

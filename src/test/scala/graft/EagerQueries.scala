@@ -25,6 +25,7 @@ object EagerQueries {
     "dedup_connected_components" ->
       "label-convergence loop iterates jobs at construction",
     "rel_kcore" -> "peel-to-fixpoint loop iterates jobs at construction",
+    "rel_coreness" -> "iterated peel ladder runs jobs at construction",
     "text_bpe_merges" -> "greedy merge loop: one job per merge round",
     "rel_percentiles" -> "two-pass quantiles: pass 1 at construction",
     "rel_exact_quantiles" -> "distributed selection iterates jobs",

@@ -83,6 +83,31 @@ class KCoreSpec extends AnyFunSuite {
     assert(KCore.peel(symDf(star), 2, 100).collect().isEmpty)
   }
 
+  test("coreness equals min(cap, max k whose k-core contains the " +
+    "vertex), against the sequential reference") {
+    for (seed <- Seq(7L, 99L); cap <- Seq(3, 5)) {
+      val edges = randomGraph(60, 110, seed)
+      val sym = edges ++ edges.map(e => (e._2, e._1))
+      val want = sym.map(_._1).map { v =>
+        v -> (1 to cap).filter(k => seqCore(sym, k).contains(v)).max.toLong
+      }.toMap
+      val got = KCore.coreness(symDf(edges), cap, 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed cap=$cap")
+      // partition property: every edge-list vertex classified exactly once
+      assert(got.keySet == sym.map(_._1))
+    }
+  }
+
+  test("coreness capping: a triangle at cap=2 reads coreness 2 for all " +
+    "three vertices; at cap=3 the true core number 2 reappears") {
+    val tri = Set((0L, 1L), (1L, 2L), (0L, 2L))
+    val at2 = KCore.coreness(symDf(tri), 2, 100).collect()
+    assert(at2.length == 3 && at2.forall(_.getLong(1) == 2L))
+    val at3 = KCore.coreness(symDf(tri), 3, 100).collect()
+    assert(at3.length == 3 && at3.forall(_.getLong(1) == 2L))
+  }
+
   test("a too-small round budget fails loudly on a long cascade chain") {
     // path graph: 2-core peeling eats one vertex from each end per
     // round — a 20-vertex path needs ~10 rounds to empty
