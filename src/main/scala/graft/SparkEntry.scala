@@ -7558,6 +7558,70 @@ object SparkEntry {
             .as("recall_at_10"))
     }),
 
+    // IVF RECALL/COST CURVE — the rel_qsketch_cap_curve discipline
+    // applied to ANN: measured recall@10 AND candidates-scanned cost at
+    // nprobe = 1 / 4 / 10, in ONE set-based plan (cosines computed once
+    // per candidate, the nprobe expansion is a 3-row broadcast). With 10
+    // cells total, nprobe = 10 is the exhaustive probe, so its rung is
+    // anchored: recall must be exactly 1.0 (required in-path, with
+    // recall AND candidate-count monotonicity across rungs). The recall
+    // arithmetic is exact integer overlap counting — fully
+    // oracle-checked, the production tuning table an ANN deployment
+    // reads to pick its operating point.
+    "emb_ivf_nprobe_curve" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qarr = array(qvec.map(lit): _*)
+      val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+      val cellRanked = graft.ops.Similarity.centroids(
+          emb, col("embedding"), col("label"))
+        .select(col("grp").as("clabel"),
+          round(Similarity.dot(col("centroid"), qarr) /
+            (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
+              lit(qnorm)), 6).as("ccos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ccos").desc, col("clabel").asc)))
+        .select(col("clabel"), col("rn"))
+      // cosines once per candidate vector; rungs attach by rn <= nprobe
+      val scored = emb
+        .join(broadcast(cellRanked), col("label") === col("clabel"))
+        .select(col("vec_id"), col("rn"),
+          round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
+      val rungs = Seq(1L, 4L, 10L)
+      val nps = s.createDataFrame(rungs.map(Tuple1(_)))
+        .toDF("nprobe")
+      val cand = scored.crossJoin(broadcast(nps))
+        .where(col("rn") <= col("nprobe"))
+      val nCand = cand.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val ivfTop = cand.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("nprobe"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rk") <= 10).select(col("nprobe"), col("vec_id"))
+      val exact = Similarity.knn(emb, col("embedding"), col("vec_id"),
+        qvec, 10).select(col("vec_id"))
+      val overlap = ivfTop.join(exact, Seq("vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_overlap"))
+      val curve = nCand.join(overlap, Seq("nprobe"), "left_outer")
+        .select(col("nprobe"), col("n_candidates"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0,
+            6).as("recall_at_10"))
+        .orderBy(col("nprobe"))
+      val rows = curve.collect()
+      require(rows.length == 3, s"expected 3 rungs, got ${rows.length}")
+      require(rows.sliding(2).forall(p =>
+        p(0).getLong(1) <= p(1).getLong(1) &&
+          p(0).getLong(2) <= p(1).getLong(2)),
+        s"curve not monotone in nprobe: ${rows.mkString("; ")}")
+      require(rows.last.getLong(2) == 10L,
+        s"exhaustive probe (nprobe=10 of 10 cells) must have recall 1.0: " +
+          s"${rows.last}")
+      curve
+    }),
+
     // BPE-ish regex token count (letters / digit runs / punctuation marks)
     "text_bpe_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -15102,6 +15166,62 @@ object SparkEntry {
          |SELECT cast(count(*) AS bigint) AS n_overlap,
          |       round(count(*) / 10.0, 6) AS recall_at_10
          |FROM exact JOIN ivf USING (vec_id)""".stripMargin,
+
+    // same exact-arithmetic replay as emb_ivf_recall, expanded to a
+    // per-nprobe curve: candidate cosines computed once, rung membership
+    // by centroid rank <= nprobe, overlap counted against the exact top-10
+    "emb_ivf_nprobe_curve" ->
+      s"""WITH $embUnnestCte,
+         |q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |), ed AS (
+         |  SELECT v.vec_id, v.label,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |    FROM ed, qq ORDER BY cos DESC, vec_id LIMIT 10)
+         |), c AS (
+         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+         |  FROM v GROUP BY label, pos
+         |), cs AS (
+         |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
+         |         sum(m * m) AS aa
+         |  FROM c JOIN q USING (pos) GROUP BY clabel
+         |), ranked AS (
+         |  SELECT clabel, row_number() OVER (
+         |    ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC, clabel)
+         |    AS rn
+         |  FROM cs, qq
+         |), nps AS (SELECT unnest([1, 4, 10]) AS nprobe),
+         |cand AS (
+         |  SELECT nps.nprobe, ed.vec_id,
+         |         round(ed.dot / (sqrt(ed.aa) * sqrt(qq.bb)), 6) AS cos
+         |  FROM ed JOIN ranked r ON ed.label = r.clabel
+         |  CROSS JOIN nps CROSS JOIN qq
+         |  WHERE r.rn <= nps.nprobe
+         |), nc AS (
+         |  SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY 1
+         |), ivf AS (
+         |  SELECT nprobe, vec_id FROM (
+         |    SELECT nprobe, vec_id, row_number() OVER (
+         |      PARTITION BY nprobe ORDER BY cos DESC, vec_id) AS rk
+         |    FROM cand) WHERE rk <= 10
+         |), ov AS (
+         |  SELECT nprobe, count(*) AS n_overlap
+         |  FROM ivf JOIN exact USING (vec_id) GROUP BY 1
+         |)
+         |SELECT nc.nprobe::BIGINT AS nprobe,
+         |       nc.n_candidates::BIGINT AS n_candidates,
+         |       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+         |       round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
+         |FROM nc LEFT JOIN ov USING (nprobe)""".stripMargin,
 
     "stock_count_x100" ->
       s"""$linesCte,

@@ -43,6 +43,8 @@ object DeclaredSchemas {
       "struct<vec_id:bigint,assigned:int,cos:double>",
     "emb_ivf_search" ->
       "struct<vec_id:bigint,label:int,cos:double>",
+    "emb_ivf_nprobe_curve" ->
+      "struct<nprobe:bigint,n_candidates:bigint,n_overlap:bigint,recall_at_10:double>",
     "emb_kmeans" ->
       "struct<vec_id:bigint,cluster:bigint,cos:double>",
     "emb_knn_cosine" ->

@@ -19,6 +19,8 @@ object EagerQueries {
   val justification: Map[String, String] = Map(
     "emb_ivf_search" -> "k-means coarse quantizer fit at construction",
     "emb_knn_cosine" -> "collects the query panel to build the probe",
+    "emb_ivf_nprobe_curve" ->
+      "collects the 3-row curve for the monotonicity/anchor requires",
     "emb_ivf_assign" -> "k-means centroid fit at construction",
     "emb_centroids" -> "Lloyd iterations run jobs at construction",
     "emb_kmeans" -> "Lloyd iterations run jobs at construction",

@@ -240,6 +240,28 @@ class SimilarityQualitySpec extends AnyFunSuite {
       s"recall ${rows(0L)} != brute $expect")
   }
 
+  test("emb_ivf_nprobe_curve: recall and candidate cost are monotone " +
+      "in nprobe, and the exhaustive rung is exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("emb_ivf_nprobe_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_overlap"), r.getAs[Double]("recall_at_10")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 4L, 10L))
+    // cost rises with probes; recall never falls (the curve an ANN
+    // deployment tunes against must be well-ordered)
+    assert(rows.sliding(2).forall(p =>
+      p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3), rows.mkString("; "))
+    // nprobe = 10 probes every cell: identical to brute force, so
+    // recall@10 is exactly 1.0 and every vector is a candidate
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.last._2 == n && rows.last._4 == 1.0, rows.last.toString)
+    rows.foreach { case (_, _, ov, r) =>
+      assert(ov >= 0 && ov <= 10 && math.abs(r - ov / 10.0) < 1e-9)
+    }
+  }
+
   test("emb_hamming_recall: qid=0 matches a brute-force sign-code " +
       "hamming ranking, recall in tenths") {
     val sf = "/root/testdata/sf0.001"
