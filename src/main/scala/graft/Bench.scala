@@ -64,6 +64,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+
+    // Host-stall guard: two official runs have carried 50x+ phantom
+    // readings from a single sustained host transient (one survived
+    // min-of-2 because the stall spanned both repeats). Against the last
+    // COMMITTED reference at the SAME sf dir (BENCH_FULL.json by
+    // default, overridable via SPARK_GRAFT_BENCH_REF), any query reading
+    // > K× its committed time (and > 1 s over it — tiny queries jitter
+    // in ratios) is automatically re-run in-session and the min kept;
+    // the JSON flags every such query in "reruns" so a reader can
+    // distinguish a measured regression from a weathered transient. A
+    // missing/mismatched-sf reference disables the guard (rung sweeps at
+    // ×10/×30 pass their own reference via the env).
+    val outlierK =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUTLIER_K", "5.0").toDouble
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").orElse {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(p)) Some(p.toString) else None
+    }
+    val refTimes: Map[String, Double] = refPath.flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt)
+        if (node.path("sf").asText() != sfDir) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Some(node.path("queries").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble())
+            .filter(_._2 > 0).toMap)
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+    val rerunsByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // SPARK_GRAFT_BENCH_EXPLAIN=1 dumps each selected query's formatted
     // physical plan to stderr before timing — used by the scale-ladder
     // adjudication protocol to check e.g. broadcast-vs-shuffle flips
@@ -151,7 +186,25 @@ object Bench {
         if (spillOn)
           spillByQuery(name) =
             (spillMem.get() - m0, spillDisk.get() - d0)
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        var best = if (times.contains(-1.0)) -1.0 else times.min
+        // the stall guard: re-measure (at most twice) when the reading is
+        // an outlier against the committed reference at this sf
+        var reran = 0
+        while (best > 0 && reran < 2 && refTimes.get(name).exists(r =>
+            best > outlierK * r && best - r > 1.0)) {
+          reran += 1
+          System.err.println(f"[bench] $name%s read $best%.2fs vs " +
+            f"committed ${refTimes(name)}%.2fs — outlier re-run $reran")
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => () }
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        if (reran > 0) rerunsByQuery(name) = reran
+        name -> best
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -167,7 +220,18 @@ object Bench {
       else spillByQuery.map { case (k, (m, d)) =>
         "\"" + k + "\":{\"mem\":" + m + ",\"disk\":" + d + "}"
       }.mkString(""","spill_bytes":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_comparable":$cmp$spillField,"sf":"$sfDir"}"""
+    // measurement provenance: repeats per query, which queries tripped
+    // the outlier guard (and how many extra runs), and the reference the
+    // guard compared against — so a reader of the round artifact can
+    // tell a weathered host stall from a real regression
+    val rerunField =
+      if (rerunsByQuery.isEmpty) ""
+      else rerunsByQuery.map { case (k, n) => "\"" + k + "\":" + n }
+        .mkString(""","reruns":{""", ",", "}")
+    val refField = refTimes.headOption.map(_ =>
+      s""","outlier_ref":"${refPath.get}","outlier_k":$outlierK""")
+      .getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$qs,"baseline_comparable":$cmp$spillField$rerunField$refField,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver's BENCH_r0N.json
     // captures only a bounded stdout tail, which truncates the per-query
