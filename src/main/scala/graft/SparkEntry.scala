@@ -1269,6 +1269,62 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // OPTIMISTIC CONCURRENCY END-TO-END — two writers that both read the
+    // same snapshot commit DISJOINT appends concurrently through
+    // commitRetry: the publish-race loser re-reads the log, proves the
+    // winner's commit touches none of its files (disjoint commits
+    // commute), re-stamps, and retries — BOTH transactions land, at
+    // consecutive versions, whichever thread wins the race. A third
+    // writer whose intent overlaps an intervening commit (it removes an
+    // object a post-read transaction added) must fail loudly with a
+    // conflict, never silently last-writer-win. The head snapshot then
+    // aggregates to the full table — the oracle can't see thread
+    // interleaving, which is the point: OCC makes the outcome
+    // schedule-independent. This is the multi-writer contract a shared
+    // 100 TB table needs (concurrent partition appends commute;
+    // conflicting rewrites surface as retryable application errors).
+    "src_txn_concurrent" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_occ")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def obj(part: String, df: DataFrame): String = {
+        val d = s"$root/$part"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      val b0 = obj("b0", orders.where(col("o_orderkey") % 3 === 0))
+      val w1 = obj("w1", orders.where(col("o_orderkey") % 3 === 1))
+      val w2 = obj("w2", orders.where(col("o_orderkey") % 3 === 2))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(b0))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(w1, w2).map { o =>
+        new Thread(() => {
+          barrier.await()
+          try landed.add(
+            TxnLog.commitRetry(s, logDir, readVersion = 0L, adds = Seq(o)))
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(errs.isEmpty, s"concurrent disjoint appends failed: $errs")
+      val vs = { val it = landed.iterator(); Set(it.next(), it.next()) }
+      require(vs == Set(1L, 2L),
+        s"both disjoint commits must land at consecutive versions: $vs")
+      // the overlapping intent: a stale reader (v0) removing an object a
+      // post-read commit added is a write-write conflict, loudly
+      val conflicted =
+        try {
+          TxnLog.commitRetry(s, logDir, readVersion = 0L,
+            adds = Nil, removes = Seq(w1)); false
+        } catch { case _: TxnLog.CommitConflictException => true }
+      require(conflicted, "overlapping commit must conflict, not land")
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 2L))
+    }),
+
     // THE FULL LAKEHOUSE READ PATH — TxnLog + z-order + file-level stats
     // IN THE LOG: each ingest batch is z-order-clustered at write time
     // over (price, order-day), and the per-file [min,max] of BOTH
@@ -4665,6 +4721,33 @@ object SparkEntry {
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       graft.ops.KCore.coreness(sym, 4, 30)
         .select(col("vertex"), col("coreness"))
+    }),
+
+    // k-TRUSS DECOMPOSITION — the EDGE-level cohesion structure (every
+    // edge in >= k-2 triangles within the subgraph), peeled bulk-
+    // synchronously (ops/KTruss) on the same support-filtered part
+    // co-purchase graph. The 3- and 4-truss in one result, with each
+    // surviving edge's within-truss triangle support. Bulk peeling is
+    // deletion-order independent (support only drops), so the DuckDB
+    // oracle replays the IDENTICAL peel as 8 unrolled triangle-count
+    // rounds (the recursive-CTE form is unavailable here — the support
+    // join references the working set three times, which recursive SQL
+    // forbids — so the rounds are generated as a CTE chain; rounds past
+    // the fixpoint are no-ops, and the engine's loud 8-round budget
+    // guarantees the fixpoint is inside the unroll).
+    "rel_ktruss" -> ((s, dir) => {
+      val items = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+        .select(col("a"), col("b"))
+      val t3 = graft.ops.KTruss.peel(pairs, 3, 8)
+      val t4 = graft.ops.KTruss.peel(pairs, 4, 8)
+      t3.withColumn("k", lit(3L)).unionAll(t4.withColumn("k", lit(4L)))
+        .select(col("k"), col("a"), col("b"), col("support"))
     }),
 
     // Matryoshka-representation recall: how much top-10 cosine
@@ -9938,6 +10021,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'F'""".stripMargin,
 
+    // OCC makes the multi-writer outcome schedule-independent: the head
+    // snapshot is the full table regardless of which writer won the race
+    "src_txn_concurrent" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
     // log-stats skipping only drops whole files; the answer must equal
     // the plain full-table two-dimensional filter
     "src_txn_skipping" ->
@@ -12535,6 +12627,47 @@ object SparkEntry {
         |LEFT JOIN v2 ON v1.a = v2.a
         |LEFT JOIN v3 ON v1.a = v3.a
         |LEFT JOIN v4 ON v1.a = v4.a""".stripMargin,
+
+    // identical bulk truss peel, unrolled: each round recounts per-edge
+    // triangle support (wedge join against the symmetric closure) and
+    // keeps support >= k-2; 8 rounds cover the engine's loud budget, and
+    // a 9th support pass reads out the fixpoint's values. Every round
+    // CTE is MATERIALIZED: the support join references its predecessor
+    // three times, and DuckDB's default CTE inlining would otherwise
+    // re-expand the whole chain per reference (3^8 base scans — found as
+    // an fd exhaustion before it could even be slow)
+    "rel_ktruss" -> {
+      def rounds(k: Int, r: Int): String = (1 to r).map { i =>
+        val p = s"t${k}_${i - 1}"
+        s"""s${k}_$i AS MATERIALIZED (
+           |  SELECT a, b FROM $p UNION ALL SELECT b, a FROM $p),
+           |tri${k}_$i AS MATERIALIZED (
+           |  SELECT e.a, e.b, count(*) AS sup
+           |  FROM $p e JOIN s${k}_$i x ON x.a = e.a
+           |  JOIN s${k}_$i y ON y.a = e.b AND y.b = x.b
+           |  GROUP BY 1, 2),
+           |t${k}_$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $p e
+           |  JOIN tri${k}_$i t
+           |    ON e.a = t.a AND e.b = t.b AND t.sup >= ${k - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), prs AS MATERIALIZED (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM items x JOIN items y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), t3_0 AS MATERIALIZED (SELECT a, b FROM prs),
+         |t4_0 AS MATERIALIZED (SELECT a, b FROM prs),
+         |${rounds(3, 9)},
+         |${rounds(4, 9)}
+         |SELECT 3::BIGINT AS k, e.a, e.b, t.sup::BIGINT AS support
+         |FROM t3_8 e JOIN tri3_9 t ON e.a = t.a AND e.b = t.b
+         |UNION ALL
+         |SELECT 4::BIGINT, e.a, e.b, t.sup::BIGINT
+         |FROM t4_8 e JOIN tri4_9 t ON e.a = t.a AND e.b = t.b""".stripMargin
+    },
 
     "emb_mrl_recall" ->
       s"""WITH $embUnnestCte,

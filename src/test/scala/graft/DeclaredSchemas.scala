@@ -67,6 +67,8 @@ object DeclaredSchemas {
       "struct<k:bigint,vertex:bigint,core_deg:bigint>",
     "rel_coreness" ->
       "struct<vertex:bigint,coreness:bigint>",
+    "rel_ktruss" ->
+      "struct<k:bigint,a:bigint,b:bigint,support:bigint>",
     "rel_sketch_roundtrip" ->
       "struct<event_type:string,n_kept:bigint,est:double>",
     "rel_winsorized_stats" ->
@@ -81,6 +83,8 @@ object DeclaredSchemas {
       "struct<o_orderstatus:string,n:bigint,tot:double>",
     "src_txn_skipping" ->
       "struct<o_orderpriority:string,n:bigint,tot:double>",
+    "src_txn_concurrent" ->
+      "struct<o_orderstatus:string,n:bigint,tot:double>",
     "dedup_txn_incremental_lsh" ->
       "struct<band_idx:bigint,band:string,bucket_size:bigint>",
     "src_zorder_prune" ->

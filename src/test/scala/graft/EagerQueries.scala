@@ -28,6 +28,7 @@ object EagerQueries {
       "label-convergence loop iterates jobs at construction",
     "rel_kcore" -> "peel-to-fixpoint loop iterates jobs at construction",
     "rel_coreness" -> "iterated peel ladder runs jobs at construction",
+    "rel_ktruss" -> "support-peel loop iterates jobs at construction",
     "text_bpe_merges" -> "greedy merge loop: one job per merge round",
     "rel_percentiles" -> "two-pass quantiles: pass 1 at construction",
     "rel_exact_quantiles" -> "distributed selection iterates jobs",
@@ -40,6 +41,8 @@ object EagerQueries {
     "src_txn_vacuum" -> "stages the txn log and physically vacuums it",
     "src_txn_skipping" ->
       "stages two log-committed batches, prunes from commit stats",
+    "src_txn_concurrent" ->
+      "stages the txn log, races two OCC writers at construction",
     "dedup_txn_incremental_lsh" ->
       "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",
