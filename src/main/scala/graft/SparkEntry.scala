@@ -8909,6 +8909,48 @@ object SparkEntry {
       } finally graft.streaming.StreamGate.deleteRecursively(store)
     }),
 
+    // KMV ACCURACY/COST CURVE — the rel_qsketch_cap_curve discipline
+    // applied to the distinct-count sketch family: one scan computes the
+    // global KMV sketch of the user-day key at caps 64 / 256 / 1024 plus
+    // the exact distinct count, and the curve reads out (cap, kept rows,
+    // estimate, exact, relative error). Everything is deterministic md5
+    // integer arithmetic, so the DuckDB oracle re-derives the IDENTICAL
+    // estimates — the measured error curve (not just one operating
+    // point) is itself oracle-checked; the in-path require pins each
+    // rung inside the 5/sqrt(cap) KMV error envelope. This is the
+    // memory/accuracy tuning table a 100 TB distinct-count deployment
+    // reads: 8 KiB of sketch for ~12% error, 128 KiB for ~3%.
+    "rel_kmv_cap_curve" -> ((s, dir) => {
+      val caps = Seq(64, 256, 1024)
+      val hashed = events(s, dir).select(
+          (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
+            .cast("long").as("key"))
+        .select(col("key"), thetaHash(col("key")).as("h"))
+      val aggs = countDistinct(col("key")).as("exact") +:
+        caps.map(k => graft.functions.GraftFunctions
+          .kmvSketch(s, col("h"), k).as(s"ks$k"))
+      // one row (exact + three sketches); checkpointed so the three
+      // per-cap readouts below never rescan events
+      val one = hashed.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val curve = caps.map { k =>
+        one.select(
+          lit(k.toLong).as("cap"),
+          size(col(s"ks$k")).cast("long").as("n_kept"),
+          round(when(size(col(s"ks$k")) < k,
+              size(col(s"ks$k")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / element_at(col(s"ks$k"), k).cast("double")), 4).as("est"),
+          col("exact").cast("long").as("exact"))
+      }.reduce(_ unionAll _)
+        .withColumn("rel_err",
+          round(abs(col("est") - col("exact")) / col("exact"), 6))
+      curve.collect().foreach { r =>
+        require(r.getDouble(4) <= 5.0 / math.sqrt(r.getLong(0).toDouble),
+          s"KMV error outside the 5/sqrt(cap) envelope: $r")
+      }
+      curve
+    }),
+
     // SKETCH DATA CUBE — distinct-count rollups over grouping sets,
     // all merged from the FINEST-grain partials: one KMV partial per
     // (event_type, day-of-week) cell, then the three coarser grouping
@@ -16075,6 +16117,36 @@ object SparkEntry {
         |            ELSE round(127.0 * 1152921504606846976
         |                       / theta::DOUBLE, 4) END AS est
         |FROM s""".stripMargin,
+
+    // identical md5/60-bit/kth-min arithmetic per cap; the error column
+    // is derived from the same estimate, so the whole curve is exact
+    "rel_kmv_cap_curve" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id * 100000
+        |           + (ts::DATE - DATE '1970-01-01') AS key
+        |  FROM events
+        |), h AS (
+        |  SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), r AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h
+        |), x AS (
+        |  SELECT count(*) AS exact FROM b
+        |), caps AS (SELECT unnest([64, 256, 1024]) AS cap),
+        |s AS (
+        |  SELECT cap, count(*) AS n_kept, max(h) AS theta
+        |  FROM r JOIN caps ON rn <= cap GROUP BY 1
+        |), e AS (
+        |  SELECT cap, n_kept,
+        |         CASE WHEN n_kept < cap THEN round(n_kept::DOUBLE, 4)
+        |              ELSE round((cap - 1)::DOUBLE * 1152921504606846976
+        |                         / theta::DOUBLE, 4) END AS est
+        |  FROM s
+        |)
+        |SELECT cap::BIGINT AS cap, n_kept::BIGINT AS n_kept, est,
+        |       x.exact::BIGINT AS exact,
+        |       round(abs(est - x.exact) / x.exact, 6) AS rel_err
+        |FROM e, x""".stripMargin,
 
     // every grouping-set cell from scratch: the cube's rollups-from-
     // partials must equal these bit-for-bit (lossless merge at every

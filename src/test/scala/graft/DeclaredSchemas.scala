@@ -71,6 +71,8 @@ object DeclaredSchemas {
       "struct<k:bigint,a:bigint,b:bigint,support:bigint>",
     "rel_sketch_roundtrip" ->
       "struct<event_type:string,n_kept:bigint,est:double>",
+    "rel_kmv_cap_curve" ->
+      "struct<cap:bigint,n_kept:bigint,est:double,exact:bigint,rel_err:double>",
     "rel_winsorized_stats" ->
       "struct<l_returnflag:string,lo:double,hi:double,n:bigint,n_clip_lo:bigint,n_clip_hi:bigint,w_avg:double>",
     "src_manifest_prune" ->

@@ -50,6 +50,8 @@ object EagerQueries {
     "emb_semantic_dedup" -> "centroid fit + threshold pass",
     "emb_hard_negatives" -> "mines against a collected query panel",
     "rel_sketch_roundtrip" -> "writes the scratch parquet partials store",
+    "rel_kmv_cap_curve" ->
+      "checkpoints the one-row sketch agg, collects the error envelope",
     "rel_qsketch_store" -> "writes the scratch parquet partials store",
   )
   val names: Set[String] = justification.keySet
