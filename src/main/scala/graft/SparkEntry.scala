@@ -1269,6 +1269,71 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // COPY-ON-WRITE MERGE (upsert) WITH STATS-TARGETED REWRITE — the
+    // Delta-style MERGE INTO over the transaction log: a source batch
+    // UPDATES the bucket-1 keys divisible by 97 and INSERTS fresh rows
+    // past the key ceiling. The rewrite set is planned from the LOG
+    // ALONE: the per-object [min,max] key stats (stamped at write time)
+    // prove exactly ONE of the four base objects can contain an updated
+    // key, so the merge reads and rewrites that object only — the other
+    // three survive untouched (required in-path) — and the inserts land
+    // as a pure append. One transaction publishes remove(hit) +
+    // add(rewrite, append) atomically; every pre-merge snapshot stays
+    // intact. At 100 TB this is the difference between a MERGE that
+    // rewrites the table and one that rewrites O(transaction) objects.
+    "src_txn_merge" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_merge")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val w = (mx + 4) / 4 // 4 key-range buckets covering [0, mx]
+      def writeObj(name: String, df: DataFrame): (String, String) = {
+        val d = s"$root/$name"
+        df.write.mode("overwrite").parquet(d)
+        val r = s.read.parquet(d)
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        (d, s"${r.getLong(0)},${r.getLong(1)}")
+      }
+      val base = (0 until 4).map { i =>
+        writeObj(s"b$i", orders.where(col("o_orderkey") >= i * w
+          && col("o_orderkey") < (i + 1) * w))
+      }
+      TxnLog.commit(s, logDir, 0L, adds = base.map(_._1),
+        stats = base.toMap, checkpointEvery = 2)
+      val (uLo, uHi) = (w, 2 * w)
+      val isUpd = col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") >= uLo && col("o_orderkey") < uHi
+      // plan the rewrite from log metadata alone — no data file opened
+      val live = TxnLog.liveActionsAt(s, logDir, 0L)
+      val hit = live.filter { a =>
+        val Array(lo, hi) = a.stats.get.split(',').map(_.toLong)
+        lo < uHi && hi >= uLo
+      }.map(_.path)
+      require(hit.size == 1,
+        s"stats targeting should hit exactly 1 of ${live.size}: $hit")
+      val rewritten = writeObj("b1_merge",
+        s.read.parquet(hit: _*).select(col("o_orderkey"),
+          when(isUpd, lit("U")).otherwise(col("o_orderstatus"))
+            .as("o_orderstatus"),
+          when(isUpd, col("o_totalprice") * 2).otherwise(col("o_totalprice"))
+            .as("o_totalprice")))
+      val inserted = writeObj("ins",
+        orders.where(isUpd).select(
+          (col("o_orderkey") + mx).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      TxnLog.commit(s, logDir, 1L, adds = Seq(rewritten._1, inserted._1),
+        removes = hit, stats = Map(rewritten, inserted),
+        checkpointEvery = 2)
+      val after = TxnLog.liveFilesAt(s, logDir, 1L)
+      require(after.size == 5 &&
+        base.map(_._1).count(after.contains) == 3,
+        s"merge must leave the 3 un-hit objects in place: $after")
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 1L))
+    }),
+
     // OPTIMISTIC CONCURRENCY END-TO-END — two writers that both read the
     // same snapshot commit DISJOINT appends concurrently through
     // commitRetry: the publish-race loser re-reads the log, proves the
@@ -10062,6 +10127,35 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'F'""".stripMargin,
+
+    // MERGE semantics re-expressed declaratively: update-in-place on the
+    // hit keys plus the appended inserts; the rewrite targeting is an
+    // optimization the aggregate cannot see
+    "src_txn_merge" ->
+      """WITH mx AS (
+        |  SELECT max(o_orderkey) AS m,
+        |         ((max(o_orderkey) + 4) // 4) AS w
+        |  FROM orders
+        |), merged AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 97 = 0
+        |                   AND o_orderkey >= w AND o_orderkey < 2 * w
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 97 = 0
+        |                   AND o_orderkey >= w AND o_orderkey < 2 * w
+        |              THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders, mx
+        |  UNION ALL
+        |  SELECT o_orderkey + m, 'N', 1.0
+        |  FROM orders, mx
+        |  WHERE o_orderkey % 97 = 0
+        |    AND o_orderkey >= w AND o_orderkey < 2 * w
+        |)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM merged GROUP BY 1""".stripMargin,
 
     // OCC makes the multi-writer outcome schedule-independent: the head
     // snapshot is the full table regardless of which writer won the race

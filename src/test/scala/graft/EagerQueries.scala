@@ -43,6 +43,8 @@ object EagerQueries {
       "stages two log-committed batches, prunes from commit stats",
     "src_txn_concurrent" ->
       "stages the txn log, races two OCC writers at construction",
+    "src_txn_merge" ->
+      "stages the base table, plans + executes the CoW merge rewrite",
     "dedup_txn_incremental_lsh" ->
       "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",
