@@ -256,6 +256,71 @@ object SparkEntry {
     logDir
   }
 
+  /** Stage the copy-on-write MERGE history for the `src_txn_merge` /
+    * `src_txn_cdf` queries: v0 commits `orders` as 4 key-range buckets
+    * (per-object [min,max] key stats stamped into the log at write
+    * time); v1 is a MERGE transaction — the bucket-1 keys divisible by
+    * 97 are updated (status 'U', price doubled) and fresh rows past the
+    * key ceiling inserted (status 'N', price 1.0). The rewrite set is
+    * planned from the LOG ALONE (the stats prove exactly one object can
+    * contain an updated key), so the merge reads and rewrites that
+    * object only; the other three survive untouched — both facts
+    * require'd here. Each caller stages under its own root (commits are
+    * create-exclusive). Returns the log directory. */
+  private def txnMergeStage(s: SparkSession, dir: String, name: String)
+      : String = {
+    import graft.sources.TxnLog
+    val root = staged(s"txn_merge_$name")
+    graft.streaming.StreamGate.deleteRecursively(root)
+    val logDir = s"$root/_log"
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val w = (mx + 4) / 4 // 4 key-range buckets covering [0, mx]
+    def writeObj(part: String, df: DataFrame): (String, String) = {
+      val d = s"$root/$part"
+      df.write.mode("overwrite").parquet(d)
+      val r = s.read.parquet(d)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (d, s"${r.getLong(0)},${r.getLong(1)}")
+    }
+    val base = (0 until 4).map { i =>
+      writeObj(s"b$i", orders.where(col("o_orderkey") >= i * w
+        && col("o_orderkey") < (i + 1) * w))
+    }
+    TxnLog.commit(s, logDir, 0L, adds = base.map(_._1),
+      stats = base.toMap, checkpointEvery = 2)
+    val (uLo, uHi) = (w, 2 * w)
+    val isUpd = col("o_orderkey") % 97 === 0 &&
+      col("o_orderkey") >= uLo && col("o_orderkey") < uHi
+    // plan the rewrite from log metadata alone — no data file opened
+    val live = TxnLog.liveActionsAt(s, logDir, 0L)
+    val hit = live.filter { a =>
+      val Array(lo, hi) = a.stats.get.split(',').map(_.toLong)
+      lo < uHi && hi >= uLo
+    }.map(_.path)
+    require(hit.size == 1,
+      s"stats targeting should hit exactly 1 of ${live.size}: $hit")
+    val rewritten = writeObj("b1_merge",
+      s.read.parquet(hit: _*).select(col("o_orderkey"),
+        when(isUpd, lit("U")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(isUpd, col("o_totalprice") * 2).otherwise(col("o_totalprice"))
+          .as("o_totalprice")))
+    val inserted = writeObj("ins",
+      orders.where(isUpd).select(
+        (col("o_orderkey") + mx).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    TxnLog.commit(s, logDir, 1L, adds = Seq(rewritten._1, inserted._1),
+      removes = hit, stats = Map(rewritten, inserted),
+      checkpointEvery = 2)
+    val after = TxnLog.liveFilesAt(s, logDir, 1L)
+    require(after.size == 5 &&
+      base.map(_._1).count(after.contains) == 3,
+      s"merge must leave the 3 un-hit objects in place: $after")
+    logDir
+  }
+
   /** Status-keyed value aggregate of a TxnLog snapshot — the shared
     * readout of the time-travel queries (decimal-exact sum, double
     * rendering, per the oracle-parity conventions above). */
@@ -1283,55 +1348,34 @@ object SparkEntry {
     // rewrites the table and one that rewrites O(transaction) objects.
     "src_txn_merge" -> ((s, dir) => {
       import graft.sources.TxnLog
-      val root = staged("txn_merge")
-      graft.streaming.StreamGate.deleteRecursively(root)
-      val logDir = s"$root/_log"
-      val orders = tbl(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-      val w = (mx + 4) / 4 // 4 key-range buckets covering [0, mx]
-      def writeObj(name: String, df: DataFrame): (String, String) = {
-        val d = s"$root/$name"
-        df.write.mode("overwrite").parquet(d)
-        val r = s.read.parquet(d)
-          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
-        (d, s"${r.getLong(0)},${r.getLong(1)}")
-      }
-      val base = (0 until 4).map { i =>
-        writeObj(s"b$i", orders.where(col("o_orderkey") >= i * w
-          && col("o_orderkey") < (i + 1) * w))
-      }
-      TxnLog.commit(s, logDir, 0L, adds = base.map(_._1),
-        stats = base.toMap, checkpointEvery = 2)
-      val (uLo, uHi) = (w, 2 * w)
-      val isUpd = col("o_orderkey") % 97 === 0 &&
-        col("o_orderkey") >= uLo && col("o_orderkey") < uHi
-      // plan the rewrite from log metadata alone — no data file opened
-      val live = TxnLog.liveActionsAt(s, logDir, 0L)
-      val hit = live.filter { a =>
-        val Array(lo, hi) = a.stats.get.split(',').map(_.toLong)
-        lo < uHi && hi >= uLo
-      }.map(_.path)
-      require(hit.size == 1,
-        s"stats targeting should hit exactly 1 of ${live.size}: $hit")
-      val rewritten = writeObj("b1_merge",
-        s.read.parquet(hit: _*).select(col("o_orderkey"),
-          when(isUpd, lit("U")).otherwise(col("o_orderstatus"))
-            .as("o_orderstatus"),
-          when(isUpd, col("o_totalprice") * 2).otherwise(col("o_totalprice"))
-            .as("o_totalprice")))
-      val inserted = writeObj("ins",
-        orders.where(isUpd).select(
-          (col("o_orderkey") + mx).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
-      TxnLog.commit(s, logDir, 1L, adds = Seq(rewritten._1, inserted._1),
-        removes = hit, stats = Map(rewritten, inserted),
-        checkpointEvery = 2)
-      val after = TxnLog.liveFilesAt(s, logDir, 1L)
-      require(after.size == 5 &&
-        base.map(_._1).count(after.contains) == 3,
-        s"merge must leave the 3 un-hit objects in place: $after")
+      val logDir = txnMergeStage(s, dir, "merge")
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 1L))
+    }),
+
+    // CHANGE DATA FEED FROM THE TOUCHED OBJECTS ONLY — the row-level
+    // change inventory of the merge transaction, computed WITHOUT
+    // diffing two snapshots: `changedBetween` names the objects v1
+    // removed/added (one rewrite out, one rewrite + one append in), and
+    // the Merkle diff (ops/TableDiff) classifies the rows between just
+    // those objects — the untouched bulk (3 of 4 base objects, plus
+    // every unmodified row inside the rewrite, whose checksums match
+    // bucket-wise) is never row-joined. Emits (key, change) with change
+    // in {inserted, modified}; a CoW merge deletes nothing. This is the
+    // downstream-consumer shape of the lakehouse: tail the log, read
+    // O(transaction) bytes, get exact row-level changes.
+    "src_txn_cdf" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnMergeStage(s, dir, "cdf")
+      val (added, removed) =
+        TxnLog.changedBetween(TxnLog.readLog(s, logDir), 0L, 1L)
+      require(added.size == 2 && removed.size == 1,
+        s"merge transaction should touch 2+1 objects: +$added -$removed")
+      def keyed(paths: Seq[String]): DataFrame =
+        s.read.parquet(paths: _*).select(
+          col("o_orderkey").as("key"),
+          concat_ws("|", col("o_orderstatus"),
+            col("o_totalprice").cast("string")).as("val"))
+      graft.ops.TableDiff.merkleDiff(keyed(removed), keyed(added))
     }),
 
     // OPTIMISTIC CONCURRENCY END-TO-END — two writers that both read the
@@ -10156,6 +10200,23 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS tot
         |FROM merged GROUP BY 1""".stripMargin,
+
+    // the row-level change inventory of the merge: every hit key is
+    // modified (status F/O/P -> 'U', price doubled), every ceiling-
+    // shifted key inserted; nothing is deleted by a CoW merge
+    "src_txn_cdf" ->
+      """WITH mx AS (
+        |  SELECT max(o_orderkey) AS m,
+        |         ((max(o_orderkey) + 4) // 4) AS w
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey FROM orders, mx
+        |  WHERE o_orderkey % 97 = 0
+        |    AND o_orderkey >= w AND o_orderkey < 2 * w
+        |)
+        |SELECT o_orderkey AS key, 'modified' AS change FROM upd
+        |UNION ALL
+        |SELECT o_orderkey + m, 'inserted' FROM upd, mx""".stripMargin,
 
     // OCC makes the multi-writer outcome schedule-independent: the head
     // snapshot is the full table regardless of which writer won the race

@@ -89,6 +89,8 @@ object DeclaredSchemas {
       "struct<o_orderstatus:string,n:bigint,tot:double>",
     "src_txn_merge" ->
       "struct<o_orderstatus:string,n:bigint,tot:double>",
+    "src_txn_cdf" ->
+      "struct<key:bigint,change:string>",
     "dedup_txn_incremental_lsh" ->
       "struct<band_idx:bigint,band:string,bucket_size:bigint>",
     "src_zorder_prune" ->

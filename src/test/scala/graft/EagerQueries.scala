@@ -45,6 +45,8 @@ object EagerQueries {
       "stages the txn log, races two OCC writers at construction",
     "src_txn_merge" ->
       "stages the base table, plans + executes the CoW merge rewrite",
+    "src_txn_cdf" ->
+      "stages the merge history, collects merkle bucket ids to row-diff",
     "dedup_txn_incremental_lsh" ->
       "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",
