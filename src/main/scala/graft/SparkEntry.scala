@@ -1334,6 +1334,41 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // ORPHAN-FILE GC — the other half of storage reclaim: a crashed
+    // writer's half-written object is invisible to every snapshot (its
+    // commit never published) but occupies storage forever; nothing in
+    // vacuum's removed-files contract touches it. vacuumOrphans
+    // reconciles the physical directory against the log — the ONE
+    // legitimate data-dir listing — deleting objects the log never
+    // NAMED that are older than the grace horizon (anything younger is
+    // presumed a writer mid-stage, since objects are written BEFORE
+    // their commit publishes). Required in-path: the grace window
+    // protects the orphan, the expired sweep reclaims exactly it, and
+    // the head snapshot is byte-identically readable after. At 100 TB,
+    // untracked-file GC is what keeps failed-job debris from costing
+    // real money.
+    "src_txn_gc" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "gc")
+      val root = logDir.stripSuffix("/_log")
+      tbl(s, dir, "orders").where(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/orphan")
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val now = fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/orphan")).getModificationTime
+      require(TxnLog.vacuumOrphans(s, root, logDir,
+        graceMs = 3600L * 1000, nowMs = now).isEmpty,
+        "an object inside the grace window must be presumed in-flight")
+      val deleted = TxnLog.vacuumOrphans(s, root, logDir,
+        graceMs = 1000L, nowMs = now + 10000L)
+      require(deleted.size == 1 && deleted.head.endsWith("/orphan"),
+        s"GC should reclaim exactly the orphan: $deleted")
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
+    }),
+
     // COPY-ON-WRITE MERGE (upsert) WITH STATS-TARGETED REWRITE — the
     // Delta-style MERGE INTO over the transaction log: a source batch
     // UPDATES the bucket-1 keys divisible by 97 and INSERTS fresh rows
@@ -10200,6 +10235,16 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS tot
         |FROM merged GROUP BY 1""".stripMargin,
+
+    // orphan GC must be content-invisible: the head snapshot equals the
+    // post-delete table exactly as in src_txn_vacuum
+    "src_txn_gc" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
 
     // the row-level change inventory of the merge: every hit key is
     // modified (status F/O/P -> 'U', price doubled), every ceiling-

@@ -506,6 +506,39 @@ object TxnLog {
       }
   }
 
+  /** ORPHAN reclaim — the other half of storage GC: a crashed writer's
+    * half-written object sits under the table root referenced by NO
+    * commit (its publish never happened, so snapshots cannot see it —
+    * TxnLogSpec pins that invisibility), and nothing above ever deletes
+    * it. An object is an orphan exactly when the log never NAMED it
+    * (neither an add nor a remove — removed files are [[vacuum]]'s
+    * business, under the retention floor) and it is older than the
+    * grace horizon (a writer may be mid-stage right now: publish
+    * happens AFTER the object write, so anything younger than
+    * `graceMs` must be presumed in-flight — the public Delta VACUUM
+    * "untracked files + retention window" rule). This is the ONE
+    * operation that legitimately lists the data directory: GC is
+    * reconciling the physical store against the log, which metadata
+    * alone cannot do. `nowMs` is passed in, not sampled, so tests and
+    * replays are deterministic. Returns the deleted paths. */
+  def vacuumOrphans(spark: SparkSession, tableRoot: String,
+      logDir: String, graceMs: Long, nowMs: Long): Seq[String] = {
+    val referenced = readLog(spark, logDir).map(_.path).toSet
+    val f = fs(spark, tableRoot)
+    val logLeaf = new Path(logDir).getName
+    f.listStatus(new Path(tableRoot)).toSeq
+      .filter { st =>
+        st.getPath.getName != logLeaf &&
+          !referenced.contains(st.getPath.toString) &&
+          !referenced.contains(st.getPath.toUri.getPath) &&
+          st.getModificationTime < nowMs - graceMs
+      }
+      .map { st =>
+        f.delete(st.getPath, true)
+        st.getPath.toUri.getPath
+      }
+  }
+
   /** Physically delete the vacuum candidates. Returns the deleted paths.
     * Irreversible by design — time travel to versions older than the
     * retention floor fails afterwards (resolution still succeeds, the

@@ -91,6 +91,8 @@ object DeclaredSchemas {
       "struct<o_orderstatus:string,n:bigint,tot:double>",
     "src_txn_cdf" ->
       "struct<key:bigint,change:string>",
+    "src_txn_gc" ->
+      "struct<o_orderstatus:string,n:bigint,tot:double>",
     "dedup_txn_incremental_lsh" ->
       "struct<band_idx:bigint,band:string,bucket_size:bigint>",
     "src_zorder_prune" ->

@@ -47,6 +47,8 @@ object EagerQueries {
       "stages the base table, plans + executes the CoW merge rewrite",
     "src_txn_cdf" ->
       "stages the merge history, collects merkle bucket ids to row-diff",
+    "src_txn_gc" ->
+      "stages the txn log + an orphan, physically sweeps at construction",
     "dedup_txn_incremental_lsh" ->
       "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",

@@ -325,6 +325,34 @@ class TxnLogSpec extends AnyFunSuite {
       Seq(o(0) -> "0,99", o(1) -> "100,199", o(2) -> "200,299"))
   }
 
+  test("vacuumOrphans: reclaims only log-unreferenced objects older " +
+    "than the grace horizon; referenced and in-flight objects survive") {
+    val (root, logDir, o) = freshTable("gc")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0), o(1), o(2)))
+    TxnLog.commit(spark, logDir, 1L, removes = Seq(o(1))) // removed, but NAMED
+    // a crashed writer's half-written object: present, never committed
+    spark.range(7).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/orphan")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/orphan")).getModificationTime
+    // inside the grace window: presumed in-flight, nothing reclaimed
+    assert(TxnLog.vacuumOrphans(spark, root, logDir,
+      graceMs = 3600L * 1000, nowMs = now).isEmpty)
+    // past the grace window: exactly the orphan goes — o(1) was removed
+    // but the log NAMES it (vacuum's business, not GC's), o(0)/o(2) live
+    val deleted = TxnLog.vacuumOrphans(spark, root, logDir,
+      graceMs = 1000L, nowMs = now + 10000L)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("orphan"), deleted.toString)
+    assert(TxnLog.readSnapshot(spark, logDir, 1L).count() == 200L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(o(1))))
+    // idempotent: a second sweep finds nothing
+    assert(TxnLog.vacuumOrphans(spark, root, logDir,
+      graceMs = 1000L, nowMs = now + 10000L).isEmpty)
+  }
+
   test("vacuum: retention floor keeps every snapshot >= retain readable; " +
     "time travel below the floor fails at read") {
     val (root, logDir, o) = freshTable("vacuum")
