@@ -9766,6 +9766,68 @@ object SparkEntry {
       }
     }),
 
+    // THE FULL STREAMING CDC LOOP — ingest through the exactly-once txn
+    // sink, then a DOWNSTREAM consumer that never reads a snapshot:
+    // starting from v0 it tails the log version-by-version, reads ONLY
+    // the objects each transaction touched (`changedBetween` — required
+    // in-path to be exactly one appended object per micro-batch, no
+    // removes), and folds the delta into its running aggregate with the
+    // per-step localCheckpoint lineage truncation of the iterative
+    // operators. The in-path merge-equals-recompute require pins the
+    // incrementally-maintained state equal to the head-snapshot
+    // recompute, row for row — the rel_ivm_agg discipline applied to
+    // the stream-to-lakehouse handoff. At 100 TB this is the
+    // production topology: producers publish atomic commits, consumers
+    // pay O(transaction) bytes per version, and every prefix of the
+    // stream stays a readable snapshot.
+    "stream_txn_cdc_pipeline" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val base = events(s, dir).select(col("event_type"),
+        expr("cast(round(value * 1000) AS bigint)").as("cents"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "txncdc")
+      val store = graft.streaming.StreamGate
+        .scratchDir("stage", "txncdcstore")
+      base.repartition(4).write.mode("overwrite").csv(src)
+      try {
+        graft.streaming.StreamGate.replayCsvToTxnStore(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType))),
+          "gate_txncdc", store)(df =>
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")))
+        val logDir = s"$store/_log"
+        val log = TxnLog.readLog(s, logDir)
+        val head = TxnLog.latestVersion(s, logDir)
+        require(head >= 1, s"need multiple micro-batches, got ${head + 1}")
+        def fold(paths: Seq[String]): DataFrame =
+          s.read.parquet(paths: _*).groupBy("event_type")
+            .agg(sum(col("cnt")).as("n_events"),
+              sum(col("sum_cents")).as("sum_cents"))
+        var state = fold(TxnLog.liveFiles(log, 0L)).localCheckpoint(true)
+        (1L to head).foreach { v =>
+          val (added, removed) = TxnLog.changedBetween(log, v - 1, v)
+          require(removed.isEmpty && added.size == 1,
+            s"v$v should be one appended object: +$added -$removed")
+          state = state.unionByName(fold(added))
+            .groupBy("event_type")
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_cents")).as("sum_cents"))
+            .localCheckpoint(true)
+        }
+        val scratch = fold(TxnLog.liveFilesAt(s, logDir, head))
+        require(state.exceptAll(scratch).isEmpty
+          && scratch.exceptAll(state).isEmpty,
+          "incremental CDC state diverged from the snapshot recompute")
+        state
+      } finally {
+        graft.streaming.StreamGate.deleteRecursively(src)
+        graft.streaming.StreamGate.deleteRecursively(store)
+      }
+    }),
+
     // STREAM-TO-STORE QUANTILE-SKETCH HANDOFF — the qsketch partials
     // ride the EXACTLY-ONCE store, and that choice is the point:
     // unlike the KMV handoff above (k-smallest SET union — duplicate
@@ -16929,6 +16991,13 @@ object SparkEntry {
     // the txn-log store publishes atomically: a replayed batch's commit
     // refuses, uncommitted garbage is invisible — same exact totals
     "stream_txn_sink" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n_events,
+        |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the incremental tail must land on exactly the full-stream totals
+    "stream_txn_cdc_pipeline" ->
       """SELECT event_type, cast(count(*) AS bigint) AS n_events,
         |       cast(sum(cast(round(value * 1000) AS bigint)) AS bigint)
         |         AS sum_cents

@@ -105,6 +105,8 @@ object DeclaredSchemas {
       "struct<event_id:bigint,user_id:bigint,lookup_type:string,last_us:bigint>",
     "stream_bitmap_distinct" ->
       "struct<event_type:string,n_users:bigint>",
+    "stream_txn_cdc_pipeline" ->
+      "struct<event_type:string,n_events:bigint,sum_cents:bigint>",
     "stream_calibration_bins" ->
       "struct<bin:bigint,n:bigint,mean_score:double,pos_rate:double>",
     "stream_closed_sessions" ->
