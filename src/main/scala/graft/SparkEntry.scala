@@ -1334,6 +1334,58 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // RESTORE — history-preserving rollback: one appended commit makes
+    // the head equal the pre-delete snapshot again. Nothing is
+    // rewritten: the restore RE-ADDS the objects the delete and the
+    // compaction removed (their files still exist — vacuum never ran)
+    // and removes the rewrites added since; the delete, the compaction,
+    // and the restore all remain time-travelable history. Required
+    // in-path: the restore lands as one new version and the restored
+    // head resolves to the original v2 object set. The oracle is the
+    // FULL table — the rollback undid the copy-on-write delete.
+    "src_txn_restore" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "restore")
+      val v = TxnLog.restore(s, logDir, 2L)
+      require(v == 5L, s"restore should land at v5, got $v")
+      val log = TxnLog.readLog(s, logDir)
+      require(TxnLog.liveFiles(log, 5L).toSet ==
+        TxnLog.liveFiles(log, 2L).toSet,
+        "restored head must resolve to the v2 object set")
+      // restoring to the already-current snapshot is a no-op, not a
+      // degenerate empty commit
+      require(TxnLog.restore(s, logDir, 5L) == 5L)
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 5L))
+    }),
+
+    // SHALLOW CLONE — a zero-copy table fork: the clone's v0 references
+    // the source snapshot's objects (no data moved), then diverges with
+    // its OWN transactions while the source is untouched (required
+    // in-path: source head and live set unchanged after the clone's
+    // delete). The readout aggregates the diverged clone — the bucket-3
+    // slice its own commit removed is gone, while the source would
+    // still show it. At 100 TB a shallow clone is how a team forks a
+    // production table for an experiment in milliseconds.
+    "src_txn_clone" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val srcLog = txnLogStage(s, dir, "clonesrc")
+      val dstLog = s"${staged("txn_clone_dst")}/_log"
+      graft.streaming.StreamGate.deleteRecursively(
+        staged("txn_clone_dst"))
+      // clone the PRE-delete snapshot (v2: the full table, 4 buckets)
+      TxnLog.shallowClone(s, srcLog, 2L, dstLog)
+      val cloned = TxnLog.liveFilesAt(s, dstLog, 0L)
+      require(cloned.size == 4, s"clone v0 should reference 4 objects")
+      // the clone diverges: drop its bucket-3 slice
+      val b3 = cloned.filter(_.endsWith("/b3"))
+      require(b3.size == 1, s"expected the b3 object, got $cloned")
+      TxnLog.commit(s, dstLog, 1L, removes = b3)
+      // source untouched by the clone's transaction
+      require(TxnLog.latestVersion(s, srcLog) == 4L)
+      require(TxnLog.liveFilesAt(s, srcLog, 4L).size == 3)
+      txnSnapAgg(TxnLog.readSnapshot(s, dstLog, 1L))
+    }),
+
     // ORPHAN-FILE GC — the other half of storage reclaim: a crashed
     // writer's half-written object is invisible to every snapshot (its
     // commit never published) but occupies storage forever; nothing in
@@ -10297,6 +10349,25 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS tot
         |FROM merged GROUP BY 1""".stripMargin,
+
+    // the rollback undid the copy-on-write delete: the restored head is
+    // the FULL table
+    "src_txn_restore" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // the diverged clone dropped its bucket-3 slice; the source (not
+    // read here) would still show it
+    "src_txn_clone" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3
+        |GROUP BY 1""".stripMargin,
 
     // orphan GC must be content-invisible: the head snapshot equals the
     // post-delete table exactly as in src_txn_vacuum

@@ -506,6 +506,51 @@ object TxnLog {
       }
   }
 
+  /** RESTORE — history-preserving rollback (the public Delta RESTORE):
+    * append ONE commit that makes the head snapshot equal the snapshot
+    * AS OF `toVersion`. Nothing is rewritten or physically deleted —
+    * the restore re-adds the target's missing objects (legal re-adds;
+    * their files still exist unless vacuum reclaimed them, in which
+    * case the later read fails loudly, same as any below-floor time
+    * travel) and removes the objects added since. Because the restore
+    * is itself a transaction, it can be time-traveled past or restored
+    * again. Returns the new head version (the old head if the snapshots
+    * already match — an empty commit is illegal, not a no-op). */
+  def restore(spark: SparkSession, logDir: String, toVersion: Long)
+      : Long = {
+    val log = readLog(spark, logDir)
+    val head = log.map(_.version).max
+    val target = liveActions(log, toVersion)
+    val cur = liveActions(log, head)
+    val curSet = cur.map(_.path).toSet
+    val targetSet = target.map(_.path).toSet
+    val adds = target.filterNot(a => curSet.contains(a.path))
+    val removes = cur.map(_.path).filterNot(targetSet.contains)
+    if (adds.isEmpty && removes.isEmpty) head
+    else {
+      commit(spark, logDir, head + 1, adds = adds.map(_.path),
+        removes = removes,
+        stats = adds.flatMap(a => a.stats.map(a.path -> _)).toMap)
+      head + 1
+    }
+  }
+
+  /** SHALLOW CLONE — a NEW table whose v0 references the source
+    * snapshot's objects with ZERO data copied (the public Delta SHALLOW
+    * CLONE): the clone then diverges with its own commits while the
+    * source is untouched, and stats ride along so the clone keeps
+    * metadata-only skipping. The caveat is the public one, not hidden:
+    * the clone references the SOURCE's objects, so a vacuum/GC on the
+    * source can break clones — coordinate retention across clones or
+    * deep-copy before reclaiming. */
+  def shallowClone(spark: SparkSession, srcLogDir: String, asOf: Long,
+      dstLogDir: String): Unit = {
+    val live = liveActionsAt(spark, srcLogDir, asOf)
+    require(live.nonEmpty, s"cannot clone an empty snapshot v$asOf")
+    commit(spark, dstLogDir, 0L, adds = live.map(_.path),
+      stats = live.flatMap(a => a.stats.map(a.path -> _)).toMap)
+  }
+
   /** ORPHAN reclaim — the other half of storage GC: a crashed writer's
     * half-written object sits under the table root referenced by NO
     * commit (its publish never happened, so snapshots cannot see it —

@@ -93,6 +93,10 @@ object DeclaredSchemas {
       "struct<key:bigint,change:string>",
     "src_txn_gc" ->
       "struct<o_orderstatus:string,n:bigint,tot:double>",
+    "src_txn_restore" ->
+      "struct<o_orderstatus:string,n:bigint,tot:double>",
+    "src_txn_clone" ->
+      "struct<o_orderstatus:string,n:bigint,tot:double>",
     "dedup_txn_incremental_lsh" ->
       "struct<band_idx:bigint,band:string,bucket_size:bigint>",
     "src_zorder_prune" ->

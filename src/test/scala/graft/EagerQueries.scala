@@ -49,6 +49,10 @@ object EagerQueries {
       "stages the merge history, collects merkle bucket ids to row-diff",
     "src_txn_gc" ->
       "stages the txn log + an orphan, physically sweeps at construction",
+    "src_txn_restore" ->
+      "stages the txn log and appends the restore commit at construction",
+    "src_txn_clone" ->
+      "stages source + clone logs, diverges the clone at construction",
     "dedup_txn_incremental_lsh" ->
       "stages a txn-log table + standing index, maintains it from the diff",
     "src_zorder_prune" -> "stages two layouts, collects zone-map manifests",

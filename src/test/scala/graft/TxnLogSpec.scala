@@ -325,6 +325,43 @@ class TxnLogSpec extends AnyFunSuite {
       Seq(o(0) -> "0,99", o(1) -> "100,199", o(2) -> "200,299"))
   }
 
+  test("restore: one appended commit returns the head to an older " +
+    "snapshot; history is preserved; re-restore is a no-op") {
+    val (root, logDir, o) = freshTable("restore")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0), o(1)))
+    val rw = s"$root/o1_rw"
+    spark.read.parquet(o(1)).where(col("id") % 2 === 0)
+      .write.mode("overwrite").parquet(rw)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(rw), removes = Seq(o(1)))
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(2)))
+    assert(TxnLog.restore(spark, logDir, 0L) == 3L)
+    val log = TxnLog.readLog(spark, logDir)
+    assert(TxnLog.liveFiles(log, 3L).toSet == Set(o(0), o(1)))
+    assert(TxnLog.readSnapshot(spark, logDir, 3L).count() == 200L)
+    // every pre-restore version is still readable history
+    assert(TxnLog.readSnapshot(spark, logDir, 2L).count() == 250L)
+    // restoring to the current content commits nothing
+    assert(TxnLog.restore(spark, logDir, 3L) == 3L)
+    assert(TxnLog.latestVersion(spark, logDir) == 3L)
+  }
+
+  test("shallowClone: a zero-copy fork references the source's objects " +
+    "and diverges independently") {
+    val (root, srcLog, o) = freshTable("clonesrc")
+    TxnLog.commit(spark, srcLog, 0L, adds = Seq(o(0), o(1)),
+      stats = Map(o(0) -> "s0", o(1) -> "s1"))
+    val dstLog = s"$root/_clone_log"
+    TxnLog.shallowClone(spark, srcLog, 0L, dstLog)
+    // stats ride the clone; objects are the SOURCE's (zero copy)
+    assert(TxnLog.liveActionsAt(spark, dstLog, 0L)
+      .map(a => a.path -> a.stats.get) == Seq(o(0) -> "s0", o(1) -> "s1"))
+    // diverge both sides; neither sees the other's transaction
+    TxnLog.commit(spark, dstLog, 1L, removes = Seq(o(1)))
+    TxnLog.commit(spark, srcLog, 1L, adds = Seq(o(2)))
+    assert(TxnLog.readSnapshot(spark, dstLog, 1L).count() == 100L)
+    assert(TxnLog.readSnapshot(spark, srcLog, 1L).count() == 300L)
+  }
+
   test("vacuumOrphans: reclaims only log-unreferenced objects older " +
     "than the grace horizon; referenced and in-flight objects survive") {
     val (root, logDir, o) = freshTable("gc")
