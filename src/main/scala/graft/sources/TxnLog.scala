@@ -36,7 +36,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     create-exclusive commit file; [[commitRetry]] re-reads the log on
   *     collision, re-stamps when the intervening commits touch a DISJOINT
   *     file set (disjoint commits commute — e.g. appends to different
-  *     partitions), and fails loudly on a logical conflict.
+  *     partitions), and fails loudly on a logical conflict;
+  *   - **schema in the log**: a `meta` action declares the table schema
+  *     (a Spark DataType JSON), commits whose adds disagree with it are
+  *     rejected, and evolution is widening/add-nullable-column only —
+  *     so a snapshot read pins its schema from METADATA (old files serve
+  *     null for later columns) instead of sampling 100 TB of footers.
   *
   * Commit protocol: one file per version, `%020d.commit`, published via
   * the store's ATOMIC exclusive-publish primitive (see
@@ -81,6 +86,14 @@ object TxnLog {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** Lost the exclusive-publish race: some other writer owns this commit
+    * version. The ONLY commit failure that is safe to retry blindly —
+    * [[commitRetry]] catches exactly this type, so a persistent real I/O
+    * failure (disk full, permissions) propagates with its own cause
+    * instead of being retried ten times and reported as log churn. */
+  final class CommitRaceException(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -124,12 +137,48 @@ object TxnLog {
         try java.nio.file.Files.createLink(target, tmp)
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
-            throw new java.io.IOException(
+            throw new CommitRaceException(
               s"commit file already exists (lost the publish race): $p", e)
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      val out = f.create(p, /* overwrite = */ false)
+      val out =
+        try f.create(p, /* overwrite = */ false)
+        catch {
+          // publish-by-existence stores signal the lost race at create
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new CommitRaceException(
+              s"commit file already exists (lost the publish race): $p", e)
+        }
+      try out.write(body) finally out.close()
+    }
+
+  /** Atomic full-content OVERWRITE publish for checkpoint artifacts
+    * (checkpoint files and the `_last_checkpoint` pointer): write a temp
+    * file, then `rename(2)` into place — atomic replacement, so a reader
+    * racing a checkpointer sees either the old complete file or the new
+    * complete file, never an empty/truncated one. Checkpoint content is
+    * a pure function of the log, so WHICH complete version wins is
+    * irrelevant — only tornness would be a bug, and rename excludes it.
+    * Non-local stores fall back to the filesystem's own overwrite create
+    * (HDFS readers of a mid-write file are covered by the body
+    * terminator [[parseBody]] requires, and [[liveActionsAt]] treats an
+    * unreadable pointer as absent). */
+  private def publishOverwrite(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, body: Array[Byte]): Unit =
+    if (f.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, s".${target.getFileName}.", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, body)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = f.create(p, /* overwrite = */ true)
       try out.write(body) finally out.close()
     }
 
@@ -162,15 +211,21 @@ object TxnLog {
     require(actions.size.toLong == declared,
       s"torn $where v$v: terminator declares $declared actions, " +
         s"body has ${actions.size}")
-    require(declared > 0, s"$where v$v declares zero actions")
+    // a checkpoint legitimately snapshots an EMPTY live set (a
+    // removes-everything commit landing on a checkpoint boundary) — its
+    // zero-action body is still torn-write-proof via the terminator;
+    // commits stay non-empty by the commit() contract
+    require(declared > 0 || where == "checkpoint",
+      s"$where v$v declares zero actions")
     actions.map { line =>
       val parts = line.split('\t')
       require(parts.length == 2 || parts.length == 3,
         s"malformed $where line in v$v: $line")
-      require(parts(0) == "add" || parts(0) == "remove",
+      require(parts(0) == "add" || parts(0) == "remove" ||
+          parts(0) == "meta",
         s"malformed $where line in v$v: unknown action '${parts(0)}'")
       require(parts.length == 2 || parts(0) == "add",
-        s"malformed $where line in v$v: stats on a remove: $line")
+        s"malformed $where line in v$v: stats on a ${parts(0)}: $line")
       Action(v, parts(0), parts(1),
         if (parts.length == 3) Some(parts(2)) else None)
     }
@@ -197,13 +252,29 @@ object TxnLog {
     * per-added-path stats string (written once, at write time — the
     * data-skipping metadata readers prune from without opening data
     * files). `checkpointEvery > 0` writes a live-set checkpoint after
-    * every Nth commit (see [[checkpoint]]). */
+    * every Nth commit (see [[checkpoint]]).
+    *
+    * Schema discipline (the public Delta metaData design): `meta`
+    * declares or EVOLVES the table schema (a Spark DataType JSON string)
+    * — evolution from an existing schema must pass
+    * [[schemaEvolutionOk]] (widen/add-nullable-column only), anything
+    * else is rejected before any file is visible. `addsSchema` names the
+    * schema of the data objects this commit adds; when the table
+    * declares a schema, adds whose columns disagree with the
+    * (post-`meta`) current schema are rejected — the enforcement that
+    * keeps every live object readable under the declared schema. Both
+    * checks resolve the current schema through the checkpoint
+    * (O(checkpoint + tail), never a full-history replay when a
+    * checkpoint exists). A schema-only commit (meta, no file actions)
+    * is legal — that is what an ALTER TABLE is. */
   def commit(spark: SparkSession, logDir: String, version: Long,
       adds: Seq[String] = Nil, removes: Seq[String] = Nil,
       stats: Map[String, String] = Map.empty,
-      checkpointEvery: Int = 0): Unit = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    (adds ++ removes ++ stats.values).foreach { p =>
+      checkpointEvery: Int = 0, meta: Option[String] = None,
+      addsSchema: Option[String] = None): Unit = {
+    require(adds.nonEmpty || removes.nonEmpty || meta.isDefined,
+      "empty commit")
+    (adds ++ removes ++ stats.values ++ meta).foreach { p =>
       require(!p.contains('\t') && !p.contains('\n'),
         s"not representable in the commit format: $p")
     }
@@ -214,11 +285,43 @@ object TxnLog {
     val latest = latestVersion(spark, logDir)
     require(version == latest + 1,
       s"non-serial commit: version=$version, latest=$latest")
-    val lines = adds.map(p => actionLine("add", p, stats.get(p))) ++
+    if (meta.isDefined || addsSchema.isDefined) {
+      val current =
+        if (latest >= 0) schemaAtVersion(spark, logDir, latest) else None
+      meta.foreach { m =>
+        current.filter(_ != m).foreach { c =>
+          require(schemaEvolutionOk(c, m),
+            s"v$version: illegal schema evolution (only widening / " +
+              s"adding nullable columns): $c -> $m")
+        }
+      }
+      val effective = meta.orElse(current)
+      addsSchema.foreach { ws =>
+        require(effective.isDefined,
+          s"v$version declares an adds schema but the table has none — " +
+            "declare the table schema with a meta action first")
+        require(sameColumns(ws, effective.get),
+          s"v$version: adds disagree with the table schema: " +
+            s"table=${effective.get} adds=$ws")
+      }
+    }
+    val lines = meta.map(m => actionLine("meta", m, None)).toSeq ++
+      adds.map(p => actionLine("add", p, stats.get(p))) ++
       removes.map(p => actionLine("remove", p, None))
     publishExclusive(f, commitPath(logDir, version), renderBody(lines))
     if (checkpointEvery > 0 && version > 0 && version % checkpointEvery == 0)
       checkpoint(spark, logDir, version)
+  }
+
+  /** Column-level agreement between a writer's schema and the table's:
+    * same names and types in the same order, nullability ignored (a
+    * parquet writer marks everything nullable; the table contract is
+    * the declared one). */
+  private def sameColumns(aJson: String, bJson: String): Boolean = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def cols(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+      .fields.toSeq.map(f => (f.name, f.dataType))
+    cols(aJson) == cols(bJson)
   }
 
   /** OCC commit with logical conflict detection and bounded retry — the
@@ -235,34 +338,53 @@ object TxnLog {
   def commitRetry(spark: SparkSession, logDir: String,
       readVersion: Long, adds: Seq[String], removes: Seq[String] = Nil,
       stats: Map[String, String] = Map.empty,
-      maxAttempts: Int = 10): Long = {
+      maxAttempts: Int = 10, meta: Option[String] = None,
+      addsSchema: Option[String] = None): Long = {
     val mine = (adds ++ removes).toSet
     var attempt = 0
+    var lastRace: Throwable = null
     while (attempt < maxAttempts) {
       attempt += 1
       val latest = latestVersion(spark, logDir)
       if (latest > readVersion) {
-        val intervening = readLog(spark, logDir)
-          .filter(a => a.version > readVersion && a.version <= latest)
-        val overlap = intervening.map(_.path).toSet intersect mine
+        // opens ONLY the intervening commit files — the conflict check
+        // is O(race window), not O(history)
+        val intervening =
+          readCommitRange(spark, logDir, readVersion, latest)
+        val overlap = intervening.filter(_.action != "meta")
+          .map(_.path).toSet intersect mine
         if (overlap.nonEmpty)
           throw new CommitConflictException(
             s"write-write conflict: commits ($readVersion, $latest] " +
               s"touched ${overlap.mkString(", ")}")
+        // two concurrent schema changes never commute — and our adds
+        // were validated against the schema we READ, so an intervening
+        // evolution also conflicts with a schema-declaring write
+        if ((meta.isDefined || addsSchema.isDefined) &&
+            intervening.exists(_.action == "meta"))
+          throw new CommitConflictException(
+            s"schema conflict: commits ($readVersion, $latest] changed " +
+              "the table schema")
       }
       try {
-        commit(spark, logDir, latest + 1, adds, removes, stats)
+        commit(spark, logDir, latest + 1, adds, removes, stats,
+          meta = meta, addsSchema = addsSchema)
         return latest + 1
       } catch {
-        // lost the race (serial check or the exclusive publish) — the
-        // next loop iteration re-reads the log and re-checks conflicts
-        case _: java.io.IOException =>
+        // ONLY the lost publish race (another writer owns latest+1) and
+        // the serial pre-check tripping on it are retryable — the next
+        // loop iteration re-reads the log and re-checks conflicts. A
+        // real I/O failure (disk full, permissions) propagates with its
+        // own cause instead of masquerading as log churn.
+        case e: CommitRaceException => lastRace = e
         case e: IllegalArgumentException
           if e.getMessage != null && e.getMessage.contains("non-serial") =>
+            lastRace = e
       }
     }
     throw new java.io.IOException(
-      s"commit did not land after $maxAttempts attempts (log churn)")
+      s"commit did not land after $maxAttempts attempts (log churn)",
+      lastRace)
   }
 
   /** Idempotent publish for sinks keyed by an EXTERNAL transaction id
@@ -341,28 +463,36 @@ object TxnLog {
   // ---------------------------------------------------------------------
 
   /** Write a live-set checkpoint at `version`: a `%020d.checkpoint` file
-    * holding the snapshot's add actions (first-add order, stats carried
-    * forward) and the `_last_checkpoint` pointer (the public Delta
+    * holding the snapshot's current `meta` (schema) line, if any, and the
+    * snapshot's add actions (first-add order, stats carried forward),
+    * plus the `_last_checkpoint` pointer (the public Delta
     * `_last_checkpoint` design). Resolution for any `asOf >= version`
     * then reads this one file plus the commits after it. Checkpoint
-    * content is a pure function of the log, so an overwrite by a
-    * concurrent checkpointer is harmless. */
+    * content is a pure function of the log and both files publish via
+    * atomic rename ([[publishOverwrite]]), so a reader racing a
+    * concurrent checkpointer sees a complete file — old or new, never
+    * torn. An EMPTY live set (a removes-everything commit landing on the
+    * boundary) checkpoints fine: the zero-action body is legal for
+    * checkpoints and still terminator-guarded. */
   def checkpoint(spark: SparkSession, logDir: String, version: Long)
       : Unit = {
-    val live = liveActions(readLog(spark, logDir), version)
+    val log = readLog(spark, logDir)
+    val live = liveActions(log, version)
     val f = fs(spark, logDir)
-    val lines = live.map(a => actionLine("add", a.path, a.stats))
-    val out = f.create(checkpointPath(logDir, version), true)
-    try out.write(renderBody(lines)) finally out.close()
-    val ptr = f.create(lastCheckpointPath(logDir), true)
-    try ptr.write(s"$version\n".getBytes("UTF-8")) finally ptr.close()
+    val metaLine = schemaAt(log, version)
+      .map(js => actionLine("meta", js, None)).toSeq
+    val lines = metaLine ++ live.map(a => actionLine("add", a.path, a.stats))
+    publishOverwrite(f, checkpointPath(logDir, version), renderBody(lines))
+    publishOverwrite(f, lastCheckpointPath(logDir),
+      s"$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Latest checkpoint version at or below `asOf`, if any. Fast path:
     * the `_last_checkpoint` pointer names the newest checkpoint — if it
     * qualifies, no listing filter is needed; otherwise (time travel
-    * below the newest checkpoint) fall back to listing `.checkpoint`
-    * files. */
+    * below the newest checkpoint, or an absent/unreadable pointer —
+    * treated as absent, the listing is the ground truth) fall back to
+    * listing `.checkpoint` files. */
   def lastCheckpointAtOrBefore(spark: SparkSession, logDir: String,
       asOf: Long): Option[Long] = {
     val f = fs(spark, logDir)
@@ -374,9 +504,8 @@ object TxnLog {
         val v =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        val pv = v.toLong
-        if (pv <= asOf && f.exists(checkpointPath(logDir, pv))) Some(pv)
-        else None
+        v.toLongOption.filter(pv =>
+          pv <= asOf && f.exists(checkpointPath(logDir, pv)))
       }
     fromPtr.orElse {
       val vs = f.listStatus(new Path(logDir)).iterator
@@ -388,23 +517,52 @@ object TxnLog {
     }
   }
 
+  /** Checkpoint-aware resolution of ALL current actions at `asOf`: the
+    * live add set (first-add order) preceded by the current `meta`
+    * (schema) action, if the table declares one. Validates
+    * `asOf <= latest` on BOTH resolution paths — with a checkpoint the
+    * tail replay would otherwise silently serve the head state for a
+    * version that was never committed (full replay fails that loudly). */
+  private def resolvedActionsAt(spark: SparkSession, logDir: String,
+      asOf: Long): Seq[Action] =
+    lastCheckpointAtOrBefore(spark, logDir, asOf) match {
+      case None =>
+        val log = readLog(spark, logDir)
+        schemaAt(log, asOf).map(Action(asOf, "meta", _)).toSeq ++
+          liveActions(log, asOf)
+      case Some(cv) =>
+        // a checkpoint at cv proves cv committed even when the
+        // pre-checkpoint commit files have been physically deleted
+        require(asOf <= math.max(latestVersion(spark, logDir), cv),
+          s"asOf=$asOf is past the latest commit")
+        val f = fs(spark, logDir)
+        val base = readActionFile(f, checkpointPath(logDir, cv), cv,
+          "checkpoint")
+        val tail = readCommitRange(spark, logDir, cv, asOf)
+        val meta = (base ++ tail).filter(_.action == "meta")
+          .lastOption.map(a => Action(asOf, "meta", a.path))
+        meta.toSeq ++ replayActions(base.filterNot(_.action == "meta"),
+          tail.filterNot(_.action == "meta"))
+    }
+
   /** Snapshot resolution through the checkpoint: read the newest
     * checkpoint at or below `asOf` (one file, O(live set)) and replay
     * only the commits after it. Without a checkpoint, falls back to the
     * full-log replay. Equal to `liveActions(readLog(..), asOf)` by
     * construction — TxnLogPropertySpec pins the identity at every
-    * version of every generated history. */
+    * version of every generated history. Returns file add actions only;
+    * the schema rides [[schemaAtVersion]]. */
   def liveActionsAt(spark: SparkSession, logDir: String, asOf: Long)
       : Seq[Action] =
-    lastCheckpointAtOrBefore(spark, logDir, asOf) match {
-      case None => liveActions(readLog(spark, logDir), asOf)
-      case Some(cv) =>
-        val f = fs(spark, logDir)
-        val base = readActionFile(f, checkpointPath(logDir, cv), cv,
-          "checkpoint")
-        val tail = readCommitRange(spark, logDir, cv, asOf)
-        replayActions(base, tail)
-    }
+    resolvedActionsAt(spark, logDir, asOf).filterNot(_.action == "meta")
+
+  /** The table schema (as a Spark DataType JSON string) AS OF `asOf`,
+    * resolved through the checkpoint like any other snapshot read.
+    * None for a table that never declared one. */
+  def schemaAtVersion(spark: SparkSession, logDir: String, asOf: Long)
+      : Option[String] =
+    resolvedActionsAt(spark, logDir, asOf)
+      .find(_.action == "meta").map(_.path)
 
   def liveFilesAt(spark: SparkSession, logDir: String, asOf: Long)
       : Seq[String] = liveActionsAt(spark, logDir, asOf).map(_.path)
@@ -438,13 +596,58 @@ object TxnLog {
   }
 
   /** Snapshot live ADD actions (path + stats) AS OF `asOf`, replayed from
-    * the full log in first-add order. */
+    * the full log in first-add order. `meta` (schema) actions are not
+    * part of the file live set — they resolve via [[schemaAt]]. */
   def liveActions(log: Seq[Action], asOf: Long): Seq[Action] = {
     require(log.nonEmpty && asOf >= log.head.version,
       s"asOf=$asOf precedes the log")
     require(asOf <= log.map(_.version).max,
       s"asOf=$asOf is past the latest commit")
-    replayActions(Nil, log.filter(_.version <= asOf))
+    replayActions(Nil,
+      log.filter(a => a.version <= asOf && a.action != "meta"))
+  }
+
+  /** The table schema (Spark DataType JSON) AS OF `asOf` from a full
+    * log: the LAST `meta` action at or below `asOf` wins — schema
+    * changes supersede, they don't accumulate. Pure; the
+    * checkpoint-aware variant is [[schemaAtVersion]]. */
+  def schemaAt(log: Seq[Action], asOf: Long): Option[String] =
+    log.filter(a => a.action == "meta" && a.version <= asOf)
+      .lastOption.map(_.path)
+
+  /** May a table's schema evolve from `oldJson` to `newJson` in one
+    * metaData commit? The public widening/add-column rules: every
+    * existing column keeps its name and keeps its type or widens it
+    * (int→bigint, float→double — old files upcast losslessly at read),
+    * a required column may relax to nullable (never the reverse), and
+    * new columns may be appended only as nullable (old files lack them,
+    * so reads must be able to serve null). Anything else — drops,
+    * renames, narrowing, new required columns — is a REWRITE, not an
+    * evolution, and is rejected at commit. */
+  def schemaEvolutionOk(oldJson: String, newJson: String): Boolean = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val oldS = DataType.fromJson(oldJson).asInstanceOf[StructType]
+    val newS = DataType.fromJson(newJson).asInstanceOf[StructType]
+    val newByName = newS.fields.map(f => f.name -> f).toMap
+    val kept = oldS.fields.forall { of =>
+      newByName.get(of.name).exists { nf =>
+        // nullability may relax (required -> nullable), never tighten:
+        // existing files already hold nulls a tightened column forbids
+        widens(of.dataType, nf.dataType) && (!of.nullable || nf.nullable)
+      }
+    }
+    val oldNames = oldS.fieldNames.toSet
+    val addedOk = newS.fields.filterNot(f => oldNames(f.name))
+      .forall(_.nullable)
+    kept && addedOk
   }
 
   /** Snapshot file set AS OF `asOf` (see [[liveActions]]). */
@@ -453,12 +656,24 @@ object TxnLog {
 
   /** Distributed read of the snapshot AS OF `asOf` — only the live files,
     * resolved from one checkpoint + the commit tail (or the full log when
-    * no checkpoint exists); the data directory is never listed. */
+    * no checkpoint exists); the data directory is never listed. When the
+    * table declares a schema in the log, the read is pinned to it: files
+    * written before an add-column evolution serve null for the new
+    * columns, and the scan needs NO footer-sampling schema inference —
+    * at 100 TB, reading the schema from metadata instead of sampling
+    * file footers is the difference the metaData action exists for. */
   def readSnapshot(spark: SparkSession, logDir: String, asOf: Long)
       : DataFrame = {
-    val files = liveFilesAt(spark, logDir, asOf)
+    val resolved = resolvedActionsAt(spark, logDir, asOf)
+    val files = resolved.filter(_.action == "add").map(_.path)
     require(files.nonEmpty, s"snapshot v$asOf is empty")
-    spark.read.parquet(files: _*)
+    resolved.find(_.action == "meta").map(_.path) match {
+      case Some(js) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(st).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Files added and removed in `(sinceV, untilV]` — the O(transaction)
@@ -515,7 +730,10 @@ object TxnLog {
     * travel) and removes the objects added since. Because the restore
     * is itself a transaction, it can be time-traveled past or restored
     * again. Returns the new head version (the old head if the snapshots
-    * already match — an empty commit is illegal, not a no-op). */
+    * already match — an empty commit is illegal, not a no-op). Restores
+    * the FILE set; the schema, being append-only-evolving, stays at the
+    * head declaration — the restored (older) files remain readable under
+    * it, serving null for any column added since. */
   def restore(spark: SparkSession, logDir: String, toVersion: Long)
       : Long = {
     val log = readLog(spark, logDir)
@@ -545,10 +763,12 @@ object TxnLog {
     * deep-copy before reclaiming. */
   def shallowClone(spark: SparkSession, srcLogDir: String, asOf: Long,
       dstLogDir: String): Unit = {
-    val live = liveActionsAt(spark, srcLogDir, asOf)
+    val resolved = resolvedActionsAt(spark, srcLogDir, asOf)
+    val live = resolved.filter(_.action == "add")
     require(live.nonEmpty, s"cannot clone an empty snapshot v$asOf")
     commit(spark, dstLogDir, 0L, adds = live.map(_.path),
-      stats = live.flatMap(a => a.stats.map(a.path -> _)).toMap)
+      stats = live.flatMap(a => a.stats.map(a.path -> _)).toMap,
+      meta = resolved.find(_.action == "meta").map(_.path))
   }
 
   /** ORPHAN reclaim — the other half of storage GC: a crashed writer's
@@ -588,14 +808,59 @@ object TxnLog {
     * Irreversible by design — time travel to versions older than the
     * retention floor fails afterwards (resolution still succeeds, the
     * read hits the missing file), exactly the public Delta/Iceberg
-    * VACUUM contract. */
-  def vacuum(spark: SparkSession, logDir: String, retain: Long)
-      : Seq[String] = {
+    * VACUUM contract. `keepCheckpoints > 0` additionally GCs stale
+    * checkpoint files in the same maintenance pass (see
+    * [[gcCheckpoints]]) — the metadata half of the reclaim a long-lived
+    * table needs. */
+  def vacuum(spark: SparkSession, logDir: String, retain: Long,
+      keepCheckpoints: Int = 0): Seq[String] = {
     val victims = vacuumCandidates(readLog(spark, logDir), retain)
     val f = fs(spark, logDir)
     // recursive: a log entry is a data OBJECT — the directory one
     // distributed write laid down, not necessarily a single file
     victims.foreach { p => f.delete(new Path(p), true) }
+    if (keepCheckpoints > 0) gcCheckpoints(spark, logDir, keepCheckpoints)
+    victims
+  }
+
+  /** Checkpoint GC — the metadata counterpart of [[vacuum]]: a table
+    * checkpointing every N commits accumulates O(commits/N) checkpoint
+    * files forever without this. Keeps the newest `keep` checkpoints
+    * and ALWAYS the one `_last_checkpoint` points to (a reader that
+    * just loaded the pointer must find its target); deletes the rest.
+    * Returns the deleted checkpoint versions.
+    *
+    * Safety: a checkpoint is a pure SHORTCUT — deleting one never loses
+    * state, because resolution falls back to an older retained
+    * checkpoint or the full commit replay ([[lastCheckpointAtOrBefore]]
+    * lists, it does not trust only the pointer). The one coupling to
+    * respect operationally: pre-checkpoint COMMIT files may only be
+    * pruned for versions covered by a checkpoint you retain — GC
+    * checkpoints before pruning commits, never after. The resolution-
+    * survives-GC property is pinned over the 200-history harness in
+    * TxnLogPropertySpec. */
+  def gcCheckpoints(spark: SparkSession, logDir: String, keep: Int)
+      : Seq[Long] = {
+    require(keep >= 1, s"must keep at least one checkpoint, got $keep")
+    val f = fs(spark, logDir)
+    val all = f.listStatus(new Path(logDir)).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .toSeq.sorted
+    val ptrP = lastCheckpointPath(logDir)
+    val pointed: Option[Long] =
+      if (!f.exists(ptrP)) None
+      else {
+        val in = f.open(ptrP)
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        v.toLongOption
+      }
+    val retained = all.takeRight(keep).toSet ++ pointed
+    val victims = all.filterNot(retained.contains)
+    victims.foreach(v => f.delete(checkpointPath(logDir, v), false))
     victims
   }
 }

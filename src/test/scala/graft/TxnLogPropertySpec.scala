@@ -4,9 +4,10 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Property pins for the TxnLog's pure log algebra (no filesystem, no
-  * Spark): on RANDOM VALID histories, snapshot resolution must equal a
-  * brute-force replay at every version, and `changedBetween` must
+/** Property pins for the TxnLog's log algebra (pure, except the
+  * FS-backed checkpoint-GC property): on RANDOM VALID histories,
+  * snapshot resolution must equal a brute-force replay at every
+  * version, and `changedBetween` must
   * satisfy the liveness-delta identity
   * `live(v1) == (live(v0) \ removed) ∪ added` for every version pair —
   * the contract an incremental consumer relies on. The re-add case
@@ -138,6 +139,57 @@ class TxnLogPropertySpec extends AnyFunSuite {
               .last.action == "remove"
         }.toSet
         assert(cands == expected, s"seed=$seed retain=$retain log=$log")
+      }
+    }
+  }
+
+  test("schemaAt is last-meta-wins and meta actions never perturb the " +
+    "file live set, on 200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val base = draw(seed)
+      val versions = base.map(_.version).distinct
+      // interleave a meta (schema) action at every third version — meta
+      // rides the same log but lives in its own namespace
+      val withMeta = base.flatMap { a =>
+        if (a.version % 3 == 0 && base.indexOf(a) ==
+            base.indexWhere(_.version == a.version))
+          Seq(Action(a.version, "meta", s"schema-v${a.version}"), a)
+        else Seq(a)
+      }
+      versions.foreach { v =>
+        val lastMeta = versions.filter(x => x % 3 == 0 && x <= v)
+          .maxOption.map(x => s"schema-v$x")
+        assert(TxnLog.schemaAt(withMeta, v) == lastMeta,
+          s"seed=$seed v=$v")
+        assert(TxnLog.liveFiles(withMeta, v).toSet == bruteLive(base, v),
+          s"seed=$seed v=$v meta actions perturbed the live set")
+      }
+    }
+  }
+
+  test("resolution survives checkpoint GC at every (keep, asOf) pair: " +
+    "a checkpoint is a shortcut, never state (FS-backed, 25 histories)") {
+    import TestSpark.spark
+    for (seed <- 1L to 25L) {
+      val log = draw(seed)
+      val versions = log.map(_.version).distinct
+      val root = TestSpark.scratchDir(s"graft-txnlog-gcprop-$seed")
+      val logDir = s"$root/_log"
+      // replay the generated history onto a real log, checkpoint every 2
+      versions.foreach { v =>
+        val vActs = log.filter(_.version == v)
+        TxnLog.commit(spark, logDir, v,
+          adds = vActs.filter(_.action == "add").map(_.path),
+          removes = vActs.filter(_.action == "remove").map(_.path),
+          checkpointEvery = 2)
+      }
+      val expected = versions.map(v => v -> TxnLog.liveFiles(log, v)).toMap
+      for (keep <- Seq(2, 1)) {
+        TxnLog.gcCheckpoints(spark, logDir, keep)
+        versions.foreach { v =>
+          assert(TxnLog.liveFilesAt(spark, logDir, v) == expected(v),
+            s"seed=$seed keep=$keep asOf=$v")
+        }
       }
     }
   }

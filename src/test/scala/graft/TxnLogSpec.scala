@@ -390,6 +390,212 @@ class TxnLogSpec extends AnyFunSuite {
       graceMs = 1000L, nowMs = now + 10000L).isEmpty)
   }
 
+  test("schema in the log: declared at v0, enforced on adds, evolved by " +
+    "widening/add-nullable-column only, resolved through a checkpoint") {
+    import org.apache.spark.sql.types._
+    val (root, logDir, _) = freshTable("schema")
+    val v1Schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    val v2Schema = v1Schema.add(StructField("score", DoubleType,
+      nullable = true))
+    // v1-generation data object (id, payload)
+    val gen1 = s"$root/gen1"
+    spark.range(10).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .write.mode("overwrite").parquet(gen1)
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(gen1),
+      meta = Some(v1Schema.json), addsSchema = Some(v1Schema.json),
+      checkpointEvery = 2)
+    // an add whose columns disagree with the declared schema is rejected
+    val rogue = s"$root/rogue"
+    val rogueSchema = StructType(Seq(StructField("id", LongType),
+      StructField("other", StringType)))
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.commit(spark, logDir, 1L, adds = Seq(rogue),
+        addsSchema = Some(rogueSchema.json))
+    }
+    assert(e1.getMessage.contains("disagree"), e1.getMessage)
+    // illegal evolutions fail loudly: dropping a column, narrowing a type
+    val dropped = StructType(Seq(StructField("id", LongType)))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.commit(spark, logDir, 1L, meta = Some(dropped.json))
+    }
+    assert(e2.getMessage.contains("evolution"), e2.getMessage)
+    val narrowed = StructType(Seq(StructField("id", IntegerType),
+      StructField("payload", StringType)))
+    intercept[IllegalArgumentException] {
+      TxnLog.commit(spark, logDir, 1L, meta = Some(narrowed.json))
+    }
+    // legal evolution: append a nullable column; v2-generation data lands
+    val gen2 = s"$root/gen2"
+    spark.range(10, 20).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("score", col("id").cast("double") / 10.0)
+      .write.mode("overwrite").parquet(gen2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(gen2),
+      meta = Some(v2Schema.json), addsSchema = Some(v2Schema.json),
+      checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 2L, removes = Seq(), adds = Seq(),
+      meta = Some(v2Schema.json), checkpointEvery = 2) // schema-only no-op
+    // schema resolves per version, and THROUGH the checkpoint: delete the
+    // pre-checkpoint commits, the checkpoint at v2 still serves it
+    assert(TxnLog.schemaAtVersion(spark, logDir, 0L).contains(v1Schema.json))
+    assert(TxnLog.schemaAtVersion(spark, logDir, 2L).contains(v2Schema.json))
+    val dir = java.nio.file.Paths.get(new java.net.URI(logDir).getPath)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(dir.resolve(f"$v%020d.commit"))
+    }
+    assert(TxnLog.schemaAtVersion(spark, logDir, 2L).contains(v2Schema.json))
+    // the evolved read serves BOTH generations under the declared schema:
+    // v1 files yield null for the appended column
+    val snap = TxnLog.readSnapshot(spark, logDir, 2L)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "payload", "score"))
+    assert(snap.count() == 20L)
+    assert(snap.where(col("score").isNull).count() == 10L)
+    // a clone carries the schema
+    val dstLog = s"$root/_clone_log"
+    TxnLog.shallowClone(spark, logDir, 2L, dstLog)
+    assert(TxnLog.schemaAtVersion(spark, dstLog, 0L).contains(v2Schema.json))
+  }
+
+  test("commitRetry: an intervening schema change conflicts with a " +
+    "schema-declaring writer instead of committing against a stale read") {
+    import org.apache.spark.sql.types._
+    val (_, logDir, o) = freshTable("schemaocc")
+    val s1 = StructType(Seq(StructField("id", LongType)))
+    val s2 = s1.add(StructField("a", StringType, nullable = true))
+    val s3 = s1.add(StructField("b", StringType, nullable = true))
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), meta = Some(s1.json))
+    // another writer evolves the schema after our read
+    TxnLog.commit(spark, logDir, 1L, meta = Some(s2.json))
+    intercept[TxnLog.CommitConflictException] {
+      TxnLog.commitRetry(spark, logDir, readVersion = 0L,
+        adds = Seq(o(1)), meta = Some(s3.json))
+    }
+    // a plain disjoint file append still commutes past the schema change
+    assert(TxnLog.commitRetry(spark, logDir, readVersion = 0L,
+      adds = Seq(o(2))) == 2L)
+  }
+
+  test("commitRetry: a persistent real I/O failure propagates as itself " +
+    "instead of being retried ten times and reported as log churn") {
+    // a regular FILE squatting on the log path: every publish attempt
+    // fails with a real I/O error, not a publish race — POSIX permission
+    // tricks don't work here (tests run as root, which bypasses them)
+    val root = TestSpark.scratchDir("graft-txnlog-ioerr").toString
+    val badLog = s"$root/_badlog"
+    val dir = java.nio.file.Paths.get(new java.net.URI(badLog).getPath)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    java.nio.file.Files.write(dir, "not a directory".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      TxnLog.commitRetry(spark, badLog, readVersion = -1L,
+        adds = Seq(s"$root/p0"))
+    }
+    // the real failure surfaced directly — NOT the misleading
+    // after-10-attempts churn message a blind IOException catch produced
+    assert(e.getMessage == null || !e.getMessage.contains("did not land"),
+      e.toString)
+  }
+
+  test("empty-live-set checkpoint: a removes-everything commit landing " +
+    "on the checkpoint boundary stays resolvable at and past it") {
+    val (_, logDir, o) = freshTable("emptyckpt")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)), checkpointEvery = 2)
+    // v2 removes everything AND lands on the boundary -> empty checkpoint
+    TxnLog.commit(spark, logDir, 2L, removes = Seq(o(0), o(1)),
+      checkpointEvery = 2)
+    assert(TxnLog.liveFilesAt(spark, logDir, 2L).isEmpty)
+    // later versions resolve THROUGH the empty checkpoint
+    TxnLog.commit(spark, logDir, 3L, adds = Seq(o(2)), checkpointEvery = 2)
+    assert(TxnLog.liveFilesAt(spark, logDir, 3L) == Seq(o(2)))
+    // an asOf past the head fails loudly on the checkpoint path too
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.liveFilesAt(spark, logDir, 9L)
+    }
+    assert(e.getMessage.contains("past the latest"), e.getMessage)
+  }
+
+  test("gcCheckpoints: keeps the newest K and the pointer target; every " +
+    "version still resolves afterwards (commits intact)") {
+    val (_, logDir, o) = freshTable("ckptgc")
+    // fake object paths are fine — resolution is pure metadata
+    (0 to 9).foreach { v =>
+      TxnLog.commit(spark, logDir, v.toLong, adds = Seq(s"${o(0)}-x$v"),
+        removes = if (v >= 4 && v % 2 == 0) Seq(s"${o(0)}-x${v - 3}") else Nil,
+        checkpointEvery = 2)
+    }
+    val full = TxnLog.readLog(spark, logDir)
+    val before = (0L to 9L).map(v => TxnLog.liveFilesAt(spark, logDir, v))
+    val deleted = TxnLog.vacuum(spark, logDir, retain = 9L,
+      keepCheckpoints = 2)
+    // checkpoints existed at 2,4,6,8 -> GC keeps 6,8 (8 is the pointer)
+    val f = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = f.listStatus(new org.apache.hadoop.fs.Path(logDir))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.toSeq
+    assert(remaining == Seq(6L, 8L), remaining.toString)
+    // resolution at EVERY version is unchanged: below 6 it falls back to
+    // full replay or an older retained checkpoint — a checkpoint is a
+    // shortcut, never state
+    (0L to 9L).foreach { v =>
+      assert(TxnLog.liveFilesAt(spark, logDir, v) == before(v.toInt),
+        s"v=$v")
+      assert(TxnLog.liveFilesAt(spark, logDir, v) ==
+        TxnLog.liveFiles(full, v), s"v=$v")
+    }
+  }
+
+  test("reader racing a live writer: every concurrent snapshot read " +
+    "equals the committed snapshot at its version — never a torn mix") {
+    val (_, logDir, o) = freshTable("rdwr")
+    val nCommits = 40
+    // deterministic action plan: v adds p$v, every third removes p${v-2}
+    val plan: Seq[(Seq[String], Seq[String])] = (0 until nCommits).map { v =>
+      (Seq(s"${o(0)}-p$v"),
+        if (v % 3 == 2) Seq(s"${o(0)}-p${v - 2}") else Nil)
+    }
+    val actions = plan.zipWithIndex.flatMap { case ((as, rs), v) =>
+      as.map(TxnLog.Action(v.toLong, "add", _)) ++
+        rs.map(TxnLog.Action(v.toLong, "remove", _))
+    }
+    val expected = (0 until nCommits)
+      .map(v => TxnLog.liveFiles(actions, v.toLong)).toIndexedSeq
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      try plan.zipWithIndex.foreach { case ((as, rs), v) =>
+        TxnLog.commit(spark, logDir, v.toLong, adds = as, removes = rs,
+          checkpointEvery = 3)
+      } catch { case t: Throwable => errs.add(t) }
+      finally done.set(true)
+    })
+    val readers = (0 until 2).map(_ => new Thread(() => {
+      try while (!done.get()) {
+        val v = TxnLog.latestVersion(spark, logDir)
+        if (v >= 0) {
+          // isolation: resolving a committed version mid-publish of the
+          // next one (and mid-overwrite of a checkpoint) must yield
+          // EXACTLY that version's snapshot
+          val got = TxnLog.liveFilesAt(spark, logDir, v)
+          if (got != expected(v.toInt))
+            errs.add(new AssertionError(
+              s"torn read at v$v: got $got expected ${expected(v.toInt)}"))
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    }))
+    readers.foreach(_.start()); writer.start()
+    writer.join(); readers.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(reads.get() > 10, s"only ${reads.get()} concurrent reads")
+    // and the final state is the planned one
+    assert(TxnLog.liveFilesAt(spark, logDir, (nCommits - 1).toLong) ==
+      expected(nCommits - 1))
+  }
+
   test("vacuum: retention floor keeps every snapshot >= retain readable; " +
     "time travel below the floor fails at read") {
     val (root, logDir, o) = freshTable("vacuum")
