@@ -1600,6 +1600,89 @@ object SparkEntry {
             .cast("double").as("tot"))
     }),
 
+    // SCHEMA IN THE TRANSACTION LOG — the metadata half of a real table
+    // format (the public Delta metaData design): the table schema is a
+    // `meta` action in the log, adds that disagree with it are REJECTED
+    // at commit (required in-path below), and evolution is
+    // widening/add-nullable-column only. v0 declares a 2-column schema
+    // and lands gen-1 objects; v1 evolves to 3 columns (appends a
+    // nullable price) and lands a gen-2 object; v2 lands another gen-2
+    // object and crosses a checkpoint boundary, so the HEAD read
+    // resolves schema + live set from ONE checkpoint (required in-path).
+    // The snapshot read pins the log schema — gen-1 files serve null for
+    // the appended column — so the scan needs no footer-sampling schema
+    // inference: at 100 TB, schema-from-metadata is the difference
+    // between a millisecond log read and a planning pass over the lake.
+    "src_txn_schema_evolution" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      import org.apache.spark.sql.types._
+      val root = staged("txn_schema")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val s1 = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType)))
+      val s2 = s1.add(StructField("o_totalprice", DoubleType,
+        nullable = true))
+      val orders = tbl(s, dir, "orders")
+      def obj(part: String, df: DataFrame): String = {
+        val d = s"$root/$part"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      // gen-1: the 2-column generation (keys % 3 == 0)
+      val g1 = obj("g1", orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(g1), meta = Some(s1.json),
+        addsSchema = Some(s1.json), checkpointEvery = 2)
+      // enforcement: an add carrying a different column set is rejected
+      // BEFORE any file becomes visible
+      val rejected =
+        try {
+          TxnLog.commit(s, logDir, 1L, adds = Seq(s"$root/rogue"),
+            addsSchema = Some(StructType(Seq(
+              StructField("o_orderkey", LongType),
+              StructField("wrong_col", StringType))).json))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected, "mismatched-schema add must be rejected loudly")
+      // and so is a non-evolution (column drop) schema change
+      val rejectedDrop =
+        try {
+          TxnLog.commit(s, logDir, 1L, meta = Some(StructType(Seq(
+            StructField("o_orderkey", LongType))).json))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejectedDrop, "column-drop evolution must be rejected loudly")
+      // v1: legal evolution (append nullable price) + gen-2 data
+      val g2a = obj("g2a", orders.where(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))
+      TxnLog.commit(s, logDir, 1L, adds = Seq(g2a), meta = Some(s2.json),
+        addsSchema = Some(s2.json), checkpointEvery = 2)
+      // v2: more gen-2 data; crosses the checkpoint boundary
+      val g2b = obj("g2b", orders.where(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))
+      TxnLog.commit(s, logDir, 2L, adds = Seq(g2b),
+        addsSchema = Some(s2.json), checkpointEvery = 2)
+      // the head read must resolve THROUGH the v2 checkpoint and carry
+      // the evolved schema from metadata
+      require(TxnLog.lastCheckpointAtOrBefore(s, logDir, 2L)
+        .contains(2L), "head resolution must be checkpoint-served")
+      require(TxnLog.schemaAtVersion(s, logDir, 2L).contains(s2.json),
+        "checkpoint must carry the evolved schema")
+      require(TxnLog.schemaAtVersion(s, logDir, 0L).contains(s1.json),
+        "time travel must serve the pre-evolution schema")
+      val snap = TxnLog.readSnapshot(s, logDir, 2L)
+      require(snap.schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        s"snapshot must read under the log schema: ${snap.schema}")
+      snap.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_totalprice").isNull, 1)).as("n_gen1"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("tot"))
+    }),
+
     // P1: Java-split parity — field arity per line
     "p1_java_split_arity" -> ((s, dir) =>
       docLines(s, dir).select(col("doc_id"),
@@ -7907,6 +7990,61 @@ object SparkEntry {
       curve
     }),
 
+    // IVF×PQ COMPOSED SEARCH — the shape that actually serves
+    // billion-vector ANN (Jégou et al. 2011's IVFADC): the coarse
+    // quantizer routes the query to nprobe=3 of 10 cells, the PQ codes
+    // score ONLY those cells' candidates through 4 asymmetric-distance
+    // lookup tables (no raw vectors touched), and exact cosine re-ranks
+    // just the 50-vector ADC shortlist. Per query the exact-arithmetic
+    // cost drops from N vectors (brute force) to ~3N/10 (IVF raw, see
+    // emb_ivf_search) to 50 (this composition) — the recall cost of the
+    // two lossy stages is measured against both in
+    // SimilarityQualitySpec. All distance math is the same
+    // rounded-deterministic arithmetic as the component queries, so the
+    // oracle replays routing, ADC, and re-rank end to end.
+    "emb_ivfpq_search" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = pqCodebook(s, dir)
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qarr = array(qvec.map(lit): _*)
+      val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+      // stage 1 — coarse routing: top-3 cells by rounded centroid cosine
+      val probed = graft.ops.Similarity.centroids(
+          emb, col("embedding"), col("label"))
+        .select(col("grp").as("clabel"),
+          round(Similarity.dot(col("centroid"), qarr) /
+            (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
+              lit(qnorm)), 6).as("ccos"))
+        .orderBy(col("ccos").desc, col("clabel").asc)
+        .limit(3).select("clabel")
+      // stage 2 — ADC over the probed cells only: per-subspace distance
+      // tables from the model (driver math, broadcast as literals)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dt: Seq[Seq[Double]] = cb.zipWithIndex.map { case (cents, j) =>
+        val qs = qvec.slice(j * 16, (j + 1) * 16)
+        cents.map { case (_, mv) =>
+          r6(qs.zip(mv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }
+      val candidates =
+        emb.join(broadcast(probed), col("label") === col("clabel"))
+      val codes = Similarity.pqCodes(candidates, col("embedding"),
+        col("vec_id"), cb, subDim = 16)
+      val adc = round(dt.zipWithIndex.map { case (tab, j) =>
+        element_at(array(tab.map(lit): _*),
+          (col(s"code_$j") + 1).cast("int"))
+      }.reduce(_ + _), 6)
+      val shortlist = codes.select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+      // stage 3 — exact re-rank of the 50-row shortlist only
+      emb.join(broadcast(shortlist), "vec_id")
+        .select(col("vec_id"), col("adc"),
+          round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+    }),
+
     // BPE-ish regex token count (letters / digit runs / punctuation marks)
     "text_bpe_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -10256,6 +10394,88 @@ object SparkEntry {
         round(lit(2.0) * col("s1") - col("y"), 6).as("level"),
         round((col("s1") - col("y")) / lit(3.0), 6).as("trend"))
     }),
+
+    // PANEL-SOURCE BOUNDED BETWEENNESS (Brandes, "A Faster Algorithm for
+    // Betweenness Centrality", 2001; the fixed-pivot approximation of
+    // Brandes & Pich 2007) — the centrality the graph family lacked
+    // beyond PageRank. Exact Brandes is one BFS + one reverse
+    // accumulation PER NODE (O(V·E) — a non-starter at any scale); the
+    // production approximation runs it from a small DECLARED source
+    // panel and reports the panel-accumulated dependency δ(v). Here: 4
+    // supplier pivots over the customer–supplier bipartite graph, depth
+    // bounded at 4 hops (both sides truncate identically, so the metric
+    // is the deterministic "4-bounded panel betweenness").
+    //
+    // Shape: ONE multi-source BFS keyed (src, node) — the K pivots ride
+    // the same 4 frontier⨝edges rounds, not K separate traversals —
+    // with exact BIGINT shortest-path counts σ (level-synchronous
+    // predecessor sums), then 3 reverse-accumulation rounds computing
+    // δ(v) = Σ_w (σv/σw)(1+δw) over the DAG edges into the next level.
+    // Per round: one hash join + one key agg; per-level δ rounds to 9
+    // (both engines see identical inputs at each level), and the final
+    // cross-source sum goes through DECIMAL(18,6) so its value is
+    // order-independent. Edges materialize once (localCheckpoint),
+    // partitioned on the join key; the driver sees no data. Cost is
+    // O(panel-reached edges × 7 rounds) — panel size, not node count,
+    // is the knob, exactly how betweenness is run in production.
+    "rel_betweenness_panel" -> ((s, dir) => {
+      val half = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = half
+        .unionAll(half.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
+        .localCheckpoint(false)
+      val maxHop = 4
+      val panel = Seq("s1", "s2", "s3", "s4")
+      val lv0 = s.createDataFrame(panel.map(Tuple1(_))).toDF("src")
+        .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+        .repartition(col("node")).localCheckpoint(false)
+      var levels = Vector(lv0)
+      var visited = lv0.select("src", "node").localCheckpoint(false)
+      for (_ <- 1 to maxHop) {
+        val next = levels.last
+          .join(edges, col("node") === col("a"))
+          .select(col("src"), col("b").as("nxt"), col("sigma"))
+          .groupBy(col("src"), col("nxt"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("src"), col("nxt").as("node"), col("sigma"))
+          .join(visited, Seq("src", "node"), "left_anti")
+          .localCheckpoint(false)
+        levels :+= next
+        visited = visited.unionAll(next.select("src", "node"))
+          .localCheckpoint(false)
+      }
+      // reverse accumulation: δ at the depth bound is 0 by definition
+      var delta = levels(maxHop).withColumn("delta", lit(0.0))
+      val interior = (maxHop - 1 to 1 by -1).map { l =>
+        val w = delta.select(col("src").as("wsrc"),
+          col("node").as("wnode"), col("sigma").as("wsigma"),
+          col("delta").as("wdelta"))
+        val contrib = levels(l)
+          .join(edges, col("node") === col("a"))
+          .join(w, col("src") === col("wsrc") && col("b") === col("wnode"))
+          .select(col("src"), col("node"),
+            ((col("sigma").cast("double") / col("wsigma").cast("double")) *
+              (lit(1.0) + col("wdelta"))).as("term"))
+          .groupBy(col("src"), col("node"))
+          .agg(sum(col("term")).as("contrib"))
+        delta = levels(l)
+          .join(contrib, Seq("src", "node"), "left_outer")
+          .select(col("src"), col("node"), col("sigma"),
+            round(coalesce(col("contrib"), lit(0.0)), 9).as("delta"))
+          .localCheckpoint(false)
+        delta
+      }
+      interior.reduce(_ unionAll _)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(round(col("delta"), 6).cast("decimal(18,6)"))
+            .cast("double").as("betweenness"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10408,6 +10628,19 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS tot
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // the evolved snapshot is the union of both generations under the
+    // v2 schema: gen-1 rows (keys % 3 = 0) carry NULL for the appended
+    // price column, gen-2 rows carry their real price
+    "src_txn_schema_evolution" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)::BIGINT
+        |         AS n_gen1,
+        |       CAST(sum(CASE WHEN o_orderkey % 3 <> 0
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                END) AS DOUBLE) AS tot
         |FROM orders
         |GROUP BY 1""".stripMargin,
 
@@ -15737,6 +15970,63 @@ object SparkEntry {
          |       round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
          |FROM nc LEFT JOIN ov USING (nprobe)""".stripMargin,
 
+    // the full composition replayed: coarse routing (rounded centroid
+    // cosine, top-3 cells), ADC scoring through the per-subspace distance
+    // tables restricted to probed-cell vectors, 50-vector shortlist,
+    // exact-cosine re-rank of the shortlist only
+    "emb_ivfpq_search" ->
+      s"""WITH $embUnnestCte,
+         |$pqCodesCte,
+         |q AS (
+         |  SELECT unnest(embedding) AS qx,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id = 0
+         |), qq AS (
+         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+         |), c AS (
+         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+         |  FROM v GROUP BY label, pos
+         |), cs AS (
+         |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
+         |         sum(m * m) AS aa
+         |  FROM c JOIN q USING (pos) GROUP BY clabel
+         |), probed AS (
+         |  SELECT clabel FROM (
+         |    SELECT clabel, row_number() OVER (
+         |      ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC, clabel)
+         |      AS rn
+         |    FROM cs, qq) WHERE rn <= 3
+         |), qsub AS (
+         |  SELECT (pos - 1) // 16 AS sub, pos, cast(qx AS double) AS qx
+         |  FROM q
+         |), dt AS (
+         |  SELECT cb.sub, cb.clabel,
+         |         round(sum((qsub.qx - cb.m) * (qsub.qx - cb.m)), 6) AS dd
+         |  FROM qsub JOIN cb ON qsub.pos = cb.pos
+         |  GROUP BY cb.sub, cb.clabel
+         |), adc AS (
+         |  SELECT cd.vec_id, round(sum(dt.dd), 6) AS adc
+         |  FROM codes cd
+         |  JOIN dt ON cd.sub = dt.sub AND cd.clabel = dt.clabel
+         |  JOIN embeddings e ON e.vec_id = cd.vec_id
+         |  WHERE cd.rn = 1
+         |    AND e.label IN (SELECT clabel FROM probed)
+         |  GROUP BY cd.vec_id
+         |), short AS (
+         |  SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50
+         |), ed AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos)
+         |  WHERE v.vec_id IN (SELECT vec_id FROM short)
+         |  GROUP BY v.vec_id
+         |)
+         |SELECT sh.vec_id, sh.adc,
+         |       round(ed.dot / (sqrt(ed.aa) * sqrt(qq.bb)), 6) AS cos
+         |FROM short sh JOIN ed ON sh.vec_id = ed.vec_id, qq
+         |ORDER BY cos DESC, sh.vec_id ASC LIMIT 10""".stripMargin,
+
     "stock_count_x100" ->
       s"""$linesCte,
          |lines100 AS (SELECT line FROM lines CROSS JOIN range(100)),
@@ -17260,5 +17550,85 @@ object SparkEntry {
         |       round(2.0 * s1v - s2v, 6) AS level,
         |       round((s1v - s2v) / 3.0, 6) AS trend
         |FROM rec WHERE i > 0""".stripMargin,
+
+    // the same 4-pivot, 4-hop-bounded Brandes, unrolled level by level
+    // (the rel_ktruss discipline: MATERIALIZED CTEs so DuckDB's default
+    // inlining doesn't re-expand the shared edge/level sets); σ is exact
+    // BIGINT, per-level δ rounds to 9, the cross-source sum goes through
+    // DECIMAL(18,6) so both engines add in the same value space
+    "rel_betweenness_panel" ->
+      """WITH ed AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS a,
+        |                  's' || l_suppkey::VARCHAR AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e2 AS MATERIALIZED (
+        |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+        |), lv0 AS MATERIALIZED (
+        |  SELECT src, src AS node, 1::BIGINT AS sigma
+        |  FROM (SELECT unnest(['s1', 's2', 's3', 's4']) AS src)
+        |), lv1 AS MATERIALIZED (
+        |  SELECT f.src, e2.b AS node, sum(f.sigma)::BIGINT AS sigma
+        |  FROM lv0 f JOIN e2 ON e2.a = f.node
+        |  LEFT JOIN lv0 p ON p.src = f.src AND p.node = e2.b
+        |  WHERE p.node IS NULL
+        |  GROUP BY 1, 2
+        |), lv2 AS MATERIALIZED (
+        |  SELECT f.src, e2.b AS node, sum(f.sigma)::BIGINT AS sigma
+        |  FROM lv1 f JOIN e2 ON e2.a = f.node
+        |  LEFT JOIN (SELECT src, node FROM lv0
+        |             UNION ALL SELECT src, node FROM lv1) p
+        |    ON p.src = f.src AND p.node = e2.b
+        |  WHERE p.node IS NULL
+        |  GROUP BY 1, 2
+        |), lv3 AS MATERIALIZED (
+        |  SELECT f.src, e2.b AS node, sum(f.sigma)::BIGINT AS sigma
+        |  FROM lv2 f JOIN e2 ON e2.a = f.node
+        |  LEFT JOIN (SELECT src, node FROM lv0
+        |             UNION ALL SELECT src, node FROM lv1
+        |             UNION ALL SELECT src, node FROM lv2) p
+        |    ON p.src = f.src AND p.node = e2.b
+        |  WHERE p.node IS NULL
+        |  GROUP BY 1, 2
+        |), lv4 AS MATERIALIZED (
+        |  SELECT f.src, e2.b AS node, sum(f.sigma)::BIGINT AS sigma
+        |  FROM lv3 f JOIN e2 ON e2.a = f.node
+        |  LEFT JOIN (SELECT src, node FROM lv0
+        |             UNION ALL SELECT src, node FROM lv1
+        |             UNION ALL SELECT src, node FROM lv2
+        |             UNION ALL SELECT src, node FROM lv3) p
+        |    ON p.src = f.src AND p.node = e2.b
+        |  WHERE p.node IS NULL
+        |  GROUP BY 1, 2
+        |), d3 AS MATERIALIZED (
+        |  SELECT v.src, v.node, v.sigma,
+        |         round(coalesce(sum((v.sigma::DOUBLE / w.sigma::DOUBLE)
+        |                            * (1.0 + 0.0)), 0.0), 9) AS delta
+        |  FROM lv3 v
+        |  LEFT JOIN e2 ON e2.a = v.node
+        |  LEFT JOIN lv4 w ON w.src = v.src AND w.node = e2.b
+        |  GROUP BY v.src, v.node, v.sigma
+        |), d2 AS MATERIALIZED (
+        |  SELECT v.src, v.node, v.sigma,
+        |         round(coalesce(sum((v.sigma::DOUBLE / w.sigma::DOUBLE)
+        |                            * (1.0 + w.delta)), 0.0), 9) AS delta
+        |  FROM lv2 v
+        |  LEFT JOIN e2 ON e2.a = v.node
+        |  LEFT JOIN d3 w ON w.src = v.src AND w.node = e2.b
+        |  GROUP BY v.src, v.node, v.sigma
+        |), d1 AS MATERIALIZED (
+        |  SELECT v.src, v.node, v.sigma,
+        |         round(coalesce(sum((v.sigma::DOUBLE / w.sigma::DOUBLE)
+        |                            * (1.0 + w.delta)), 0.0), 9) AS delta
+        |  FROM lv1 v
+        |  LEFT JOIN e2 ON e2.a = v.node
+        |  LEFT JOIN d2 w ON w.src = v.src AND w.node = e2.b
+        |  GROUP BY v.src, v.node, v.sigma
+        |)
+        |SELECT node, count(*)::BIGINT AS n_sources,
+        |       CAST(sum(CAST(round(delta, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS betweenness
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |      UNION ALL SELECT * FROM d3)
+        |GROUP BY node""".stripMargin,
   )
 }

@@ -262,6 +262,52 @@ class SimilarityQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("emb_ivfpq_search: the composition's recall/cost point sits on " +
+      "the ANN trade-off curve — exact-scored cost below IVF-raw below " +
+      "exhaustive, recall never above the stage it adds loss to") {
+    val sf = "/root/testdata/sf0.001"
+    // exact ground truth: brute-force top-10
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qvec = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val exactTop = Similarity.knn(emb, col("embedding"), col("vec_id"),
+      qvec, 10).collect().map(_.getLong(0)).toSet
+    // IVF-raw at the same nprobe=3 (emb_ivf_search's plan)
+    val ivfTop = SparkEntry.queries("emb_ivf_search")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // the composition
+    val ivfpqRows = SparkEntry.queries("emb_ivfpq_search")(spark, sf)
+      .collect()
+    val ivfpqTop = ivfpqRows.map(_.getLong(0)).toSet
+    assert(ivfpqRows.length == 10)
+    def recall(s: Set[Long]): Double = (s & exactTop).size / 10.0
+    // recall ordering: exhaustive = 1.0 >= IVF-raw >= IVF×PQ (each stage
+    // can only lose candidates: PQ's shortlist is a subset of the probed
+    // cells' population, which is a subset of everything)
+    assert(recall(exactTop) == 1.0)
+    assert(recall(ivfpqTop) <= recall(ivfTop) + 1e-9,
+      s"composition recall ${recall(ivfpqTop)} above IVF-raw ${recall(ivfTop)}")
+    // and the composition must still be USEFUL — it keeps at least half
+    // of IVF-raw's recall (measured here: IVF-raw 0.5, composition 0.4 —
+    // the PQ shortlist drops one true neighbor; a collapse to ~0 would
+    // mean the ADC tables or the shortlist wiring are broken, not lossy)
+    assert(recall(ivfpqTop) >= recall(ivfTop) / 2 && recall(ivfpqTop) > 0,
+      s"recall collapsed: ${recall(ivfpqTop)} vs IVF-raw ${recall(ivfTop)}")
+    // cost ordering (exact-arithmetic vector scorings per query):
+    // exhaustive scores N raw vectors, IVF-raw scores the probed cells'
+    // population, the composition exactly re-ranks only its shortlist
+    val n = emb.count()
+    val probedPop = SparkEntry.queries("emb_ivf_nprobe_curve")(spark, sf)
+      .where(col("nprobe") === 4).head().getAs[Long]("n_candidates")
+    // nprobe=3's population is below nprobe=4's rung (monotone curve)
+    assert(50L < probedPop && probedPop < n,
+      s"cost ordering broken: 50 < $probedPop < $n expected")
+    // the PQ stage scored only probed-cell candidates, never N; its
+    // output shortlist is what got exact-scored — 50 rows by construction
+    val adcVals = ivfpqRows.map(_.getDouble(1))
+    assert(adcVals.forall(_ >= 0.0), "ADC distances must be non-negative")
+  }
+
   test("emb_hamming_recall: qid=0 matches a brute-force sign-code " +
       "hamming ranking, recall in tenths") {
     val sf = "/root/testdata/sf0.001"
