@@ -458,6 +458,35 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.schemaAtVersion(spark, dstLog, 0L).contains(v2Schema.json))
   }
 
+  test("schema widening evolution: int->long / float->double files stay " +
+    "readable under the widened log schema (upcast at read)") {
+    import org.apache.spark.sql.types._
+    val root = TestSpark.scratchDir("graft-txnlog-widen").toString
+    val logDir = s"$root/_log"
+    val narrow = s"$root/narrow"
+    spark.range(5).select(col("id").cast("int").as("k"),
+      col("id").cast("float").as("f"))
+      .write.mode("overwrite").parquet(narrow)
+    val sNarrow = StructType(Seq(StructField("k", IntegerType),
+      StructField("f", FloatType)))
+    val sWide = StructType(Seq(StructField("k", LongType),
+      StructField("f", DoubleType)))
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(narrow),
+      meta = Some(sNarrow.json), addsSchema = Some(sNarrow.json))
+    // widening is a legal evolution; narrowing back is not
+    TxnLog.commit(spark, logDir, 1L, meta = Some(sWide.json))
+    intercept[IllegalArgumentException] {
+      TxnLog.commit(spark, logDir, 2L, meta = Some(sNarrow.json))
+    }
+    // the pre-evolution int32/float file serves under the widened
+    // schema — the parquet reader upcasts losslessly, which is exactly
+    // why schemaEvolutionOk admits these pairs and only these
+    val snap = TxnLog.readSnapshot(spark, logDir, 1L)
+    assert(snap.schema == sWide)
+    assert(snap.agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) == 10L)
+  }
+
   test("commitRetry: an intervening schema change conflicts with a " +
     "schema-declaring writer instead of committing against a stale read") {
     import org.apache.spark.sql.types._
