@@ -403,14 +403,20 @@ object TxnLog {
     * re-checked and deduped to `false`, never surfaced as a failure of
     * the streaming query. */
   def idempotentCommit(spark: SparkSession, logDir: String, version: Long,
-      adds: Seq[String], removes: Seq[String] = Nil): Boolean = {
+      adds: Seq[String], removes: Seq[String] = Nil,
+      meta: Option[String] = None, addsSchema: Option[String] = None)
+      : Boolean = {
     val f = fs(spark, logDir)
     if (f.exists(commitPath(logDir, version))) false
     else try {
-      commit(spark, logDir, version, adds, removes); true
+      commit(spark, logDir, version, adds, removes,
+        meta = meta, addsSchema = addsSchema); true
     } catch {
       // someone published this exact version while we were trying: the
-      // external txn id is committed — dedup, don't fail the query
+      // external txn id is committed — dedup, don't fail the query.
+      // A SCHEMA violation does NOT match this guard (the version was
+      // never published), so a mid-stream drift in the sink's write
+      // schema still fails the streaming query loudly.
       case _: java.io.IOException | _: IllegalArgumentException
         if f.exists(commitPath(logDir, version)) => false
     }

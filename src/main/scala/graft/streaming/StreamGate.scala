@@ -232,13 +232,25 @@ object StreamGate {
   /** The txn-store publish for ONE batch partial — factored out so a
     * test (or a recovering pipeline) can re-present a batch through the
     * identical path and observe the store unchanged. Returns whether
-    * this call was the one that published the version. */
+    * this call was the one that published the version.
+    *
+    * Schema rides the log: batch 0 DECLARES the sink's schema as the
+    * table's `meta` action, and every batch names its write schema —
+    * so a mid-stream drift in the sink's output shape (an upstream
+    * deploy changing a column type) fails the streaming query loudly at
+    * the commit instead of poisoning the store with mixed-schema
+    * objects a later reader trips over. A replayed batch skips the
+    * check entirely (its version is already committed — idempotence
+    * first, like the public Delta txn sink). */
   def publishBatchTxn(partial: DataFrame, batchId: Long,
                       storeRoot: String): Boolean = {
     val obj = s"$storeRoot/batch_$batchId"
     partial.write.mode("overwrite").parquet(obj)
+    val js = partial.schema.json
     graft.sources.TxnLog.idempotentCommit(partial.sparkSession,
-      s"$storeRoot/_log", batchId, adds = Seq(obj))
+      s"$storeRoot/_log", batchId, adds = Seq(obj),
+      meta = if (batchId == 0) Some(js) else None,
+      addsSchema = Some(js))
   }
 
   /** Stage `df` to a scratch parquet directory (a DISTRIBUTED write) and
