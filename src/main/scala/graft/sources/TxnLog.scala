@@ -482,12 +482,17 @@ object TxnLog {
     * checkpoints and still terminator-guarded. */
   def checkpoint(spark: SparkSession, logDir: String, version: Long)
       : Unit = {
-    val log = readLog(spark, logDir)
-    val live = liveActions(log, version)
+    // resolve THROUGH the previous checkpoint: each checkpoint reads
+    // O(prev checkpoint + tail), so a table checkpointing every N
+    // commits does O(live set) work per checkpoint forever — the naive
+    // full-log replay here would make the k-th checkpoint cost O(k·N)
+    // and the log's lifetime maintenance quadratic
+    val resolved = resolvedActionsAt(spark, logDir, version)
     val f = fs(spark, logDir)
-    val metaLine = schemaAt(log, version)
-      .map(js => actionLine("meta", js, None)).toSeq
-    val lines = metaLine ++ live.map(a => actionLine("add", a.path, a.stats))
+    val lines = resolved.map {
+      case Action(_, "meta", js, _) => actionLine("meta", js, None)
+      case a => actionLine("add", a.path, a.stats)
+    }
     publishOverwrite(f, checkpointPath(logDir, version), renderBody(lines))
     publishOverwrite(f, lastCheckpointPath(logDir),
       s"$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -742,10 +747,13 @@ object TxnLog {
     * it, serving null for any column added since. */
   def restore(spark: SparkSession, logDir: String, toVersion: Long)
       : Long = {
-    val log = readLog(spark, logDir)
-    val head = log.map(_.version).max
-    val target = liveActions(log, toVersion)
-    val cur = liveActions(log, head)
+    // both snapshots resolve through checkpoints — RESTORE on a
+    // long-lived table reads O(checkpoint + tail) twice, never the
+    // full history
+    val head = latestVersion(spark, logDir)
+    require(head >= 0, "cannot restore an empty log")
+    val target = liveActionsAt(spark, logDir, toVersion)
+    val cur = liveActionsAt(spark, logDir, head)
     val curSet = cur.map(_.path).toSet
     val targetSet = target.map(_.path).toSet
     val adds = target.filterNot(a => curSet.contains(a.path))

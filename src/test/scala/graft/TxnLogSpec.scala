@@ -263,6 +263,33 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.readSnapshot(spark, logDir, 3L).count() == 250L)
   }
 
+  test("checkpoint WRITING resolves through the previous checkpoint: a " +
+    "new checkpoint lands correctly with every pre-checkpoint commit " +
+    "physically gone") {
+    val (_, logDir, o) = freshTable("ckptchain")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(2)),
+      removes = Seq(o(0)), checkpointEvery = 2) // checkpoint at 2
+    val dir = java.nio.file.Paths.get(new java.net.URI(logDir).getPath)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(dir.resolve(f"$v%020d.commit"))
+    }
+    // the NEXT checkpoint (at v4) must build from checkpoint-2 + tail —
+    // a full-log replay would fail on the deleted commits
+    TxnLog.commit(spark, logDir, 3L, adds = Seq(s"${o(0)}-x3"),
+      checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 4L, adds = Seq(s"${o(0)}-x4"),
+      removes = Seq(o(1)), checkpointEvery = 2) // checkpoint at 4
+    assert(TxnLog.lastCheckpointAtOrBefore(spark, logDir, 4L)
+      .contains(4L))
+    // and RESTORE goes through checkpoints too (no full-history read)
+    val v5 = TxnLog.restore(spark, logDir, 2L)
+    assert(v5 == 5L)
+    assert(TxnLog.liveFilesAt(spark, logDir, 5L).toSet ==
+      Set(o(1), o(2)))
+  }
+
   test("commitRetry: concurrent DISJOINT commits both land at " +
     "consecutive versions; an overlapping commit conflicts loudly") {
     val (_, logDir, o) = freshTable("occ")
