@@ -852,6 +852,60 @@ object SparkEntry {
       l -> mv.slice(j * subDim, (j + 1) * subDim) })
   }
 
+  /** IVF×PQ composed search (Jégou et al. 2011's IVFADC — the shape
+    * that serves billion-vector ANN): the coarse quantizer routes the
+    * query to nprobe=3 of 10 cells, PQ codes score ONLY those cells'
+    * candidates through 4 asymmetric-distance lookup tables (no raw
+    * vectors touched), and exact cosine re-ranks just the 50-vector ADC
+    * shortlist. Per query the exact-arithmetic cost drops from N
+    * vectors (brute force) to ~3N/10 (IVF raw) to a FIXED 50 (this
+    * composition). All distance math is the same rounded-deterministic
+    * arithmetic as the component queries, so the oracle replays
+    * routing, ADC, and re-rank end to end. Shared by
+    * `emb_ivfpq_search` and the `emb_ivfpq_recall` contract. */
+  private def ivfPqTop10(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val cb = pqCodebook(s, dir)
+    val qvec = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val qarr = array(qvec.map(lit): _*)
+    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+    // stage 1 — coarse routing: top-3 cells by rounded centroid cosine
+    val probed = graft.ops.Similarity.centroids(
+        emb, col("embedding"), col("label"))
+      .select(col("grp").as("clabel"),
+        round(Similarity.dot(col("centroid"), qarr) /
+          (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
+            lit(qnorm)), 6).as("ccos"))
+      .orderBy(col("ccos").desc, col("clabel").asc)
+      .limit(3).select("clabel")
+    // stage 2 — ADC over the probed cells only: per-subspace distance
+    // tables from the model (driver math, broadcast as literals)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dt: Seq[Seq[Double]] = cb.zipWithIndex.map { case (cents, j) =>
+      val qs = qvec.slice(j * 16, (j + 1) * 16)
+      cents.map { case (_, mv) =>
+        r6(qs.zip(mv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val candidates =
+      emb.join(broadcast(probed), col("label") === col("clabel"))
+    val codes = Similarity.pqCodes(candidates, col("embedding"),
+      col("vec_id"), cb, subDim = 16)
+    val adc = round(dt.zipWithIndex.map { case (tab, j) =>
+      element_at(array(tab.map(lit): _*),
+        (col(s"code_$j") + 1).cast("int"))
+    }.reduce(_ + _), 6)
+    val shortlist = codes.select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+    // stage 3 — exact re-rank of the 50-row shortlist only
+    emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), col("adc"),
+        round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+  }
+
   /** DuckDB twin of [[graft.ops.Similarity.pqCodes]] over [[embUnnestCte]]:
     * `cb` = rounded per-(label, subspace) mean entries, `d` = rounded
     * squared L2 of every (vector, subspace, entry), `codes` = argmin with
@@ -875,6 +929,60 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY vec_id, sub
       |                            ORDER BY d2 ASC, clabel ASC) AS rn
       |  FROM d
+      |)""".stripMargin
+
+  /** DuckDB CTE chain of the IVF×PQ composition ([[ivfPqTop10]]) over
+    * [[embUnnestCte]] + [[pqCodesCte]]: query unnest (`q`/`qq`), coarse
+    * cells (`c`/`cs`), top-3 routing (`probed`), per-subspace ADC tables
+    * (`qsub`/`dt`), probed-cell ADC scores (`adc`), the 50-vector
+    * shortlist (`short`), and the exact re-rank inputs over just the
+    * shortlist (`ed`). Shared by the `emb_ivfpq_search` and
+    * `emb_ivfpq_recall` oracles, which differ only in the final select. */
+  private val ivfPqCtes =
+    """q AS (
+      |  SELECT unnest(embedding) AS qx,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings WHERE vec_id = 0
+      |), qq AS (
+      |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
+      |), c AS (
+      |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
+      |  FROM v GROUP BY label, pos
+      |), cs AS (
+      |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
+      |         sum(m * m) AS aa
+      |  FROM c JOIN q USING (pos) GROUP BY clabel
+      |), probed AS (
+      |  SELECT clabel FROM (
+      |    SELECT clabel, row_number() OVER (
+      |      ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC, clabel)
+      |      AS rn
+      |    FROM cs, qq) WHERE rn <= 3
+      |), qsub AS (
+      |  SELECT (pos - 1) // 16 AS sub, pos, cast(qx AS double) AS qx
+      |  FROM q
+      |), dt AS (
+      |  SELECT cb.sub, cb.clabel,
+      |         round(sum((qsub.qx - cb.m) * (qsub.qx - cb.m)), 6) AS dd
+      |  FROM qsub JOIN cb ON qsub.pos = cb.pos
+      |  GROUP BY cb.sub, cb.clabel
+      |), adc AS (
+      |  SELECT cd.vec_id, round(sum(dt.dd), 6) AS adc
+      |  FROM codes cd
+      |  JOIN dt ON cd.sub = dt.sub AND cd.clabel = dt.clabel
+      |  JOIN embeddings e ON e.vec_id = cd.vec_id
+      |  WHERE cd.rn = 1
+      |    AND e.label IN (SELECT clabel FROM probed)
+      |  GROUP BY cd.vec_id
+      |), short AS (
+      |  SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50
+      |), ed AS (
+      |  SELECT v.vec_id,
+      |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+      |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+      |  FROM v JOIN q USING (pos)
+      |  WHERE v.vec_id IN (SELECT vec_id FROM short)
+      |  GROUP BY v.vec_id
       |)""".stripMargin
 
   /** Two-pass EXACT global heavy hitters — report every token whose count
@@ -1681,6 +1789,41 @@ object SparkEntry {
           count(when(col("o_totalprice").isNull, 1)).as("n_gen1"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("tot"))
+    }),
+
+    // CHECKPOINT LIFECYCLE — the metadata half of storage reclaim: a
+    // table checkpointing every N commits accumulates O(commits/N)
+    // checkpoint files forever; one maintenance pass (vacuum +
+    // keepCheckpoints) reclaims the dead data objects AND the stale
+    // checkpoints, keeping the newest K and ALWAYS the
+    // `_last_checkpoint` target. A checkpoint is a pure shortcut, never
+    // state, so the pass is content-invisible: required in-path — only
+    // the newest checkpoint survives, the pointer still resolves, head
+    // resolution goes through the kept checkpoint, and metadata-level
+    // time travel BELOW the reclaimed checkpoint still equals the full
+    // replay (commit files intact). The head aggregate the oracle
+    // checks must be byte-identical to the pre-GC snapshot.
+    "src_txn_checkpoint_gc" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val logDir = txnLogStage(s, dir, "ckptgc") // checkpoints at v2, v4
+      val before = TxnLog.liveFilesAt(s, logDir, 2L)
+      val deleted = TxnLog.vacuum(s, logDir, retain = 4L,
+        keepCheckpoints = 1)
+      require(deleted.nonEmpty, "the staged history has dead objects")
+      val f = new org.apache.hadoop.fs.Path(logDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ckpts = f.listStatus(new org.apache.hadoop.fs.Path(logDir))
+        .map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong).sorted.toSeq
+      require(ckpts == Seq(4L),
+        s"GC must keep exactly the newest checkpoint: $ckpts")
+      require(TxnLog.lastCheckpointAtOrBefore(s, logDir, 4L)
+        .contains(4L), "the pointer must survive GC and resolve")
+      // metadata-level time travel below the reclaimed checkpoint still
+      // equals full replay (the checkpoint was a shortcut, not state)
+      require(TxnLog.liveFilesAt(s, logDir, 2L) == before,
+        "resolution below the GC'd checkpoint must be unchanged")
+      txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
     // P1: Java-split parity — field arity per line
@@ -8002,47 +8145,25 @@ object SparkEntry {
     // SimilarityQualitySpec. All distance math is the same
     // rounded-deterministic arithmetic as the component queries, so the
     // oracle replays routing, ADC, and re-rank end to end.
-    "emb_ivfpq_search" -> ((s, dir) => {
+    "emb_ivfpq_search" -> ((s, dir) => ivfPqTop10(s, dir)),
+
+    // QUALITY CONTRACT of the composition — recall@10 of IVF×PQ against
+    // exact brute force, oracle-checked like emb_ivf_recall: the number
+    // an ANN deployment reads before turning the composition on. The
+    // two lossy stages (3-of-10-cell routing + PQ shortlist) price in
+    // as exact-arithmetic overlap counting on both engines.
+    "emb_ivfpq_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cb = pqCodebook(s, dir)
       val qvec = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
-      val qarr = array(qvec.map(lit): _*)
-      val qnorm = math.sqrt(qvec.map(x => x * x).sum)
-      // stage 1 — coarse routing: top-3 cells by rounded centroid cosine
-      val probed = graft.ops.Similarity.centroids(
-          emb, col("embedding"), col("label"))
-        .select(col("grp").as("clabel"),
-          round(Similarity.dot(col("centroid"), qarr) /
-            (sqrt(Similarity.dot(col("centroid"), col("centroid"))) *
-              lit(qnorm)), 6).as("ccos"))
-        .orderBy(col("ccos").desc, col("clabel").asc)
-        .limit(3).select("clabel")
-      // stage 2 — ADC over the probed cells only: per-subspace distance
-      // tables from the model (driver math, broadcast as literals)
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val dt: Seq[Seq[Double]] = cb.zipWithIndex.map { case (cents, j) =>
-        val qs = qvec.slice(j * 16, (j + 1) * 16)
-        cents.map { case (_, mv) =>
-          r6(qs.zip(mv).map { case (a, b) => (a - b) * (a - b) }.sum)
-        }
-      }
-      val candidates =
-        emb.join(broadcast(probed), col("label") === col("clabel"))
-      val codes = Similarity.pqCodes(candidates, col("embedding"),
-        col("vec_id"), cb, subDim = 16)
-      val adc = round(dt.zipWithIndex.map { case (tab, j) =>
-        element_at(array(tab.map(lit): _*),
-          (col(s"code_$j") + 1).cast("int"))
-      }.reduce(_ + _), 6)
-      val shortlist = codes.select(col("vec_id"), adc.as("adc"))
-        .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
-      // stage 3 — exact re-rank of the 50-row shortlist only
-      emb.join(broadcast(shortlist), "vec_id")
-        .select(col("vec_id"), col("adc"),
-          round(Similarity.cosine(col("embedding"), qarr), 6).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      val ivfpq = ivfPqTop10(s, dir).select(col("vec_id").as("pq_id"))
+      Similarity.knn(emb, col("embedding"), col("vec_id"), qvec, 10)
+        .select(col("vec_id"))
+        .join(ivfpq, col("vec_id") === col("pq_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10.0, 6)
+            .as("recall_at_10"))
     }),
 
     // BPE-ish regex token count (letters / digit runs / punctuation marks)
@@ -10629,6 +10750,16 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS tot
         |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // checkpoint GC is content-invisible: the head snapshot equals the
+    // post-delete table exactly as in src_txn_vacuum
+    "src_txn_checkpoint_gc" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')
         |GROUP BY 1""".stripMargin,
 
     // the evolved snapshot is the union of both generations under the
@@ -15977,55 +16108,38 @@ object SparkEntry {
     "emb_ivfpq_search" ->
       s"""WITH $embUnnestCte,
          |$pqCodesCte,
-         |q AS (
-         |  SELECT unnest(embedding) AS qx,
-         |         generate_subscripts(embedding, 1) AS pos
-         |  FROM embeddings WHERE vec_id = 0
-         |), qq AS (
-         |  SELECT sum(cast(qx AS double) * cast(qx AS double)) AS bb FROM q
-         |), c AS (
-         |  SELECT label AS clabel, pos, avg(cast(vx AS double)) AS m
-         |  FROM v GROUP BY label, pos
-         |), cs AS (
-         |  SELECT clabel, sum(m * cast(qx AS double)) AS dot,
-         |         sum(m * m) AS aa
-         |  FROM c JOIN q USING (pos) GROUP BY clabel
-         |), probed AS (
-         |  SELECT clabel FROM (
-         |    SELECT clabel, row_number() OVER (
-         |      ORDER BY round(dot / (sqrt(aa) * sqrt(bb)), 6) DESC, clabel)
-         |      AS rn
-         |    FROM cs, qq) WHERE rn <= 3
-         |), qsub AS (
-         |  SELECT (pos - 1) // 16 AS sub, pos, cast(qx AS double) AS qx
-         |  FROM q
-         |), dt AS (
-         |  SELECT cb.sub, cb.clabel,
-         |         round(sum((qsub.qx - cb.m) * (qsub.qx - cb.m)), 6) AS dd
-         |  FROM qsub JOIN cb ON qsub.pos = cb.pos
-         |  GROUP BY cb.sub, cb.clabel
-         |), adc AS (
-         |  SELECT cd.vec_id, round(sum(dt.dd), 6) AS adc
-         |  FROM codes cd
-         |  JOIN dt ON cd.sub = dt.sub AND cd.clabel = dt.clabel
-         |  JOIN embeddings e ON e.vec_id = cd.vec_id
-         |  WHERE cd.rn = 1
-         |    AND e.label IN (SELECT clabel FROM probed)
-         |  GROUP BY cd.vec_id
-         |), short AS (
-         |  SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50
-         |), ed AS (
-         |  SELECT v.vec_id,
-         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
-         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
-         |  FROM v JOIN q USING (pos)
-         |  WHERE v.vec_id IN (SELECT vec_id FROM short)
-         |  GROUP BY v.vec_id
-         |)
+         |$ivfPqCtes
          |SELECT sh.vec_id, sh.adc,
          |       round(ed.dot / (sqrt(ed.aa) * sqrt(qq.bb)), 6) AS cos
          |FROM short sh JOIN ed ON sh.vec_id = ed.vec_id, qq
          |ORDER BY cos DESC, sh.vec_id ASC LIMIT 10""".stripMargin,
+
+    // both sides re-derived end to end: the exact brute-force top-10 and
+    // the composed IVF×PQ top-10, intersected (the emb_ivf_recall shape
+    // for the composition)
+    "emb_ivfpq_recall" ->
+      s"""WITH $embUnnestCte,
+         |$pqCodesCte,
+         |$ivfPqCtes,
+         |ivfpq AS (
+         |  SELECT vec_id FROM (
+         |    SELECT sh.vec_id,
+         |           round(ed.dot / (sqrt(ed.aa) * sqrt(qq.bb)), 6) AS cos
+         |    FROM short sh JOIN ed ON sh.vec_id = ed.vec_id, qq
+         |    ORDER BY cos DESC, sh.vec_id ASC LIMIT 10)
+         |), edall AS (
+         |  SELECT v.vec_id,
+         |         sum(cast(v.vx AS double) * cast(q.qx AS double)) AS dot,
+         |         sum(cast(v.vx AS double) * cast(v.vx AS double)) AS aa
+         |  FROM v JOIN q USING (pos) GROUP BY v.vec_id
+         |), exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+         |    FROM edall, qq ORDER BY cos DESC, vec_id LIMIT 10)
+         |)
+         |SELECT cast(count(*) AS bigint) AS n_overlap,
+         |       round(count(*) / 10.0, 6) AS recall_at_10
+         |FROM exact JOIN ivfpq USING (vec_id)""".stripMargin,
 
     "stock_count_x100" ->
       s"""$linesCte,
