@@ -14,16 +14,19 @@ import org.apache.spark.sql.SparkSession
   *  - global re-run budget: total extra seconds ≤ 10% of the committed
   *    reference total (floor 30 s) — scattered transients get weathered,
   *    the sweep never doubles;
-  *  - host-stall mode: 3 CONSECUTIVE guarded queries tripping means the
-  *    HOST is stalled, not the queries (the r16 artifact died this way:
-  *    stall × re-runs × driver timeout = rc 124, no JSON at all) — stop
-  *    re-running entirely and finish single-pass, so the artifact always
-  *    exists and always parses. Only a guarded query reading normal
-  *    breaks a streak; un-guarded (new this round) queries are blind. */
+  *  - host-stall mode: 3 CONSECUTIVE guarded queries still reading as
+  *    outliers AFTER their re-runs means the HOST is stalled, not the
+  *    queries — stop re-running entirely, so the artifact always exists
+  *    and always parses. The streak feeds on the POST-rerun status: a
+  *    query that tripped but was fully recovered by its re-runs is a
+  *    weathered transient, the exact signature of scattered noise, and
+  *    RESETS the streak (feeding the PRE-rerun flag declared stalls on
+  *    recovered transients and silently disarmed the guard for the rest
+  *    of the sweep). Un-guarded (new this round) queries are blind. */
 final class BenchGuard(refTimes: Map[String, Double], outlierK: Double) {
   val rerunBudgetSec: Double = math.max(30.0, 0.10 * refTimes.values.sum)
   var rerunSpentSec: Double = 0.0
-  private var consecutiveTrips = 0
+  private var consecutiveStuck = 0
   var hostStall: Boolean = false
 
   def isOutlier(name: String, best: Double): Boolean =
@@ -37,21 +40,44 @@ final class BenchGuard(refTimes: Map[String, Double], outlierK: Double) {
 
   def chargeRerun(sec: Double): Unit = rerunSpentSec += sec
 
-  /** Called once per query AFTER its re-runs settle, with the PRE-rerun
-    * tripped flag — drives the stall detector. */
-  def queryDone(name: String, tripped: Boolean, ok: Boolean): Unit =
-    if (tripped) {
-      consecutiveTrips += 1
-      if (consecutiveTrips >= 3) hostStall = true
-    } else if (ok && refTimes.contains(name)) consecutiveTrips = 0
+  /** Called once per query AFTER its re-runs settle, with the POST-rerun
+    * outlier status (still an outlier after the re-runs) — drives the
+    * stall detector. A guarded query reading normal — including one
+    * whose re-runs recovered it — breaks the streak. */
+  def queryDone(name: String, stillOutlier: Boolean, ok: Boolean): Unit =
+    if (stillOutlier) {
+      consecutiveStuck += 1
+      if (consecutiveStuck >= 3) hostStall = true
+    } else if (ok && refTimes.contains(name)) consecutiveStuck = 0
 }
 
-/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"value":...,"unit":"sec","queries":
-  * {...},"sf":...}. A warmup action first absorbs session/JIT/codegen init
-  * so per-query numbers measure the queries, not the JVM. */
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * persists the full per-query JSON to SPARK_GRAFT_BENCH_OUT, prints the
+  * full JSON line, and prints a compact (<1 KB) summary line LAST.
+  *
+  * The sweep is DEADLINE-AWARE (SPARK_GRAFT_BENCH_DEADLINE_SEC, default
+  * 360, clocked from main() entry): pass 1 runs every query once FIRST;
+  * second passes (repeat) and outlier-guard re-runs spend only whatever
+  * budget remains. Two driver rounds in a row timed out (rc 124) because
+  * the fixed repeat=2 sweep's wall time grew O(registry) past the
+  * driver's clock and the single end-of-run println left no artifact at
+  * all — so now (a) the process finishes and exits 0 under ANY wall
+  * clock by construction, (b) the artifact file is re-flushed every 25
+  * queries with a "truncated":true marker so even a hard kill leaves a
+  * complete parseable record of everything measured so far, and (c) the
+  * final compact line fits a bounded stdout tail, which the ~15 KB
+  * per-query line has overflowed since the registry passed ~60 queries.
+  *
+  * A warmup action first absorbs session/JIT/codegen init so per-query
+  * numbers measure the queries, not the JVM. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "360").toDouble
+    def remainingSec: Double = deadlineSec - elapsedSec
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_BENCH_CONF: semicolon-separated key=value Spark confs
@@ -104,7 +130,9 @@ object Bench {
     // each query N times (min reported — isolates steady-state cost from
     // run-to-run variance). Default is 2: with a single run, a GC pause or
     // page-cache eviction reads as a phantom multi-x regression (seen twice
-    // in official runs; every one vanished under repeats).
+    // in official runs; every one vanished under repeats) — but passes
+    // past the first are BUDGETED, never owed: pass 1 coverage comes
+    // first, extra passes fill the remaining deadline.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
@@ -141,11 +169,7 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     }.getOrElse(Map.empty)
-    // guard + circuit breakers (see BenchGuard above — the r16 artifact
-    // was lost to re-runs multiplying under a sustained host stall)
     val guard = new BenchGuard(refTimes, outlierK)
-    val rerunsByQuery =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Int, Double)]
     // SPARK_GRAFT_BENCH_EXPLAIN=1 dumps each selected query's formatted
     // physical plan to stderr before timing — used by the scale-ladder
     // adjudication protocol to check e.g. broadcast-vs-shuffle flips
@@ -199,126 +223,216 @@ object Bench {
     val swept =
       if (orderSeed == 0L) alphabetical
       else new scala.util.Random(orderSeed).shuffle(alphabetical)
+    val selected = swept.filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // noop sink: forces full evaluation of every output column (a count()
-    // would let Catalyst prune projection-only work and under-measure)
-    // failed queries report -1, never their time-to-failure (a crash after
-    // 0.1s must not read as a 0.1s result)
-    val results = swept
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // per-query sweep state, in sweep order
+    final class QState(val name: String,
+        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) {
+      var pass1: Double = Double.NaN // first reading (also the time model
+                                     // for later deadline checks)
+      var best: Double = Double.NaN  // min over all completed runs
+      var runs: Int = 0              // completed timed runs (repeat passes)
+      var reruns: Int = 0            // guard re-runs
+      var rawBeforeGuard: Double = Double.NaN
+      def failed: Boolean = best == -1.0
+      def ran: Boolean = runs > 0
+    }
+    val states = selected.map { case (n, f) => new QState(n, f) }
+
+    // one timed run through the noop sink: forces full evaluation of
+    // every output column (a count() would let Catalyst prune
+    // projection-only work and under-measure); failed queries report -1,
+    // never their time-to-failure (a crash after 0.1 s must not read as
+    // a 0.1 s result)
+    def runOnce(st: QState): Double = {
+      val t = System.nanoTime()
+      val ok =
+        try {
+          st.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${st.name} failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t) / 1e9
+      // storage hygiene between queries: localCheckpoint blocks from
+      // iterative queries persist until GC — across a 360+-query sweep
+      // in one JVM they accumulate into heap pressure (the ×30 rung
+      // OOM'd mid-sweep at 8 GiB without this). Each query is measured
+      // against a clean storage pool, as it would run alone.
+      // HAZARD: unpersisting a localCheckpointed RDD truncates its
+      // lineage permanently — safe only because every registry query
+      // builds its frames per invocation (see the round-14 note).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (ok) sec else -1.0
+    }
+
+    // ----- artifact rendering + incremental flush ------------------------
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    def renderFull(truncated: Boolean): String = {
+      val done = states.filter(_.ran)
+      // the JSON stays alphabetical regardless of sweep order — diffs
+      // between round artifacts line up key-by-key
+      val qs = done.sortBy(_.name)
+        .map(st => "\"" + st.name + "\":" + st.best)
+        .mkString("{", ",", "}")
+      val total = done.map(_.best).sum
+      val rm = done.map(st => st.name -> st.best).toMap
+      // baseline_comparable: the *_x100 queries run the full reference
+      // pipelines on 100x-replicated document lines; at sf0.1 that is
+      // ~500k rows — the scale of BASELINE.md's 486,634-row input
+      val cmp =
+        s"""{"stock_count_x100_sec":${rm.getOrElse("stock_count_x100", -1.0)},""" +
+          s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}}"""
+      val spillField =
+        if (spillByQuery.isEmpty) ""
+        else spillByQuery.map { case (k, (m, d)) =>
+          "\"" + k + "\":{\"mem\":" + m + ",\"disk\":" + d + "}"
+        }.mkString(""","spill_bytes":{""", ",", "}")
+      // measurement provenance: repeats per query, which queries tripped
+      // the outlier guard (and how many extra runs, plus the raw reading
+      // that was weathered), and the reference the guard compared
+      // against — so a reader of the round artifact can tell a weathered
+      // host stall from a real regression
+      val rr = states.filter(_.reruns > 0)
+      val rerunField =
+        if (rr.isEmpty) ""
+        else rr.map(st =>
+          "\"" + st.name + "\":{\"n\":" + st.reruns +
+            ",\"raw\":" + st.rawBeforeGuard + "}")
+          .mkString(""","reruns":{""", ",", "}")
+      val refField = refTimes.headOption.map(_ =>
+        s""","outlier_ref":"${refPath.get}","outlier_k":$outlierK""" +
+          s""","rerun_budget_sec":${guard.rerunBudgetSec}""")
+        .getOrElse("")
+      val stallField = if (guard.hostStall) ""","host_stall":true""" else ""
+      val truncField = if (truncated) ""","truncated":true""" else ""
+      val skipped = states.count(!_.ran)
+      val skipField = if (skipped > 0) s""","n_skipped":$skipped""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,""" +
+        s""""deadline_sec":$deadlineSec,"order_seed":$orderSeed,""" +
+        s""""queries":$qs,"baseline_comparable":$cmp""" +
+        spillField + rerunField + refField + stallField + truncField +
+        skipField + s""","sf":"$sfDir"}"""
+    }
+    def flush(truncated: Boolean): Unit =
+      try {
+        Option(outPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(outPath,
+          (renderFull(truncated) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact flush failed: ${e.getMessage}")
+      }
+
+    // ----- phase 1: one pass over EVERY query — coverage before repeats --
+    var sinceFlush = 0
+    states.foreach { st =>
+      if (remainingSec > 0) {
         if (explain) {
           try {
-            val df = fn(spark, sfDir)
+            val df = st.fn(spark, sfDir)
             // a `write` would execute a SEPARATE QueryExecution and
             // leave this one unfinalized (isFinalPlan=false); running
             // the df's own toRdd is what finalizes ITS adaptive plan
             if (explainFinal)
               df.queryExecution.toRdd.foreachPartition(_ => ())
-            System.err.println(s"=== explain $name ===\n" +
+            System.err.println(s"=== explain ${st.name} ===\n" +
               df.queryExecution.explainString(
                 org.apache.spark.sql.execution.FormattedMode))
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] explain ${st.name} failed: ${e.getMessage}")
           }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] explain $name failed: ${e.getMessage}") }
         }
         val (m0, d0) = (spillMem.get(), spillDisk.get())
-        val times = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        // storage hygiene between queries: localCheckpoint blocks from
-        // iterative queries persist until GC — across a 360+-query
-        // sweep in one JVM they accumulate into heap pressure (the ×30
-        // rung OOM'd mid-sweep at 8 GiB without this). Each query is
-        // measured against a clean storage pool, as it would run alone.
-        // HAZARD: unpersisting a localCheckpointed RDD truncates its
-        // lineage permanently — it can never be recomputed. Safe here
-        // only because every registry query builds its frames per
-        // invocation; a future cross-query memoized checkpointed frame
-        // would fail far from this line with a missing-checkpoint-block
-        // error. If such a cache is ever added, restrict this sweep to
-        // RDD ids that first appeared during the current query's loop.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        val sec = runOnce(st)
         if (spillOn)
-          spillByQuery(name) =
-            (spillMem.get() - m0, spillDisk.get() - d0)
-        var best = if (times.contains(-1.0)) -1.0 else times.min
-        // the stall guard: re-measure (at most twice) when the reading is
-        // an outlier against the committed reference at this sf — unless
-        // a circuit breaker has tripped (see BenchGuard)
-        val raw = best // pre-rerun reading: published so a reader can see
-                       // the MAGNITUDE that was weathered, not just that
-                       // a re-run happened
-        val tripped = guard.isOutlier(name, best)
-        var reran = 0
-        while (guard.mayRerun(name, best, reran)) {
-          reran += 1
-          System.err.println(f"[bench] $name%s read $best%.2fs vs " +
-            f"committed ${refTimes(name)}%.2fs — outlier re-run $reran")
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => () }
-          guard.chargeRerun((System.nanoTime() - t0) / 1e9)
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
-        val wasStalled = guard.hostStall
-        guard.queryDone(name, tripped, ok = best > 0)
-        if (guard.hostStall && !wasStalled)
-          System.err.println("[bench] 3 consecutive outlier queries — " +
-            "host stall: disabling re-runs, finishing single-pass")
-        if (reran > 0) rerunsByQuery(name) = (reran, raw)
-        name -> best
+          spillByQuery(st.name) = (spillMem.get() - m0, spillDisk.get() - d0)
+        st.pass1 = sec; st.best = sec; st.runs = 1
+        sinceFlush += 1
+        if (sinceFlush >= 25) { flush(truncated = true); sinceFlush = 0 }
       }
-    // the JSON stays alphabetical regardless of sweep order — diffs
-    // between round artifacts line up key-by-key
-    val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val rm = results.toMap
-    // baseline_comparable: the *_x100 queries run the full reference
-    // pipelines on 100x-replicated document lines; at sf0.1 that is ~500k
-    // rows — the scale of BASELINE.md's 486,634-row input (23 s / 22 s)
-    val cmp = s"""{"stock_count_x100_sec":${rm.getOrElse("stock_count_x100", -1.0)},""" +
-      s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}}"""
-    val spillField =
-      if (spillByQuery.isEmpty) ""
-      else spillByQuery.map { case (k, (m, d)) =>
-        "\"" + k + "\":{\"mem\":" + m + ",\"disk\":" + d + "}"
-      }.mkString(""","spill_bytes":{""", ",", "}")
-    // measurement provenance: repeats per query, which queries tripped
-    // the outlier guard (and how many extra runs), and the reference the
-    // guard compared against — so a reader of the round artifact can
-    // tell a weathered host stall from a real regression
-    val rerunField =
-      if (rerunsByQuery.isEmpty) ""
-      else rerunsByQuery.map { case (k, (n, raw)) =>
-        "\"" + k + "\":{\"n\":" + n + ",\"raw\":" + raw + "}"
-      }.mkString(""","reruns":{""", ",", "}")
-    val refField = refTimes.headOption.map(_ =>
-      s""","outlier_ref":"${refPath.get}","outlier_k":$outlierK""" +
-        s""","rerun_budget_sec":${guard.rerunBudgetSec}""")
-      .getOrElse("")
-    val stallField = if (guard.hostStall) ""","host_stall":true""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"order_seed":$orderSeed,"queries":$qs,"baseline_comparable":$cmp$spillField$rerunField$refField$stallField,"sf":"$sfDir"}"""
+    }
+    val pass1Cut = states.exists(!_.ran)
+    if (pass1Cut) System.err.println(
+      s"[bench] deadline ${deadlineSec}s cut pass 1 after " +
+        s"${states.count(_.ran)}/${states.size} queries")
+    flush(truncated = pass1Cut)
+
+    // ----- phase 2: extra passes, budgeted — min over passes -------------
+    // A query gets another pass only when the deadline comfortably fits
+    // its pass-1 reading (1.3x + 0.5 s headroom); failed queries are not
+    // re-run (a crash is not variance). Passes stop wholesale when the
+    // budget is gone, so repeat=N is an upper bound, never a debt.
+    var pass = 1
+    while (pass < repeat && remainingSec > 0) {
+      pass += 1
+      states.foreach { st =>
+        if (st.ran && !st.failed &&
+            remainingSec > 1.3 * st.pass1 + 0.5) {
+          val sec = runOnce(st)
+          if (sec > 0) st.best = math.min(st.best, sec)
+          st.runs += 1
+          sinceFlush += 1
+          if (sinceFlush >= 25) { flush(truncated = true); sinceFlush = 0 }
+        }
+      }
+      flush(truncated = pass1Cut)
+    }
+
+    // ----- phase 3: outlier-guard re-runs, budgeted ----------------------
+    // In sweep order, so the stall detector's CONSECUTIVE semantics mean
+    // "neighboring in time". Each guarded query settles (re-runs, then
+    // queryDone with its POST-rerun status) before the next is judged.
+    states.filter(st => st.ran && !st.failed).foreach { st =>
+      st.rawBeforeGuard = st.best
+      while (guard.mayRerun(st.name, st.best, st.reruns) &&
+          remainingSec > 1.3 * st.pass1 + 0.5) {
+        st.reruns += 1
+        System.err.println(f"[bench] ${st.name}%s read ${st.best}%.2fs vs " +
+          f"committed ${refTimes(st.name)}%.2fs — outlier re-run ${st.reruns}")
+        val t = System.nanoTime()
+        val sec = runOnce(st)
+        if (sec > 0) st.best = math.min(st.best, sec)
+        guard.chargeRerun((System.nanoTime() - t) / 1e9)
+      }
+      val wasStalled = guard.hostStall
+      guard.queryDone(st.name,
+        stillOutlier = guard.isOutlier(st.name, st.best), ok = !st.failed)
+      if (guard.hostStall && !wasStalled)
+        System.err.println("[bench] 3 consecutive unrecovered outliers — " +
+          "host stall: disabling re-runs, publishing as measured")
+    }
+
+    // ----- final artifact ------------------------------------------------
+    val truncated = pass1Cut
+    flush(truncated)
+    val line = renderFull(truncated)
     println(line)
-    // Also persist the full line to a file: the driver's BENCH_r0N.json
-    // captures only a bounded stdout tail, which truncates the per-query
-    // map once the registry grew past ~60 queries — the file is the
-    // complete record (committed per round as BENCH_FULL.json).
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The compact summary is printed LAST and fits a bounded stdout
+    // tail: the driver's BENCH_r0N.json keeps only ~2000 chars of tail,
+    // which the full per-query line has overflowed since the registry
+    // passed ~60 queries — every driver artifact since then parsed
+    // null. The full record lives in the flushed file (committed per
+    // round as BENCH_FULL.json); this line carries the graded totals.
+    val done = states.filter(_.ran)
+    val rm = done.map(st => st.name -> st.best).toMap
+    val summary =
+      s"""{"metric":"total","value":${done.map(_.best).sum},""" +
+        s""""unit":"sec","n_queries":${states.size},""" +
+        s""""n_green":${done.count(_.best > 0)},""" +
+        s""""n_skipped":${states.count(!_.ran)},""" +
+        s""""baseline_comparable":{"stock_count_x100_sec":${
+          rm.getOrElse("stock_count_x100", -1.0)},""" +
+        s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}},""" +
+        s""""host_stall":${guard.hostStall},"truncated":$truncated,""" +
+        s""""elapsed_sec":${math.round(elapsedSec)},""" +
+        s""""order_seed":$orderSeed,"sf":"$sfDir","queries_file":"$outPath"}"""
+    println(summary)
     spark.stop()
   }
 }
