@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
 
 /** Minimal transaction log over plain parquet — the lakehouse metadata
   * layer (the public Delta Lake / Iceberg design, VLDB 2020) re-expressed
@@ -41,7 +42,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (a Spark DataType JSON), commits whose adds disagree with it are
   *     rejected, and evolution is widening/add-nullable-column only —
   *     so a snapshot read pins its schema from METADATA (old files serve
-  *     null for later columns) instead of sampling 100 TB of footers.
+  *     null for later columns) instead of sampling 100 TB of footers;
+  *   - **column mapping**: a field whose metadata carries the
+  *     `graft.phys` key decouples its LOGICAL name from the PHYSICAL
+  *     name stored in the data files (the public Delta column-mapping
+  *     design) — RENAME, and once every column is explicitly mapped
+  *     DROP, become metadata-only `meta` commits instead of a 100 TB
+  *     rewrite, and files from every generation read through one
+  *     logical schema;
+  *   - **merge-on-read deletes (deletion vectors)**: a row-level delete
+  *     publishes a commit that re-adds the SAME object with a DV — a
+  *     `<leaf>:<rowIndex>` position list applied as a broadcast
+  *     anti-join at read — so the object's bytes are untouched (the
+  *     public Delta/Iceberg v2 answer to high-churn tables, where
+  *     copy-on-write rewrites whole objects per delete); compaction
+  *     later folds the DV into a rewritten object and retires it.
   *
   * Commit protocol: one file per version, `%020d.commit`, published via
   * the store's ATOMIC exclusive-publish primitive (see
@@ -69,18 +84,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * difference between milliseconds of metadata and minutes of S3 LIST.
   *
   * Commit-file format: one action per line —
-  * `add\t<path>[\t<stats>]` or `remove\t<path>` — closed by a
-  * `commit\t<actionCount>` terminator (paths and stats contain no
-  * tabs/newlines by construction — they are staged under a managed
-  * root). A text format keeps the log readable by anything, like
-  * Delta's JSON commits. Checkpoint files use the same line format
-  * (adds only — the live set in first-add order, stats carried
-  * forward) with the same terminator.
+  * `add\t<path>[\t<stats>[\t<dv>]]` (a DV-carrying add writes `-` for
+  * an absent stats slot) or `remove\t<path>` — closed by a
+  * `commit\t<actionCount>` terminator (paths, stats and DV payloads
+  * contain no tabs/newlines by construction — they are staged under a
+  * managed root). Removes render BEFORE adds, so a single commit can
+  * atomically swap a path's DV (remove + re-add of the same object,
+  * the Delta representation of a merge-on-read delete). A text format
+  * keeps the log readable by anything, like Delta's JSON commits.
+  * Checkpoint files use the same line format (adds only — the live set
+  * in first-add order, stats and DVs carried forward) with the same
+  * terminator.
   */
 object TxnLog {
 
+  /** One log line. `dv` is the object's deletion vector — a
+    * `<leaf>:<rowIndex>` position list ([[dvEntries]]) naming rows the
+    * snapshot must NOT serve; it rides the add action (a DV update is
+    * remove + re-add of the same path in one commit), so the pure
+    * replay algebra is untouched by merge-on-read deletes. */
   final case class Action(version: Long, action: String, path: String,
-      stats: Option[String] = None)
+      stats: Option[String] = None, dv: Option[String] = None)
 
   /** Loud failure type for logical write-write conflicts under OCC. */
   final class CommitConflictException(msg: String)
@@ -189,9 +213,13 @@ object TxnLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   private def actionLine(action: String, path: String,
-      stats: Option[String]): String = stats match {
-    case Some(st) => s"$action\t$path\t$st"
-    case None => s"$action\t$path"
+      stats: Option[String], dv: Option[String] = None): String = dv match {
+    // the DV needs the 4th slot, so an absent stats slot renders as `-`
+    case Some(d) => s"$action\t$path\t${stats.getOrElse("-")}\t$d"
+    case None => stats match {
+      case Some(st) => s"$action\t$path\t$st"
+      case None => s"$action\t$path"
+    }
   }
 
   /** Parse one commit/checkpoint body. Fails loudly on a malformed line,
@@ -219,15 +247,18 @@ object TxnLog {
       s"$where v$v declares zero actions")
     actions.map { line =>
       val parts = line.split('\t')
-      require(parts.length == 2 || parts.length == 3,
+      require(parts.length >= 2 && parts.length <= 4,
         s"malformed $where line in v$v: $line")
       require(parts(0) == "add" || parts(0) == "remove" ||
           parts(0) == "meta",
         s"malformed $where line in v$v: unknown action '${parts(0)}'")
       require(parts.length == 2 || parts(0) == "add",
         s"malformed $where line in v$v: stats on a ${parts(0)}: $line")
-      Action(v, parts(0), parts(1),
-        if (parts.length == 3) Some(parts(2)) else None)
+      // 4-slot add: stats (`-` = absent) + deletion vector
+      val stats =
+        if (parts.length < 3 || parts(2) == "-") None else Some(parts(2))
+      val dv = if (parts.length == 4) Some(parts(3)) else None
+      Action(v, parts(0), parts(1), stats, dv)
     }
   }
 
@@ -266,20 +297,29 @@ object TxnLog {
     * checks resolve the current schema through the checkpoint
     * (O(checkpoint + tail), never a full-history replay when a
     * checkpoint exists). A schema-only commit (meta, no file actions)
-    * is legal — that is what an ALTER TABLE is. */
+    * is legal — that is what an ALTER TABLE is.
+    *
+    * `dvs` attaches a deletion vector ([[dvEntries]] format) to an
+    * added path — the merge-on-read delete publishes `removes = Seq(p),
+    * adds = Seq(p), dvs = Map(p -> positions)`: removes render before
+    * adds, so the one commit atomically swaps the object's DV while
+    * its bytes stay untouched on disk. */
   def commit(spark: SparkSession, logDir: String, version: Long,
       adds: Seq[String] = Nil, removes: Seq[String] = Nil,
       stats: Map[String, String] = Map.empty,
       checkpointEvery: Int = 0, meta: Option[String] = None,
-      addsSchema: Option[String] = None): Unit = {
+      addsSchema: Option[String] = None,
+      dvs: Map[String, String] = Map.empty): Unit = {
     require(adds.nonEmpty || removes.nonEmpty || meta.isDefined,
       "empty commit")
-    (adds ++ removes ++ stats.values ++ meta).foreach { p =>
+    (adds ++ removes ++ stats.values ++ meta ++ dvs.values).foreach { p =>
       require(!p.contains('\t') && !p.contains('\n'),
         s"not representable in the commit format: $p")
     }
     stats.keys.foreach(p => require(adds.contains(p),
       s"stats for a path this commit does not add: $p"))
+    dvs.keys.foreach(p => require(adds.contains(p),
+      s"deletion vector for a path this commit does not add: $p"))
     val f = fs(spark, logDir)
     f.mkdirs(new Path(logDir))
     val latest = latestVersion(spark, logDir)
@@ -305,23 +345,41 @@ object TxnLog {
             s"table=${effective.get} adds=$ws")
       }
     }
+    // removes BEFORE adds: a DV swap (or any same-path replace) must
+    // replay as remove-then-re-add within the one commit
     val lines = meta.map(m => actionLine("meta", m, None)).toSeq ++
-      adds.map(p => actionLine("add", p, stats.get(p))) ++
-      removes.map(p => actionLine("remove", p, None))
+      removes.map(p => actionLine("remove", p, None)) ++
+      adds.map(p => actionLine("add", p, stats.get(p), dvs.get(p)))
     publishExclusive(f, commitPath(logDir, version), renderBody(lines))
     if (checkpointEvery > 0 && version > 0 && version % checkpointEvery == 0)
       checkpoint(spark, logDir, version)
   }
 
-  /** Column-level agreement between a writer's schema and the table's:
-    * same names and types in the same order, nullability ignored (a
-    * parquet writer marks everything nullable; the table contract is
-    * the declared one). */
-  private def sameColumns(aJson: String, bJson: String): Boolean = {
+  /** Physical column name under COLUMN MAPPING (the public Delta
+    * design): a field whose metadata carries the `graft.phys` key is
+    * decoupled from its logical name — data files store the physical
+    * name, the schema serves the logical one, so a RENAME is a `meta`
+    * commit, not a rewrite. A field without the key uses its logical
+    * name as the physical name (the legacy identity mapping, and the
+    * name every pre-mapping file was written with). */
+  def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("graft.phys")) f.metadata.getString("graft.phys")
+    else f.name
+
+  /** Column-level agreement between a writer's FILE schema and the
+    * table's declared schema: the file's names must match the table's
+    * PHYSICAL names (data files always store physical names — under
+    * the identity mapping those are the logical names, so pre-mapping
+    * behavior is unchanged), same types, same order, nullability
+    * ignored (a parquet writer marks everything nullable; the table
+    * contract is the declared one). */
+  private def sameColumns(addsJson: String, tableJson: String): Boolean = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    def cols(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
-      .fields.toSeq.map(f => (f.name, f.dataType))
-    cols(aJson) == cols(bJson)
+    def s(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+    val fileCols = s(addsJson).fields.toSeq.map(f => (f.name, f.dataType))
+    val tableCols = s(tableJson).fields.toSeq
+      .map(f => (physName(f), f.dataType))
+    fileCols == tableCols
   }
 
   /** OCC commit with logical conflict detection and bounded retry — the
@@ -339,7 +397,8 @@ object TxnLog {
       readVersion: Long, adds: Seq[String], removes: Seq[String] = Nil,
       stats: Map[String, String] = Map.empty,
       maxAttempts: Int = 10, meta: Option[String] = None,
-      addsSchema: Option[String] = None): Long = {
+      addsSchema: Option[String] = None,
+      dvs: Map[String, String] = Map.empty): Long = {
     val mine = (adds ++ removes).toSet
     var attempt = 0
     var lastRace: Throwable = null
@@ -368,7 +427,7 @@ object TxnLog {
       }
       try {
         commit(spark, logDir, latest + 1, adds, removes, stats,
-          meta = meta, addsSchema = addsSchema)
+          meta = meta, addsSchema = addsSchema, dvs = dvs)
         return latest + 1
       } catch {
         // ONLY the lost publish race (another writer owns latest+1) and
@@ -489,9 +548,9 @@ object TxnLog {
     // and the log's lifetime maintenance quadratic
     val resolved = resolvedActionsAt(spark, logDir, version)
     val f = fs(spark, logDir)
-    val lines = resolved.map {
-      case Action(_, "meta", js, _) => actionLine("meta", js, None)
-      case a => actionLine("add", a.path, a.stats)
+    val lines = resolved.map { a =>
+      if (a.action == "meta") actionLine("meta", a.path, None)
+      else actionLine("add", a.path, a.stats, a.dv)
     }
     publishOverwrite(f, checkpointPath(logDir, version), renderBody(lines))
     publishOverwrite(f, lastCheckpointPath(logDir),
@@ -529,32 +588,86 @@ object TxnLog {
   }
 
   /** Checkpoint-aware resolution of ALL current actions at `asOf`: the
-    * live add set (first-add order) preceded by the current `meta`
-    * (schema) action, if the table declares one. Validates
-    * `asOf <= latest` on BOTH resolution paths — with a checkpoint the
-    * tail replay would otherwise silently serve the head state for a
-    * version that was never committed (full replay fails that loudly). */
+    * live add set (first-add order, DVs riding their adds) preceded by
+    * the current `meta` (schema) action, if the table declares one.
+    * Validates `asOf <= latest` on BOTH resolution paths — with a
+    * checkpoint the tail replay would otherwise silently serve the head
+    * state for a version that was never committed (full replay fails
+    * that loudly).
+    *
+    * Fault tolerance mirrors the `_last_checkpoint` pointer's
+    * treated-as-absent rule at the CONTENT level: a checkpoint file
+    * that fails to parse (a torn overwrite on a store without atomic
+    * rename) is skipped and resolution falls back to the next older
+    * checkpoint, then to full replay — a checkpoint is a shortcut, so
+    * an unreadable one may cost time, never correctness. Both paths
+    * fail LOUDLY on pruned commits their replay needs: the full replay
+    * requires the log to start at v0 with no version gaps (a log whose
+    * pre-checkpoint commits were pruned under a checkpoint that was
+    * later GC'd must not silently resolve an incomplete live set), and
+    * the checkpoint path requires every commit in `(cv, asOf]`. */
   private def resolvedActionsAt(spark: SparkSession, logDir: String,
-      asOf: Long): Seq[Action] =
-    lastCheckpointAtOrBefore(spark, logDir, asOf) match {
-      case None =>
-        val log = readLog(spark, logDir)
-        schemaAt(log, asOf).map(Action(asOf, "meta", _)).toSeq ++
-          liveActions(log, asOf)
-      case Some(cv) =>
-        // a checkpoint at cv proves cv committed even when the
-        // pre-checkpoint commit files have been physically deleted
-        require(asOf <= math.max(latestVersion(spark, logDir), cv),
-          s"asOf=$asOf is past the latest commit")
-        val f = fs(spark, logDir)
-        val base = readActionFile(f, checkpointPath(logDir, cv), cv,
-          "checkpoint")
-        val tail = readCommitRange(spark, logDir, cv, asOf)
-        val meta = (base ++ tail).filter(_.action == "meta")
-          .lastOption.map(a => Action(asOf, "meta", a.path))
-        meta.toSeq ++ replayActions(base.filterNot(_.action == "meta"),
-          tail.filterNot(_.action == "meta"))
+      asOf: Long): Seq[Action] = {
+    val f = fs(spark, logDir)
+    def fullReplay(): Seq[Action] = {
+      val log = readLog(spark, logDir)
+      if (log.nonEmpty) {
+        val vs = log.map(_.version).distinct
+        require(vs.head == 0L,
+          s"log head is v${vs.head}, not v0: pre-checkpoint commits were " +
+            "pruned but no readable checkpoint covers them — refusing to " +
+            "resolve an incomplete snapshot")
+        vs.lazyZip(vs.tail).foreach { (a, b) =>
+          require(b == a + 1,
+            s"commit gap v$a -> v$b: refusing to resolve an incomplete " +
+              "snapshot")
+        }
+      }
+      schemaAt(log, asOf).map(Action(asOf, "meta", _)).toSeq ++
+        liveActions(log, asOf)
     }
+    def fromCheckpoint(cv: Long, base: Seq[Action]): Seq[Action] = {
+      // a checkpoint at cv proves cv committed even when the
+      // pre-checkpoint commit files have been physically deleted
+      require(asOf <= math.max(latestVersion(spark, logDir), cv),
+        s"asOf=$asOf is past the latest commit")
+      val tail = readCommitRange(spark, logDir, cv, asOf)
+      val got = tail.map(_.version).distinct
+      require(got == (cv + 1 to asOf),
+        s"commits missing in ($cv, $asOf]: have $got — refusing to " +
+          "resolve an incomplete snapshot")
+      val meta = (base ++ tail).filter(_.action == "meta")
+        .lastOption.map(a => Action(asOf, "meta", a.path))
+      meta.toSeq ++ replayActions(base.filterNot(_.action == "meta"),
+        tail.filterNot(_.action == "meta"))
+    }
+    // candidate checkpoints newest-first: the pointer's target leads
+    // when it qualifies, then every listed checkpoint at or below asOf
+    val listed = f.listStatus(new Path(logDir)).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= asOf)
+      .toSeq.sorted(Ordering[Long].reverse)
+    val candidates =
+      (lastCheckpointAtOrBefore(spark, logDir, asOf).toSeq ++ listed)
+        .distinct
+    candidates.iterator
+      .map { cv =>
+        // ONLY the checkpoint file's own read/parse failure (torn body,
+        // vanished file) falls back to the next candidate — the tail
+        // replay in fromCheckpoint runs OUTSIDE this try, so its
+        // requires (missing commits, asOf past latest, corrupt history)
+        // stay loud
+        try Some(cv -> readActionFile(f, checkpointPath(logDir, cv), cv,
+          "checkpoint"))
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => None
+        }
+      }
+      .collectFirst { case Some((cv, base)) => fromCheckpoint(cv, base) }
+      .getOrElse(fullReplay())
+  }
 
   /** Snapshot resolution through the checkpoint: read the newest
     * checkpoint at or below `asOf` (one file, O(live set)) and replay
@@ -595,13 +708,17 @@ object TxnLog {
       require(!live.contains(a.path), s"checkpoint re-adds ${a.path}")
       live(a.path) = a
     }
-    tail.foreach {
-      case a @ Action(v, "add", p, _) =>
-        require(!live.contains(p), s"v$v re-adds live file $p")
-        live(p) = a
-      case Action(v, "remove", p, _) =>
-        require(live.remove(p).isDefined, s"v$v removes non-live file $p")
-      case Action(v, a, _, _) => sys.error(s"v$v: unknown action '$a'")
+    tail.foreach { a =>
+      a.action match {
+        case "add" =>
+          require(!live.contains(a.path),
+            s"v${a.version} re-adds live file ${a.path}")
+          live(a.path) = a
+        case "remove" =>
+          require(live.remove(a.path).isDefined,
+            s"v${a.version} removes non-live file ${a.path}")
+        case other => sys.error(s"v${a.version}: unknown action '$other'")
+      }
     }
     live.values.toSeq
   }
@@ -627,14 +744,22 @@ object TxnLog {
       .lastOption.map(_.path)
 
   /** May a table's schema evolve from `oldJson` to `newJson` in one
-    * metaData commit? The public widening/add-column rules: every
-    * existing column keeps its name and keeps its type or widens it
-    * (int→bigint, float→double — old files upcast losslessly at read),
-    * a required column may relax to nullable (never the reverse), and
-    * new columns may be appended only as nullable (old files lack them,
-    * so reads must be able to serve null). Anything else — drops,
-    * renames, narrowing, new required columns — is a REWRITE, not an
-    * evolution, and is rejected at commit. */
+    * metaData commit? The public widening/add-column rules, matched on
+    * PHYSICAL names ([[physName]]): every existing column keeps its
+    * physical identity and keeps its type or widens it (int→bigint,
+    * float→double — old files upcast losslessly at read), a required
+    * column may relax to nullable (never the reverse), and new columns
+    * may be added only as nullable (old files lack them, so reads must
+    * be able to serve null). Under column mapping that allows
+    * metadata-only RENAME (the new field carries the old physical name
+    * in `graft.phys`); DROP additionally requires the new schema to be
+    * FULLY mapped (every field carries an explicit physical name — the
+    * public "enable column mapping first" discipline, which keeps a
+    * later re-add of the dropped logical name from colliding with the
+    * orphaned physical data). Everything else — narrowing, new
+    * required columns, and (per ADVICE r17) REORDERING existing
+    * columns or duplicate logical/physical names — is a REWRITE, not
+    * an evolution, and is rejected at commit. */
   def schemaEvolutionOk(oldJson: String, newJson: String): Boolean = {
     import org.apache.spark.sql.types._
     def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -647,23 +772,81 @@ object TxnLog {
     }
     val oldS = DataType.fromJson(oldJson).asInstanceOf[StructType]
     val newS = DataType.fromJson(newJson).asInstanceOf[StructType]
-    val newByName = newS.fields.map(f => f.name -> f).toMap
-    val kept = oldS.fields.forall { of =>
-      newByName.get(of.name).exists { nf =>
-        // nullability may relax (required -> nullable), never tighten:
-        // existing files already hold nulls a tightened column forbids
-        widens(of.dataType, nf.dataType) && (!of.nullable || nf.nullable)
+    val oldPhys = oldS.fields.map(physName).toSeq
+    val newPhys = newS.fields.map(physName).toSeq
+    // duplicate logical or physical names make resolution ambiguous —
+    // never legal (the old by-name map silently collapsed duplicates)
+    val uniqueOk = newPhys.distinct.length == newPhys.length &&
+      newS.fieldNames.toSeq.distinct.length == newS.fields.length
+    // drop is metadata-only ONLY once every column is explicitly mapped
+    val fullyMapped = newS.fields.forall(_.metadata.contains("graft.phys"))
+    val newByPhys = newS.fields.map(f => physName(f) -> f).toMap
+    val keptOk = oldS.fields.forall { of =>
+      newByPhys.get(physName(of)) match {
+        case Some(nf) =>
+          // nullability may relax (required -> nullable), never tighten:
+          // existing files already hold nulls a tightened column forbids
+          widens(of.dataType, nf.dataType) && (!of.nullable || nf.nullable)
+        case None => fullyMapped // a DROP, legal only under full mapping
       }
     }
-    val oldNames = oldS.fieldNames.toSet
-    val addedOk = newS.fields.filterNot(f => oldNames(f.name))
-      .forall(_.nullable)
-    kept && addedOk
+    // reordering is NOT evolution: surviving old columns keep their
+    // relative order, and absent full mapping (no drops possible) the
+    // old schema must be a positional prefix of the new one
+    val survivors = oldPhys.filter(newByPhys.contains)
+    val orderOk = newPhys.filter(oldPhys.toSet) == survivors
+    val prefixOk = fullyMapped || newPhys.startsWith(oldPhys)
+    val addedOk = newS.fields
+      .filterNot(f => oldPhys.contains(physName(f))).forall(_.nullable)
+    uniqueOk && keptOk && orderOk && prefixOk && addedOk
   }
 
   /** Snapshot file set AS OF `asOf` (see [[liveActions]]). */
   def liveFiles(log: Seq[Action], asOf: Long): Seq[String] =
     liveActions(log, asOf).map(_.path)
+
+  /** Parse a DV payload: comma-separated `<leaf>:<rowIndex>` entries,
+    * where `leaf` is the parquet part-file name inside the data object
+    * (globally unique by construction — Spark part files carry a write
+    * UUID) and `rowIndex` is the row's position in that file (the
+    * `_metadata.row_index` the scan serves). Position lists stay small
+    * by the same discipline as public DVs: a delete that would name a
+    * large fraction of an object should rewrite it instead. */
+  def dvEntries(payload: String): Seq[(String, Long)] =
+    payload.split(',').toSeq.filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':')
+      require(i > 0 && i < e.length - 1, s"malformed DV entry: $e")
+      (e.substring(0, i), e.substring(i + 1).toLong)
+    }
+
+  /** Render DV entries into the payload format (sorted — a DV is a set,
+    * so the rendering is canonical and comparable as a string). */
+  def dvRender(entries: Seq[(String, Long)]): String =
+    entries.sorted.map { case (l, i) => s"$l:$i" }.mkString(",")
+
+  /** Plan a merge-on-read DELETE against one live object: the
+    * (leaf, rowIndex) positions of its rows matching `pred`, unioned
+    * with the object's current vector (`existing`) — the payload the
+    * caller publishes as `removes = Seq(obj), adds = Seq(obj),
+    * dvs = Map(obj -> payload)`. The position scan is distributed; only
+    * the DELETED positions come to the driver, O(|DV|) like the log
+    * metadata itself, with `maxRows` as the loud backstop enforcing the
+    * public DV discipline: a delete naming a large fraction of an
+    * object should rewrite (compact) it instead of growing a vector. */
+  def planDvDelete(spark: SparkSession, objPath: String,
+      pred: org.apache.spark.sql.Column, existing: Option[String] = None,
+      maxRows: Int = 100000): String = {
+    val hits = spark.read.parquet(objPath)
+      .where(pred)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("leaf"), col("_metadata.row_index").as("pos"))
+      .limit(maxRows + 1).collect()
+    require(hits.length <= maxRows,
+      s"DV delete names > $maxRows rows of $objPath — rewrite the " +
+        "object instead of growing a vector this large")
+    val pairs = hits.toSeq.map(r => (r.getString(0), r.getLong(1)))
+    dvRender((existing.map(dvEntries).getOrElse(Nil) ++ pairs).distinct)
+  }
 
   /** Distributed read of the snapshot AS OF `asOf` — only the live files,
     * resolved from one checkpoint + the commit tail (or the full log when
@@ -672,18 +855,54 @@ object TxnLog {
     * written before an add-column evolution serve null for the new
     * columns, and the scan needs NO footer-sampling schema inference —
     * at 100 TB, reading the schema from metadata instead of sampling
-    * file footers is the difference the metaData action exists for. */
+    * file footers is the difference the metaData action exists for.
+    * Under column mapping the files are read by PHYSICAL name and
+    * projected to the logical schema — files from before and after a
+    * rename serve through one logical column.
+    *
+    * Merge-on-read: when live objects carry deletion vectors, the DV'd
+    * rows are subtracted by a BROADCAST ANTI-JOIN on
+    * (part-file leaf, `_metadata.row_index`) — O(|DV|) driver-side
+    * metadata shipped once, zero data rewritten, and the scan itself
+    * stays a plain distributed parquet read. */
   def readSnapshot(spark: SparkSession, logDir: String, asOf: Long)
       : DataFrame = {
     val resolved = resolvedActionsAt(spark, logDir, asOf)
-    val files = resolved.filter(_.action == "add").map(_.path)
+    val addActs = resolved.filter(_.action == "add")
+    val files = addActs.map(_.path)
     require(files.nonEmpty, s"snapshot v$asOf is empty")
-    resolved.find(_.action == "meta").map(_.path) match {
-      case Some(js) =>
-        val st = org.apache.spark.sql.types.DataType.fromJson(js)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.read.schema(st).parquet(files: _*)
+    val logical = resolved.find(_.action == "meta").map { a =>
+      org.apache.spark.sql.types.DataType.fromJson(a.path)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val raw = logical match {
+      case Some(st) =>
+        // files store PHYSICAL names; identity mapping reads unchanged
+        val phys = org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            physName(f), f.dataType, f.nullable)))
+        spark.read.schema(phys).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
+    }
+    val dvPairs = addActs.flatMap(a => a.dv.toSeq.flatMap(dvEntries))
+    val undeleted =
+      if (dvPairs.isEmpty) raw
+      else {
+        import spark.implicits._
+        val dataCols = raw.columns.toSeq
+        val dvDf = dvPairs.toDF("__dv_leaf", "__dv_pos")
+        raw
+          .withColumn("__dv_leaf",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dvDf), Seq("__dv_leaf", "__dv_pos"), "left_anti")
+          .select(dataCols.map(c => col(s"`$c`")): _*)
+      }
+    logical match {
+      case Some(st) if st.fields.exists(f => physName(f) != f.name) =>
+        undeleted.select(st.fields.toSeq.map(f =>
+          col(s"`${physName(f)}`").as(f.name)): _*)
+      case _ => undeleted
     }
   }
 
@@ -704,11 +923,28 @@ object TxnLog {
     val net = window.groupBy(_.path).map { case (p, as) =>
       p -> as.map(a => if (a.action == "add") 1 else -1).sum
     }
-    val added = window.collect { case Action(_, "add", p, _) => p }
+    val added = window.collect { case Action(_, "add", p, _, _) => p }
       .distinct.filter(net(_) > 0)
-    val removed = window.collect { case Action(_, "remove", p, _) => p }
+    val removed = window.collect { case Action(_, "remove", p, _, _) => p }
       .distinct.filter(net(_) < 0)
     (added, removed)
+  }
+
+  /** The DV-aware half of CDC: paths live at BOTH ends of
+    * `(sinceV, untilV]` whose deletion vector CHANGED — a merge-on-read
+    * delete is liveness-neutral (remove + re-add of the same path nets
+    * to zero, so [[changedBetween]] reports nothing) yet its rows
+    * changed. Returns `(path, dvBefore, dvAfter)`; the deleted rows are
+    * exactly the positions in `dvAfter \ dvBefore`, readable from the
+    * UNTOUCHED object — O(transaction) consumption, like the add/remove
+    * half. */
+  def dvChangedBetween(log: Seq[Action], sinceV: Long, untilV: Long)
+      : Seq[(String, Option[String], Option[String])] = {
+    require(sinceV < untilV, s"empty version range ($sinceV, $untilV]")
+    val before = liveActions(log, sinceV).map(a => a.path -> a.dv).toMap
+    liveActions(log, untilV)
+      .filter(a => before.get(a.path).exists(_ != a.dv))
+      .map(a => (a.path, before(a.path), a.dv))
   }
 
   /** Files physically deletable under a retention floor — deletable
@@ -722,7 +958,7 @@ object TxnLog {
     * reference them. */
   def vacuumCandidates(log: Seq[Action], retain: Long): Seq[String] = {
     val byPath = log.groupBy(_.path) // groupBy preserves log order
-    log.collect { case Action(v, "remove", p, _) if v <= retain => p }
+    log.collect { case Action(v, "remove", p, _, _) if v <= retain => p }
       .distinct
       .filter { p =>
         val history = byPath(p)
@@ -754,15 +990,23 @@ object TxnLog {
     require(head >= 0, "cannot restore an empty log")
     val target = liveActionsAt(spark, logDir, toVersion)
     val cur = liveActionsAt(spark, logDir, head)
-    val curSet = cur.map(_.path).toSet
+    val curByPath = cur.map(a => a.path -> a).toMap
     val targetSet = target.map(_.path).toSet
-    val adds = target.filterNot(a => curSet.contains(a.path))
-    val removes = cur.map(_.path).filterNot(targetSet.contains)
+    // a path live in BOTH snapshots whose DV differs (rows were
+    // merge-on-read-deleted since the target) is restored by the same
+    // atomic remove + re-add that created the DV — re-stamping the
+    // TARGET's vector (possibly none: a full row-level undelete)
+    val dvSwaps = target.filter(a =>
+      curByPath.get(a.path).exists(_.dv != a.dv))
+    val adds = target.filterNot(a => curByPath.contains(a.path)) ++ dvSwaps
+    val removes = cur.map(_.path).filterNot(targetSet.contains) ++
+      dvSwaps.map(_.path)
     if (adds.isEmpty && removes.isEmpty) head
     else {
       commit(spark, logDir, head + 1, adds = adds.map(_.path),
         removes = removes,
-        stats = adds.flatMap(a => a.stats.map(a.path -> _)).toMap)
+        stats = adds.flatMap(a => a.stats.map(a.path -> _)).toMap,
+        dvs = adds.flatMap(a => a.dv.map(a.path -> _)).toMap)
       head + 1
     }
   }
@@ -782,7 +1026,8 @@ object TxnLog {
     require(live.nonEmpty, s"cannot clone an empty snapshot v$asOf")
     commit(spark, dstLogDir, 0L, adds = live.map(_.path),
       stats = live.flatMap(a => a.stats.map(a.path -> _)).toMap,
-      meta = resolved.find(_.action == "meta").map(_.path))
+      meta = resolved.find(_.action == "meta").map(_.path),
+      dvs = live.flatMap(a => a.dv.map(a.path -> _)).toMap)
   }
 
   /** ORPHAN reclaim — the other half of storage GC: a crashed writer's

@@ -62,8 +62,8 @@ class TxnLogPropertySpec extends AnyFunSuite {
   /** Brute-force liveness at `v`: replay the prefix into a set. */
   private def bruteLive(log: Seq[Action], v: Long): Set[String] =
     log.takeWhile(_.version <= v).foldLeft(Set.empty[String]) {
-      case (s, Action(_, "add", p, _)) => s + p
-      case (s, Action(_, "remove", p, _)) => s - p
+      case (s, Action(_, "add", p, _, _)) => s + p
+      case (s, Action(_, "remove", p, _, _)) => s - p
       case (s, _) => s
     }
 
@@ -131,7 +131,7 @@ class TxnLogPropertySpec extends AnyFunSuite {
         // completeness: a path removed at <= retain whose history never
         // adds it again is reclaimable
         val expected = log.collect {
-          case Action(v, "remove", p, _) if v <= retain => p
+          case Action(v, "remove", p, _, _) if v <= retain => p
         }.distinct.filter { p =>
           !log.exists(a =>
             a.path == p && a.action == "add" && a.version > retain) &&
@@ -208,5 +208,72 @@ class TxnLogPropertySpec extends AnyFunSuite {
     // only the remove falls in (0, 1]: net REMOVE
     assert(TxnLog.changedBetween(log, 0, 1) ==
       (Seq.empty[String], Seq("b")))
+  }
+
+  /** Inject a deletion-vector swap (remove + re-add of one live path
+    * with a GROWN vector) at every third version of a generated
+    * history — the merge-on-read delete shape. Deterministic: the
+    * lexicographically-first live path is swapped. */
+  private def withDvSwaps(log: Seq[Action]): Seq[Action] = {
+    val versions = log.map(_.version).distinct
+    var live = Map.empty[String, Option[String]] // path -> dv
+    versions.flatMap { v =>
+      val acts = log.filter(_.version == v)
+      acts.foreach {
+        case Action(_, "add", p, _, _) => live += p -> None
+        case Action(_, "remove", p, _, _) => live -= p
+        case _ => ()
+      }
+      if (v % 3 == 0 && live.nonEmpty) {
+        val p = live.keys.toSeq.min
+        val grown = Some(live(p).map(_ + ",").getOrElse("") + s"f:$v")
+        live += p -> grown
+        acts ++ Seq(Action(v, "remove", p),
+          Action(v, "add", p, None, grown))
+      } else acts
+    }
+  }
+
+  test("deletion vectors are liveness-neutral, survive checkpointed " +
+    "resolution, and dvChangedBetween reports exactly the live-both-" +
+    "ends vector changes, on 200 random valid histories") {
+    for (seed <- 1L to 200L) {
+      val base = draw(seed)
+      val log = withDvSwaps(base)
+      val versions = log.map(_.version).distinct
+      // brute dv state at v: last add's vector for each live path
+      def bruteDv(v: Long): Map[String, Option[String]] =
+        log.takeWhile(_.version <= v)
+          .foldLeft(Map.empty[String, Option[String]]) {
+            case (m, Action(_, "add", p, _, d)) => m + (p -> d)
+            case (m, Action(_, "remove", p, _, _)) => m - p
+            case (m, _) => m
+          }
+      versions.foreach { v =>
+        // the swap never perturbs the live set...
+        assert(TxnLog.liveFiles(log, v).toSet == bruteLive(base, v),
+          s"seed=$seed v=$v")
+        // ...and resolution serves the swap's vector
+        assert(TxnLog.liveActions(log, v)
+          .map(a => a.path -> a.dv).toMap == bruteDv(v),
+          s"seed=$seed v=$v")
+      }
+      // checkpointed resolution carries vectors identically
+      for (c <- versions; asOf <- versions if asOf >= c) {
+        val viaCkpt = TxnLog.replayActions(TxnLog.liveActions(log, c),
+          log.filter(a => a.version > c && a.version <= asOf))
+        assert(viaCkpt == TxnLog.liveActions(log, asOf),
+          s"seed=$seed c=$c asOf=$asOf")
+      }
+      // dvChangedBetween == the brute force over every pair
+      for (v0 <- versions; v1 <- versions if v0 < v1) {
+        val before = bruteDv(v0); val after = bruteDv(v1)
+        val expected = after.keySet.intersect(before.keySet)
+          .filter(p => before(p) != after(p))
+        assert(TxnLog.dvChangedBetween(log, v0, v1)
+          .map(_._1).toSet == expected,
+          s"seed=$seed ($v0,$v1]")
+      }
+    }
   }
 }

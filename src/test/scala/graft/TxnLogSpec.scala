@@ -677,4 +677,218 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.readSnapshot(spark, logDir, 0L).count()
     }
   }
+
+  // ----- merge-on-read deletes (deletion vectors) ------------------------
+
+  test("DV delete: rows vanish from the snapshot while the object's " +
+    "bytes stay untouched; the vector grows by union; compaction " +
+    "retires it; restore undeletes") {
+    val (root, logDir, o) = freshTable("dv")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+
+    def objFingerprint(dir: String): Seq[(String, Long, Long)] = {
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .sortBy(_._1)
+    }
+    val before = objFingerprint(o(0))
+
+    // v1: merge-on-read delete of ids % 7 == 0 — remove + re-add of the
+    // SAME object carrying the vector
+    val dv1 = TxnLog.planDvDelete(spark, o(0), col("id") % 7 === 0)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(0)),
+      removes = Seq(o(0)), dvs = Map(o(0) -> dv1))
+    assert(objFingerprint(o(0)) == before, "delete must not touch bytes")
+    assert(TxnLog.readSnapshot(spark, logDir, 0L).count() == 100L)
+    val afterDelete = TxnLog.readSnapshot(spark, logDir, 1L)
+    assert(afterDelete.count() == 100L - 15L) // ids 0,7,...,98
+    assert(afterDelete.where(col("id") % 7 === 0).count() == 0L)
+
+    // liveness-net CDC reports nothing; the DV half reports the swap
+    val log1 = TxnLog.readLog(spark, logDir)
+    assert(TxnLog.changedBetween(log1, 0L, 1L) ==
+      (Seq.empty[String], Seq.empty[String]))
+    assert(TxnLog.dvChangedBetween(log1, 0L, 1L) ==
+      Seq((o(0), None, Some(dv1))))
+
+    // v2: a second delete UNIONS into the vector (ids % 11 == 0)
+    val dv2 = TxnLog.planDvDelete(spark, o(0), col("id") % 11 === 0,
+      existing = Some(dv1))
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(0)),
+      removes = Seq(o(0)), dvs = Map(o(0) -> dv2))
+    assert(objFingerprint(o(0)) == before)
+    val afterSecond = TxnLog.readSnapshot(spark, logDir, 2L)
+    assert(afterSecond.count() ==
+      spark.range(0, 100).where(col("id") % 7 =!= 0 &&
+        col("id") % 11 =!= 0).count())
+
+    // v3: compaction folds the vector into a rewritten object — content
+    // no-op, DV retired
+    val compacted = s"$root/o0_compact"
+    TxnLog.readSnapshot(spark, logDir, 2L)
+      .write.mode("overwrite").parquet(compacted)
+    TxnLog.commit(spark, logDir, 3L, adds = Seq(compacted),
+      removes = Seq(o(0)))
+    val headLive = TxnLog.liveActionsAt(spark, logDir, 3L)
+    assert(headLive.map(_.path) == Seq(compacted) &&
+      headLive.forall(_.dv.isEmpty))
+    assert(TxnLog.readSnapshot(spark, logDir, 3L)
+      .except(afterSecond).isEmpty &&
+      afterSecond.except(TxnLog.readSnapshot(spark, logDir, 3L)).isEmpty)
+
+    // v4: RESTORE to v0 — one commit, rows fully undeleted (the DV swap
+    // runs backward: the target's absent vector is re-stamped)
+    val restored = TxnLog.restore(spark, logDir, 0L)
+    assert(restored == 4L)
+    assert(TxnLog.readSnapshot(spark, logDir, 4L).count() == 100L)
+    assert(TxnLog.liveActionsAt(spark, logDir, 4L).forall(_.dv.isEmpty))
+  }
+
+  test("DV round-trips through commit files AND checkpoints; a clone " +
+    "carries it") {
+    val (root, logDir, o) = freshTable("dvckpt")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)), checkpointEvery = 2)
+    val dv = TxnLog.planDvDelete(spark, o(0), col("id") < 10)
+    // v2 lands ON the checkpoint boundary: the checkpoint must carry it
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(0)),
+      removes = Seq(o(0)), dvs = Map(o(0) -> dv), checkpointEvery = 2)
+    assert(TxnLog.lastCheckpointAtOrBefore(spark, logDir, 2L)
+      .contains(2L))
+    // head resolves THROUGH the checkpoint and still serves the vector
+    assert(TxnLog.liveActionsAt(spark, logDir, 2L)
+      .find(_.path == o(0)).flatMap(_.dv).contains(dv))
+    assert(TxnLog.readSnapshot(spark, logDir, 2L).count() == 190L)
+    // a shallow clone of the DV'd snapshot serves the same rows
+    val cloneDir = s"$root/_clone_log"
+    TxnLog.shallowClone(spark, logDir, 2L, cloneDir)
+    assert(TxnLog.readSnapshot(spark, cloneDir, 0L).count() == 190L)
+  }
+
+  // ----- column mapping --------------------------------------------------
+
+  test("column mapping: RENAME is a metadata-only commit — files from " +
+    "both generations read through one logical schema; DROP needs full " +
+    "mapping; reorders and duplicate names are never evolutions") {
+    import org.apache.spark.sql.types._
+    def mapped(name: String, phys: String, dt: DataType): StructField =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder().putString("graft.phys", phys).build())
+    val root = TestSpark.scratchDir("graft-txnlog-colmap").toString
+    val logDir = s"$root/_log"
+    val s1 = StructType(Seq(StructField("id", LongType),
+      StructField("val", DoubleType)))
+    // gen-1 files carry the original (physical) names
+    val g1 = s"$root/g1"
+    spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id").cast("double") * 2)
+      .write.mode("overwrite").parquet(g1)
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(g1), meta = Some(s1.json),
+      addsSchema = Some(s1.json))
+
+    // RENAME val -> amount: the new field keeps phys="val"; no rewrite
+    val s2 = StructType(Seq(StructField("id", LongType),
+      mapped("amount", "val", DoubleType)))
+    assert(TxnLog.schemaEvolutionOk(s1.json, s2.json))
+    // gen-2 files still write the PHYSICAL name
+    val g2 = s"$root/g2"
+    spark.range(100, 200).toDF("id")
+      .withColumn("val", col("id").cast("double") * 2)
+      .write.mode("overwrite").parquet(g2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(g2), meta = Some(s2.json),
+      addsSchema = Some(s1.json)) // file schema = physical names
+    val snap = TxnLog.readSnapshot(spark, logDir, 1L)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(snap.count() == 200L &&
+      snap.agg(sum(col("amount"))).head().getDouble(0) ==
+        (0 until 200).map(_ * 2.0).sum)
+    // time travel serves the pre-rename logical name
+    assert(TxnLog.readSnapshot(spark, logDir, 0L)
+      .schema.fieldNames.toSeq == Seq("id", "val"))
+
+    // DROP id: legal only once EVERY column is explicitly mapped
+    val dropNotMapped = StructType(Seq(mapped("amount", "val", DoubleType)))
+    assert(TxnLog.schemaEvolutionOk(s2.json, dropNotMapped.json))
+    val s2full = StructType(Seq(mapped("id", "id", LongType),
+      mapped("amount", "val", DoubleType)))
+    assert(TxnLog.schemaEvolutionOk(s2.json, s2full.json))
+    // ... but dropping from a schema whose survivor is NOT mapped fails
+    val dropUnmapped = StructType(Seq(StructField("amount", DoubleType)))
+    assert(!TxnLog.schemaEvolutionOk(s2.json, dropUnmapped.json))
+    TxnLog.commit(spark, logDir, 2L, meta = Some(dropNotMapped.json))
+    val dropped = TxnLog.readSnapshot(spark, logDir, 2L)
+    assert(dropped.schema.fieldNames.toSeq == Seq("amount") &&
+      dropped.count() == 200L)
+
+    // REORDERING is rejected (ADVICE r17) — same columns, swapped
+    val reordered = StructType(Seq(StructField("val", DoubleType),
+      StructField("id", LongType)))
+    assert(!TxnLog.schemaEvolutionOk(s1.json, reordered.json))
+    // duplicate LOGICAL names rejected (newByName used to collapse them)
+    val dupLogical = StructType(Seq(StructField("id", LongType),
+      StructField("val", DoubleType), StructField("val", DoubleType)))
+    assert(!TxnLog.schemaEvolutionOk(s1.json, dupLogical.json))
+    // duplicate PHYSICAL names rejected
+    val dupPhys = StructType(Seq(StructField("id", LongType),
+      mapped("a", "val", DoubleType), mapped("b", "val", DoubleType)))
+    assert(!TxnLog.schemaEvolutionOk(s1.json, dupPhys.json))
+  }
+
+  // ----- resolution fault tolerance --------------------------------------
+
+  test("a torn checkpoint falls back to the next older checkpoint, " +
+    "then to full replay — a checkpoint is a shortcut, never state") {
+    val (root, logDir, o) = freshTable("tornckpt")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(2)), checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 3L, removes = Seq(o(1)),
+      checkpointEvery = 2)
+    TxnLog.commit(spark, logDir, 4L, adds = Seq(s"$root/late"),
+      checkpointEvery = 2) // checkpoints now at v2 and v4
+    val expected = TxnLog.liveFilesAt(spark, logDir, 4L)
+    def corrupt(v: Long): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        s"$logDir/" + f"$v%020d" + ".checkpoint"),
+        "add\ttorn-no-termin".getBytes("UTF-8"))
+    // torn newest checkpoint (the pointer's target): falls back to v2
+    corrupt(4L)
+    assert(TxnLog.liveFilesAt(spark, logDir, 4L) == expected)
+    // torn BOTH: falls back to the full commit replay
+    corrupt(2L)
+    assert(TxnLog.liveFilesAt(spark, logDir, 4L) == expected)
+  }
+
+  test("a pruned log prefix with no readable checkpoint fails LOUDLY " +
+    "instead of resolving an incomplete snapshot") {
+    val (_, logDir, o) = freshTable("prunedhead")
+    TxnLog.commit(spark, logDir, 0L, adds = Seq(o(0)))
+    TxnLog.commit(spark, logDir, 1L, adds = Seq(o(1)))
+    TxnLog.commit(spark, logDir, 2L, adds = Seq(o(2)))
+    val f = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the forbidden ordering: commits pruned under a checkpoint
+    // that was then GC'd — the head commit file vanishes
+    f.delete(new org.apache.hadoop.fs.Path(
+      logDir, f"${0L}%020d" + ".commit"), false)
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.liveFilesAt(spark, logDir, 2L)
+    }
+    assert(e1.getMessage.contains("not v0"))
+    // a mid-log GAP is equally loud
+    val (_, logDir2, p) = freshTable("prunedgap")
+    TxnLog.commit(spark, logDir2, 0L, adds = Seq(p(0)))
+    TxnLog.commit(spark, logDir2, 1L, adds = Seq(p(1)))
+    TxnLog.commit(spark, logDir2, 2L, adds = Seq(p(2)))
+    val f2 = new org.apache.hadoop.fs.Path(logDir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f2.delete(new org.apache.hadoop.fs.Path(
+      logDir2, f"${1L}%020d" + ".commit"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.liveFilesAt(spark, logDir2, 2L)
+    }
+    assert(e2.getMessage.contains("gap"))
+  }
 }
