@@ -1826,6 +1826,200 @@ object SparkEntry {
       txnSnapAgg(TxnLog.readSnapshot(s, logDir, 4L))
     }),
 
+    // MERGE-ON-READ DELETE (deletion vectors) — the public Delta/
+    // Iceberg-v2 answer to high-churn tables, where the copy-on-write
+    // MERGE (src_txn_merge) rewrites a whole object per delete: a
+    // delete commit re-adds the SAME object carrying a
+    // `<leaf>:<rowIndex>` position vector (remove + re-add render
+    // atomically in one commit), the object's BYTES stay untouched on
+    // disk (fingerprint-require'd in-path — that is the entire point),
+    // and the snapshot read subtracts the vector by a broadcast
+    // anti-join on (part-file leaf, _metadata.row_index) — a plain
+    // distributed scan plus O(|DV|) broadcast metadata. A second
+    // delete UNIONS into the vector; compaction then folds the vector
+    // into a rewritten object and retires it (content no-op,
+    // require'd). At 100 TB this is the difference between a delete
+    // costing O(deleted rows) metadata and O(object) rewrite I/O.
+    "src_txn_dv_delete" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_dv")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def obj(part: String, df: DataFrame): String = {
+        val d = s"$root/$part"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      val even = obj("even", orders.where(col("o_orderkey") % 2 === 0))
+      val odd = obj("odd", orders.where(col("o_orderkey") % 2 === 1))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(even, odd))
+      def fingerprint(dir: String): Seq[(String, Long, Long)] = {
+        val f = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(st =>
+            (st.getPath.getName, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+      }
+      val before = fingerprint(even)
+      // v1: row-level delete (keys % 97 == 0) — no rewrite
+      val dv1 = TxnLog.planDvDelete(s, even, col("o_orderkey") % 97 === 0)
+      TxnLog.commit(s, logDir, 1L, adds = Seq(even),
+        removes = Seq(even), dvs = Map(even -> dv1))
+      // v2: a second delete UNIONS into the vector (keys % 101 == 0)
+      val dv2 = TxnLog.planDvDelete(s, even,
+        col("o_orderkey") % 101 === 0, existing = Some(dv1))
+      TxnLog.commit(s, logDir, 2L, adds = Seq(even),
+        removes = Seq(even), dvs = Map(even -> dv2))
+      require(fingerprint(even) == before,
+        "a merge-on-read delete must not touch the object's bytes")
+      // liveness-net CDC sees nothing; the DV half names the object
+      val log = TxnLog.readLog(s, logDir)
+      require(TxnLog.changedBetween(log, 0L, 2L) ==
+        (Seq.empty[String], Seq.empty[String]),
+        "a DV swap must be liveness-neutral")
+      require(TxnLog.dvChangedBetween(log, 0L, 2L).map(_._1) == Seq(even),
+        "dvChangedBetween must name exactly the DV'd object")
+      // v3: compaction folds the vector into a rewrite and retires it
+      val compacted = obj("even_compact",
+        TxnLog.readSnapshot(s, logDir, 2L)
+          .where(col("o_orderkey") % 2 === 0))
+      TxnLog.commit(s, logDir, 3L, adds = Seq(compacted),
+        removes = Seq(even))
+      require(TxnLog.liveActionsAt(s, logDir, 3L).forall(_.dv.isEmpty),
+        "compaction must retire the deletion vector")
+      val v2Agg = txnSnapAgg(TxnLog.readSnapshot(s, logDir, 2L))
+      val v3Agg = txnSnapAgg(TxnLog.readSnapshot(s, logDir, 3L))
+      require(v2Agg.except(v3Agg).isEmpty && v3Agg.except(v2Agg).isEmpty,
+        "DV-fold compaction must be a content no-op")
+      v3Agg
+    }),
+
+    // DV-AWARE CHANGE FEED — the row-level half of CDC a merge-on-read
+    // delete needs: the delete commit is liveness-NEUTRAL (remove +
+    // re-add of the same path nets to zero, so the add/remove change
+    // feed reports nothing), yet rows changed. The consumer reads
+    // dvChangedBetween's (path, before, after), takes the position
+    // delta `after \ before`, and serves the DELETED rows from the
+    // UNTOUCHED object by a broadcast semi-join on
+    // (leaf, _metadata.row_index) — O(transaction) consumption, no
+    // snapshot diff, the same discipline as the add/remove feed.
+    "src_txn_dv_cdf" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      val root = staged("txn_dv_cdf")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def obj(part: String, df: DataFrame): String = {
+        val d = s"$root/$part"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      val even = obj("even", orders.where(col("o_orderkey") % 2 === 0))
+      val odd = obj("odd", orders.where(col("o_orderkey") % 2 === 1))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(even, odd))
+      val dv = TxnLog.planDvDelete(s, even, col("o_orderkey") % 97 === 0)
+      TxnLog.commit(s, logDir, 1L, adds = Seq(even),
+        removes = Seq(even), dvs = Map(even -> dv))
+      val changes = TxnLog.dvChangedBetween(
+        TxnLog.readLog(s, logDir), 0L, 1L)
+      require(changes.map(_._1) == Seq(even),
+        "the delete must surface on the DV change feed")
+      val (path, beforeDv, afterDv) = changes.head
+      val newPositions = TxnLog.dvEntries(afterDv.get)
+        .diff(beforeDv.map(TxnLog.dvEntries).getOrElse(Nil))
+      require(newPositions.nonEmpty, "the delta must name positions")
+      import s.implicits._
+      val posDf = newPositions.toDF("__leaf", "__pos")
+      s.read.parquet(path)
+        .withColumn("__leaf",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(posDf), Seq("__leaf", "__pos"), "left_semi")
+        .select(col("o_orderkey").as("key"),
+          lit("deleted").as("change"))
+    }),
+
+    // COLUMN MAPPING — rename without rewrite (the public Delta
+    // column-mapping design): the `meta` schema's fields carry a
+    // physical-name key, so a RENAME is one metadata commit and files
+    // from BOTH generations (written before and after it, all carrying
+    // the PHYSICAL name) read through the single logical schema;
+    // DROP is equally metadata-only once every column is explicitly
+    // mapped. Required in-path: a rename expressed WITHOUT mapping is
+    // rejected as the rewrite it would be, time travel serves the
+    // pre-rename logical names, the post-drop head reads through a
+    // checkpoint, and the dropped column is gone from the read schema
+    // while every row survives. At 100 TB: ALTER TABLE RENAME/DROP
+    // COLUMN in milliseconds of metadata instead of a lake rewrite.
+    "src_txn_column_rename" -> ((s, dir) => {
+      import graft.sources.TxnLog
+      import org.apache.spark.sql.types._
+      val root = staged("txn_colmap")
+      graft.streaming.StreamGate.deleteRecursively(root)
+      val logDir = s"$root/_log"
+      def mapped(name: String, phys: String, dt: DataType): StructField =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder().putString("graft.phys", phys).build())
+      val s1 = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def obj(part: String, df: DataFrame): String = {
+        val d = s"$root/$part"
+        df.write.mode("overwrite").parquet(d); d
+      }
+      // gen-1 under the original names
+      val g1 = obj("g1", orders.where(col("o_orderkey") % 2 === 0))
+      TxnLog.commit(s, logDir, 0L, adds = Seq(g1), meta = Some(s1.json),
+        addsSchema = Some(s1.json), checkpointEvery = 2)
+      // a rename expressed WITHOUT mapping is a drop+add -> rejected
+      val rejected =
+        try {
+          TxnLog.commit(s, logDir, 1L, meta = Some(StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_orderstatus", StringType),
+            StructField("price", DoubleType))).json))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected, "an unmapped rename must be rejected loudly")
+      // v1: the REAL rename — `price` keeps phys=o_totalprice; gen-2
+      // files still write the PHYSICAL name, so their file schema is s1
+      val s2 = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        mapped("price", "o_totalprice", DoubleType)))
+      val g2 = obj("g2", orders.where(col("o_orderkey") % 2 === 1))
+      TxnLog.commit(s, logDir, 1L, adds = Seq(g2), meta = Some(s2.json),
+        addsSchema = Some(s1.json), checkpointEvery = 2)
+      require(TxnLog.readSnapshot(s, logDir, 1L).schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "price"),
+        "both generations must read through the renamed logical schema")
+      require(TxnLog.readSnapshot(s, logDir, 0L).schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "time travel must serve the pre-rename logical names")
+      // v2: DROP o_orderstatus — legal once every column is mapped;
+      // lands ON the checkpoint boundary, so the head read resolves
+      // schema + live set from ONE checkpoint
+      val s3 = StructType(Seq(mapped("o_orderkey", "o_orderkey", LongType),
+        mapped("price", "o_totalprice", DoubleType)))
+      TxnLog.commit(s, logDir, 2L, meta = Some(s3.json),
+        checkpointEvery = 2)
+      require(TxnLog.lastCheckpointAtOrBefore(s, logDir, 2L)
+        .contains(2L), "head resolution must be checkpoint-served")
+      val head = TxnLog.readSnapshot(s, logDir, 2L)
+      require(head.schema.fieldNames.toSeq == Seq("o_orderkey", "price"),
+        s"the dropped column must be gone from the read: ${head.schema}")
+      head.groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("double").as("tot"))
+    }),
+
     // P1: Java-split parity — field arity per line
     "p1_java_split_arity" -> ((s, dir) =>
       docLines(s, dir).select(col("doc_id"),
@@ -10772,6 +10966,34 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o_orderkey % 3 <> 0
         |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
         |                END) AS DOUBLE) AS tot
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // the merge-on-read delete (two DV'd deletes + the DV-fold
+    // compaction) serves the table minus the even-bucket keys named by
+    // either vector — and nothing else
+    "src_txn_dv_delete" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
+        |FROM orders
+        |WHERE NOT (o_orderkey % 2 = 0
+        |           AND (o_orderkey % 97 = 0 OR o_orderkey % 101 = 0))
+        |GROUP BY 1""".stripMargin,
+
+    // the DV change feed serves exactly the deleted rows, read from the
+    // untouched object at the vector's position delta
+    "src_txn_dv_cdf" ->
+      """SELECT o_orderkey AS key, 'deleted' AS change
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 = 0""".stripMargin,
+
+    // rename + drop are metadata-only: every row of both generations
+    // survives under the final two-column logical schema
+    "src_txn_column_rename" ->
+      """SELECT o_orderkey % 4 AS bucket, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS tot
         |FROM orders
         |GROUP BY 1""".stripMargin,
 
