@@ -2126,7 +2126,8 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "win_counts_file")
       events(s, dir)
         .select(unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        .repartition(3).write.mode("overwrite").csv(src)
+        .repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       // the replay drains the staged files into the memory sink before
       // returning, so the directory can be removed immediately — waiting
       // for JVM exit (deleteOnExit) would leak it: non-empty dirs are
@@ -2161,7 +2162,8 @@ object SparkEntry {
       val k = 150L; val shards = 4; val cap = 64
       val ev = events(s, dir).select(col("user_id").cast("long").as("k"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "hh")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -2214,7 +2216,8 @@ object SparkEntry {
       import s.implicits._
       val ev = events(s, dir).select(col("event_type"), col("user_id"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "bmdist")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -2246,7 +2249,8 @@ object SparkEntry {
         // CSV gate cannot perturb the vectors
         concat_ws(";", col("embedding").cast("array<string>")).as("emb"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "momsum")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -2287,7 +2291,8 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("t_us"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "funnel")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10094,7 +10099,8 @@ object SparkEntry {
           .cast("long").as("key"))
       val ev = base.select(col("event_type"), thetaHash(col("key")).as("h"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "thetadist")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10138,7 +10144,8 @@ object SparkEntry {
         thetaHash(col("event_id")).as("h"),
         expr("cast(round(value * 1000) AS bigint)").as("cents"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "qstream")
-      base.repartition(3).write.mode("overwrite").csv(src)
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       val sink =
         try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10189,7 +10196,8 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "skhandoff")
       val store = graft.streaming.StreamGate
         .scratchDir("stage", "skhandoffstore")
-      ev.repartition(3).write.mode("overwrite").csv(src)
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToParquetStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10243,7 +10251,8 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "cnthandoff")
       val store = graft.streaming.StreamGate
         .scratchDir("stage", "cnthandoffstore")
-      base.repartition(3).write.mode("overwrite").csv(src)
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToParquetStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10291,7 +10300,8 @@ object SparkEntry {
         expr("cast(round(value * 1000) AS bigint)").as("cents"))
       val src = graft.streaming.StreamGate.scratchDir("stage", "cnteo")
       val store = graft.streaming.StreamGate.scratchDir("stage", "cnteostore")
-      base.repartition(3).write.mode("overwrite").csv(src)
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToPartitionedStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10340,7 +10350,8 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "txnsink")
       val store = graft.streaming.StreamGate
         .scratchDir("stage", "txnsinkstore")
-      base.repartition(3).write.mode("overwrite").csv(src)
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToTxnStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10462,7 +10473,8 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "qshandoff")
       val store = graft.streaming.StreamGate
         .scratchDir("stage", "qshandoffstore")
-      base.repartition(3).write.mode("overwrite").csv(src)
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToPartitionedStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10529,7 +10541,8 @@ object SparkEntry {
           .select(col("event_type"), thetaHash(col("key")).as("h"))
         val src = graft.streaming.StreamGate
           .scratchDir("stage", s"thetaso$tag")
-        ev.repartition(3).write.mode("overwrite").csv(src)
+        ev.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
         val sink =
           try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
             org.apache.spark.sql.types.StructType(Seq(
