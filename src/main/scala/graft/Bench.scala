@@ -201,6 +201,32 @@ object Bench {
     // asynchronous, so per-query attribution is exact only when the
     // process runs ONE query (SPARK_GRAFT_BENCH_ONLY solo protocol);
     // in a full sweep adjacent queries can trade a task's attribution.
+    // SPARK_GRAFT_BENCH_JOBLOG=1 (dev knob, unset in driver runs): print
+    // every Spark job's duration + call site to stderr — the per-job
+    // attribution used to find WHERE inside a multi-action query (the
+    // iterative graph peels, the selection operator's passes) the time
+    // goes, since the UI is disabled in bench runs. Purely additive: the
+    // listener only prints; the timed path is unchanged.
+    if (sys.env.get("SPARK_GRAFT_BENCH_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[
+        Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(e.jobId, (System.nanoTime(),
+              e.stageInfos.sortBy(_.stageId).lastOption.map(_.name)
+                .getOrElse("?") +
+                s" [stages=${e.stageInfos.size}]"))
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = starts.remove(e.jobId)
+            if (st != null) System.err.println(
+              f"[joblog] job ${e.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%7.3fs  ${st._2}")
+          }
+        })
+    }
+
     val spillOn = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
@@ -253,7 +279,9 @@ object Bench {
     // projection-only work and under-measure); failed queries report -1,
     // never their time-to-failure (a crash after 0.1 s must not read as
     // a 0.1 s result)
+    val jobLogOn = sys.env.get("SPARK_GRAFT_BENCH_JOBLOG").contains("1")
     def runOnce(st: QState): Double = {
+      if (jobLogOn) System.err.println(s"[joblog] >>> ${st.name}")
       val t = System.nanoTime()
       val ok =
         try {
@@ -274,6 +302,7 @@ object Bench {
       // builds its frames per invocation (see the round-14 note).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      if (jobLogOn) System.err.println(f"[joblog] <<< ${st.name}%s $sec%.3fs")
       if (ok) sec else -1.0
     }
 

@@ -1062,8 +1062,9 @@ object SparkEntry {
     Dedup.exactSimilarityPairs(
       tbl(s, dir, "documents").select(col("doc_id"),
         array_distinct(
-          graft.functions.GraftFunctions.shingles(s, col("text"))).as("sh"))
-        .localCheckpoint(false), // one shingle pass feeds df/prefix/verify
+          graft.functions.GraftFunctions.shingles(s, col("text"))).as("sh")),
+      // no checkpoint: the operator consumes `sh` exactly once (its
+      // dictionary-encoded per-doc arrays are what feed prefix + verify)
       t = 0.6)
 
   /** Shared modulus and per-replica affine mix constants for
