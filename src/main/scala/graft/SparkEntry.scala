@@ -5372,8 +5372,17 @@ object SparkEntry {
         .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .agg(count(lit(1)).as("n")).where(col("n") >= 2)
         .select(col("a"), col("b"))
-      val t3 = graft.ops.KTruss.peel(pairs, 3, 8)
-      val t4 = graft.ops.KTruss.peel(pairs, 4, 8)
+      // trusses nest (the 4-truss is inside the 3-truss: support >= 2
+      // implies support >= 1 at every peel step, and bulk peeling is
+      // deletion-order independent), so peel the 4-truss FROM the
+      // 3-truss's surviving edges — the expensive pair generation and
+      // the early cascade run ONCE instead of twice, and the 4-truss
+      // cascade starts from the already-shrunk edge list. Same fixpoints
+      // as two independent peels from `pairs`.
+      val e3 = graft.ops.KTruss.peelEdges(pairs, 3, 8)
+      val t3 = e3.join(graft.ops.KTruss.support(e3), Seq("a", "b"))
+        .select(col("a"), col("b"), col("sup").as("support"))
+      val t4 = graft.ops.KTruss.peel(e3, 4, 8)
       t3.withColumn("k", lit(3L)).unionAll(t4.withColumn("k", lit(4L)))
         .select(col("k"), col("a"), col("b"), col("support"))
     }),

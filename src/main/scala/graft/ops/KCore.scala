@@ -100,8 +100,12 @@ object KCore {
     * vertices all have degree >= 1, so coreness >= 1). */
   def coreness(sym: DataFrame, maxK: Int, maxRounds: Int): DataFrame = {
     require(maxK >= 1, s"maxK=$maxK")
-    var curEdges = sym.select(col("a"), col("b"))
-    var curVerts = sym.select(col("a")).distinct().localCheckpoint(true)
+    // materialize the input edge list ONCE: both the vertex seed and the
+    // first peel consume `sym`, and an expensive upstream edge build
+    // (the co-purchase pair join) would otherwise run twice
+    var curEdges: DataFrame =
+      sym.select(col("a"), col("b")).localCheckpoint(true)
+    var curVerts = curEdges.select(col("a")).distinct().localCheckpoint(true)
     var out: Option[DataFrame] = None
     var k = 1
     while (k < maxK) {
