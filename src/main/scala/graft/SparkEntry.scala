@@ -6096,20 +6096,32 @@ object SparkEntry {
       val li = tbl(s, dir, "lineitem").select(
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y"))
-      def rank2(colName: String): DataFrame = {
-        val d = li.groupBy(col(colName).as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        graft.plans.GlobalScan.runningSum(d, "cnt", "v" -> false)
-          .select(col("v").as(colName),
-            (lit(2L) * col("running") - col("cnt") + 1L)
-              .as(s"r2$colName"))
-      }
-      val ranked = li.join(rank2("x"), "x").join(rank2("y"), "y")
-      val m = ranked.agg(count(lit(1)).as("n"),
-        sum(d38(col("r2x"))).as("sx"), sum(d38(col("r2y"))).as("sy"),
-        sum(d38(col("r2x")) * col("r2x")).as("sxx"),
-        sum(d38(col("r2y")) * col("r2y")).as("syy"),
-        sum(d38(col("r2x")) * col("r2y")).as("sxy"))
+      // One row-sized shuffle instead of two: x's rank table is
+      // value-domain-sized (integral quantities), so it broadcasts and
+      // its per-row rank terms fold into the SAME groupBy(y) aggregate
+      // that y's rank needs anyway — the row stream is shuffled once
+      // (by y), where the previous shape re-joined every row against
+      // the y-rank table in a second row-sized exchange. All moment
+      // sums regroup by y in exact decimal(38,0) integer algebra, so
+      // every aggregate equals its per-row original term for term.
+      val dx = li.groupBy(col("x").as("v")).agg(count(lit(1)).as("cnt"))
+      val rx = graft.plans.GlobalScan.runningSum(dx, "cnt", "v" -> false)
+        .select(col("v").as("x"),
+          (lit(2L) * col("running") - col("cnt") + 1L).as("r2x"))
+      val byY = li.join(broadcast(rx), "x")
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(d38(col("r2x"))).as("sx_y"),
+          sum(d38(col("r2x")) * col("r2x")).as("sxx_y"))
+      val ry = graft.plans.GlobalScan.runningSum(byY, "cnt", "y" -> false)
+        .select(col("cnt"), col("sx_y"), col("sxx_y"),
+          (lit(2L) * col("running") - col("cnt") + 1L).as("r2y"))
+      val m = ry.agg(sum(col("cnt")).as("n"),
+        sum(col("sx_y")).as("sx"),
+        sum(d38(col("cnt")) * col("r2y")).as("sy"),
+        sum(col("sxx_y")).as("sxx"),
+        sum(d38(col("cnt")) * col("r2y") * col("r2y")).as("syy"),
+        sum(d38(col("r2y")) * col("sx_y")).as("sxy"))
       val nd = col("n").cast("double")
       val cov = nd * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
@@ -8434,10 +8446,20 @@ object SparkEntry {
         .join(retired, Seq("vec_id"), "left_anti")
         .unionByName(indexRows(s.read.parquet(added: _*)))
       // merge == recompute: the maintained index must equal the index a
-      // from-scratch encode of snapshot v1 produces
+      // from-scratch encode of snapshot v1 produces. ONE multiset-
+      // equality pass (±1 per side, every per-tuple sum must be 0 —
+      // the same property the two exceptAll probes checked) instead of
+      // two: each exceptAll planned BOTH sides again, and with the PQ
+      // codebook inlined as literals the duplicated plans dominated the
+      // query's driver time.
       val scratch = indexRows(TxnLog.readSnapshot(s, logDir, 1L))
-      require(index.exceptAll(scratch).isEmpty
-        && scratch.exceptAll(index).isEmpty,
+      val idxCols = index.columns.toSeq
+      require(index.withColumn("_side", lit(1L))
+        .unionByName(scratch.withColumn("_side", lit(-1L)))
+        .groupBy(idxCols.map(col): _*)
+        .agg(sum(col("_side")).as("_d"))
+        .where(col("_d") =!= 0L)
+        .isEmpty,
         "incremental IVF-PQ index diverged from the from-scratch encode")
       // serve the search FROM THE STORED INDEX at the same recall point
       // as the per-query build: coarse routing (frozen quantizer), ADC
