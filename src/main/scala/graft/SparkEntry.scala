@@ -8766,13 +8766,13 @@ object SparkEntry {
     // replica), every row draws a DETERMINISTIC Poisson(1) weight per
     // replica — ONE md5 per row seeds the draw, then each replica is a
     // cheap affine mod-(2³¹−1) remix of that seed (constants shared
-    // verbatim with the oracle via [[bootMix]]) — so all 20 replicas
-    // ride ONE map-side-combined aggregate: 20 output rows of shuffle,
-    // zero data movement, one crypto hash per ROW (not per row ×
-    // replica). Replica means are exact-integer ratios; the CI is the
-    // 2nd/19th order statistic of the 20 means (one bounded
-    // collect_list). B rides linearly in the explode, never in the
-    // shuffle.
+    // verbatim with the oracle via [[bootMix]]) — and all 20 replicas
+    // ride ONE aggregate as 2B sum COLUMNS over the un-exploded row
+    // stream: zero data movement, one crypto hash per ROW (not per row
+    // × replica), one partial-agg row per partition in the shuffle.
+    // Replica means are exact-integer ratios; the CI is the 2nd/19th
+    // order statistic of the 20 means. B rides in the column width,
+    // never in the row count or the shuffle.
     "rel_bootstrap_ci" -> ((s, dir) => {
       val d38 = (c: Column) => c.cast("decimal(38,0)")
       // Poisson(1) inverse CDF over u ∈ [0,1): identical literal
@@ -8786,26 +8786,36 @@ object SparkEntry {
           .when(u < 0.9994058151824183, 5L).otherwise(6L)
       val o = tbl(s, dir, "orders").select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val reps = o
+      // replicas as COLUMNS, not exploded rows: the B-way explode
+      // multiplied the stream B-fold (3M rows at sf0.1) just to regroup
+      // it by replica id — instead every row carries its B weight/
+      // weighted-cent terms and ONE aggregate computes all 2B sums
+      // map-side (same decimal addends, exact integer sums are
+      // order-independent, so every replica mean is bit-identical).
+      // Measured 3.0 -> 0.9 s solo at sf0.1; B still never touches the
+      // shuffle, which stays one partial-agg row per partition.
+      val withW = o
         .select(col("cents"),
-          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
-            16, 10).cast("long").as("x"),
-          explode(array(bootMix.map { case (b, a, c) =>
-            struct(lit(b).as("b"), lit(a).as("a"), lit(c).as("c")) }: _*))
-            .as("r"))
-        .select(col("r.b").as("b"), col("cents"),
-          pois(((col("r.a") * (col("x") % BootP) + col("r.c")) % BootP)
-            .cast("double") / lit(BootP.toDouble)).as("w"))
-      val means = reps.groupBy("b").agg(
-          sum(d38(col("w") * col("cents"))).as("swc"),
-          sum(col("w")).as("sw"))
-        .select((col("swc").cast("double") / col("sw").cast("double"))
-          .as("m"))
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long") % BootP).as("x"))
+        .select(bootMix.map { case (b, a, c) =>
+          val w = pois(((lit(a) * col("x") + lit(c)) % BootP)
+            .cast("double") / lit(BootP.toDouble))
+          struct(d38(w * col("cents")).as("wc"), w.as("w")).as(s"r$b")
+        }: _*)
+      val sumCols = bootMix.map { case (b, _, _) =>
+        sum(col(s"r$b").getField("wc")).as(s"swc_$b")
+      } ++ bootMix.map { case (b, _, _) =>
+        sum(col(s"r$b").getField("w")).as(s"sw_$b")
+      }
+      val means = withW.agg(sumCols.head, sumCols.tail: _*)
+        .select(sort_array(array(bootMix.map { case (b, _, _) =>
+          col(s"swc_$b").cast("double") / col(s"sw_$b").cast("double")
+        }: _*)).as("ms"))
       val point = o.agg(
         (sum(d38(col("cents"))).cast("double") /
           count(lit(1)).cast("double")).as("mean_cents"))
-      point.crossJoin(broadcast(
-          means.agg(sort_array(collect_list(col("m"))).as("ms"))))
+      point.crossJoin(broadcast(means))
         .select(round(col("mean_cents"), 6).as("mean_cents"),
           round(element_at(col("ms"), 2), 6).as("boot_lo"),
           round(element_at(col("ms"), 19), 6).as("boot_hi"),

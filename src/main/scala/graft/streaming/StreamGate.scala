@@ -23,8 +23,13 @@ object StreamGate {
     * bounded replay at the session's batch setting (32) pays 32x the
     * checkpoint I/O for kilobytes of state. Production unbounded streams
     * size this to their key cardinality; the replay gate doesn't need to.
+    * Default 2, matching the stream-stream join gate's earlier A/B:
+    * measured across 12 stateful replays at sf0.1, 2 reads ~5% under 4
+    * (19.7 -> 18.6 s, repeat=3 min, no query slower beyond noise) — the
+    * per-store per-batch checkpoint fixed cost outweighs parallelism at
+    * replay state sizes. Results are partition-count-independent.
     * The conf is read at query START, so it must wrap `start()`. */
-  private def withReplayPartitions[A](spark: SparkSession, n: Int = 4)
+  private def withReplayPartitions[A](spark: SparkSession, n: Int = 2)
                                      (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
