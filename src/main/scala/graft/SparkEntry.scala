@@ -204,6 +204,30 @@ object SparkEntry {
   private def staged(name: String): String =
     stageRoot.resolve(name).toString
 
+  /** Write `df` (which must carry a long `bucket` column with values
+    * 0..3) as ONE partitioned parquet job, then rename each partition
+    * directory up to `$root/<prefix><i>` — a driver-side metadata move
+    * on the local stage — so the staged root holds exactly the four
+    * flat data objects a transaction log will name. Object contents are
+    * identical to four filtered writes (partition columns never land in
+    * the files); the single job replaces four full-scan writes of pure
+    * per-invocation fixed cost. Returns the four object paths. */
+  private def stagePartitionedObjects(s: SparkSession, root: String,
+      prefix: String, df: DataFrame): Seq[String] = {
+    val broot = s"$root/_parts"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(broot)
+    val out = (0 to 3).map { i =>
+      val src = java.nio.file.Paths.get(s"$broot/bucket=$i")
+      val dst = java.nio.file.Paths.get(s"$root/$prefix$i")
+      require(java.nio.file.Files.isDirectory(src),
+        s"staged bucket object missing (empty bucket?): $src")
+      java.nio.file.Files.move(src, dst)
+      dst.toString
+    }
+    graft.streaming.StreamGate.deleteRecursively(broot)
+    out
+  }
+
   /** Stage the transaction-log table for one `src_txn_*` / time-travel
     * query (sources/TxnLog — the lakehouse metadata layer over plain
     * parquet). Five serial commits build a deterministic history over
@@ -237,8 +261,17 @@ object SparkEntry {
       df.write.mode("overwrite").parquet(d)
       d
     }
-    val b = (0 to 3).map(i =>
-      obj(s"b$i", orders.where(col("o_orderkey") % 4 === i)))
+    // ONE partitioned write lays down all 4 bucket objects (identical
+    // rows and columns to four filtered writes — partition columns never
+    // land in the files); 7 queries stage through here, and 4 separate
+    // full-scan writes were pure per-invocation fixed cost. The
+    // partition directories are then RENAMED up to the flat b0..b3
+    // object paths (a driver-side metadata move on the local stage) so
+    // the root holds exactly the objects the log names — orphan GC and
+    // the path-shape requires in the vacuum/clone/gc queries see the
+    // same layout as before.
+    val b = stagePartitionedObjects(s, root, "b",
+      orders.withColumn("bucket", col("o_orderkey") % 4))
     // checkpointEvery = 2 routes the history through real checkpoints
     // (v2, v4): snapshot resolution in every src_txn_* query below reads
     // one checkpoint + the commit tail, never the whole log — the
@@ -284,10 +317,26 @@ object SparkEntry {
         .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
       (d, s"${r.getLong(0)},${r.getLong(1)}")
     }
-    val base = (0 until 4).map { i =>
-      writeObj(s"b$i", orders.where(col("o_orderkey") >= i * w
-        && col("o_orderkey") < (i + 1) * w))
-    }
+    // ONE partitioned write lays down the 4 key-range base objects
+    // (o_orderkey div w reproduces [i*w, (i+1)*w) exactly, and 4w > mx
+    // keeps every bucket < 4), renamed up to the flat b0..b3 paths; ONE
+    // grouped aggregate over the written files reads back all 4
+    // [min,max] stats (each object holds exactly its key range, so
+    // regrouping the union by the same congruence attributes every row
+    // to its object) — versus 4 full-scan writes + 4 read-back
+    // aggregates of fixed cost per invocation. Stats still come from
+    // the bytes on disk.
+    val bPaths = stagePartitionedObjects(s, root, "b",
+      orders.withColumn("bucket", expr(s"o_orderkey div $w")))
+    val statRows = s.read.parquet(bPaths: _*)
+      .groupBy(expr(s"o_orderkey div $w").as("bucket"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect()
+      .map(r => r.getLong(0) -> s"${r.getLong(1)},${r.getLong(2)}")
+      .toMap
+    require(statRows.keySet == (0L to 3L).toSet,
+      s"staged base objects missing a bucket: ${statRows.keySet}")
+    val base = (0 until 4).map(i => (bPaths(i), statRows(i.toLong)))
     TxnLog.commit(s, logDir, 0L, adds = base.map(_._1),
       stats = base.toMap, checkpointEvery = 2)
     val (uLo, uHi) = (w, 2 * w)
