@@ -4741,24 +4741,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_late_orders"))),
 
     // TPC-H Q9 shape: profit per (nation, order year). The dataset has
-    // no partsupp, so supplycost derives exactly as rel_q2_min_cost
-    // does: min(l_extendedprice) per (partkey, suppkey) — one extra
-    // aggregate over lineitem, then a shuffle join back on the SAME
-    // (partkey, suppkey) key. All money math in decimal end to end
-    // (price, discount, cost, quantity each cast to decimal(18,2)
-    // before any product), summed exactly, surfaced as double once.
-    // Dims (supplier, nation) broadcast; the two fact joins (orders,
-    // derived ps) shuffle on their keys.
+    // no partsupp, so supplycost derives as min(l_extendedprice) per
+    // (partkey, suppkey) — the same value rel_q2_min_cost derives,
+    // attached via a window over one exchange on the derivation key
+    // instead of an aggregate + self-join (which scanned and shuffled
+    // lineitem twice). All money math in decimal end to end (price,
+    // discount, cost, quantity each cast to decimal(18,2) before any
+    // product), summed exactly, surfaced as double once. Dims
+    // (supplier, nation) broadcast; the orders fact join shuffles on
+    // orderkey.
     "rel_q9_profit" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
-      val ps = li.groupBy(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+      // supplycost = min(price) per (partkey, suppkey) attached as a
+      // WINDOW over the fact stream: one exchange on the derivation key
+      // computes and attaches the value in place, where the previous
+      // aggregate-then-self-join scanned lineitem twice and shuffled it
+      // twice on the same key (identical per-row value — the inner join
+      // against an aggregate of the same table kept every row)
+      val psW = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey", "l_suppkey")
+      val liPs = li.withColumn("ps_supplycost",
+        min(col("l_extendedprice")).over(psW))
       val d2 = (c: Column) => c.cast("decimal(18,2)")
-      li.join(tbl(s, dir, "orders"),
+      liPs.join(tbl(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(ps, col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
         .join(broadcast(tbl(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(tbl(s, dir, "nation")),

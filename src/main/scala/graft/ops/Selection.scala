@@ -122,31 +122,59 @@ object Selection {
     // column of the checkpoint — driver and executors can never disagree
     // on it). Within one key every row carries the identical group
     // tuple, so first() is deterministic. This is also the action that
-    // materializes the checkpoint.
+    // materializes the checkpoint. The approx distinct count rides
+    // along so a LOW-CARDINALITY group (an integral or enum-like metric
+    // column) resolves by ONE bounded gather with no histogram round at
+    // all — the same duplicate-plateau escape the in-loop path has,
+    // decided a full pass earlier; the gather's loud `require` bound
+    // still backstops the sketch.
+    val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
     val seed = rows
       .groupBy(col("_gkey"))
       .agg(count(lit(1)).as("_n"),
-        (Seq(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")) ++
+        (Seq(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+          approx_count_distinct(col("_v")).as("_d")) ++
           groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
       .collect()
 
     var nextPid = 0
     var open = List.empty[Problem]
+    var gatherNow = List.empty[Problem]
     val resolved = collection.mutable.Map.empty[(String, Long), Double]
     val meta = seed.map { r =>
       val gkey = r.getString(0)
       val n = r.getLong(1)
       val lo = r.getDouble(2)
       val hi = r.getDouble(3)
-      val gvals = groupCols.indices.map(i => r.get(4 + i))
+      val d = r.getLong(4)
+      val gvals = groupCols.indices.map(i => r.get(5 + i))
       val positions = qs.map(q => q * (n - 1).toDouble)
       val ranks = positions.flatMap(p =>
         Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
       ranks.foreach { k =>
         if (lo == hi) resolved((gkey, k)) = lo
-        else { open ::= Problem(nextPid, gkey, k, lo, hi); nextPid += 1 }
+        else {
+          val p = Problem(nextPid, gkey, k, lo, hi); nextPid += 1
+          if (n <= collectThreshold || d <= gatherDistinctBound / 2)
+            gatherNow ::= p
+          else open ::= p
+        }
       }
       (gvals, gkey, n, positions)
+    }
+    if (gatherNow.nonEmpty) {
+      val got = gatherDeduped(spark, rows, gatherNow, buckets,
+        collectThreshold)
+      gatherNow.foreach { p =>
+        val vcs = got(p)
+        var cum = 0L; var i = 0
+        while (i < vcs.length && cum + vcs(i)._2 <= p.k) {
+          cum += vcs(i)._2; i += 1
+        }
+        require(i < vcs.length,
+          s"selection gather underflow (group=${p.gkey})")
+        resolved((p.gkey, p.k)) = vcs(i)._1
+      }
     }
 
     var round = 0
@@ -156,7 +184,6 @@ object Selection {
       // counts with exact below/above overflow buckets re-anchoring the
       // absolute rank (see scaladoc)
       val hist = histogramPass(spark, rows, open, buckets)
-      val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
       val (toGather, stillOpen) = open.map { p =>
         val h = hist.getOrElse(p.pid, Map.empty[Int, (Long, Long)])
         val nBelow = h.getOrElse(B_BELOW, (0L, 0L))._1
@@ -197,10 +224,10 @@ object Selection {
         }
       }.partitionMap(identity)
       if (toGather.nonEmpty) {
-        val got = gatherPass(spark, rows, toGather.map(_._1), buckets,
+        val got = gatherDeduped(spark, rows, toGather.map(_._1), buckets,
           collectThreshold)
         toGather.foreach { case (p, kIn) =>
-          val vcs = got.getOrElse(p.pid, Array.empty[(Double, Long)])
+          val vcs = got(p)
           var cum = 0L; var i = 0
           while (i < vcs.length && cum + vcs(i)._2 <= kIn) {
             cum += vcs(i)._2; i += 1
@@ -281,16 +308,20 @@ object Selection {
         groupCols.map(c => col(c).as(s"_g_$c")): _*)
       .localCheckpoint(false)
 
+    val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
     val seed = rows
       .groupBy(col("_gkey"))
       .agg(sum(col("_w")).as("_tw"),
         (Seq(min(col("_w")).as("_wmin"),
-          min(col("_v")).as("_lo"), max(col("_v")).as("_hi")) ++
+          min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+          count(lit(1)).as("_n"),
+          approx_count_distinct(col("_v")).as("_d")) ++
           groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
       .collect()
 
     var nextPid = 0
     var open = List.empty[Problem]
+    var gatherNow = List.empty[Problem]
     // here Problem.k is the 1-based target CUMULATIVE WEIGHT
     val resolved = collection.mutable.Map.empty[(String, Long), Double]
     val meta = seed.map { r =>
@@ -302,22 +333,45 @@ object Selection {
         s"weightedQuantile: group $gkey has zero total weight")
       val lo = r.getDouble(3)
       val hi = r.getDouble(4)
-      val gvals = groupCols.indices.map(i => r.get(5 + i))
+      val n = r.getLong(5)
+      val d = r.getLong(6)
+      val gvals = groupCols.indices.map(i => r.get(7 + i))
       // ceil(q * W): one correctly-rounded double product + ceil —
       // identical on every IEEE engine, exact for W < 2^52
       val ks = qs.map(q => math.max(1L, math.ceil(q * w.toDouble).toLong))
       ks.distinct.foreach { k =>
         if (lo == hi) resolved((gkey, k)) = lo
-        else { open ::= Problem(nextPid, gkey, k, lo, hi); nextPid += 1 }
+        else {
+          val p = Problem(nextPid, gkey, k, lo, hi); nextPid += 1
+          // same seed-time gather shortcut as quantileCont: a group
+          // whose rows or distinct values already fit the gather bound
+          // skips the histogram rounds entirely (loud require backstops)
+          if (n <= collectThreshold || d <= gatherDistinctBound / 2)
+            gatherNow ::= p
+          else open ::= p
+        }
       }
       (gvals, gkey, w, ks)
+    }
+    if (gatherNow.nonEmpty) {
+      val got = wgatherDeduped(spark, rows, gatherNow, buckets,
+        collectThreshold)
+      gatherNow.foreach { p =>
+        val vcs = got(p)
+        var cum = 0L; var i = 0
+        while (i < vcs.length && cum + vcs(i)._2 < p.k) {
+          cum += vcs(i)._2; i += 1
+        }
+        require(i < vcs.length,
+          s"weighted selection gather underflow (group=${p.gkey})")
+        resolved((p.gkey, p.k)) = vcs(i)._1
+      }
     }
 
     var round = 0
     while (open.nonEmpty && round < maxRounds) {
       round += 1
       val hist = whistogramPass(spark, rows, open, buckets)
-      val gatherDistinctBound = math.max(collectThreshold, 4 * buckets)
       val (toGather, stillOpen) = open.map { p =>
         val h = hist.getOrElse(p.pid, Map.empty[Int, (Long, Long, Long)])
         val wBelow = h.getOrElse(B_BELOW, (0L, 0L, 0L))._1
@@ -348,10 +402,10 @@ object Selection {
         }
       }.partitionMap(identity)
       if (toGather.nonEmpty) {
-        val got = wgatherPass(spark, rows, toGather.map(_._1), buckets,
+        val got = wgatherDeduped(spark, rows, toGather.map(_._1), buckets,
           collectThreshold)
         toGather.foreach { case (p, kIn) =>
-          val vcs = got.getOrElse(p.pid, Array.empty[(Double, Long)])
+          val vcs = got(p)
           var cum = 0L; var i = 0
           while (i < vcs.length && cum + vcs(i)._2 < kIn) {
             cum += vcs(i)._2; i += 1
@@ -429,6 +483,22 @@ object Selection {
     }
   }
 
+  /** Weighted twin of [[gatherDeduped]]: one gather per distinct
+    * (gkey, lo, hi), served to every problem of that group/range. */
+  private def wgatherDeduped(spark: SparkSession, rows: DataFrame,
+                             ps: List[Problem], buckets: Int,
+                             collectThreshold: Int)
+      : Map[Problem, Array[(Double, Long)]] = {
+    val reps = ps.groupBy(p => (p.gkey, p.lo, p.hi)).values
+      .map(_.head).toList
+    val got = wgatherPass(spark, rows, reps, buckets, collectThreshold)
+    val byRange = reps
+      .map(r => (r.gkey, r.lo, r.hi) ->
+        got.getOrElse(r.pid, Array.empty[(Double, Long)]))
+      .toMap
+    ps.map(p => p -> byRange((p.gkey, p.lo, p.hi))).toMap
+  }
+
   /** One aggregation serving every open problem: returns
     * pid -> (bucket -> (count, approx distinct count)), bucket in {-1} ++
     * [0, buckets] where -1 is v < lo and `buckets` is v > hi (both by
@@ -463,6 +533,24 @@ object Selection {
         pid -> rs.map(r =>
           r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
       }
+  }
+
+  /** Gather once per DISTINCT (gkey, lo, hi) and serve every problem of
+    * that group/range from the same value list — a group carrying
+    * several open ranks (multi-quantile queries) otherwise joins and
+    * collects its rows once per rank. Returns a per-PROBLEM lookup. */
+  private def gatherDeduped(spark: SparkSession, rows: DataFrame,
+                            ps: List[Problem], buckets: Int,
+                            collectThreshold: Int)
+      : Map[Problem, Array[(Double, Long)]] = {
+    val reps = ps.groupBy(p => (p.gkey, p.lo, p.hi)).values
+      .map(_.head).toList
+    val got = gatherPass(spark, rows, reps, buckets, collectThreshold)
+    val byRange = reps
+      .map(r => (r.gkey, r.lo, r.hi) ->
+        got.getOrElse(r.pid, Array.empty[(Double, Long)]))
+      .toMap
+    ps.map(p => p -> byRange((p.gkey, p.lo, p.hi))).toMap
   }
 
   /** Bounded exact gather: per problem, the distinct in-range values with
