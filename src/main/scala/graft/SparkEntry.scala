@@ -10721,20 +10721,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       val supp = baskets.select(explode(col("parts")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("supp"))
-      val sym = pairs
-        .select(col("pa").as("item"), col("pb").as("nb"), col("cnt"))
-        .unionAll(pairs
-          .select(col("pb").as("item"), col("pa").as("nb"), col("cnt")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("item").orderBy(col("cosine").desc, col("nb").asc)
       // supports are one row per distinct part — a VOCABULARY-sized
       // frame that grows with SF, so no broadcast hint: the pair list
-      // shuffle-joins on the part key (AQE broadcasts when small)
+      // shuffle-joins on the part key (AQE broadcasts when small).
+      // Both supports attach to the HALF pair list before it is
+      // symmetrized — the two joins probe half the rows they did when
+      // the union came first; the symmetric copy then just swaps the
+      // attached columns.
+      val both = pairs
+        .join(supp.select(col("pk").as("pa"), col("supp").as("sa")), "pa")
+        .join(supp.select(col("pk").as("pb"), col("supp").as("sb")), "pb")
+      val sym = both
+        .select(col("pa").as("item"), col("pb").as("nb"), col("cnt"),
+          col("sa").as("si"), col("sb").as("sn"))
+        .unionAll(both
+          .select(col("pb").as("item"), col("pa").as("nb"), col("cnt"),
+            col("sb").as("si"), col("sa").as("sn")))
       sym
-        .join(supp.select(col("pk").as("item"),
-          col("supp").as("si")), "item")
-        .join(supp.select(col("pk").as("nb"),
-          col("supp").as("sn")), "nb")
         .select(col("item"), col("nb"), col("cnt"),
           round(col("cnt").cast("double") /
             sqrt((col("si") * col("sn")).cast("double")), 6).as("cosine"))
