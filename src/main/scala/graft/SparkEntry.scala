@@ -10509,7 +10509,12 @@ object SparkEntry {
       val src = graft.streaming.StreamGate.scratchDir("stage", "txncdc")
       val store = graft.streaming.StreamGate
         .scratchDir("stage", "txncdcstore")
-      base.repartition(4).write.mode("overwrite").csv(src)
+      // staged fanout (3 files / 2 under the bench-light knob, like
+      // every other multi-batch CSV replay): each staged file is one
+      // micro-batch = one log version for the tailing consumer below;
+      // the head >= 1 require keeps the multi-batch shape load-bearing
+      base.repartition(graft.streaming.StreamGate.stageFanout)
+        .write.mode("overwrite").csv(src)
       try {
         graft.streaming.StreamGate.replayCsvToTxnStore(s, src,
           org.apache.spark.sql.types.StructType(Seq(
@@ -10539,9 +10544,15 @@ object SparkEntry {
               sum(col("sum_cents")).as("sum_cents"))
             .localCheckpoint(true)
         }
+        // one multiset-equality pass (±1 tags, all per-tuple sums zero)
+        // instead of two exceptAll probes that each re-plan both sides
         val scratch = fold(TxnLog.liveFilesAt(s, logDir, head))
-        require(state.exceptAll(scratch).isEmpty
-          && scratch.exceptAll(state).isEmpty,
+        require(state.withColumn("_side", lit(1L))
+          .unionByName(scratch.withColumn("_side", lit(-1L)))
+          .groupBy(state.columns.map(col): _*)
+          .agg(sum(col("_side")).as("_d"))
+          .where(col("_d") =!= 0L)
+          .isEmpty,
           "incremental CDC state diverged from the snapshot recompute")
         state
       } finally {
