@@ -4204,10 +4204,16 @@ object SparkEntry {
         .join(retired, Seq("doc_id"), "left_anti")
         .unionAll(lshRows(s.read.parquet(added: _*)))
       // merge == recompute: the maintained index must equal the index a
-      // from-scratch build of snapshot v1 produces
+      // from-scratch build of snapshot v1 produces — one multiset-
+      // equality pass (±1 tags, all per-tuple sums zero) instead of two
+      // exceptAll probes that each re-plan both sides
       val scratch = lshRows(TxnLog.readSnapshot(s, logDir, 1L))
-      require(incremental.exceptAll(scratch).isEmpty
-        && scratch.exceptAll(incremental).isEmpty,
+      require(incremental.withColumn("_side", lit(1L))
+        .unionByName(scratch.withColumn("_side", lit(-1L)))
+        .groupBy(incremental.columns.map(col): _*)
+        .agg(sum(col("_side")).as("_d"))
+        .where(col("_d") =!= 0L)
+        .isEmpty,
         "incremental LSH index diverged from the from-scratch index")
       incremental.groupBy(col("band_idx"), col("band"))
         .agg(count(lit(1)).as("bucket_size"))
