@@ -631,6 +631,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_mutual_info" -> "marginals by event_type (5) / hour (24)",
       "rel_cramers_v" -> "contingency marginals: nation 25 / segment 5",
       "rel_theil_index" -> "per-nation group sums: 25 rows",
+      "rel_spearman_corr" -> ("x-rank table keyed by round(l_quantity): " +
+        "integral value domain (~50 distinct quantities), bounded by " +
+        "the attribute domain, not row count"),
       "rel_seasonal_anomaly" -> "hour-of-day profile: 24 rows",
       "rel_theta_jaccard_matrix" -> ("per-event_type sketch frame: 5 " +
         "rows of <= 128 longs"),
