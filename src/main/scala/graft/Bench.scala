@@ -84,8 +84,9 @@ object Bench {
     // staged replay. Verify never sets this, so the oracle gate always
     // runs the full 3-batch shape. SPARK_GRAFT_BENCH_STREAM_FULL=1
     // restores it here too (for like-for-like A/Bs against old runs).
-    if (!sys.env.get("SPARK_GRAFT_BENCH_STREAM_FULL").contains("1"))
-      System.setProperty("graft.bench.stream.light", "1")
+    val streamLight =
+      !sys.env.get("SPARK_GRAFT_BENCH_STREAM_FULL").contains("1")
+    if (streamLight) System.setProperty("graft.bench.stream.light", "1")
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -346,14 +347,25 @@ object Bench {
           s""","rerun_budget_sec":${guard.rerunBudgetSec}""")
         .getOrElse("")
       val stallField = if (guard.hostStall) ""","host_stall":true""" else ""
+      // any reading still past the outlier bar after every re-run chance
+      // is published as-measured but MARKED — a reader must not take a
+      // stall-window reading for a regression (r18: a 6.9 s query shipped
+      // as 29.2 s because the stall disabled its re-runs)
+      val stallPub = states.filter(st => st.ran && !st.failed &&
+        guard.isOutlier(st.name, st.best)).map(_.name).sorted
+      val stallPubField =
+        if (stallPub.isEmpty) ""
+        else stallPub.map("\"" + _ + "\"")
+          .mkString(""","stall_published":[""", ",", "]")
       val truncField = if (truncated) ""","truncated":true""" else ""
       val skipped = states.count(!_.ran)
       val skipField = if (skipped > 0) s""","n_skipped":$skipped""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,""" +
         s""""deadline_sec":$deadlineSec,"order_seed":$orderSeed,""" +
+        s""""stream_light":$streamLight,""" +
         s""""queries":$qs,"baseline_comparable":$cmp""" +
-        spillField + rerunField + refField + stallField + truncField +
-        skipField + s""","sf":"$sfDir"}"""
+        spillField + rerunField + refField + stallField + stallPubField +
+        truncField + skipField + s""","sf":"$sfDir"}"""
     }
     def flush(truncated: Boolean): Unit =
       try {
@@ -446,6 +458,33 @@ object Bench {
           "host stall: disabling re-runs, publishing as measured")
     }
 
+    // ----- phase 3b: end-of-sweep stall recheck ---------------------------
+    // Host-stall mode stops re-running the moment 3 consecutive guarded
+    // queries stay outliers — correct mid-stall (the artifact must exist),
+    // but a transient that ENDS mid-sweep used to ship every reading it
+    // inflated (r18: 29.2 s published for a 6.9 s query). With deadline
+    // budget left, each still-outlier query gets one more chance, most
+    // expensive reference first (they distort totals most); two
+    // consecutive failed recoveries mean the host is STILL stalled and
+    // the recheck stops. Whatever stays an outlier is published with the
+    // explicit "stall_published" marker rather than posing as a
+    // measurement.
+    var failedRecover = 0
+    states.filter(st => st.ran && !st.failed &&
+        guard.isOutlier(st.name, st.best))
+      .sortBy(st => -refTimes.getOrElse(st.name, 0.0))
+      .foreach { st =>
+        if (failedRecover < 2 && remainingSec > 1.3 * st.pass1 + 0.5) {
+          st.reruns += 1
+          System.err.println(f"[bench] ${st.name}%s still ${st.best}%.2fs " +
+            f"vs committed ${refTimes(st.name)}%.2fs — end-of-sweep recheck")
+          val sec = runOnce(st)
+          if (sec > 0) st.best = math.min(st.best, sec)
+          if (guard.isOutlier(st.name, st.best)) failedRecover += 1
+          else failedRecover = 0
+        }
+      }
+
     // ----- final artifact ------------------------------------------------
     val truncated = pass1Cut
     flush(truncated)
@@ -468,6 +507,7 @@ object Bench {
           rm.getOrElse("stock_count_x100", -1.0)},""" +
         s""""word_count_x100_sec":${rm.getOrElse("word_count_x100", -1.0)}},""" +
         s""""host_stall":${guard.hostStall},"truncated":$truncated,""" +
+        s""""stream_light":$streamLight,""" +
         s""""elapsed_sec":${math.round(elapsedSec)},""" +
         s""""order_seed":$orderSeed,"sf":"$sfDir","queries_file":"$outPath"}"""
     println(summary)
