@@ -86,6 +86,28 @@ object SparkEntry {
       when(col("event_type") =!= "error",
         round(col("value") * 1000).cast("long")).as("v"))
 
+  /** Support-filtered part co-purchase pair list shared by the
+    * kcore/coreness/ktruss decompositions: parts sharing an order >= 2
+    * times, directed a < b. Basket shape (the rel_basket_pairs /
+    * rel_item_cooccur_sim scale discipline): ONE orderkey shuffle builds
+    * each order's sorted distinct-part basket, the a < b pairs generate
+    * MAP-SIDE with per-order-bounded fan-out, and ONE (a, b) shuffle
+    * counts support — where the old items-self-join shape paid a
+    * (orderkey, partkey) distinct exchange plus the self-join's two
+    * orderkey re-shuffles for the exact same pair multiset (sorted
+    * distinct baskets make "all a < b part pairs within an order" and
+    * "join on orderkey with partkey < partkey" literally the same set). */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(
+        graft.functions.GraftFunctions.sortedPairs(s, col("parts")))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select(col("a"), col("b"))
+
   /** SCD Type-2 dimension built from the signup changelog: one row per
     * (user, version) with [vf, vt) micros effectivity, vt NULL while
     * current. Shared by `rel_scd2_build` (the dimension itself) and
@@ -4099,12 +4121,19 @@ object SparkEntry {
     // which is what the MinHash-LSH path is for.) Dot products and norms
     // stay exact integers until the final division, so parity is exact.
     "text_doc_cosine" -> ((s, dir) => {
+      // materialized once: the tf table feeds FOUR consumers (the
+      // broadcast query side, the probe side, and both norm joins) —
+      // un-checkpointed, Catalyst re-ran the tokenize+explode+aggregate
+      // subtree for each of them (the 32-core anti-scaling the r18
+      // driver bench flagged: 4x duplicated tiny-task work)
       val tk = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Dedup.cleanTokens(col("text")))
           .as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val nm = tk.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+        .localCheckpoint(false)
       val dots = broadcast(tk.where(col("doc_id") < 5)
           .select(col("doc_id").as("q"), col("token"), col("tf").as("tf_q")))
         .join(tk.select(col("doc_id").as("d"), col("token"),
@@ -4668,11 +4697,18 @@ object SparkEntry {
     // the dense bipartite graph's diameter is ~4, so both terminate on
     // an empty frontier, not the cap.
     "rel_shortest_path" -> ((s, dir) => {
+      // The whole traversal runs on LONG-encoded node ids (customer k ->
+      // 2k, supplier k -> 2k+1 — the rel_label_propagation encoding) and
+      // stringifies once at the output: every per-hop join, distinct and
+      // anti-join hashes and shuffles 8-byte longs instead of ~8-char
+      // strings, and the dedup exchange runs before any string exists
+      // (guide §2.3 narrower types). The long->string map is injective,
+      // so the emitted (node, dist) set is byte-identical.
       val half = tbl(s, dir, "orders")
         .join(tbl(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       // partitioned on the frontier-join key before the one-time
       // checkpoint (preserved by localCheckpoint), so each hop shuffles
@@ -4682,7 +4718,7 @@ object SparkEntry {
         .repartition(col("a"))
         .localCheckpoint(false)
       var visited = s.range(1)
-        .select(lit("s1").as("node"), lit(0L).as("dist"))
+        .select(lit(3L).as("node"), lit(0L).as("dist")) // s1 -> 2*1+1
         .localCheckpoint(false)
       var frontier = visited
       var hop = 0
@@ -4697,11 +4733,22 @@ object SparkEntry {
           .localCheckpoint(false)
         if (next.isEmpty) done = true
         else {
-          visited = visited.unionAll(next).localCheckpoint(false)
+          // the growing visited set is materialized every 2ND hop: on
+          // odd hops it stays a depth-1 union of two checkpointed
+          // frames (the previous materialized set + the checkpointed
+          // level), which every consumer re-plans cheaply — half the
+          // checkpoint I/O for identical levels (r18 verdict #4;
+          // A/B'd 3.86 -> 3.29 s solo)
+          val u = visited.unionAll(next)
+          visited = if (hop % 2 == 0) u.localCheckpoint(false) else u
           frontier = next
         }
       }
-      visited
+      visited.select(
+        when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+          .as("node"),
+        col("dist"))
     }),
 
     // Benford first-digit audit over order totals — the fraud/data-
@@ -5153,7 +5200,7 @@ object SparkEntry {
     // and lift, top-100 by support. ONE orderkey shuffle builds each
     // order's sorted part-set (collect_set both dedups per-order
     // repeats and bounds the basket); pairs then generate MAP-SIDE
-    // from the array (a codegen'd transform/slice/flatten — strictly
+    // from the array (the native graft_pairs expression — strictly
     // ascending, so part_a < part_b by construction) — per-order
     // fan-out is (basket choose 2), a CONSTANT (~4 lines/order) at
     // any corpus size, and work stays linear in orders, never
@@ -5175,10 +5222,8 @@ object SparkEntry {
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
         .localCheckpoint(false)
       val pairs = baskets
-        .select(explode(flatten(expr(
-          """transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)),
-            |            y -> struct(x AS a, y AS b)))""".stripMargin)))
+        .select(explode(
+          graft.functions.GraftFunctions.sortedPairs(s, col("parts")))
           .as("p"))
         .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
         .agg(count(lit(1)).as("cnt"))
@@ -5369,14 +5414,7 @@ object SparkEntry {
     // convergence require turns a pathological chain into a loud
     // failure, never a silent partial core.
     "rel_kcore" -> ((s, dir) => {
-      val items = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = items.as("x").join(items.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-        .select(col("a"), col("b"))
+      val pairs = coPurchasePairs(s, dir)
       val sym = pairs
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       // cores nest: peel the 3-core FROM the 2-core's edges, so the
@@ -5398,14 +5436,7 @@ object SparkEntry {
     // where an unbounded ladder's depth is data-dependent. Same
     // support-filtered part co-purchase graph as rel_kcore.
     "rel_coreness" -> ((s, dir) => {
-      val items = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = items.as("x").join(items.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-        .select(col("a"), col("b"))
+      val pairs = coPurchasePairs(s, dir)
       val sym = pairs
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       graft.ops.KCore.coreness(sym, 4, 30)
@@ -5425,14 +5456,7 @@ object SparkEntry {
     // the fixpoint are no-ops, and the engine's loud 8-round budget
     // guarantees the fixpoint is inside the unroll).
     "rel_ktruss" -> ((s, dir) => {
-      val items = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = items.as("x").join(items.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-        .select(col("a"), col("b"))
+      val pairs = coPurchasePairs(s, dir)
       // trusses nest (the 4-truss is inside the 3-truss: support >= 2
       // implies support >= 1 at every peel step, and bulk peeling is
       // deletion-order independent), so peel the 4-truss FROM the
@@ -10650,30 +10674,35 @@ object SparkEntry {
         .select(col("event_type"),
           (col("user_id") * 100000L + unix_date(to_date(col("ts"))))
             .cast("long").as("key"))
-      def sideSketch(side: String, tag: String): DataFrame = {
-        val ev = base.where(col("event_type") === side)
-          .select(col("event_type"), thetaHash(col("key")).as("h"))
-        val src = graft.streaming.StreamGate
-          .scratchDir("stage", s"thetaso$tag")
-        ev.repartition(graft.streaming.StreamGate.stageFanout)
+      // ONE replay carries BOTH sides: thetaSketchStream keys its state
+      // by event_type, so the click and purchase sketches come out of
+      // the same streaming session as two state keys — the per-replay
+      // fixed cost (query start, per-micro-batch incremental planning,
+      // state-store checkpoints) is paid once instead of twice. KMV
+      // state is the k smallest distinct hashes per key — commutative
+      // and idempotent — so each side's final (max-version) sketch is
+      // identical to what its own single-side replay produced.
+      val ev = base.select(col("event_type"), thetaHash(col("key")).as("h"))
+      val src = graft.streaming.StreamGate.scratchDir("stage", "thetaso")
+      ev.repartition(graft.streaming.StreamGate.stageFanout)
         .write.mode("overwrite").csv(src)
-        val sink =
-          try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("event_type",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("h",
-                org.apache.spark.sql.types.LongType))),
-            s"gate_thetaso$tag", "update")(df =>
-            graft.streaming.EventStream.thetaSketchStream(
-              df.toDF("_1", "_2").as[(String, Long)]).toDF())
-          finally graft.streaming.StreamGate.deleteRecursively(src)
-        sink.groupBy(col("key"))
-          .agg(max(struct(col("ver"), col("ks"))).as("m"))
-          .select(col("m.ks").as(s"k$tag"))
-      }
-      val a = sideSketch("click", "a")     // 1 row: click sketch
-      val b = sideSketch("purchase", "b")  // 1 row: purchase sketch
+      val sink =
+        try graft.streaming.StreamGate.replayCsvMultiBatch(s, src,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))),
+          "gate_thetaso", "update")(df =>
+          graft.streaming.EventStream.thetaSketchStream(
+            df.toDF("_1", "_2").as[(String, Long)]).toDF())
+        finally graft.streaming.StreamGate.deleteRecursively(src)
+      val fin = sink.groupBy(col("key"))
+        .agg(max(struct(col("ver"), col("ks"))).as("m"))
+      val a = fin.where(col("key") === "click")
+        .select(col("m.ks").as("ka"))     // 1 row: click sketch
+      val b = fin.where(col("key") === "purchase")
+        .select(col("m.ks").as("kb"))     // 1 row: purchase sketch
       val flags = base.groupBy("key").agg(
         max((col("event_type") === "click").cast("int")).as("ha"),
         max((col("event_type") === "purchase").cast("int")).as("hb"))
@@ -10729,10 +10758,8 @@ object SparkEntry {
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
         .localCheckpoint(false) // feeds pair generation + supports
       val pairs = baskets
-        .select(explode(flatten(expr(
-          """transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)),
-            |            y -> struct(x AS a, y AS b)))""".stripMargin)))
+        .select(explode(
+          graft.functions.GraftFunctions.sortedPairs(s, col("parts")))
           .as("p"))
         .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
         .agg(count(lit(1)).as("cnt"))
@@ -10969,24 +10996,27 @@ object SparkEntry {
     // O(panel-reached edges × 7 rounds) — panel size, not node count,
     // is the knob, exactly how betweenness is run in production.
     "rel_betweenness_panel" -> ((s, dir) => {
+      // LONG-encoded node ids through the whole traversal, stringified
+      // once at the output (rel_shortest_path note): 7 rounds of joins,
+      // aggregates and anti-joins hash 8-byte longs instead of strings
       val half = tbl(s, dir, "orders")
         .join(tbl(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = half
         .unionAll(half.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("a"))
         .localCheckpoint(false)
       val maxHop = 4
-      val panel = Seq("s1", "s2", "s3", "s4")
+      val panel = Seq(1L, 2L, 3L, 4L).map(2 * _ + 1) // s1..s4
       val lv0 = s.createDataFrame(panel.map(Tuple1(_))).toDF("src")
         .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
         .repartition(col("node")).localCheckpoint(false)
       var levels = Vector(lv0)
       var visited = lv0.select("src", "node").localCheckpoint(false)
-      for (_ <- 1 to maxHop) {
+      for (hop <- 1 to maxHop) {
         val next = levels.last
           .join(edges, col("node") === col("a"))
           .select(col("src"), col("b").as("nxt"), col("sigma"))
@@ -10996,6 +11026,12 @@ object SparkEntry {
           .join(visited, Seq("src", "node"), "left_anti")
           .localCheckpoint(false)
         levels :+= next
+        // visited materializes EVERY hop here, unlike rel_shortest_path:
+        // the (src, node)-keyed set is panel-size × larger, and the
+        // every-2nd-hop cadence A/B'd 10% SLOWER (6.08 → 6.68 s solo —
+        // the odd-hop anti-join re-plans and re-broadcasts the 2-frame
+        // union of the bigger set, costing more than the skipped
+        // materialization saved)
         visited = visited.unionAll(next.select("src", "node"))
           .localCheckpoint(false)
       }
@@ -11025,6 +11061,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sources"),
           sum(round(col("delta"), 6).cast("decimal(18,6)"))
             .cast("double").as("betweenness"))
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("n_sources"), col("betweenness"))
     }),
   )
 

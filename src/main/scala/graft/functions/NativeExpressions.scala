@@ -403,6 +403,136 @@ object ZOrderExpr {
   }
 }
 
+/** PQ encoding — per-subspace nearest codebook centroid — with the
+  * MODEL as constructor data instead of inlined literal trees. The
+  * literal form (kept as [[graft.ops.Similarity.pqCodesLiteral]] for the
+  * cross-check spec) plans ~25 expression nodes per (subspace, centroid)
+  * — ~1000 nodes for the 4×10×16 codebook — and every action over an
+  * index build re-walks them through analysis and optimization; this is
+  * ONE plan node and a tight loop per row. Arithmetic is bit-identical
+  * to the literal form: the same ascending-index dot accumulation as
+  * [[DotProductExpr]], the same ss - 2·sm + bb association, Spark's
+  * double round (HALF_UP via Double.toString-based BigDecimal) at scale
+  * 6, struct-min tie-breaking (NaN greatest, ties to the lower centroid
+  * position) — asserted row-for-row against the literal form in
+  * NativeFunctionsSpec. Output: one LONG centroid label per subspace. */
+case class PqEncodeExpr(child: Expression,
+    codebook: Seq[Seq[(Long, Seq[Double])]], subDim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_._2.toArray).toArray).toArray
+  @transient private lazy val lbls: Array[Array[Long]] =
+    codebook.map(_.map(_._1).toArray).toArray
+  // ||m||^2 summed in ascending index order — the literal form computed
+  // this in Scala the same way before inlining it as one constant
+  @transient private lazy val bbs: Array[Array[Double]] =
+    codebook.map(_.map(_._2.map(x => x * x).sum).toArray).toArray
+
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def encode(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = cents.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      var ss = 0.0
+      var t = 0
+      while (t < subDim) {
+        val x = arr.getDouble(base + t); ss += x * x; t += 1
+      }
+      val cj = cents(j)
+      var best = -1
+      var bestD = 0.0
+      var i = 0
+      while (i < cj.length) {
+        val c = cj(i)
+        var sm = 0.0
+        t = 0
+        while (t < subDim) { sm += arr.getDouble(base + t) * c(t); t += 1 }
+        val d2 = round6(ss - 2.0 * sm + bbs(j)(i))
+        // struct-min semantics: strictly smaller wins (ties keep the
+        // earlier position); a NaN incumbent loses to any non-NaN
+        if (best < 0 || d2 < bestD || (bestD.isNaN && !d2.isNaN)) {
+          best = i; bestD = d2
+        }
+        i += 1
+      }
+      out(j) = lbls(j)(best)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this,
+      classOf[PqEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+  : PqEncodeExpr = copy(child = newChild)
+}
+
+/** All ordered (i < j) element pairs of a long array as one
+  * array<struct<a, b>> — the basket-shaped co-occurrence expansion
+  * (rel_basket_pairs / rel_item_cooccur_sim / the co-purchase graph
+  * builders). Equivalent to the nested transform/slice HOF form, but
+  * those pay two interpreted lambda evaluations per emitted pair; this
+  * is one tight loop per row inside whole-stage codegen. Order of
+  * emitted pairs matches the HOF form (outer index ascending, inner
+  * ascending), so on a sorted distinct basket every pair is a < b. */
+case class SortedPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("b", LongType,
+        nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    SortedPairsExpr.pairsData(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.SortedPairsExpr.pairsData($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+  : SortedPairsExpr = copy(child = newChild)
+}
+
+object SortedPairsExpr {
+  /** Codegen bridge: m*(m-1)/2 two-long rows from an m-element array. */
+  def pairsData(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Any](m * (m - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < m) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < m) {
+        out(idx) =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](a, arr.getLong(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class ShinglesExpr(child: Expression, n: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -439,6 +569,7 @@ object GraftFunctions {
     "graft_ticker_counts" -> (es => TokenCountsAgg(es.head, Nil,
       TokenCountsAgg.ModeCsvTicker)),
     "graft_cdc_chunks" -> (es => CdcChunksExpr(es.head)),
+    "graft_pairs" -> (es => SortedPairsExpr(es.head)),
     "graft_cms_estimate" -> (es => CmsEstimateExpr(es.head, es(1))),
     // the built-in bloom build aggregate (not exposed as a SQL function
     // by Spark itself) + the broadcast-shape probe above
@@ -492,6 +623,13 @@ object GraftFunctions {
   def shingles(spark: SparkSession, c: Column, n: Int = 3): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** All i < j pairs of a long array as array<struct<a, b>> (see
+    * [[SortedPairsExpr]]). */
+  def sortedPairs(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_pairs", c)
   }
 
   /** MinHash signature from a pre-computed shingle array (see

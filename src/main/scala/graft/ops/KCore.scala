@@ -38,13 +38,21 @@ object KCore {
   private val RoundsPerBatch = 3
 
   /** One lazy peel round: keep the edges whose BOTH endpoints have
-    * degree >= k in `cur`. */
+    * degree >= k in `cur`. The surviving-vertex list is needed for both
+    * endpoints; building the two join sides as STRUCTURALLY IDENTICAL
+    * plans (same aggregate, same trailing alias) lets Spark's
+    * ReuseExchange rule evaluate the degree aggregation ONCE per round
+    * and feed both semi joins from the same exchange — the previous
+    * `withColumnRenamed` copy differed by a Project and re-ran the
+    * full aggregation for the second endpoint every round. */
   private def round(cur: DataFrame, k: Int): DataFrame = {
-    val keep = cur.groupBy(col("a"))
+    def keep: DataFrame = cur.groupBy(col("a"))
       .agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= k).select(col("a"))
-    cur.join(keep, Seq("a"), "left_semi")
-      .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+      .where(col("deg") >= k).select(col("a").as("v"))
+    val ka = keep
+    val kb = keep
+    cur.join(ka, col("a") === ka("v"), "left_semi")
+      .join(kb, col("b") === kb("v"), "left_semi")
   }
 
   /** Peel the symmetric edge list `sym(a, b)` (both directions present,

@@ -55,6 +55,19 @@ object Selection {
   private val B_BELOW = -1 // bucket id for v < lo
   // bucket id `buckets` is v > hi
 
+  /** Relative SD for every ride-along HLL distinct estimate. The
+    * estimates only STEER (gather-vs-narrow decisions); exactness comes
+    * from the gathers' loud require bounds. At the default 0.05 each
+    * per-(problem, bucket) partial carries a 512-register sketch —
+    * hundreds of bytes × problems × buckets × partitions of pure
+    * steering overhead per histogram pass; 0.2 shrinks the sketch 16x.
+    * Decision safety: every gather trigger compares the estimate
+    * against HALF the gather's require bound, so the sketch would have
+    * to under-read by 2x (10 standard errors at rsd 0.2) before a
+    * too-big gather is even attempted — and the require still catches
+    * that case loudly before results could be affected. */
+  private val DistinctRsd = 0.2
+
   /** One open problem: the group's order statistic `k` (0-indexed,
     * absolute within the group) is known to lie in [lo, hi]. */
   private final case class Problem(pid: Int, gkey: String, k: Long,
@@ -133,7 +146,7 @@ object Selection {
       .groupBy(col("_gkey"))
       .agg(count(lit(1)).as("_n"),
         (Seq(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-          approx_count_distinct(col("_v")).as("_d")) ++
+          approx_count_distinct(col("_v"), DistinctRsd).as("_d")) ++
           groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
       .collect()
 
@@ -315,7 +328,7 @@ object Selection {
         (Seq(min(col("_w")).as("_wmin"),
           min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
           count(lit(1)).as("_n"),
-          approx_count_distinct(col("_v")).as("_d")) ++
+          approx_count_distinct(col("_v"), DistinctRsd).as("_d")) ++
           groupCols.map(c => first(col(s"_g_$c")).as(s"_g_$c"))): _*)
       .collect()
 
@@ -452,7 +465,7 @@ object Selection {
     rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
       .groupBy(col("_pid"), b.as("_b"))
       .agg(sum(col("_w")).as("_ws"), count(lit(1)).as("_c"),
-        approx_count_distinct(v).as("_d"))
+        approx_count_distinct(v, DistinctRsd).as("_d"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (pid, rs) =>
@@ -471,10 +484,19 @@ object Selection {
       ps.map(p => (p.pid, p.gkey, p.lo, p.hi)))
       .toDF("_pid", "_pgkey", "_plo", "_phi")
     val v = col("_v")
+    // the global LIMIT bounds what can ever reach the driver (CollectLimit
+    // pulls partitions incrementally), so a badly lying distinct sketch
+    // fails the require below instead of surfacing as driver memory
+    // pressure; under the bound the limit is a no-op
+    val bound = ps.size * math.max(collectThreshold, 4 * buckets) + 1
     val out = rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
       .where(v >= col("_plo") && v <= col("_phi"))
       .groupBy(col("_pid"), v.as("_val")).agg(sum(col("_w")).as("_ws"))
+      .limit(bound)
       .collect()
+    require(out.length < bound,
+      s"weighted selection gather exceeded its global bound ($bound rows " +
+        s"for ${ps.size} problems)")
     out.groupBy(_.getInt(0)).map { case (pid, rs) =>
       require(rs.length <= math.max(collectThreshold, 4 * buckets),
         s"weighted selection gather exceeded its bound: ${rs.length} " +
@@ -526,7 +548,7 @@ object Selection {
       .when(v > col("_phi"), lit(buckets)).otherwise(inB)
     rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
       .groupBy(col("_pid"), b.as("_b"))
-      .agg(count(lit(1)).as("_c"), approx_count_distinct(v).as("_d"))
+      .agg(count(lit(1)).as("_c"), approx_count_distinct(v, DistinctRsd).as("_d"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (pid, rs) =>
@@ -566,10 +588,16 @@ object Selection {
       ps.map(p => (p.pid, p.gkey, p.lo, p.hi)))
       .toDF("_pid", "_pgkey", "_plo", "_phi")
     val v = col("_v")
+    // global LIMIT before the collect — see wgatherPass
+    val bound = ps.size * math.max(collectThreshold, 4 * buckets) + 1
     val out = rows.join(broadcast(probsDf), col("_gkey") === col("_pgkey"))
       .where(v >= col("_plo") && v <= col("_phi"))
       .groupBy(col("_pid"), v.as("_val")).agg(count(lit(1)).as("_c"))
+      .limit(bound)
       .collect()
+    require(out.length < bound,
+      s"selection gather exceeded its global bound ($bound rows for " +
+        s"${ps.size} problems)")
     val grouped = out.groupBy(_.getInt(0)).map { case (pid, rs) =>
       require(rs.length <= math.max(collectThreshold, 4 * buckets),
         s"selection gather exceeded its bound: ${rs.length} distinct " +

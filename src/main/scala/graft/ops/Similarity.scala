@@ -304,13 +304,33 @@ object Similarity {
     * `codebook.size` small ints — the memory step that makes
     * billion-vector ANN fit a cluster.
     *
-    * Same scale shape as [[assignToCentroids]]: the codebook arrives as
-    * driver-side literals (model-sized), each subspace's argmin is an
-    * `array_min` fold over `struct(d2, position, label)` inside the
-    * scan's codegen'd projection — one pass, no explode, no shuffle,
-    * no state beyond the row. */
+    * Same scale shape as [[assignToCentroids]]: the codebook is MODEL
+    * data carried by one native expression ([[graft.functions.
+    * PqEncodeExpr]] — constructor field, not ~1000 inlined literal
+    * nodes), the whole encode is one tight loop inside the scan's
+    * codegen'd projection — one pass, no explode, no shuffle, no state
+    * beyond the row. Bit-identical to the literal form (kept below as
+    * [[pqCodesLiteral]]; equality asserted in NativeFunctionsSpec). */
   def pqCodes(df: DataFrame, emb: Column, id: Column,
               codebook: Seq[Seq[(Long, Seq[Double])]], subDim: Int)
+  : DataFrame = {
+    val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
+    val codes = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("e")),
+        codebook, subDim))
+    val codeCols = codebook.indices.map(j =>
+      element_at(codes, j + 1).as(s"code_$j"))
+    v.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** The literal-expression PQ encode pqCodes replaced — each subspace's
+    * argmin as an `array_min` fold over `struct(d2, position, label)`
+    * built from inlined codebook literals. Kept as the cross-check twin:
+    * NativeFunctionsSpec asserts row-for-row equality with [[pqCodes]]
+    * on the real embeddings distribution. */
+  def pqCodesLiteral(df: DataFrame, emb: Column, id: Column,
+                     codebook: Seq[Seq[(Long, Seq[Double])]], subDim: Int)
   : DataFrame = {
     val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
     val codeCols = codebook.zipWithIndex.map { case (cents, j) =>

@@ -110,6 +110,47 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native sorted-pairs == nested transform/slice HOF, exact order") {
+    val arrs = Seq(Seq.empty[Long], Seq(7L), Seq(1L, 5L),
+      Seq(1L, 2L, 3L, 4L, 5L)) ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(9))(rnd.nextLong()).distinct
+        .sorted.toSeq)
+    val df = arrs.toDF("parts")
+    val native = df.select(
+      GraftFunctions.sortedPairs(spark, col("parts")).as("p"))
+      .select(expr("transform(p, x -> struct(x.a AS a, x.b AS b))"))
+      .as[Seq[(Long, Long)]].collect()
+    val hof = df.select(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)),
+        |            y -> struct(x AS a, y AS b))))""".stripMargin))
+      .as[Seq[(Long, Long)]].collect()
+    native.zip(hof).zip(arrs).foreach { case ((n, h), a) =>
+      assert(n == h, s"input=$a")
+    }
+  }
+
+  test("native PQ encode == literal-expression pqCodes, row-for-row") {
+    val subDim = 4
+    val m = 3
+    val k = 5
+    val codebook: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(_ =>
+      (0 until k).map(i => i.toLong ->
+        Seq.fill(subDim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)))
+    // random vectors plus adversarial ties: vectors equal to a centroid
+    // (d2 = 0 against it) and duplicated centroids across positions
+    val vecs = Seq.fill(300)(Seq.fill(m * subDim)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6)) ++
+      (0 until k).map(i => (0 until m).flatMap(j => codebook(j)(i)._2))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val nat = graft.ops.Similarity.pqCodes(df, col("embedding"),
+      col("vec_id"), codebook, subDim).orderBy("vec_id").collect()
+    val lit0 = graft.ops.Similarity.pqCodesLiteral(df, col("embedding"),
+      col("vec_id"), codebook, subDim).orderBy("vec_id").collect()
+    assert(nat.map(_.toSeq).toSeq == lit0.map(_.toSeq).toSeq)
+  }
+
   test("native dot product == declarative fold, bit-identical") {
     val rnd2 = new scala.util.Random(5)
     val vecs = Seq.fill(50)((Seq.fill(64)(rnd2.nextFloat()),
