@@ -107,6 +107,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scale-adaptive scan splits: the sf dirs are single small files,
+      // so the production 128 MB default serializes every base-table
+      // scan into one task at any core count (see
+      // SparkEntry.adaptiveMaxSplitBytes — derives from input size,
+      // saturates at the 128 MB default at real scale)
+      .config("spark.sql.files.maxPartitionBytes",
+        SparkEntry.adaptiveMaxSplitBytes(sfDir, cpus.toInt))
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder
       // session-wide graft surface: native functions + the GlobalRank/

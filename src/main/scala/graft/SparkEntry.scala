@@ -86,6 +86,30 @@ object SparkEntry {
       when(col("event_type") =!= "error",
         round(col("value") * 1000).cast("long")).as("v"))
 
+  /** Scale-adaptive parquet split size for a LOCAL session over `sfDir`.
+    * The test inputs are single small files (lineitem at sf0.1 is one
+    * ~11 MB file), so Spark's production default of 128 MB per split
+    * serializes every base-table scan into ONE task at any core count —
+    * the biggest single source of the anti-scaling the r18 driver bench
+    * measured (a scan-plus-aggregate query like rel_q14_promo ran as one
+    * 1.7 s serial task on 32 idle cores). The split derives from the
+    * actual input size so a few waves of scan tasks cover the cores,
+    * clamped to [512 KB, 128 MB]: at production scale the derivation
+    * saturates at the 128 MB default (guide §6 — large sequential splits
+    * are what a 100 TB scan wants), so this is scale-shape adaptation,
+    * not a local-only constant. SPARK_GRAFT_MAX_SPLIT_BYTES overrides
+    * both the derivation and the cap. */
+  def adaptiveMaxSplitBytes(sfDir: String, cpus: Int): Long =
+    sys.env.get("SPARK_GRAFT_MAX_SPLIT_BYTES").map(_.toLong).getOrElse {
+      val total =
+        try {
+          Option(new java.io.File(sfDir).listFiles())
+            .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+        } catch { case _: Throwable => 0L }
+      math.min(128L << 20,
+        math.max(512L << 10, total / math.max(1, 2 * cpus)))
+    }
+
   /** Support-filtered part co-purchase pair list shared by the
     * kcore/coreness/ktruss decompositions: parts sharing an order >= 2
     * times, directed a < b. Basket shape (the rel_basket_pairs /
