@@ -33,9 +33,13 @@ object KCore {
     * no-op) and the edge count is monotone decreasing, so batching B
     * rounds into one plan and checkpointing/counting once per batch is
     * EXACT: equal batch-boundary counts imply no round inside the batch
-    * changed anything. Cuts actions ~3x on cascades like the sf0.01
-    * 3-core (11 rounds -> 4 batches). */
-  private val RoundsPerBatch = 3
+    * changed anything. B = 2 re-measured this round with the shared
+    * keep exchange in place (round 2's degree aggregate re-executes
+    * round 1's semi joins once within the lazy batch, so deeper batches
+    * now re-execute more than their saved actions are worth: at sf0.1
+    * rel_kcore read 2.89 s at B=2 vs 3.81 at B=3 vs 6.52 at B=5;
+    * B=1 read 3.22 — more actions, no re-execution). */
+  private val RoundsPerBatch = 2
 
   /** One lazy peel round: keep the edges whose BOTH endpoints have
     * degree >= k in `cur`. The surviving-vertex list is needed for both

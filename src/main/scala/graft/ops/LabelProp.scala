@@ -104,7 +104,12 @@ object LabelProp {
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(false)
     val nNodes = labels.count() // labels is materialized: cheap
-    // majority label over (b, lbl) pairs; min label on count ties
+    // majority label over (b, lbl) pairs; min label on count ties.
+    // (A pre-repartition by b — one exchange serving both aggregates
+    // instead of an exchange each — A/B'd NEUTRAL at sf0.1: the raw
+    // rows it shuffles cost what the saved exchange of partial-agg
+    // rows saved. Kept in the two-aggregate form, whose map-side
+    // partial aggregation is the right 100 TB default.)
     def argmax(bLbl: DataFrame): DataFrame = bLbl
       .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("b"))
