@@ -140,6 +140,12 @@ object Bench {
       // an 8x swing on stock_count_x100 in round 4)
       SparkEntry.queries("stock_count_x100")(spark, sfDir).count()
       SparkEntry.queries("word_count_x100")(spark, sfDir).count()
+      // one cheap streaming replay: the micro-batch engine's one-time
+      // init (state-store machinery, incremental-planning stacks,
+      // streaming codegen) otherwise lands on whichever stream query
+      // the sweep order happens to run first — measured ~2 s of pass-1
+      // inflation on that query under seed randomization
+      SparkEntry.queries("stream_topk_types")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
     // dev knobs (unset in driver runs): SPARK_GRAFT_BENCH_ONLY narrows the

@@ -148,13 +148,22 @@ object StreamGate {
                          (transform: DataFrame => DataFrame)
   : DataFrame = withReplayPartitions(spark) {
     withCompleteModeNoDataOff(spark, mode) {
+      val tlog = sys.env.get("SPARK_GRAFT_STREAM_TLOG").contains("1")
+      var t = System.nanoTime()
+      def mark(what: String): Unit = if (tlog) {
+        val now = System.nanoTime()
+        System.err.println(f"[tlog] $name $what ${(now - t) / 1e9}%.3fs")
+        t = now
+      }
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").csv(sourceDir)
       val ckpt = ckptDir(name)
       val q = transform(src).writeStream
         .format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally { q.stop(); deleteRecursively(ckpt) }
+      mark("start")
+      try { q.processAllAvailable(); mark("drain") }
+      finally { q.stop(); mark("stop"); deleteRecursively(ckpt) }
     }
     spark.table(name)
   }
