@@ -251,18 +251,27 @@ object SparkEntry {
     stageRoot.resolve(name).toString
 
   /** Write `df` (which must carry a long `bucket` column with values
-    * 0..3) as ONE partitioned parquet job, then rename each partition
-    * directory up to `$root/<prefix><i>` — a driver-side metadata move
-    * on the local stage — so the staged root holds exactly the four
-    * flat data objects a transaction log will name. Object contents are
-    * identical to four filtered writes (partition columns never land in
-    * the files); the single job replaces four full-scan writes of pure
-    * per-invocation fixed cost. Returns the four object paths. */
+    * 0..nBuckets-1) as ONE partitioned parquet job, then rename each
+    * partition directory up to `$root/<prefix><i>` — a driver-side
+    * metadata move on the local stage — so the staged root holds exactly
+    * the flat data objects a transaction log will name. Object contents
+    * are identical to per-bucket filtered writes (partition columns
+    * never land in the files); the single job replaces nBuckets
+    * full-scan writes of pure per-invocation fixed cost. Returns the
+    * object paths in bucket order.
+    *
+    * PRECONDITIONS (this is a local-stage fixture helper, not a general
+    * mover): `root` must be on the LOCAL filesystem — the renames use
+    * java.nio Files.move, bypassing the Hadoop FS abstraction — and must
+    * be freshly wiped, or a pre-existing destination directory throws
+    * FileAlreadyExistsException. The renamed objects carry no per-object
+    * _SUCCESS markers (harmless to the txn-log readers, which list only
+    * the paths the log names). */
   private def stagePartitionedObjects(s: SparkSession, root: String,
-      prefix: String, df: DataFrame): Seq[String] = {
+      prefix: String, df: DataFrame, nBuckets: Int = 4): Seq[String] = {
     val broot = s"$root/_parts"
     df.write.mode("overwrite").partitionBy("bucket").parquet(broot)
-    val out = (0 to 3).map { i =>
+    val out = (0 until nBuckets).map { i =>
       val src = java.nio.file.Paths.get(s"$broot/bucket=$i")
       val dst = java.nio.file.Paths.get(s"$root/$prefix$i")
       require(java.nio.file.Files.isDirectory(src),
@@ -4219,10 +4228,6 @@ object SparkEntry {
       graft.streaming.StreamGate.deleteRecursively(root)
       val logDir = s"$root/_log"
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      def obj(name: String, df: DataFrame): String = {
-        val d = s"$root/$name"
-        df.write.mode("overwrite").parquet(d); d
-      }
       def lshRows(in: DataFrame): DataFrame = {
         val sigs = in.select(col("doc_id"),
           graft.functions.GraftFunctions.minhashSig(s, col("text"), 8)
@@ -4235,10 +4240,14 @@ object SparkEntry {
           .select(col("doc_id"),
             col("band_idx").cast("long").as("band_idx"), col("band"))
       }
-      val o0 = obj("d0", docs.where(col("doc_id") < 200))
-      val o1 = obj("d1", docs.where(col("doc_id") >= 200
-        && col("doc_id") < 350))
-      val o2 = obj("d2", docs.where(col("doc_id") >= 350))
+      // ONE partitioned write lays down all 3 doc-range objects
+      // (identical rows/columns to three filtered writes — the staging
+      // discipline txnLogStage established)
+      val Seq(o0, o1, o2) = stagePartitionedObjects(s, root, "d",
+        docs.withColumn("bucket",
+          when(col("doc_id") < 200, 0L)
+            .when(col("doc_id") < 350, 1L).otherwise(2L)),
+        nBuckets = 3)
       TxnLog.commit(s, logDir, 0L, adds = Seq(o0, o1), checkpointEvery = 2)
       // the standing signature store, built once at v0 and persisted
       val index0Dir = s"$root/index_v0"
@@ -8523,20 +8532,20 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
       val cb = pqCodebook(s, dir) // frozen model, trained on the corpus
-      def obj(name: String, df: DataFrame): String = {
-        val d = s"$root/$name"
-        df.write.mode("overwrite").parquet(d); d
-      }
       // index rows: stored cell + PQ codes per vector (model-driven,
       // per-row — the encode is a scan, never a shuffle)
       def indexRows(in: DataFrame): DataFrame =
         Similarity.pqCodes(in, col("embedding"), col("vec_id"), cb,
             subDim = 16)
           .join(in.select(col("vec_id"), col("label")), "vec_id")
-      val oA = obj("eA", emb.where(col("vec_id") < 200))
-      val oB = obj("eB", emb.where(col("vec_id") >= 200
-        && col("vec_id") < 350))
-      val oC = obj("eC", emb.where(col("vec_id") >= 350))
+      // ONE partitioned write lays down all 3 vec-range objects
+      // (txnLogStage staging discipline; contents identical to three
+      // filtered writes)
+      val Seq(oA, oB, oC) = stagePartitionedObjects(s, root, "e",
+        emb.withColumn("bucket",
+          when(col("vec_id") < 200, 0L)
+            .when(col("vec_id") < 350, 1L).otherwise(2L)),
+        nBuckets = 3)
       TxnLog.commit(s, logDir, 0L, adds = Seq(oA, oB), checkpointEvery = 2)
       // the standing index table, encoded once at v0 and persisted
       val indexDir = s"$root/index_v0"

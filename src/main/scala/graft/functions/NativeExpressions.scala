@@ -483,6 +483,85 @@ case class PqEncodeExpr(child: Expression,
   : PqEncodeExpr = copy(child = newChild)
 }
 
+/** Nearest-centroid assignment by ROUNDED cosine — the coarse-quantizer
+  * route step — with the centroid table as CONSTRUCTOR data instead of
+  * inlined literal trees (the [[PqEncodeExpr]] discipline; the literal
+  * form is kept as [[graft.ops.Similarity.assignToCentroidsLiteral]]
+  * for the cross-check spec). Output: struct<assigned: long,
+  * cos: double>. Arithmetic is bit-identical to the literal form: the
+  * same ascending dot accumulation, cos = round6(dot(e,m) /
+  * (sqrt(dot(e,e)) · ||m||)) with ||m|| the Scala-computed constant,
+  * and array_max struct semantics (greater cos wins, NaN greatest,
+  * ties to the LOWER centroid position via the -i tiebreak). */
+case class CentroidAssignExpr(child: Expression,
+    centroids: Seq[(Long, Seq[Double])])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("assigned", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("cos",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_centroid_assign"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_._2.toArray).toArray
+  @transient private lazy val lbls: Array[Long] =
+    centroids.map(_._1).toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c._2.map(x => x * x).sum)).toArray
+
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def assign(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+  : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = arr.numElements()
+    var ee = 0.0
+    var t = 0
+    while (t < n) { val x = arr.getDouble(t); ee += x * x; t += 1 }
+    val en = math.sqrt(ee)
+    var best = -1
+    var bestC = 0.0
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var em = 0.0
+      t = 0
+      while (t < n) { em += arr.getDouble(t) * c(t); t += 1 }
+      val den = en * norms(i)
+      // ANSI parity with the literal form: double division by a zero
+      // divisor THROWS under ANSI mode (a zero-norm vector or centroid);
+      // returning NaN here would silently diverge on degenerate input
+      if (den == 0.0) throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] Division by zero " +
+          "(graft_centroid_assign over a zero-norm vector or centroid)")
+      val cos = round6(em / den)
+      // struct-max semantics: strictly greater wins; a NaN challenger
+      // beats any non-NaN incumbent (NaN sorts greatest); ties keep the
+      // earlier position (its -i tiebreak is higher)
+      if (best < 0 || cos > bestC || (cos.isNaN && !bestC.isNaN)) {
+        best = i; bestC = cos
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lbls(best), bestC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("centroidAssign", this,
+      classOf[CentroidAssignExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+  : CentroidAssignExpr = copy(child = newChild)
+}
+
 /** All ordered (i < j) element pairs of a long array as one
   * array<struct<a, b>> — the basket-shaped co-occurrence expansion
   * (rel_basket_pairs / rel_item_cooccur_sim / the co-purchase graph

@@ -264,7 +264,26 @@ object Similarity {
     * full-table shuffle (window argmax), which at a realistic IVF book
     * (k in the thousands) would otherwise dominate the job. */
   def assignToCentroids(df: DataFrame, emb: Column, id: Column,
-                        cents: Seq[(Any, Seq[Double])]): DataFrame = {
+                        cents: Seq[(Any, Seq[Double])]): DataFrame =
+    if (cents.forall(_._1.isInstanceOf[Long])) {
+      // model as constructor data on ONE native expression instead of
+      // ~70 literal nodes per centroid (the PqEncodeExpr discipline);
+      // bit-identical to the literal form below — asserted in
+      // NativeFunctionsSpec
+      val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
+      val best = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CentroidAssignExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("e")),
+          cents.map { case (l, m) => (l.asInstanceOf[Long], m) }))
+      v.select(col("vec_id"), best.getField("assigned").as("assigned"),
+        best.getField("cos").as("cos"))
+    } else assignToCentroidsLiteral(df, emb, id, cents)
+
+  /** The literal-expression assignment [[assignToCentroids]] replaced
+    * for long-labeled centroid tables — kept as the cross-check twin
+    * and as the fallback for non-long labels. */
+  def assignToCentroidsLiteral(df: DataFrame, emb: Column, id: Column,
+                               cents: Seq[(Any, Seq[Double])]): DataFrame = {
     val v = df.select(id.as("vec_id"), asDouble(emb).as("e"))
     val scoredStructs = cents.zipWithIndex.map { case ((lbl, m), i) =>
       val mArr = array(m.map(lit): _*)

@@ -151,6 +151,36 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(nat.map(_.toSeq).toSeq == lit0.map(_.toSeq).toSeq)
   }
 
+  test("native centroid assignment == literal-expression form, row-for-row") {
+    val dims = 6
+    val k = 5
+    val cents: Seq[(Any, Seq[Double])] = (0 until k).map(i => (i.toLong: Any) ->
+      Seq.fill(dims)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+    // random vectors plus ties: vectors EQUAL to centroids (cos = 1
+    // against them, and against any duplicated centroid)
+    val vecs = Seq.fill(300)(Seq.fill(dims)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6)) ++ cents.map(_._2)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val nat = graft.ops.Similarity.assignToCentroids(df, col("embedding"),
+      col("vec_id"), cents).orderBy("vec_id").collect()
+    val lit0 = graft.ops.Similarity.assignToCentroidsLiteral(df,
+      col("embedding"), col("vec_id"), cents).orderBy("vec_id").collect()
+    assert(nat.map(_.toSeq).toSeq == lit0.map(_.toSeq).toSeq)
+    // ANSI parity on degenerate input: BOTH forms throw on a zero-norm
+    // vector (double division by zero throws under ANSI), rather than
+    // the native form silently yielding NaN
+    val zero = Seq((0L, Seq.fill(dims)(0.0))).toDF("vec_id", "embedding")
+    intercept[Throwable] {
+      graft.ops.Similarity.assignToCentroids(zero, col("embedding"),
+        col("vec_id"), cents).collect()
+    }
+    intercept[Throwable] {
+      graft.ops.Similarity.assignToCentroidsLiteral(zero, col("embedding"),
+        col("vec_id"), cents).collect()
+    }
+  }
+
   test("native dot product == declarative fold, bit-identical") {
     val rnd2 = new scala.util.Random(5)
     val vecs = Seq.fill(50)((Seq.fill(64)(rnd2.nextFloat()),
